@@ -1,0 +1,46 @@
+"""icedb_spark — a PySpark-native lakehouse engine.
+
+An append-only JSONL MVCC metadata log (snapshot isolation, time travel,
+atomic single-object commits) over plain Parquet files, with every data
+operation (insert, merge/compaction, rewrite, partition drop) expressed as a
+declarative Spark job — plus large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Semantics follow the reference system at /root/reference (danthegoodman1/icedb);
+the execution engine is entirely Spark-first.
+"""
+
+from .log import (
+    FileMarker,
+    IceLogIO,
+    LogMetadata,
+    LogState,
+    LogTombstone,
+    Schema,
+    SchemaConflictException,
+    Storage,
+    get_log_file_info,
+    now_ms,
+    partition_from_path,
+)
+from .table import IceTable, PartitionField, PartitionSpec, parse_partition
+
+__all__ = [
+    "FileMarker",
+    "IceLogIO",
+    "IceTable",
+    "LogMetadata",
+    "LogState",
+    "LogTombstone",
+    "PartitionField",
+    "PartitionSpec",
+    "Schema",
+    "SchemaConflictException",
+    "Storage",
+    "get_log_file_info",
+    "now_ms",
+    "parse_partition",
+    "partition_from_path",
+]
+
+__version__ = "0.1.0"

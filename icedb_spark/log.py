@@ -1,0 +1,373 @@
+"""MVCC metadata log for the PySpark lakehouse engine.
+
+This module re-implements, from its documented wire format, the append-only
+JSONL metadata log of the reference system (see /root/reference/ARCHITECTURE.md:19-113
+and /root/reference/icedb/log.py) so that tables written by either engine are
+mutually readable. It is intentionally engine-agnostic pure Python: Spark never
+sees the log, it only receives the alive-file lists the log produces.
+
+Wire format (one JSONL file per committed operation, stored under ``_log/``):
+
+* line 0 — metadata: ``{"v": 1, "t": <unix_ms>, "sch": <line#>, "f": <line#>[, "tmb": <line#>]}``
+* line ``sch`` — schema: ``{"<column>": "<DUCKDB TYPE NAME>", ...}``
+* lines ``tmb .. f`` — log tombstones: ``{"p": "<log file key>", "t": <unix_ms>}``
+* lines ``f ..``  — file markers: ``{"p": "<data file key>", "b": <bytes>, "t": <unix_ms>[, "tmb": <unix_ms>]}``
+
+File naming: ``_log/{unix_ms}[_m]_{path_safe_hostname}.jsonl`` — the ``_m``
+suffix marks merge-produced log files (tombstone cleanup only touches those).
+
+State = fold of all log files in lexicographic (== chronological) filename
+order, schema accumulated as a union of columns, file markers resolved
+last-writer-wins by data-file path. Filtering the fold to filenames whose
+embedded timestamp is ``< T`` is snapshot-read / time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+def now_ms() -> int:
+    """Unix milliseconds — the only clock the log uses."""
+    return round(time.time() * 1000)
+
+
+class SchemaConflictException(Exception):
+    """A column appeared with two different type strings across batches."""
+
+    def __init__(self, column: str, existing: str, new: str):
+        self.column = column
+        self.existing = existing
+        self.new = new
+        super().__init__(
+            f"schema conflict for column '{column}': existing type "
+            f"'{existing}' != new type '{new}'"
+        )
+
+
+class Schema:
+    """Union-of-columns schema with type-conflict rejection.
+
+    Types are canonical DuckDB SQL type-name strings (``BIGINT``, ``VARCHAR``,
+    ``DOUBLE`` ...) — the interchange contract of the log format. Columns are
+    only ever added, never removed; every column is nullable.
+    """
+
+    def __init__(self, columns: Optional[dict[str, str]] = None):
+        self._columns: dict[str, str] = dict(columns or {})
+
+    def accumulate(self, columns: list[str], types: list[str]) -> bool:
+        """Merge ``(columns, types)`` into this schema.
+
+        Returns True if any column was added. Raises SchemaConflictException
+        on an exact-string type mismatch for an existing column.
+        """
+        if len(columns) != len(types):
+            raise ValueError("columns and types must have equal length")
+        changed = False
+        for col, typ in zip(columns, types):
+            existing = self._columns.get(col)
+            if existing is None:
+                self._columns[col] = typ
+                changed = True
+            elif existing != typ:
+                raise SchemaConflictException(col, existing, typ)
+        return changed
+
+    def columns(self) -> dict[str, str]:
+        return dict(self._columns)
+
+    def to_json(self) -> str:
+        return json.dumps(self._columns)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Schema":
+        return cls(json.loads(s))
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Schema) and self._columns == other._columns
+
+    def __repr__(self) -> str:
+        return f"Schema({self._columns})"
+
+
+@dataclass
+class FileMarker:
+    """A data (Parquet) file the table has ever known about.
+
+    ``tombstone`` is the unix-ms time at which the file stopped being part of
+    live state (set when a merge/rewrite/removal supersedes it); ``None``
+    means alive.
+    """
+
+    path: str
+    created_ms: int
+    file_bytes: int
+    tombstone: Optional[int] = None
+
+    def to_dict(self) -> dict:
+        d = {"p": self.path, "b": self.file_bytes, "t": self.created_ms}
+        if self.tombstone is not None:
+            d["tmb"] = self.tombstone
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FileMarker":
+        return cls(
+            path=d["p"],
+            created_ms=d["t"],
+            file_bytes=d["b"],
+            tombstone=d.get("tmb"),
+        )
+
+    @property
+    def alive(self) -> bool:
+        return self.tombstone is None
+
+    def partition(self) -> str:
+        """Partition path of this file: everything between ``_data/`` and the
+        final filename segment."""
+        return partition_from_path(self.path)
+
+
+def partition_from_path(path: str) -> str:
+    """``.../_data/u=a/d=2023-06-07/xyz.parquet`` → ``u=a/d=2023-06-07``."""
+    parts = path.split("/")
+    try:
+        i = parts.index("_data")
+    except ValueError:
+        i = -1
+    return "/".join(parts[i + 1 : -1])
+
+
+@dataclass
+class LogTombstone:
+    """Marks an older log file as superseded by a merged log file."""
+
+    path: str
+    created_ms: int
+
+    def to_dict(self) -> dict:
+        return {"p": self.path, "t": self.created_ms}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LogTombstone":
+        return cls(path=d["p"], created_ms=d["t"])
+
+
+@dataclass
+class LogMetadata:
+    """Line 0 of every log file."""
+
+    version: int
+    timestamp_ms: int
+    schema_line: int
+    file_line: int
+    tombstone_line: Optional[int] = None
+
+    def to_dict(self) -> dict:
+        d = {
+            "v": self.version,
+            "t": self.timestamp_ms,
+            "sch": self.schema_line,
+            "f": self.file_line,
+        }
+        if self.tombstone_line is not None:
+            d["tmb"] = self.tombstone_line
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LogMetadata":
+        return cls(
+            version=d["v"],
+            timestamp_ms=d["t"],
+            schema_line=d["sch"],
+            file_line=d["f"],
+            tombstone_line=d.get("tmb"),
+        )
+
+
+class Storage:
+    """Minimal key/value object-store abstraction over a table root.
+
+    Keys are '/'-separated relative paths (``_log/...``, ``_data/...``).
+    The local implementation is used in tests and on a single node; a cluster
+    deployment would add an S3/fsspec implementation with the same five
+    methods — the log layer above is storage-agnostic by construction.
+    """
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def _abs(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put(self, key: str, data: bytes) -> None:
+        path = self._abs(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)  # atomic publish on POSIX
+
+    def get(self, key: str) -> bytes:
+        with open(self._abs(key), "rb") as f:
+            return f.read()
+
+    def list(self, prefix: str) -> list[tuple[str, int]]:
+        """All (key, size) under prefix, sorted by key."""
+        base = self._abs(prefix)
+        out: list[tuple[str, int]] = []
+        if not os.path.isdir(base):
+            return out
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                if fn.startswith(".") or ".tmp-" in fn:
+                    continue
+                absf = os.path.join(dirpath, fn)
+                key = os.path.relpath(absf, self.root).replace(os.sep, "/")
+                out.append((key, os.path.getsize(absf)))
+        out.sort()
+        return out
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(self._abs(key))
+        except FileNotFoundError:
+            pass
+
+    def size(self, key: str) -> int:
+        return os.path.getsize(self._abs(key))
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._abs(key))
+
+    def absolute(self, key: str) -> str:
+        """Engine-facing absolute path/URI for a key (what Spark reads)."""
+        return self._abs(key)
+
+
+def path_safe_hostname() -> str:
+    return socket.gethostname().replace("/", "-").replace("_", "-")
+
+
+def log_file_name(timestamp_ms: int, merged: bool = False) -> str:
+    suffix = "_m" if merged else ""
+    return f"{timestamp_ms}{suffix}_{path_safe_hostname()}.jsonl"
+
+
+def get_log_file_info(file_name: str) -> tuple[int, bool]:
+    """Parse ``(timestamp_ms, merged?)`` from a log file name or key."""
+    base = file_name.rsplit("/", 1)[-1]
+    head = base.split("_")
+    ts = int(head[0])
+    merged = len(head) > 1 and head[1] == "m"
+    return ts, merged
+
+
+@dataclass
+class LogState:
+    """Result of folding log files: the readable table state."""
+
+    schema: Schema
+    file_markers: list[FileMarker]
+    log_tombstones: list[LogTombstone]
+    log_files: list[str] = field(default_factory=list)
+
+    def alive_files(self) -> list[FileMarker]:
+        return [m for m in self.file_markers if m.alive]
+
+
+class IceLogIO:
+    """Reads and writes the JSONL log. All methods are driver-side only."""
+
+    LOG_PREFIX = "_log"
+
+    def append(
+        self,
+        storage: Storage,
+        version: int,
+        schema: Schema,
+        files: list[FileMarker],
+        tombstones: Optional[list[LogTombstone]] = None,
+        merged: bool = False,
+        timestamp_ms: Optional[int] = None,
+    ) -> tuple[str, LogMetadata]:
+        """Serialize one committed operation to a new log file.
+
+        The single ``put`` of this file is the atomic commit point: readers
+        never observe the operation's data files until the log object lands.
+        """
+        ts = timestamp_ms if timestamp_ms is not None else now_ms()
+        lines: list[str] = []
+        if tombstones:
+            meta = LogMetadata(version, ts, schema_line=1,
+                               file_line=2 + len(tombstones), tombstone_line=2)
+        else:
+            meta = LogMetadata(version, ts, schema_line=1, file_line=2)
+        lines.append(json.dumps(meta.to_dict()))
+        lines.append(schema.to_json())
+        for t in tombstones or []:
+            lines.append(json.dumps(t.to_dict()))
+        for m in files:
+            lines.append(json.dumps(m.to_dict()))
+        key = f"{self.LOG_PREFIX}/{log_file_name(ts, merged)}"
+        storage.put(key, ("\n".join(lines)).encode("utf-8"))
+        return key, meta
+
+    def read_log(
+        self, storage: Storage, key: str
+    ) -> tuple[LogMetadata, Schema, list[FileMarker], list[LogTombstone]]:
+        raw = storage.get(key).decode("utf-8")
+        lines = [ln for ln in raw.split("\n") if ln.strip()]
+        meta = LogMetadata.from_dict(json.loads(lines[0]))
+        schema = Schema.from_json(lines[meta.schema_line])
+        tombstones: list[LogTombstone] = []
+        if meta.tombstone_line is not None:
+            for ln in lines[meta.tombstone_line : meta.file_line]:
+                tombstones.append(LogTombstone.from_dict(json.loads(ln)))
+        markers = [FileMarker.from_dict(json.loads(ln)) for ln in lines[meta.file_line :]]
+        return meta, schema, markers, tombstones
+
+    def read_log_forward(self, storage: Storage, log_keys: list[str]) -> LogState:
+        """Fold an explicit list of log files into table state.
+
+        Files are processed in sorted-key order; file markers are resolved
+        last-writer-wins by data-file path (the MVCC conflict rule).
+        """
+        schema = Schema()
+        markers: dict[str, FileMarker] = {}
+        tombstones: dict[str, LogTombstone] = {}
+        for key in sorted(log_keys):
+            _meta, sch, fms, tmbs = self.read_log(storage, key)
+            cols = sch.columns()
+            schema.accumulate(list(cols.keys()), list(cols.values()))
+            for t in tmbs:
+                tombstones[t.path] = t
+            for m in fms:
+                markers[m.path] = m
+        return LogState(
+            schema=schema,
+            file_markers=list(markers.values()),
+            log_tombstones=list(tombstones.values()),
+            log_files=sorted(log_keys),
+        )
+
+    def get_current_log_files(self, storage: Storage) -> list[tuple[str, int]]:
+        return storage.list(self.LOG_PREFIX)
+
+    def read_at_max_time(self, storage: Storage, max_ms: Optional[int] = None) -> LogState:
+        """Snapshot read / time travel: fold log files with embedded
+        timestamp ``<= max_ms`` (all files when ``max_ms`` is None)."""
+        keys = []
+        for key, _size in self.get_current_log_files(storage):
+            ts, _merged = get_log_file_info(key)
+            if max_ms is None or ts <= max_ms:
+                keys.append(key)
+        return self.read_log_forward(storage, keys)

@@ -1,0 +1,583 @@
+"""IceTable — the PySpark-native lakehouse table engine.
+
+Capabilities mirror the reference's data-operation layer
+(/root/reference/icedb/icedb.py: insert, merge, tombstone_cleanup,
+remove_partitions, rewrite_partition) re-expressed as Spark jobs over explicit
+file lists, with the MVCC metadata log of :mod:`icedb_spark.log` providing
+snapshot isolation, time travel and the atomic commit point (one log-object
+PUT after all data files land).
+
+Scale design notes (targeting a 1000-executor cluster, not local mode):
+
+* **Insert** is a single Spark job: ``groupBy(partition).applyInArrow(write)``.
+  One shuffle on the partition key, then each task writes exactly one Parquet
+  file for its partition (sorted by the table sort order) directly to final
+  storage and returns a 1-row manifest — so the driver collects only
+  ``O(partitions)`` rows, never data. Arrow end to end; no Python row loop.
+* **Reads** pass an explicit alive-file list to the Parquet reader with the
+  unified log schema, so Catalyst gets column pruning + filter pushdown for
+  free, and MVCC/time-travel file pruning happens driver-side before the scan
+  (the reader never lists directories — O(live files) not O(all files ever)).
+* **Partition pruning** is driver-side set arithmetic on the marker list
+  (partition values are embedded in file paths), so a partition-restricted
+  query reads only matching files regardless of table size.
+* **Merge** reads only the selected small files of one partition and writes
+  one file; it never touches the rest of the table.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Iterable, Optional, Union
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .log import (
+    FileMarker,
+    IceLogIO,
+    LogState,
+    LogTombstone,
+    Schema,
+    Storage,
+    now_ms,
+    partition_from_path,
+)
+from .types import (
+    duckdb_schema_to_spark,
+    spark_schema_to_duckdb,
+)
+
+_PART_COL = "__ice_part"
+
+# manifest returned by each writer task: one row per written file
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("file_bytes", T.LongType(), True),
+        T.StructField("rows", T.LongType(), True),
+    ]
+)
+
+
+@dataclass
+class PartitionField:
+    """One Hive-style partition path segment ``name=<expr(row)>``.
+
+    ``expr`` is a Spark SQL expression string evaluated against the batch
+    (native, JVM-side — the fast path the reference lacked; its per-row Python
+    partition functions were its own ingest bottleneck, see
+    /root/reference/perf_tests/chicago_taxis/README.md:186-189).
+    """
+
+    name: str
+    expr: str
+
+
+class PartitionSpec:
+    """Computes the partition path string for every row of a batch.
+
+    Three modes, mirroring the reference API surface:
+
+    * native fields (default, scale path): list of :class:`PartitionField`
+    * ``python_fn``: arbitrary ``dict -> str`` callable (slow path, applied
+      via a Python UDF; reference ``icedb/icedb.py:22``)
+    * rows that carry a precomputed ``_partition`` column pass through when
+      ``preserve_partition`` is set on the table (``icedb/icedb.py:190-196``)
+    """
+
+    def __init__(
+        self,
+        fields: Optional[list[PartitionField]] = None,
+        python_fn: Optional[Callable[[dict], str]] = None,
+    ):
+        if (fields is None) == (python_fn is None):
+            raise ValueError("provide exactly one of fields / python_fn")
+        self.fields = fields
+        self.python_fn = python_fn
+
+    def partition_column(self, df: DataFrame) -> F.Column:
+        if self.fields is not None:
+            segments = [
+                F.concat(F.lit(f.name + "="), F.expr(f.expr).cast("string"))
+                for f in self.fields
+            ]
+            return F.concat_ws("/", *segments)
+        fn = self.python_fn
+        schema = df.schema
+
+        @F.udf(returnType=T.StringType())
+        def _part(*values):
+            row = dict(zip([f.name for f in schema.fields], values))
+            return fn(row)
+
+        return _part(*[F.col(f.name) for f in schema.fields])
+
+
+def parse_partition(part: str) -> dict[str, str]:
+    """``u=a/d=2023-06-07`` → ``{"u": "a", "d": "2023-06-07"}``."""
+    out: dict[str, str] = {}
+    for seg in part.split("/"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _make_group_writer(
+    root: str,
+    sort_order: list[str],
+    compression: str,
+    row_group_size: int,
+):
+    """Build the executor-side arrow group writer.
+
+    Returns a callable for ``groupBy(part).applyInArrow``: sorts the group by
+    the table sort order, strips internal columns, writes exactly one Parquet
+    file under ``_data/<partition>/`` and returns a 1-row manifest table.
+    Data never flows back to the driver.
+    """
+
+    def write_group(table: pa.Table) -> pa.Table:
+        part = table.column(_PART_COL)[0].as_py()
+        data = table.drop_columns([_PART_COL])
+        keys = [(c, "ascending") for c in sort_order if c in data.column_names]
+        if keys:
+            data = data.sort_by(keys)
+        rel_dir = f"_data/{part}" if part else "_data"
+        out_dir = os.path.join(root, rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"{uuid.uuid4()}.parquet"
+        final = os.path.join(out_dir, name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex
+        pq.write_table(
+            data,
+            tmp,
+            compression=compression,
+            row_group_size=row_group_size,
+        )
+        os.rename(tmp, final)
+        return pa.table(
+            {
+                "part": [part],
+                "path": [f"{rel_dir}/{name}"],
+                "file_bytes": [os.path.getsize(final)],
+                "rows": [data.num_rows],
+            }
+        )
+
+    return write_group
+
+
+class IceTable:
+    """One lakehouse table: a storage root holding ``_data/`` + ``_log/``.
+
+    Reference parity: the constructor knobs correspond 1:1 to
+    ``IceDBv3.__init__`` (/root/reference/icedb/icedb.py:27-78) — partition
+    spec, sort order, custom insert/merge SQL, row-group size, codec,
+    ``preserve_partition``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_spec: PartitionSpec,
+        sort_order: Optional[list[str]] = None,
+        custom_insert_query: Optional[str] = None,
+        custom_merge_query: Optional[str] = None,
+        row_group_size: int = 122_880,
+        compression: str = "snappy",
+        preserve_partition: bool = False,
+        log_storage: Optional[Storage] = None,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_spec = partition_spec
+        self.sort_order = sort_order or []
+        self.custom_insert_query = custom_insert_query
+        self.custom_merge_query = custom_merge_query
+        self.row_group_size = row_group_size
+        self.compression = compression
+        self.preserve_partition = preserve_partition
+        self.storage = Storage(self.path)
+        # log may live on a separate (lower-latency) store than data
+        self.log_storage = log_storage or self.storage
+        self.log_io = IceLogIO()
+
+    # ------------------------------------------------------------------ write
+
+    def _prepare_batch(self, df: DataFrame) -> DataFrame:
+        """Apply custom insert SQL and attach the partition column."""
+        if self.custom_insert_query:
+            df.createOrReplaceTempView("_rows")
+            df = self.spark.sql(self.custom_insert_query)
+        if self.preserve_partition and "_partition" in df.columns:
+            df = df.withColumnRenamed("_partition", _PART_COL)
+        else:
+            if "_partition" in df.columns:
+                df = df.drop("_partition")
+            df = df.withColumn(
+                _PART_COL, self.partition_spec.partition_column(df)
+            )
+        return df
+
+    def get_schema(self, rows: Optional[list[dict]] = None, df: Optional[DataFrame] = None) -> Schema:
+        """Dry-run schema introspection of a batch (no writes) —
+        reference ``get_schema`` (/root/reference/icedb/icedb.py:110-123)."""
+        if df is None:
+            df = self.spark.createDataFrame(rows)
+        if self.custom_insert_query:
+            df.createOrReplaceTempView("_rows")
+            df = self.spark.sql(self.custom_insert_query)
+        cols = spark_schema_to_duckdb(
+            T.StructType([f for f in df.schema.fields if f.name not in (_PART_COL, "_partition")])
+        )
+        s = Schema()
+        s.accumulate(list(cols.keys()), list(cols.values()))
+        return s
+
+    def insert(
+        self,
+        rows: Optional[list[dict]] = None,
+        df: Optional[DataFrame] = None,
+    ) -> list[FileMarker]:
+        """Write one sorted Parquet file per touched partition, then commit
+        with a single log append (reference ``insert``,
+        /root/reference/icedb/icedb.py:183-221).
+
+        Accepts either row dicts (reference-style JSON ingest) or any Spark
+        DataFrame (native path — streams, CSV, other tables).
+        """
+        if df is None:
+            if not rows:
+                return []
+            df = self.spark.createDataFrame(rows)
+        df = self._prepare_batch(df)
+
+        data_fields = [f for f in df.schema.fields if f.name != _PART_COL]
+        batch_schema = Schema()
+        cols = spark_schema_to_duckdb(T.StructType(data_fields))
+        batch_schema.accumulate(list(cols.keys()), list(cols.values()))
+
+        writer = _make_group_writer(
+            self.path, self.sort_order, self.compression, self.row_group_size
+        )
+        manifest = (
+            df.groupBy(_PART_COL)
+            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+            .collect()
+        )
+        ts = now_ms()
+        markers = [
+            FileMarker(path=r["path"], created_ms=ts, file_bytes=r["file_bytes"])
+            for r in manifest
+        ]
+        if markers:
+            self.log_io.append(
+                self.log_storage, 1, batch_schema, markers, timestamp_ms=ts
+            )
+        return markers
+
+    # ------------------------------------------------------------------- read
+
+    def snapshot(self, at_ms: Optional[int] = None) -> LogState:
+        """Fold the log at (or before) ``at_ms`` — time travel when set."""
+        return self.log_io.read_at_max_time(self.log_storage, at_ms)
+
+    def spark_schema(self, state: Optional[LogState] = None) -> T.StructType:
+        state = state or self.snapshot()
+        return duckdb_schema_to_spark(state.schema.columns())
+
+    def read(
+        self,
+        at_ms: Optional[int] = None,
+        partition_filter: Optional[Callable[[str], bool]] = None,
+        partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
+    ) -> DataFrame:
+        """Snapshot scan: alive files at ``at_ms``, driver-side partition
+        pruning, explicit unified schema → Catalyst does the rest.
+
+        ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
+        ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
+        ``partition_filter`` is an arbitrary predicate on the partition string.
+        """
+        state = self.snapshot(at_ms)
+        files = state.alive_files()
+        if partition_filter:
+            files = [m for m in files if partition_filter(m.partition())]
+        if partition_values:
+            files = [
+                m
+                for m in files
+                if _match_partition(parse_partition(m.partition()), partition_values)
+            ]
+        schema = self.spark_schema(state)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [self.storage.absolute(m.path) for m in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def sql(self, query: str, view: str = "ice", **read_kwargs) -> DataFrame:
+        """Run Spark SQL with the snapshot registered as a temp view."""
+        self.read(**read_kwargs).createOrReplaceTempView(view)
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(
+        self,
+        max_file_size: int = 10_000_000,
+        max_file_count: int = 10,
+        asc: bool = False,
+    ):
+        """Compact ONE partition per call (callers loop until None) —
+        reference ``merge`` (/root/reference/icedb/icedb.py:223-325).
+
+        Partition selection: order live partitions by file count (desc =
+        hot-first default, asc = full-optimization), pick the first with ≥2
+        candidate files, greedily accumulate smallest-first until the byte or
+        count budget. The rewrite is one small Spark job over only the
+        selected files; the commit is one merged (``_m``) log append carrying
+        the new marker, tombstoned old markers, untouched carried-forward
+        markers and log tombstones for the superseded log files.
+
+        Requires an external exclusive lock for multi-writer safety (same
+        contract as the reference, ARCHITECTURE.md:158-165).
+        """
+        state = self.snapshot()
+        by_part: dict[str, list[FileMarker]] = {}
+        for m in state.alive_files():
+            by_part.setdefault(m.partition(), []).append(m)
+        parts = sorted(
+            by_part.keys(), key=lambda p: len(by_part[p]), reverse=not asc
+        )
+        for part in parts:
+            candidates = [m for m in by_part[part]]
+            if len(candidates) < 2:
+                continue
+            candidates.sort(key=lambda m: m.file_bytes)
+            acc: list[FileMarker] = []
+            acc_bytes = 0
+            for m in candidates:
+                if len(acc) >= max_file_count or (acc and acc_bytes >= max_file_size):
+                    break
+                acc.append(m)
+                acc_bytes += m.file_bytes
+            if len(acc) < 2:
+                continue
+            return self._merge_files(state, part, acc)
+        return None
+
+    def _merge_files(self, state: LogState, part: str, acc: list[FileMarker]):
+        spark = self.spark
+        schema = self.spark_schema(state)
+        paths = [self.storage.absolute(m.path) for m in acc]
+        df = spark.read.schema(schema).parquet(*paths)
+        # expose hive partition values as columns for the merge query
+        # (reference reads with hive_partitioning=1, icedb/icedb.py:271-281)
+        part_values = parse_partition(part)
+        added = []
+        for k, v in part_values.items():
+            if k not in df.columns:
+                df = df.withColumn(k, F.lit(v))
+                added.append(k)
+        df.createOrReplaceTempView("source_files")
+        q = self.custom_merge_query or "select * from source_files"
+        out = spark.sql(q)
+        # partition-path helper columns never become table columns
+        out = out.drop(*[c for c in added if c in out.columns])
+
+        writer = _make_group_writer(
+            self.path, self.sort_order, self.compression, self.row_group_size
+        )
+        manifest = (
+            out.withColumn(_PART_COL, F.lit(part))
+            .groupBy(_PART_COL)
+            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+            .collect()
+        )
+        merge_ms = now_ms()
+        new_marker = FileMarker(
+            path=manifest[0]["path"],
+            created_ms=merge_ms,
+            file_bytes=manifest[0]["file_bytes"],
+        )
+
+        # log bookkeeping: rebuild state of the logs that referenced the
+        # merged files, tombstone the merged paths, supersede those logs
+        merged_paths = {m.path for m in acc}
+        source_logs: list[str] = []
+        carried: dict[str, FileMarker] = {}
+        log_schema = Schema()
+        for key in state.log_files:
+            _meta, sch, fms, _t = self.log_io.read_log(self.log_storage, key)
+            if not any(fm.path in merged_paths for fm in fms):
+                continue
+            source_logs.append(key)
+            cols = sch.columns()
+            log_schema.accumulate(list(cols.keys()), list(cols.values()))
+            for fm in fms:
+                if fm.path in merged_paths and fm.alive:
+                    fm = FileMarker(fm.path, fm.created_ms, fm.file_bytes, merge_ms)
+                carried[fm.path] = fm
+        tombstones = [LogTombstone(k, merge_ms) for k in source_logs]
+        files = [new_marker] + list(carried.values())
+        new_log, _meta = self.log_io.append(
+            self.log_storage,
+            1,
+            log_schema,
+            files,
+            tombstones=tombstones,
+            merged=True,
+            timestamp_ms=merge_ms,
+        )
+        return new_log, new_marker, part, acc
+
+    # ---------------------------------------------------------------- cleanup
+
+    def tombstone_cleanup(self, min_age_ms: int) -> tuple[list[str], list[str]]:
+        """Vacuum: physically delete data files whose tombstones and log
+        files whose supersede-markers are older than ``min_age_ms``, then
+        collapse surviving state into one fresh merged log (reference
+        ``tombstone_cleanup``, /root/reference/icedb/icedb.py:327-433).
+
+        Returns (deleted_log_files, deleted_data_files). Requires the same
+        external exclusive lock as ``merge``.
+        """
+        state = self.snapshot()
+        now = now_ms()
+        deleted_data: list[str] = []
+        survivors: list[FileMarker] = []
+        for m in state.file_markers:
+            if m.tombstone is not None and now - m.tombstone >= min_age_ms:
+                self.storage.delete(m.path)
+                deleted_data.append(m.path)
+            else:
+                survivors.append(m)
+        keep_tombstones = [
+            t for t in state.log_tombstones if now - t.created_ms < min_age_ms
+        ]
+        self.log_io.append(
+            self.log_storage,
+            1,
+            state.schema,
+            survivors,
+            tombstones=keep_tombstones or None,
+            merged=True,
+            timestamp_ms=now,
+        )
+        deleted_logs: list[str] = []
+        for key in state.log_files:
+            self.log_storage.delete(key)
+            deleted_logs.append(key)
+        return deleted_logs, deleted_data
+
+    # ------------------------------------------------------- partition admin
+
+    def remove_partitions(
+        self,
+        removal_fn: Callable[[list[str]], list[str]],
+        max_files: int = 1000,
+    ) -> int:
+        """Log-only partition drop (TTL / user deletion): tombstone every
+        alive file of the partitions the callback selects. O(metadata), no
+        data I/O (reference ``remove_partitions``,
+        /root/reference/icedb/icedb.py:435-501)."""
+        state = self.snapshot()
+        by_part: dict[str, list[FileMarker]] = {}
+        for m in state.alive_files():
+            by_part.setdefault(m.partition(), []).append(m)
+        victims = removal_fn(sorted(by_part.keys()))
+        ts = now_ms()
+        tombstoned: list[FileMarker] = []
+        for p in victims:
+            for m in by_part.get(p, []):
+                if len(tombstoned) >= max_files:
+                    break
+                tombstoned.append(
+                    FileMarker(m.path, m.created_ms, m.file_bytes, ts)
+                )
+        if tombstoned:
+            self.log_io.append(
+                self.log_storage, 1, state.schema, tombstoned,
+                merged=True, timestamp_ms=ts,
+            )
+        return len(tombstoned)
+
+    def rewrite_partition(self, partition: str, filter_query: str) -> list[str]:
+        """GDPR-style rewrite: pass every live file of one partition through
+        ``filter_query`` (SQL over a ``_rows`` view of that file), write
+        replacements, tombstone originals — one atomic log append (reference
+        ``rewrite_partition``, /root/reference/icedb/icedb.py:503-589).
+
+        The query must not add columns (same contract as the reference,
+        icedb/icedb.py:508-510)."""
+        state = self.snapshot()
+        schema = self.spark_schema(state)
+        known = set(state.schema.columns().keys())
+        targets = [m for m in state.alive_files() if m.partition() == partition]
+        writer = _make_group_writer(
+            self.path, self.sort_order, self.compression, self.row_group_size
+        )
+        ts = now_ms()
+        new_markers: list[FileMarker] = []
+        rewritten: list[str] = []
+        for m in targets:
+            df = self.spark.read.schema(schema).parquet(
+                self.storage.absolute(m.path)
+            )
+            df.createOrReplaceTempView("_rows")
+            out = self.spark.sql(filter_query)
+            extra = [c for c in out.columns if c not in known]
+            if extra:
+                raise ValueError(
+                    f"rewrite query may not add columns; got new columns {extra}"
+                )
+            manifest = (
+                out.withColumn(_PART_COL, F.lit(partition))
+                .groupBy(_PART_COL)
+                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                .collect()
+            )
+            for r in manifest:
+                new_markers.append(
+                    FileMarker(r["path"], ts, r["file_bytes"])
+                )
+            rewritten.append(m.path)
+        tombstoned = [
+            FileMarker(m.path, m.created_ms, m.file_bytes, ts) for m in targets
+        ]
+        if new_markers or tombstoned:
+            self.log_io.append(
+                self.log_storage, 1, state.schema,
+                new_markers + tombstoned, merged=True, timestamp_ms=ts,
+            )
+        return rewritten
+
+
+def _match_partition(
+    values: dict[str, str],
+    predicate: dict[str, Union[str, tuple, set, list]],
+) -> bool:
+    for k, cond in predicate.items():
+        v = values.get(k)
+        if v is None:
+            return False
+        if isinstance(cond, tuple) and len(cond) == 2:
+            lo, hi = cond
+            if (lo is not None and v < lo) or (hi is not None and v > hi):
+                return False
+        elif isinstance(cond, (set, list)):
+            if v not in {str(c) for c in cond}:
+                return False
+        elif v != str(cond):
+            return False
+    return True

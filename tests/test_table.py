@@ -1,0 +1,289 @@
+"""IceTable end-to-end conformance — models the reference integration flow
+(/root/reference/integration_test.py): insert → query → insert → merge →
+query-unchanged → cleanup → query-unchanged → remove-partition →
+rewrite-partition, with exact file/log-count invariants (FIXTURES.md F1/F7)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from icedb_spark import (
+    IceTable,
+    PartitionField,
+    PartitionSpec,
+    SchemaConflictException,
+)
+
+EVENTS_SPEC = PartitionSpec(
+    fields=[
+        PartitionField("cust", "'test'"),
+        PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')"),
+    ]
+)
+
+
+def make_table(spark, tmp_path, **kw) -> IceTable:
+    return IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=kw.pop("partition_spec", EVENTS_SPEC),
+        sort_order=kw.pop("sort_order", ["event", "ts"]),
+        **kw,
+    )
+
+
+def batch(n_a=2, n_b=1, base_ts=1686_000_000_000):
+    rows = []
+    for i in range(n_a):
+        rows.append(
+            {"ts": base_ts + i, "event": "page_load", "user_id": "a",
+             "properties": '{"page_name": "Home"}'}
+        )
+    for i in range(n_b):
+        rows.append(
+            {"ts": base_ts + i, "event": "something_else", "user_id": "b",
+             "properties": '{"page_name": "Settings"}'}
+        )
+    return rows
+
+
+def counts_by_user(table, **kw):
+    df = (
+        table.read(**kw)
+        .groupBy("user_id")
+        .agg(F.count("user_id").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+    )
+    return [(r["cnt"], r["user_id"]) for r in df.collect()]
+
+
+def test_insert_query_merge_cleanup_flow(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+
+    markers = t.insert(batch())
+    assert len(markers) == 1  # same day, same cust → one partition file
+    assert counts_by_user(t) == [(2, "a"), (1, "b")]
+
+    # schema introspection matches the reference's exact expectation
+    assert t.get_schema(batch()).columns() == {
+        "ts": "BIGINT", "event": "VARCHAR", "user_id": "VARCHAR",
+        "properties": "VARCHAR",
+    }
+
+    # two more inserts accumulate
+    t.insert(batch())
+    t.insert(batch())
+    assert counts_by_user(t) == [(6, "a"), (3, "b")]
+    state = t.snapshot()
+    assert len(state.alive_files()) == 3
+    assert len(state.log_files) == 3
+
+    # merge: one file survives, results unchanged, tombstones ⊆ inserted
+    res = t.merge(max_file_count=10)
+    assert res is not None
+    _log, new_marker, part, merged = res
+    assert part == "cust=test/d=2023-06-05"
+    assert {m.path for m in merged} <= {m.path for m in state.alive_files()}
+    state2 = t.snapshot()
+    assert len(state2.alive_files()) == 1
+    assert counts_by_user(t) == [(6, "a"), (3, "b")]
+    # no more merge candidates
+    assert t.merge() is None
+
+    # tombstone cleanup: collapse to 1 log file, 1 data file, results unchanged
+    deleted_logs, deleted_data = t.tombstone_cleanup(min_age_ms=0)
+    assert len(deleted_data) == 3
+    state3 = t.snapshot()
+    assert len(state3.log_files) == 1
+    assert len(state3.alive_files()) == 1
+    assert counts_by_user(t) == [(6, "a"), (3, "b")]
+
+
+def test_time_travel(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(batch(n_a=2, n_b=1))
+    ts_after_first = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.insert(batch(n_a=2, n_b=1))
+    assert counts_by_user(t) == [(4, "a"), (2, "b")]
+    assert counts_by_user(t, at_ms=ts_after_first) == [(2, "a"), (1, "b")]
+
+
+def test_partition_pruning(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    day = 86_400_000
+    t.insert(batch(base_ts=1686_000_000_000))          # 2023-06-05
+    t.insert(batch(base_ts=1686_000_000_000 + day))    # 2023-06-06
+    all_rows = t.read().count()
+    assert all_rows == 6
+    pruned = t.read(partition_values={"d": "2023-06-05"})
+    assert pruned.count() == 3
+    # range pruning
+    ranged = t.read(partition_values={"d": ("2023-06-06", "2023-06-30")})
+    assert ranged.count() == 3
+    # the pruned scan must only read one file
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_remove_partitions(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    day = 86_400_000
+    t.insert(batch(base_ts=1686_000_000_000))
+    t.insert(batch(base_ts=1686_000_000_000 + day))
+    n = t.remove_partitions(lambda parts: [p for p in parts if p.endswith("2023-06-05")])
+    assert n == 1
+    assert counts_by_user(t) == [(2, "a"), (1, "b")]
+    state = t.snapshot()
+    assert len(state.alive_files()) == 1
+
+
+def test_rewrite_partition(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(batch(n_a=2, n_b=1))
+    rewritten = t.rewrite_partition(
+        "cust=test/d=2023-06-05",
+        "select * from _rows where event != 'page_load'",
+    )
+    assert len(rewritten) == 1
+    assert counts_by_user(t) == [(1, "b")]
+    with pytest.raises(ValueError):
+        t.rewrite_partition(
+            "cust=test/d=2023-06-05",
+            "select *, 1 as extra from _rows",
+        )
+
+
+def test_schema_accumulation_and_conflict(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(batch())
+    # adding a column is legal — schema is the union
+    rows = [{"ts": 1686_000_000_000, "event": "x", "user_id": "a",
+             "properties": "{}", "flt": 1.5}]
+    t.insert(rows)
+    st = t.snapshot()
+    assert st.schema.columns()["flt"] == "DOUBLE"
+    # reading sees the union schema with nulls for missing columns
+    df = t.read()
+    assert df.where(F.col("flt").isNull()).count() == 3
+    # a type change is rejected at fold time
+    t.insert([{"ts": 1, "event": "x", "user_id": "a", "properties": "{}",
+               "flt": "not-a-double"}])
+    with pytest.raises(SchemaConflictException):
+        t.snapshot()
+
+
+def test_custom_insert_query(spark, tmp_path):
+    """F3: custom insert seeds cnt=1 per row (aggregate-on-merge pattern)."""
+    t = make_table(
+        spark, tmp_path,
+        custom_insert_query="select *, cast(1 as bigint) as cnt from _rows",
+    )
+    t.insert(batch())
+    df = t.read()
+    assert df.agg(F.sum("cnt")).collect()[0][0] == 3
+    assert t.snapshot().schema.columns()["cnt"] == "BIGINT"
+
+
+def test_aggregate_on_merge(spark, tmp_path):
+    """F3 invariant: sum(cnt) by (user_id, event) is identical before and
+    after merges while raw count(*) shrinks."""
+    t = make_table(
+        spark, tmp_path,
+        custom_insert_query="select *, cast(1 as bigint) as cnt from _rows",
+        custom_merge_query=(
+            "select user_id, event, cast(sum(cnt) as bigint) as cnt, "
+            "max(ts) as ts, max(properties) as properties "
+            "from source_files group by user_id, event"
+        ),
+    )
+    for _ in range(3):
+        t.insert(batch())
+
+    def agg_result():
+        return sorted(
+            (r["user_id"], r["event"], r["s"])
+            for r in t.read()
+            .groupBy("user_id", "event")
+            .agg(F.sum("cnt").alias("s"))
+            .collect()
+        )
+
+    before = agg_result()
+    raw_before = t.read().count()
+    assert t.merge() is not None
+    assert agg_result() == before
+    assert t.read().count() < raw_before
+    assert t.read().count() == 2  # fully collapsed: one row per (user, event)
+
+
+def test_replace_on_merge(spark, tmp_path):
+    """F4: replacing-merge keeps the latest row per user (arg_max semantics)."""
+    t = make_table(
+        spark, tmp_path,
+        custom_merge_query=(
+            "select user_id, max_by(event, ts) as event, max(ts) as ts, "
+            "max_by(properties, ts) as properties "
+            "from source_files group by user_id"
+        ),
+    )
+    t.insert(batch(base_ts=1686_000_000_000))
+    # same logical events, one ms later ("newer versions")
+    rows = [dict(r, ts=r["ts"] + 10, event=r["event"] + "_v2") for r in batch()]
+    t.insert(rows)
+
+    def latest():
+        return sorted(
+            (r["user_id"], r["event"], r["ts"])
+            for r in t.sql(
+                "select user_id, max_by(event, ts) as event, max(ts) as ts "
+                "from ice group by user_id"
+            ).collect()
+        )
+
+    before = latest()
+    assert t.merge() is not None
+    assert latest() == before
+    assert t.read().count() == 2  # one row per user after replace-merge
+
+
+def test_python_partition_function(spark, tmp_path):
+    """Slow-path parity: arbitrary Python dict->str partition functions."""
+    spec = PartitionSpec(python_fn=lambda row: f"u={row['user_id']}")
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
+                 sort_order=["ts"])
+    t.insert(batch())
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"u=a", "u=b"}
+
+
+def test_preserve_partition_passthrough(spark, tmp_path):
+    """Fast-path parity: precomputed _partition column is honored."""
+    t = IceTable(
+        spark, str(tmp_path / "tbl"),
+        partition_spec=EVENTS_SPEC, sort_order=["ts"],
+        preserve_partition=True,
+    )
+    rows = [dict(r, _partition=f"b={i % 2}") for i, r in enumerate(batch(4, 0))]
+    t.insert(rows)
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"b=0", "b=1"}
+
+
+def test_insert_dataframe_native(spark, tmp_path, sf_dir):
+    """DataFrame-native ingest: load driver events parquet straight in."""
+    # ts is epoch-nanos BIGINT (nanosAsLong read of the ns-timestamp parquet)
+    spec = PartitionSpec(
+        fields=[PartitionField("d", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')")]
+    )
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
+                 sort_order=["ts"])
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t.insert(df=src)
+    assert t.read().count() == src.count()
+    # one file per day partition
+    state = t.snapshot()
+    days = {m.partition() for m in state.alive_files()}
+    assert len(days) == len(state.alive_files())
