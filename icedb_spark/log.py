@@ -38,6 +38,26 @@ def now_ms() -> int:
     return round(time.time() * 1000)
 
 
+_last_issued_ms = 0
+
+
+def unique_ms() -> int:
+    """Strictly monotonic unix-ms for log commit timestamps.
+
+    Two commits from the same process in the same millisecond would produce
+    identical log file names (and an ambiguous fold order for the
+    last-writer-wins rule), so commit timestamps are forced strictly
+    increasing per process. Cross-process ties carry the same (low) risk as
+    the reference format itself.
+    """
+    global _last_issued_ms
+    ms = now_ms()
+    if ms <= _last_issued_ms:
+        ms = _last_issued_ms + 1
+    _last_issued_ms = ms
+    return ms
+
+
 class SchemaConflictException(Exception):
     """A column appeared with two different type strings across batches."""
 
@@ -304,7 +324,7 @@ class IceLogIO:
         The single ``put`` of this file is the atomic commit point: readers
         never observe the operation's data files until the log object lands.
         """
-        ts = timestamp_ms if timestamp_ms is not None else now_ms()
+        ts = timestamp_ms if timestamp_ms is not None else unique_ms()
         lines: list[str] = []
         if tombstones:
             meta = LogMetadata(version, ts, schema_line=1,

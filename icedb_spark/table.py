@@ -46,7 +46,7 @@ from .log import (
     LogTombstone,
     Schema,
     Storage,
-    now_ms,
+    unique_ms,
     partition_from_path,
 )
 from .types import (
@@ -275,7 +275,7 @@ class IceTable:
             .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
             .collect()
         )
-        ts = now_ms()
+        ts = unique_ms()
         markers = [
             FileMarker(path=r["path"], created_ms=ts, file_bytes=r["file_bytes"])
             for r in manifest
@@ -404,7 +404,7 @@ class IceTable:
             .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
             .collect()
         )
-        merge_ms = now_ms()
+        merge_ms = unique_ms()
         new_marker = FileMarker(
             path=manifest[0]["path"],
             created_ms=merge_ms,
@@ -453,7 +453,7 @@ class IceTable:
         external exclusive lock as ``merge``.
         """
         state = self.snapshot()
-        now = now_ms()
+        now = unique_ms()
         deleted_data: list[str] = []
         survivors: list[FileMarker] = []
         for m in state.file_markers:
@@ -496,7 +496,7 @@ class IceTable:
         for m in state.alive_files():
             by_part.setdefault(m.partition(), []).append(m)
         victims = removal_fn(sorted(by_part.keys()))
-        ts = now_ms()
+        ts = unique_ms()
         tombstoned: list[FileMarker] = []
         for p in victims:
             for m in by_part.get(p, []):
@@ -527,7 +527,7 @@ class IceTable:
         writer = _make_group_writer(
             self.path, self.sort_order, self.compression, self.row_group_size
         )
-        ts = now_ms()
+        ts = unique_ms()
         new_markers: list[FileMarker] = []
         rewritten: list[str] = []
         for m in targets:

@@ -103,10 +103,13 @@ def test_insert_query_merge_cleanup_flow(spark, tmp_path):
 
 
 def test_time_travel(spark, tmp_path):
+    from icedb_spark import get_log_file_info
+
     t = make_table(spark, tmp_path)
     t.insert(batch(n_a=2, n_b=1))
-    ts_after_first = int(time.time() * 1000)
-    time.sleep(0.01)
+    # the commit timestamp of the first insert's log file: snapshotting at
+    # exactly this instant must see the first batch and nothing later
+    ts_after_first = get_log_file_info(t.snapshot().log_files[-1])[0]
     t.insert(batch(n_a=2, n_b=1))
     assert counts_by_user(t) == [(4, "a"), (2, "b")]
     assert counts_by_user(t, at_ms=ts_after_first) == [(2, "a"), (1, "b")]
