@@ -1,0 +1,43 @@
+"""Large-scale training-data pipeline operators.
+
+Everything here is expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python row loops. Hashing is md5-derived and
+deterministic, so results are reproducible across engines and runs.
+"""
+
+from .dedup import (
+    embedding_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import cosine_topk, cosine_topk_lsh
+from .text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+    tokens,
+)
+
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "doc_fingerprint",
+    "embedding_dup_pairs",
+    "exact_duplicates",
+    "language_id",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash",
+    "simhash_pairs",
+    "text_quality",
+    "token_stats",
+    "tokens",
+]

@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicates.
+
+Scale design (the point of these at 100 TB):
+
+* **exact**: one hash-groupBy on a digest of the compared columns — map-side
+  partial aggregation, a single shuffle keyed by digest.
+* **MinHash+LSH**: shingle explode → per-doc signature (one shuffle, partial
+  min pushed map-side) → band-bucket self-join (shuffle join keyed by
+  ``(band, band_hash)``; bucket sizes are bounded by construction) → exact
+  Jaccard verification only on candidates. Never O(n²).
+* **SimHash**: per-doc 32-bit sketch in one aggregation, byte-band blocking
+  for candidate pairs, popcount verification.
+* **n-gram Jaccard**: exact pairwise measure gated by a shared-shingle
+  relational blocker — use MinHash at scale; this is the precise variant.
+* **embedding cosine**: brute-force verify here;
+  :func:`icedb_spark.operators.similarity.cosine_topk_lsh` is the scale path.
+
+All hashes are md5-derived (:mod:`icedb_spark.operators.hashing`) so any
+engine can reproduce the exact outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60
+from .text import tokens
+
+BAND_SEED = 1_000
+SIMHASH_SEED = 777
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct token k-gram shingles of normalized text; documents shorter
+    than ``k`` tokens contribute their whole normalized text as one shingle."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", cols: list[str] | None = None
+) -> DataFrame:
+    """Exact duplicate groups by digest of the compared columns.
+
+    Returns one row per duplicate *group* (count > 1): the digest, group
+    size, the canonical keeper (min id) and the sorted member ids.
+    """
+    cols = cols or ["text"]
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return (
+        df.select(F.col(id_col).alias("id"), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("id").alias("keeper_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``mh0..mh{P-1}`` columns.
+
+    One explode + one groupBy; the per-permutation ``min`` aggregates
+    partially map-side, so the shuffle carries only P longs per document.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(hash60(F.col("shingle"), j)).alias(f"mh{j}") for j in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def _band_hashes(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) — one row per band per document."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        concat = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), hash60(concat, BAND_SEED + b).alias("bh"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("e")
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    rounded to 6 decimals (deterministic across engines).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
+    bh = _band_hashes(sig, num_perm, bands)
+    cand = (
+        bh.alias("a")
+        .join(bh.alias("b"), on=[F.col("a.band") == F.col("b.band"),
+                                 F.col("a.bh") == F.col("b.bh"),
+                                 F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    return (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicates, blocked on a shared shingle.
+
+    The relational blocker (self-join on shingle) avoids O(n²) but can blow
+    up on very common shingles — at scale prefer :func:`minhash_lsh_pairs`
+    (probabilistic) or add rarest-shingle blocking.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"),
+                                 F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash sketch over token occurrences.
+
+    Bit ``b`` of the sketch is 1 iff the sum over tokens of ±1 (by bit ``b``
+    of the token hash) is positive. One explode + one aggregation.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = hash60(F.col("tok"), SIMHASH_SEED)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_bit = ex.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_bit.select("id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: byte-band blocking (a pair within
+    hamming ≤ 3 of a 32-bit sketch shares at least one of 4 bytes), verified
+    with an exact popcount."""
+    sk = simhash(df, id_col, text_col, bits)
+    n_bands = bits // 8
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sk.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("e")
+    ).select("id", "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=[F.col("a.band") == F.col("b.band"),
+                                    F.col("a.bv") == F.col("b.bv"),
+                                    F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) verify — exact, for moderate corpora and correctness
+    oracles. The scale path is LSH bucketing
+    (:func:`icedb_spark.operators.similarity.cosine_topk_lsh`) which turns
+    this into a bucketed join."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

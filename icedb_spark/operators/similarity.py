@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  Cross join + codegen'd dot product; fine up to ~10⁶×10³ pairs.
+* :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  the corpus so each query only scores its bucket (multi-probe over sign
+  flips would raise recall further). The hyperplanes are md5-derived, so the
+  bucketing is deterministic and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import hash60
+
+HYPERPLANE_SEED = 4_242
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(c) -> Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
+    ties broken by neighbor id (deterministic). ``queries`` is typically
+    small → Spark broadcasts it; the corpus never shuffles.
+    """
+    query_id_col = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component signs.
+
+    Components are ±1 derived from md5 — reproducible anywhere, no RNG
+    state. (Sign-only hyperplanes are standard for cosine LSH.)
+    """
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane:{plane}:{i}".encode()).hexdigest()
+        out.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane bucket id (0 .. 2^n_planes-1) for a vector column."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array([F.lit(x) for x in _hyperplane(dim, p)])
+        positive = _dot(_as_double(vec_col), plane) >= 0
+        bucket = bucket + F.when(positive, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors in the query's LSH bucket.
+
+    One bucketed equi-join instead of a cross join — per-bucket work is
+    |bucket|·|queries in bucket|, so the total is ~n²/2^planes. Recall is
+    approximate (neighbors straddling a hyperplane are missed); increase
+    recall with fewer planes or multi-probe."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,130 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All pure column expressions (JVM-side, codegen-friendly) — at 100 TB these
+run inside the scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword/marker lists for the n-gram-free heuristic language
+# detector. Deliberately small and deterministic (they are part of the
+# operator's contract so independent engines can reproduce results).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + [
+    "for", "on", "with", "as", "was", "at", "by", "an", "be", "this",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (4 chars ≈ 1 token, the common heuristic for byte-pair encodings)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: length, punctuation density, stopword ratio,
+    repetition. ``quality_score`` is a deterministic 0-1 composite."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n_tokens
+    # composite: long enough, not punctuation soup, some stopwords, not
+    # degenerate repetition — each term clamped to [0,1]
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + F.least(uniq_ratio, F.lit(1.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over the
+    token set; argmax wins, ties broken alphabetically, zero hits → 'und'.
+
+    Scale note: pure expressions over one row at a time — no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        marker_arr = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(toks, marker_arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits, reversed-lang) => highest hits, alphabetical tiebreak
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).cast("int").alias("hits"), F.lit("zzz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    31-polynomial rolling hash (mod 1e9+7) over the normalized characters.
+    Both deterministic and engine-independent."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    rolling = F.aggregate(
+        F.transform(F.split(norm, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + c, F.lit(1_000_000_007)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint_md5"),
+        rolling.alias("fingerprint_rolling"),
+    )
