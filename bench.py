@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized with the noop sink (full execution, no driver
+transfer). One untimed warmup run primes the JVM/codegen caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: scan-agg, top-k, window, joins, percentile, dedup,
+# similarity, text, and the engine lifecycle (insert+merge under the clock)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_count_by_user",
+    "q05_topk",
+    "q06_month_rollup",
+    "q07_percentile",
+    "q12_join_broadcast",
+    "q13_join_threeway",
+    "q14_window_rank",
+    "d02_minhash_lsh",
+    "d04_simhash",
+    "s01_cosine_topk",
+    "t02_text_quality",
+    "ice01_insert_roundtrip",
+    "ice02_merge_invariant",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("icedb_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q01_pricing_summary")  # warmup (untimed)
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        results[name] = round(run(name), 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

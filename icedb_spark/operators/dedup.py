@@ -31,6 +31,27 @@ from .text import tokens
 BAND_SEED = 1_000
 SIMHASH_SEED = 777
 
+# MinHash permutations: one md5 base hash per shingle, then cheap affine
+# permutations h_j = (a_j·h + b_j) mod p over a 31-bit prime (the standard
+# universal-hash family). 16× fewer digests than hashing per permutation,
+# and the constants are md5-derived so any engine reproduces them.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(num_perm):
+        a = int(hashlib.md5(f"minhash:a:{j}".encode()).hexdigest()[:8], 16) % (
+            MINHASH_PRIME - 1
+        ) + 1
+        b = int(hashlib.md5(f"minhash:b:{j}".encode()).hexdigest()[:8], 16) % (
+            MINHASH_PRIME
+        )
+        out.append((a, b))
+    return out
+
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct token k-gram shingles of normalized text; documents shorter
@@ -84,9 +105,12 @@ def minhash_signature(
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    ).withColumn("h", F.pmod(hash60(F.col("shingle"), 0), F.lit(MINHASH_PRIME)))
     aggs = [
-        F.min(hash60(F.col("shingle"), j)).alias(f"mh{j}") for j in range(num_perm)
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
     return ex.groupBy("id").agg(*aggs)
 

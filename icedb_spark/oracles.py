@@ -1,0 +1,256 @@
+"""DuckDB oracle SQL builders for the hash-based operators.
+
+Every operator in :mod:`icedb_spark.operators` uses md5-derived hashing
+(:mod:`icedb_spark.operators.hashing`), so its exact output is expressible in
+portable SQL. These builders generate that SQL programmatically (the MinHash /
+SimHash oracles are long but mechanical). They are used by
+``__spark_entry__.oracle_sql`` and by tests.
+"""
+
+from __future__ import annotations
+
+from .operators.hashing import hash60_sql
+from .operators.text import EN_STOPWORDS, LANG_MARKERS
+
+TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def shingles_sql(k: int = 3) -> str:
+    """Distinct token k-gram shingles (mirrors operators.dedup.shingles)."""
+    return (
+        f"case when len(tokens) >= {k} then "
+        f"list_distinct(list_transform(range(1, len(tokens) - {k - 2}), "
+        f"i -> array_to_string(tokens[i:i+{k - 1}], ' '))) "
+        f"else [array_to_string(tokens, ' ')] end"
+    )
+
+
+def minhash_pairs_sql(
+    num_perm: int = 16, bands: int = 4, shingle_k: int = 3,
+    threshold: float = 0.5, table: str = "documents",
+) -> str:
+    from .operators.dedup import MINHASH_PRIME, minhash_perm_constants
+
+    rows = num_perm // bands
+    base = f"({hash60_sql('shingle', 0)} % {MINHASH_PRIME})"
+    mh_cols = ",\n    ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) as mh{j}"
+        for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rows + r}::varchar" for r in range(rows)
+        )
+        band_selects.append(
+            f"select doc_id, {b} as band, {hash60_sql(f'({concat})', 1000 + b)} as bh from sigs"
+        )
+    bands_sql = "\n  union all\n  ".join(band_selects)
+    return f"""
+with toks as (
+  select doc_id, {TOKENS} as tokens from {table}
+), sh as (
+  select doc_id, {shingles_sql(shingle_k)} as shingles from toks
+), ex as (
+  select doc_id, unnest(shingles) as shingle from sh
+), sigs as (
+  select doc_id,
+    {mh_cols}
+  from ex group by doc_id
+), bands as (
+  {bands_sql}
+), cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+)
+select c.id_a, c.id_b,
+  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) as jaccard
+from cand c
+join sh sa on sa.doc_id = c.id_a
+join sh sb on sb.doc_id = c.id_b
+where round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) >= {threshold}
+"""
+
+
+def ngram_jaccard_pairs_sql(
+    shingle_k: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
+    return f"""
+with toks as (
+  select doc_id, {TOKENS} as tokens from {table}
+), sh as (
+  select doc_id, {shingles_sql(shingle_k)} as shingles from toks
+), ex as (
+  select doc_id, unnest(shingles) as shingle from sh
+), cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from ex a join ex b on a.shingle = b.shingle and a.doc_id < b.doc_id
+)
+select c.id_a, c.id_b,
+  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) as jaccard
+from cand c
+join sh sa on sa.doc_id = c.id_a
+join sh sb on sb.doc_id = c.id_b
+where round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 32, seed: int = 777, table: str = "documents") -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(bits)
+    )
+    return f"""
+with toks as (
+  select doc_id, unnest({TOKENS}) as tok from {table}
+), hs as (
+  select doc_id, {hash60_sql('tok', seed)} as h from toks
+), bits as (
+  select doc_id,
+    {bit_sums}
+  from hs group by doc_id
+)
+select doc_id, {assemble} as simhash from bits
+"""
+
+
+def exact_dup_groups_sql(table: str = "documents") -> str:
+    """Matches ``__spark_entry__.d01_exact_dedup``: corpus = documents plus
+    every third document re-planted under doc_id + 1e6."""
+    return f"""
+with corpus as (
+  select doc_id, text from {table}
+  union all
+  select doc_id + 1000000 as doc_id, text from {table} where doc_id % 3 = 0
+)
+select md5(text) as digest,
+  count(*) as group_size,
+  min(doc_id) as keeper_id,
+  array_to_string(list_sort(list(doc_id)), ',') as member_ids
+from corpus
+group by md5(text)
+having count(*) > 1
+"""
+
+
+def cosine_topk_sql(k: int = 5, query_mod: int = 50, table: str = "embeddings") -> str:
+    return f"""
+with q as (
+  select vec_id as query_id, cast(embedding as double[]) as qv
+  from {table} where vec_id % {query_mod} = 0
+), c as (
+  select vec_id as neighbor_id, cast(embedding as double[]) as cv from {table}
+), scored as (
+  select query_id, neighbor_id,
+    round(list_cosine_similarity(cv, qv), 6) as cosine
+  from c, q where query_id <> neighbor_id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
+"""
+
+
+def embedding_dups_sql(threshold: float, table: str = "embeddings") -> str:
+    return f"""
+with v as (select vec_id, cast(embedding as double[]) as dv from {table})
+select a.vec_id as id_a, b.vec_id as id_b,
+  round(list_cosine_similarity(a.dv, b.dv), 6) as cosine
+from v a join v b on a.vec_id < b.vec_id
+where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
+"""
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    return f"""
+with toks as (select doc_id, text, {TOKENS} as tks from {table})
+select doc_id,
+  cast(length(text) as bigint) as n_chars,
+  cast(len(tks) as bigint) as n_tokens,
+  cast(ceil(length(text) / 4.0) as bigint) as n_tokens_bpe,
+  cast(len(list_distinct(tks)) as bigint) as n_unique_tokens
+from toks
+"""
+
+
+def _sql_strlist(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def text_quality_sql(table: str = "documents") -> str:
+    stop = _sql_strlist(EN_STOPWORDS)
+    return f"""
+with base as (
+  select doc_id, text, {TOKENS} as tks,
+    length(text) as n_chars,
+    len({TOKENS}) as n_tokens,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) as n_punct,
+    len(list_filter({TOKENS}, t -> list_contains({stop}, t))) as n_stop,
+    len(list_distinct({TOKENS})) as n_uniq,
+    cast(list_sum(list_transform({TOKENS}, t -> cast(length(t) as bigint))) as bigint) as tok_chars
+  from {table}
+)
+select doc_id,
+  cast(n_chars as bigint) as n_chars,
+  cast(n_tokens as bigint) as n_tokens,
+  round(n_punct / n_chars, 6) as punct_ratio,
+  round(n_stop / n_tokens, 6) as stopword_ratio,
+  round(n_uniq / n_tokens, 6) as unique_ratio,
+  round(tok_chars / n_tokens, 6) as mean_token_len,
+  round(
+    least(n_tokens / 100.0, 1.0) * 0.25
+    + (1 - least(n_punct / n_chars * 5, 1.0)) * 0.25
+    + least(n_stop / n_tokens * 5, 1.0) * 0.25
+    + least(n_uniq / n_tokens, 1.0) * 0.25, 6) as quality_score
+from base
+"""
+
+
+def language_id_sql(table: str = "documents") -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n    ".join(
+        f"cast(len(list_intersect(tks, {_sql_strlist(LANG_MARKERS[lang])})) as integer) as hits_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    first_argmax = " ".join(
+        f"when hits_{lang} = {gmax} then '{lang}'" for lang in langs
+    )
+    return f"""
+with toks as (
+  select doc_id, list_distinct({TOKENS}) as tks from {table}
+), scores as (
+  select doc_id,
+    {hits}
+  from toks
+)
+select doc_id,
+  case when {gmax} = 0 then 'und' else (case {first_argmax} end) end as lang_pred,
+  {gmax} as marker_hits
+from scores
+"""
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return f"""
+with norm as (
+  select doc_id, array_to_string({TOKENS}, ' ') as n from {table}
+)
+select doc_id,
+  md5(n) as fingerprint_md5,
+  list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(string_split(n, ''), c -> cast(ord(c) as bigint))),
+    (acc, c) -> (acc * 31 + c) % 1000000007) as fingerprint_rolling
+from norm
+"""
