@@ -265,6 +265,88 @@ def q16_date_parts(spark, sf_dir):
     )
 
 
+def q18_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP subtotals (free via Catalyst; absent in reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q19_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT set operations at (user, day) granularity."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"cast({_TS} as date)").alias("day"),
+        "event_type",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "day")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "day")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "day")
+    return clicks.intersect(purchases).exceptAll(errors.distinct()).distinct()
+
+
+def q20_semi_anti(spark, sf_dir):
+    """left-semi / left-anti joins (EXISTS / NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return with_orders.join(without, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+        F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+    )
+
+
+def q21_having(spark, sf_dir):
+    """HAVING filter over aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+def q22_string_funcs(spark, sf_dir):
+    """string-function surface: substring, replace, lpad, instr, trim."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_u"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_pad"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("a_pos"),
+        F.trim(F.upper("p_name")).alias("name_up"),
+    )
+
+
+def q23_array_funcs(spark, sf_dir):
+    """array-column surface over embeddings: size, index, ordered fold."""
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.round(F.element_at(dv, 1), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
+            6,
+        ).alias("mean_elem"),
+    )
+
+
 def q17_approx_distinct(spark, sf_dir):
     """approx_count_distinct (CH `uniq(_file)` analog) — approximate, so no
     value oracle; the driver records the weaker rows-only check."""
@@ -422,6 +504,26 @@ def ice04_rewrite(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice06_remove_partitions(spark, sf_dir):
+    """log-only partition drop (TTL pattern): remove days before the cutoff;
+    the remaining snapshot must equal a date-filtered scan of the source."""
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", f"date_format({_TS}, 'yyyy-MM-dd')")]
+        ),
+    )
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        t.remove_partitions(
+            lambda parts: [p for p in parts if p < "d=2024-01-10"],
+            max_files=100_000,
+        )
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice05_agg_on_merge(spark, sf_dir):
     """aggregate-on-merge (F3): custom insert seeds cnt=1, custom merge
     re-aggregates; sum(cnt) by key must equal a plain count(*) by key."""
@@ -485,6 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_scalar_funcs": q15_scalar_funcs,
         "q16_date_parts": q16_date_parts,
         "q17_approx_distinct": q17_approx_distinct,
+        "q18_rollup": q18_rollup,
+        "q19_setops": q19_setops,
+        "q20_semi_anti": q20_semi_anti,
+        "q21_having": q21_having,
+        "q22_string_funcs": q22_string_funcs,
+        "q23_array_funcs": q23_array_funcs,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -500,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice03_time_travel": ice03_time_travel,
         "ice04_rewrite": ice04_rewrite,
         "ice05_agg_on_merge": ice05_agg_on_merge,
+        "ice06_remove_partitions": ice06_remove_partitions,
     }
 
 
@@ -617,6 +726,59 @@ where month(o_orderdate) = 3
 group by yr, mo
 """,
         # q17_approx_distinct: intentionally no oracle (approximate sketch)
+        "q18_rollup": (
+            "select l_returnflag, l_linestatus, count(*) as cnt, "
+            "round(sum(l_quantity), 2) as sum_qty from lineitem "
+            "group by rollup(l_returnflag, l_linestatus)"
+        ),
+        "q19_setops": """
+with ev as (
+  select user_id, cast(date_trunc('day', ts) as date) as day, event_type from events
+)
+select distinct user_id, day from (
+  select user_id, day from ev where event_type = 'click'
+  intersect
+  select user_id, day from ev where event_type = 'purchase'
+) except select distinct user_id, day from ev where event_type = 'error'
+""",
+        "q20_semi_anti": """
+with w as (
+  select c_mktsegment, count(*) as with_orders from customer
+  where exists (select 1 from orders where o_custkey = c_custkey)
+  group by c_mktsegment
+), wo as (
+  select c_mktsegment, count(*) as without_orders from customer
+  where not exists (select 1 from orders where o_custkey = c_custkey)
+  group by c_mktsegment
+)
+select coalesce(w.c_mktsegment, wo.c_mktsegment) as c_mktsegment,
+  coalesce(with_orders, 0) as with_orders,
+  coalesce(without_orders, 0) as without_orders
+from w full outer join wo on w.c_mktsegment = wo.c_mktsegment
+""",
+        "q21_having": (
+            "select o_custkey, count(*) as n_orders, round(sum(o_totalprice), 2) as total "
+            "from orders group by o_custkey having count(*) >= 15"
+        ),
+        "q22_string_funcs": """
+select p_partkey,
+  substr(p_name, 1, 8) as name8,
+  cast(length(p_name) as bigint) as name_len,
+  replace(p_name, ' ', '_') as name_u,
+  lpad(cast(p_partkey as varchar), 8, '0') as key_pad,
+  cast(strpos(p_name, 'a') as bigint) as a_pos,
+  trim(upper(p_name)) as name_up
+from part
+""",
+        "q23_array_funcs": """
+select vec_id,
+  cast(len(embedding) as integer) as n_dims,
+  round(cast(embedding[1] as double), 6) as first_elem,
+  round(list_reduce(list_prepend(cast(0.0 as double),
+      list_transform(embedding, x -> cast(x as double))),
+    (acc, x) -> acc + x) / len(embedding), 6) as mean_elem
+from embeddings
+""",
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),
         "d02_minhash_lsh": oracles.minhash_pairs_sql(16, 4, 3, 0.5),
         "d03_ngram_jaccard": oracles.ngram_jaccard_pairs_sql(3, 0.5),
@@ -633,5 +795,8 @@ group by yr, mo
         "ice04_rewrite": ev_agg.format(where=" where event_type <> 'click'"),
         "ice05_agg_on_merge": (
             "select event_type, count(*) as cnt from events group by event_type"
+        ),
+        "ice06_remove_partitions": ev_agg.format(
+            where=" where strftime(ts, '%Y-%m-%d') >= '2024-01-10'"
         ),
     }

@@ -1,0 +1,56 @@
+"""Structured Streaming ingestion tests (file-drop → IceTable commits)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from icedb_spark import IceTable, PartitionField, PartitionSpec
+from icedb_spark.streaming import micro_batch_pipeline
+
+
+def _wait(q):
+    q.awaitTermination(120)
+
+
+def test_stream_insert_availablenow(spark, tmp_path, sf_dir):
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # drop two "files" into the watched directory
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')")]
+        ),
+        sort_order=["ts"],
+    )
+    q = micro_batch_pipeline(
+        t,
+        src,
+        schema=events.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_every=1,
+    )
+    _wait(q)
+    assert t.read().count() == events.count()
+    # availableNow processed everything in one batch; merge ran after it
+    state = t.snapshot()
+    parts = {m.partition() for m in state.alive_files()}
+    assert len(parts) == len(state.alive_files())  # merged: one file per partition
+
+    # restart with no new data: checkpoint + replay-dedup ⇒ no double insert
+    q2 = micro_batch_pipeline(
+        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    _wait(q2)
+    assert t.read().count() == events.count()
