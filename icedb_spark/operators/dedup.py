@@ -139,15 +139,24 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     rounded to 6 decimals (deterministic across engines).
+
+    ``persist_signatures`` caches the signature table so the band self-join
+    doesn't recompute the shingle explode + min-agg for each side — the
+    signatures are P longs per document, negligible next to the corpus.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bh = _band_hashes(sig, num_perm, bands)
     cand = (
         bh.alias("a")
