@@ -23,10 +23,14 @@ from .log import (
     now_ms,
     partition_from_path,
 )
+from .mv import DoubleWriter
+from .session import get_spark
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
+    "DoubleWriter",
     "FileMarker",
+    "get_spark",
     "IceLogIO",
     "IceTable",
     "LogMetadata",

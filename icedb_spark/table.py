@@ -330,6 +330,21 @@ class IceTable:
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
+    def alive_files_in_range(
+        self, field: str, start: str, end: str, at_ms: Optional[int] = None
+    ) -> list[str]:
+        """Alive data-file paths whose partition value for ``field`` lies in
+        [start, end] — the v2 ``get_files(start_part, end_part)`` metadata
+        lookup (/root/reference/ch/user_scripts/main.go:48-59), used to hand
+        a pre-pruned file list to any external Parquet reader."""
+        state = self.snapshot(at_ms)
+        out = []
+        for m in state.alive_files():
+            v = parse_partition(m.partition()).get(field)
+            if v is not None and start <= v <= end:
+                out.append(self.storage.absolute(m.path))
+        return sorted(out)
+
     # ------------------------------------------------------------------ merge
 
     def merge(
