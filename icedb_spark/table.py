@@ -409,6 +409,12 @@ class IceTable:
         out = spark.sql(q)
         # partition-path helper columns never become table columns
         out = out.drop(*[c for c in added if c in out.columns])
+        # a custom merge query may synthesize new columns (e.g. a `_row_id`
+        # via uuid, README.md:781 in the reference); they join the schema
+        # union exactly like insert-time columns do
+        out_cols = spark_schema_to_duckdb(
+            T.StructType([f for f in out.schema.fields if f.name != _PART_COL])
+        )
 
         writer = _make_group_writer(
             self.path, self.sort_order, self.compression, self.row_group_size
@@ -443,6 +449,7 @@ class IceTable:
                 if fm.path in merged_paths and fm.alive:
                     fm = FileMarker(fm.path, fm.created_ms, fm.file_bytes, merge_ms)
                 carried[fm.path] = fm
+        log_schema.accumulate(list(out_cols.keys()), list(out_cols.values()))
         tombstones = [LogTombstone(k, merge_ms) for k in source_logs]
         files = [new_marker] + list(carried.values())
         new_log, _meta = self.log_io.append(
