@@ -22,12 +22,15 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark import oracles
 from icedb_spark.operators import (
     cosine_topk,
+    cosine_topk_lsh,
     doc_fingerprint,
     embedding_dup_pairs,
     exact_duplicates,
+    extract_features,
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    sample_frames,
     simhash,
     text_quality,
     token_stats,
@@ -404,6 +407,50 @@ def s01_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def s02_cosine_topk_lsh(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH buckets the corpus so each query
+    scores only its bucket (~n²/2^planes work instead of the full cross
+    join); the md5-derived hyperplanes make the bucketing deterministic, so
+    the approximate result is still exactly oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def m01_media_features(spark, sf_dir):
+    """Multimodal plumbing under the value gate: opaque binary blobs →
+    Arrow-batched ``mapInPandas`` feature extraction. The blobs are utf-8
+    document bodies and the "decoder" is the deterministic digest-derived
+    fake (real codecs slot into ``extract_features(decode_fn=...)`` with
+    identical schema/batching)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_features(media, dim=8)
+    dv = F.transform("feature", lambda x: x.cast("double"))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.round(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )
+
+
+def m02_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled timestamp via
+    explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
+    slots into a downstream mapInPandas."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((F.col("doc_id") % 7 + 1) * 1000).alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
 def t01_token_stats(spark, sf_dir):
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -548,6 +595,114 @@ def ice05_agg_on_merge(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice07_replace_on_merge(spark, sf_dir):
+    """replace-on-merge (ReplacingMergeTree semantics, reference
+    examples/custom-merge-replacing.py:37-41): the merge keeps only the
+    latest row per user within the merged file set — argmax by (ts,
+    event_id) via a struct max so ties are deterministic — and the query
+    re-applies the same rule across partitions, per the reference's
+    re-aggregate-at-query contract."""
+    merge_q = """
+        select user_id, _latest.ts as ts, _latest.event_id as event_id,
+               _latest.event_type as event_type, _latest.value as value
+        from (select user_id,
+                max(named_struct('ts', ts, 'event_id', event_id,
+                                 'event_type', event_type, 'value', value)) as _latest
+              from source_files group by user_id)
+    """
+    t, d = _scratch(spark, custom_merge_query=merge_q, sort_order=["user_id", "ts"])
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        for i in range(3):
+            t.insert(df=ev.where(F.col("event_id") % 3 == i))
+        while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+            pass
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            t.read()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", F.expr(_TS_US).alias("ts_us"))
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
+def ice08_dedup_on_merge(spark, sf_dir):
+    """dedup-on-merge by ``_row_id`` (reference README.md:736-753): a custom
+    insert stamps the row id, the same batch is inserted twice, and the
+    merge collapses duplicates per id; the query applies the same dedup so
+    correctness doesn't depend on merge completeness (the reference's
+    stated query contract)."""
+    t, d = _scratch(
+        spark,
+        custom_insert_query="select *, cast(event_id as bigint) as _row_id from _rows",
+        custom_merge_query=(
+            "select _row_id, min(event_id) as event_id, min(ts) as ts, "
+            "min(user_id) as user_id, min(event_type) as event_type, "
+            "min(value) as value, min(props) as props "
+            "from source_files group by _row_id"
+        ),
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        t.insert(df=ev)
+        t.insert(df=ev)  # planted full-batch duplicate
+        while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+            pass
+        return _agg_by_type(t.read().dropDuplicates(["_row_id"])).cache()
+    finally:
+        _cleanup_later(d)
+
+
+def ice09_tombstone_cleanup(spark, sf_dir):
+    """vacuum under the value gate: after merge + tombstone_cleanup(0) the
+    dead files are physically gone and the logs collapsed, and the query
+    result is invariant."""
+    t, d = _scratch(spark)
+    try:
+        ev = _t(spark, sf_dir, "events")
+        for i in range(3):
+            t.insert(df=ev.where(F.col("event_id") % 3 == i))
+        while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+            pass
+        t.tombstone_cleanup(min_age_ms=0)
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
+def ice10_schema_evolution(spark, sf_dir):
+    """schema evolution: batch 2 adds a column; the unified snapshot schema
+    null-fills it for batch-1 rows (union-of-columns accumulation,
+    reference icedb/log.py:59-78)."""
+    t, d = _scratch(spark)
+    try:
+        ev = _t(spark, sf_dir, "events")
+        base = ev.select("event_id", "ts", "user_id", "event_type", "value")
+        t.insert(df=base.where(F.col("event_id") % 2 == 0))
+        t.insert(
+            df=base.where(F.col("event_id") % 2 == 1).withColumn(
+                "extra", F.col("value") * 2
+            )
+        )
+        return (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.round(F.sum("extra"), 2).alias("sum_extra"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
 _SCRATCH_DIRS: list[str] = []
 
 
@@ -599,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
         "s01_cosine_topk": s01_cosine_topk,
+        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
+        "m01_media_features": m01_media_features,
+        "m02_frame_sample": m02_frame_sample,
         "t01_token_stats": t01_token_stats,
         "t02_text_quality": t02_text_quality,
         "t03_language_id": t03_language_id,
@@ -609,6 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice04_rewrite": ice04_rewrite,
         "ice05_agg_on_merge": ice05_agg_on_merge,
         "ice06_remove_partitions": ice06_remove_partitions,
+        "ice07_replace_on_merge": ice07_replace_on_merge,
+        "ice08_dedup_on_merge": ice08_dedup_on_merge,
+        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
+        "ice10_schema_evolution": ice10_schema_evolution,
     }
 
 
@@ -785,6 +947,9 @@ from embeddings
         "d04_simhash": oracles.simhash_sql(32),
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
+        "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
+        "m01_media_features": oracles.media_features_sql(8),
+        "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "t01_token_stats": oracles.token_stats_sql(),
         "t02_text_quality": oracles.text_quality_sql(),
         "t03_language_id": oracles.language_id_sql(),
@@ -799,4 +964,25 @@ from embeddings
         "ice06_remove_partitions": ev_agg.format(
             where=" where strftime(ts, '%Y-%m-%d') >= '2024-01-10'"
         ),
+        "ice07_replace_on_merge": """
+select user_id, event_type, epoch_us(ts) as ts_us from (
+  select user_id, event_type, ts,
+    row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+  from events
+) where rn = 1
+""",
+        "ice08_dedup_on_merge": ev_agg.format(where=""),
+        "ice09_tombstone_cleanup": ev_agg.format(where=""),
+        "ice10_schema_evolution": """
+select event_type, count(*) as cnt,
+  round(sum(value), 2) as sum_value,
+  round(sum(extra), 2) as sum_extra
+from (
+  select event_type, value, cast(null as double) as extra
+  from events where event_id % 2 = 0
+  union all
+  select event_type, value, value * 2 as extra
+  from events where event_id % 2 = 1
+) group by event_type
+""",
     }

@@ -31,6 +31,8 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d04_simhash",
     "s01_cosine_topk",
+    "s02_cosine_topk_lsh",
+    "m01_media_features",
     "t02_text_quality",
     "ice01_insert_roundtrip",
     "ice02_merge_invariant",

@@ -15,6 +15,12 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
 from .similarity import cosine_topk, cosine_topk_lsh
 from .text import (
     doc_fingerprint,
@@ -25,8 +31,12 @@ from .text import (
 )
 
 __all__ = [
+    "MEDIA_SCHEMA",
     "cosine_topk",
     "cosine_topk_lsh",
+    "extract_features",
+    "sample_frames",
+    "synthetic_media",
     "doc_fingerprint",
     "embedding_dup_pairs",
     "exact_duplicates",

@@ -171,6 +171,94 @@ where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
 """
 
 
+def cosine_topk_lsh_sql(
+    k: int = 5,
+    query_mod: int = 50,
+    dim: int = 64,
+    n_planes: int = 6,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.similarity.cosine_topk_lsh`` bit-for-bit: the
+    hyperplanes are md5-derived ±1 sign vectors, so each bucket bit is the
+    sign of a left-fold dot product — emitted here with the plane literals
+    baked in, in the same fold order Spark's ``aggregate`` uses (products of
+    ±1.0 are exact, so both engines sum identical doubles)."""
+    from .operators.similarity import _hyperplane
+
+    def plane_dot(p: int) -> str:
+        lit = "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(dim, p)
+        ) + "]"
+        return (
+            f"list_reduce(list_prepend(cast(0.0 as double), "
+            f"list_transform(range(1, {dim + 1}), i -> dv[i] * ({lit}::double[])[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(case when {plane_dot(p)} >= 0 then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return f"""
+with v as (
+  select vec_id, cast(embedding as double[]) as dv from {table}
+), b as (
+  select vec_id, dv, {bucket} as bucket from v
+), q as (
+  select vec_id as query_id, dv as qv, bucket from b where vec_id % {query_mod} = 0
+), c as (
+  select vec_id as neighbor_id, dv as cv, bucket from b
+), scored as (
+  select query_id, neighbor_id,
+    round(list_cosine_similarity(cv, qv), 6) as cosine
+  from c join q using (bucket) where query_id <> neighbor_id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
+"""
+
+
+_HEX = "strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
+
+
+def media_features_sql(dim: int = 8, table: str = "documents") -> str:
+    """Oracle for ``__spark_entry__.m01_media_features``: the fake feature is
+    md5-digest bytes / 255 stored as float32 — reproduced from the hex string
+    with an explicit float32 round-trip and the same left-fold sum order."""
+    byte_i = (
+        f"((({_HEX.format(pos='2*(i % 16)+1')}) * 16 "
+        f"+ ({_HEX.format(pos='2*(i % 16)+2')})) / 255.0)"
+    )
+    return f"""
+select doc_id as media_id,
+  cast(octet_length(encode(text)) as bigint) as n_bytes,
+  md5(text) as content_md5,
+  round(list_reduce(list_prepend(cast(0.0 as double),
+    list_transform(range(0, {dim}), i -> cast(cast({byte_i} as float) as double))),
+    (acc, x) -> acc + x), 6) as feature_sum
+from {table}
+"""
+
+
+def frame_sample_sql(every_ms: int = 1_000, dur_mod: int = 7, table: str = "documents") -> str:
+    """Oracle for ``__spark_entry__.m02_frame_sample``: duration is the
+    deterministic ``(doc_id % dur_mod + 1) * every_ms``, one row per sampled
+    frame timestamp."""
+    return f"""
+with f as (
+  select doc_id as media_id,
+    unnest(range(0, doc_id % {dur_mod} + 1)) as fi
+  from {table}
+)
+select media_id, cast(fi as integer) as frame_idx,
+  cast(fi * {every_ms} as integer) as frame_ts_ms
+from f
+"""
+
+
 def token_stats_sql(table: str = "documents") -> str:
     return f"""
 with toks as (select doc_id, text, {TOKENS} as tks from {table})
