@@ -675,6 +675,106 @@ def ice09_tombstone_cleanup(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice11_partition_pruning(spark, sf_dir):
+    """driver-side partition pruning under the value gate: a day-range
+    predicate restricts the file list before the reader ever sees it
+    (SURVEY §4 — the scan is O(matching files) regardless of table size)."""
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", f"date_format({_TS}, 'yyyy-MM-dd')")]
+        ),
+    )
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        return _agg_by_type(
+            t.read(partition_values={"d": ("2024-01-05", "2024-01-15")})
+        ).cache()
+    finally:
+        _cleanup_later(d)
+
+
+def ice12_path_derived(spark, sf_dir):
+    """glob scan + path-derived partition column (reference
+    perf_tests/chicago_taxis/README.md:214,247: ClickHouse `s3('.../_data/**')`
+    with `extract(_path, 'd=([^/]+)')`): read the data dir by glob, recover
+    the partition value from the file path with regexp_extract(input_file_name)."""
+    t, d = _scratch(spark)
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        raw = spark.read.schema(t.spark_schema()).parquet(f"{t.path}/_data/*/*.parquet")
+        return (
+            raw.withColumn(
+                "m", F.regexp_extract(F.input_file_name(), r"m=([^/]+)", 1)
+            )
+            .groupBy("m")
+            .agg(F.count("*").alias("cnt"))
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
+def st01_streaming_ingest(spark, sf_dir):
+    """Structured Streaming ingestion under the value gate: a file-drop
+    source drained with an availableNow trigger, each micro-batch one atomic
+    IceTable commit (foreachBatch → insert); the final snapshot must equal a
+    plain scan of the source rows."""
+    from icedb_spark.streaming import micro_batch_pipeline
+
+    t, d = _scratch(spark)
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        q = micro_batch_pipeline(t, src, ev.schema, ck)
+        q.awaitTermination()
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
+def mv01_materialized_view(spark, sf_dir):
+    """materialized view as a double-written second table (reference
+    examples/materialized-view.py:44-52): every insert lands in the base and,
+    transformed, in the view; the view pre-aggregates on merge and the query
+    re-applies the aggregate (AggregatingMergeTree contract)."""
+    from icedb_spark.mv import DoubleWriter
+
+    base, d1 = _scratch(spark)
+    view, d2 = _scratch(
+        spark,
+        sort_order=["event_type"],
+        custom_merge_query=(
+            "select event_type, cast(sum(cnt) as bigint) as cnt "
+            "from source_files group by event_type"
+        ),
+    )
+    try:
+        w = DoubleWriter(
+            base,
+            {"by_type": view},
+            transforms={
+                "by_type": lambda df: df.select("event_type", "ts").withColumn(
+                    "cnt", F.lit(1).cast("bigint")
+                )
+            },
+        )
+        ev = _t(spark, sf_dir, "events")
+        for i in range(2):
+            w.insert(df=ev.where(F.col("event_id") % 2 == i))
+        w.merge_all(max_file_size=1 << 40, max_file_count=100)
+        return (
+            view.read().groupBy("event_type").agg(F.sum("cnt").alias("cnt")).cache()
+        )
+    finally:
+        _cleanup_later(d1)
+        _cleanup_later(d2)
+
+
 def ice10_schema_evolution(spark, sf_dir):
     """schema evolution: batch 2 adds a column; the unified snapshot schema
     null-fills it for batch-1 rows (union-of-columns accumulation,
@@ -771,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice08_dedup_on_merge": ice08_dedup_on_merge,
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "ice10_schema_evolution": ice10_schema_evolution,
+        "ice11_partition_pruning": ice11_partition_pruning,
+        "ice12_path_derived": ice12_path_derived,
+        "st01_streaming_ingest": st01_streaming_ingest,
+        "mv01_materialized_view": mv01_materialized_view,
     }
 
 
@@ -985,4 +1089,18 @@ from (
   from events where event_id % 2 = 1
 ) group by event_type
 """,
+        "ice11_partition_pruning": ev_agg.format(
+            where=(
+                " where strftime(ts, '%Y-%m-%d') "
+                "between '2024-01-05' and '2024-01-15'"
+            )
+        ),
+        "ice12_path_derived": (
+            "select strftime(ts, '%Y-%m') as m, count(*) as cnt "
+            "from events group by m"
+        ),
+        "st01_streaming_ingest": ev_agg.format(where=""),
+        "mv01_materialized_view": (
+            "select event_type, count(*) as cnt from events group by event_type"
+        ),
     }

@@ -313,17 +313,18 @@ def embedding_dup_pairs(
     oracles. The scale path is LSH bucketing
     (:func:`icedb_spark.operators.similarity.cosine_topk_lsh`) which turns
     this into a bucketed join."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # norms precomputed per row: the O(n²) pair loop folds only the dot
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("n", norm(F.col("v")))
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
         v.alias("a")
@@ -331,7 +332,7 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 6).alias("cosine"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
