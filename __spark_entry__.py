@@ -350,6 +350,57 @@ def q23_array_funcs(spark, sf_dir):
     )
 
 
+def q24_salted_join(spark, sf_dir):
+    """skew-resilient salted equi-join (operators.skew.salted_join): the
+    fact side is salted uniformly, the dim side replicated per salt — the
+    result must be identical to the plain join, which is what the oracle
+    checks."""
+    from icedb_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, on=["l_orderkey"], buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q25_conditional_agg(spark, sf_dir):
+    """pivot-style conditional aggregation (sum(case when ...)) — manual
+    case-when so the output column set is static and oracle-comparable."""
+    ev = _t(spark, sf_dir, "events")
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+    return ev.groupBy("user_id").agg(
+        cnt("click"), cnt("view"), cnt("purchase"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2)
+        .alias("purchase_value"),
+    )
+
+
+def q26_scalar_subquery(spark, sf_dir):
+    """scalar-subquery predicate (price above global average) via a
+    broadcast single-row aggregate — no driver collect, no shuffle of the
+    big side beyond the final group-by."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("global_avg"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
 def q17_approx_distinct(spark, sf_dir):
     """approx_count_distinct (CH `uniq(_file)` analog) — approximate, so no
     value oracle; the driver records the weaker rows-only check."""
@@ -848,6 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_having": q21_having,
         "q22_string_funcs": q22_string_funcs,
         "q23_array_funcs": q23_array_funcs,
+        "q24_salted_join": q24_salted_join,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q26_scalar_subquery": q26_scalar_subquery,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -1044,6 +1098,26 @@ select vec_id,
       list_transform(embedding, x -> cast(x as double))),
     (acc, x) -> acc + x) / len(embedding), 6) as mean_elem
 from embeddings
+""",
+        "q24_salted_join": """
+select o_orderpriority, count(*) as cnt, round(sum(l_quantity), 2) as sum_qty
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+""",
+        "q25_conditional_agg": """
+select user_id,
+  sum(case when event_type = 'click' then 1 else 0 end) as n_click,
+  sum(case when event_type = 'view' then 1 else 0 end) as n_view,
+  sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
+  round(sum(case when event_type = 'purchase' then value end), 2) as purchase_value
+from events group by user_id
+""",
+        "q26_scalar_subquery": """
+select cast(year(o_orderdate) as integer) as yr, count(*) as cnt,
+  round(max(o_totalprice), 2) as max_price
+from orders
+where o_totalprice > (select avg(o_totalprice) from orders)
+group by yr
 """,
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),
         "d02_minhash_lsh": oracles.minhash_pairs_sql(16, 4, 3, 0.5),

@@ -22,6 +22,7 @@ from .multimodal import (
     synthetic_media,
 )
 from .similarity import cosine_topk, cosine_topk_lsh
+from .skew import salted_agg, salted_join
 from .text import (
     doc_fingerprint,
     language_id,
@@ -44,6 +45,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "salted_agg",
+    "salted_join",
     "shingles",
     "simhash",
     "simhash_pairs",
