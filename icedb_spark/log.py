@@ -358,14 +358,25 @@ class IceLogIO:
     def read_log_forward(self, storage: Storage, log_keys: list[str]) -> LogState:
         """Fold an explicit list of log files into table state.
 
-        Files are processed in sorted-key order; file markers are resolved
-        last-writer-wins by data-file path (the MVCC conflict rule).
+        Files are *fetched* concurrently (each log GET is an independent
+        object-store round trip — with thousands of log files the sequential
+        fetch latency is the snapshot-read floor, cf. the reference's linear
+        log-read scaling) but *folded* strictly in sorted-key order, so the
+        last-writer-wins resolution by data-file path (the MVCC conflict
+        rule) is unaffected by fetch completion order.
         """
+        ordered = sorted(log_keys)
+        if len(ordered) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(ordered))) as ex:
+                parsed = list(ex.map(lambda k: self.read_log(storage, k), ordered))
+        else:
+            parsed = [self.read_log(storage, k) for k in ordered]
         schema = Schema()
         markers: dict[str, FileMarker] = {}
         tombstones: dict[str, LogTombstone] = {}
-        for key in sorted(log_keys):
-            _meta, sch, fms, tmbs = self.read_log(storage, key)
+        for _meta, sch, fms, tmbs in parsed:
             cols = sch.columns()
             schema.accumulate(list(cols.keys()), list(cols.values()))
             for t in tmbs:
