@@ -401,6 +401,19 @@ def q26_scalar_subquery(spark, sf_dir):
     )
 
 
+def q27_cube(spark, sf_dir):
+    """GROUP BY CUBE over (type, month) — full grouping-sets lattice (free
+    via Catalyst; absent in the reference)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type",
+        F.expr(f"cast(date_trunc('month', {_TS}) as date)").alias("month"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q17_approx_distinct(spark, sf_dir):
     """approx_count_distinct (CH `uniq(_file)` analog) — approximate, so no
     value oracle; the driver records the weaker rows-only check."""
@@ -826,6 +839,33 @@ def mv01_materialized_view(spark, sf_dir):
         _cleanup_later(d2)
 
 
+def ice13_partition_fn_paths(spark, sf_dir):
+    """the two non-native partition paths under one gate entry: batch 1
+    carries a precomputed ``_partition`` column honored via
+    ``preserve_partition`` (reference icedb/icedb.py:190-196), batch 2 goes
+    through an arbitrary Python ``dict -> str`` partition function (the
+    reference's slow path, icedb/icedb.py:22); the snapshot must still read
+    both coherently."""
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            python_fn=lambda row: f"u={row['user_id'] % 4}"
+        ),
+        preserve_partition=True,
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        precomputed = ev.where(F.col("event_id") % 2 == 0).withColumn(
+            "_partition",
+            F.concat(F.lit("u="), (F.col("user_id") % 4).cast("string")),
+        )
+        t.insert(df=precomputed)
+        t.insert(df=ev.where(F.col("event_id") % 2 == 1))
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice10_schema_evolution(spark, sf_dir):
     """schema evolution: batch 2 adds a column; the unified snapshot schema
     null-fills it for batch-1 rows (union-of-columns accumulation,
@@ -902,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_salted_join": q24_salted_join,
         "q25_conditional_agg": q25_conditional_agg,
         "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -927,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice10_schema_evolution": ice10_schema_evolution,
         "ice11_partition_pruning": ice11_partition_pruning,
         "ice12_path_derived": ice12_path_derived,
+        "ice13_partition_fn_paths": ice13_partition_fn_paths,
         "st01_streaming_ingest": st01_streaming_ingest,
         "mv01_materialized_view": mv01_materialized_view,
     }
@@ -1119,6 +1161,11 @@ from orders
 where o_totalprice > (select avg(o_totalprice) from orders)
 group by yr
 """,
+        "q27_cube": """
+select event_type, cast(date_trunc('month', ts) as date) as month,
+  count(*) as cnt, round(sum(value), 2) as sum_value
+from events group by cube(event_type, month)
+""",
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),
         "d02_minhash_lsh": oracles.minhash_pairs_sql(16, 4, 3, 0.5),
         "d03_ngram_jaccard": oracles.ngram_jaccard_pairs_sql(3, 0.5),
@@ -1173,6 +1220,7 @@ from (
             "select strftime(ts, '%Y-%m') as m, count(*) as cnt "
             "from events group by m"
         ),
+        "ice13_partition_fn_paths": ev_agg.format(where=""),
         "st01_streaming_ingest": ev_agg.format(where=""),
         "mv01_materialized_view": (
             "select event_type, count(*) as cnt from events group by event_type"
