@@ -152,6 +152,12 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    # NOTE(measured): carrying the shingle sets through the signature
+    # aggregation (collect_set) to avoid recomputing them for the verify
+    # joins is SLOWER — the signature shuffle then hauls the sets instead of
+    # P longs per document. Recomputing shingles JVM-side from the (columnar,
+    # already-cached) text is cheaper than shuffling them, locally and at
+    # scale.
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
     if persist_signatures:
         from pyspark import StorageLevel
