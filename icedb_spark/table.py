@@ -55,6 +55,7 @@ from .types import (
 )
 
 _PART_COL = "__ice_part"
+_SPLIT_COL = "__ice_split"
 
 # manifest returned by each writer task: one row per written file
 _MANIFEST_SCHEMA = T.StructType(
@@ -147,7 +148,8 @@ def _make_group_writer(
 
     def write_group(table: pa.Table) -> pa.Table:
         part = table.column(_PART_COL)[0].as_py()
-        data = table.drop_columns([_PART_COL])
+        drop = [_PART_COL] + ([_SPLIT_COL] if _SPLIT_COL in table.column_names else [])
+        data = table.drop_columns(drop)
         keys = [(c, "ascending") for c in sort_order if c in data.column_names]
         if keys:
             data = data.sort_by(keys)
@@ -197,6 +199,7 @@ class IceTable:
         compression: str = "snappy",
         preserve_partition: bool = False,
         log_storage: Optional[Storage] = None,
+        write_splits: int = 1,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -207,6 +210,13 @@ class IceTable:
         self.row_group_size = row_group_size
         self.compression = compression
         self.preserve_partition = preserve_partition
+        # >1 fans each partition's insert across N writer tasks / N files
+        # (the log tracks files individually and merge re-compacts, so
+        # multiple files per partition per insert is already within the
+        # format's contract). Use when single partitions receive more data
+        # per batch than one task should write; 1 keeps the reference's
+        # one-file-per-partition behavior.
+        self.write_splits = max(1, int(write_splits))
         self.storage = Storage(self.path)
         # log may live on a separate (lower-latency) store than data
         self.log_storage = log_storage or self.storage
@@ -270,8 +280,15 @@ class IceTable:
         writer = _make_group_writer(
             self.path, self.sort_order, self.compression, self.row_group_size
         )
+        group_cols = [_PART_COL]
+        if self.write_splits > 1:
+            df = df.withColumn(
+                _SPLIT_COL,
+                F.floor(F.rand(42) * self.write_splits).cast("int"),
+            )
+            group_cols.append(_SPLIT_COL)
         manifest = (
-            df.groupBy(_PART_COL)
+            df.groupBy(*group_cols)
             .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
             .collect()
         )

@@ -290,3 +290,37 @@ def test_insert_dataframe_native(spark, tmp_path, sf_dir):
     state = t.snapshot()
     days = {m.partition() for m in state.alive_files()}
     assert len(days) == len(state.alive_files())
+
+
+def test_write_splits_fans_out_and_merges_back(spark, tmp_path, sf_dir):
+    """write_splits > 1: one insert produces N files per partition (parallel
+    writers for a hot partition), rows round-trip, sort order holds within
+    each file, and merge compacts the splits back to one file."""
+    from pyspark.sql import functions as F
+
+    spec = PartitionSpec(
+        fields=[PartitionField("m", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM')")]
+    )
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
+                 sort_order=["event_type", "ts"], write_splits=4)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t.insert(df=src)
+    state = t.snapshot()
+    by_part = {}
+    for m in state.alive_files():
+        by_part.setdefault(m.partition(), []).append(m)
+    assert all(len(v) > 1 for v in by_part.values()), "expected multiple files per partition"
+    assert t.read().count() == src.count()
+    # split column never leaks into data or schema
+    assert "__ice_split" not in t.read().columns
+    assert "__ice_split" not in state.schema.columns()
+    # each split file is individually sorted by the table sort order
+    one = state.alive_files()[0]
+    rows = spark.read.parquet(t.storage.absolute(one.path)).select("event_type", "ts").collect()
+    assert rows == sorted(rows, key=lambda r: (r[0], r[1]))
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass
+    state2 = t.snapshot()
+    parts2 = {m.partition() for m in state2.alive_files()}
+    assert len(state2.alive_files()) == len(parts2), "merge should compact splits to one file per partition"
+    assert t.read().count() == src.count()
