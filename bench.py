@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary",
     "q02_count_by_user",
+    "q04_distinct",
     "q05_topk",
     "q06_month_rollup",
     "q07_percentile",
+    "q10_range_filter",
     "q12_join_broadcast",
     "q13_join_threeway",
     "q14_window_rank",

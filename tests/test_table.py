@@ -324,3 +324,32 @@ def test_write_splits_fans_out_and_merges_back(spark, tmp_path, sf_dir):
     parts2 = {m.partition() for m in state2.alive_files()}
     assert len(state2.alive_files()) == len(parts2), "merge should compact splits to one file per partition"
     assert t.read().count() == src.count()
+
+
+def test_two_writers_same_table(spark, tmp_path, sf_dir):
+    """Optimistic multi-writer contract: two independent IceTable handles on
+    the same path commit interleaved inserts; every commit is a separate log
+    object, so a snapshot from either handle sees the union. A merge issued
+    from one handle must not lose the other's rows (merges need an external
+    lock only to avoid DUPLICATE work, not for correctness of committed
+    state — same contract as the reference, ARCHITECTURE.md:158-165)."""
+    from pyspark.sql import functions as F
+
+    spec = PartitionSpec(
+        fields=[PartitionField("m", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM')")]
+    )
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "tbl")
+    w1 = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+    w2 = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+    w1.insert(df=src.where(F.col("event_id") % 4 == 0))
+    w2.insert(df=src.where(F.col("event_id") % 4 == 1))
+    w1.insert(df=src.where(F.col("event_id") % 4 == 2))
+    while w1.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass
+    w2.insert(df=src.where(F.col("event_id") % 4 == 3))
+    assert w1.read().count() == src.count()
+    assert w2.read().count() == src.count()
+    # both hostname-stamped writers appear in the log history
+    logs = [k for k, _ in w1.log_io.get_current_log_files(w1.log_storage)]
+    assert len(logs) >= 3
