@@ -22,6 +22,7 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark import oracles
 from icedb_spark.operators import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     doc_fingerprint,
     embedding_dup_pairs,
@@ -479,6 +480,15 @@ def s02_cosine_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def s03_cosine_topk_ivf(spark, sf_dir):
+    """ANN via IVF cells (the other scale path next to LSH): deterministic
+    codebook, per-cell inverted lists, nprobe-cell search — each query scores
+    ~nprobe/C of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(emb, queries, n_centroids=16, nprobe=4, k=5)
 
 
 def m01_media_features(spark, sf_dir):
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_embedding_dups": d05_embedding_dups,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
+        "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "m01_media_features": m01_media_features,
         "m02_frame_sample": m02_frame_sample,
         "t01_token_stats": t01_token_stats,
@@ -1173,6 +1184,7 @@ from events group by cube(event_type, month)
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
+        "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
         "m01_media_features": oracles.media_features_sql(8),
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "t01_token_stats": oracles.token_stats_sql(),

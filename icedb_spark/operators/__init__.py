@@ -21,7 +21,7 @@ from .multimodal import (
     sample_frames,
     synthetic_media,
 )
-from .similarity import cosine_topk, cosine_topk_lsh
+from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_agg, salted_join
 from .text import (
     doc_fingerprint,
@@ -34,6 +34,7 @@ from .text import (
 __all__ = [
     "MEDIA_SCHEMA",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "extract_features",
     "sample_frames",

@@ -78,6 +78,73 @@ def cosine_topk(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cells.
+
+    The codebook is deterministic — the ``n_centroids`` lowest-id corpus
+    vectors (a production deployment would train centroids offline and feed
+    them in the same way; the partitioned search shape is identical). Every
+    corpus vector is assigned to its nearest centroid (one broadcast +
+    map-side argmax, no window over the corpus); each query probes its
+    ``nprobe`` nearest cells and scores only those cells' vectors.
+
+    Cell assignment uses round(cosine, 6) with centroid-id tiebreak so the
+    partitioning is reproducible across engines (exact float ties are
+    resolved identically everywhere).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
+    ).withColumn("n", _norm(F.col("dv")))
+    # distributed top-k (TakeOrdered), not a single-partition window scan
+    cents = (
+        v.orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("dv").alias("cv"), F.col("n").alias("cn"))
+    )
+    sim = F.round(_dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
+    # nearest cell per corpus vector: broadcast the tiny codebook, then a
+    # map-side max_by — the corpus never shuffles for assignment
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("id", "dv", "n", "cid", sim.alias("csim"))
+        .groupBy("id", "dv", "n")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    qsim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "qn", "cid", qsim.alias("qsim"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("dv"), F.col("qv")) / (F.col("n") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane component signs.
 

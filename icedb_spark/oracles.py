@@ -221,6 +221,52 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
 """
 
 
+def cosine_topk_ivf_sql(
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.similarity.cosine_topk_ivf``: codebook = the
+    ``n_centroids`` lowest-id vectors; cell assignment and probe ranking use
+    round(cosine, 6) with centroid-id tiebreak, so the partitioning is
+    engine-reproducible."""
+    return f"""
+with v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+), cents as (
+  select id as cid, dv as cv from v order by id limit {n_centroids}
+), assign as (
+  select id, dv, cell from (
+    select v.id, v.dv, c.cid as cell,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, cents c
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qv, cell from (
+    select q.query_id, q.qv, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, cents c
+  ) where rn <= {nprobe}
+), scored as (
+  select p.query_id, a.id as neighbor_id,
+    round(list_cosine_similarity(a.dv, p.qv), 6) as cosine
+  from assign a join probes p on a.cell = p.cell
+  where p.query_id <> a.id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
+"""
+
+
 _HEX = "strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
 
 
