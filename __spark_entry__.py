@@ -466,6 +466,16 @@ def d05_embedding_dups(spark, sf_dir):
     return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def d06_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: byte-band blocking (hamming ≤ 3 of a 32-bit
+    sketch must share a byte) + exact popcount verify."""
+    from icedb_spark.operators import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def s01_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -958,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard": d03_ngram_jaccard,
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
+        "d06_simhash_pairs": d06_simhash_pairs,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
@@ -1182,6 +1193,7 @@ from events group by cube(event_type, month)
         "d03_ngram_jaccard": oracles.ngram_jaccard_pairs_sql(3, 0.5),
         "d04_simhash": oracles.simhash_sql(32),
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
+        "d06_simhash_pairs": oracles.simhash_pairs_sql(32, 3),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),

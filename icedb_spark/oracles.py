@@ -122,6 +122,36 @@ select doc_id, {assemble} as simhash from bits
 """
 
 
+def simhash_pairs_sql(
+    bits: int = 32,
+    max_hamming: int = 3,
+    seed: int = 777,
+    table: str = "documents",
+) -> str:
+    """Replicates ``operators.dedup.simhash_pairs``: byte-band blocking over
+    the SimHash sketch, exact popcount verification."""
+    n_bands = bits // 8
+    bands_values = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+with sk as ({simhash_sql(bits, seed, table)}),
+bands as (
+  select doc_id, simhash, b.band,
+    (simhash >> (b.band * 8)) & 255 as bv
+  from sk, (values {bands_values}) as b(band)
+),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+    a.simhash as sh_a, b.simhash as sh_b
+  from bands a join bands b
+    on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id
+)
+select id_a, id_b,
+  cast(bit_count(xor(sh_a, sh_b)) as integer) as hamming
+from cand
+where bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
 def exact_dup_groups_sql(table: str = "documents") -> str:
     """Matches ``__spark_entry__.d01_exact_dedup``: corpus = documents plus
     every third document re-planted under doc_id + 1e6."""
