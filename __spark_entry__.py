@@ -44,8 +44,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table. events.parquet stores ns-precision timestamps,
     which Spark reads as epoch-ns BIGINT under nanosAsLong (DuckDB reads the
     same values as TIMESTAMP and truncates to µs — `ts div 1000` here pairs
-    with `epoch_us(ts)` there)."""
+    with `epoch_us(ts)` there). Session timezone is pinned to UTC because
+    DuckDB timestamps are timezone-naive — under any other session zone,
+    date_trunc/month/year bucket differently and every time-based oracle
+    mismatches (verified: a New York session shifts 6 events into the prior
+    month)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
@@ -886,6 +891,33 @@ def ice13_partition_fn_paths(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice14_json_flatten_insert(spark, sf_dir):
+    """custom_insert_query flattening a JSON-string column at ingest
+    (reference README.md:698-734 — 'safe to take from users'; the
+    format_row/to_json flatten pattern): the stored files carry the
+    extracted column, the raw JSON is dropped."""
+    t, d = _scratch(
+        spark,
+        custom_insert_query=(
+            "select event_id, ts, user_id, event_type, value, "
+            "get_json_object(props, '$.k') as k from _rows"
+        ),
+    )
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        return (
+            t.read()
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
 def ice10_schema_evolution(spark, sf_dir):
     """schema evolution: batch 2 adds a column; the unified snapshot schema
     null-fills it for batch-1 rows (union-of-columns accumulation,
@@ -991,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice11_partition_pruning": ice11_partition_pruning,
         "ice12_path_derived": ice12_path_derived,
         "ice13_partition_fn_paths": ice13_partition_fn_paths,
+        "ice14_json_flatten_insert": ice14_json_flatten_insert,
         "st01_streaming_ingest": st01_streaming_ingest,
         "mv01_materialized_view": mv01_materialized_view,
     }
@@ -1245,6 +1278,10 @@ from (
             "from events group by m"
         ),
         "ice13_partition_fn_paths": ev_agg.format(where=""),
+        "ice14_json_flatten_insert": (
+            "select json_extract_string(props, '$.k') as k, count(*) as cnt, "
+            "round(sum(value), 2) as sum_value from events group by k"
+        ),
         "st01_streaming_ingest": ev_agg.format(where=""),
         "mv01_materialized_view": (
             "select event_type, count(*) as cnt from events group by event_type"
