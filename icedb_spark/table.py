@@ -28,6 +28,7 @@ Scale design notes (targeting a 1000-executor cluster, not local mode):
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from dataclasses import dataclass
 from typing import Callable, Iterable, Optional, Union
@@ -56,6 +57,12 @@ from .types import (
 
 _PART_COL = "__ice_part"
 _SPLIT_COL = "__ice_split"
+
+# The custom insert/merge/rewrite contracts name their views `_rows` /
+# `source_files` (reference API parity), and temp views are session-global —
+# two threads registering + resolving concurrently would race. spark.sql()
+# analyzes eagerly, so holding the lock across register+sql is sufficient.
+_VIEW_LOCK = threading.Lock()
 
 # manifest returned by each writer task: one row per written file
 _MANIFEST_SCHEMA = T.StructType(
@@ -227,8 +234,9 @@ class IceTable:
     def _prepare_batch(self, df: DataFrame) -> DataFrame:
         """Apply custom insert SQL and attach the partition column."""
         if self.custom_insert_query:
-            df.createOrReplaceTempView("_rows")
-            df = self.spark.sql(self.custom_insert_query)
+            with _VIEW_LOCK:
+                df.createOrReplaceTempView("_rows")
+                df = self.spark.sql(self.custom_insert_query)
         if self.preserve_partition and "_partition" in df.columns:
             df = df.withColumnRenamed("_partition", _PART_COL)
         else:
@@ -245,8 +253,9 @@ class IceTable:
         if df is None:
             df = self.spark.createDataFrame(rows)
         if self.custom_insert_query:
-            df.createOrReplaceTempView("_rows")
-            df = self.spark.sql(self.custom_insert_query)
+            with _VIEW_LOCK:
+                df.createOrReplaceTempView("_rows")
+                df = self.spark.sql(self.custom_insert_query)
         cols = spark_schema_to_duckdb(
             T.StructType([f for f in df.schema.fields if f.name not in (_PART_COL, "_partition")])
         )
@@ -421,9 +430,10 @@ class IceTable:
             if k not in df.columns:
                 df = df.withColumn(k, F.lit(v))
                 added.append(k)
-        df.createOrReplaceTempView("source_files")
         q = self.custom_merge_query or "select * from source_files"
-        out = spark.sql(q)
+        with _VIEW_LOCK:
+            df.createOrReplaceTempView("source_files")
+            out = spark.sql(q)
         # partition-path helper columns never become table columns
         out = out.drop(*[c for c in added if c in out.columns])
         # a custom merge query may synthesize new columns (e.g. a `_row_id`
@@ -573,8 +583,9 @@ class IceTable:
             df = self.spark.read.schema(schema).parquet(
                 self.storage.absolute(m.path)
             )
-            df.createOrReplaceTempView("_rows")
-            out = self.spark.sql(filter_query)
+            with _VIEW_LOCK:
+                df.createOrReplaceTempView("_rows")
+                out = self.spark.sql(filter_query)
             extra = [c for c in out.columns if c not in known]
             if extra:
                 raise ValueError(
