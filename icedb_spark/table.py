@@ -57,6 +57,7 @@ from .types import (
 
 _PART_COL = "__ice_part"
 _SPLIT_COL = "__ice_split"
+_ZORDER_COL = "__ice_zorder"
 
 # The custom insert/merge/rewrite contracts name their views `_rows` /
 # `source_files` (reference API parity), and temp views are session-global —
@@ -155,11 +156,16 @@ def _make_group_writer(
 
     def write_group(table: pa.Table) -> pa.Table:
         part = table.column(_PART_COL)[0].as_py()
-        drop = [_PART_COL] + ([_SPLIT_COL] if _SPLIT_COL in table.column_names else [])
-        data = table.drop_columns(drop)
-        keys = [(c, "ascending") for c in sort_order if c in data.column_names]
+        # sort first (the sort key may be an internal layout column, e.g.
+        # the z-order code), then strip every internal column
+        keys = [(c, "ascending") for c in sort_order if c in table.column_names]
         if keys:
-            data = data.sort_by(keys)
+            table = table.sort_by(keys)
+        drop = [
+            c for c in (_PART_COL, _SPLIT_COL, _ZORDER_COL)
+            if c in table.column_names
+        ]
+        data = table.drop_columns(drop)
         rel_dir = f"_data/{part}" if part else "_data"
         out_dir = os.path.join(root, rel_dir)
         os.makedirs(out_dir, exist_ok=True)
@@ -207,6 +213,7 @@ class IceTable:
         preserve_partition: bool = False,
         log_storage: Optional[Storage] = None,
         write_splits: int = 1,
+        zorder_by: Optional[list[str]] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -224,6 +231,12 @@ class IceTable:
         # per batch than one task should write; 1 keeps the reference's
         # one-file-per-partition behavior.
         self.write_splits = max(1, int(write_splits))
+        # multi-dimensional clustering: files are laid out by the Morton
+        # code of these columns instead of lexicographic sort_order, giving
+        # row-group min/max pruning on EVERY listed column (see
+        # operators/zorder.py). Mutually exclusive with sort_order in
+        # effect: when set, it wins.
+        self.zorder_by = zorder_by
         self.storage = Storage(self.path)
         # log may live on a separate (lower-latency) store than data
         self.log_storage = log_storage or self.storage
@@ -246,6 +259,18 @@ class IceTable:
                 _PART_COL, self.partition_spec.partition_column(df)
             )
         return df
+
+    def _apply_layout(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Attach the layout sort key: z-order code when configured (and the
+        batch carries every z column), else the plain sort_order."""
+        if self.zorder_by and all(c in df.columns for c in self.zorder_by):
+            from .operators.zorder import zorder_dataframe
+
+            return (
+                zorder_dataframe(df, self.zorder_by, out_col=_ZORDER_COL),
+                [_ZORDER_COL],
+            )
+        return df, self.sort_order
 
     def get_schema(self, rows: Optional[list[dict]] = None, df: Optional[DataFrame] = None) -> Schema:
         """Dry-run schema introspection of a batch (no writes) —
@@ -286,8 +311,9 @@ class IceTable:
         cols = spark_schema_to_duckdb(T.StructType(data_fields))
         batch_schema.accumulate(list(cols.keys()), list(cols.values()))
 
+        df, sort_cols = self._apply_layout(df)
         writer = _make_group_writer(
-            self.path, self.sort_order, self.compression, self.row_group_size
+            self.path, sort_cols, self.compression, self.row_group_size
         )
         group_cols = [_PART_COL]
         if self.write_splits > 1:
@@ -443,8 +469,9 @@ class IceTable:
             T.StructType([f for f in out.schema.fields if f.name != _PART_COL])
         )
 
+        out, sort_cols = self._apply_layout(out)
         writer = _make_group_writer(
-            self.path, self.sort_order, self.compression, self.row_group_size
+            self.path, sort_cols, self.compression, self.row_group_size
         )
         manifest = (
             out.withColumn(_PART_COL, F.lit(part))
@@ -573,9 +600,6 @@ class IceTable:
         schema = self.spark_schema(state)
         known = set(state.schema.columns().keys())
         targets = [m for m in state.alive_files() if m.partition() == partition]
-        writer = _make_group_writer(
-            self.path, self.sort_order, self.compression, self.row_group_size
-        )
         ts = unique_ms()
         new_markers: list[FileMarker] = []
         rewritten: list[str] = []
@@ -591,6 +615,10 @@ class IceTable:
                 raise ValueError(
                     f"rewrite query may not add columns; got new columns {extra}"
                 )
+            out, sort_cols = self._apply_layout(out)
+            writer = _make_group_writer(
+                self.path, sort_cols, self.compression, self.row_group_size
+            )
             manifest = (
                 out.withColumn(_PART_COL, F.lit(partition))
                 .groupBy(_PART_COL)
