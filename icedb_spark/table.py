@@ -443,6 +443,16 @@ class IceTable:
             return self._merge_files(state, part, acc)
         return None
 
+    def optimize(self, full: bool = True, **merge_kwargs) -> int:
+        """Merge-to-exhaustion convenience: loop ``merge`` until no partition
+        has work left. ``full=True`` processes partitions smallest-file-count
+        first (the reference's full-optimization policy, README.md:600-616);
+        ``full=False`` is hot-partition-first. Returns merges performed."""
+        n = 0
+        while self.merge(asc=full, **merge_kwargs) is not None:
+            n += 1
+        return n
+
     def _merge_files(self, state: LogState, part: str, acc: list[FileMarker]):
         spark = self.spark
         schema = self.spark_schema(state)

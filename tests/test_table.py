@@ -353,3 +353,19 @@ def test_two_writers_same_table(spark, tmp_path, sf_dir):
     # both hostname-stamped writers appear in the log history
     logs = [k for k, _ in w1.log_io.get_current_log_files(w1.log_storage)]
     assert len(logs) >= 3
+
+
+def test_optimize_merges_to_exhaustion(spark, tmp_path, sf_dir):
+    spec = PartitionSpec(
+        fields=[PartitionField("m", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM')")]
+    )
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    for i in range(4):
+        t.insert(df=src.where(F.col("event_id") % 4 == i))
+    n = t.optimize(max_file_size=1 << 40, max_file_count=100)
+    assert n >= 1
+    state = t.snapshot()
+    assert len(state.alive_files()) == len({m.partition() for m in state.alive_files()})
+    assert t.read().count() == src.count()
