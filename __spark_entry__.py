@@ -471,6 +471,16 @@ def d05_embedding_dups(spark, sf_dir):
     return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def d07_embedding_dups_lsh(spark, sf_dir):
+    """scale path for d05: near-dup candidates limited to shared LSH
+    buckets (~n²/2^planes pairs) before the exact cosine verify."""
+    from icedb_spark.operators import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_planes=6
+    )
+
+
 def d06_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: byte-band blocking (hamming ≤ 3 of a 32-bit
     sketch must share a byte) + exact popcount verify."""
@@ -1001,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
         "d06_simhash_pairs": d06_simhash_pairs,
+        "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
@@ -1227,6 +1238,7 @@ from events group by cube(event_type, month)
         "d04_simhash": oracles.simhash_sql(32),
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "d06_simhash_pairs": oracles.simhash_pairs_sql(32, 3),
+        "d07_embedding_dups_lsh": oracles.embedding_dups_lsh_sql(0.4, 64, 6),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),

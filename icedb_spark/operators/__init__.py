@@ -7,6 +7,7 @@ deterministic, so results are reproducible across engines and runs.
 
 from .dedup import (
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signature,
@@ -41,6 +42,7 @@ __all__ = [
     "synthetic_media",
     "doc_fingerprint",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "exact_duplicates",
     "language_id",
     "minhash_lsh_pairs",

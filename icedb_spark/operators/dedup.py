@@ -307,6 +307,59 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicates at scale: candidates limited to pairs whose
+    vectors share a random-hyperplane LSH bucket, then exact cosine verify.
+
+    Work is ~n²/2^planes instead of n² (one bucketed self-join); recall is
+    approximate — near-identical vectors almost always land in the same
+    bucket, but pairs straddling a hyperplane are missed. The md5-derived
+    hyperplanes (shared with :mod:`.similarity`) keep the bucketing
+    deterministic and oracle-reproducible.
+    """
+    from .similarity import _as_double, lsh_bucket
+
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+        .withColumn("n", norm(F.col("v")))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

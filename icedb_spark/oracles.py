@@ -251,6 +251,43 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
 """
 
 
+def embedding_dups_lsh_sql(
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 6,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.dedup.embedding_dup_pairs_lsh`` — same
+    hyperplane bucket fold as :func:`cosine_topk_lsh_sql`."""
+    from .operators.similarity import _hyperplane
+
+    def plane_dot(p: int) -> str:
+        lit = "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(dim, p)
+        ) + "]"
+        return (
+            f"list_reduce(list_prepend(cast(0.0 as double), "
+            f"list_transform(range(1, {dim + 1}), i -> dv[i] * ({lit}::double[])[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(case when {plane_dot(p)} >= 0 then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return f"""
+with v as (
+  select vec_id, cast(embedding as double[]) as dv from {table}
+), b as (
+  select vec_id, dv, {bucket} as bucket from v
+)
+select a.vec_id as id_a, b.vec_id as id_b,
+  round(list_cosine_similarity(a.dv, b.dv), 6) as cosine
+from b a join b b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
+"""
+
+
 def cosine_topk_ivf_sql(
     k: int = 5,
     query_mod: int = 50,
