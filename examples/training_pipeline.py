@@ -1,0 +1,111 @@
+"""End-to-end training-data curation pipeline on the lakehouse.
+
+The combined story the engine exists for: raw documents land in an IceTable
+(MVCC commits, schema union), a curation pass runs entirely as DataFrame
+operators — language ID, quality scoring, exact + MinHash dedup — and the
+survivors are committed to a curated table whose snapshot is the training
+set. Every step is a pipeline operator with a DuckDB oracle elsewhere in the
+repo; this file wires them together as executable documentation.
+
+Run: python examples/training_pipeline.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from icedb_spark import IceTable, PartitionField, PartitionSpec
+from icedb_spark.operators import (
+    exact_duplicates,
+    language_id,
+    minhash_lsh_pairs,
+    text_quality,
+    token_stats,
+)
+from icedb_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("icedb-spark-training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- 1. raw ingestion: documents land in a lakehouse table ------------
+    raw = IceTable(
+        spark,
+        tempfile.mkdtemp(prefix="raw-docs-"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("src", "coalesce(source, 'unknown')")]
+        ),
+        sort_order=["doc_id"],
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # plant exact duplicates to give dedup something to do
+    dups = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    raw.insert(df=docs.unionByName(dups))
+    corpus = raw.read()
+    print(f"raw corpus: {corpus.count()} docs, partitions:",
+          sorted({m.partition() for m in raw.snapshot().alive_files()}))
+
+    # --- 2. curation: quality + language + dedup, all JVM-side -----------
+    quality = text_quality(corpus).select("doc_id", "quality_score")
+    lang = language_id(corpus).select("doc_id", "lang_pred")
+    toks = token_stats(corpus).select("doc_id", "n_tokens")
+
+    scored = (
+        corpus.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+    )
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("lang_pred") != "und")
+    )
+    print(f"after quality/language filters: {kept.count()} docs")
+
+    # exact dedup: drop every non-keeper member of each duplicate group
+    groups = exact_duplicates(kept, id_col="doc_id", cols=["text"])
+    losers = groups.select(
+        F.explode("member_ids").alias("doc_id"), F.col("keeper_id")
+    ).where(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+    kept = kept.join(losers, "doc_id", "left_anti")
+    print(f"after exact dedup: {kept.count()} docs "
+          f"({groups.count()} duplicate groups collapsed)")
+
+    # near-dedup: drop the higher-id side of each MinHash-confirmed pair
+    near = minhash_lsh_pairs(kept, threshold=0.8)
+    near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = kept.join(near_losers, "doc_id", "left_anti")
+    print(f"after MinHash near-dedup: {kept.count()} docs")
+
+    # --- 3. curated output: a second lakehouse table ----------------------
+    curated = IceTable(
+        spark,
+        tempfile.mkdtemp(prefix="curated-docs-"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("lang", "lang_pred")]
+        ),
+        sort_order=["quality_score"],
+    )
+    curated.insert(df=kept.select(
+        "doc_id", "text", "lang_pred", "quality_score", "n_tokens"
+    ))
+    print("curated table partitions:",
+          sorted({m.partition() for m in curated.snapshot().alive_files()}))
+    curated.sql(
+        "select lang_pred, count(*) as docs, "
+        "round(avg(quality_score), 3) as avg_quality, "
+        "sum(n_tokens) as total_tokens "
+        "from ice group by lang_pred order by docs desc"
+    ).show()
+
+
+if __name__ == "__main__":
+    main()
