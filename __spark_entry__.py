@@ -411,9 +411,11 @@ def q27_cube(spark, sf_dir):
     """GROUP BY CUBE over (type, month) — full grouping-sets lattice (free
     via Catalyst; absent in the reference)."""
     ev = _t(spark, sf_dir, "events")
+    # month as a 'yyyy-MM' string, not DATE: cube's null-extended rows make
+    # date-vs-NaT dtype normalization diverge between the two engines.
     return ev.cube(
         "event_type",
-        F.expr(f"cast(date_trunc('month', {_TS}) as date)").alias("month"),
+        F.date_format(F.expr(f"date_trunc('month', {_TS})"), "yyyy-MM").alias("month"),
     ).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -1228,7 +1230,7 @@ where o_totalprice > (select avg(o_totalprice) from orders)
 group by yr
 """,
         "q27_cube": """
-select event_type, cast(date_trunc('month', ts) as date) as month,
+select event_type, strftime(date_trunc('month', ts), '%Y-%m') as month,
   count(*) as cnt, round(sum(value), 2) as sum_value
 from events group by cube(event_type, month)
 """,

@@ -172,10 +172,45 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
+    # measured: the candidate-id prefilter (see _jaccard_verify) LOSES here —
+    # MinHash candidates are already cheap and the extra persist/semi-join
+    # barriers cost more than recomputing shingles over the corpus once per
+    # verify side. ngram_jaccard_pairs, whose candidate set is larger and
+    # whose blocker reuses the same exploded shingles, wins with it.
+    return _jaccard_verify(
+        df, cand, id_col, text_col, shingle_k, threshold, prefilter=False
     )
+
+
+def _jaccard_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only.
+
+    With ``prefilter``, shingle arrays are computed AFTER a semi-join down
+    to the docs that appear in some candidate pair — at scale candidates are
+    a vanishing fraction of the corpus, so the shingle re-derivation is
+    O(candidates), not O(corpus), per verify side. The candidate table is
+    persisted because it is referenced three times.
+    """
+    sets_src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    if prefilter:
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets_src = sets_src.join(cand_ids, "id", "left_semi")
+    sets = sets_src.select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
     return (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -216,23 +251,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    return (
-        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
 
 
 def simhash(
