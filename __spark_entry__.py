@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark import oracles
 from icedb_spark.operators import (
+    asof_join,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -31,7 +32,9 @@ from icedb_spark.operators import (
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    range_join,
     sample_frames,
+    sessionize,
     simhash,
     text_quality,
     token_stats,
@@ -419,6 +422,66 @@ def q27_cube(spark, sf_dir):
     ).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q28_asof_join(spark, sf_dir):
+    """As-of join (beyond reference): each purchase picks the latest
+    click at-or-before it per user. Spark side is operators.temporal.asof_join
+    (union + one window scan, no inequality join); oracle is DuckDB's native
+    ASOF JOIN — two independent formulations of the same semantics."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr(_TS_US).alias("p_us"), F.col("value").alias("p_value")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.expr(_TS_US).alias("c_us"))
+        .agg(F.max("value").alias("c_value"))
+    )
+    return asof_join(purchases, clicks, ["user_id"], "p_us", "c_us")
+
+
+def q29_range_join(spark, sf_dir):
+    """Point-in-interval range join (beyond reference): events bucketed into
+    overlapping value bands via operators.temporal.range_join (banded
+    equi-join, no inequality-join blowup); sums are exact via decimal."""
+    ev = _t(spark, sf_dir, "events")
+    iv = spark.range(40).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 12.5).alias("lo"),
+        (F.col("id") * 12.5 + 25.0).alias("hi"),
+    )
+    pts = ev.select("event_id", "value")
+    joined = range_join(pts, iv, "value", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q30_sessionize(spark, sf_dir):
+    """Gap-based sessionization (beyond reference): 30-minute inactivity gap
+    per user via operators.temporal.sessionize, rolled up to per-user session
+    stats. All-integer arithmetic — bit-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(
+        ev.select("user_id", F.expr(_TS_US).alias("us")),
+        "user_id",
+        "us",
+        gap=1_800_000_000,
+    )
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n"), (F.max("us") - F.min("us")).alias("dur_us")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        F.max("dur_us").alias("max_session_dur_us"),
+        F.sum("dur_us").alias("total_dur_us"),
     )
 
 
@@ -1007,6 +1070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_conditional_agg": q25_conditional_agg,
         "q26_scalar_subquery": q26_scalar_subquery,
         "q27_cube": q27_cube,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        "q30_sessionize": q30_sessionize,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -1233,6 +1299,48 @@ group by yr
 select event_type, strftime(date_trunc('month', ts), '%Y-%m') as month,
   count(*) as cnt, round(sum(value), 2) as sum_value
 from events group by cube(event_type, month)
+""",
+        "q28_asof_join": """
+with p as (
+  select user_id, epoch_us(ts) as p_us, value as p_value
+  from events where event_type = 'purchase'
+), c as (
+  select user_id, epoch_us(ts) as c_us, max(value) as c_value
+  from events where event_type = 'click' group by 1, 2
+)
+select p.user_id, p.p_us, p.p_value, c.c_us, c.c_value
+from p asof join c on p.user_id = c.user_id and p.p_us >= c.c_us
+""",
+        "q29_range_join": """
+with iv as (
+  select i as band, i * 12.5 as lo, i * 12.5 + 25.0 as hi from range(40) t(i)
+)
+select band, count(*) as n_events,
+  cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
+  round(min(value), 2) as min_value, round(max(value), 2) as max_value
+from events e join iv on e.value >= iv.lo and e.value < iv.hi
+group by band
+""",
+        "q30_sessionize": """
+with t as (
+  select user_id, epoch_us(ts) as us from events
+), flagged as (
+  select user_id, us,
+    case when lag(us) over w is null or us - lag(us) over w > 1800000000
+         then 1 else 0 end as new_s
+  from t window w as (partition by user_id order by us)
+), sess as (
+  select user_id, us,
+    sum(new_s) over (partition by user_id order by us) as session_id
+  from flagged
+), per_sess as (
+  select user_id, session_id, count(*) as n, max(us) - min(us) as dur_us
+  from sess group by 1, 2
+)
+select user_id, count(*) as n_sessions, sum(n) as n_events,
+  max(n) as max_session_events, max(dur_us) as max_session_dur_us,
+  sum(dur_us) as total_dur_us
+from per_sess group by user_id
 """,
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),
         "d02_minhash_lsh": oracles.minhash_pairs_sql(16, 4, 3, 0.5),

@@ -24,6 +24,7 @@ from .multimodal import (
 )
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_agg, salted_join
+from .temporal import asof_join, range_join, sessionize
 from .text import (
     doc_fingerprint,
     language_id,
@@ -34,6 +35,7 @@ from .text import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "asof_join",
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
@@ -48,8 +50,10 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "range_join",
     "salted_agg",
     "salted_join",
+    "sessionize",
     "shingles",
     "simhash",
     "simhash_pairs",
