@@ -901,6 +901,95 @@ def st01_streaming_ingest(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def _drain_to_memory(spark, src_df, build):
+    """Stream src_df through build() with an availableNow trigger into a
+    memory sink (append mode); returns the collected result."""
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+    name = f"sink_{_uuid.uuid4().hex[:8]}"
+    try:
+        src_df.repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).cache()
+    finally:
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
+def st02_windowed_agg(spark, sf_dir):
+    """Event-time tumbling window aggregation with a watermark, actually
+    STREAMED (file source → availableNow → append sink). Append mode emits a
+    window iff the final watermark (max event time − 10 min, ms-floored)
+    passed its end — the oracle replicates that emission rule in SQL."""
+    from icedb_spark.streaming import windowed_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.expr(f"{_TS}").alias("ets")
+    )
+    return _drain_to_memory(
+        spark,
+        ev,
+        lambda s: windowed_agg(
+            s,
+            "ets",
+            "1 day",
+            {"cnt": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+            keys=("event_type",),
+            watermark="10 minutes",
+        ),
+    )
+
+
+def st03_stateful_sessions(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessionization with a 30-min gap, sessions closed either by later data
+    or by event-time timeout when the watermark passes last+gap. The final
+    open session of a user stays in state and is NOT emitted — the oracle
+    applies the same ms-floored watermark rule."""
+    from icedb_spark.streaming import stateful_sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"{_TS}").alias("ets")
+    )
+    return _drain_to_memory(
+        spark,
+        ev,
+        lambda s: stateful_sessionize(
+            s, "user_id", "ets", gap_us=1_800_000_000, watermark="10 minutes"
+        ),
+    )
+
+
+def st04_session_window(spark, sf_dir):
+    """Built-in gap-based session windows (F.session_window): session end =
+    last event + gap. Run in batch mode, where no watermark gates emission —
+    the streamed variant of the same operator is st03's custom twin."""
+    from icedb_spark.streaming import session_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.expr(f"{_TS}").alias("ets")
+    )
+    return session_agg(
+        ev,
+        "ets",
+        "30 minutes",
+        {"n_events": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+        keys=("user_id",),
+    )
+
+
 def mv01_materialized_view(spark, sf_dir):
     """materialized view as a double-written second table (reference
     examples/materialized-view.py:44-52): every insert lands in the base and,
@@ -1104,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice13_partition_fn_paths": ice13_partition_fn_paths,
         "ice14_json_flatten_insert": ice14_json_flatten_insert,
         "st01_streaming_ingest": st01_streaming_ingest,
+        "st02_windowed_agg": st02_windowed_agg,
+        "st03_stateful_sessions": st03_stateful_sessions,
+        "st04_session_window": st04_session_window,
         "mv01_materialized_view": mv01_materialized_view,
     }
 
@@ -1405,6 +1497,63 @@ from (
             "round(sum(value), 2) as sum_value from events group by k"
         ),
         "st01_streaming_ingest": ev_agg.format(where=""),
+        # append-mode emission rule: a window/session is emitted iff the
+        # final watermark (max event time - delay, floored to ms) passed its
+        # end; the ms flooring below mirrors Spark's watermark tracker.
+        "st02_windowed_agg": """
+with wm as (
+  select (epoch_us(max(ts)) - 600000000) // 1000 * 1000 as wm_us from events
+)
+select epoch_us(date_trunc('day', ts)) as win_start_us,
+  epoch_us(date_trunc('day', ts)) + 86400000000 as win_end_us,
+  event_type, count(*) as cnt, round(sum(value), 2) as sum_value
+from events
+group by 1, 2, 3
+having win_end_us <= (select wm_us from wm)
+""",
+        "st03_stateful_sessions": """
+with t as (
+  select user_id, epoch_us(ts) as us from events
+), flagged as (
+  select user_id, us,
+    case when lag(us) over w is null or us - lag(us) over w > 1800000000
+         then 1 else 0 end as new_s
+  from t window w as (partition by user_id order by us)
+), sess as (
+  select user_id, us,
+    sum(new_s) over (partition by user_id order by us) as session_id
+  from flagged
+), per as (
+  select user_id, session_id, min(us) as session_start_us,
+    max(us) as session_end_us, count(*) as n_events
+  from sess group by 1, 2
+), wm as (
+  select max(us) // 1000 - 600000 as wm_ms from t
+)
+select user_id, session_start_us, session_end_us, n_events
+from (
+  select *, max(session_id) over (partition by user_id) as last_sid from per
+)
+where session_id < last_sid
+   or (session_end_us // 1000 + 1800000) < (select wm_ms from wm)
+""",
+        "st04_session_window": """
+with t as (
+  select user_id, epoch_us(ts) as us, value from events
+), flagged as (
+  select user_id, us, value,
+    case when lag(us) over w is null or us - lag(us) over w > 1800000000
+         then 1 else 0 end as new_s
+  from t window w as (partition by user_id order by us)
+), sess as (
+  select user_id, us, value,
+    sum(new_s) over (partition by user_id order by us) as session_id
+  from flagged
+)
+select min(us) as win_start_us, max(us) + 1800000000 as win_end_us,
+  user_id, count(*) as n_events, round(sum(value), 2) as sum_value
+from sess group by user_id, session_id
+""",
         "mv01_materialized_view": (
             "select event_type, count(*) as cnt from events group by event_type"
         ),

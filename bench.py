@@ -30,6 +30,8 @@ HEADLINE = [
     "q12_join_broadcast",
     "q13_join_threeway",
     "q14_window_rank",
+    "q28_asof_join",
+    "q30_sessionize",
     "d02_minhash_lsh",
     "d04_simhash",
     "s01_cosine_topk",

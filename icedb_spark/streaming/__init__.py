@@ -1,3 +1,10 @@
 from .ingest import stream_insert, micro_batch_pipeline
+from .windows import session_agg, stateful_sessionize, windowed_agg
 
-__all__ = ["stream_insert", "micro_batch_pipeline"]
+__all__ = [
+    "stream_insert",
+    "micro_batch_pipeline",
+    "session_agg",
+    "stateful_sessionize",
+    "windowed_agg",
+]

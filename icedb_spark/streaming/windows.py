@@ -1,0 +1,204 @@
+"""Event-time windowing and custom stateful operators for streams.
+
+The reference has no streaming windows at all (SURVEY §2.2 — its streaming
+story is a timer-flushed buffer); these are the Spark-native operators a
+stream ingested through :mod:`icedb_spark.streaming.ingest` needs for
+rollups and sessionization with late data:
+
+* :func:`windowed_agg` — tumbling/sliding event-time windows with a
+  watermark. Declarative (``F.window`` + ``withWatermark``): state cleanup,
+  late-data dropping and append-mode finalization are Spark's, not ours.
+* :func:`session_agg` — built-in gap-based session windows
+  (``F.session_window``). Works identically over a batch DataFrame (no
+  watermark needed there), which is how the oracle gate pins its values.
+* :func:`stateful_sessionize` — the same sessionization as a CUSTOM
+  stateful operator via ``applyInPandasWithState``: per-key state walks
+  event times in order, closes a session when the gap is exceeded by later
+  data, and uses an event-time timeout to flush the final open session when
+  the watermark passes ``last_event + gap``. This is the template for
+  stateful logic the built-in windows can't express (per-session caps,
+  custom emission policies, running sketches).
+
+Emission semantics under append mode are part of the contract and are
+oracle-checked: a window/session is emitted iff the final watermark passes
+its end. Watermarks and timeouts are millisecond-granular inside Spark
+(timestamps are µs, the watermark tracker floors to ms), so the oracle
+replicates ``floor(us/1000)`` arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["windowed_agg", "session_agg", "stateful_sessionize"]
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: Mapping[str, Column],
+    keys: tuple[str, ...] = (),
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation: tumbling by default, sliding when
+    ``slide`` is given. ``ts_col`` must be a timestamp column; on a
+    streaming DataFrame the watermark bounds state and drops late rows.
+
+    Output: ``win_start_us`` / ``win_end_us`` (epoch-µs longs — stable
+    across engines and sinks), the key columns, then one column per entry
+    of ``aggs`` (name → aggregate Column).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    out = df.groupBy(win.alias("__w"), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.unix_micros(F.col("__w.start")).alias("win_start_us"),
+        F.unix_micros(F.col("__w.end")).alias("win_end_us"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Mapping[str, Column],
+    keys: tuple[str, ...] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows via the built-in ``F.session_window``:
+    events of one key closer than ``gap`` merge into one session whose end
+    is ``last_event + gap``. Same output convention as :func:`windowed_agg`.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.session_window(ts_col, gap).alias("__w"), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.unix_micros(F.col("__w.start")).alias("win_start_us"),
+        F.unix_micros(F.col("__w.end")).alias("win_end_us"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+_SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key_col: str, ts_col: str, gap_us: int
+) -> Callable:
+    def fn(key, pdfs: Iterator, state):  # pragma: no cover - runs in worker
+        import pandas as pd
+
+        def emit(start_us: int, last_us: int, n: int):
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        ts = []
+        for pdf in pdfs:
+            ts.extend(
+                pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist()
+            )
+        ts.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = ts[0]
+            n = 0
+            # first event consumed by the open-session seed below
+        for t in ts:
+            if n > 0 and t - last_us > gap_us:
+                yield emit(start_us, last_us, n)
+                start_us, n = t, 0
+            # late rows (t <= last) merge into the open session; one that
+            # predates its start extends the start (no retro session splits)
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        # flush the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+
+    return fn
+
+
+def stateful_sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization over a stream via
+    ``applyInPandasWithState``.
+
+    Per-key state is (session_start, last_event, count) in epoch-µs. A
+    session is emitted either when later data of the same key exceeds the
+    gap (closed by data) or when the event-time watermark passes
+    ``last_event + gap`` (closed by timeout) — so at stream end, keys whose
+    final session still lies within the watermark horizon keep it open and
+    emit nothing, exactly like a production continuous stream would.
+
+    Scale shape: state is three longs per key; rows shuffle once on
+    ``key_col``; timeouts bound state lifetime to the gap, so state size
+    tracks ACTIVE keys, not all keys ever seen.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _sessionize_fn(key_col, ts_col, gap_us),
+            outputStructType=out_schema,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
