@@ -186,14 +186,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # measured: the candidate-id prefilter (see _jaccard_verify) LOSES here —
-    # MinHash candidates are already cheap and the extra persist/semi-join
-    # barriers cost more than recomputing shingles over the corpus once per
-    # verify side. ngram_jaccard_pairs, whose candidate set is larger and
-    # whose blocker reuses the same exploded shingles, wins with it.
-    return _jaccard_verify(
-        df, cand, id_col, text_col, shingle_k, threshold, prefilter=False
-    )
+    # measured: with splittable/parallel input the candidate-id prefilter
+    # (see _jaccard_verify) wins here too — shingle re-derivation drops from
+    # O(corpus)x2 to O(candidates), ~2.9x on the cold path at sf0.1. (Under
+    # a serial single-split scan the semi-join barrier used to dominate;
+    # that regime is gone now that callers feed multi-split input.)
+    return _jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
 
 
 def _jaccard_verify(
