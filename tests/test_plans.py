@@ -61,3 +61,49 @@ def test_insert_single_shuffle(spark, table):
     manifest = df.groupBy(_PART_COL).applyInArrow(writer, schema=_MANIFEST_SCHEMA)
     plan = _physical(manifest)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_single_exchange_no_nested_loop(spark, sf_dir):
+    """asof_join must plan as union → ONE hash exchange on the keys → window,
+    never a BroadcastNestedLoopJoin / CartesianProduct."""
+    from icedb_spark.operators import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    left = ev.select("user_id", F.col("us").alias("l_us"))
+    right = ev.select("user_id", F.col("us").alias("r_us"), F.col("value").alias("r_v"))
+    plan = _physical(asof_join(left, right, ["user_id"], "l_us", "r_us"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    # one exchange for the window partitioning (scans feed the union directly)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """range_join must plan the banded equi-join (hash or broadcast-hash),
+    with the exact range predicate as join condition/filter — never a
+    nested-loop over the raw inequality."""
+    from icedb_spark.operators import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    iv = spark.range(40).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 12.5).alias("lo"),
+        (F.col("id") * 12.5 + 25.0).alias("hi"),
+    )
+    plan = _physical(range_join(ev, iv, "value", "lo", "hi", bucket_width=25.0))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin/SortMerge
+
+
+def test_minhash_signature_is_shuffle_free_single_md5(spark, sf_dir):
+    """The signature stage must stay row-local: no exchange, and the md5
+    base hash must appear exactly once (the shared projection must not be
+    inlined per permutation)."""
+    from icedb_spark.operators import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(minhash_signature(docs))
+    assert "Exchange" not in plan
+    assert plan.count("md5") == 1
