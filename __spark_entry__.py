@@ -499,6 +499,32 @@ def q30_sessionize(spark, sf_dir):
     )
 
 
+def q31_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key mitigation): aggregate on
+    (key, salt) then fold the per-salt partials — result must equal the
+    plain single-phase aggregate, which is exactly what the oracle computes.
+    Only fold-order-safe aggregates here (count/min/max) so the equality is
+    bit-exact."""
+    from icedb_spark.operators import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "cnt": F.count(F.lit(1)),
+            "mx": F.max("value"),
+            "mn": F.min("value"),
+        },
+        {
+            "cnt": F.sum("cnt"),
+            "mx": F.max("mx"),
+            "mn": F.min("mn"),
+        },
+        buckets=8,
+    )
+
+
 def q17_approx_distinct(spark, sf_dir):
     """approx_count_distinct (CH `uniq(_file)` analog) — approximate, so no
     value oracle; the driver records the weaker rows-only check."""
@@ -1176,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_asof_join": q28_asof_join,
         "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
+        "q31_salted_agg": q31_salted_agg,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -1405,6 +1432,10 @@ group by yr
 select event_type, strftime(date_trunc('month', ts), '%Y-%m') as month,
   count(*) as cnt, round(sum(value), 2) as sum_value
 from events group by cube(event_type, month)
+""",
+        "q31_salted_agg": """
+select user_id, count(*) as cnt, max(value) as mx, min(value) as mn
+from events group by user_id
 """,
         "q28_asof_join": """
 with p as (
