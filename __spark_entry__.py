@@ -726,6 +726,32 @@ def ice02_merge_invariant(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice15_parallel_compaction(spark, sf_dir):
+    """Parallel compaction pass: merge_all rewrites EVERY dirty partition
+    concurrently and commits them in ONE atomic log append (per-partition
+    commits would be unsafe: concurrent merges sharing a source log would
+    resurrect each other's tombstones under last-writer-wins). Results must
+    be invariant, every partition must collapse to one file, and the pass
+    must add exactly one log."""
+    t, d = _scratch(spark)
+    try:
+        ev = _t(spark, sf_dir, "events")
+        for i in range(3):
+            t.insert(df=ev.where(F.col("event_id") % 3 == i))
+        logs_before = len(t.snapshot().log_files)
+        res = t.merge_all(max_file_size=1 << 40, max_file_count=100, concurrency=8)
+        state = t.snapshot()
+        by_part: dict[str, int] = {}
+        for m in state.alive_files():
+            by_part[m.partition()] = by_part.get(m.partition(), 0) + 1
+        assert res is not None and len(res[1]) == len(by_part)
+        assert all(n == 1 for n in by_part.values())
+        assert len(state.log_files) == logs_before + 1
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice03_time_travel(spark, sf_dir):
     """snapshot-at-timestamp returns exactly the first batch."""
     from icedb_spark import get_log_file_info
@@ -1233,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice12_path_derived": ice12_path_derived,
         "ice13_partition_fn_paths": ice13_partition_fn_paths,
         "ice14_json_flatten_insert": ice14_json_flatten_insert,
+        "ice15_parallel_compaction": ice15_parallel_compaction,
         "st01_streaming_ingest": st01_streaming_ingest,
         "st02_windowed_agg": st02_windowed_agg,
         "st03_stateful_sessions": st03_stateful_sessions,
@@ -1541,6 +1568,7 @@ from (
             "select json_extract_string(props, '$.k') as k, count(*) as cnt, "
             "round(sum(value), 2) as sum_value from events group by k"
         ),
+        "ice15_parallel_compaction": ev_agg.format(where=""),
         "st01_streaming_ingest": ev_agg.format(where=""),
         # append-mode emission rule: a window/session is emitted iff the
         # final watermark (max event time - delay, floored to ms) passed its

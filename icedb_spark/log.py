@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import socket
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -39,6 +40,7 @@ def now_ms() -> int:
 
 
 _last_issued_ms = 0
+_ms_lock = threading.Lock()
 
 
 def unique_ms() -> int:
@@ -51,11 +53,12 @@ def unique_ms() -> int:
     the reference format itself.
     """
     global _last_issued_ms
-    ms = now_ms()
-    if ms <= _last_issued_ms:
-        ms = _last_issued_ms + 1
-    _last_issued_ms = ms
-    return ms
+    with _ms_lock:
+        ms = now_ms()
+        if ms <= _last_issued_ms:
+            ms = _last_issued_ms + 1
+        _last_issued_ms = ms
+        return ms
 
 
 class SchemaConflictException(Exception):

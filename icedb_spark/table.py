@@ -443,17 +443,99 @@ class IceTable:
             return self._merge_files(state, part, acc)
         return None
 
-    def optimize(self, full: bool = True, **merge_kwargs) -> int:
-        """Merge-to-exhaustion convenience: loop ``merge`` until no partition
-        has work left. ``full=True`` processes partitions smallest-file-count
-        first (the reference's full-optimization policy, README.md:600-616);
-        ``full=False`` is hot-partition-first. Returns merges performed."""
+    def optimize(self, full: bool = True, concurrency: int = 0, **merge_kwargs) -> int:
+        """Merge-to-exhaustion convenience. ``concurrency=0`` loops ``merge``
+        serially — ``full=True`` processes partitions smallest-file-count
+        first (the reference's full-optimization policy, README.md:600-616),
+        ``full=False`` hot-partition-first. ``concurrency>0`` instead loops
+        :meth:`merge_all` passes, compacting every partition per pass with
+        that many concurrent rewrite jobs. Returns merges performed."""
         n = 0
+        if concurrency > 0:
+            while True:
+                res = self.merge_all(concurrency=concurrency, **merge_kwargs)
+                if res is None:
+                    return n
+                n += len(res[1])
         while self.merge(asc=full, **merge_kwargs) is not None:
             n += 1
         return n
 
+    def merge_all(
+        self,
+        max_file_size: int = 10_000_000,
+        max_file_count: int = 10,
+        concurrency: int = 8,
+    ):
+        """One compaction pass over EVERY partition with work: the per-
+        partition rewrite jobs run concurrently (Spark schedules jobs from
+        multiple driver threads), and the whole pass commits as ONE merged
+        log append.
+
+        Why one commit and not one per partition: concurrent merges that
+        each append their own log are NOT safe even on disjoint partitions —
+        an insert's log file typically spans many partitions, so two merges
+        would both carry forward that log's markers, and under the
+        last-writer-wins fold the later commit would resurrect the earlier
+        merge's tombstoned files. A single append makes the combined pass
+        atomic, same as the reference's one-partition merge. (Multi-WRITER
+        merge safety still needs the external lock, exactly as the
+        reference, ARCHITECTURE.md:158-165 — this parallelizes within one
+        maintainer process.)
+
+        Returns ``(new_log, merges)`` with one ``(partition, new_marker,
+        merged_markers)`` per compacted partition, or None if no work.
+        """
+        state = self.snapshot()
+        by_part: dict[str, list[FileMarker]] = {}
+        for m in state.alive_files():
+            by_part.setdefault(m.partition(), []).append(m)
+        plans: list[tuple[str, list[FileMarker]]] = []
+        for part, markers in by_part.items():
+            if len(markers) < 2:
+                continue
+            markers.sort(key=lambda m: m.file_bytes)
+            acc: list[FileMarker] = []
+            acc_bytes = 0
+            for m in markers:
+                if len(acc) >= max_file_count or (acc and acc_bytes >= max_file_size):
+                    break
+                acc.append(m)
+                acc_bytes += m.file_bytes
+            if len(acc) >= 2:
+                plans.append((part, acc))
+        if not plans:
+            return None
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            rewritten = list(
+                ex.map(
+                    lambda pa: (pa[0], pa[1], *self._rewrite_for_merge(state, *pa)),
+                    plans,
+                )
+            )
+        new_log, markers = self._commit_merge(state, rewritten)
+        merges = [
+            (part, markers[i], acc)
+            for i, (part, acc, _path, _bytes, _cols) in enumerate(rewritten)
+        ]
+        return new_log, merges
+
     def _merge_files(self, state: LogState, part: str, acc: list[FileMarker]):
+        path, file_bytes, out_cols = self._rewrite_for_merge(state, part, acc)
+        new_log, markers = self._commit_merge(
+            state, [(part, acc, path, file_bytes, out_cols)]
+        )
+        return new_log, markers[0], part, acc
+
+    def _rewrite_for_merge(
+        self, state: LogState, part: str, acc: list[FileMarker]
+    ) -> tuple[str, int, dict]:
+        """The Spark job half of a merge: rewrite ``acc`` into one file.
+        Thread-safe (temp-view registration is serialized); commit happens
+        separately so passes can batch many rewrites into one log append."""
         spark = self.spark
         schema = self.spark_schema(state)
         paths = [self.storage.absolute(m.path) for m in acc]
@@ -489,16 +571,23 @@ class IceTable:
             .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
             .collect()
         )
-        merge_ms = unique_ms()
-        new_marker = FileMarker(
-            path=manifest[0]["path"],
-            created_ms=merge_ms,
-            file_bytes=manifest[0]["file_bytes"],
-        )
+        return manifest[0]["path"], manifest[0]["file_bytes"], out_cols
 
-        # log bookkeeping: rebuild state of the logs that referenced the
-        # merged files, tombstone the merged paths, supersede those logs
-        merged_paths = {m.path for m in acc}
+    def _commit_merge(
+        self, state: LogState, rewritten: list
+    ) -> tuple[str, list[FileMarker]]:
+        """The bookkeeping half: ONE merged (``_m``) log append covering all
+        rewritten partitions — new markers (stamped with the commit
+        timestamp, as the reference does), tombstoned old markers, carried
+        untouched markers of the superseded logs, and log tombstones."""
+        merge_ms = unique_ms()
+        new_markers = [
+            FileMarker(path=path, created_ms=merge_ms, file_bytes=nbytes)
+            for _part, _acc, path, nbytes, _cols in rewritten
+        ]
+        merged_paths = {
+            m.path for _part, acc, _path, _bytes, _cols in rewritten for m in acc
+        }
         source_logs: list[str] = []
         carried: dict[str, FileMarker] = {}
         log_schema = Schema()
@@ -513,9 +602,10 @@ class IceTable:
                 if fm.path in merged_paths and fm.alive:
                     fm = FileMarker(fm.path, fm.created_ms, fm.file_bytes, merge_ms)
                 carried[fm.path] = fm
-        log_schema.accumulate(list(out_cols.keys()), list(out_cols.values()))
+        for _part, _acc, _path, _bytes, out_cols in rewritten:
+            log_schema.accumulate(list(out_cols.keys()), list(out_cols.values()))
         tombstones = [LogTombstone(k, merge_ms) for k in source_logs]
-        files = [new_marker] + list(carried.values())
+        files = new_markers + list(carried.values())
         new_log, _meta = self.log_io.append(
             self.log_storage,
             1,
@@ -525,7 +615,7 @@ class IceTable:
             merged=True,
             timestamp_ms=merge_ms,
         )
-        return new_log, new_marker, part, acc
+        return new_log, new_markers
 
     # ---------------------------------------------------------------- cleanup
 

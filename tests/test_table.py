@@ -369,3 +369,81 @@ def test_optimize_merges_to_exhaustion(spark, tmp_path, sf_dir):
     state = t.snapshot()
     assert len(state.alive_files()) == len({m.partition() for m in state.alive_files()})
     assert t.read().count() == src.count()
+
+
+# ---------------------------------------------------------------- merge_all
+
+
+def _spread_batch(day: int, n: int = 4, base=1686_000_000_000):
+    """n rows per user, each user on its own DAY -> 2 partitions per call
+    (the partition key is the date)."""
+    rows = []
+    for j, u in enumerate(("a", "b")):
+        for i in range(n):
+            rows.append(
+                {"ts": base + (day * 2 + j) * 86_400_000 + i, "event": f"e{i%2}",
+                 "user_id": u, "properties": "{}"}
+            )
+    return rows
+
+
+def test_merge_all_compacts_every_partition_one_log(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    for b in range(3):  # 3 files in each of 2 partitions
+        t.insert(_spread_batch(day=0, base=1686_000_000_000 + b))
+    before = t.read().groupBy("event").count().collect()
+    logs_before = len(t.snapshot().log_files)
+
+    res = t.merge_all(concurrency=4)
+    assert res is not None
+    new_log, merges = res
+    assert len(merges) == 2  # both partitions compacted in ONE pass
+    state = t.snapshot()
+    # one combined commit: exactly one new log file
+    assert len(state.log_files) == logs_before + 1
+    # each partition now has exactly one alive file
+    parts = {}
+    for m in state.alive_files():
+        parts.setdefault(m.partition(), []).append(m)
+    assert all(len(v) == 1 for v in parts.values()) and len(parts) == 2
+    # results unchanged
+    assert sorted(map(tuple, t.read().groupBy("event").count().collect())) == sorted(
+        map(tuple, before)
+    )
+
+
+def test_merge_all_matches_serial_optimize(spark, tmp_path):
+    ta = make_table(spark, tmp_path / "a")
+    tb = make_table(spark, tmp_path / "b")
+    for day in range(3):
+        for b in range(2):
+            batch_rows = _spread_batch(day, base=1686_000_000_000 + b)
+            ta.insert(batch_rows)
+            tb.insert(batch_rows)
+    n_serial = ta.optimize()
+    n_par = tb.optimize(concurrency=4)
+    assert n_par == n_serial == 6  # 6 partitions, one merge each
+    ka = sorted(map(tuple, ta.read().groupBy("user_id", "event").count().collect()))
+    kb = sorted(map(tuple, tb.read().groupBy("user_id", "event").count().collect()))
+    assert ka == kb
+    # identical alive layouts: one file per partition on both
+    assert len(ta.snapshot().alive_files()) == len(tb.snapshot().alive_files()) == 6
+
+
+def test_merge_all_time_travel_intact(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(_spread_batch(day=0))
+    pre_ms = int(time.time() * 1000) + 1
+    time.sleep(0.002)
+    t.insert(_spread_batch(day=0, base=1686_000_000_001))
+    t.merge_all()
+    assert t.read(at_ms=pre_ms).count() == 8
+    assert t.read().count() == 16
+
+
+def test_merge_all_no_work_returns_none(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(_spread_batch(day=0))
+    t.insert(_spread_batch(day=0, base=1686_000_000_001))
+    assert t.merge_all() is not None
+    assert t.merge_all() is None
