@@ -688,11 +688,15 @@ class IceTable:
             )
         return len(tombstoned)
 
-    def rewrite_partition(self, partition: str, filter_query: str) -> list[str]:
+    def rewrite_partition(
+        self, partition: str, filter_query: str, concurrency: int = 8
+    ) -> list[str]:
         """GDPR-style rewrite: pass every live file of one partition through
         ``filter_query`` (SQL over a ``_rows`` view of that file), write
         replacements, tombstone originals — one atomic log append (reference
         ``rewrite_partition``, /root/reference/icedb/icedb.py:503-589).
+        The per-file jobs are independent and run ``concurrency``-wide; the
+        single commit at the end keeps the whole rewrite atomic.
 
         The query must not add columns (same contract as the reference,
         icedb/icedb.py:508-510)."""
@@ -701,9 +705,8 @@ class IceTable:
         known = set(state.schema.columns().keys())
         targets = [m for m in state.alive_files() if m.partition() == partition]
         ts = unique_ms()
-        new_markers: list[FileMarker] = []
-        rewritten: list[str] = []
-        for m in targets:
+
+        def rewrite_one(m: FileMarker) -> list[FileMarker]:
             df = self.spark.read.schema(schema).parquet(
                 self.storage.absolute(m.path)
             )
@@ -725,11 +728,16 @@ class IceTable:
                 .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
                 .collect()
             )
-            for r in manifest:
-                new_markers.append(
-                    FileMarker(r["path"], ts, r["file_bytes"])
-                )
-            rewritten.append(m.path)
+            return [FileMarker(r["path"], ts, r["file_bytes"]) for r in manifest]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        new_markers: list[FileMarker] = []
+        rewritten: list[str] = []
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            for m, markers in zip(targets, ex.map(rewrite_one, targets)):
+                new_markers.extend(markers)
+                rewritten.append(m.path)
         tombstoned = [
             FileMarker(m.path, m.created_ms, m.file_bytes, ts) for m in targets
         ]
