@@ -40,6 +40,7 @@ HEADLINE = [
     "t02_text_quality",
     "ice01_insert_roundtrip",
     "ice02_merge_invariant",
+    "ice15_parallel_compaction",
 ]
 
 

@@ -447,3 +447,35 @@ def test_merge_all_no_work_returns_none(spark, tmp_path):
     t.insert(_spread_batch(day=0, base=1686_000_000_001))
     assert t.merge_all() is not None
     assert t.merge_all() is None
+
+
+def test_merge_all_with_custom_merge_query(spark, tmp_path):
+    """Aggregate-on-merge semantics must survive the concurrent multi-
+    partition pass identically to serial merge."""
+    t = make_table(
+        spark, tmp_path,
+        custom_insert_query="select *, cast(1 as bigint) as cnt from _rows",
+        custom_merge_query=(
+            "select user_id, event, cast(sum(cnt) as bigint) as cnt, "
+            "max(ts) as ts, max(properties) as properties "
+            "from source_files group by user_id, event"
+        ),
+    )
+    for b in range(3):
+        t.insert(_spread_batch(day=0, base=1686_000_000_000 + b))
+
+    def agg_result():
+        return sorted(
+            (r["user_id"], r["event"], r["s"])
+            for r in t.read()
+            .groupBy("user_id", "event")
+            .agg(F.sum("cnt").alias("s"))
+            .collect()
+        )
+
+    before = agg_result()
+    res = t.merge_all(concurrency=4)
+    assert res is not None and len(res[1]) == 2  # both day-partitions
+    assert agg_result() == before
+    # each partition collapsed to one row per (user, event) group
+    assert t.read().count() == 4  # 2 partitions x 1 user x 2 events
