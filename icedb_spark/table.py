@@ -619,25 +619,39 @@ class IceTable:
 
     # ---------------------------------------------------------------- cleanup
 
-    def tombstone_cleanup(self, min_age_ms: int) -> tuple[list[str], list[str]]:
+    def tombstone_cleanup(
+        self, min_age_ms: int, concurrency: int = 16
+    ) -> tuple[list[str], list[str]]:
         """Vacuum: physically delete data files whose tombstones and log
         files whose supersede-markers are older than ``min_age_ms``, then
         collapse surviving state into one fresh merged log (reference
         ``tombstone_cleanup``, /root/reference/icedb/icedb.py:327-433).
 
+        Deletes within each phase run ``concurrency``-wide (object-store
+        deletes are latency-bound — a large vacuum is thousands of them);
+        the phase ORDER is preserved: expired data files go first, then the
+        collapsed state commits, then the superseded log files go — so a
+        crash mid-vacuum never leaves the fresh log referencing a deleted
+        file.
+
         Returns (deleted_log_files, deleted_data_files). Requires the same
         external exclusive lock as ``merge``.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         state = self.snapshot()
         now = unique_ms()
-        deleted_data: list[str] = []
+        expired: list[str] = []
         survivors: list[FileMarker] = []
         for m in state.file_markers:
             if m.tombstone is not None and now - m.tombstone >= min_age_ms:
-                self.storage.delete(m.path)
-                deleted_data.append(m.path)
+                expired.append(m.path)
             else:
                 survivors.append(m)
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            deleted_data = [
+                p for p, _ in zip(expired, ex.map(self.storage.delete, expired))
+            ]
         keep_tombstones = [
             t for t in state.log_tombstones if now - t.created_ms < min_age_ms
         ]
@@ -650,10 +664,13 @@ class IceTable:
             merged=True,
             timestamp_ms=now,
         )
-        deleted_logs: list[str] = []
-        for key in state.log_files:
-            self.log_storage.delete(key)
-            deleted_logs.append(key)
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            deleted_logs = [
+                k
+                for k, _ in zip(
+                    state.log_files, ex.map(self.log_storage.delete, state.log_files)
+                )
+            ]
         return deleted_logs, deleted_data
 
     # ------------------------------------------------------- partition admin
