@@ -456,6 +456,31 @@ def q28_asof_join(spark, sf_dir):
     return asof_join(purchases, clicks, ["user_id"], "p_us", "c_us")
 
 
+def q32_asof_left_join(spark, sf_dir):
+    """Left as-of join: purchases with no prior click survive with null
+    click columns (DuckDB: ASOF LEFT JOIN). Matched rows additionally gated
+    by a 2h tolerance — both features the inner variant (q28) doesn't
+    exercise."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr(_TS_US).alias("p_us"), F.col("value").alias("p_value")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.expr(_TS_US).alias("c_us"))
+        .agg(F.max("value").alias("c_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "p_us",
+        "c_us",
+        how="left",
+        tolerance=7_200_000_000,
+    )
+
+
 def q29_range_join(spark, sf_dir):
     """Point-in-interval range join (beyond reference): events bucketed into
     overlapping value bands via operators.temporal.range_join (banded
@@ -1229,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
         "q31_salted_agg": q31_salted_agg,
+        "q32_asof_left_join": q32_asof_left_join,
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -1474,6 +1500,22 @@ with p as (
 )
 select p.user_id, p.p_us, p.p_value, c.c_us, c.c_value
 from p asof join c on p.user_id = c.user_id and p.p_us >= c.c_us
+""",
+        "q32_asof_left_join": """
+with p as (
+  select user_id, epoch_us(ts) as p_us, value as p_value
+  from events where event_type = 'purchase'
+), c as (
+  select user_id, epoch_us(ts) as c_us, max(value) as c_value
+  from events where event_type = 'click' group by 1, 2
+), aj as (
+  select p.user_id, p.p_us, p.p_value, c.c_us, c.c_value
+  from p asof left join c on p.user_id = c.user_id and p.p_us >= c.c_us
+)
+select user_id, p_us, p_value,
+  case when c_us is not null and p_us - c_us <= 7200000000 then c_us end as c_us,
+  case when c_us is not null and p_us - c_us <= 7200000000 then c_value end as c_value
+from aj
 """,
         "q29_range_join": """
 with iv as (

@@ -479,3 +479,21 @@ def test_merge_all_with_custom_merge_query(spark, tmp_path):
     assert agg_result() == before
     # each partition collapsed to one row per (user, event) group
     assert t.read().count() == 4  # 2 partitions x 1 user x 2 events
+
+
+def test_optimize_concurrent_multi_pass(spark, tmp_path):
+    """More files than max_file_count per partition forces several
+    merge_all passes; optimize(concurrency=...) must drain them all."""
+    t = make_table(spark, tmp_path)
+    for b in range(5):
+        t.insert(_spread_batch(day=0, base=1686_000_000_000 + b))
+    n = t.optimize(concurrency=4, max_file_count=2)
+    # 5 files/partition, pairwise merges to exhaustion: 4 merges per
+    # partition x 2 partitions
+    assert n == 8
+    state = t.snapshot()
+    parts = {}
+    for m in state.alive_files():
+        parts[m.partition()] = parts.get(m.partition(), 0) + 1
+    assert all(v == 1 for v in parts.values()) and len(parts) == 2
+    assert t.read().count() == 40
