@@ -155,8 +155,11 @@ def q06_month_rollup(spark, sf_dir):
 
 
 def q07_percentile(spark, sf_dir):
-    """median + avg by group (quantile/APPROX_QUANTILES in perf docs — exact
-    interpolated percentile here so the oracle matches bit-for-bit)."""
+    """median + avg by group — EXACT interpolated percentile so the oracle
+    matches bit-for-bit. Exact `percentile` buffers every group value in the
+    agg buffer, so this is the oracle baseline only; the scale path (bounded
+    sketch memory per group, safe for hot keys at 100 TB) is
+    q33_percentile_approx."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
@@ -402,8 +405,15 @@ def q25_conditional_agg(spark, sf_dir):
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
     return ev.groupBy("user_id").agg(
         cnt("click"), cnt("view"), cnt("purchase"),
-        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2)
-        .alias("purchase_value"),
+        # decimal sum => fold-order-independent, then one double round
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("purchase_value"),
     )
 
 
@@ -551,11 +561,50 @@ def q31_salted_agg(spark, sf_dir):
 
 
 def q17_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (CH `uniq(_file)` analog) — approximate, so no
-    value oracle; the driver records the weaker rows-only check."""
+    """approx_count_distinct (CH `uniq(_file)` analog). Sketches can't
+    hash-match across engines, so the oracle contract is: each engine
+    computes its OWN approx (Spark HLL++, DuckDB HLL) and asserts it lands
+    within 5% of the exact distinct count; the deterministic exact count +
+    the bound flag are the compared output. Exercises the sketch while
+    staying bit-exact at the gate."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+def q33_percentile_approx(spark, sf_dir):
+    """Approximate percentile — the SCALE path for q07 (reference surface is
+    approximate: perf_tests/chicago_taxis/query.sql quantile/APPROX_QUANTILES).
+    `percentile_approx` keeps a bounded GK sketch per group instead of
+    buffering every value, so a hot group cannot OOM an executor at 100 TB.
+    Oracle contract (q17 pattern): each engine computes its own approx
+    sketch (Spark GK, DuckDB t-digest) and asserts it lands inside the exact
+    [p45, p55] band; compared output is the exact median + the flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("_approx"),
+        F.count("*").alias("cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_price",
+        "cnt",
+        (
+            (F.col("_approx") >= F.col("_p45")) & (F.col("_approx") <= F.col("_p55"))
+        ).alias("in_band"),
     )
 
 
@@ -1240,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_scalar_funcs": q15_scalar_funcs,
         "q16_date_parts": q16_date_parts,
         "q17_approx_distinct": q17_approx_distinct,
+        "q33_percentile_approx": q33_percentile_approx,
         "q18_rollup": q18_rollup,
         "q19_setops": q19_setops,
         "q20_semi_anti": q20_semi_anti,
@@ -1407,7 +1457,21 @@ from orders
 where month(o_orderdate) = 3
 group by yr, mo
 """,
-        # q17_approx_distinct: intentionally no oracle (approximate sketch)
+        "q17_approx_distinct": """
+select event_type, count(distinct user_id) as exact_users,
+  abs(approx_count_distinct(user_id) - count(distinct user_id))
+    <= 0.05 * count(distinct user_id) as within_5pct
+from events group by event_type
+""",
+        "q33_percentile_approx": """
+select l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) as median_price,
+  count(*) as cnt,
+  approx_quantile(l_extendedprice, 0.5)
+    between quantile_cont(l_extendedprice, 0.45)
+    and quantile_cont(l_extendedprice, 0.55) as in_band
+from lineitem group by l_returnflag
+""",
         "q18_rollup": (
             "select l_returnflag, l_linestatus, count(*) as cnt, "
             "round(sum(l_quantity), 2) as sum_qty from lineitem "
@@ -1468,10 +1532,11 @@ group by o_orderpriority
 """,
         "q25_conditional_agg": """
 select user_id,
-  sum(case when event_type = 'click' then 1 else 0 end) as n_click,
-  sum(case when event_type = 'view' then 1 else 0 end) as n_view,
-  sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
-  round(sum(case when event_type = 'purchase' then value end), 2) as purchase_value
+  cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+  cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view,
+  cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+  round(cast(sum(cast(case when event_type = 'purchase' then value end
+    as decimal(18,2))) as double), 2) as purchase_value
 from events group by user_id
 """,
         "q26_scalar_subquery": """
@@ -1543,9 +1608,9 @@ with t as (
   select user_id, session_id, count(*) as n, max(us) - min(us) as dur_us
   from sess group by 1, 2
 )
-select user_id, count(*) as n_sessions, sum(n) as n_events,
+select user_id, count(*) as n_sessions, cast(sum(n) as bigint) as n_events,
   max(n) as max_session_events, max(dur_us) as max_session_dur_us,
-  sum(dur_us) as total_dur_us
+  cast(sum(dur_us) as bigint) as total_dur_us
 from per_sess group by user_id
 """,
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),

@@ -14,6 +14,7 @@ import datetime
 import math
 
 import duckdb
+import numpy as np
 import pytest
 
 TABLES = [
@@ -34,6 +35,18 @@ def _duck(sf_dir: str):
 
 
 def _norm_cell(v):
+    # Pandas-path normalization: the driver compares via toPandas()/df(),
+    # so numpy scalars arrive here. `.item()` keeps the int-vs-float KIND
+    # distinction (DuckDB HUGEINT -> float64 must NOT silently equal a
+    # Spark int64 — that exact artifact cost two driver rows in round 1).
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if v is None:
+        return "None"
     if isinstance(v, float):
         # strict: entries are bit-exact against their oracles (verified);
         # any representation drift is a real gate failure, so no tolerance
@@ -41,6 +54,11 @@ def _norm_cell(v):
             return "NaN"
         return repr(v)
     if isinstance(v, datetime.datetime):
+        # DuckDB .df() materializes DATE as midnight Timestamp while Spark
+        # toPandas keeps datetime.date — the driver treats these as equal
+        # (q06/q19 were green in round 1), so fold midnight to the date.
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -49,8 +67,9 @@ def _norm_cell(v):
     return repr(v)
 
 
-def _normalize(cols: list[str], rows: list[tuple]):
+def _normalize(cols: list[str], df):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = list(df.itertuples(index=False, name=None))
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
 
@@ -68,21 +87,20 @@ def test_entry_matches_oracle(spark, name):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     df = qs[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in df.collect()]
+    spark_pdf = df.toPandas()
     spark_cols = list(df.columns)
 
     if name not in oracles:
         # rows-only check (approximate/sketch entries)
-        assert len(spark_rows) >= 0
+        assert len(spark_pdf) >= 0
         return
 
     con = _duck(SF_DIR)
-    res = con.execute(oracles[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = [tuple(r) for r in res.fetchall()]
+    duck_pdf = con.execute(oracles[name]).df()
+    duck_cols = list(duck_pdf.columns)
 
-    s_cols, s_vals = _normalize(spark_cols, spark_rows)
-    d_cols, d_vals = _normalize(duck_cols, duck_rows)
+    s_cols, s_vals = _normalize(spark_cols, spark_pdf)
+    d_cols, d_vals = _normalize(duck_cols, duck_pdf)
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
     assert len(s_vals) == len(d_vals), (

@@ -36,8 +36,11 @@ def duck_con(sf_dir: str):
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        # DATE columns: Spark toPandas -> object(datetime.date), DuckDB .df()
+        # -> datetime64 midnight. The driver treats those equal (q06/q19 green
+        # in r1), so stringify both and fold the midnight suffix.
+        if str(df[c].dtype).startswith("datetime64") or df[c].dtype == object:
+            df[c] = df[c].astype(str).str.replace(" 00:00:00", "", regex=False)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -53,6 +56,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(s) == len(o):
         for c in s.columns:
             sv, ov = s[c], o[c]
+            # The driver hashes repr-style values, so int64 10 vs float64
+            # 10.0 is a hard mismatch even when numerically equal (DuckDB
+            # HUGEINT -> pandas float64 artifact). Catch dtype-kind drift.
+            if sv.dtype.kind != ov.dtype.kind:
+                problems.append(
+                    f"col '{c}' dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype}"
+                )
+                continue
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
                 import numpy as np
 
