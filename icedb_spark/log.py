@@ -280,9 +280,17 @@ def path_safe_hostname() -> str:
     return socket.gethostname().replace("/", "-").replace("_", "-")
 
 
-def log_file_name(timestamp_ms: int, merged: bool = False) -> str:
+def log_file_name(timestamp_ms: int, merged: bool = False, tag: Optional[str] = None) -> str:
+    """Log object key. ``tag`` rides inside the hostname segment — both
+    engines parse only the leading timestamp and the ``_m`` marker
+    (reference ``get_log_file_info``), so a tag is interchange-safe. It lets
+    a commit carry an idempotency token atomically (streaming replay
+    dedup)."""
     suffix = "_m" if merged else ""
-    return f"{timestamp_ms}{suffix}_{path_safe_hostname()}.jsonl"
+    host = path_safe_hostname()
+    if tag:
+        host = f"{host}-{tag.replace('/', '-').replace('_', '-')}"
+    return f"{timestamp_ms}{suffix}_{host}.jsonl"
 
 
 def get_log_file_info(file_name: str) -> tuple[int, bool]:
@@ -321,6 +329,7 @@ class IceLogIO:
         tombstones: Optional[list[LogTombstone]] = None,
         merged: bool = False,
         timestamp_ms: Optional[int] = None,
+        tag: Optional[str] = None,
     ) -> tuple[str, LogMetadata]:
         """Serialize one committed operation to a new log file.
 
@@ -340,7 +349,7 @@ class IceLogIO:
             lines.append(json.dumps(t.to_dict()))
         for m in files:
             lines.append(json.dumps(m.to_dict()))
-        key = f"{self.LOG_PREFIX}/{log_file_name(ts, merged)}"
+        key = f"{self.LOG_PREFIX}/{log_file_name(ts, merged, tag)}"
         storage.put(key, ("\n".join(lines)).encode("utf-8"))
         return key, meta
 
@@ -398,10 +407,16 @@ class IceLogIO:
 
     def read_at_max_time(self, storage: Storage, max_ms: Optional[int] = None) -> LogState:
         """Snapshot read / time travel: fold log files with embedded
-        timestamp ``<= max_ms`` (all files when ``max_ms`` is None)."""
+        timestamp strictly ``< max_ms`` (all files when ``max_ms`` is None).
+
+        The STRICT bound matches the reference's ``read_at_max_time``
+        (``icedb/log.py:311-322``) so a table read by both engines sees the
+        same snapshot at the same T. ``IceTable.snapshot(at_ms)`` exposes the
+        friendlier inclusive at-this-instant semantics by passing
+        ``at_ms + 1``."""
         keys = []
         for key, _size in self.get_current_log_files(storage):
             ts, _merged = get_log_file_info(key)
-            if max_ms is None or ts <= max_ms:
+            if max_ms is None or ts < max_ms:
                 keys.append(key)
         return self.read_log_forward(storage, keys)

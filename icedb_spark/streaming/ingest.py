@@ -13,15 +13,18 @@ insert is the usual one-shuffle ``groupBy(partition).applyInArrow`` job, so
 ingest parallelism is the stream's partition count and the commit cost stays
 O(touched partitions). Exactly-once: Spark's checkpoint dedups replayed
 batches only if the sink is idempotent; IceTable appends a fresh log entry
-per call, so on recovery a replayed batch double-inserts — pass
-``dedup_on_replay=True`` to skip batch ids the table has already committed
-(recorded in the log filename suffix convention is not used; we keep a tiny
-``_stream_batches`` marker file set instead).
+per call, so with ``dedup_on_replay=True`` each batch's id is embedded in
+the committed log file name itself (``insert(commit_tag=...)``) — the
+idempotency token lands ATOMICALLY with the commit, so a crash between
+commit and any side marker cannot double-insert. A ``_stream_batches``
+marker file set is kept purely as a fast-path cache; the log listing is
+authoritative on replay.
 """
 
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -49,13 +52,26 @@ def stream_insert(
     trigger = trigger or {"availableNow": True}
     seen_dir = os.path.join(table.path, "_stream_batches")
 
+    def committed_tags() -> set[str]:
+        # Authoritative replay check: the batch tag rides in the committed
+        # log file name, written in the SAME atomic put as the commit.
+        # Tags survive merges (source logs stay on disk until vacuum), so
+        # keep the vacuum min_age >= the stream's max replay window.
+        tags = set()
+        for key, _size in table.log_io.get_current_log_files(table.log_storage):
+            m = re.search(r"-(b\d+)\.jsonl$", key)
+            if m:
+                tags.add(m.group(1))
+        return tags
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"b{batch_id}"
         marker = os.path.join(seen_dir, f"{batch_id}")
         if dedup_on_replay:
-            if os.path.exists(marker):
+            if os.path.exists(marker) or tag in committed_tags():
                 return
         df = transform(batch_df) if transform else batch_df
-        table.insert(df=df)
+        table.insert(df=df, commit_tag=tag if dedup_on_replay else None)
         if dedup_on_replay:
             os.makedirs(seen_dir, exist_ok=True)
             with open(marker, "w") as f:

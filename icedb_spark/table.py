@@ -47,6 +47,7 @@ from .log import (
     LogTombstone,
     Schema,
     Storage,
+    get_log_file_info,
     unique_ms,
     partition_from_path,
 )
@@ -98,8 +99,10 @@ class PartitionSpec:
     * native fields (default, scale path): list of :class:`PartitionField`
     * ``python_fn``: arbitrary ``dict -> str`` callable (slow path, applied
       via a Python UDF; reference ``icedb/icedb.py:22``)
-    * rows that carry a precomputed ``_partition`` column pass through when
-      ``preserve_partition`` is set on the table (``icedb/icedb.py:190-196``)
+    * rows that carry a precomputed ``_partition`` column are ALWAYS placed
+      by it (``icedb/icedb.py:191-196``); the table's ``preserve_partition``
+      flag only controls whether ``_partition`` is retained as a data column
+      in the written files
     """
 
     def __init__(
@@ -250,11 +253,21 @@ class IceTable:
             with _VIEW_LOCK:
                 df.createOrReplaceTempView("_rows")
                 df = self.spark.sql(self.custom_insert_query)
-        if self.preserve_partition and "_partition" in df.columns:
-            df = df.withColumnRenamed("_partition", _PART_COL)
-        else:
-            if "_partition" in df.columns:
+        if "_partition" in df.columns:
+            # Reference parity (icedb/icedb.py:191-196): a row's _partition
+            # value ALWAYS wins for placement; preserve_partition only
+            # controls whether the column is retained in the written data.
+            # Null rows (the DF analog of "key absent") fall back to the
+            # partition function when it is computable over this batch.
+            try:
+                fallback = self.partition_spec.partition_column(df)
+                placement = F.coalesce(F.col("_partition").cast("string"), fallback)
+            except Exception:
+                placement = F.col("_partition").cast("string")
+            df = df.withColumn(_PART_COL, placement)
+            if not self.preserve_partition:
                 df = df.drop("_partition")
+        else:
             df = df.withColumn(
                 _PART_COL, self.partition_spec.partition_column(df)
             )
@@ -281,8 +294,9 @@ class IceTable:
             with _VIEW_LOCK:
                 df.createOrReplaceTempView("_rows")
                 df = self.spark.sql(self.custom_insert_query)
+        drop = {_PART_COL} | (set() if self.preserve_partition else {"_partition"})
         cols = spark_schema_to_duckdb(
-            T.StructType([f for f in df.schema.fields if f.name not in (_PART_COL, "_partition")])
+            T.StructType([f for f in df.schema.fields if f.name not in drop])
         )
         s = Schema()
         s.accumulate(list(cols.keys()), list(cols.values()))
@@ -292,6 +306,7 @@ class IceTable:
         self,
         rows: Optional[list[dict]] = None,
         df: Optional[DataFrame] = None,
+        commit_tag: Optional[str] = None,
     ) -> list[FileMarker]:
         """Write one sorted Parquet file per touched partition, then commit
         with a single log append (reference ``insert``,
@@ -334,15 +349,22 @@ class IceTable:
         ]
         if markers:
             self.log_io.append(
-                self.log_storage, 1, batch_schema, markers, timestamp_ms=ts
+                self.log_storage, 1, batch_schema, markers, timestamp_ms=ts,
+                tag=commit_tag,
             )
         return markers
 
     # ------------------------------------------------------------------- read
 
     def snapshot(self, at_ms: Optional[int] = None) -> LogState:
-        """Fold the log at (or before) ``at_ms`` — time travel when set."""
-        return self.log_io.read_at_max_time(self.log_storage, at_ms)
+        """Fold the log at (or before) ``at_ms`` — time travel when set.
+
+        Inclusive: a commit stamped exactly ``at_ms`` is visible. The
+        log-layer primitive is strict-``<`` for reference wire parity, so
+        pass ``at_ms + 1`` down."""
+        return self.log_io.read_at_max_time(
+            self.log_storage, None if at_ms is None else at_ms + 1
+        )
 
     def spark_schema(self, state: Optional[LogState] = None) -> T.StructType:
         state = state or self.snapshot()
@@ -591,6 +613,13 @@ class IceTable:
         source_logs: list[str] = []
         carried: dict[str, FileMarker] = {}
         log_schema = Schema()
+        # Carried markers take their tombstone from the FOLDED state, not the
+        # raw source-log line: a file tombstoned by a later non-source log
+        # (e.g. a remove_partitions drop) whose insert log also fed this merge
+        # must not be re-committed alive — this merged log is newest and wins
+        # the LWW fold. (The reference re-commits the raw line,
+        # icedb/icedb.py:290-305 — a resurrection hazard we fix here.)
+        folded = {m.path: m for m in state.file_markers}
         for key in state.log_files:
             _meta, sch, fms, _t = self.log_io.read_log(self.log_storage, key)
             if not any(fm.path in merged_paths for fm in fms):
@@ -599,6 +628,7 @@ class IceTable:
             cols = sch.columns()
             log_schema.accumulate(list(cols.keys()), list(cols.values()))
             for fm in fms:
+                fm = folded.get(fm.path, fm)
                 if fm.path in merged_paths and fm.alive:
                     fm = FileMarker(fm.path, fm.created_ms, fm.file_bytes, merge_ms)
                 carried[fm.path] = fm
@@ -641,34 +671,66 @@ class IceTable:
 
         state = self.snapshot()
         now = unique_ms()
-        expired: list[str] = []
-        survivors: list[FileMarker] = []
-        for m in state.file_markers:
-            if m.tombstone is not None and now - m.tombstone >= min_age_ms:
-                expired.append(m.path)
-            else:
-                survivors.append(m)
+        expired_cutoff = now - min_age_ms
+
+        # Log tombstones past min_age name log files safe to physically
+        # delete; younger ones are preserved in the collapsed log and their
+        # superseded target logs STAY on disk until the grace period passes
+        # (reference icedb/icedb.py:363-368) — so in-flight readers and
+        # time-travel reads inside the window never hit a missing log.
+        expired_log_files = [
+            t.path for t in state.log_tombstones if t.created_ms <= expired_cutoff
+        ]
+        keep_tombstones = [
+            t for t in state.log_tombstones if t.created_ms > expired_cutoff
+        ]
+
+        # Collapse set: merged logs only — live insert logs are never
+        # touched (reference scans only `_m` logs, icedb/icedb.py:351-352).
+        merge_logs = [k for k in state.log_files if get_log_file_info(k)[1]]
+        if not merge_logs and not expired_log_files:
+            return [], []
+
+        folded = {m.path: m for m in state.file_markers}
+        data_delete: list[str] = []
+        data_keep: dict[str, FileMarker] = {}
+        collapsed_schema = Schema()
+        for key in merge_logs:
+            _meta, sch, fms, _t = self.log_io.read_log(self.log_storage, key)
+            cols = sch.columns()
+            collapsed_schema.accumulate(list(cols.keys()), list(cols.values()))
+            for fm in fms:
+                cur = folded.get(fm.path, fm)
+                if cur.tombstone is not None and cur.tombstone <= expired_cutoff:
+                    data_keep.pop(cur.path, None)
+                    if cur.path not in data_delete:
+                        data_delete.append(cur.path)
+                else:
+                    data_keep[cur.path] = cur
+
+        # Phase order: expired data files first, then the collapsed commit,
+        # then the superseded log files — a crash mid-vacuum never leaves
+        # the fresh log referencing a deleted file.
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_data = [
-                p for p, _ in zip(expired, ex.map(self.storage.delete, expired))
+                p for p, _ in zip(data_delete, ex.map(self.storage.delete, data_delete))
             ]
-        keep_tombstones = [
-            t for t in state.log_tombstones if now - t.created_ms < min_age_ms
-        ]
-        self.log_io.append(
-            self.log_storage,
-            1,
-            state.schema,
-            survivors,
-            tombstones=keep_tombstones or None,
-            merged=True,
-            timestamp_ms=now,
-        )
+        if merge_logs:
+            self.log_io.append(
+                self.log_storage,
+                1,
+                collapsed_schema,
+                list(data_keep.values()),
+                tombstones=keep_tombstones or None,
+                merged=True,
+                timestamp_ms=now,
+            )
+        logs_to_delete = list(dict.fromkeys(expired_log_files + merge_logs))
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_logs = [
                 k
                 for k, _ in zip(
-                    state.log_files, ex.map(self.log_storage.delete, state.log_files)
+                    logs_to_delete, ex.map(self.log_storage.delete, logs_to_delete)
                 )
             ]
         return deleted_logs, deleted_data

@@ -112,3 +112,15 @@ def test_wire_format_exact(tmp_path):
     assert json.loads(lines[3]) == {"p": "_data/d=x/f.parquet", "b": 456, "t": 123, "tmb": 789}
     assert key.endswith("_m_" + key.split("_m_")[1])
     assert "5000_m_" in key
+
+def test_read_at_max_time_strict_boundary(tmp_path):
+    """Reference parity (icedb/log.py:311-322): the log-layer bound is
+    strict `<` — a log stamped exactly at T is NOT part of snapshot(T)."""
+    st = Storage(str(tmp_path))
+    io = IceLogIO()
+    s = Schema({"a": "VARCHAR"})
+    io.append(st, 1, s, [FileMarker("_data/f1.parquet", 1000, 1)], timestamp_ms=1000)
+    assert io.read_at_max_time(st, 1000).alive_files() == []
+    assert {m.path for m in io.read_at_max_time(st, 1001).alive_files()} == {
+        "_data/f1.parquet"
+    }

@@ -54,3 +54,38 @@ def test_stream_insert_availablenow(spark, tmp_path, sf_dir):
     )
     _wait(q2)
     assert t.read().count() == events.count()
+
+def test_replay_dedup_survives_lost_marker(spark, tmp_path, sf_dir):
+    """Exactly-once under the crash window: the batch id is embedded in the
+    committed log file name (atomic with the commit), so a replay with the
+    side marker LOST (crash between commit and marker write) still skips."""
+    import shutil
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.coalesce(1).write.parquet(src, mode="append")
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')")]
+        ),
+        sort_order=["ts"],
+    )
+    q = micro_batch_pipeline(
+        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    _wait(q)
+    n = events.count()
+    assert t.read().count() == n
+
+    # simulate the crash: the marker cache is gone, and a FRESH checkpoint
+    # forces Spark to re-deliver batch 0
+    shutil.rmtree(os.path.join(t.path, "_stream_batches"))
+    q2 = micro_batch_pipeline(
+        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    _wait(q2)
+    assert t.read().count() == n  # authoritative log-tag check skipped it

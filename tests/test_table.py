@@ -497,3 +497,77 @@ def test_optimize_concurrent_multi_pass(spark, tmp_path):
         parts[m.partition()] = parts.get(m.partition(), 0) + 1
     assert all(v == 1 for v in parts.values()) and len(parts) == 2
     assert t.read().count() == 40
+
+def test_vacuum_min_age_grace(spark, tmp_path):
+    """min_age_ms is honored for LOG files too: young superseded logs stay
+    on disk (time travel inside the window keeps working) and only expire
+    on a later vacuum."""
+    from icedb_spark import get_log_file_info
+
+    t = make_table(spark, tmp_path)
+    t.insert(batch())
+    pre_merge_ms = get_log_file_info(t.snapshot().log_files[-1])[0]
+    t.insert(batch())
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass
+
+    deleted_logs, deleted_data = t.tombstone_cleanup(min_age_ms=3_600_000)
+    assert deleted_data == []  # tombstones younger than the grace
+    # only merged logs were collapsed; the superseded insert logs survive
+    assert all(get_log_file_info(k)[1] for k in deleted_logs)
+    assert counts_by_user(t) == [(4, "a"), (2, "b")]
+    assert counts_by_user(t, at_ms=pre_merge_ms) == [(2, "a"), (1, "b")]
+
+    # grace over: the second vacuum removes the expired logs + data files
+    _logs2, deleted_data2 = t.tombstone_cleanup(min_age_ms=0)
+    assert len(deleted_data2) == 2
+    state = t.snapshot()
+    assert len(state.log_files) == 1
+    assert len(state.alive_files()) == 1
+    assert counts_by_user(t) == [(4, "a"), (2, "b")]
+
+
+def test_partition_column_places_even_without_preserve(spark, tmp_path):
+    """Reference parity (icedb/icedb.py:191-196): a row's _partition value
+    always wins for placement; preserve_partition=False only strips the
+    column from the written data."""
+    t = make_table(spark, tmp_path)
+    rows = [dict(r, _partition="cust=test/d=2030-01-01") for r in batch()]
+    t.insert(rows)
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"cust=test/d=2030-01-01"}
+    assert "_partition" not in t.read().columns
+
+
+def test_preserve_partition_keeps_column(spark, tmp_path):
+    """preserve_partition=True retains _partition as a DATA column, like the
+    reference (the row dict keeps the key)."""
+    t = make_table(spark, tmp_path, preserve_partition=True)
+    rows = [dict(r, _partition="b=1") for r in batch()]
+    t.insert(rows)
+    df = t.read()
+    assert "_partition" in df.columns
+    assert [r[0] for r in df.select("_partition").distinct().collect()] == ["b=1"]
+
+
+def test_merge_does_not_resurrect_removed_partition(spark, tmp_path):
+    """A file tombstoned by remove_partitions whose INSERT log also fed the
+    merge must stay dead: carried markers take their tombstone from the
+    folded state, not the raw source-log line (fixes the reference's
+    resurrection hazard, icedb/icedb.py:290-305)."""
+    t = make_table(spark, tmp_path)
+    day1 = 1686_000_000_000
+    day2 = day1 + 86_400_000
+    # ONE insert log covering two partitions
+    t.insert(batch(base_ts=day1) + batch(base_ts=day2))
+    # second file in day1's partition so it becomes a merge candidate
+    t.insert(batch(base_ts=day1))
+    removed = t.remove_partitions(
+        lambda parts: [p for p in parts if p.endswith("2023-06-06")]
+    )
+    assert removed == 1
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert not any(p.endswith("2023-06-06") for p in parts)
+    assert counts_by_user(t) == [(4, "a"), (2, "b")]
