@@ -12,16 +12,20 @@ the execution engine is entirely Spark-first.
 
 from .log import (
     FileMarker,
+    FsspecStorage,
     IceLogIO,
     LogMetadata,
     LogState,
     LogTombstone,
+    MemoryStorage,
     Schema,
     SchemaConflictException,
     Storage,
     get_log_file_info,
     now_ms,
     partition_from_path,
+    retry_transient,
+    storage_for,
 )
 from .mv import DoubleWriter
 from .session import get_spark
@@ -38,10 +42,14 @@ __all__ = [
     "LogTombstone",
     "PartitionField",
     "PartitionSpec",
+    "FsspecStorage",
+    "MemoryStorage",
     "Schema",
     "SchemaConflictException",
     "Storage",
     "get_log_file_info",
+    "retry_transient",
+    "storage_for",
     "now_ms",
     "parse_partition",
     "partition_from_path",

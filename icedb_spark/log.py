@@ -276,6 +276,186 @@ class Storage:
         return self._abs(key)
 
 
+def _default_transient(e: Exception) -> bool:
+    """Transient per the reference's data-PUT policy: HTTP >= 500 or 429
+    (``icedb/icedb.py:161-163``), plus connection-level blips."""
+    code = getattr(e, "status_code", None)
+    if code is None:
+        code = getattr(e, "code", None)
+    if code is not None:
+        try:
+            code = int(code)
+        except (TypeError, ValueError):
+            return False
+        return code >= 500 or code == 429
+    return isinstance(e, (ConnectionError, TimeoutError))
+
+
+def retry_transient(
+    fn,
+    attempts: int = 3,
+    backoff_s: float = 0.3,
+    is_transient=None,
+    sleep=time.sleep,
+):
+    """Linear-backoff retry for transient object-store failures — the
+    reference retries data-file PUTs 3x with ``0.3s * attempt`` sleeps on
+    HTTP >= 500/429 (``icedb/icedb.py:146-170``)."""
+    if is_transient is None:
+        is_transient = _default_transient
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt == attempts or not is_transient(e):
+                raise
+            sleep(backoff_s * attempt)
+
+
+class MemoryStorage:
+    """In-process dict-backed store — the ``memory://`` analog.
+
+    Drop-in for the LOG slot (``log_storage``): the log layer is pure
+    driver-side bytes, so it never needs a Spark-readable path. Data files
+    DO (executors read/write them), so a table's data root stays on a real
+    filesystem/object store. Roots are shared process-wide by name, like a
+    bucket namespace.
+    """
+
+    _stores: dict[str, dict[str, bytes]] = {}
+
+    def __init__(self, root: str = "mem"):
+        self.root = root
+        self._objs = self._stores.setdefault(root, {})
+
+    def put(self, key: str, data: bytes) -> None:
+        self._objs[key] = bytes(data)  # dict assignment: atomic publish
+
+    def get(self, key: str) -> bytes:
+        return self._objs[key]
+
+    def list(self, prefix: str) -> list[tuple[str, int]]:
+        p = prefix.rstrip("/")
+        out = [
+            (k, len(v))
+            for k, v in self._objs.items()
+            if k == p or k.startswith(p + "/")
+        ]
+        out.sort()
+        return out
+
+    def delete(self, key: str) -> None:
+        self._objs.pop(key, None)
+
+    def size(self, key: str) -> int:
+        return len(self._objs[key])
+
+    def exists(self, key: str) -> bool:
+        return key in self._objs
+
+    def absolute(self, key: str) -> str:
+        return f"memory://{self.root}/{key}"
+
+
+class FsspecStorage:
+    """fsspec-backed object store (``s3://``, ``gs://``, ``abfs://``, ...)
+    with transient-failure retry — the S3-native deployment path
+    (reference keeps separate boto3 log/data clients,
+    ``icedb/log.py:32-56`` / ``icedb/icedb.py:75-78``; here each store is
+    one FsspecStorage with its own ``storage_options`` credentials).
+
+    ``put``/``get``/``delete`` retry 3x with linear backoff on transient
+    errors, matching the reference's PUT policy. ``absolute()`` maps
+    ``s3://`` to ``s3a://`` so Spark executors read the same objects
+    through the Hadoop S3 connector.
+    """
+
+    def __init__(
+        self,
+        root_uri: str,
+        storage_options: Optional[dict] = None,
+        attempts: int = 3,
+        backoff_s: float = 0.3,
+    ):
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover - env without fsspec
+            raise ImportError(
+                "FsspecStorage requires the 'fsspec' package (plus the "
+                "protocol driver, e.g. s3fs for s3://)"
+            ) from e
+        self.root = root_uri.rstrip("/")
+        self.protocol = root_uri.split("://", 1)[0]
+        self.fs = fsspec.filesystem(self.protocol, **(storage_options or {}))
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+        # path inside the filesystem (strip the scheme for fs calls)
+        self._base = self.root.split("://", 1)[1]
+
+    def _abs(self, key: str) -> str:
+        return f"{self._base}/{key}"
+
+    def _retry(self, fn):
+        return retry_transient(fn, attempts=self.attempts, backoff_s=self.backoff_s)
+
+    def put(self, key: str, data: bytes) -> None:
+        # single-object PUT: atomic publish on object stores
+        self._retry(lambda: self.fs.pipe_file(self._abs(key), data))
+
+    def get(self, key: str) -> bytes:
+        return self._retry(lambda: self.fs.cat_file(self._abs(key)))
+
+    def list(self, prefix: str) -> list[tuple[str, int]]:
+        base = self._abs(prefix)
+        if not self._retry(lambda: self.fs.exists(base)):
+            return []
+        found = self._retry(lambda: self.fs.find(base, detail=True))
+        out = []
+        for path, info in found.items():
+            if info.get("type") == "directory":
+                continue
+            name = path.rsplit("/", 1)[-1]
+            if name.startswith(".") or ".tmp-" in name:
+                continue
+            rel = path[len(self._base) :].lstrip("/")
+            out.append((rel, int(info.get("size", 0))))
+        out.sort()
+        return out
+
+    def delete(self, key: str) -> None:
+        try:
+            self._retry(lambda: self.fs.rm_file(self._abs(key)))
+        except FileNotFoundError:
+            pass
+
+    def size(self, key: str) -> int:
+        return int(self._retry(lambda: self.fs.info(self._abs(key)))["size"])
+
+    def exists(self, key: str) -> bool:
+        return bool(self._retry(lambda: self.fs.exists(self._abs(key))))
+
+    def absolute(self, key: str) -> str:
+        if self.protocol == "s3":
+            return f"s3a://{self._base}/{key}"
+        return f"{self.root}/{key}"
+
+
+def storage_for(root: str, **kwargs):
+    """Factory: pick the Storage implementation from the root's scheme.
+
+    Plain paths and ``file://`` stay POSIX; ``memory://`` maps to the
+    in-process store; anything else (``s3://`` etc.) goes through fsspec.
+    """
+    if "://" not in root:
+        return Storage(root)
+    proto, rest = root.split("://", 1)
+    if proto == "file":
+        return Storage("/" + rest.lstrip("/"))
+    if proto == "memory":
+        return MemoryStorage(rest)
+    return FsspecStorage(root, **kwargs)
+
+
 def path_safe_hostname() -> str:
     return socket.gethostname().replace("/", "-").replace("_", "-")
 

@@ -48,6 +48,7 @@ from .log import (
     Schema,
     Storage,
     get_log_file_info,
+    storage_for,
     unique_ms,
     partition_from_path,
 )
@@ -170,23 +171,41 @@ def _make_group_writer(
         ]
         data = table.drop_columns(drop)
         rel_dir = f"_data/{part}" if part else "_data"
-        out_dir = os.path.join(root, rel_dir)
-        os.makedirs(out_dir, exist_ok=True)
         name = f"{uuid.uuid4()}.parquet"
-        final = os.path.join(out_dir, name)
-        tmp = final + ".tmp-" + uuid.uuid4().hex
-        pq.write_table(
-            data,
-            tmp,
-            compression=compression,
-            row_group_size=row_group_size,
-        )
-        os.rename(tmp, final)
+        if "://" in root:
+            # URI roots (file://, s3://, ...): write through pyarrow.fs on
+            # the executor. Direct write to the final name is safe on every
+            # backend — visibility comes from the LOG commit, never from
+            # object existence, so a partial file is unreferenced garbage.
+            import pyarrow.fs as pafs
+
+            fs, base = pafs.FileSystem.from_uri(root)
+            full = f"{base.rstrip('/')}/{rel_dir}/{name}"
+            fs.create_dir(f"{base.rstrip('/')}/{rel_dir}", recursive=True)
+            with fs.open_output_stream(full) as sink:
+                pq.write_table(
+                    data, sink,
+                    compression=compression, row_group_size=row_group_size,
+                )
+            nbytes = fs.get_file_info(full).size
+        else:
+            out_dir = os.path.join(root, rel_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            final = os.path.join(out_dir, name)
+            tmp = final + ".tmp-" + uuid.uuid4().hex
+            pq.write_table(
+                data,
+                tmp,
+                compression=compression,
+                row_group_size=row_group_size,
+            )
+            os.rename(tmp, final)
+            nbytes = os.path.getsize(final)
         return pa.table(
             {
                 "part": [part],
                 "path": [f"{rel_dir}/{name}"],
-                "file_bytes": [os.path.getsize(final)],
+                "file_bytes": [nbytes],
                 "rows": [data.num_rows],
             }
         )
@@ -240,8 +259,12 @@ class IceTable:
         # operators/zorder.py). Mutually exclusive with sort_order in
         # effect: when set, it wins.
         self.zorder_by = zorder_by
-        self.storage = Storage(self.path)
-        # log may live on a separate (lower-latency) store than data
+        # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
+        # fsspec with put-retry; reads go through storage.absolute() URIs
+        self.storage = storage_for(self.path)
+        # log may live on a separate (lower-latency) store than data —
+        # reference keeps separate log/data S3 clients with own credentials
+        # (icedb/icedb.py:75-78); pass any Storage-like object here
         self.log_storage = log_storage or self.storage
         self.log_io = IceLogIO()
 
