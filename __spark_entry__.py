@@ -670,6 +670,19 @@ def d06_simhash_pairs(spark, sf_dir):
     )
 
 
+def d08_simhash_band16(spark, sf_dir):
+    """SimHash SCALE path: 60-bit sketch with 15-bit bands — 4 bands ×
+    32 768 bucket values, so within-bucket self-join width shrinks 128× vs
+    the byte bands of d06 while pigeonhole (4 bands > hamming 3) still
+    guarantees full recall. 60 bits because the md5-derived hash is 60-bit
+    (a '64-bit' sketch would carry 4 degenerate bits)."""
+    from icedb_spark.operators import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=60, band_bits=15, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def s01_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -714,6 +727,40 @@ def m01_media_features(spark, sf_dir):
         "content_md5",
         F.round(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
     )
+
+
+def m03_image_headers(spark, sf_dir):
+    """REAL (non-fake) media decode branch: blobs are well-formed PNG/JPEG
+    container headers synthesized byte-for-byte from doc_id (JVM-side
+    concat/unhex — big-endian dimension fields and all); the operator then
+    parses the ACTUAL bytes with the pure-Python header parser in
+    mapInPandas (operators/multimodal.py parse_image_header). The oracle
+    derives the same dimensions from the generation formula in closed form,
+    so any parsing error breaks the hash match."""
+    from icedb_spark.operators import decode_image_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 512 + 1).cast("bigint")
+    h = (F.col("doc_id") % 384 + 1).cast("bigint")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452")),  # sig+len+IHDR
+        be32(w),
+        be32(h),
+        F.lit(bytes.fromhex("080200000000000000")),  # depth/color/... + CRC pad
+    )
+    jpg = F.concat(
+        F.lit(bytes.fromhex("ffd8ffc0000b08")),  # SOI + SOF0 + len + precision
+        be16(h),
+        be16(w),
+        F.lit(bytes.fromhex("01011100")),  # 1 component spec
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpg).alias("content"),
+    )
+    return decode_image_headers(media).select("media_id", "format", "width", "height")
 
 
 def m02_frame_sample(spark, sf_dir):
@@ -1311,11 +1358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
         "d06_simhash_pairs": d06_simhash_pairs,
+        "d08_simhash_band16": d08_simhash_band16,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "m01_media_features": m01_media_features,
+        "m03_image_headers": m03_image_headers,
         "m02_frame_sample": m02_frame_sample,
         "t01_token_stats": t01_token_stats,
         "t02_text_quality": t02_text_quality,
@@ -1619,11 +1668,19 @@ from per_sess group by user_id
         "d04_simhash": oracles.simhash_sql(32),
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "d06_simhash_pairs": oracles.simhash_pairs_sql(32, 3),
+        "d08_simhash_band16": oracles.simhash_pairs_sql(60, 3, band_bits=15),
         "d07_embedding_dups_lsh": oracles.embedding_dups_lsh_sql(0.4, 64, 6),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
         "m01_media_features": oracles.media_features_sql(8),
+        "m03_image_headers": """
+select doc_id as media_id,
+  case when doc_id % 2 = 0 then 'png' else 'jpeg' end as format,
+  cast(doc_id % 512 + 1 as int) as width,
+  cast(doc_id % 384 + 1 as int) as height
+from documents
+""",
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "t01_token_stats": oracles.token_stats_sql(),
         "t02_text_quality": oracles.text_quality_sql(),

@@ -6,9 +6,11 @@ deterministic, so results are reproducible across engines and runs.
 """
 
 from .dedup import (
+    auto_n_planes,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_duplicates,
+    lsh_bucket_stats,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -17,8 +19,11 @@ from .dedup import (
     simhash_pairs,
 )
 from .multimodal import (
+    HEADER_SCHEMA,
     MEDIA_SCHEMA,
+    decode_image_headers,
     extract_features,
+    parse_image_header,
     sample_frames,
     synthetic_media,
 )
@@ -34,7 +39,10 @@ from .text import (
 )
 
 __all__ = [
+    "HEADER_SCHEMA",
     "MEDIA_SCHEMA",
+    "decode_image_headers",
+    "parse_image_header",
     "asof_join",
     "cosine_topk",
     "cosine_topk_ivf",
@@ -43,8 +51,10 @@ __all__ = [
     "sample_frames",
     "synthetic_media",
     "doc_fingerprint",
+    "auto_n_planes",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
+    "lsh_bucket_stats",
     "exact_duplicates",
     "language_id",
     "minhash_lsh_pairs",

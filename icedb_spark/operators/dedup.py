@@ -9,10 +9,12 @@ Scale design (the point of these at 100 TB):
   min pushed map-side) → band-bucket self-join (shuffle join keyed by
   ``(band, band_hash)``; bucket sizes are bounded by construction) → exact
   Jaccard verification only on candidates. Never O(n²).
-* **SimHash**: per-doc 32-bit sketch in one aggregation, byte-band blocking
-  for candidate pairs, popcount verification.
-* **n-gram Jaccard**: exact pairwise measure gated by a shared-shingle
-  relational blocker — use MinHash at scale; this is the precise variant.
+* **SimHash**: per-doc sketch in one aggregation, band blocking for
+  candidate pairs (15-bit bands at scale: 32 768 bucket values/band),
+  popcount verification.
+* **n-gram Jaccard**: exact pairwise measure gated by a LOSSLESS prefix
+  filter (rarest-first global shingle order) — stop-shingles never become
+  blocking keys, so the exact variant survives skewed corpora too.
 * **embedding cosine**: brute-force verify here;
   :func:`icedb_spark.operators.similarity.cosine_topk_lsh` is the scale path.
 
@@ -246,20 +248,48 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicates, blocked on a shared shingle.
+    """Exact n-gram Jaccard near-duplicates via PREFIX FILTERING.
 
-    The relational blocker (self-join on shingle) avoids O(n²) but can blow
-    up on very common shingles — at scale prefer :func:`minhash_lsh_pairs`
-    (probabilistic) or add rarest-shingle blocking.
+    Blocker: shingles get a global rarest-first total order (document
+    frequency, then value); each document blocks only on its prefix of
+    length ``|d| − ⌈t·|d|⌉ + 1`` under that order. The classic prefix-filter
+    lemma (PPJoin) makes this LOSSLESS — any pair with Jaccard ≥ t shares a
+    prefix shingle — while stop-shingles (high df) sort to the END of every
+    document and never become blocking keys, so the candidate join cannot
+    blow up on common shingles the way a naive shared-shingle blocker does.
+
+    Cost shape at scale: one df-count aggregation (shuffle by shingle), one
+    per-document window (shuffle by id), then a self-join whose per-key
+    width is bounded by prefix membership instead of raw shingle frequency.
+    Exactness is oracle-checked (d03): the output pair set is identical to
+    the naive blocker's.
     """
+    from pyspark.sql import Window
+
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+        )
+        .withColumn("ds", F.count("*").over(Window.partitionBy("id")))
+    )
+    # the -1e-9 guards float fuzz in t·|d|: an over-ceil would SHRINK the
+    # prefix and break the lossless guarantee; an under-ceil only keeps one
+    # extra shingle (harmless)
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("ds") - F.ceil(F.lit(threshold) * F.col("ds") - 1e-9) + 1
+    ).select("id", "shingle")
     cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"),
-                                 F.col("a.id") < F.col("b.id")])
+        prefix.alias("a")
+        .join(prefix.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"),
+                                     F.col("a.id") < F.col("b.id")])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -303,16 +333,38 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
+    band_bits: int = 8,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: byte-band blocking (a pair within
-    hamming ≤ 3 of a 32-bit sketch shares at least one of 4 bytes), verified
-    with an exact popcount."""
+    """Near-duplicate pairs by SimHash: band blocking (pigeonhole: a pair
+    within hamming ≤ bands−1 shares at least one unchanged band), verified
+    with an exact popcount.
+
+    SCALE: ``band_bits`` sets the bucket-value space per band — 8-bit bands
+    give only 256 buckets (within-bucket self-join goes quadratic at corpus
+    scale); the scale configuration is ``bits=60, band_bits=15`` (4 bands ×
+    32 768 values, 128× narrower buckets; 60 because the md5-derived hash
+    is 60-bit — a 64-bit sketch would carry 4 degenerate always-zero bits).
+    Recall guarantee needs ``bits // band_bits > max_hamming`` (pigeonhole);
+    configs that violate it raise unless ``allow_partial_recall`` makes the
+    probabilistic-recall tradeoff explicit — silent recall loss is exactly
+    the failure mode band blocking is supposed to prevent.
+    """
+    n_bands = bits // band_bits
+    if n_bands <= max_hamming and not allow_partial_recall:
+        raise ValueError(
+            f"need bits//band_bits > max_hamming bands for full recall "
+            f"(got {n_bands} bands, max_hamming={max_hamming}); pass "
+            f"allow_partial_recall=True to accept probabilistic recall"
+        )
     sk = simhash(df, id_col, text_col, bits)
-    n_bands = bits // 8
+    mask = (1 << band_bits) - 1
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bv"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
         )
         for b in range(n_bands)
     ]
@@ -338,13 +390,42 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Hyperplane count that keeps the EXPECTED bucket width near
+    ``target_bucket`` vectors: ``ceil(log2(n / target))`` clamped to
+    [4, 24]. At 10⁹ vectors that is 24 planes (~16M buckets); the bucketed
+    self-join stays ~n·target instead of n²."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(2, n_vectors / target_bucket)))))
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Bucket-size histogram for the hyperplane LSH — capacity planning and
+    drop accounting for ``max_bucket`` caps (what a silent cap would hide)."""
+    from .similarity import lsh_bucket
+
+    return (
+        df.select(lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates at scale: candidates limited to pairs whose
     vectors share a random-hyperplane LSH bucket, then exact cosine verify.
@@ -354,9 +435,18 @@ def embedding_dup_pairs_lsh(
     bucket, but pairs straddling a hyperplane are missed. The md5-derived
     hyperplanes (shared with :mod:`.similarity`) keep the bucketing
     deterministic and oracle-reproducible.
+
+    ``n_planes=None`` auto-scales the plane count with the corpus size
+    (:func:`auto_n_planes`) so the operator cannot silently go quadratic as
+    the corpus grows. ``max_bucket`` hard-caps bucket width: vectors in
+    oversized buckets are EXCLUDED from pairing (bounded worst case, lost
+    recall on those buckets) — account for drops with
+    :func:`lsh_bucket_stats`.
     """
     from .similarity import _as_double, lsh_bucket
 
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -368,6 +458,13 @@ def embedding_dup_pairs_lsh(
         )
         .withColumn("n", norm(F.col("v")))
     )
+    if max_bucket is not None:
+        ok = (
+            v.groupBy("bucket")
+            .agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") <= max_bucket)
+        )
+        v = v.join(F.broadcast(ok.select("bucket")), "bucket", "left_semi")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -2,10 +2,13 @@
 columns with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
 The Spark-side contract (schemas, batch shapes, partition behavior) is real
-and tested; the actual media decoding is stubbed behind
-``NotImplementedError`` / a deterministic fake because codec libraries
-(Pillow, ffmpeg, torchaudio...) are not available in this environment — drop
-a real decoder into ``decode_fn`` and nothing else changes.
+and tested. PIXEL decoding is stubbed behind ``NotImplementedError`` / a
+deterministic fake because codec libraries (Pillow, ffmpeg, torchaudio...)
+are not available in this environment — drop a real decoder into
+``decode_fn`` and nothing else changes. Container-HEADER decoding is real:
+:func:`parse_image_header` / :func:`decode_image_headers` parse PNG IHDR,
+JPEG SOFn and GIF screen-descriptor bytes in pure Python (no codec libs
+needed) — a non-fake decode branch with the same mapInPandas plumbing.
 
 Scale notes: media blobs never leave the executors; ``mapInPandas`` streams
 Arrow record batches so one task holds only a batch of blobs, not a
@@ -44,6 +47,85 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# every JPEG start-of-frame marker carrying dimensions (C4=DHT, C8=JPG,
+# CC=DAC are not SOFs)
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def parse_image_header(blob) -> tuple:
+    """REAL pure-Python container-header decode: ``(format, width, height)``
+    from raw bytes — PNG IHDR (big-endian u32 pair at offset 16), JPEG SOFn
+    scan (height/width u16 at segment offset 5/7), GIF screen descriptor
+    (little-endian u16 pair at offset 6). Unknown/truncated input yields
+    ``(None, None, None)``; a JPEG without a reachable SOF yields
+    ``('jpeg', None, None)``."""
+    import struct
+
+    b = bytes(blob or b"")
+    if b[:8] == _PNG_SIG and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"\xff\xd8":
+        o, n = 2, len(b)
+        while o + 4 <= n:
+            if b[o] != 0xFF:
+                o += 1
+                continue
+            marker = b[o + 1]
+            if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD8:
+                o += 2
+                continue
+            if marker == 0xD9:
+                break
+            seglen = struct.unpack(">H", b[o + 2 : o + 4])[0]
+            if marker in _SOF_MARKERS:
+                if o + 9 <= n:
+                    h, w = struct.unpack(">HH", b[o + 5 : o + 9])
+                    return "jpeg", w, h
+                break
+            o += 2 + seglen
+        return "jpeg", None, None
+    return None, None, None
+
+
+def decode_image_headers(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Non-fake decode branch over Arrow batches: parse image container
+    headers executor-side (blobs never move) and emit typed dimensions.
+    Same mapInPandas shape a pixel decoder would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[content_col].map(parse_image_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]),
+                    "height": parsed.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=HEADER_SCHEMA)
 
 
 def decode_stub(blob: bytes) -> bytes:

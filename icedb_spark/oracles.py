@@ -127,16 +127,18 @@ def simhash_pairs_sql(
     max_hamming: int = 3,
     seed: int = 777,
     table: str = "documents",
+    band_bits: int = 8,
 ) -> str:
-    """Replicates ``operators.dedup.simhash_pairs``: byte-band blocking over
+    """Replicates ``operators.dedup.simhash_pairs``: band blocking over
     the SimHash sketch, exact popcount verification."""
-    n_bands = bits // 8
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
     bands_values = ", ".join(f"({b})" for b in range(n_bands))
     return f"""
 with sk as ({simhash_sql(bits, seed, table)}),
 bands as (
   select doc_id, simhash, b.band,
-    (simhash >> (b.band * 8)) & 255 as bv
+    (simhash >> (b.band * {band_bits})) & {mask} as bv
   from sk, (values {bands_values}) as b(band)
 ),
 cand as (

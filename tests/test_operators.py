@@ -137,7 +137,10 @@ def test_simhash_near_dup(spark):
     # one extra token can flip a handful of near-zero bits; unrelated docs
     # should land near the expected hamming of 16 for 32-bit sketches
     assert near <= 8 < far
-    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=8).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, max_hamming=8, allow_partial_recall=True).collect()
+    }
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
@@ -205,3 +208,149 @@ def test_multimodal_frame_sampling(spark):
     # 3 videos × 5 frames (5000ms / 1000ms)
     assert len(rows) == 3 * 5
     assert {r["frame_ts_ms"] for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+def test_ngram_prefix_filter_exact_on_skewed_corpus(spark):
+    """The prefix filter must be LOSSLESS on a corpus with a universal hot
+    shingle, and the hot shingle must never be a blocking key (it sorts to
+    the end of every document's rarest-first order)."""
+    import itertools
+
+    # every doc shares the hot prefix "the quick brown" → naive blocker
+    # would produce all C(n,2) candidates; only consecutive docs are dups
+    rows = []
+    for i in range(12):
+        toks = ["the", "quick", "brown"] + [f"w{i}_{j}" for j in range(8)]
+        if i % 2 == 1:  # odd doc ≈ previous doc
+            toks = ["the", "quick", "brown"] + [f"w{i-1}_{j}" for j in range(7)] + [f"only{i}"]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = spark.createDataFrame(rows)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+
+    # brute-force truth over every pair
+    from icedb_spark.operators import shingles as sh_fn
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", sh_fn(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    truth = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if round(j, 6) >= 0.5:
+            truth[(a, b)] = round(j, 6)
+    assert got == truth
+    assert len(truth) == 6  # the six planted consecutive pairs
+
+
+def test_simhash_band16_full_recall(spark):
+    """bits=60/band_bits=15 blocking must find every pair the brute-force
+    popcount finds (pigeonhole: 4 bands > max_hamming 3)."""
+    import itertools
+
+    base = [f"tok{i}" for i in range(60)]
+    rows = []
+    for i in range(10):
+        toks = list(base)
+        if i % 3 == 0:
+            toks[0] = f"swap{i}"  # near-dup cluster varies one token
+        else:
+            toks = [f"doc{i}_{j}" for j in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = spark.createDataFrame(rows)
+
+    sk = {r["id"]: r["simhash"] for r in simhash(df, bits=60).collect()}
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sk), 2)
+        if bin(sk[a] ^ sk[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, bits=60, band_bits=15, max_hamming=3).collect()
+    }
+    assert got == truth
+    assert truth  # the cluster must actually exist
+
+
+def test_simhash_pairs_rejects_too_few_bands():
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(None, bits=32, band_bits=16, max_hamming=3)
+
+
+def test_auto_n_planes_scales():
+    from icedb_spark.operators import auto_n_planes
+
+    assert auto_n_planes(100) == 4          # floor
+    assert auto_n_planes(64_000) == 10      # 64k/64 = 1024 buckets
+    assert auto_n_planes(10**9) == 24       # ceiling
+    assert auto_n_planes(10**12) == 24      # clamped
+
+
+def test_embedding_lsh_bucket_cap_and_stats(spark):
+    from icedb_spark.operators import embedding_dup_pairs_lsh, lsh_bucket_stats
+
+    # 8 identical vectors → one bucket of 8
+    rows = [{"vec_id": i, "embedding": [1.0, 0.0, 0.0, 0.0]} for i in range(8)]
+    df = spark.createDataFrame(rows)
+    stats = lsh_bucket_stats(df, dim=4, n_planes=4).collect()
+    assert len(stats) == 1 and stats[0]["n_vectors"] == 8
+    full = embedding_dup_pairs_lsh(df, dim=4, threshold=0.9, n_planes=4)
+    assert full.count() == 8 * 7 // 2
+    capped = embedding_dup_pairs_lsh(
+        df, dim=4, threshold=0.9, n_planes=4, max_bucket=4
+    )
+    assert capped.count() == 0  # the oversized bucket is excluded entirely
+
+def test_parse_image_header_pure_python():
+    from icedb_spark.operators import parse_image_header
+    import struct, zlib
+
+    # real PNG construction (valid CRC and all)
+    ihdr = struct.pack(">II", 800, 600) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_image_header(png) == ("png", 800, 600)
+
+    # JPEG with an APP0 segment BEFORE the SOF (the scanner must skip it)
+    jfif = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    assert parse_image_header(jfif + sof) == ("jpeg", 640, 480)
+
+    assert parse_image_header(b"GIF89a" + struct.pack("<HH", 320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    assert parse_image_header(b"not an image") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+
+def test_decode_image_headers_dataframe(spark):
+    from icedb_spark.operators import decode_image_headers
+    import struct
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+
+    rows = [
+        {"media_id": 1, "content": bytearray(png(10, 20))},
+        {"media_id": 2, "content": bytearray(b"garbage")},
+    ]
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in decode_image_headers(spark.createDataFrame(rows, schema)).collect()}
+    assert out[1] == ("png", 10, 20)
+    assert out[2] == (None, None, None)
