@@ -457,7 +457,14 @@ def storage_for(root: str, **kwargs):
 
 
 def path_safe_hostname() -> str:
-    return socket.gethostname().replace("/", "-").replace("_", "-")
+    """Per-WRITER unique id for log file names: host plus pid. The reference
+    takes a caller-supplied unique id per client (``icedb/log.py:229``) —
+    two writers sharing an id can collide on ``{ts}_{id}.jsonl`` and silently
+    overwrite each other's commit; host-pid makes concurrent processes on
+    one host (or many hosts) collision-free by default. The segment is
+    opaque to both engines' filename parsers."""
+    host = socket.gethostname().replace("/", "-").replace("_", "-")
+    return f"{host}-{os.getpid()}"
 
 
 def log_file_name(timestamp_ms: int, merged: bool = False, tag: Optional[str] = None) -> str:

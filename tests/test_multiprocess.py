@@ -1,0 +1,115 @@
+"""Multi-writer concurrency across OS PROCESSES (separate JVMs, separate
+log-writer ids): two inserters race a merger against one table.
+
+Contract being verified (documented in README "Concurrency & locking"):
+
+* concurrent INSERTS from different processes are lock-free safe — each
+  commit is one atomic log-object PUT under a per-writer-unique name
+  (host-pid), and the LWW fold merges them;
+* ONE merger may run concurrently with inserts — a merge snapshots, then
+  commits tombstones only for the files it actually rewrote, so inserts
+  that land mid-merge simply stay in their own logs;
+* merge-vs-merge DOES require an external exclusive lock (same as the
+  reference, ARCHITECTURE.md:115-117) — not exercised here.
+
+Invariants asserted after the dust settles: no lost rows, no duplicated
+rows, every alive file present on disk, a final compaction preserves both.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+_COMMON = """
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+path = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("mp-%s")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "1g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spec = PartitionSpec(fields=[
+    PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')")
+])
+t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+"""
+
+
+INSERTER = _COMMON % "insert" + """
+start, n = int(sys.argv[2]), int(sys.argv[3])
+for i in range(n):
+    k = start + i
+    rows = [{"ts": 1686_000_000_000 + (k % 2) * 86_400_000 + k, "k": k}]
+    t.insert(rows)
+print("inserted", n, flush=True)
+"""
+
+
+MERGER = _COMMON % "merge" + """
+passes = int(sys.argv[2])
+merged = 0
+for _ in range(passes):
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        merged += 1
+    time.sleep(0.5)
+print("merged", merged, flush=True)
+"""
+
+
+def test_concurrent_processes_insert_and_merge(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    env = dict(os.environ)
+
+    def run(script, *args):
+        f = tmp_path / f"script{len(args)}{args[0] if args else ''}.py"
+        f.write_text(script)
+        return subprocess.Popen(
+            [sys.executable, str(f), path, *map(str, args)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+
+    n_each = 6
+    procs = [
+        run(INSERTER, 0, n_each),
+        run(INSERTER, 100, n_each),
+        run(MERGER, 6),
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        outs.append((p.returncode, out.decode(), err.decode()[-800:]))
+    assert all(rc == 0 for rc, _o, _e in outs), outs
+
+    spec = PartitionSpec(fields=[
+        PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')")
+    ])
+    t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+    expect = set(range(0, n_each)) | set(range(100, 100 + n_each))
+
+    got = sorted(r["k"] for r in t.read().select("k").collect())
+    assert got == sorted(expect)  # no loss, no duplication
+
+    state = t.snapshot()
+    for m in state.alive_files():
+        assert os.path.exists(t.storage.absolute(m.path)), m.path
+
+    # the post-race table still compacts to one file per partition
+    t.merge_all()
+    got2 = sorted(r["k"] for r in t.read().select("k").collect())
+    assert got2 == got
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert len(parts) == len(t.snapshot().alive_files()) == 2
