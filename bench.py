@@ -81,17 +81,44 @@ def main():
         results[name] = round(run(name), 3)
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    prev = _previous_round(sf)
+    if prev:
+        prev_name, prev_queries = prev
+        out[f"delta_vs_{prev_name}"] = {
+            q: round(results[q] / prev_queries[q], 2)
+            for q in results
+            if prev_queries.get(q)
+        }
+    print(json.dumps(out))
+
+
+def _previous_round(sf: float):
+    """Per-entry regression attribution: ratio vs the newest BENCH_r*.json
+    recorded at the SAME scale factor (cross-sf ratios are meaningless)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed", doc)
+        queries = (parsed or {}).get("queries")
+        prev_sf = (parsed or {}).get("sf", doc.get("sf"))
+        if queries and prev_sf == sf:
+            name = re.search(r"(r\d+)", os.path.basename(p)).group(1)
+            best = (name, queries)
+    return best
 
 
 if __name__ == "__main__":
