@@ -873,6 +873,36 @@ def ice15_parallel_compaction(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice16_format_row(spark, sf_dir):
+    """v2 ``format_row`` parity: per-row pre-insert transform on the
+    dict-rows ingest path (reference examples/api-flask.py:156-167) —
+    derives a value bucket per row before the write; the oracle recomputes
+    the same derivation in SQL over the source rows."""
+
+    def fmt(row):
+        row["vbucket"] = int(row["value"] // 25.0)
+        return row
+
+    t, d = _scratch(spark, format_row=fmt)
+    try:
+        ev = _t(spark, sf_dir, "events")
+        rows = [r.asDict() for r in ev.where(F.col("event_id") % 40 == 0).collect()]
+        t.insert(rows)
+        return (
+            t.read()
+            .groupBy("vbucket")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                ).alias("sum_value"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
 def ice03_time_travel(spark, sf_dir):
     """snapshot-at-timestamp returns exactly the first batch."""
     from icedb_spark import get_log_file_info
@@ -1404,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": s01_cosine_topk,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
+        "ice16_format_row": ice16_format_row,
     }
 
 
@@ -1808,4 +1839,10 @@ from sess group by user_id, session_id
         "mv01_materialized_view": (
             "select event_type, count(*) as cnt from events group by event_type"
         ),
+        "ice16_format_row": """
+select cast(floor(value / 25.0) as bigint) as vbucket,
+  count(*) as cnt,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
+from events where event_id % 40 = 0 group by 1
+""",
     }

@@ -236,6 +236,7 @@ class IceTable:
         log_storage: Optional[Storage] = None,
         write_splits: int = 1,
         zorder_by: Optional[list[str]] = None,
+        format_row: Optional[Callable[[dict], dict]] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -259,6 +260,12 @@ class IceTable:
         # operators/zorder.py). Mutually exclusive with sort_order in
         # effect: when set, it wins.
         self.zorder_by = zorder_by
+        # v2-parity pre-insert row transform (reference examples/
+        # api-flask.py:156-161: e.g. JSON-stringify nested dicts). Applied
+        # per row dict on the rows-ingest path ONLY — DataFrame ingest is
+        # the scale path and uses custom_insert_query / a caller-side
+        # transform instead (vectorized, executor-side).
+        self.format_row = format_row
         # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
         # fsspec with put-retry; reads go through storage.absolute() URIs
         self.storage = storage_for(self.path)
@@ -312,6 +319,8 @@ class IceTable:
         """Dry-run schema introspection of a batch (no writes) —
         reference ``get_schema`` (/root/reference/icedb/icedb.py:110-123)."""
         if df is None:
+            if self.format_row:
+                rows = [self.format_row(dict(r)) for r in rows]
             df = self.spark.createDataFrame(rows)
         if self.custom_insert_query:
             with _VIEW_LOCK:
@@ -341,6 +350,8 @@ class IceTable:
         if df is None:
             if not rows:
                 return []
+            if self.format_row:
+                rows = [self.format_row(dict(r)) for r in rows]
             df = self.spark.createDataFrame(rows)
         df = self._prepare_batch(df)
 

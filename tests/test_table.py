@@ -571,3 +571,27 @@ def test_merge_does_not_resurrect_removed_partition(spark, tmp_path):
     parts = {m.partition() for m in t.snapshot().alive_files()}
     assert not any(p.endswith("2023-06-06") for p in parts)
     assert counts_by_user(t) == [(4, "a"), (2, "b")]
+
+def test_format_row_hook(spark, tmp_path):
+    """v2-parity pre-insert row transform: applied per dict on the rows
+    path (reference examples/api-flask.py:156-167 — e.g. JSON-stringify a
+    nested field), reflected in both written data and get_schema."""
+    import json
+
+    def fmt(row):
+        row["properties"] = json.dumps(row["properties"])
+        row["src"] = "hook"
+        return row
+
+    t = make_table(spark, tmp_path, format_row=fmt)
+    rows = [
+        {"ts": 1686_000_000_000, "event": "page_load", "user_id": "a",
+         "properties": {"page": "Home"}},
+    ]
+    t.insert(rows)
+    out = t.read().collect()[0]
+    assert out["properties"] == '{"page": "Home"}'
+    assert out["src"] == "hook"
+    cols = t.get_schema(rows).columns()
+    assert cols["properties"] == "VARCHAR"
+    assert cols["src"] == "VARCHAR"
