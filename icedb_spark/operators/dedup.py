@@ -264,12 +264,19 @@ def ngram_jaccard_pairs(
     Exactness is oracle-checked (d03): the output pair set is identical to
     the naive blocker's.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
+    # persist the exploded (id, shingle) table: it is referenced by the
+    # df-count agg, the ranking window AND both self-join sides — one
+    # materialization instead of four shingle-explode re-derivations. At
+    # scale this is the same O(corpus tokens) relation the blocker must
+    # shuffle anyway.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         ex.join(dfreq, "shingle")
@@ -285,11 +292,21 @@ def ngram_jaccard_pairs(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("ds") - F.ceil(F.lit(threshold) * F.col("ds") - 1e-9) + 1
-    ).select("id", "shingle")
+    ).select("id", "shingle", "ds")
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"),
-                                     F.col("a.id") < F.col("b.id")])
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+                # PPJoin length filter, also lossless: J >= t forces
+                # min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max)
+                F.least(F.col("a.ds"), F.col("b.ds"))
+                >= F.lit(threshold) * F.greatest(F.col("a.ds"), F.col("b.ds"))
+                - 1e-9,
+            ],
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
