@@ -105,8 +105,14 @@ def _previous_round(sf: float):
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m:
+            continue
+        rounds.append((int(m.group(1)), p))
     best = None
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    for n, p in sorted(rounds):  # numeric: r10 really is newer than r9
         try:
             with open(p) as f:
                 doc = json.load(f)
@@ -116,8 +122,7 @@ def _previous_round(sf: float):
         queries = (parsed or {}).get("queries")
         prev_sf = (parsed or {}).get("sf", doc.get("sf"))
         if queries and prev_sf == sf:
-            name = re.search(r"(r\d+)", os.path.basename(p)).group(1)
-            best = (name, queries)
+            best = (f"r{n:02d}", queries)
     return best
 
 

@@ -13,12 +13,14 @@ insert is the usual one-shuffle ``groupBy(partition).applyInArrow`` job, so
 ingest parallelism is the stream's partition count and the commit cost stays
 O(touched partitions). Exactly-once: Spark's checkpoint dedups replayed
 batches only if the sink is idempotent; IceTable appends a fresh log entry
-per call, so with ``dedup_on_replay=True`` each batch's id is embedded in
-the committed log file name itself (``insert(commit_tag=...)``) — the
-idempotency token lands ATOMICALLY with the commit, so a crash between
-commit and any side marker cannot double-insert. A ``_stream_batches``
-marker file set is kept purely as a fast-path cache; the log listing is
-authoritative on replay.
+per call, so with ``dedup_on_replay=True`` each batch's stream-scoped tag
+(``s<stream_id>b<batch_id>`` — batch ids are only unique per checkpoint)
+is embedded in the committed log file name itself
+(``insert(commit_tag=...)``) — the idempotency token lands ATOMICALLY with
+the commit, so a crash between commit and any side marker cannot
+double-insert. A ``_stream_batches/<stream_id>`` marker file set plus an
+in-memory tag cache (seeded by one log listing per restart) keep the hot
+path listing-free; the log listing stays authoritative.
 """
 
 from __future__ import annotations
@@ -42,15 +44,29 @@ def stream_insert(
     cleanup_min_age_ms: int = 0,
     dedup_on_replay: bool = True,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    stream_id: Optional[str] = None,
 ):
     """Start a streaming query that commits each micro-batch to ``table``.
 
     ``merge_every``/``cleanup_every`` run maintenance after every N batches
     (0 = never), mirroring the reference's timer multiples. Returns the
     StreamingQuery; callers own ``awaitTermination``/``stop``.
+
+    ``stream_id`` names the LOGICAL stream for replay dedup — batch ids are
+    only unique per checkpoint, so tags are namespaced ``s<id>b<batch>``;
+    two different streams into one table can never collide. Defaults to a
+    digest of ``checkpoint_dir``; pass it explicitly to keep dedup across a
+    rebuilt checkpoint (disaster recovery).
     """
+    import hashlib
+
     trigger = trigger or {"availableNow": True}
-    seen_dir = os.path.join(table.path, "_stream_batches")
+    sid = stream_id or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    sid = re.sub(r"[^0-9a-zA-Z-]", "-", sid)
+    seen_dir = os.path.join(table.path, "_stream_batches", sid)
+    # committed-tag cache: seeded from ONE log listing per (re)start, then
+    # maintained locally — the hot path of a fresh batch never lists
+    state = {"seen": None}
 
     def committed_tags() -> set[str]:
         # Authoritative replay check: the batch tag rides in the committed
@@ -59,20 +75,28 @@ def stream_insert(
         # keep the vacuum min_age >= the stream's max replay window.
         tags = set()
         for key, _size in table.log_io.get_current_log_files(table.log_storage):
-            m = re.search(r"-(b\d+)\.jsonl$", key)
+            m = re.search(r"-(s[0-9a-zA-Z-]+b\d+)\.jsonl$", key)
             if m:
                 tags.add(m.group(1))
         return tags
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        tag = f"b{batch_id}"
+        tag = f"s{sid}b{batch_id}"
         marker = os.path.join(seen_dir, f"{batch_id}")
         if dedup_on_replay:
-            if os.path.exists(marker) or tag in committed_tags():
+            if os.path.exists(marker):
+                return
+            if state["seen"] is None:
+                state["seen"] = committed_tags()
+            if tag in state["seen"]:
+                os.makedirs(seen_dir, exist_ok=True)
+                with open(marker, "w") as f:
+                    f.write("done")
                 return
         df = transform(batch_df) if transform else batch_df
         table.insert(df=df, commit_tag=tag if dedup_on_replay else None)
         if dedup_on_replay:
+            state["seen"].add(tag)
             os.makedirs(seen_dir, exist_ok=True)
             with open(marker, "w") as f:
                 f.write("done")

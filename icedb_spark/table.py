@@ -288,13 +288,21 @@ class IceTable:
             # value ALWAYS wins for placement; preserve_partition only
             # controls whether the column is retained in the written data.
             # Null rows (the DF analog of "key absent") fall back to the
-            # partition function when it is computable over this batch.
+            # partition function when it is computable over this batch —
+            # analysis of the fallback expression happens at withColumn, so
+            # the try must wrap THAT (a batch carrying only _partition may
+            # lack the partition expression's source columns entirely).
             try:
-                fallback = self.partition_spec.partition_column(df)
-                placement = F.coalesce(F.col("_partition").cast("string"), fallback)
+                df2 = df.withColumn(
+                    _PART_COL,
+                    F.coalesce(
+                        F.col("_partition").cast("string"),
+                        self.partition_spec.partition_column(df),
+                    ),
+                )
             except Exception:
-                placement = F.col("_partition").cast("string")
-            df = df.withColumn(_PART_COL, placement)
+                df2 = df.withColumn(_PART_COL, F.col("_partition").cast("string"))
+            df = df2
             if not self.preserve_partition:
                 df = df.drop("_partition")
         else:
@@ -718,38 +726,71 @@ class IceTable:
         keep_tombstones = [
             t for t in state.log_tombstones if t.created_ms > expired_cutoff
         ]
+        # the fold lists every on-disk log, so a young-tombstoned superseded
+        # log appears in state.log_files — it is PROTECTED from collapse
+        # (grace window), its replacement carries its markers already
+        protected = {t.path for t in keep_tombstones}
 
-        # Collapse set: merged logs only — live insert logs are never
-        # touched (reference scans only `_m` logs, icedb/icedb.py:351-352).
-        merge_logs = [k for k in state.log_files if get_log_file_info(k)[1]]
-        if not merge_logs and not expired_log_files:
+        # data files to physically delete: FOLDED tombstone past the grace
+        data_delete = {
+            m.path: True
+            for m in state.file_markers
+            if m.tombstone is not None and m.tombstone <= expired_cutoff
+        }
+
+        # Collapse set: merged logs (reference scans only `_m` logs,
+        # icedb/icedb.py:351-352) PLUS any live log that references a
+        # to-be-deleted file — leaving such a log (e.g. the original insert
+        # log of a remove_partitions-dropped file, which was never merged)
+        # would resurrect the deleted file under LWW once the merged log
+        # carrying its tombstone is collapsed away.
+        def _read(key):
+            return key, self.log_io.read_log(self.log_storage, key)
+
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            reads = list(ex.map(_read, state.log_files))
+        collapse: list[tuple[str, Schema, list[FileMarker]]] = []
+        outside_refs: set[str] = set()
+        for key, (_meta, sch, fms, _t) in reads:
+            merged = get_log_file_info(key)[1]
+            if key not in protected and (
+                merged or any(fm.path in data_delete for fm in fms)
+            ):
+                collapse.append((key, sch, fms))
+            else:
+                outside_refs.update(fm.path for fm in fms)
+
+        if not collapse and not expired_log_files and not data_delete:
             return [], []
 
         folded = {m.path: m for m in state.file_markers}
-        data_delete: list[str] = []
         data_keep: dict[str, FileMarker] = {}
         collapsed_schema = Schema()
-        for key in merge_logs:
-            _meta, sch, fms, _t = self.log_io.read_log(self.log_storage, key)
+        for _key, sch, fms in collapse:
             cols = sch.columns()
             collapsed_schema.accumulate(list(cols.keys()), list(cols.values()))
             for fm in fms:
                 cur = folded.get(fm.path, fm)
-                if cur.tombstone is not None and cur.tombstone <= expired_cutoff:
-                    data_keep.pop(cur.path, None)
-                    if cur.path not in data_delete:
-                        data_delete.append(cur.path)
-                else:
-                    data_keep[cur.path] = cur
+                if cur.path in data_delete:
+                    # a protected (young-tombstoned) log may still carry an
+                    # alive marker for this path: pin the folded TOMBSTONED
+                    # marker in the collapsed log so the deletion cannot be
+                    # resurrected; dropped once nothing references it
+                    if cur.path in outside_refs:
+                        data_keep[cur.path] = cur
+                    continue
+                data_keep[cur.path] = cur
 
         # Phase order: expired data files first, then the collapsed commit,
         # then the superseded log files — a crash mid-vacuum never leaves
         # the fresh log referencing a deleted file.
+        delete_paths = list(data_delete)
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_data = [
-                p for p, _ in zip(data_delete, ex.map(self.storage.delete, data_delete))
+                p
+                for p, _ in zip(delete_paths, ex.map(self.storage.delete, delete_paths))
             ]
-        if merge_logs:
+        if collapse:
             self.log_io.append(
                 self.log_storage,
                 1,
@@ -759,7 +800,9 @@ class IceTable:
                 merged=True,
                 timestamp_ms=now,
             )
-        logs_to_delete = list(dict.fromkeys(expired_log_files + merge_logs))
+        logs_to_delete = list(
+            dict.fromkeys(expired_log_files + [k for k, _s, _f in collapse])
+        )
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_logs = [
                 k

@@ -75,17 +75,32 @@ def test_replay_dedup_survives_lost_marker(spark, tmp_path, sf_dir):
         sort_order=["ts"],
     )
     q = micro_batch_pipeline(
-        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt")
+        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt"),
+        stream_id="streamA",
     )
     _wait(q)
     n = events.count()
     assert t.read().count() == n
 
-    # simulate the crash: the marker cache is gone, and a FRESH checkpoint
-    # forces Spark to re-deliver batch 0
+    # simulate the disaster: marker cache gone AND checkpoint rebuilt (so
+    # Spark re-delivers batch 0); the stream keeps its logical identity
     shutil.rmtree(os.path.join(t.path, "_stream_batches"))
     q2 = micro_batch_pipeline(
-        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt2")
+        t, src, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt2"),
+        stream_id="streamA",
     )
     _wait(q2)
     assert t.read().count() == n  # authoritative log-tag check skipped it
+
+    # a DIFFERENT logical stream into the same table must NOT be deduped
+    # against streamA's tags even though its batch ids collide
+    src2 = str(tmp_path / "incoming2")
+    os.makedirs(src2)
+    extra = events.limit(7)
+    extra.coalesce(1).write.parquet(src2, mode="append")
+    q3 = micro_batch_pipeline(
+        t, src2, schema=events.schema, checkpoint_dir=str(tmp_path / "ckpt3"),
+        stream_id="streamB",
+    )
+    _wait(q3)
+    assert t.read().count() == n + 7

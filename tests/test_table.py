@@ -595,3 +595,70 @@ def test_format_row_hook(spark, tmp_path):
     cols = t.get_schema(rows).columns()
     assert cols["properties"] == "VARCHAR"
     assert cols["src"] == "VARCHAR"
+
+def test_vacuum_does_not_resurrect_removed_partition(spark, tmp_path):
+    """A file tombstoned only in a MERGED log (remove_partitions) whose
+    insert log was never merged: vacuum must collapse that insert log too,
+    else its alive marker outlives the tombstone and the deleted file
+    resurrects under LWW."""
+    import os
+
+    t = make_table(spark, tmp_path)
+    day1 = 1686_000_000_000
+    day2 = day1 + 86_400_000
+    t.insert(batch(base_ts=day1) + batch(base_ts=day2))  # ONE insert log
+    assert t.remove_partitions(
+        lambda ps: [p for p in ps if p.endswith("2023-06-06")]
+    ) == 1
+    _logs, deleted_data = t.tombstone_cleanup(min_age_ms=0)
+    assert len(deleted_data) == 1
+
+    state = t.snapshot()
+    parts = {m.partition() for m in state.alive_files()}
+    assert not any(p.endswith("2023-06-06") for p in parts)
+    for m in state.alive_files():
+        assert os.path.exists(t.storage.absolute(m.path))
+    assert counts_by_user(t) == [(2, "a"), (1, "b")]
+
+
+def test_vacuum_grace_protects_young_superseded_merge_log(spark, tmp_path):
+    """A merged log whose supersede-tombstone is younger than min_age must
+    STAY on disk (in-flight readers / time travel), not be collapsed."""
+    from icedb_spark import get_log_file_info
+
+    t = make_table(spark, tmp_path)
+    t.insert(batch())
+    t.insert(batch())
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass  # M1 supersedes the two insert logs
+    mid_ms = get_log_file_info(t.snapshot().log_files[-1])[0]
+    t.insert(batch())
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass  # M2 supersedes M1 + the third insert log
+
+    deleted_logs, deleted_data = t.tombstone_cleanup(min_age_ms=3_600_000)
+    assert deleted_data == []
+    assert counts_by_user(t) == [(6, "a"), (3, "b")]
+    assert counts_by_user(t, at_ms=mid_ms) == [(4, "a"), (2, "b")]
+    # every preserved tombstone's target log is still on disk
+    on_disk = {k for k, _ in t.log_io.get_current_log_files(t.log_storage)}
+    tmbs = t.snapshot().log_tombstones
+    assert tmbs and all(tmb.path in on_disk for tmb in tmbs)
+
+    # grace over: everything expires cleanly, results unchanged
+    t.tombstone_cleanup(min_age_ms=0)
+    state = t.snapshot()
+    assert counts_by_user(t) == [(6, "a"), (3, "b")]
+    assert len(state.log_files) == 1
+
+def test_partition_column_without_source_columns(spark, tmp_path):
+    """Rows that carry ONLY a precomputed _partition (no partition-fn source
+    columns at all) must insert cleanly — the fallback analysis error is
+    caught and placement uses _partition verbatim."""
+    t = make_table(spark, tmp_path, preserve_partition=True)
+    rows = [{"user_id": "a", "v": 1, "_partition": "d=2030-01-01"},
+            {"user_id": "b", "v": 2, "_partition": "d=2030-01-02"}]
+    t.insert(rows)  # EVENTS_SPEC needs `ts`, absent here
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"d=2030-01-01", "d=2030-01-02"}
+    assert t.read().count() == 2
