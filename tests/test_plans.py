@@ -107,3 +107,26 @@ def test_minhash_signature_is_shuffle_free_single_md5(spark, sf_dir):
     plan = _physical(minhash_signature(docs))
     assert "Exchange" not in plan
     assert plan.count("md5") == 1
+
+def test_ngram_prefix_filter_plans_equi_join(spark, sf_dir):
+    """The prefix-filter candidate join must be a hash/sort-merge EQUI-join
+    on the shingle (never a nested loop over raw pairs), with the PPJoin
+    length filter attached as a join condition, not a post-cartesian
+    filter."""
+    from icedb_spark.operators import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_simhash_band_blocking_plans_equi_join(spark, sf_dir):
+    """Band blocking (d08 scale config) must plan as an equi-join keyed by
+    (band, band-value) — never a cartesian pair scan."""
+    from icedb_spark.operators import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(simhash_pairs(docs, bits=60, band_bits=15, max_hamming=3))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
