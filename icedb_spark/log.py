@@ -336,9 +336,11 @@ class MemoryStorage:
 
     def list(self, prefix: str) -> list[tuple[str, int]]:
         p = prefix.rstrip("/")
+        # snapshot the dict first: a concurrent put() mid-iteration would
+        # raise RuntimeError (readers are lock-free by design)
         out = [
             (k, len(v))
-            for k, v in self._objs.items()
+            for k, v in list(self._objs.items())
             if k == p or k.startswith(p + "/")
         ]
         out.sort()
@@ -601,9 +603,23 @@ class IceLogIO:
         same snapshot at the same T. ``IceTable.snapshot(at_ms)`` exposes the
         friendlier inclusive at-this-instant semantics by passing
         ``at_ms + 1``."""
-        keys = []
-        for key, _size in self.get_current_log_files(storage):
-            ts, _merged = get_log_file_info(key)
-            if max_ms is None or ts < max_ms:
-                keys.append(key)
-        return self.read_log_forward(storage, keys)
+        def fold_once() -> LogState:
+            keys = []
+            for key, _size in self.get_current_log_files(storage):
+                try:
+                    ts, _merged = get_log_file_info(key)
+                except (ValueError, IndexError):
+                    # a stray non-log object under _log/ must not make the
+                    # whole table unreadable; ignore it
+                    continue
+                if max_ms is None or ts < max_ms:
+                    keys.append(key)
+            return self.read_log_forward(storage, keys)
+
+        try:
+            return fold_once()
+        except FileNotFoundError:
+            # lock-free reader raced a vacuum that deleted a listed log
+            # between list and GET — one fresh list+fold resolves it (the
+            # collapsed replacement log is already committed by then)
+            return fold_once()

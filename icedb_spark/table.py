@@ -118,8 +118,17 @@ class PartitionSpec:
 
     def partition_column(self, df: DataFrame) -> F.Column:
         if self.fields is not None:
+            # a NULL field value must not truncate the path (concat_ws drops
+            # null args -> wrong depth -> rows invisible to partition-pruned
+            # reads); use the Hive null-partition convention instead
             segments = [
-                F.concat(F.lit(f.name + "="), F.expr(f.expr).cast("string"))
+                F.concat(
+                    F.lit(f.name + "="),
+                    F.coalesce(
+                        F.expr(f.expr).cast("string"),
+                        F.lit("__HIVE_DEFAULT_PARTITION__"),
+                    ),
+                )
                 for f in self.fields
             ]
             return F.concat_ws("/", *segments)
@@ -292,6 +301,8 @@ class IceTable:
             # analysis of the fallback expression happens at withColumn, so
             # the try must wrap THAT (a batch carrying only _partition may
             # lack the partition expression's source columns entirely).
+            from pyspark.errors import AnalysisException
+
             try:
                 df2 = df.withColumn(
                     _PART_COL,
@@ -300,7 +311,9 @@ class IceTable:
                         self.partition_spec.partition_column(df),
                     ),
                 )
-            except Exception:
+            except AnalysisException:
+                # only unresolvable-against-this-batch errors degrade to
+                # _partition-only placement; anything else must surface
                 df2 = df.withColumn(_PART_COL, F.col("_partition").cast("string"))
             df = df2
             if not self.preserve_partition:
@@ -491,18 +504,8 @@ class IceTable:
             by_part.keys(), key=lambda p: len(by_part[p]), reverse=not asc
         )
         for part in parts:
-            candidates = [m for m in by_part[part]]
-            if len(candidates) < 2:
-                continue
-            candidates.sort(key=lambda m: m.file_bytes)
-            acc: list[FileMarker] = []
-            acc_bytes = 0
-            for m in candidates:
-                if len(acc) >= max_file_count or (acc and acc_bytes >= max_file_size):
-                    break
-                acc.append(m)
-                acc_bytes += m.file_bytes
-            if len(acc) < 2:
+            acc = _plan_merge(by_part[part], max_file_size, max_file_count)
+            if acc is None:
                 continue
             return self._merge_files(state, part, acc)
         return None
@@ -556,17 +559,8 @@ class IceTable:
             by_part.setdefault(m.partition(), []).append(m)
         plans: list[tuple[str, list[FileMarker]]] = []
         for part, markers in by_part.items():
-            if len(markers) < 2:
-                continue
-            markers.sort(key=lambda m: m.file_bytes)
-            acc: list[FileMarker] = []
-            acc_bytes = 0
-            for m in markers:
-                if len(acc) >= max_file_count or (acc and acc_bytes >= max_file_size):
-                    break
-                acc.append(m)
-                acc_bytes += m.file_bytes
-            if len(acc) >= 2:
+            acc = _plan_merge(markers, max_file_size, max_file_count)
+            if acc is not None:
                 plans.append((part, acc))
         if not plans:
             return None
@@ -635,6 +629,20 @@ class IceTable:
             .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
             .collect()
         )
+        if not manifest:
+            # a filtering custom merge query can yield ZERO rows for the
+            # partition (TTL-style 'where not expired'): applyInArrow emits
+            # no group, so write the empty-but-schema'd parquet ourselves —
+            # the reference's DuckDB COPY does the same — and let the merge
+            # commit normally (sources tombstone, partition stays compacted)
+            import io
+
+            empty = out.select(list(out_cols.keys())).limit(0).toArrow()
+            rel = f"_data/{part}/{uuid.uuid4()}.parquet"
+            buf = io.BytesIO()
+            pq.write_table(empty, buf, compression=self.compression)
+            self.storage.put(rel, buf.getvalue())
+            return rel, len(buf.getvalue()), out_cols
         return manifest[0]["path"], manifest[0]["file_bytes"], out_cols
 
     def _commit_merge(
@@ -662,8 +670,19 @@ class IceTable:
         # the LWW fold. (The reference re-commits the raw line,
         # icedb/icedb.py:290-305 — a resurrection hazard we fix here.)
         folded = {m.path: m for m in state.file_markers}
-        for key in state.log_files:
-            _meta, sch, fms, _t = self.log_io.read_log(self.log_storage, key)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(state.log_files)))) as ex:
+            reads = list(
+                zip(
+                    state.log_files,
+                    ex.map(
+                        lambda k: self.log_io.read_log(self.log_storage, k),
+                        state.log_files,
+                    ),
+                )
+            )
+        for key, (_meta, sch, fms, _t) in reads:
             if not any(fm.path in merged_paths for fm in fms):
                 continue
             source_logs.append(key)
@@ -860,9 +879,8 @@ class IceTable:
         schema = self.spark_schema(state)
         known = set(state.schema.columns().keys())
         targets = [m for m in state.alive_files() if m.partition() == partition]
-        ts = unique_ms()
 
-        def rewrite_one(m: FileMarker) -> list[FileMarker]:
+        def rewrite_one(m: FileMarker) -> list[tuple[str, int]]:
             df = self.spark.read.schema(schema).parquet(
                 self.storage.absolute(m.path)
             )
@@ -884,16 +902,22 @@ class IceTable:
                 .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
                 .collect()
             )
-            return [FileMarker(r["path"], ts, r["file_bytes"]) for r in manifest]
+            return [(r["path"], r["file_bytes"]) for r in manifest]
 
         from concurrent.futures import ThreadPoolExecutor
 
-        new_markers: list[FileMarker] = []
+        new_files: list[tuple[str, int]] = []
         rewritten: list[str] = []
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
-            for m, markers in zip(targets, ex.map(rewrite_one, targets)):
-                new_markers.extend(markers)
+            for m, files in zip(targets, ex.map(rewrite_one, targets)):
+                new_files.extend(files)
                 rewritten.append(m.path)
+        # stamp at COMMIT time, after the rewrite jobs: a log named with a
+        # pre-job timestamp would retroactively change what snapshot(at_ms)
+        # returns for instants during the rewrite (insert and _commit_merge
+        # both stamp at commit)
+        ts = unique_ms()
+        new_markers = [FileMarker(p, ts, b) for p, b in new_files]
         tombstoned = [
             FileMarker(m.path, m.created_ms, m.file_bytes, ts) for m in targets
         ]
@@ -905,6 +929,26 @@ class IceTable:
         return rewritten
 
 
+def _plan_merge(
+    markers: list[FileMarker], max_file_size: int, max_file_count: int
+) -> Optional[list[FileMarker]]:
+    """The ONE copy of the greedy compaction policy (reference
+    icedb/icedb.py:247-259): smallest-first accumulation until the byte or
+    count budget, needing >= 2 files to be worth a rewrite. Shared by
+    ``merge`` and ``merge_all`` so the policy cannot drift between them."""
+    if len(markers) < 2:
+        return None
+    candidates = sorted(markers, key=lambda m: m.file_bytes)
+    acc: list[FileMarker] = []
+    acc_bytes = 0
+    for m in candidates:
+        if len(acc) >= max_file_count or (acc and acc_bytes >= max_file_size):
+            break
+        acc.append(m)
+        acc_bytes += m.file_bytes
+    return acc if len(acc) >= 2 else None
+
+
 def _match_partition(
     values: dict[str, str],
     predicate: dict[str, Union[str, tuple, set, list]],
@@ -913,7 +957,15 @@ def _match_partition(
         v = values.get(k)
         if v is None:
             return False
-        if isinstance(cond, tuple) and len(cond) == 2:
+        if isinstance(cond, tuple):
+            # tuples mean RANGE; any other arity is a malformed predicate —
+            # raise rather than silently pruning every file
+            if len(cond) != 2:
+                raise ValueError(
+                    f"partition predicate for {k!r}: tuple means (lo, hi) "
+                    f"range, got arity {len(cond)}; use a list/set for "
+                    f"membership"
+                )
             lo, hi = cond
             if (lo is not None and v < lo) or (hi is not None and v > hi):
                 return False

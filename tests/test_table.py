@@ -662,3 +662,56 @@ def test_partition_column_without_source_columns(spark, tmp_path):
     parts = {m.partition() for m in t.snapshot().alive_files()}
     assert parts == {"d=2030-01-01", "d=2030-01-02"}
     assert t.read().count() == 2
+
+def test_null_partition_value_keeps_path_depth(spark, tmp_path):
+    """A NULL partition-field value must not truncate the path (that made
+    rows invisible to pruned reads); it becomes the Hive null token."""
+    spec = PartitionSpec(
+        fields=[PartitionField("u", "user_id"),
+                PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')")]
+    )
+    t = make_table(spark, tmp_path, partition_spec=spec)
+    rows = [
+        {"ts": 1686_000_000_000, "event": "e", "user_id": "a"},
+        {"ts": None, "event": "e", "user_id": "a"},  # d evaluates NULL
+    ]
+    t.insert(rows)
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"u=a/d=2023-06-05", "u=a/d=__HIVE_DEFAULT_PARTITION__"}
+    assert t.read().count() == 2
+    # pruning on u still sees BOTH rows (depth preserved)
+    assert t.read(partition_values={"u": "a"}).count() == 2
+
+
+def test_merge_with_empty_output_commits(spark, tmp_path):
+    """A filtering custom merge query can produce ZERO rows for a partition;
+    the merge must still commit (empty parquet, tombstoned sources) instead
+    of crashing and wedging compaction."""
+    t = make_table(
+        spark, tmp_path,
+        custom_merge_query="select * from source_files where event = 'nope'",
+    )
+    t.insert(batch())
+    t.insert(batch())
+    res = t.merge(max_file_size=1 << 40, max_file_count=100)
+    assert res is not None
+    assert t.merge() is None  # compacted: no more candidates
+    assert t.read().count() == 0
+    state = t.snapshot()
+    assert len(state.alive_files()) == 1  # the empty file
+
+
+def test_malformed_range_predicate_raises(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(batch())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="range"):
+        t.read(partition_values={"d": ("a", "b", "c")})
+
+
+def test_stray_object_in_log_prefix_is_ignored(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(batch())
+    t.log_storage.put("_log/README.txt", b"not a log")
+    assert counts_by_user(t) == [(2, "a"), (1, "b")]
