@@ -41,6 +41,11 @@ class DoubleWriter:
 
     def insert(self, rows=None, df: Optional[DataFrame] = None) -> dict[str, list]:
         if df is None:
+            # route row dicts through the base table's own rows path so its
+            # format_row hook applies — building the DataFrame here would
+            # silently bypass it and diverge from base.insert(rows=...)
+            if self.base.format_row:
+                rows = [self.base.format_row(dict(r)) for r in rows]
             df = self.base.spark.createDataFrame(rows)
         out = {"base": self.base.insert(df=df)}
         for name, view in self.views.items():

@@ -20,6 +20,13 @@ Scale design (the point of these at 100 TB):
 
 All hashes are md5-derived (:mod:`icedb_spark.operators.hashing`) so any
 engine can reproduce the exact outputs.
+
+Caching contract: the multi-reference pipelines (``minhash_lsh_pairs``,
+``ngram_jaccard_pairs``) ``persist()`` small intermediates (signatures,
+exploded shingles, candidate pairs) and return LAZY DataFrames, so the
+caches stay registered for the application. Long-lived drivers running many
+corpora should materialize the result and then
+``spark.catalog.clearCache()`` (or unpersist selectively) between corpora.
 """
 
 from __future__ import annotations
@@ -79,7 +86,18 @@ def exact_duplicates(
     size, the canonical keeper (min id) and the sorted member ids.
     """
     cols = cols or ["text"]
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    # coalesce each column distinctly: concat_ws SKIPS nulls, so without a
+    # sentinel ('x', NULL) and (NULL, 'x') would collide into one digest
+    # and non-duplicates would be reported (and dropped) as duplicates
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x01<NULL>"))
+                for c in cols
+            ],
+        )
+    )
     return (
         df.select(F.col(id_col).alias("id"), digest.alias("digest"))
         .groupBy("digest")
@@ -420,7 +438,6 @@ def auto_n_planes(n_vectors: int, target_bucket: int = 64) -> int:
 def lsh_bucket_stats(
     df: DataFrame,
     dim: int,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
 ) -> DataFrame:
@@ -460,20 +477,17 @@ def embedding_dup_pairs_lsh(
     recall on those buckets) — account for drops with
     :func:`lsh_bucket_stats`.
     """
-    from .similarity import _as_double, lsh_bucket
+    from .similarity import _as_double, _norm, lsh_bucket
 
     if n_planes is None:
         n_planes = auto_n_planes(df.count())
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     v = (
         df.select(
             F.col(id_col).alias("id"),
             _as_double(F.col(vec_col)).alias("v"),
             lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         )
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", _norm(F.col("v")))
     )
     if max_bucket is not None:
         ok = (
@@ -517,14 +531,13 @@ def embedding_dup_pairs(
     oracles. The scale path is LSH bucketing
     (:func:`icedb_spark.operators.similarity.cosine_topk_lsh`) which turns
     this into a bucketed join."""
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    from .similarity import _as_double, _norm
+
     # norms precomputed per row: the O(n²) pair loop folds only the dot
     v = df.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", norm(F.col("v")))
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -192,6 +192,9 @@ def sample_frames(
     n = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (
         df.where(F.col("kind") == "video")
+        # NULL/zero-length videos have no sampleable content — without this
+        # filter the greatest(n-1, 0) clamp would emit a frame 0 for them
+        .where(F.coalesce(F.col("duration_ms"), F.lit(0)) > 0)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias("frame_idx"),

@@ -32,6 +32,11 @@ def zorder_value(
     if len(cols) != len(bounds):
         raise ValueError("one (min, max) bound per column required")
     n = len(cols)
+    # the interleaved code must fit a signed long: shifting into bit 63
+    # flips the sign and scrambles the sort (16-bit default breaks at 4
+    # columns). Auto-reduce per-column precision — layout-only, and low
+    # bits contribute the least locality anyway.
+    bits = min(bits, 63 // n)
     scaled = []
     top = (1 << bits) - 1
     for c, (lo, hi) in zip(cols, bounds):

@@ -62,7 +62,13 @@ def stream_insert(
 
     trigger = trigger or {"availableNow": True}
     sid = stream_id or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
-    sid = re.sub(r"[^0-9a-zA-Z-]", "-", sid)
+    if not sid.isalnum():
+        # HASH rather than character-map: 'a_b' and 'a.b' must stay
+        # DISTINCT streams (a many-to-one sanitizer would make them dedup-
+        # drop each other's batches), and an alnum-only sid keeps the tag
+        # unambiguously parseable out of the log file name (the host-pid
+        # segment contains '-')
+        sid = hashlib.md5(sid.encode()).hexdigest()[:8]
     seen_dir = os.path.join(table.path, "_stream_batches", sid)
     # committed-tag cache: seeded from ONE log listing per (re)start, then
     # maintained locally — the hot path of a fresh batch never lists
@@ -75,7 +81,10 @@ def stream_insert(
         # keep the vacuum min_age >= the stream's max replay window.
         tags = set()
         for key, _size in table.log_io.get_current_log_files(table.log_storage):
-            m = re.search(r"-(s[0-9a-zA-Z-]+b\d+)\.jsonl$", key)
+            # sid is alnum-only, so '-' delimits the tag from the host-pid
+            # segment unambiguously (a '-'-permitting class over-captured
+            # into hostnames like 'my-server')
+            m = re.search(r"-(s[0-9a-zA-Z]+b\d+)\.jsonl$", key)
             if m:
                 tags.add(m.group(1))
         return tags

@@ -66,3 +66,23 @@ def test_mv_double_write_and_converge(spark, tmp_path):
     assert view_counts() == truth
     # the view physically converged to one row per user
     assert mv.read().count() == 2
+
+def test_doublewriter_rows_path_applies_format_row(spark, tmp_path):
+    """DoubleWriter.insert(rows=...) must honor the base table's format_row
+    hook exactly like base.insert(rows=...) does."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.mv import DoubleWriter
+
+    spec = PartitionSpec(fields=[PartitionField("d", "'x'")])
+
+    def fmt(row):
+        row["tagged"] = "yes"
+        return row
+
+    base = IceTable(spark, str(tmp_path / "b"), partition_spec=spec,
+                    sort_order=[], format_row=fmt)
+    view = IceTable(spark, str(tmp_path / "v"), partition_spec=spec, sort_order=[])
+    dw = DoubleWriter(base, {"v": view})
+    dw.insert(rows=[{"k": 1}])
+    assert base.read().collect()[0]["tagged"] == "yes"
+    assert view.read().collect()[0]["tagged"] == "yes"

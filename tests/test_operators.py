@@ -354,3 +354,68 @@ def test_decode_image_headers_dataframe(spark):
            for r in decode_image_headers(spark.createDataFrame(rows, schema)).collect()}
     assert out[1] == ("png", 10, 20)
     assert out[2] == (None, None, None)
+
+def test_exact_duplicates_nulls_do_not_collide(spark):
+    """('x', NULL) vs (NULL, 'x') must NOT be a duplicate group (concat_ws
+    silently skips nulls without the sentinel)."""
+    rows = [
+        {"doc_id": 1, "a": "x", "b": None},
+        {"doc_id": 2, "a": None, "b": "x"},
+        {"doc_id": 3, "a": "x", "b": None},
+    ]
+    out = exact_duplicates(
+        spark.createDataFrame(rows), id_col="doc_id", cols=["a", "b"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["member_ids"] == [1, 3]
+
+
+def test_zorder_four_columns_stays_unsigned(spark):
+    """bits*cols > 63 must not shift into the sign bit (it scrambled the
+    sort); precision auto-reduces instead."""
+    from icedb_spark.operators.zorder import column_bounds, zorder_value
+
+    rows = [
+        {"a": float(i % 3), "b": float(i % 5), "c": float(i % 7), "d": float(i)}
+        for i in range(40)
+    ]
+    # the all-maxima corner: its interleaved code must be the global max
+    rows.append({"a": 2.0, "b": 4.0, "c": 6.0, "d": 39.0})
+    df = spark.createDataFrame(rows)
+    cols = ["a", "b", "c", "d"]
+    z = zorder_value([F.col(c) for c in cols], column_bounds(df, cols))
+    vals = [r[0] for r in df.select(z).collect()]
+    assert all(v >= 0 for v in vals)  # sign bit untouched
+    corner = (
+        df.where((F.col("a") == 2.0) & (F.col("b") == 4.0)
+                 & (F.col("c") == 6.0) & (F.col("d") == 39.0))
+        .select(z).collect()[0][0]
+    )
+    assert corner == max(vals)
+
+
+def test_sample_frames_skips_null_and_zero_duration(spark):
+    from icedb_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        {"media_id": 1, "kind": "video", "mime": "v", "content": b"x",
+         "width": None, "height": None, "duration_ms": 2000},
+        {"media_id": 2, "kind": "video", "mime": "v", "content": b"x",
+         "width": None, "height": None, "duration_ms": None},
+        {"media_id": 3, "kind": "video", "mime": "v", "content": b"x",
+         "width": None, "height": None, "duration_ms": 0},
+    ]
+    out = sample_frames(spark.createDataFrame(rows, schema=MEDIA_SCHEMA), every_ms=1000)
+    got = {(r["media_id"], r["frame_idx"]) for r in out.collect()}
+    assert got == {(1, 0), (1, 1)}
+
+
+def test_stream_tag_regex_survives_dashed_hostnames():
+    """The committed-tag parse must capture ONLY the tag, not bleed into a
+    hostname like 'my-server' (sids are alnum so '-' delimits)."""
+    import re
+
+    pat = re.compile(r"-(s[0-9a-zA-Z]+b\d+)\.jsonl$")
+    m = pat.search("_log/1712_my-server-12345-sab12cdb7.jsonl")
+    assert m and m.group(1) == "sab12cdb7"
+    assert pat.search("_log/1712_my-server-12345.jsonl") is None
