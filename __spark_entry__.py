@@ -906,6 +906,37 @@ def ice16_format_row(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice17_stats_pruning(spark, sf_dir):
+    """File-level zone maps: every write records per-file min/max of the
+    sort columns into the log marker (extra ``"st"`` wire key — markers stay
+    readable by the reference, /root/reference/icedb/log.py:127-137), and
+    ``read(column_ranges=...)`` skips provably-disjoint files driver-side
+    without opening a single Parquet footer. Three disjoint event_id slices
+    are inserted; the range scan must actually skip files (asserted) and
+    the pruned scan's answer must equal the oracle's plain SQL filter."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        cuts = [0, m // 3, 2 * m // 3, m + 1]
+        for a, b in zip(cuts, cuts[1:]):
+            t.insert(
+                df=ev.where((F.col("event_id") >= a) & (F.col("event_id") < b))
+            )
+        lo, hi = m // 6, m // 2
+        total = len(t.files_for())
+        kept = t.files_for(column_ranges={"event_id": (lo, hi)})
+        assert len(kept) < total, "zone maps must skip the disjoint slice"
+        assert all(mk.stats and "event_id" in mk.stats for mk in kept)
+        return _agg_by_type(
+            t.read(column_ranges={"event_id": (lo, hi)}).where(
+                F.col("event_id").between(lo, hi)
+            )
+        ).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice03_time_travel(spark, sf_dir):
     """snapshot-at-timestamp returns exactly the first batch."""
     from icedb_spark import get_log_file_info
@@ -1376,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice13_partition_fn_paths": ice13_partition_fn_paths,
         "ice14_json_flatten_insert": ice14_json_flatten_insert,
         "ice15_parallel_compaction": ice15_parallel_compaction,
+        "ice16_format_row": ice16_format_row,
+        "ice17_stats_pruning": ice17_stats_pruning,
         # --- streaming + materialized view ---
         "st01_streaming_ingest": st01_streaming_ingest,
         "st02_windowed_agg": st02_windowed_agg,
@@ -1391,8 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_percentile": q07_percentile,
         "q08_latest_by_user": q08_latest_by_user,
         "q09_union_seed": q09_union_seed,
-        "q10_range_filter": q10_range_filter,
-        "q11_dedup_pickone": q11_dedup_pickone,
         "q17_approx_distinct": q17_approx_distinct,
         "q25_conditional_agg": q25_conditional_agg,
         "q33_percentile_approx": q33_percentile_approx,
@@ -1416,7 +1447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_fingerprint": t04_fingerprint,
         # ==================== driver window boundary (50) ====================
         # beyond-reference extras / redundant siblings (locally oracle-tested)
+        # q10/q11 demoted for ice16/ice17: range predicates keep in-window
+        # witnesses via ice11 (partition range) + ice17 (zone-map BETWEEN),
+        # any_value-dedup via ice08
         "q05_topk": q05_topk,
+        "q10_range_filter": q10_range_filter,
+        "q11_dedup_pickone": q11_dedup_pickone,
         "q12_join_broadcast": q12_join_broadcast,
         "q13_join_threeway": q13_join_threeway,
         "q14_window_rank": q14_window_rank,
@@ -1437,7 +1473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": s01_cosine_topk,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
-        "ice16_format_row": ice16_format_row,
     }
 
 
@@ -1848,4 +1883,12 @@ select cast(floor(value / 25.0) as bigint) as vbucket,
   round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
 from events where event_id % 40 = 0 group by 1
 """,
+        # zone-map pruned scan ≡ plain range filter (pruning must be invisible)
+        "ice17_stats_pruning": ev_agg.format(
+            where=(
+                " where event_id between"
+                " (select max(event_id) // 6 from events)"
+                " and (select max(event_id) // 2 from events)"
+            )
+        ),
     }

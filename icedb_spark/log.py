@@ -127,17 +127,28 @@ class FileMarker:
     ``tombstone`` is the unix-ms time at which the file stopped being part of
     live state (set when a merge/rewrite/removal supersedes it); ``None``
     means alive.
+
+    ``stats`` is an optional per-file zone map ``{column: [min, max]}`` over
+    the non-null values of selected columns, captured at write time. It
+    rides in the log under the extra key ``"st"`` — the reference's reader
+    constructs markers from the known keys only
+    (/root/reference/icedb/log.py:127-137,265), so stats-bearing logs stay
+    wire-compatible; markers written by the reference simply have no stats
+    (pruning keeps them, conservatively).
     """
 
     path: str
     created_ms: int
     file_bytes: int
     tombstone: Optional[int] = None
+    stats: Optional[dict] = None
 
     def to_dict(self) -> dict:
         d = {"p": self.path, "b": self.file_bytes, "t": self.created_ms}
         if self.tombstone is not None:
             d["tmb"] = self.tombstone
+        if self.stats:
+            d["st"] = self.stats
         return d
 
     @classmethod
@@ -147,6 +158,7 @@ class FileMarker:
             created_ms=d["t"],
             file_bytes=d["b"],
             tombstone=d.get("tmb"),
+            stats=d.get("st"),
         )
 
     @property

@@ -27,6 +27,7 @@ Scale design notes (targeting a 1000-executor cluster, not local mode):
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import uuid
@@ -74,8 +75,68 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("path", T.StringType(), True),
         T.StructField("file_bytes", T.LongType(), True),
         T.StructField("rows", T.LongType(), True),
+        T.StructField("stats", T.StringType(), True),
     ]
 )
+
+
+def _stat_value(v):
+    """A zone-map bound as a JSON-safe, order-preserving value, or None to
+    drop the column's stats. Timestamps/dates become ISO strings (fixed-width
+    format, so lexicographic order == time order); NaN/inf floats poison a
+    zone map (NaN compares false against everything) and non-orderable or
+    exotic types are skipped entirely."""
+    import datetime
+    import math
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        # normalize tz-aware values to UTC-naive so every file of a column
+        # serializes with one format (lexicographic order == time order)
+        # and range bounds are plain "YYYY-MM-DDTHH:MM:SS" strings
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _compute_stats(data: pa.Table, cols: list[str]) -> Optional[dict]:
+    """Per-column [min, max] over non-null values of ``data`` — the file's
+    zone map. Columns that are absent, empty, all-null, or of a type we
+    can't bound safely are simply omitted (readers treat a missing entry as
+    "may contain anything")."""
+    import pyarrow.compute as pc
+
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in data.column_names or data.num_rows == 0:
+            continue
+        try:
+            # Arrow's min_max SKIPS NaN, but Spark (and DuckDB) order NaN
+            # greater than every number — a NaN row satisfies ``x >= lo``,
+            # so a NaN-blind zone map would prune a file that matches.
+            # Any NaN ⇒ no stats for the column at all.
+            if pa.types.is_floating(data.schema.field(c).type) and pc.any(
+                pc.is_nan(data[c])
+            ).as_py():
+                continue
+            mm = pc.min_max(data[c])
+            lo, hi = _stat_value(mm["min"].as_py()), _stat_value(mm["max"].as_py())
+        except Exception:
+            continue
+        if lo is None or hi is None:
+            continue
+        out[c] = [lo, hi]
+    return out or None
 
 
 @dataclass
@@ -158,13 +219,16 @@ def _make_group_writer(
     sort_order: list[str],
     compression: str,
     row_group_size: int,
+    stats_cols: Optional[list[str]] = None,
 ):
     """Build the executor-side arrow group writer.
 
     Returns a callable for ``groupBy(part).applyInArrow``: sorts the group by
     the table sort order, strips internal columns, writes exactly one Parquet
-    file under ``_data/<partition>/`` and returns a 1-row manifest table.
-    Data never flows back to the driver.
+    file under ``_data/<partition>/`` and returns a 1-row manifest table
+    (including the file's zone map over ``stats_cols``, computed on the
+    in-memory Arrow table — no second read). Data never flows back to the
+    driver.
     """
 
     def write_group(table: pa.Table) -> pa.Table:
@@ -210,12 +274,18 @@ def _make_group_writer(
             )
             os.rename(tmp, final)
             nbytes = os.path.getsize(final)
+        stats = _compute_stats(data, stats_cols) if stats_cols else None
         return pa.table(
             {
                 "part": [part],
                 "path": [f"{rel_dir}/{name}"],
                 "file_bytes": [nbytes],
                 "rows": [data.num_rows],
+                # explicit cast: a None-only column would infer null type
+                # and fail the manifest schema check
+                "stats": pa.array(
+                    [json.dumps(stats) if stats else None], type=pa.string()
+                ),
             }
         )
 
@@ -246,6 +316,7 @@ class IceTable:
         write_splits: int = 1,
         zorder_by: Optional[list[str]] = None,
         format_row: Optional[Callable[[dict], dict]] = None,
+        stats_columns: Optional[list[str]] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -275,6 +346,13 @@ class IceTable:
         # the scale path and uses custom_insert_query / a caller-side
         # transform instead (vectorized, executor-side).
         self.format_row = format_row
+        # Zone maps: per-file [min, max] of these columns is captured at
+        # every write and carried in the log marker, enabling driver-side
+        # file skipping (read(column_ranges=...)) WITHOUT opening a single
+        # footer — at 100 TB the scan plan prunes on O(markers) metadata,
+        # not O(files) I/O. Defaults to the clustering columns (sort_order /
+        # zorder_by), where layout makes ranges tight and skipping pays.
+        self.stats_columns = stats_columns
         # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
         # fsspec with put-retry; reads go through storage.absolute() URIs
         self.storage = storage_for(self.path)
@@ -323,6 +401,11 @@ class IceTable:
                 _PART_COL, self.partition_spec.partition_column(df)
             )
         return df
+
+    def _stats_cols(self) -> list[str]:
+        if self.stats_columns is not None:
+            return self.stats_columns
+        return list(dict.fromkeys([*self.sort_order, *(self.zorder_by or [])]))
 
     def _apply_layout(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         """Attach the layout sort key: z-order code when configured (and the
@@ -383,7 +466,8 @@ class IceTable:
 
         df, sort_cols = self._apply_layout(df)
         writer = _make_group_writer(
-            self.path, sort_cols, self.compression, self.row_group_size
+            self.path, sort_cols, self.compression, self.row_group_size,
+            stats_cols=self._stats_cols(),
         )
         group_cols = [_PART_COL]
         if self.write_splits > 1:
@@ -399,7 +483,12 @@ class IceTable:
         )
         ts = unique_ms()
         markers = [
-            FileMarker(path=r["path"], created_ms=ts, file_bytes=r["file_bytes"])
+            FileMarker(
+                path=r["path"],
+                created_ms=ts,
+                file_bytes=r["file_bytes"],
+                stats=json.loads(r["stats"]) if r["stats"] else None,
+            )
             for r in manifest
         ]
         if markers:
@@ -425,20 +514,19 @@ class IceTable:
         state = state or self.snapshot()
         return duckdb_schema_to_spark(state.schema.columns())
 
-    def read(
+    def files_for(
         self,
         at_ms: Optional[int] = None,
         partition_filter: Optional[Callable[[str], bool]] = None,
         partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
-    ) -> DataFrame:
-        """Snapshot scan: alive files at ``at_ms``, driver-side partition
-        pruning, explicit unified schema → Catalyst does the rest.
-
-        ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
-        ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
-        ``partition_filter`` is an arbitrary predicate on the partition string.
-        """
-        state = self.snapshot(at_ms)
+        column_ranges: Optional[dict[str, tuple]] = None,
+        state: Optional[LogState] = None,
+    ) -> list[FileMarker]:
+        """The scan's file list: alive markers at ``at_ms`` after driver-side
+        partition pruning and zone-map skipping — pure metadata arithmetic,
+        no file I/O. ``read`` consumes this; it is public so external Parquet
+        readers can take a pre-pruned list too."""
+        state = state or self.snapshot(at_ms)
         files = state.alive_files()
         if partition_filter:
             files = [m for m in files if partition_filter(m.partition())]
@@ -448,6 +536,41 @@ class IceTable:
                 for m in files
                 if _match_partition(parse_partition(m.partition()), partition_values)
             ]
+        if column_ranges:
+            files = [m for m in files if _stats_overlap(m.stats, column_ranges)]
+        return files
+
+    def read(
+        self,
+        at_ms: Optional[int] = None,
+        partition_filter: Optional[Callable[[str], bool]] = None,
+        partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
+        column_ranges: Optional[dict[str, tuple]] = None,
+    ) -> DataFrame:
+        """Snapshot scan: alive files at ``at_ms``, driver-side partition
+        pruning + zone-map skipping, explicit unified schema → Catalyst does
+        the rest.
+
+        ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
+        ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
+        ``partition_filter`` is an arbitrary predicate on the partition string.
+        ``column_ranges`` maps data columns to ``(lo, hi)`` bounds (either
+        side None = open) and skips files whose zone map proves no row
+        satisfies ``col BETWEEN lo AND hi``. It is an OPTIMIZATION HINT, not
+        a row filter: kept files are returned whole, so apply the actual
+        predicate on the DataFrame as usual (NULLs fail BETWEEN, so skipping
+        on non-null min/max is sound). Bounds compare against the stored
+        stat values — numbers for numeric columns, ISO strings for
+        timestamp/date columns; files written without stats for a column are
+        always kept.
+        """
+        state = self.snapshot(at_ms)
+        files = self.files_for(
+            partition_filter=partition_filter,
+            partition_values=partition_values,
+            column_ranges=column_ranges,
+            state=state,
+        )
         schema = self.spark_schema(state)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -577,20 +700,22 @@ class IceTable:
         new_log, markers = self._commit_merge(state, rewritten)
         merges = [
             (part, markers[i], acc)
-            for i, (part, acc, _path, _bytes, _cols) in enumerate(rewritten)
+            for i, (part, acc, _path, _bytes, _cols, _st) in enumerate(rewritten)
         ]
         return new_log, merges
 
     def _merge_files(self, state: LogState, part: str, acc: list[FileMarker]):
-        path, file_bytes, out_cols = self._rewrite_for_merge(state, part, acc)
+        path, file_bytes, out_cols, stats = self._rewrite_for_merge(
+            state, part, acc
+        )
         new_log, markers = self._commit_merge(
-            state, [(part, acc, path, file_bytes, out_cols)]
+            state, [(part, acc, path, file_bytes, out_cols, stats)]
         )
         return new_log, markers[0], part, acc
 
     def _rewrite_for_merge(
         self, state: LogState, part: str, acc: list[FileMarker]
-    ) -> tuple[str, int, dict]:
+    ) -> tuple[str, int, dict, Optional[dict]]:
         """The Spark job half of a merge: rewrite ``acc`` into one file.
         Thread-safe (temp-view registration is serialized); commit happens
         separately so passes can batch many rewrites into one log append."""
@@ -621,7 +746,8 @@ class IceTable:
 
         out, sort_cols = self._apply_layout(out)
         writer = _make_group_writer(
-            self.path, sort_cols, self.compression, self.row_group_size
+            self.path, sort_cols, self.compression, self.row_group_size,
+            stats_cols=self._stats_cols(),
         )
         manifest = (
             out.withColumn(_PART_COL, F.lit(part))
@@ -642,8 +768,13 @@ class IceTable:
             buf = io.BytesIO()
             pq.write_table(empty, buf, compression=self.compression)
             self.storage.put(rel, buf.getvalue())
-            return rel, len(buf.getvalue()), out_cols
-        return manifest[0]["path"], manifest[0]["file_bytes"], out_cols
+            return rel, len(buf.getvalue()), out_cols, None
+        return (
+            manifest[0]["path"],
+            manifest[0]["file_bytes"],
+            out_cols,
+            json.loads(manifest[0]["stats"]) if manifest[0]["stats"] else None,
+        )
 
     def _commit_merge(
         self, state: LogState, rewritten: list
@@ -654,11 +785,15 @@ class IceTable:
         untouched markers of the superseded logs, and log tombstones."""
         merge_ms = unique_ms()
         new_markers = [
-            FileMarker(path=path, created_ms=merge_ms, file_bytes=nbytes)
-            for _part, _acc, path, nbytes, _cols in rewritten
+            FileMarker(
+                path=path, created_ms=merge_ms, file_bytes=nbytes, stats=stats
+            )
+            for _part, _acc, path, nbytes, _cols, stats in rewritten
         ]
         merged_paths = {
-            m.path for _part, acc, _path, _bytes, _cols in rewritten for m in acc
+            m.path
+            for _part, acc, _path, _bytes, _cols, _st in rewritten
+            for m in acc
         }
         source_logs: list[str] = []
         carried: dict[str, FileMarker] = {}
@@ -691,9 +826,11 @@ class IceTable:
             for fm in fms:
                 fm = folded.get(fm.path, fm)
                 if fm.path in merged_paths and fm.alive:
-                    fm = FileMarker(fm.path, fm.created_ms, fm.file_bytes, merge_ms)
+                    fm = FileMarker(
+                        fm.path, fm.created_ms, fm.file_bytes, merge_ms, fm.stats
+                    )
                 carried[fm.path] = fm
-        for _part, _acc, _path, _bytes, out_cols in rewritten:
+        for _part, _acc, _path, _bytes, out_cols, _st in rewritten:
             log_schema.accumulate(list(out_cols.keys()), list(out_cols.values()))
         tombstones = [LogTombstone(k, merge_ms) for k in source_logs]
         files = new_markers + list(carried.values())
@@ -854,7 +991,7 @@ class IceTable:
                 if len(tombstoned) >= max_files:
                     break
                 tombstoned.append(
-                    FileMarker(m.path, m.created_ms, m.file_bytes, ts)
+                    FileMarker(m.path, m.created_ms, m.file_bytes, ts, m.stats)
                 )
         if tombstoned:
             self.log_io.append(
@@ -894,7 +1031,8 @@ class IceTable:
                 )
             out, sort_cols = self._apply_layout(out)
             writer = _make_group_writer(
-                self.path, sort_cols, self.compression, self.row_group_size
+                self.path, sort_cols, self.compression, self.row_group_size,
+                stats_cols=self._stats_cols(),
             )
             manifest = (
                 out.withColumn(_PART_COL, F.lit(partition))
@@ -902,11 +1040,18 @@ class IceTable:
                 .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
                 .collect()
             )
-            return [(r["path"], r["file_bytes"]) for r in manifest]
+            return [
+                (
+                    r["path"],
+                    r["file_bytes"],
+                    json.loads(r["stats"]) if r["stats"] else None,
+                )
+                for r in manifest
+            ]
 
         from concurrent.futures import ThreadPoolExecutor
 
-        new_files: list[tuple[str, int]] = []
+        new_files: list[tuple[str, int, Optional[dict]]] = []
         rewritten: list[str] = []
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             for m, files in zip(targets, ex.map(rewrite_one, targets)):
@@ -917,9 +1062,10 @@ class IceTable:
         # returns for instants during the rewrite (insert and _commit_merge
         # both stamp at commit)
         ts = unique_ms()
-        new_markers = [FileMarker(p, ts, b) for p, b in new_files]
+        new_markers = [FileMarker(p, ts, b, stats=st) for p, b, st in new_files]
         tombstoned = [
-            FileMarker(m.path, m.created_ms, m.file_bytes, ts) for m in targets
+            FileMarker(m.path, m.created_ms, m.file_bytes, ts, m.stats)
+            for m in targets
         ]
         if new_markers or tombstoned:
             self.log_io.append(
@@ -947,6 +1093,33 @@ def _plan_merge(
         acc.append(m)
         acc_bytes += m.file_bytes
     return acc if len(acc) >= 2 else None
+
+
+def _stats_overlap(
+    stats: Optional[dict], ranges: dict[str, tuple]
+) -> bool:
+    """True when the file MAY contain a row with every ``col BETWEEN lo AND
+    hi``. Errs on keep: missing stats, open bounds, or incomparable types
+    (e.g. a datetime bound against stored ISO strings) never skip a file —
+    zone-map pruning must only ever remove provably-disjoint files."""
+    for col, cond in ranges.items():
+        if not (isinstance(cond, tuple) and len(cond) == 2):
+            raise ValueError(
+                f"column_ranges[{col!r}] must be a (lo, hi) tuple; "
+                f"use None for an open side"
+            )
+        if not stats or col not in stats:
+            continue
+        lo, hi = cond
+        mn, mx = stats[col]
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _match_partition(

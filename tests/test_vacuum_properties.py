@@ -104,7 +104,7 @@ def test_random_maintenance_sequences_hold_invariants(tmp_path_factory, ops):
                 continue
             newpath = f"_data/{part}/m-{uuid.uuid4().hex}.parquet"
             t.storage.put(newpath, b"m")
-            t._commit_merge(state, [(part, acc, newpath, 1, COLS)])
+            t._commit_merge(state, [(part, acc, newpath, 1, COLS, None)])
             alive.difference_update(m.path for m in acc)
             alive.add(newpath)
         elif op == "remove":
