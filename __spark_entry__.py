@@ -22,6 +22,7 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark import oracles
 from icedb_spark.operators import (
     asof_join,
+    assign_splits,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -29,6 +30,7 @@ from icedb_spark.operators import (
     embedding_dup_pairs,
     exact_duplicates,
     extract_features,
+    hash_sample,
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -36,8 +38,10 @@ from icedb_spark.operators import (
     sample_frames,
     sessionize,
     simhash,
+    stratified_sample,
     text_quality,
     token_stats,
+    top_k_sample,
 )
 
 # ---------------------------------------------------------------- loaders
@@ -1364,6 +1368,49 @@ def ice10_schema_evolution(spark, sf_dir):
 _SCRATCH_DIRS: list[str] = []
 
 
+# ------------------------------------------ deterministic sampling / splits
+
+
+def sm01_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (operators/sampling.py): the kept member
+    SET must match DuckDB's bit-exactly — same md5 fraction, same IEEE
+    double division, so sampling is reproducible across engines/runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, "doc_id", seed=7).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def sm02_stratified_sample(spark, sf_dir):
+    """Per-stratum rates folded into one CASE (no join, no shuffle):
+    downsample one language, keep another whole — the source-rebalancing
+    primitive of a training-data mix."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.2}, strata_col="lang", key_col="doc_id",
+        default_rate=0.5,
+    )
+    return out.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def sm03_split_assign(spark, sf_dir):
+    """Stable train/val/test assignment by key hash: a document keeps its
+    split across runs and dataset versions (the anti-leakage property)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    return out.groupBy("split").agg(F.count("*").alias("cnt"))
+
+
+def sm04_top_k_sample(spark, sf_dir):
+    """Deterministic reservoir: the k smallest key hashes = a uniform-k
+    sample that plans as TakeOrderedAndProject (partial per-partition
+    top-k + k-row reduce), never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return top_k_sample(docs, 100, "doc_id").select("doc_id", "lang")
+
+
 def _cleanup_later(d: str) -> None:
     # deferred delete: the returned DataFrame is materialized via cache()
     # before we get here, but keep dirs until process exit to be safe
@@ -1473,6 +1520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": s01_cosine_topk,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
+        "sm01_hash_sample": sm01_hash_sample,
+        "sm02_stratified_sample": sm02_stratified_sample,
+        "sm03_split_assign": sm03_split_assign,
+        "sm04_top_k_sample": sm04_top_k_sample,
     }
 
 
@@ -1883,6 +1934,14 @@ select cast(floor(value / 25.0) as bigint) as vbucket,
   round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
 from events where event_id % 40 = 0 group by 1
 """,
+        "sm01_hash_sample": oracles.hash_sample_sql(0.25, seed=7),
+        "sm02_stratified_sample": oracles.stratified_sample_sql(
+            {"en": 1.0, "de": 0.2}, default_rate=0.5
+        ),
+        "sm03_split_assign": oracles.assign_splits_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+        "sm04_top_k_sample": oracles.top_k_sample_sql(100),
         # zone-map pruned scan ≡ plain range filter (pruning must be invisible)
         "ice17_stats_pruning": ev_agg.format(
             where=(

@@ -27,6 +27,12 @@ from .multimodal import (
     sample_frames,
     synthetic_media,
 )
+from .sampling import (
+    assign_splits,
+    hash_sample,
+    stratified_sample,
+    top_k_sample,
+)
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join, sessionize
@@ -41,6 +47,10 @@ from .text import (
 __all__ = [
     "HEADER_SCHEMA",
     "MEDIA_SCHEMA",
+    "assign_splits",
+    "hash_sample",
+    "stratified_sample",
+    "top_k_sample",
     "decode_image_headers",
     "parse_image_header",
     "asof_join",

@@ -1,0 +1,150 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+Random sampling is the wrong tool at 100 TB: re-runs must reproduce the
+same subset (lineage, caching, incremental rebuilds), a document must land
+in the same split on every machine, and an oracle must be able to verify
+the exact output. Every operator here therefore derives its randomness
+from the md5-based :func:`icedb_spark.operators.hashing.hash60` of a key
+column — a pure, JVM-side column expression any engine can recompute.
+
+Scale design:
+
+* ``hash_sample`` / ``stratified_sample`` / ``assign_splits`` are pure
+  row-local column expressions — zero shuffle, fully pushed through
+  whole-stage codegen; a filter on the hash lands in the same stage as
+  the scan.
+* ``stratified_sample`` folds the per-stratum rate map into ONE nested
+  CASE expression (broadcast of a tiny literal map beats a join against
+  a rates table; no shuffle, no join).
+* ``top_k_sample`` ("take a uniform k of unknown-size input") is the
+  deterministic reservoir: global top-k by hash = one partial top-k per
+  partition + one k-row reduce — the same two-phase shape Spark's
+  ``orderBy(...).limit(k)`` already plans (TakeOrderedAndProject), so no
+  full sort materializes.
+
+Hash-uniformity caveat: rates are honored in expectation over the key
+distribution (hash60 is uniform on [0, 2^60)); duplicate keys move
+TOGETHER (by design — sampling is per-document identity, not per-row).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60, hash60_sql
+
+# hash60 is uniform on [0, 2^60)
+_HSPACE = 1 << 60
+
+
+def _fraction(col: Column, seed: int) -> Column:
+    """hash60(key) as a uniform fraction in [0, 1)."""
+    return hash60(col, seed) / F.lit(float(_HSPACE))
+
+
+def fraction_sql(expr: str, seed: int) -> str:
+    """DuckDB SQL computing the same uniform fraction as the operators
+    here use — for oracles and cross-engine reproduction."""
+    return f"({hash60_sql(expr, seed)} / {float(_HSPACE)!r})"
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by ``key_col``.
+
+    The same key is kept (or dropped) on every run, engine, and subset of
+    the data — unlike ``DataFrame.sample``, which is seed-stable only for
+    an identical partitioning. Row-local, zero shuffle.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_fraction(F.col(key_col), seed) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps ~``rates[s]``
+    of its rows (``default_rate`` for unlisted strata; NULL strata use the
+    default too). The rate map folds into one CASE expression — no join,
+    no shuffle; use it to rebalance sources (e.g. downsample crawl, keep
+    all reference text) in a single scan.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for s, r in rates.items():
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.where(_fraction(F.col(key_col), seed) < rate)
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    out_col: str = "split",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: adds ``out_col``
+    naming the split whose cumulative weight interval contains the key's
+    hash fraction. Weights must sum to 1 (±1e-9). A document keeps its
+    split across runs, engines, and dataset versions — the property that
+    prevents test-set leakage when the corpus is rebuilt incrementally.
+    Insertion order of ``weights`` fixes the intervals, so pass the same
+    ordering everywhere.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    frac = _fraction(F.col(key_col), seed)
+    expr: Optional[Column] = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = frac < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def top_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """A deterministic uniform-k sample of arbitrarily large input: the k
+    rows with the smallest key hash. Equivalent to a reservoir sample but
+    reproducible and engine-independent. Plans as per-partition partial
+    top-k + a k-row reduce (TakeOrderedAndProject) — no global sort, no
+    full shuffle. Ties on the hash (duplicate keys) are broken by the key
+    itself so the result set is total-order stable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = hash60(F.col(key_col), seed)
+    return (
+        df.withColumn("__tks_h", h)
+        .orderBy(F.col("__tks_h"), F.col(key_col))
+        .limit(k)
+        .drop("__tks_h")
+    )

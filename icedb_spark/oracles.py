@@ -457,3 +457,78 @@ select doc_id,
     (acc, c) -> (acc * 31 + c) % 1000000007) as fingerprint_rolling
 from norm
 """
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def _fraction_expr(key_expr: str, seed: int) -> str:
+    from .operators.sampling import fraction_sql
+
+    return fraction_sql(key_expr, seed)
+
+
+def hash_sample_sql(
+    rate: float, seed: int = 0, table: str = "documents",
+    key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.hash_sample (same md5 fraction, same
+    IEEE double division, so the member set matches bit-exactly)."""
+    return (
+        f"select doc_id, lang, n_chars from {table} "
+        f"where {_fraction_expr(key_expr, seed)} < {rate!r}"
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, float], default_rate: float, seed: int = 0,
+    table: str = "documents", strata_col: str = "lang",
+    key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.stratified_sample: the CASE folds the
+    rate map exactly like the Spark when/otherwise chain (last-listed
+    stratum wins ties, NULL falls to default). Output is the per-stratum
+    survivor count."""
+    cases = " ".join(
+        f"when {strata_col} = '{s}' then {r!r}" for s, r in rates.items()
+    )
+    return f"""
+select {strata_col} as stratum, count(*) as cnt from {table}
+where {_fraction_expr(key_expr, seed)} < (case {cases} else {default_rate!r} end)
+group by 1
+"""
+
+
+def assign_splits_sql(
+    weights: dict[str, float], seed: int = 0, table: str = "documents",
+    key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.assign_splits: cumulative-interval CASE
+    in the same insertion order. Output is the per-split count."""
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    frac = _fraction_expr(key_expr, seed)
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"when {frac} < {acc!r} then '{name}'")
+    case = " ".join(whens)
+    return f"""
+select (case {case} else '{names[-1]}' end) as split, count(*) as cnt
+from {table} group by 1
+"""
+
+
+def top_k_sample_sql(
+    k: int, seed: int = 0, table: str = "documents",
+    key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.top_k_sample: k smallest key hashes,
+    hash-then-key total order."""
+    from .operators.hashing import hash60_sql
+
+    h = hash60_sql(key_expr, seed)
+    return (
+        f"select doc_id, lang from {table} "
+        f"order by {h}, doc_id limit {k}"
+    )

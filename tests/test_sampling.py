@@ -1,0 +1,121 @@
+"""Deterministic sampling / splitting operators.
+
+Key properties under test: determinism across invocations (hash-derived,
+not RNG), correct rate behavior, split-interval exhaustiveness and
+stability, duplicate keys moving together, and DuckDB reproducing the
+exact member sets via the shared md5 hash (the cross-engine contract that
+makes the gate oracles possible).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from icedb_spark.operators.sampling import (
+    assign_splits,
+    fraction_sql,
+    hash_sample,
+    stratified_sample,
+    top_k_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_hash_sample_is_deterministic_and_rate_bounded(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # loose: uniformity, not exactness
+    # a smaller rate yields a SUBSET (nested samples — same hash, lower cut)
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    assert small < a
+
+
+def test_hash_sample_matches_duckdb(docs):
+    got = sorted(
+        r["doc_id"] for r in hash_sample(docs, 0.25, "doc_id", seed=7).select("doc_id").collect()
+    )
+    frac = fraction_sql("cast(doc_id as varchar)", 7)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "select doc_id from read_parquet('/root/testdata/sf0.001/documents.parquet') "
+            f"where {frac} < 0.25 order by doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_hash_sample_duplicate_keys_move_together(spark):
+    df = spark.createDataFrame(
+        [(i % 10, j) for i in range(100) for j in range(2)], ["k", "v"]
+    )
+    kept = hash_sample(df, 0.5, "k").groupBy("k").count().collect()
+    assert all(r["count"] == 20 for r in kept)  # a key keeps all its rows
+
+
+def test_stratified_rates_and_default(docs):
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", key_col="doc_id",
+        default_rate=0.5,
+    )
+    by_lang = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    src = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by_lang.get("en") == src.get("en")  # rate 1.0 keeps everything
+    assert "de" not in by_lang  # rate 0.0 drops everything
+    for lang, n in src.items():
+        if lang in ("en", "de"):
+            continue
+        assert 0.2 * n < by_lang.get(lang, 0) < 0.8 * n
+
+
+def test_stratified_rejects_bad_rates(docs):
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 1.5}, "lang", "doc_id")
+    with pytest.raises(ValueError):
+        hash_sample(docs, -0.1, "doc_id")
+
+
+def test_assign_splits_partitions_everything_stably(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, w, "doc_id")
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive: every row gets a split
+    assert set(counts) == set(w)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability: the same doc lands in the same split on a second run
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in assign_splits(docs, w, "doc_id").select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_assign_splits_weights_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        assign_splits(docs, {"train": 0.8, "test": 0.1}, "doc_id")
+
+
+def test_top_k_sample_is_uniform_k_and_stable(docs):
+    k = 37
+    a = [r["doc_id"] for r in top_k_sample(docs, k, "doc_id").select("doc_id").collect()]
+    assert len(a) == k and len(set(a)) == k
+    b = [r["doc_id"] for r in top_k_sample(docs, k, "doc_id").select("doc_id").collect()]
+    assert sorted(a) == sorted(b)
+    # nested property: top-k ⊂ top-2k (same hash order)
+    c = [r["doc_id"] for r in top_k_sample(docs, 2 * k, "doc_id").select("doc_id").collect()]
+    assert set(a) < set(c)
+
+
+def test_top_k_plans_as_take_ordered_not_full_sort(docs):
+    plan = top_k_sample(docs, 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
