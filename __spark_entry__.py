@@ -690,6 +690,22 @@ def d08_simhash_band16(spark, sf_dir):
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def d09_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate CLUSTERS from the d02 MinHash-LSH pair graph:
+    pair detectors emit edges, but keep-one dedup needs the transitive
+    closure (a~b, b~c => one cluster, one survivor). Connected components
+    via hash-to-min label propagation + pointer jumping — O(log diameter)
+    rounds, each round one node-keyed shuffle join, nothing but a scalar
+    convergence fingerprint ever reaches the driver. Oracle: DuckDB
+    recursive reachability CTE over the identical pair SQL."""
+    from icedb_spark.operators import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    return dedup_clusters(pairs)
+
+
 def s01_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -1482,9 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_ngram_jaccard": d03_ngram_jaccard,
-        "d06_simhash_pairs": d06_simhash_pairs,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d08_simhash_band16": d08_simhash_band16,
+        "d09_dedup_clusters": d09_dedup_clusters,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "m01_media_features": m01_media_features,
@@ -1496,7 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beyond-reference extras / redundant siblings (locally oracle-tested)
         # q10/q11 demoted for ice16/ice17: range predicates keep in-window
         # witnesses via ice11 (partition range) + ice17 (zone-map BETWEEN),
-        # any_value-dedup via ice08
+        # any_value-dedup via ice08; d06 demoted for d09: d08 is the same
+        # simhash-pair operator at scale config and stays in-window
         "q05_topk": q05_topk,
         "q10_range_filter": q10_range_filter,
         "q11_dedup_pickone": q11_dedup_pickone,
@@ -1517,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_asof_left_join": q32_asof_left_join,
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
+        "d06_simhash_pairs": d06_simhash_pairs,
         "s01_cosine_topk": s01_cosine_topk,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
@@ -1803,6 +1821,9 @@ from per_sess group by user_id
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "d06_simhash_pairs": oracles.simhash_pairs_sql(32, 3),
         "d08_simhash_band16": oracles.simhash_pairs_sql(60, 3, band_bits=15),
+        "d09_dedup_clusters": oracles.dedup_clusters_sql(
+            oracles.minhash_pairs_sql(16, 4, 3, 0.5)
+        ),
         "d07_embedding_dups_lsh": oracles.embedding_dups_lsh_sql(0.4, 64, 6),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),

@@ -18,6 +18,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .graph import connected_components, dedup_clusters
 from .multimodal import (
     HEADER_SCHEMA,
     MEDIA_SCHEMA,
@@ -55,8 +56,10 @@ __all__ = [
     "parse_image_header",
     "asof_join",
     "cosine_topk",
+    "connected_components",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "dedup_clusters",
     "extract_features",
     "sample_frames",
     "synthetic_media",

@@ -532,3 +532,37 @@ def top_k_sample_sql(
         f"select doc_id, lang from {table} "
         f"order by {h}, doc_id limit {k}"
     )
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """Mirror of operators.graph.dedup_clusters over a pair query.
+
+    ``pairs_sql`` is any query emitting ``id_a``/``id_b`` (extra columns
+    ignored). Connected components via a recursive reachability walk: a
+    node's cluster id is the MINIMUM id among all nodes it can reach —
+    the same canonical label the Spark hash-to-min iteration produces.
+    The recursive UNION (set semantics) bounds the walk: each (node,
+    reachable-label) pair enters the working set once, so the CTE is
+    O(sum of component sizes squared) — fine at oracle scale, while the
+    Spark side is the log-rounds scale path.
+    """
+    return f"""
+with recursive pairs as (
+{pairs_sql}
+), edges as (
+  select id_a as u, id_b as v from pairs
+  union
+  select id_b as u, id_a as v from pairs
+), walk(u, lbl) as (
+  select u, u from edges
+  union
+  select e.v, w.lbl from walk w join edges e on e.u = w.u
+), comp as (
+  select u as doc_id, min(lbl) as cluster_id from walk group by u
+), sizes as (
+  select cluster_id, count(*) as cluster_size from comp group by cluster_id
+)
+select c.doc_id, c.cluster_id, s.cluster_size,
+  c.doc_id = c.cluster_id as is_keeper
+from comp c join sizes s using (cluster_id)
+"""
