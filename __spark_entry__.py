@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark import oracles
+from icedb_spark.testdata import load_table
 from icedb_spark.operators import (
     asof_join,
     assign_splits,
@@ -50,29 +51,11 @@ from icedb_spark.operators import (
 def _t(
     spark: SparkSession, sf_dir: str, name: str, split: bool | None = None
 ) -> DataFrame:
-    """Load a testdata table. events.parquet stores ns-precision timestamps,
-    which Spark reads as epoch-ns BIGINT under nanosAsLong (DuckDB reads the
-    same values as TIMESTAMP and truncates to µs — `ts div 1000` here pairs
-    with `epoch_us(ts)` there). Session timezone is pinned to UTC because
-    DuckDB timestamps are timezone-naive — under any other session zone,
-    date_trunc/month/year bucket differently and every time-based oracle
-    mismatches (verified: a New York session shifts 6 events into the prior
-    month)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    # The testdata files are single-row-group parquet — Spark cannot split
-    # them, so without help every scan is ONE task. For the per-row
-    # compute-heavy tables (md5 shingling, cosine folds, media UDFs) a
-    # round-robin repartition costs a sub-MB shuffle and unlocks full-core
-    # parallelism — and models the many-split layout real tables have. The
-    # scan-agg tables skip it: their first exchange already parallelizes
-    # everything downstream of the (cheap) serial scan.
-    if split is None:
-        split = name in ("documents", "embeddings")
-    if split:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    """Load a testdata table via :mod:`icedb_spark.testdata`, which pins the
+    session timezone to UTC and normalizes ``events.ts`` to epoch-ns BIGINT
+    whatever the parquet generation stored (`ts div 1000` here pairs with
+    `epoch_us(ts)` on the DuckDB side in both generations)."""
+    return load_table(spark, sf_dir, name, split=split)
 
 
 _TS_US = "ts div 1000"  # epoch-µs from the nanosAsLong BIGINT

@@ -27,6 +27,7 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import asof_join, sessionize
 from icedb_spark.session import get_spark
 from icedb_spark.streaming import micro_batch_pipeline, windowed_agg
+from icedb_spark.testdata import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,7 +38,7 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # --- 1. stream the raw events in (file-drop source, atomic commits) ---
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = load_table(spark, SF_DIR, "events")
     src = tempfile.mkdtemp(prefix="ea-src-")
     events.repartition(2).write.mode("overwrite").parquet(src)
 

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from icedb_spark import IceTable, PartitionField, PartitionSpec
+from icedb_spark.testdata import load_table
 
 
 @pytest.fixture()
@@ -19,7 +20,7 @@ def table(spark, tmp_path, sf_dir):
         ),
         sort_order=["event_type", "ts"],
     )
-    t.insert(df=spark.read.parquet(f"{sf_dir}/events.parquet"))
+    t.insert(df=load_table(spark, sf_dir, "events"))
     return t
 
 
@@ -53,7 +54,7 @@ def test_broadcast_join_chosen_for_small_dim(spark, sf_dir):
 def test_insert_single_shuffle(spark, table):
     """The insert job is one shuffle (partition key) + arrow write — verify
     the plan of the manifest job contains exactly one exchange."""
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
     df = table._prepare_batch(ev)
     from icedb_spark.table import _MANIFEST_SCHEMA, _PART_COL, _make_group_writer
 
@@ -68,7 +69,7 @@ def test_asof_join_is_single_exchange_no_nested_loop(spark, sf_dir):
     never a BroadcastNestedLoopJoin / CartesianProduct."""
     from icedb_spark.operators import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("us"), "value"
     )
     left = ev.select("user_id", F.col("us").alias("l_us"))
@@ -86,7 +87,7 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     nested-loop over the raw inequality."""
     from icedb_spark.operators import range_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     iv = spark.range(40).select(
         F.col("id").alias("band"),
         (F.col("id") * 12.5).alias("lo"),

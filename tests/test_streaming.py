@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.streaming import micro_batch_pipeline
+from icedb_spark.testdata import load_table
 
 
 def _wait(q):
@@ -17,7 +18,7 @@ def _wait(q):
 def test_stream_insert_availablenow(spark, tmp_path, sf_dir):
     src = str(tmp_path / "incoming")
     os.makedirs(src)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     # drop two "files" into the watched directory
     events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         src, mode="append"
@@ -63,7 +64,7 @@ def test_replay_dedup_survives_lost_marker(spark, tmp_path, sf_dir):
 
     src = str(tmp_path / "incoming")
     os.makedirs(src)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     events.coalesce(1).write.parquet(src, mode="append")
 
     t = IceTable(

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from icedb_spark.streaming import session_agg, stateful_sessionize, windowed_agg
+from icedb_spark.testdata import load_table
 
 GAP_US = 1_800_000_000  # 30 min
 DELAY = "10 minutes"
@@ -24,7 +25,7 @@ DELAY_US = 600_000_000
 def ev_ts(spark):
     """events with a proper timestamp column (µs)."""
     return (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        load_table(spark, "/root/testdata/sf0.001", "events")
         .select(
             "event_id",
             "user_id",

@@ -16,6 +16,7 @@ from icedb_spark import (
     PartitionSpec,
     SchemaConflictException,
 )
+from icedb_spark.testdata import load_table
 
 EVENTS_SPEC = PartitionSpec(
     fields=[
@@ -283,7 +284,7 @@ def test_insert_dataframe_native(spark, tmp_path, sf_dir):
     )
     t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
                  sort_order=["ts"])
-    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = load_table(spark, sf_dir, "events")
     t.insert(df=src)
     assert t.read().count() == src.count()
     # one file per day partition
@@ -303,7 +304,7 @@ def test_write_splits_fans_out_and_merges_back(spark, tmp_path, sf_dir):
     )
     t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
                  sort_order=["event_type", "ts"], write_splits=4)
-    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = load_table(spark, sf_dir, "events")
     t.insert(df=src)
     state = t.snapshot()
     by_part = {}
@@ -338,7 +339,7 @@ def test_two_writers_same_table(spark, tmp_path, sf_dir):
     spec = PartitionSpec(
         fields=[PartitionField("m", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM')")]
     )
-    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "tbl")
     w1 = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
     w2 = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
@@ -360,7 +361,7 @@ def test_optimize_merges_to_exhaustion(spark, tmp_path, sf_dir):
         fields=[PartitionField("m", "date_format(timestamp_micros(ts div 1000), 'yyyy-MM')")]
     )
     t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec)
-    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
     for i in range(4):
         t.insert(df=src.where(F.col("event_id") % 4 == i))

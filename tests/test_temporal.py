@@ -8,11 +8,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from icedb_spark.operators import asof_join, range_join, sessionize
+from icedb_spark.testdata import load_table
 
 
 @pytest.fixture(scope="module")
 def events(spark):
-    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
     return df.select(
         "event_id",
         "user_id",
