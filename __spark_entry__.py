@@ -25,6 +25,7 @@ from icedb_spark.operators import (
     asof_join,
     assign_splits,
     cosine_topk,
+    decontaminate,
     cosine_topk_ivf,
     cosine_topk_lsh,
     doc_fingerprint,
@@ -35,7 +36,9 @@ from icedb_spark.operators import (
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pii_stats,
     range_join,
+    repetition_stats,
     sample_frames,
     sessionize,
     simhash,
@@ -798,6 +801,62 @@ def t04_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def t05_repetition(spark, sf_dir):
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _inject_pii(docs):
+    """Deterministically splice synthetic PII into the corpus (mirrored
+    verbatim in the oracle SQL) so the detector counts non-zero hits of
+    every category on word-soup testdata."""
+    d = F.col("doc_id")
+
+    def maybe(cond, col):
+        return F.when(cond, col).otherwise(F.lit(""))
+
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            maybe(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ),
+            maybe(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+            maybe(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    ((d * 7) % 256).cast("string"),
+                ),
+            ),
+            maybe(d % 17 == 0, F.lit(" ssn 078-05-1120")),
+            maybe(d % 19 == 0, F.lit(" card 4111-1111-1111-1111")),
+        ),
+    )
+
+
+def t06_pii_detect(spark, sf_dir):
+    return pii_stats(_inject_pii(_t(spark, sf_dir, "documents")))
+
+
+def t07_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
 # ------------------------------------------------ engine lifecycle
 # Each builds a scratch IceTable under /tmp, runs real engine operations and
 # returns a result the oracle can compute straight from the source parquet —
@@ -1471,7 +1530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_latest_by_user": q08_latest_by_user,
         "q09_union_seed": q09_union_seed,
         "q17_approx_distinct": q17_approx_distinct,
-        "q25_conditional_agg": q25_conditional_agg,
         "q33_percentile_approx": q33_percentile_approx,
         # --- pipeline operators (dedup / ANN / multimodal / text / skew) ---
         "q28_asof_join": q28_asof_join,
@@ -1483,7 +1541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard": d03_ngram_jaccard,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d08_simhash_band16": d08_simhash_band16,
-        "d09_dedup_clusters": d09_dedup_clusters,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "m01_media_features": m01_media_features,
@@ -1491,13 +1548,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "t02_text_quality": t02_text_quality,
         "t04_fingerprint": t04_fingerprint,
+        "t06_pii_detect": t06_pii_detect,
+        "t07_decontaminate": t07_decontaminate,
         # ==================== driver window boundary (50) ====================
         # beyond-reference extras / redundant siblings (locally oracle-tested)
         # q10/q11 demoted for ice16/ice17: range predicates keep in-window
         # witnesses via ice11 (partition range) + ice17 (zone-map BETWEEN),
-        # any_value-dedup via ice08; d06 demoted for d09: d08 is the same
-        # simhash-pair operator at scale config and stays in-window
+        # any_value-dedup via ice08; d06 demoted for d09 then d09/q25 for
+        # t06/t07 (PII + decontamination are new capability families; dedup
+        # clustering and conditional agg have in-window siblings d01/d02 and
+        # q01/q21)
+        "t05_repetition": t05_repetition,
         "q05_topk": q05_topk,
+        "q25_conditional_agg": q25_conditional_agg,
+        "d09_dedup_clusters": d09_dedup_clusters,
         "q10_range_filter": q10_range_filter,
         "q11_dedup_pickone": q11_dedup_pickone,
         "q12_join_broadcast": q12_join_broadcast,
@@ -1824,6 +1888,29 @@ from documents
         "t02_text_quality": oracles.text_quality_sql(),
         "t03_language_id": oracles.language_id_sql(),
         "t04_fingerprint": oracles.fingerprint_sql(),
+        "t05_repetition": oracles.repetition_sql(),
+        # the aug CTE mirrors _inject_pii verbatim
+        "t06_pii_detect": oracles.pii_sql(
+            table="aug",
+            cte="""aug as (
+  select doc_id, text
+    || case when doc_id % 7 = 0
+       then ' contact user' || cast(doc_id as varchar) || '@example.com'
+       else '' end
+    || case when doc_id % 11 = 0
+       then ' call 415-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+       else '' end
+    || case when doc_id % 13 = 0
+       then ' host 10.0.' || cast(doc_id % 256 as varchar) || '.'
+            || cast((doc_id * 7) % 256 as varchar)
+       else '' end
+    || case when doc_id % 17 = 0 then ' ssn 078-05-1120' else '' end
+    || case when doc_id % 19 = 0 then ' card 4111-1111-1111-1111' else '' end
+    as text
+  from documents
+)""",
+        ),
+        "t07_decontaminate": oracles.decontaminate_sql(n=4),
         "ice01_insert_roundtrip": ev_agg.format(where=""),
         "ice02_merge_invariant": ev_agg.format(where=""),
         "ice03_time_travel": ev_agg.format(where=" where event_id % 2 = 0"),

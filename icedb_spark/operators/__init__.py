@@ -34,12 +34,17 @@ from .sampling import (
     stratified_sample,
     top_k_sample,
 )
+from .decontam import decontaminate, shingle_set
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join, sessionize
 from .text import (
+    PII_PATTERNS,
     doc_fingerprint,
     language_id,
+    ngram_col,
+    pii_stats,
+    repetition_stats,
     text_quality,
     token_stats,
     tokens,
@@ -80,6 +85,12 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_pairs",
+    "PII_PATTERNS",
+    "decontaminate",
+    "ngram_col",
+    "pii_stats",
+    "repetition_stats",
+    "shingle_set",
     "text_quality",
     "token_stats",
     "tokens",

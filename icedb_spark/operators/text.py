@@ -113,6 +113,118 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def ngram_col(toks: Column, n: int) -> Column:
+    """Array of n-token shingles (space-joined) from a token array.
+
+    Pure row-local expressions — at 100 TB this stays inside the scan stage.
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr``: sort, then fold a
+    (prev, run, best) state over adjacent runs. O(m log m) per row, no
+    shuffle — scale-safe for long documents where the naive
+    per-distinct-element recount is O(m * distinct)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1): fraction of
+    duplicated tokens, and for 2-/3-token shingles the fraction of shingle
+    occurrences that are duplicates plus the fraction claimed by the single
+    most frequent shingle. High values flag boilerplate / degenerate text.
+
+    All row-local column expressions (sorted-run fold for the top-shingle
+    multiplicity) — zero shuffles, runs inside the scan stage at any scale.
+    """
+    toks = tokens(F.col(text_col))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    cols: list[Column] = [
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        frac(
+            F.size(toks) - F.size(F.array_distinct(toks)), F.size(toks)
+        ).alias("dup_token_frac"),
+    ]
+    for n in (2, 3):
+        grams = ngram_col(toks, n)
+        total = F.size(grams)
+        cols.append(
+            frac(total - F.size(F.array_distinct(grams)), total).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+        cols.append(
+            frac(_top_multiplicity(grams), total).alias(f"top_{n}gram_frac")
+        )
+    return df.select(*cols)
+
+
+# Deterministic, RE2-and-Java-compatible patterns (ASCII \d and \b only) so
+# an independent engine reproduces identical counts. Order fixed: it is part
+# of the operator contract.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card": r"\b\d{4}-\d{4}-\d{4}-\d{4}\b",
+}
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection: per-category regex match counts (email, NANP phone,
+    SSN, IPv4, 16-digit card), a total, and a boolean flag. Regex-only by
+    design — the deterministic screen a redaction / filtering pass keys on.
+
+    JVM-side ``regexp_count`` in the scan stage: no UDFs, no shuffles.
+    """
+    t = F.col(text_col)
+    counts = {
+        k: F.regexp_count(t, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        total.cast("long").alias("n_pii"),
+        (total > 0).alias("has_pii"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized text plus a
     31-polynomial rolling hash (mod 1e9+7) over the normalized characters.

@@ -459,6 +459,99 @@ from norm
 """
 
 
+def repetition_sql(table: str = "documents") -> str:
+    """Mirrors operators.text.repetition_stats: per-doc duplicate-token and
+    duplicate/top 2-,3-shingle fractions via unnest + group counts (the
+    Spark side computes the same numbers row-locally)."""
+
+    def gram_ctes(n: int) -> str:
+        return f"""
+g{n} as (
+  select doc_id,
+    unnest(list_transform(generate_series(1, len(tks) - {n - 1}),
+                          i -> array_to_string(tks[i:i+{n - 1}], ' '))) as g
+  from toks where len(tks) >= {n}
+), c{n} as (
+  select doc_id, g, count(*) as c from g{n} group by doc_id, g
+), a{n} as (
+  select doc_id, sum(c) as total, max(c) as top, sum(c) - count(*) as dups
+  from c{n} group by doc_id
+)"""
+
+    return f"""
+with toks as (select doc_id, {TOKENS} as tks from {table}),
+base as (
+  select doc_id, len(tks) as n_tok, len(list_distinct(tks)) as n_uniq from toks
+),{gram_ctes(2)},{gram_ctes(3)}
+select b.doc_id,
+  cast(b.n_tok as bigint) as n_tokens,
+  round((b.n_tok - b.n_uniq) / b.n_tok, 6) as dup_token_frac,
+  round(coalesce(a2.dups / a2.total, 0.0), 6) as dup_2gram_frac,
+  round(coalesce(a2.top / a2.total, 0.0), 6) as top_2gram_frac,
+  round(coalesce(a3.dups / a3.total, 0.0), 6) as dup_3gram_frac,
+  round(coalesce(a3.top / a3.total, 0.0), 6) as top_3gram_frac
+from base b
+left join a2 using (doc_id)
+left join a3 using (doc_id)
+"""
+
+
+def pii_sql(table: str = "documents", cte: str = "") -> str:
+    """Mirrors operators.text.pii_stats (RE2 and Java agree on these ASCII
+    patterns by construction). ``cte`` optionally prepends a named CTE the
+    caller uses to derive ``table`` (e.g. the gate entry's PII injection)."""
+    from .operators.text import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"cast(len(regexp_extract_all(text, '{p}')) as bigint) as n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    prelude = f"{cte}," if cte else ""
+    return f"""
+with {prelude}counts as (
+  select doc_id,
+  {counts}
+  from {table}
+)
+select doc_id, {', '.join('n_' + k for k in PII_PATTERNS)},
+  cast({total} as bigint) as n_pii,
+  ({total}) > 0 as has_pii
+from counts
+"""
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    bench_filter: str = "doc_id % 37 = 0",
+    corpus_filter: str = "doc_id % 37 != 0",
+    n: int = 4,
+) -> str:
+    """Mirrors operators.decontam.decontaminate: distinct shared n-token
+    shingles per corpus doc against the benchmark's shingle set."""
+    return f"""
+with toks as (select doc_id, {TOKENS} as tks from {table}),
+sh as (
+  select doc_id,
+    unnest(list_distinct(list_transform(generate_series(1, len(tks) - {n - 1}),
+                         i -> array_to_string(tks[i:i+{n - 1}], ' ')))) as shingle
+  from toks
+),
+bench as (select distinct shingle from sh where {bench_filter}),
+hits as (
+  select s.doc_id, cast(count(*) as bigint) as n_shared
+  from sh s join bench using (shingle)
+  where s.{corpus_filter}
+  group by s.doc_id
+)
+select c.doc_id,
+  cast(coalesce(h.n_shared, 0) as bigint) as n_shared_shingles,
+  coalesce(h.n_shared, 0) > 0 as contaminated
+from (select doc_id from {table} where {corpus_filter}) c
+left join hits h using (doc_id)
+"""
+
+
 # ------------------------------------------------------------------ sampling
 
 

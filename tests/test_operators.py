@@ -419,3 +419,78 @@ def test_stream_tag_regex_survives_dashed_hostnames():
     m = pat.search("_log/1712_my-server-12345-sab12cdb7.jsonl")
     assert m and m.group(1) == "sab12cdb7"
     assert pat.search("_log/1712_my-server-12345.jsonl") is None
+
+
+# -------------------------------------------------- repetition / PII / decontam
+
+
+def test_repetition_stats_hand_values(spark):
+    from icedb_spark.operators import repetition_stats
+
+    rows = [
+        {"doc_id": 1, "text": "a a a b"},
+        {"doc_id": 2, "text": "x y"},
+        {"doc_id": 3, "text": "solo"},
+    ]
+    out = {r["doc_id"]: r for r in repetition_stats(spark.createDataFrame(rows)).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == 0.5
+    # 2-grams: [a a, a a, a b] -> dup 1/3, top 2/3
+    assert r1["dup_2gram_frac"] == 0.333333
+    assert r1["top_2gram_frac"] == 0.666667
+    # 3-grams: [a a a, a a b] -> dup 0, top 1/2
+    assert r1["dup_3gram_frac"] == 0.0
+    assert r1["top_3gram_frac"] == 0.5
+    r2 = out[2]
+    assert r2["dup_2gram_frac"] == 0.0 and r2["top_2gram_frac"] == 1.0
+    # shorter than n -> zero-filled, not null
+    assert r2["top_3gram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["top_2gram_frac"] == 0.0
+
+
+def test_pii_stats_hand_values(spark):
+    from icedb_spark.operators import pii_stats
+
+    rows = [
+        {"doc_id": 1,
+         "text": "mail bob@x.io or 10.1.2.3; ssn 123-45-6789 "
+                 "call 650-555-1234 card 4242-4242-4242-4242"},
+        {"doc_id": 2, "text": "nothing to see here 12-34"},
+    ]
+    out = {r["doc_id"]: r for r in pii_stats(spark.createDataFrame(rows)).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ssn"], r1["n_ipv4"], r1["n_card"]) == (1, 1, 1, 1, 1)
+    assert r1["n_pii"] == 5 and r1["has_pii"] is True
+    r2 = out[2]
+    assert r2["n_pii"] == 0 and r2["has_pii"] is False
+
+
+def test_decontaminate_hand_values(spark):
+    from icedb_spark.operators import decontaminate
+
+    bench = spark.createDataFrame([{"doc_id": 100, "text": "the quick brown fox jumps"}])
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "lazy dog sat here today"},
+            {"doc_id": 2, "text": "a quick brown fox ran"},
+        ]
+    )
+    for hashed in (True, False):
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(corpus, bench, n=3, hash_shingles=hashed).collect()
+        }
+        assert out[1]["n_shared_shingles"] == 0 and out[1]["contaminated"] is False
+        # shares exactly "quick brown fox"
+        assert out[2]["n_shared_shingles"] == 1 and out[2]["contaminated"] is True
+
+
+def test_decontaminate_repeated_shingle_counted_once(spark):
+    from icedb_spark.operators import decontaminate
+
+    bench = spark.createDataFrame([{"doc_id": 9, "text": "p q r"}])
+    corpus = spark.createDataFrame([{"doc_id": 1, "text": "p q r p q r"}])
+    out = decontaminate(corpus, bench, n=3).collect()[0]
+    assert out["n_shared_shingles"] == 1

@@ -131,3 +131,20 @@ def test_simhash_band_blocking_plans_equi_join(spark, sf_dir):
     plan = _physical(simhash_pairs(docs, bits=60, band_bits=15, max_hamming=3))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_no_cartesian(spark, sf_dir):
+    """The contamination check must be a broadcast LEFT SEMI on the shingle
+    key — never a shuffled or nested-loop join of the exploded corpus."""
+    from icedb_spark.operators import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    plan = (
+        decontaminate(corpus, bench, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
