@@ -999,6 +999,30 @@ def ice17_stats_pruning(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice18_bloom_pruning(spark, sf_dir):
+    """Per-file Bloom filters (beyond reference): writes capture a bitset of
+    each file's distinct ``user_id`` values into the log marker (reserved
+    ``"~bloom"`` stats key), and ``read(column_equals=...)`` skips files the
+    filter proves irrelevant — the point-lookup complement to ice17's zone
+    maps for unclustered columns. Three user_id-residue slices are inserted;
+    the lookup must actually skip files (asserted) and the pruned scan's
+    answer must equal the oracle's plain equality filter."""
+    t, d = _scratch(spark, bloom_columns=["user_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        for r in range(3):
+            t.insert(df=ev.where(F.col("user_id") % 3 == r))
+        uid = ev.agg(F.max("user_id")).collect()[0][0]
+        total = len(t.files_for())
+        kept = t.files_for(column_equals={"user_id": uid})
+        assert 0 < len(kept) < total, "bloom must skip residue-disjoint files"
+        return _agg_by_type(
+            t.read(column_equals={"user_id": uid}).where(F.col("user_id") == uid)
+        ).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice03_time_travel(spark, sf_dir):
     """snapshot-at-timestamp returns exactly the first batch."""
     from icedb_spark import get_log_file_info
@@ -1559,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering and conditional agg have in-window siblings d01/d02 and
         # q01/q21)
         "t05_repetition": t05_repetition,
+        "ice18_bloom_pruning": ice18_bloom_pruning,
         "q05_topk": q05_topk,
         "q25_conditional_agg": q25_conditional_agg,
         "d09_dedup_clusters": d09_dedup_clusters,
@@ -2040,5 +2065,9 @@ from events where event_id % 40 = 0 group by 1
                 " (select max(event_id) // 6 from events)"
                 " and (select max(event_id) // 2 from events)"
             )
+        ),
+        # bloom-pruned point lookup ≡ plain equality (pruning must be invisible)
+        "ice18_bloom_pruning": ev_agg.format(
+            where=" where user_id = (select max(user_id) from events)"
         ),
     }

@@ -87,6 +87,11 @@ def main():
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        # row counts of the driving tables (parquet footer metadata, no
+        # scan): cross-round deltas are only comparable per-row — the
+        # driver regenerated sf0.1 between r1 and r2 with 5x events and
+        # 2.5x documents, which dominates any naive wall-clock ratio
+        "rows": _table_rows(sf_dir),
     }
     prev = _previous_round(sf)
     if prev:
@@ -97,6 +102,18 @@ def main():
             if prev_queries.get(q)
         }
     print(json.dumps(out))
+
+
+def _table_rows(sf_dir: str) -> dict[str, int]:
+    import pyarrow.parquet as pq
+
+    out = {}
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        try:
+            out[t] = pq.ParquetFile(f"{sf_dir.rstrip('/')}/{t}.parquet").metadata.num_rows
+        except OSError:
+            pass
+    return out
 
 
 def _previous_round(sf: float):

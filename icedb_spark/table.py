@@ -109,6 +109,90 @@ def _stat_value(v):
     return None
 
 
+# reserved key inside the marker stats dict holding per-column Bloom
+# filters ("<k>:<base64 bitset>"); "~" keeps it disjoint from real column
+# names produced by the identifier-safe partition/schema paths
+_BLOOM_KEY = "~bloom"
+
+
+def _bloom_positions(value, bits: int, k: int) -> Optional[list[int]]:
+    """The k bit positions of ``value`` in a ``bits``-wide Bloom filter, or
+    None for types equality-pruning doesn't support (floats are excluded on
+    purpose: their text forms are representation-sensitive). One md5 per
+    value, k 32-bit slices of the digest — deterministic and
+    engine-independent, like every other hash in this repo."""
+    import hashlib
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        raw = str(value).encode()
+    elif isinstance(value, str):
+        raw = value.encode()
+    else:
+        return None
+    d = hashlib.md5(b"icebloom:" + raw).digest()
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "big") % bits for i in range(k)]
+
+
+def _compute_bloom(
+    data: pa.Table, cols: list[str], bits: int, k: int
+) -> dict[str, str]:
+    """Per-column Bloom bitsets over the DISTINCT values of ``data`` —
+    executor-side, O(distinct) md5s per column per file. Only integer and
+    string columns participate; others are silently skipped (readers treat a
+    missing filter as "may contain anything")."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    out: dict[str, str] = {}
+    for c in cols:
+        if c not in data.column_names or data.num_rows == 0:
+            continue
+        typ = data.schema.field(c).type
+        if not (
+            pa.types.is_integer(typ)
+            or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+        ):
+            continue
+        arr = bytearray(bits // 8)
+        for v in pc.unique(data[c].combine_chunks()).to_pylist():
+            pos = _bloom_positions(v, bits, k)
+            if pos is None:
+                continue
+            for p in pos:
+                arr[p >> 3] |= 1 << (p & 7)
+        out[c] = f"{k}:" + base64.b64encode(bytes(arr)).decode()
+    return out
+
+
+def _bloom_may_contain(stats: Optional[dict], col: str, value) -> bool:
+    """False only when the file's Bloom filter PROVES ``col = value`` matches
+    no row. Missing/undecodable filters err on keep — Bloom pruning, like
+    zone maps, may only remove provably-irrelevant files."""
+    import base64
+
+    blooms = stats.get(_BLOOM_KEY) if isinstance(stats, dict) else None
+    enc = blooms.get(col) if isinstance(blooms, dict) else None
+    if not isinstance(enc, str) or ":" not in enc:
+        return True
+    try:
+        k_s, b64 = enc.split(":", 1)
+        k = int(k_s)
+        bitset = base64.b64decode(b64)
+    except (ValueError, TypeError):
+        return True
+    bits = len(bitset) * 8
+    if not bits or not 1 <= k <= 4:
+        return True
+    pos = _bloom_positions(value, bits, k)
+    if not pos:
+        return True
+    return all(bitset[p >> 3] & (1 << (p & 7)) for p in pos)
+
+
 def _compute_stats(data: pa.Table, cols: list[str]) -> Optional[dict]:
     """Per-column [min, max] over non-null values of ``data`` — the file's
     zone map. Columns that are absent, empty, all-null, or of a type we
@@ -220,6 +304,7 @@ def _make_group_writer(
     compression: str,
     row_group_size: int,
     stats_cols: Optional[list[str]] = None,
+    bloom_spec: Optional[tuple[list[str], int, int]] = None,
 ):
     """Build the executor-side arrow group writer.
 
@@ -275,6 +360,12 @@ def _make_group_writer(
             os.rename(tmp, final)
             nbytes = os.path.getsize(final)
         stats = _compute_stats(data, stats_cols) if stats_cols else None
+        if bloom_spec:
+            b_cols, b_bits, b_k = bloom_spec
+            blooms = _compute_bloom(data, b_cols, b_bits, b_k)
+            if blooms:
+                stats = dict(stats or {})
+                stats[_BLOOM_KEY] = blooms
         return pa.table(
             {
                 "part": [part],
@@ -317,6 +408,9 @@ class IceTable:
         zorder_by: Optional[list[str]] = None,
         format_row: Optional[Callable[[dict], dict]] = None,
         stats_columns: Optional[list[str]] = None,
+        bloom_columns: Optional[list[str]] = None,
+        bloom_bits: int = 8192,
+        bloom_k: int = 4,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -353,6 +447,21 @@ class IceTable:
         # not O(files) I/O. Defaults to the clustering columns (sort_order /
         # zorder_by), where layout makes ranges tight and skipping pays.
         self.stats_columns = stats_columns
+        # Bloom filters: per-file bitsets over the DISTINCT values of these
+        # (int/string) columns, carried in the log marker next to the zone
+        # map. Enables driver-side file skipping for EQUALITY predicates on
+        # unclustered high-ish-cardinality columns where min/max ranges are
+        # too wide to prune (read(column_equals=...)). Size ``bloom_bits``
+        # at ~10x the expected distinct values per file for ~1% false
+        # positives; the log cost is bits/8 bytes (b64) per column per file
+        # — keep the column list short, this is catalog-resident state.
+        if bloom_bits % 8 or bloom_bits <= 0:
+            raise ValueError("bloom_bits must be a positive multiple of 8")
+        if not 1 <= bloom_k <= 4:
+            raise ValueError("bloom_k must be in 1..4 (md5 yields 4 slices)")
+        self.bloom_columns = bloom_columns
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
         # fsspec with put-retry; reads go through storage.absolute() URIs
         self.storage = storage_for(self.path)
@@ -406,6 +515,11 @@ class IceTable:
         if self.stats_columns is not None:
             return self.stats_columns
         return list(dict.fromkeys([*self.sort_order, *(self.zorder_by or [])]))
+
+    def _bloom_spec(self) -> Optional[tuple[list[str], int, int]]:
+        if not self.bloom_columns:
+            return None
+        return (self.bloom_columns, self.bloom_bits, self.bloom_k)
 
     def _apply_layout(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         """Attach the layout sort key: z-order code when configured (and the
@@ -468,6 +582,7 @@ class IceTable:
         writer = _make_group_writer(
             self.path, sort_cols, self.compression, self.row_group_size,
             stats_cols=self._stats_cols(),
+            bloom_spec=self._bloom_spec(),
         )
         group_cols = [_PART_COL]
         if self.write_splits > 1:
@@ -520,6 +635,7 @@ class IceTable:
         partition_filter: Optional[Callable[[str], bool]] = None,
         partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
         column_ranges: Optional[dict[str, tuple]] = None,
+        column_equals: Optional[dict] = None,
         state: Optional[LogState] = None,
     ) -> list[FileMarker]:
         """The scan's file list: alive markers at ``at_ms`` after driver-side
@@ -538,6 +654,25 @@ class IceTable:
             ]
         if column_ranges:
             files = [m for m in files if _stats_overlap(m.stats, column_ranges)]
+        if column_equals:
+            for col, v in column_equals.items():
+                if v is None:
+                    raise ValueError(
+                        f"column_equals[{col!r}] is None — SQL equality never "
+                        f"matches NULL; filter nulls on the DataFrame instead"
+                    )
+            # equality prunes on BOTH structures: the zone map (v within
+            # [min, max]) and the Bloom filter (bit test on distinct values)
+            eq_ranges = {c: (v, v) for c, v in column_equals.items()}
+            files = [
+                m
+                for m in files
+                if _stats_overlap(m.stats, eq_ranges)
+                and all(
+                    _bloom_may_contain(m.stats, c, v)
+                    for c, v in column_equals.items()
+                )
+            ]
         return files
 
     def read(
@@ -546,6 +681,7 @@ class IceTable:
         partition_filter: Optional[Callable[[str], bool]] = None,
         partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
         column_ranges: Optional[dict[str, tuple]] = None,
+        column_equals: Optional[dict] = None,
     ) -> DataFrame:
         """Snapshot scan: alive files at ``at_ms``, driver-side partition
         pruning + zone-map skipping, explicit unified schema → Catalyst does
@@ -563,12 +699,20 @@ class IceTable:
         stat values — numbers for numeric columns, ISO strings for
         timestamp/date columns; files written without stats for a column are
         always kept.
+
+        ``column_equals`` maps (int/string) data columns to a literal value
+        and skips files via the per-file Bloom filter (``bloom_columns``)
+        AND the zone map — the point-lookup complement to ``column_ranges``
+        for unclustered columns whose min/max spans are too wide to prune.
+        Same hint-not-filter contract: apply the real ``col = v`` predicate
+        on the returned DataFrame.
         """
         state = self.snapshot(at_ms)
         files = self.files_for(
             partition_filter=partition_filter,
             partition_values=partition_values,
             column_ranges=column_ranges,
+            column_equals=column_equals,
             state=state,
         )
         schema = self.spark_schema(state)
@@ -748,6 +892,7 @@ class IceTable:
         writer = _make_group_writer(
             self.path, sort_cols, self.compression, self.row_group_size,
             stats_cols=self._stats_cols(),
+            bloom_spec=self._bloom_spec(),
         )
         manifest = (
             out.withColumn(_PART_COL, F.lit(part))
@@ -1033,6 +1178,7 @@ class IceTable:
             writer = _make_group_writer(
                 self.path, sort_cols, self.compression, self.row_group_size,
                 stats_cols=self._stats_cols(),
+                bloom_spec=self._bloom_spec(),
             )
             manifest = (
                 out.withColumn(_PART_COL, F.lit(partition))
@@ -1108,10 +1254,13 @@ def _stats_overlap(
                 f"column_ranges[{col!r}] must be a (lo, hi) tuple; "
                 f"use None for an open side"
             )
-        if not stats or col not in stats:
+        entry = (stats or {}).get(col)
+        # tolerate non-range entries (e.g. the reserved ~bloom map, or a
+        # future stats extension) — only a [min, max] pair can prune
+        if not (isinstance(entry, (list, tuple)) and len(entry) == 2):
             continue
         lo, hi = cond
-        mn, mx = stats[col]
+        mn, mx = entry
         try:
             if lo is not None and mx < lo:
                 return False
