@@ -2,10 +2,12 @@
 
 The combined story the engine exists for: raw documents land in an IceTable
 (MVCC commits, schema union), a curation pass runs entirely as DataFrame
-operators — language ID, quality scoring, exact + MinHash dedup — and the
-survivors are committed to a curated table whose snapshot is the training
-set. Every step is a pipeline operator with a DuckDB oracle elsewhere in the
-repo; this file wires them together as executable documentation.
+operators — language ID, quality scoring, exact + MinHash dedup, a
+Gopher-style repetition screen, a PII screen, benchmark decontamination,
+and deterministic train/val/test assignment — and the survivors are
+committed to a curated table whose snapshot is the training set. Every step
+is a pipeline operator with a DuckDB oracle elsewhere in the repo; this
+file wires them together as executable documentation.
 
 Run: python examples/training_pipeline.py
 """
@@ -21,13 +23,18 @@ from pyspark.sql import functions as F
 
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import (
+    assign_splits,
+    decontaminate,
     exact_duplicates,
     language_id,
     minhash_lsh_pairs,
+    pii_stats,
+    repetition_stats,
     text_quality,
     token_stats,
 )
 from icedb_spark.session import get_spark
+from icedb_spark.testdata import load_table
 
 
 def main() -> None:
@@ -43,7 +50,7 @@ def main() -> None:
         ),
         sort_order=["doc_id"],
     )
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     # plant exact duplicates to give dedup something to do
     dups = docs.where(F.col("doc_id") % 11 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
@@ -85,6 +92,32 @@ def main() -> None:
     kept = kept.join(near_losers, "doc_id", "left_anti")
     print(f"after MinHash near-dedup: {kept.count()} docs")
 
+    # repetition screen: drop degenerate boilerplate (Gopher-style)
+    rep = repetition_stats(kept).where(
+        (F.col("dup_2gram_frac") > 0.9) | (F.col("top_2gram_frac") > 0.5)
+    ).select("doc_id")
+    kept = kept.join(rep, "doc_id", "left_anti")
+    print(f"after repetition screen: {kept.count()} docs")
+
+    # PII screen: route flagged docs away from the training set
+    flagged = pii_stats(kept).where(F.col("has_pii")).select("doc_id")
+    kept = kept.join(flagged, "doc_id", "left_anti")
+    print(f"after PII screen: {kept.count()} docs")
+
+    # decontamination: remove anything sharing a 4-token shingle with the
+    # (stand-in) eval benchmark
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    contaminated = decontaminate(kept, bench, n=4).where(
+        F.col("contaminated")
+    ).select("doc_id")
+    kept = kept.join(contaminated, "doc_id", "left_anti")
+    print(f"after decontamination: {kept.count()} docs")
+
+    # deterministic train/val/test assignment (hash-stable across runs)
+    kept = assign_splits(
+        kept, {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id"
+    )
+
     # --- 3. curated output: a second lakehouse table ----------------------
     curated = IceTable(
         spark,
@@ -95,15 +128,15 @@ def main() -> None:
         sort_order=["quality_score"],
     )
     curated.insert(df=kept.select(
-        "doc_id", "text", "lang_pred", "quality_score", "n_tokens"
+        "doc_id", "text", "lang_pred", "quality_score", "n_tokens", "split"
     ))
     print("curated table partitions:",
           sorted({m.partition() for m in curated.snapshot().alive_files()}))
     curated.sql(
-        "select lang_pred, count(*) as docs, "
+        "select lang_pred, split, count(*) as docs, "
         "round(avg(quality_score), 3) as avg_quality, "
         "sum(n_tokens) as total_tokens "
-        "from ice group by lang_pred order by docs desc"
+        "from ice group by lang_pred, split order by docs desc"
     ).show()
 
 

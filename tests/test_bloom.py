@@ -153,3 +153,34 @@ def test_bloom_config_validation(spark, tmp_path):
         make_table(spark, tmp_path / "x", bloom_bits=1001)  # not /8
     with pytest.raises(ValueError):
         make_table(spark, tmp_path / "y", bloom_k=5)
+
+
+def test_bloom_property_never_false_negative():
+    """Hypothesis: whatever values a file holds, every one of them passes
+    the membership test afterwards (the one guarantee pruning relies on)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ints=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=40),
+        strs=st.lists(st.text(max_size=30), max_size=40),
+        bits=st.sampled_from([64, 256, 8192]),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    def check(ints, strs, bits, k):
+        n = max(len(ints), len(strs), 1)
+        data = pa.table(
+            {
+                "i": pa.array((ints + [None] * n)[:n], type=pa.int64()),
+                "s": pa.array((strs + [None] * n)[:n], type=pa.string()),
+            }
+        )
+        st_dict = {"~bloom": _compute_bloom(data, ["i", "s"], bits=bits, k=k)}
+        for v in ints:
+            assert _bloom_may_contain(st_dict, "i", v)
+        for v in strs:
+            assert _bloom_may_contain(st_dict, "s", v)
+
+    check()
