@@ -45,6 +45,8 @@ def stream_insert(
     dedup_on_replay: bool = True,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     stream_id: Optional[str] = None,
+    dedup_keys: Optional[list[str]] = None,
+    watermark: Optional[tuple[str, str]] = None,
 ):
     """Start a streaming query that commits each micro-batch to ``table``.
 
@@ -57,8 +59,25 @@ def stream_insert(
     two different streams into one table can never collide. Defaults to a
     digest of ``checkpoint_dir``; pass it explicitly to keep dedup across a
     rebuilt checkpoint (disaster recovery).
+
+    ``dedup_keys`` adds ROW-level dedup on the stream itself (vs the
+    BATCH-level replay dedup above): an at-least-once upstream (queue
+    redelivery, producer retries) yields effectively-once rows in the
+    table. With ``watermark=(event_time_col, delay)`` the state store
+    evicts keys older than the watermark (bounded state — the 100 TB
+    path: ``dropDuplicatesWithinWatermark``); without a watermark the
+    key set grows forever, acceptable only for bounded backfills.
     """
     import hashlib
+
+    if watermark:
+        stream_df = stream_df.withWatermark(*watermark)
+    if dedup_keys:
+        stream_df = (
+            stream_df.dropDuplicatesWithinWatermark(dedup_keys)
+            if watermark
+            else stream_df.dropDuplicates(dedup_keys)
+        )
 
     trigger = trigger or {"availableNow": True}
     sid = stream_id or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]

@@ -105,3 +105,46 @@ def test_replay_dedup_survives_lost_marker(spark, tmp_path, sf_dir):
     )
     _wait(q3)
     assert t.read().count() == n + 7
+
+
+def test_stream_row_dedup_within_watermark(spark, tmp_path, sf_dir):
+    """An at-least-once source (the same rows delivered in two files) must
+    land exactly once when dedup_keys + watermark are set — state-store
+    dedup across micro-batches, bounded by the watermark."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ev_ts"),
+        "event_type",
+        "value",
+    )
+    # two deliveries of the SAME rows (plus a disjoint second half)
+    first = events.where(F.col("event_id") % 2 == 0)
+    first.coalesce(1).write.parquet(src, mode="append")
+    first.unionByName(events.where(F.col("event_id") % 2 == 1)).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", "date_format(ev_ts, 'yyyy-MM-dd')")]
+        ),
+        sort_order=["event_id"],
+    )
+    q = micro_batch_pipeline(
+        t,
+        src,
+        events.schema,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        dedup_keys=["event_id"],
+        watermark=("ev_ts", "1 hour"),
+    )
+    _wait(q)
+    total = events.count()
+    got = t.read()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
