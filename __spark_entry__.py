@@ -805,6 +805,20 @@ def t05_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def t08_pack_sequences(spark, sf_dir):
+    from icedb_spark.operators import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), token_budget=512, n_shards=8
+    )
+
+
+def t09_vocab(spark, sf_dir):
+    from icedb_spark.operators import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
 def _inject_pii(docs):
     """Deterministically splice synthetic PII into the corpus (mirrored
     verbatim in the oracle SQL) so the detector counts non-zero hits of
@@ -1583,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering and conditional agg have in-window siblings d01/d02 and
         # q01/q21)
         "t05_repetition": t05_repetition,
+        "t08_pack_sequences": t08_pack_sequences,
+        "t09_vocab": t09_vocab,
         "ice18_bloom_pruning": ice18_bloom_pruning,
         "q05_topk": q05_topk,
         "q25_conditional_agg": q25_conditional_agg,
@@ -1914,6 +1930,10 @@ from documents
         "t03_language_id": oracles.language_id_sql(),
         "t04_fingerprint": oracles.fingerprint_sql(),
         "t05_repetition": oracles.repetition_sql(),
+        "t08_pack_sequences": oracles.pack_sequences_sql(
+            token_budget=512, n_shards=8
+        ),
+        "t09_vocab": oracles.vocab_topk_sql(k=100),
         # the aug CTE mirrors _inject_pii verbatim
         "t06_pii_detect": oracles.pii_sql(
             table="aug",

@@ -35,6 +35,7 @@ from .sampling import (
     top_k_sample,
 )
 from .decontam import decontaminate, shingle_set
+from .packing import pack_sequences
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join, sessionize
@@ -48,6 +49,7 @@ from .text import (
     text_quality,
     token_stats,
     tokens,
+    vocab_topk,
 )
 
 __all__ = [
@@ -90,8 +92,10 @@ __all__ = [
     "ngram_col",
     "pii_stats",
     "repetition_stats",
+    "pack_sequences",
     "shingle_set",
     "text_quality",
     "token_stats",
     "tokens",
+    "vocab_topk",
 ]

@@ -225,6 +225,23 @@ def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide token frequency: the k most frequent whitespace tokens
+    (ties broken alphabetically). One explode + one groupBy — map-side
+    partial aggregation keeps the shuffle at O(distinct tokens), not
+    O(token occurrences), so this scales to any corpus with a bounded
+    vocabulary."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized text plus a
     31-polynomial rolling hash (mod 1e9+7) over the normalized characters.

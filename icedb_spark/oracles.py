@@ -552,6 +552,45 @@ left join hits h using (doc_id)
 """
 
 
+def pack_sequences_sql(
+    token_budget: int = 2048, n_shards: int = 8, table: str = "documents"
+) -> str:
+    """Mirrors operators.packing.pack_sequences (concat-then-chunk packing
+    metadata over md5-ordered shards)."""
+    from .operators.packing import PACK_SEED
+
+    shard = hash60_sql("doc_id", PACK_SEED)
+    order = hash60_sql("doc_id", PACK_SEED + 1)
+    return f"""
+with base as (
+  select doc_id,
+    cast(len({TOKENS}) as bigint) as n_tokens,
+    cast({shard} % {n_shards} as integer) as shard,
+    {order} as h
+  from {table}
+)
+select doc_id, n_tokens, shard,
+  cast(floor((sum(n_tokens) over w - n_tokens) / {token_budget}) as bigint)
+    as seq_idx,
+  cast((sum(n_tokens) over w - n_tokens) % {token_budget} as bigint)
+    as seq_offset
+from base
+window w as (partition by shard order by h, doc_id
+             rows between unbounded preceding and current row)
+"""
+
+
+def vocab_topk_sql(k: int = 100, table: str = "documents") -> str:
+    """Mirrors operators.text.vocab_topk."""
+    return f"""
+select token, cast(count(*) as bigint) as freq
+from (select unnest({TOKENS}) as token from {table})
+group by token
+order by freq desc, token
+limit {k}
+"""
+
+
 # ------------------------------------------------------------------ sampling
 
 

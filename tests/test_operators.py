@@ -494,3 +494,50 @@ def test_decontaminate_repeated_shingle_counted_once(spark):
     corpus = spark.createDataFrame([{"doc_id": 1, "text": "p q r p q r"}])
     out = decontaminate(corpus, bench, n=3).collect()[0]
     assert out["n_shared_shingles"] == 1
+
+
+def test_pack_sequences_invariants(docs, spark):
+    from icedb_spark.operators import pack_sequences
+
+    out = pack_sequences(docs, token_budget=128, n_shards=4).cache()
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc placed exactly once
+    assert all(0 <= r["seq_offset"] < 128 for r in rows)
+    assert all(r["seq_idx"] >= 0 and 0 <= r["shard"] < 4 for r in rows)
+    # per shard: starts are a cumsum, so max(end) == sum(n_tokens)
+    per = {}
+    for r in rows:
+        start = r["seq_idx"] * 128 + r["seq_offset"]
+        s = per.setdefault(r["shard"], {"sum": 0, "max_end": 0})
+        s["sum"] += r["n_tokens"]
+        s["max_end"] = max(s["max_end"], start + r["n_tokens"])
+    for s in per.values():
+        assert s["sum"] == s["max_end"]
+    # deterministic across runs
+    again = {r["doc_id"]: (r["shard"], r["seq_idx"], r["seq_offset"])
+             for r in pack_sequences(docs, token_budget=128, n_shards=4).collect()}
+    assert again == {r["doc_id"]: (r["shard"], r["seq_idx"], r["seq_offset"])
+                     for r in rows}
+
+
+def test_pack_sequences_single_shard_contiguous(spark):
+    from icedb_spark.operators import pack_sequences
+
+    rows = [{"doc_id": i, "text": "w " * 10} for i in range(10)]  # 10 tokens each
+    out = pack_sequences(
+        spark.createDataFrame(rows), token_budget=25, n_shards=1
+    ).collect()
+    # 100 tokens / budget 25 -> starts 0,10,20,...,90; seq_idx floor(start/25)
+    starts = sorted(r["seq_idx"] * 25 + r["seq_offset"] for r in out)
+    assert starts == [i * 10 for i in range(10)]
+    assert {r["seq_idx"] for r in out} == {0, 1, 2, 3}
+
+
+def test_vocab_topk_hand_values(spark):
+    from icedb_spark.operators import vocab_topk
+
+    df = spark.createDataFrame(
+        [{"doc_id": 1, "text": "a a b"}, {"doc_id": 2, "text": "a a c b"}]
+    )
+    out = vocab_topk(df, k=2).collect()
+    assert [(r["token"], r["freq"]) for r in out] == [("a", 4), ("b", 2)]
