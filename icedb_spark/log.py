@@ -283,6 +283,14 @@ class Storage:
     def exists(self, key: str) -> bool:
         return os.path.exists(self._abs(key))
 
+    def mtime_ms(self, key: str) -> Optional[int]:
+        """Last-modified unix-ms, or None when unknown (callers must treat
+        unknown as YOUNG — age-gated deletion may only act on proven age)."""
+        try:
+            return int(os.path.getmtime(self._abs(key)) * 1000)
+        except OSError:
+            return None
+
     def absolute(self, key: str) -> str:
         """Engine-facing absolute path/URI for a key (what Spark reads)."""
         return self._abs(key)
@@ -335,13 +343,16 @@ class MemoryStorage:
     """
 
     _stores: dict[str, dict[str, bytes]] = {}
+    _times: dict[str, dict[str, int]] = {}
 
     def __init__(self, root: str = "mem"):
         self.root = root
         self._objs = self._stores.setdefault(root, {})
+        self._mtimes = self._times.setdefault(root, {})
 
     def put(self, key: str, data: bytes) -> None:
         self._objs[key] = bytes(data)  # dict assignment: atomic publish
+        self._mtimes[key] = now_ms()
 
     def get(self, key: str) -> bytes:
         return self._objs[key]
@@ -360,12 +371,16 @@ class MemoryStorage:
 
     def delete(self, key: str) -> None:
         self._objs.pop(key, None)
+        self._mtimes.pop(key, None)
 
     def size(self, key: str) -> int:
         return len(self._objs[key])
 
     def exists(self, key: str) -> bool:
         return key in self._objs
+
+    def mtime_ms(self, key: str) -> Optional[int]:
+        return self._mtimes.get(key)
 
     def absolute(self, key: str) -> str:
         return f"memory://{self.root}/{key}"
@@ -447,6 +462,21 @@ class FsspecStorage:
 
     def exists(self, key: str) -> bool:
         return bool(self._retry(lambda: self.fs.exists(self._abs(key))))
+
+    def mtime_ms(self, key: str) -> Optional[int]:
+        import datetime
+
+        try:
+            info = self._retry(lambda: self.fs.info(self._abs(key)))
+        except (OSError, FileNotFoundError):
+            return None
+        # fsspec backends disagree on the field name and type
+        mt = info.get("mtime") or info.get("LastModified") or info.get("last_modified")
+        if isinstance(mt, datetime.datetime):
+            return int(mt.timestamp() * 1000)
+        if isinstance(mt, (int, float)):
+            return int(mt * 1000)
+        return None
 
     def absolute(self, key: str) -> str:
         if self.protocol == "s3":

@@ -49,6 +49,7 @@ from .log import (
     Schema,
     Storage,
     get_log_file_info,
+    now_ms,
     storage_for,
     unique_ms,
     partition_from_path,
@@ -1112,6 +1113,42 @@ class IceTable:
                 )
             ]
         return deleted_logs, deleted_data
+
+    def gc_orphans(
+        self, grace_ms: int = 24 * 3600 * 1000
+    ) -> tuple[list[str], list[str]]:
+        """Delete data files no log entry references — the garbage a writer
+        that crashed between its data PUTs and its log commit leaves behind
+        (visibility comes only from the log, so such files are invisible but
+        billable forever). Returns ``(deleted, kept_young)`` keys.
+
+        The referenced set is every marker path in the folded log (alive AND
+        tombstoned — tombstoned files stay until ``tombstone_cleanup``). The
+        snapshot is taken BEFORE the listing, so a file committed mid-GC can
+        only look orphaned while younger than ``grace_ms``; keep the grace
+        above the longest possible write-to-commit latency and this is safe
+        to run beside live inserts. Files with unknown mtime are kept.
+
+        Unlike every other operation here (O(touched metadata)), this LISTS
+        the data prefix — O(files) — by necessity: orphans are exactly the
+        files the metadata cannot see. Schedule it like the reference
+        schedules vacuum: rarely.
+        """
+        state = self.snapshot()
+        referenced = {m.path for m in state.file_markers}
+        cutoff = now_ms() - grace_ms
+        deleted: list[str] = []
+        kept: list[str] = []
+        for key, _size in self.storage.list("_data"):
+            if key in referenced:
+                continue
+            mt = self.storage.mtime_ms(key)
+            if mt is not None and mt <= cutoff:
+                self.storage.delete(key)
+                deleted.append(key)
+            else:
+                kept.append(key)
+        return deleted, kept
 
     # ------------------------------------------------------- partition admin
 
