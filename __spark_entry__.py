@@ -1021,12 +1021,20 @@ def ice18_bloom_pruning(spark, sf_dir):
     maps for unclustered columns. Three user_id-residue slices are inserted;
     the lookup must actually skip files (asserted) and the pruned scan's
     answer must equal the oracle's plain equality filter."""
-    t, d = _scratch(spark, bloom_columns=["user_id"])
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.max("user_id").alias("mx"),
+        F.countDistinct("user_id").alias("nd"),
+    ).collect()[0]
+    uid, n_users = agg["mx"], agg["nd"]
+    # ~16 bits per distinct value keeps the false-positive rate low enough
+    # for the hard skip assertion at ANY scale factor (8192-bit default
+    # saturates once a residue file holds >~2k distinct users)
+    bits = max(8192, ((16 * n_users + 7) // 8) * 8)
+    t, d = _scratch(spark, bloom_columns=["user_id"], bloom_bits=bits)
     try:
-        ev = _t(spark, sf_dir, "events")
         for r in range(3):
             t.insert(df=ev.where(F.col("user_id") % 3 == r))
-        uid = ev.agg(F.max("user_id")).collect()[0][0]
         total = len(t.files_for())
         kept = t.files_for(column_equals={"user_id": uid})
         assert 0 < len(kept) < total, "bloom must skip residue-disjoint files"

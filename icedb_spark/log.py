@@ -255,19 +255,28 @@ class Storage:
         with open(self._abs(key), "rb") as f:
             return f.read()
 
-    def list(self, prefix: str) -> list[tuple[str, int]]:
-        """All (key, size) under prefix, sorted by key."""
+    def list(
+        self, prefix: str, include_hidden: bool = False
+    ) -> list[tuple[str, int]]:
+        """All (key, size) under prefix, sorted by key. In-flight temp files
+        (``.tmp-``) are invisible by default; ``include_hidden`` surfaces
+        them for garbage collection — a crashed writer's abandoned temp is
+        exactly the orphan ``gc_orphans`` must be able to see."""
         base = self._abs(prefix)
         out: list[tuple[str, int]] = []
         if not os.path.isdir(base):
             return out
         for dirpath, _dirs, files in os.walk(base):
             for fn in files:
-                if fn.startswith(".") or ".tmp-" in fn:
+                if not include_hidden and (fn.startswith(".") or ".tmp-" in fn):
                     continue
                 absf = os.path.join(dirpath, fn)
+                try:
+                    size = os.path.getsize(absf)
+                except OSError:
+                    continue  # raced with a concurrent rename/delete
                 key = os.path.relpath(absf, self.root).replace(os.sep, "/")
-                out.append((key, os.path.getsize(absf)))
+                out.append((key, size))
         out.sort()
         return out
 
@@ -357,10 +366,14 @@ class MemoryStorage:
     def get(self, key: str) -> bytes:
         return self._objs[key]
 
-    def list(self, prefix: str) -> list[tuple[str, int]]:
+    def list(
+        self, prefix: str, include_hidden: bool = False
+    ) -> list[tuple[str, int]]:
         p = prefix.rstrip("/")
         # snapshot the dict first: a concurrent put() mid-iteration would
         # raise RuntimeError (readers are lock-free by design)
+        # (puts are single-dict-assignment atomic: no temp objects exist,
+        # so include_hidden has nothing extra to surface here)
         out = [
             (k, len(v))
             for k, v in list(self._objs.items())
@@ -434,7 +447,9 @@ class FsspecStorage:
     def get(self, key: str) -> bytes:
         return self._retry(lambda: self.fs.cat_file(self._abs(key)))
 
-    def list(self, prefix: str) -> list[tuple[str, int]]:
+    def list(
+        self, prefix: str, include_hidden: bool = False
+    ) -> list[tuple[str, int]]:
         base = self._abs(prefix)
         if not self._retry(lambda: self.fs.exists(base)):
             return []
@@ -444,7 +459,7 @@ class FsspecStorage:
             if info.get("type") == "directory":
                 continue
             name = path.rsplit("/", 1)[-1]
-            if name.startswith(".") or ".tmp-" in name:
+            if not include_hidden and (name.startswith(".") or ".tmp-" in name):
                 continue
             rel = path[len(self._base) :].lstrip("/")
             out.append((rel, int(info.get("size", 0))))
@@ -470,12 +485,27 @@ class FsspecStorage:
             info = self._retry(lambda: self.fs.info(self._abs(key)))
         except (OSError, FileNotFoundError):
             return None
-        # fsspec backends disagree on the field name and type
-        mt = info.get("mtime") or info.get("LastModified") or info.get("last_modified")
-        if isinstance(mt, datetime.datetime):
-            return int(mt.timestamp() * 1000)
-        if isinstance(mt, (int, float)):
-            return int(mt * 1000)
+        # fsspec backends disagree on the field name AND type: epoch floats
+        # (local), datetimes (s3), ISO-8601 strings (some HTTP/memory
+        # impls). `is not None` checks, not `or`: epoch 0 is a real mtime.
+        for field in ("mtime", "LastModified", "last_modified"):
+            mt = info.get(field)
+            if mt is None:
+                continue
+            if isinstance(mt, datetime.datetime):
+                return int(mt.timestamp() * 1000)
+            if isinstance(mt, (int, float)):
+                return int(mt * 1000)
+            if isinstance(mt, str):
+                try:
+                    return int(
+                        datetime.datetime.fromisoformat(
+                            mt.replace("Z", "+00:00")
+                        ).timestamp()
+                        * 1000
+                    )
+                except ValueError:
+                    continue
         return None
 
     def absolute(self, key: str) -> str:

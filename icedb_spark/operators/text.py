@@ -164,15 +164,19 @@ def repetition_stats(
     multiplicity) — zero shuffles, runs inside the scan stage at any scale.
     """
     toks = tokens(F.col(text_col))
+    # NULL text propagates NULL metrics (matching the SQL oracle, where
+    # len(NULL)/agg-over-nothing yield NULL) instead of size(NULL)'s -1
+    present = F.col(text_col).isNotNull()
 
     def frac(num: Column, den: Column) -> Column:
-        return F.round(
-            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        return F.when(
+            present,
+            F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6),
         )
 
     cols: list[Column] = [
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(present, F.size(toks)).cast("long").alias("n_tokens"),
         frac(
             F.size(toks) - F.size(F.array_distinct(toks)), F.size(toks)
         ).alias("dup_token_frac"),

@@ -486,10 +486,16 @@ base as (
 select b.doc_id,
   cast(b.n_tok as bigint) as n_tokens,
   round((b.n_tok - b.n_uniq) / b.n_tok, 6) as dup_token_frac,
-  round(coalesce(a2.dups / a2.total, 0.0), 6) as dup_2gram_frac,
-  round(coalesce(a2.top / a2.total, 0.0), 6) as top_2gram_frac,
-  round(coalesce(a3.dups / a3.total, 0.0), 6) as dup_3gram_frac,
-  round(coalesce(a3.top / a3.total, 0.0), 6) as top_3gram_frac
+  -- NULL text propagates NULL (matching the Spark side); a short-but-
+  -- present doc with no shingles zero-fills via the coalesce
+  round(case when b.n_tok is null then null
+        else coalesce(a2.dups / a2.total, 0.0) end, 6) as dup_2gram_frac,
+  round(case when b.n_tok is null then null
+        else coalesce(a2.top / a2.total, 0.0) end, 6) as top_2gram_frac,
+  round(case when b.n_tok is null then null
+        else coalesce(a3.dups / a3.total, 0.0) end, 6) as dup_3gram_frac,
+  round(case when b.n_tok is null then null
+        else coalesce(a3.top / a3.total, 0.0) end, 6) as top_3gram_frac
 from base b
 left join a2 using (doc_id)
 left join a3 using (doc_id)

@@ -65,8 +65,14 @@ def stream_insert(
     redelivery, producer retries) yields effectively-once rows in the
     table. With ``watermark=(event_time_col, delay)`` the state store
     evicts keys older than the watermark (bounded state — the 100 TB
-    path: ``dropDuplicatesWithinWatermark``); without a watermark the
-    key set grows forever, acceptable only for bounded backfills.
+    path: ``dropDuplicatesWithinWatermark``). CAUTION: the watermark cuts
+    both ways — a genuinely NEW row arriving with event time older than
+    ``max(event time seen) - delay`` is dropped as late data by the
+    stateful operator and never reaches the table, standard Spark
+    late-data semantics. Size ``delay`` above the worst-case lateness of
+    the source (redelivery lag, backfill skew); without a watermark
+    nothing is ever dropped but the key set grows forever, acceptable
+    only for bounded backfills.
     """
     import hashlib
 

@@ -1139,7 +1139,11 @@ class IceTable:
         cutoff = now_ms() - grace_ms
         deleted: list[str] = []
         kept: list[str] = []
-        for key, _size in self.storage.list("_data"):
+        # include_hidden: a POSIX writer that died before its atomic rename
+        # leaves a `.tmp-` file — invisible to normal listings by design,
+        # but exactly the garbage this pass exists to collect (tmp names
+        # never appear in log markers, so they can only be orphans)
+        for key, _size in self.storage.list("_data", include_hidden=True):
             if key in referenced:
                 continue
             mt = self.storage.mtime_ms(key)

@@ -86,3 +86,18 @@ def test_posix_storage_mtime(tmp_path):
     s.put("_data/y", b"abc")
     assert s.mtime_ms("_data/y") is not None
     assert s.mtime_ms("_data/missing") is None
+
+
+def test_gc_collects_crashed_writer_tmp_file(table):
+    """A POSIX writer dying between pq.write_table(tmp) and the atomic
+    rename leaves a `.tmp-` file that normal listings hide — GC must still
+    see and delete it."""
+    tmp_key = "_data/b=b1/feedface.parquet.tmp-deadbeef"
+    table.storage.put(tmp_key, b"partial bytes")
+    # normal listing hides it; hidden listing sees it
+    normal = {k for k, _ in table.storage.list("_data")}
+    hidden = {k for k, _ in table.storage.list("_data", include_hidden=True)}
+    assert tmp_key not in normal and tmp_key in hidden
+    deleted, kept = table.gc_orphans(grace_ms=0)
+    assert tmp_key in deleted and kept == []
+    assert not table.storage.exists(tmp_key)

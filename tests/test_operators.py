@@ -541,3 +541,33 @@ def test_vocab_topk_hand_values(spark):
     )
     out = vocab_topk(df, k=2).collect()
     assert [(r["token"], r["freq"]) for r in out] == [("a", 4), ("b", 2)]
+
+
+def test_repetition_stats_null_text_matches_oracle(spark):
+    """NULL text must yield NULL metrics in BOTH engines (size(NULL) must
+    not leak -1 / 0.0 on the Spark side, coalesce must not zero-fill on
+    the oracle side)."""
+    import duckdb
+
+    from icedb_spark import oracles
+    from icedb_spark.operators import repetition_stats
+
+    rows = [{"doc_id": 1, "text": None}, {"doc_id": 2, "text": "a a"}]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(
+            spark.createDataFrame(rows, schema="doc_id long, text string")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from (values (1, NULL), (2, 'a a'))"
+        " t(doc_id, text)"
+    )
+    want = {
+        r[0]: dict(zip([d[0] for d in con.description], r))
+        for r in con.execute(oracles.repetition_sql()).fetchall()
+    }
+    for doc in (1, 2):
+        for k, v in want[doc].items():
+            assert got[doc][k] == v, (doc, k, got[doc][k], v)

@@ -109,8 +109,13 @@ def test_replay_dedup_survives_lost_marker(spark, tmp_path, sf_dir):
 
 def test_stream_row_dedup_within_watermark(spark, tmp_path, sf_dir):
     """An at-least-once source (the same rows delivered in two files) must
-    land exactly once when dedup_keys + watermark are set — state-store
-    dedup across micro-batches, bounded by the watermark."""
+    land exactly once when dedup_keys + watermark are set. maxFilesPerTrigger
+    forces the two deliveries into SEPARATE micro-batches, so the duplicates
+    in batch 2 are dropped by the cross-batch state store, not by in-batch
+    dedup; the delay exceeds the data's whole event-time span so no
+    genuinely-new row is ever dropped as late."""
+    from icedb_spark.streaming import stream_insert
+
     src = str(tmp_path / "incoming")
     os.makedirs(src)
     events = load_table(spark, sf_dir, "events").select(
@@ -134,17 +139,23 @@ def test_stream_row_dedup_within_watermark(spark, tmp_path, sf_dir):
         ),
         sort_order=["event_id"],
     )
-    q = micro_batch_pipeline(
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # one delivery per micro-batch
+        .parquet(src)
+    )
+    q = stream_insert(
         t,
-        src,
-        events.schema,
+        stream,
         str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
         dedup_keys=["event_id"],
-        watermark=("ev_ts", "1 hour"),
+        watermark=("ev_ts", "2400 hours"),
     )
     _wait(q)
     total = events.count()
     got = t.read()
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+    # the state store really saw two batches: the table carries >= 2 commits
+    assert len(t.snapshot().log_files) >= 2
