@@ -307,10 +307,28 @@ class Storage:
 
 def _default_transient(e: Exception) -> bool:
     """Transient per the reference's data-PUT policy: HTTP >= 500 or 429
-    (``icedb/icedb.py:161-163``), plus connection-level blips."""
+    (``icedb/icedb.py:161-163``), plus connection-level blips.
+
+    Real backends disagree on where the status lives: ``status_code``
+    (requests), ``code``, ``status`` (aiohttp), or botocore's
+    ``e.response['ResponseMetadata']['HTTPStatusCode']`` — check them all,
+    or the advertised S3 retry never fires for its primary backend."""
     code = getattr(e, "status_code", None)
     if code is None:
         code = getattr(e, "code", None)
+    if code is None:
+        code = getattr(e, "status", None)
+    if code is None:
+        resp = getattr(e, "response", None)  # botocore ClientError shape
+        if isinstance(resp, dict):
+            code = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+            if code is None:
+                err_code = (resp.get("Error") or {}).get("Code")
+                if isinstance(err_code, str) and err_code.isdigit():
+                    code = err_code
+                elif err_code in ("SlowDown", "Throttling", "RequestTimeout",
+                                  "InternalError", "ServiceUnavailable"):
+                    return True
     if code is not None:
         try:
             code = int(code)
@@ -565,12 +583,22 @@ def get_log_file_info(file_name: str) -> tuple[int, bool]:
 
 @dataclass
 class LogState:
-    """Result of folding log files: the readable table state."""
+    """Result of folding log files: the readable table state.
+
+    ``parsed`` optionally carries the per-log parsed contents the fold
+    already fetched (key -> (meta, schema, markers, tombstones)) so
+    maintenance operations (merge bookkeeping, vacuum collapse) don't
+    re-GET every log object a second time — at thousands of log files
+    that re-fetch doubles object-store request cost and latency. Empty
+    unless the fold ran with ``keep_parsed=True`` (the read path skips it
+    to avoid retaining per-log duplicates of every marker).
+    """
 
     schema: Schema
     file_markers: list[FileMarker]
     log_tombstones: list[LogTombstone]
     log_files: list[str] = field(default_factory=list)
+    parsed: dict = field(default_factory=dict)
 
     def alive_files(self) -> list[FileMarker]:
         return [m for m in self.file_markers if m.alive]
@@ -628,7 +656,9 @@ class IceLogIO:
         markers = [FileMarker.from_dict(json.loads(ln)) for ln in lines[meta.file_line :]]
         return meta, schema, markers, tombstones
 
-    def read_log_forward(self, storage: Storage, log_keys: list[str]) -> LogState:
+    def read_log_forward(
+        self, storage: Storage, log_keys: list[str], keep_parsed: bool = False
+    ) -> LogState:
         """Fold an explicit list of log files into table state.
 
         Files are *fetched* concurrently (each log GET is an independent
@@ -658,6 +688,7 @@ class IceLogIO:
                 markers[m.path] = m
         return LogState(
             schema=schema,
+            parsed=dict(zip(ordered, parsed)) if keep_parsed else {},
             file_markers=list(markers.values()),
             log_tombstones=list(tombstones.values()),
             log_files=sorted(log_keys),
@@ -666,7 +697,12 @@ class IceLogIO:
     def get_current_log_files(self, storage: Storage) -> list[tuple[str, int]]:
         return storage.list(self.LOG_PREFIX)
 
-    def read_at_max_time(self, storage: Storage, max_ms: Optional[int] = None) -> LogState:
+    def read_at_max_time(
+        self,
+        storage: Storage,
+        max_ms: Optional[int] = None,
+        keep_parsed: bool = False,
+    ) -> LogState:
         """Snapshot read / time travel: fold log files with embedded
         timestamp strictly ``< max_ms`` (all files when ``max_ms`` is None).
 
@@ -686,7 +722,7 @@ class IceLogIO:
                     continue
                 if max_ms is None or ts < max_ms:
                     keys.append(key)
-            return self.read_log_forward(storage, keys)
+            return self.read_log_forward(storage, keys, keep_parsed=keep_parsed)
 
         try:
             return fold_once()

@@ -495,7 +495,13 @@ def embedding_dup_pairs_lsh(
             .agg(F.count("*").alias("__bn"))
             .where(F.col("__bn") <= max_bucket)
         )
-        v = v.join(F.broadcast(ok.select("bucket")), "bucket", "left_semi")
+        # no broadcast hint: the ok-bucket list is O(n / target_bucket) rows
+        # — at the 10^9-vector design point that's millions of buckets, and
+        # a forced broadcast would build that relation on the driver
+        # regardless of autoBroadcastJoinThreshold. Unhinted, Catalyst/AQE
+        # still broadcasts when the list is actually small and falls back
+        # to a shuffle join when it isn't.
+        v = v.join(ok.select("bucket"), "bucket", "left_semi")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -145,6 +145,10 @@ def connected_components(
             break
         fp = new_fp
     else:
+        # release the caches before surfacing — an exception path must not
+        # pin executor memory for the life of the application
+        labels.unpersist()
+        e.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
@@ -166,9 +170,11 @@ def dedup_clusters(
     the non-keepers to dedup). Documents in no pair are untouched by
     definition and are not emitted.
     """
+    from pyspark import StorageLevel
+
     comp = connected_components(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return (
+    out = (
         comp.join(sizes, "comp")
         .select(
             F.col("node").alias("doc_id"),
@@ -176,4 +182,13 @@ def dedup_clusters(
             "cluster_size",
             (F.col("node") == F.col("comp")).alias("is_keeper"),
         )
+        # materialize the (small) cluster table, then release the internal
+        # label cache — callers have no handle to it, and without this every
+        # invocation in a long-lived driver pins one labels DataFrame
+        # forever. The RESULT stays persisted; its lifetime is caller-owned
+        # (unpersist or clearCache between corpora, as documented in dedup).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    comp.unpersist()
+    return out

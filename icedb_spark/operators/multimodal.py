@@ -90,7 +90,13 @@ def parse_image_header(blob) -> tuple:
                 o += 1
                 continue
             marker = b[o + 1]
-            if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD8:
+            if marker == 0xFF:
+                # fill byte: the NEXT 0xFF may begin the real marker, so
+                # advance one byte only (o += 2 would jump past it and
+                # drift the scan into segment payloads)
+                o += 1
+                continue
+            if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD8:
                 o += 2
                 continue
             if marker == 0xD9:

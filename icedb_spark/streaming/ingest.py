@@ -94,7 +94,18 @@ def stream_insert(
         # unambiguously parseable out of the log file name (the host-pid
         # segment contains '-')
         sid = hashlib.md5(sid.encode()).hexdigest()[:8]
-    seen_dir = os.path.join(table.path, "_stream_batches", sid)
+    # markers go through the table's Storage so URI roots (s3://, file://)
+    # work — os.path on a URI would write junk local directories; a
+    # pre-sid-scoping layout put markers flat under _stream_batches/, so
+    # that location is still consulted (read-only) for upgraded streams
+    def _marker_key(batch_id: int) -> str:
+        return f"_stream_batches/{sid}/{batch_id}"
+
+    def _marker_exists(batch_id: int) -> bool:
+        return table.storage.exists(_marker_key(batch_id)) or table.storage.exists(
+            f"_stream_batches/{batch_id}"
+        )
+
     # committed-tag cache: seeded from ONE log listing per (re)start, then
     # maintained locally — the hot path of a fresh batch never lists
     state = {"seen": None}
@@ -116,24 +127,19 @@ def stream_insert(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"s{sid}b{batch_id}"
-        marker = os.path.join(seen_dir, f"{batch_id}")
         if dedup_on_replay:
-            if os.path.exists(marker):
+            if _marker_exists(batch_id):
                 return
             if state["seen"] is None:
                 state["seen"] = committed_tags()
             if tag in state["seen"]:
-                os.makedirs(seen_dir, exist_ok=True)
-                with open(marker, "w") as f:
-                    f.write("done")
+                table.storage.put(_marker_key(batch_id), b"done")
                 return
         df = transform(batch_df) if transform else batch_df
         table.insert(df=df, commit_tag=tag if dedup_on_replay else None)
         if dedup_on_replay:
             state["seen"].add(tag)
-            os.makedirs(seen_dir, exist_ok=True)
-            with open(marker, "w") as f:
-                f.write("done")
+            table.storage.put(_marker_key(batch_id), b"done")
         if merge_every and (batch_id + 1) % merge_every == 0:
             while table.merge() is not None:
                 pass

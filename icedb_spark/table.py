@@ -500,8 +500,17 @@ class IceTable:
                     ),
                 )
             except AnalysisException:
-                # only unresolvable-against-this-batch errors degrade to
-                # _partition-only placement; anything else must surface
+                # The fallback expression doesn't resolve against this
+                # batch. That is legal ONLY while no row needs it: the
+                # reference calls the partition fn solely for rows without
+                # a _partition key (icedb/icedb.py:191-196), so a batch of
+                # fully-precomputed rows may lack the source columns
+                # entirely. But if any _partition is NULL, that row NEEDS
+                # the function — degrading would file it under the bare
+                # root, invisible to every partition-pruned read. Surface
+                # the real error (typo'd spec, renamed column) instead.
+                if df.where(F.col("_partition").isNull()).limit(1).count() > 0:
+                    raise
                 df2 = df.withColumn(_PART_COL, F.col("_partition").cast("string"))
             df = df2
             if not self.preserve_partition:
@@ -616,15 +625,50 @@ class IceTable:
 
     # ------------------------------------------------------------------- read
 
-    def snapshot(self, at_ms: Optional[int] = None) -> LogState:
+    def snapshot(
+        self, at_ms: Optional[int] = None, keep_parsed: bool = False
+    ) -> LogState:
         """Fold the log at (or before) ``at_ms`` — time travel when set.
 
         Inclusive: a commit stamped exactly ``at_ms`` is visible. The
         log-layer primitive is strict-``<`` for reference wire parity, so
-        pass ``at_ms + 1`` down."""
+        pass ``at_ms + 1`` down. ``keep_parsed`` retains the per-log parsed
+        contents on the returned state for maintenance ops that would
+        otherwise re-fetch every log."""
         return self.log_io.read_at_max_time(
-            self.log_storage, None if at_ms is None else at_ms + 1
+            self.log_storage,
+            None if at_ms is None else at_ms + 1,
+            keep_parsed=keep_parsed,
         )
+
+    def _log_contents(
+        self, state: LogState, concurrency: int = 32
+    ) -> list[tuple[str, tuple]]:
+        """(key, parsed-contents) for every log file of ``state`` — served
+        from the fold's own cache when the snapshot ran with
+        ``keep_parsed=True``, so maintenance bookkeeping doesn't re-GET
+        every log object the snapshot just fetched (at thousands of logs
+        that second pass doubles vacuum/merge request cost)."""
+        missing = [k for k in state.log_files if k not in state.parsed]
+        fetched: dict[str, tuple] = {}
+        if missing:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(32, max(1, concurrency))
+            ) as ex:
+                fetched = dict(
+                    zip(
+                        missing,
+                        ex.map(
+                            lambda k: self.log_io.read_log(self.log_storage, k),
+                            missing,
+                        ),
+                    )
+                )
+        return [
+            (k, state.parsed.get(k) or fetched[k]) for k in state.log_files
+        ]
 
     def spark_schema(self, state: Optional[LogState] = None) -> T.StructType:
         state = state or self.snapshot()
@@ -764,7 +808,7 @@ class IceTable:
         Requires an external exclusive lock for multi-writer safety (same
         contract as the reference, ARCHITECTURE.md:158-165).
         """
-        state = self.snapshot()
+        state = self.snapshot(keep_parsed=True)
         by_part: dict[str, list[FileMarker]] = {}
         for m in state.alive_files():
             by_part.setdefault(m.partition(), []).append(m)
@@ -821,7 +865,7 @@ class IceTable:
         Returns ``(new_log, merges)`` with one ``(partition, new_marker,
         merged_markers)`` per compacted partition, or None if no work.
         """
-        state = self.snapshot()
+        state = self.snapshot(keep_parsed=True)
         by_part: dict[str, list[FileMarker]] = {}
         for m in state.alive_files():
             by_part.setdefault(m.partition(), []).append(m)
@@ -951,18 +995,7 @@ class IceTable:
         # the LWW fold. (The reference re-commits the raw line,
         # icedb/icedb.py:290-305 — a resurrection hazard we fix here.)
         folded = {m.path: m for m in state.file_markers}
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(32, max(1, len(state.log_files)))) as ex:
-            reads = list(
-                zip(
-                    state.log_files,
-                    ex.map(
-                        lambda k: self.log_io.read_log(self.log_storage, k),
-                        state.log_files,
-                    ),
-                )
-            )
+        reads = self._log_contents(state)
         for key, (_meta, sch, fms, _t) in reads:
             if not any(fm.path in merged_paths for fm in fms):
                 continue
@@ -1013,7 +1046,7 @@ class IceTable:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        state = self.snapshot()
+        state = self.snapshot(keep_parsed=True)
         now = unique_ms()
         expired_cutoff = now - min_age_ms
 
@@ -1046,11 +1079,7 @@ class IceTable:
         # log of a remove_partitions-dropped file, which was never merged)
         # would resurrect the deleted file under LWW once the merged log
         # carrying its tombstone is collapsed away.
-        def _read(key):
-            return key, self.log_io.read_log(self.log_storage, key)
-
-        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
-            reads = list(ex.map(_read, state.log_files))
+        reads = self._log_contents(state, concurrency=concurrency)
         collapse: list[tuple[str, Schema, list[FileMarker]]] = []
         outside_refs: set[str] = set()
         for key, (_meta, sch, fms, _t) in reads:

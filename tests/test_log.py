@@ -124,3 +124,29 @@ def test_read_at_max_time_strict_boundary(tmp_path):
     assert {m.path for m in io.read_at_max_time(st, 1001).alive_files()} == {
         "_data/f1.parquet"
     }
+
+
+def test_transient_classifier_recognizes_botocore_shape():
+    from icedb_spark.log import _default_transient
+
+    class FakeClientError(Exception):
+        def __init__(self, status=None, code=None):
+            self.response = {"ResponseMetadata": {"HTTPStatusCode": status}}
+            if code:
+                self.response["Error"] = {"Code": code}
+            super().__init__("boom")
+
+    assert _default_transient(FakeClientError(status=503))
+    assert _default_transient(FakeClientError(status=429))
+    assert not _default_transient(FakeClientError(status=404))
+
+    class SlowDown(Exception):
+        response = {"ResponseMetadata": {}, "Error": {"Code": "SlowDown"}}
+
+    assert _default_transient(SlowDown())
+
+    class Aiohttp(Exception):
+        status = 502
+
+    assert _default_transient(Aiohttp())
+    assert not _default_transient(ValueError("nope"))

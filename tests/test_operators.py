@@ -571,3 +571,19 @@ def test_repetition_stats_null_text_matches_oracle(spark):
     for doc in (1, 2):
         for k, v in want[doc].items():
             assert got[doc][k] == v, (doc, k, got[doc][k], v)
+
+
+def test_parse_image_header_jpeg_fill_bytes():
+    """Fill 0xFF bytes before a marker are legal JPEG padding — the scan
+    must consume them one byte at a time or it skips the real marker."""
+    import struct
+
+    from icedb_spark.operators.multimodal import parse_image_header
+
+    # SOI, fill byte, then SOF0 with h=480 w=640
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+    blob = b"\xff\xd8" + b"\xff" + sof  # extra 0xFF fill before the SOF marker
+    assert parse_image_header(blob) == ("jpeg", 640, 480)
+    # double fill run
+    blob2 = b"\xff\xd8" + b"\xff\xff" + sof
+    assert parse_image_header(blob2) == ("jpeg", 640, 480)

@@ -716,3 +716,18 @@ def test_stray_object_in_log_prefix_is_ignored(spark, tmp_path):
     t.insert(batch())
     t.log_storage.put("_log/README.txt", b"not a log")
     assert counts_by_user(t) == [(2, "a"), (1, "b")]
+
+
+def test_partition_fallback_raises_when_needed_but_broken(spark, tmp_path):
+    """A batch with NULL _partition values NEEDS the partition expression;
+    if that expression doesn't resolve (renamed column, typo), insert must
+    surface the error instead of silently filing rows under the bare root."""
+    spec = PartitionSpec(fields=[PartitionField("d", "no_such_column")])
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec)
+    ok_rows = [{"_partition": "d=x", "v": 1}]
+    t.insert(ok_rows)  # fully precomputed: expression never needed
+    assert [m.partition() for m in t.snapshot().alive_files()] == ["d=x"]
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        t.insert([{"_partition": "d=x", "v": 1}, {"_partition": None, "v": 2}])
