@@ -29,6 +29,7 @@ from .log import (
 )
 from .mv import DoubleWriter
 from .session import get_spark
+from .catalog import IceCatalog
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "FileMarker",
     "get_spark",
     "IceLogIO",
+    "IceCatalog",
     "IceTable",
     "LogMetadata",
     "LogState",

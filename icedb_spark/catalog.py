@@ -1,0 +1,59 @@
+"""Multi-table registry: cross-table Spark SQL over MVCC-consistent
+snapshots.
+
+The reference is strictly single-table (one ``IceDBv3`` instance per table);
+real analytics joins lakehouse tables. ``IceCatalog`` holds named
+:class:`~icedb_spark.table.IceTable` instances and registers each table's
+snapshot as a temp view for one query — with ``at_ms`` applying the SAME
+timestamp to every table, so a cross-table join is evaluated against one
+consistent point in history (each table's log is folded independently, but
+both folds stop at the same wall-clock instant).
+
+Scale note: registration is pure driver-side metadata (each ``read()`` is a
+file-list fold, no data touched); the query itself is ordinary Spark SQL —
+broadcast hints, AQE, and all Catalyst optimizations apply across the views.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import IceTable
+
+
+class IceCatalog:
+    """Named collection of IceTables sharing one SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, IceTable] = {}
+
+    def add(self, name: str, table: IceTable) -> "IceCatalog":
+        if not name.isidentifier():
+            raise ValueError(f"table name {name!r} is not a valid identifier")
+        if table.spark is not self.spark:
+            raise ValueError("table belongs to a different SparkSession")
+        self._tables[name] = table
+        return self
+
+    def remove(self, name: str) -> None:
+        self._tables.pop(name, None)
+
+    def table(self, name: str) -> IceTable:
+        return self._tables[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def sql(self, query: str, at_ms: Optional[int] = None) -> DataFrame:
+        """Run Spark SQL with every registered table visible as a view.
+
+        ``at_ms`` time-travels ALL tables to the same instant — the
+        cross-table analog of ``IceTable.read(at_ms=...)``; a join of two
+        tables at T sees exactly the commits each table had at T.
+        """
+        for name, table in self._tables.items():
+            table.read(at_ms=at_ms).createOrReplaceTempView(name)
+        return self.spark.sql(query)

@@ -1,0 +1,62 @@
+"""Cross-table SQL over MVCC-consistent snapshots (IceCatalog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+from icedb_spark.log import get_log_file_info
+
+
+def _mk(spark, path):
+    return IceTable(
+        spark,
+        str(path),
+        partition_spec=PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        sort_order=["k"],
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    users = _mk(spark, tmp_path / "users")
+    orders = _mk(spark, tmp_path / "orders")
+    users.insert([{"bucket": "b", "k": i, "name": f"u{i}"} for i in range(5)])
+    orders.insert(
+        [{"bucket": "b", "k": i % 5, "amount": float(i)} for i in range(20)]
+    )
+    return IceCatalog(spark).add("users", users).add("orders", orders)
+
+
+def test_cross_table_join(cat):
+    out = cat.sql(
+        "select u.name, sum(o.amount) as total from users u "
+        "join orders o on u.k = o.k group by u.name order by u.name"
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["name"] == "u0"
+    # k=0 matches orders 0,5,10,15 -> 30.0
+    assert out[0]["total"] == 30.0
+
+
+def test_consistent_time_travel_across_tables(cat, spark):
+    users, orders = cat.table("users"), cat.table("orders")
+    t0 = get_log_file_info(orders.snapshot().log_files[-1])[0]
+    # later commits to BOTH tables
+    users.insert([{"bucket": "b", "k": 99, "name": "u99"}])
+    orders.insert([{"bucket": "b", "k": 99, "amount": 1000.0}])
+    now_total = cat.sql(
+        "select count(*) as c from users u join orders o on u.k = o.k"
+    ).collect()[0]["c"]
+    past_total = cat.sql(
+        "select count(*) as c from users u join orders o on u.k = o.k",
+        at_ms=t0,
+    ).collect()[0]["c"]
+    assert now_total == 21  # 20 original matches + the new pair
+    assert past_total == 20  # neither table's later commit visible at t0
+
+
+def test_add_validation(cat, spark, tmp_path):
+    with pytest.raises(ValueError):
+        cat.add("not a name", _mk(spark, tmp_path / "x"))
+    assert cat.names() == ["orders", "users"]
