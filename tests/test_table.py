@@ -731,3 +731,42 @@ def test_partition_fallback_raises_when_needed_but_broken(spark, tmp_path):
 
     with pytest.raises(pyspark.errors.AnalysisException):
         t.insert([{"_partition": "d=x", "v": 1}, {"_partition": None, "v": 2}])
+
+
+def test_maintenance_reuses_snapshot_log_fetches(spark, tmp_path):
+    """merge/tombstone_cleanup must fold each log object ONCE per pass —
+    the bookkeeping reads come from the snapshot's parsed cache, not a
+    second round of storage GETs (at thousands of logs the re-fetch
+    doubles vacuum request cost)."""
+    spec = PartitionSpec(fields=[PartitionField("b", "bucket")])
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
+                 sort_order=["k"])
+    for i in range(3):
+        t.insert([{"bucket": "b", "k": i, "v": float(i)}])
+
+    gets = {"n": 0}
+    orig = t.log_storage
+
+    class CountingStorage:
+        def __getattr__(self, name):
+            return getattr(orig, name)
+
+        def get(self, key):
+            if key.startswith("_log/"):
+                gets["n"] += 1
+            return orig.get(key)
+
+    t.log_storage = CountingStorage()
+
+    n_logs = len(t.snapshot().log_files)
+    gets["n"] = 0
+    assert t.merge() is not None
+    # merge = one snapshot fold (n_logs GETs) + bookkeeping from cache
+    assert gets["n"] == n_logs, f"merge re-fetched logs: {gets['n']} vs {n_logs}"
+
+    n_logs2 = len(t.snapshot().log_files)
+    gets["n"] = 0
+    t.tombstone_cleanup(0)
+    assert gets["n"] == n_logs2, (
+        f"vacuum re-fetched logs: {gets['n']} vs {n_logs2}"
+    )
