@@ -771,6 +771,46 @@ class IceTable:
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
+    # ------------------------------------------------------- observability
+
+    def history(self) -> list[dict]:
+        """Commit history, newest first: one entry per log file with its
+        timestamp, kind, and the file/tombstone counts it introduced. Pure
+        metadata (one snapshot fold), the DESCRIBE-HISTORY analog readers
+        use to pick time-travel points."""
+        state = self.snapshot(keep_parsed=True)
+        out = []
+        for key, (meta, _sch, fms, tmbs) in self._log_contents(state):
+            ts, merged = get_log_file_info(key)
+            out.append(
+                {
+                    "log_file": key,
+                    "timestamp_ms": ts,
+                    "kind": "merge" if merged else "insert",
+                    "n_file_markers": len(fms),
+                    "n_alive_markers": sum(1 for m in fms if m.alive),
+                    "n_log_tombstones": len(tmbs),
+                    "schema_columns": len(meta and _sch.columns() or {}),
+                }
+            )
+        out.sort(key=lambda d: d["log_file"], reverse=True)
+        return out
+
+    def stats(self, at_ms: Optional[int] = None) -> dict:
+        """Table-level summary from pure metadata: alive/total file counts,
+        bytes, row-partition spread — no data I/O, O(markers)."""
+        state = self.snapshot(at_ms)
+        alive = state.alive_files()
+        parts = {m.partition() for m in alive}
+        return {
+            "alive_files": len(alive),
+            "tombstoned_files": len(state.file_markers) - len(alive),
+            "alive_bytes": sum(m.file_bytes for m in alive),
+            "partitions": len(parts),
+            "log_files": len(state.log_files),
+            "columns": len(state.schema.columns()),
+        }
+
     def alive_files_in_range(
         self, field: str, start: str, end: str, at_ms: Optional[int] = None
     ) -> list[str]:

@@ -770,3 +770,32 @@ def test_maintenance_reuses_snapshot_log_fetches(spark, tmp_path):
     assert gets["n"] == n_logs2, (
         f"vacuum re-fetched logs: {gets['n']} vs {n_logs2}"
     )
+
+
+def test_history_and_stats(spark, tmp_path):
+    spec = PartitionSpec(fields=[PartitionField("b", "bucket")])
+    t = IceTable(spark, str(tmp_path / "tbl"), partition_spec=spec,
+                 sort_order=["k"])
+    t.insert([{"bucket": "b1", "k": 1, "v": 1.0}])
+    t.insert([{"bucket": "b2", "k": 2, "v": 2.0}])
+    h = t.history()
+    assert len(h) == 2
+    assert all(e["kind"] == "insert" and e["n_file_markers"] == 1 for e in h)
+    assert h[0]["timestamp_ms"] >= h[1]["timestamp_ms"]  # newest first
+
+    s = t.stats()
+    assert s["alive_files"] == 2 and s["tombstoned_files"] == 0
+    assert s["partitions"] == 2 and s["log_files"] == 2
+    assert s["alive_bytes"] > 0 and s["columns"] == 3
+
+    t.insert([{"bucket": "b1", "k": 3, "v": 3.0}])
+    assert t.merge() is not None
+    h2 = t.history()
+    assert h2[0]["kind"] == "merge"
+    s2 = t.stats()
+    assert s2["tombstoned_files"] == 2  # the two merged b1 files
+    # time travel: stats at the pre-merge instant see the old layout
+    from icedb_spark.log import get_log_file_info
+    pre_merge_ts = h[0]["timestamp_ms"]
+    s_past = t.stats(at_ms=pre_merge_ts)
+    assert s_past["alive_files"] == 2 and s_past["tombstoned_files"] == 0
