@@ -587,3 +587,56 @@ def test_parse_image_header_jpeg_fill_bytes():
     # double fill run
     blob2 = b"\xff\xd8" + b"\xff\xff" + sof
     assert parse_image_header(blob2) == ("jpeg", 640, 480)
+
+
+def test_pack_sequences_property_invariants(spark):
+    """Hypothesis over arbitrary corpora: every doc placed exactly once,
+    offsets within budget, and per-shard starts form an exact cumsum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import pack_sequences
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_docs=st.integers(min_value=1, max_value=40),
+        budget=st.sampled_from([7, 64, 1000]),
+        shards=st.sampled_from([1, 3]),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def check(n_docs, budget, shards, seed):
+        rows = [
+            {"doc_id": i, "text": "w " * (((i * 7919 + seed) % 30) + 1)}
+            for i in range(n_docs)
+        ]
+        out = pack_sequences(
+            spark.createDataFrame(rows), token_budget=budget, n_shards=shards
+        ).collect()
+        assert len(out) == n_docs
+        per: dict[int, dict] = {}
+        for r in out:
+            assert 0 <= r["seq_offset"] < budget
+            start = r["seq_idx"] * budget + r["seq_offset"]
+            s = per.setdefault(r["shard"], {"sum": 0, "max_end": 0, "starts": []})
+            s["sum"] += r["n_tokens"]
+            s["max_end"] = max(s["max_end"], start + r["n_tokens"])
+            s["starts"].append((start, r["n_tokens"]))
+        for s in per.values():
+            assert s["sum"] == s["max_end"]
+            # starts, sorted, are the exact running sum of token counts
+            acc = 0
+            for start, n in sorted(s["starts"]):
+                assert start == acc
+                acc += n
+
+    check()
+
+
+def test_decontaminate_empty_benchmark(spark):
+    from icedb_spark.operators import decontaminate
+
+    corpus = spark.createDataFrame([{"doc_id": 1, "text": "a b c d"}])
+    bench = corpus.where("doc_id < 0")  # empty
+    out = decontaminate(corpus, bench, n=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_shared_shingles"] == 0 and out[0]["contaminated"] is False
