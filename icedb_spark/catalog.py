@@ -16,11 +16,20 @@ broadcast hints, AQE, and all Catalyst optimizations apply across the views.
 
 from __future__ import annotations
 
+import re
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .table import IceTable
+
+# temp views are session-global: registration and the query that reads them
+# must not interleave with another sql() call's registration, or a join
+# could mix snapshots from two different at_ms instants (spark.sql analyzes
+# eagerly, so holding the lock across register+sql is sufficient — same
+# contract as table._VIEW_LOCK)
+_CATALOG_LOCK = threading.Lock()
 
 
 class IceCatalog:
@@ -40,6 +49,12 @@ class IceCatalog:
 
     def remove(self, name: str) -> None:
         self._tables.pop(name, None)
+        # drop any view a previous sql() registered — a stale frozen
+        # snapshot answering for a removed table is silent wrong data
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
 
     def table(self, name: str) -> IceTable:
         return self._tables[name]
@@ -48,12 +63,20 @@ class IceCatalog:
         return sorted(self._tables)
 
     def sql(self, query: str, at_ms: Optional[int] = None) -> DataFrame:
-        """Run Spark SQL with every registered table visible as a view.
+        """Run Spark SQL with the registered tables visible as views.
 
         ``at_ms`` time-travels ALL tables to the same instant — the
         cross-table analog of ``IceTable.read(at_ms=...)``; a join of two
         tables at T sees exactly the commits each table had at T.
+
+        Only tables whose name appears in the query are folded and
+        registered (word-boundary match — a name inside a string literal
+        registers harmlessly): with many registered tables, each holding
+        thousands of log files, folding all of them for a one-table query
+        would dominate the driver's planning time.
         """
-        for name, table in self._tables.items():
-            table.read(at_ms=at_ms).createOrReplaceTempView(name)
-        return self.spark.sql(query)
+        with _CATALOG_LOCK:
+            for name, table in self._tables.items():
+                if re.search(rf"\b{re.escape(name)}\b", query):
+                    table.read(at_ms=at_ms).createOrReplaceTempView(name)
+            return self.spark.sql(query)

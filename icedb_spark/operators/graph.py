@@ -170,8 +170,6 @@ def dedup_clusters(
     the non-keepers to dedup). Documents in no pair are untouched by
     definition and are not emitted.
     """
-    from pyspark import StorageLevel
-
     comp = connected_components(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     out = (

@@ -95,16 +95,17 @@ def stream_insert(
         # segment contains '-')
         sid = hashlib.md5(sid.encode()).hexdigest()[:8]
     # markers go through the table's Storage so URI roots (s3://, file://)
-    # work — os.path on a URI would write junk local directories; a
-    # pre-sid-scoping layout put markers flat under _stream_batches/, so
-    # that location is still consulted (read-only) for upgraded streams
+    # work — os.path on a URI would write junk local directories. The layout
+    # is sid-scoped ONLY: a flat pre-sid marker carries no stream identity,
+    # so honoring it would let any new stream (fresh checkpoint, batch ids
+    # restarting at 0) silently dedup-drop its own first batches against a
+    # different stream's history — the exact collision sid-scoping exists
+    # to prevent. The authoritative replay check is the in-log commit tag.
     def _marker_key(batch_id: int) -> str:
         return f"_stream_batches/{sid}/{batch_id}"
 
     def _marker_exists(batch_id: int) -> bool:
-        return table.storage.exists(_marker_key(batch_id)) or table.storage.exists(
-            f"_stream_batches/{batch_id}"
-        )
+        return table.storage.exists(_marker_key(batch_id))
 
     # committed-tag cache: seeded from ONE log listing per (re)start, then
     # maintained locally — the hot path of a fresh batch never lists

@@ -780,7 +780,7 @@ class IceTable:
         use to pick time-travel points."""
         state = self.snapshot(keep_parsed=True)
         out = []
-        for key, (meta, _sch, fms, tmbs) in self._log_contents(state):
+        for key, (_meta, _sch, fms, tmbs) in self._log_contents(state):
             ts, merged = get_log_file_info(key)
             out.append(
                 {
@@ -790,7 +790,7 @@ class IceTable:
                     "n_file_markers": len(fms),
                     "n_alive_markers": sum(1 for m in fms if m.alive),
                     "n_log_tombstones": len(tmbs),
-                    "schema_columns": len(meta and _sch.columns() or {}),
+                    "schema_columns": len(_sch.columns()),
                 }
             )
         out.sort(key=lambda d: d["log_file"], reverse=True)

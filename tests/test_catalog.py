@@ -60,3 +60,32 @@ def test_add_validation(cat, spark, tmp_path):
     with pytest.raises(ValueError):
         cat.add("not a name", _mk(spark, tmp_path / "x"))
     assert cat.names() == ["orders", "users"]
+
+
+def test_remove_drops_stale_view(cat, spark):
+    cat.sql("select count(*) as c from users").collect()
+    cat.remove("users")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        spark.sql("select count(*) from users").collect()
+
+
+def test_sql_only_folds_referenced_tables(cat, spark):
+    """A query naming one table must not fold (or re-register) the others."""
+    users = cat.table("users")
+    gets = {"n": 0}
+    orig = users.log_storage
+
+    class Counting:
+        def __getattr__(self, name):
+            return getattr(orig, name)
+
+        def get(self, key):
+            gets["n"] += 1
+            return orig.get(key)
+
+    users.log_storage = Counting()
+    out = cat.sql("select count(*) as c from orders").collect()
+    assert out[0]["c"] == 20
+    assert gets["n"] == 0  # users' log untouched by an orders-only query
