@@ -101,6 +101,14 @@ def main():
             for q in results
             if prev_queries.get(q)
         }
+        if prev_name == "r01":
+            out["delta_note"] = (
+                "sf0.1 testdata was regenerated between r1 and r2 with 5x "
+                "events (20k->100k) and 2.5x documents (2k->5k); r1 recorded "
+                "no row counts, so these wall-clock ratios conflate data "
+                "growth with code changes — compare per-row using the "
+                "'rows' field from r2 onward"
+            )
     print(json.dumps(out))
 
 
