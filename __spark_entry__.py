@@ -28,6 +28,7 @@ from icedb_spark.operators import (
     decontaminate,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_multiprobe,
     doc_fingerprint,
     embedding_dup_pairs,
     exact_duplicates,
@@ -706,6 +707,18 @@ def s02_cosine_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def s04_cosine_topk_multiprobe(spark, sf_dir):
+    """ANN multi-probe: each query scores its own LSH bucket plus the
+    ``n_probe`` sign-flip buckets of its smallest-|margin| hyperplanes —
+    the standard recall recovery for random-hyperplane LSH (measured ~4-6x
+    s02's single-probe recall at (1+n_probe)x candidate volume). Margins
+    reuse the md5-derived plane dots, so the exact probe set is
+    oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_multiprobe(emb, queries, dim=64, k=5, n_planes=6, n_probe=4)
 
 
 def s03_cosine_topk_ivf(spark, sf_dir):
@@ -1589,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d08_simhash_band16": d08_simhash_band16,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "m01_media_features": m01_media_features,
         "m02_frame_sample": m02_frame_sample,
         "m03_image_headers": m03_image_headers,
@@ -1923,6 +1937,7 @@ from per_sess group by user_id
         "d07_embedding_dups_lsh": oracles.embedding_dups_lsh_sql(0.4, 64, 6),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
+        "s04_cosine_topk_multiprobe": oracles.cosine_topk_multiprobe_sql(5, 50, 64, 6, 4),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
         "m01_media_features": oracles.media_features_sql(8),
         "m03_image_headers": """

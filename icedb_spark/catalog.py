@@ -22,6 +22,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .log import now_ms
 from .table import IceTable
 
 # temp views are session-global: registration and the query that reads them
@@ -44,17 +45,32 @@ class IceCatalog:
             raise ValueError(f"table name {name!r} is not a valid identifier")
         if table.spark is not self.spark:
             raise ValueError("table belongs to a different SparkSession")
-        self._tables[name] = table
+        # under the lock: a concurrent sql() mid-registration must not see
+        # the name flip tables, and replacing a name must drop the prior
+        # table's frozen view — a stale snapshot answering for the new
+        # table is silent wrong data
+        with _CATALOG_LOCK:
+            replacing = name in self._tables
+            self._tables[name] = table
+            if replacing:
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
         return self
 
     def remove(self, name: str) -> None:
-        self._tables.pop(name, None)
-        # drop any view a previous sql() registered — a stale frozen
-        # snapshot answering for a removed table is silent wrong data
-        try:
-            self.spark.catalog.dropTempView(name)
-        except Exception:
-            pass
+        # same lock as sql(): dropping the view while another thread is
+        # between registration and query would race it into a missing or
+        # stale view
+        with _CATALOG_LOCK:
+            self._tables.pop(name, None)
+            # drop any view a previous sql() registered — a stale frozen
+            # snapshot answering for a removed table is silent wrong data
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
 
     def table(self, name: str) -> IceTable:
         return self._tables[name]
@@ -75,6 +91,13 @@ class IceCatalog:
         thousands of log files, folding all of them for a one-table query
         would dominate the driver's planning time.
         """
+        # Pin ONE instant even when the caller passed none: each read()
+        # lists and folds its table's log independently, so with
+        # at_ms=None a commit landing between two registrations would give
+        # a cross-table join mixing snapshots — the consistency this class
+        # advertises must hold on the default path too.
+        if at_ms is None:
+            at_ms = now_ms()
         with _CATALOG_LOCK:
             for name, table in self._tables.items():
                 if re.search(rf"\b{re.escape(name)}\b", query):

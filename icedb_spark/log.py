@@ -312,23 +312,29 @@ def _default_transient(e: Exception) -> bool:
     Real backends disagree on where the status lives: ``status_code``
     (requests), ``code``, ``status`` (aiohttp), or botocore's
     ``e.response['ResponseMetadata']['HTTPStatusCode']`` — check them all,
-    or the advertised S3 retry never fires for its primary backend."""
+    or the advertised S3 retry never fires for its primary backend.
+
+    S3 throttling/timeout errors (``SlowDown``, ``Throttling``,
+    ``RequestTimeout``...) ship with HTTP 400, so the ``Error.Code`` string
+    must be consulted BEFORE the numeric status — a status-first check
+    would classify them non-transient and never retry exactly the errors
+    retry exists for."""
     code = getattr(e, "status_code", None)
     if code is None:
         code = getattr(e, "code", None)
     if code is None:
         code = getattr(e, "status", None)
-    if code is None:
-        resp = getattr(e, "response", None)  # botocore ClientError shape
-        if isinstance(resp, dict):
+    resp = getattr(e, "response", None)  # botocore ClientError shape
+    if isinstance(resp, dict):
+        err_code = (resp.get("Error") or {}).get("Code")
+        if err_code in ("SlowDown", "Throttling", "ThrottlingException",
+                        "RequestTimeout", "RequestTimeoutException",
+                        "InternalError", "ServiceUnavailable"):
+            return True
+        if code is None:
             code = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
-            if code is None:
-                err_code = (resp.get("Error") or {}).get("Code")
-                if isinstance(err_code, str) and err_code.isdigit():
-                    code = err_code
-                elif err_code in ("SlowDown", "Throttling", "RequestTimeout",
-                                  "InternalError", "ServiceUnavailable"):
-                    return True
+            if code is None and isinstance(err_code, str) and err_code.isdigit():
+                code = err_code
     if code is not None:
         try:
             code = int(code)

@@ -36,7 +36,12 @@ from .sampling import (
 )
 from .decontam import decontaminate, shingle_set
 from .packing import pack_sequences
-from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
+from .similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    cosine_topk_multiprobe,
+)
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join, sessionize
 from .text import (
@@ -66,6 +71,7 @@ __all__ = [
     "connected_components",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_multiprobe",
     "dedup_clusters",
     "extract_features",
     "sample_frames",

@@ -290,6 +290,75 @@ where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
 """
 
 
+def cosine_topk_multiprobe_sql(
+    k: int = 5,
+    query_mod: int = 50,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_probe: int = 3,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.similarity.cosine_topk_multiprobe``
+    bit-for-bit: same md5-derived plane dots as
+    :func:`cosine_topk_lsh_sql`, plus the probe set — the query's own
+    bucket and the ``n_probe`` sign-flip buckets of its smallest-|margin|
+    planes (margin rounded to 6 decimals, plane-index tiebreak, identical
+    to the Spark side's struct sort)."""
+    from .operators.similarity import _hyperplane
+
+    def plane_dot(p: int) -> str:
+        lit = "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(dim, p)
+        ) + "]"
+        return (
+            f"list_reduce(list_prepend(cast(0.0 as double), "
+            f"list_transform(range(1, {dim + 1}), i -> dv[i] * ({lit}::double[])[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    dcols = ", ".join(f"{plane_dot(p)} as d{p}" for p in range(n_planes))
+    base = " + ".join(
+        f"(case when d{p} >= 0 then {1 << p} else 0 end)" for p in range(n_planes)
+    )
+    margins = ", ".join(
+        f"struct_pack(m := round(abs(d{p}), 6), p := {p})" for p in range(n_planes)
+    )
+    return f"""
+with v as (
+  select vec_id, cast(embedding as double[]) as dv from {table}
+), qd as (
+  select vec_id as query_id, dv as qv, {dcols} from v where vec_id % {query_mod} = 0
+), qp as (
+  select query_id, qv, ({base}) as base,
+    list_sort([{margins}]) as margins
+  from qd
+), probes as (
+  select query_id, qv,
+    unnest(list_distinct(list_concat(
+      list_prepend(base,
+        list_transform(margins[1:{n_probe}], s -> xor(base, (1 << s.p)))),
+      case when {n_probe} >= 2
+        then [xor(xor(base, (1 << margins[1].p)), (1 << margins[2].p))]
+        else [] end)))
+      as bucket
+  from qp
+), cd as (
+  select vec_id as neighbor_id, dv as cv, {dcols} from v
+), c as (
+  select neighbor_id, cv, ({base}) as bucket from cd
+), scored as (
+  select query_id, neighbor_id,
+    round(list_cosine_similarity(cv, qv), 6) as cosine
+  from c join probes using (bucket) where query_id <> neighbor_id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
+"""
+
+
 def cosine_topk_ivf_sql(
     k: int = 5,
     query_mod: int = 50,
@@ -534,26 +603,33 @@ def decontaminate_sql(
     n: int = 4,
 ) -> str:
     """Mirrors operators.decontam.decontaminate: distinct shared n-token
-    shingles per corpus doc against the benchmark's shingle set."""
+    shingles per corpus doc against the benchmark's shingle set.
+
+    The filters are applied against the full-width ``{table}`` rows inside
+    dedicated CTEs (never prefixed with an alias), so any boolean
+    expression parses — including ones that don't begin with a bare column
+    name, e.g. ``not (doc_id % 2 = 0)``."""
     return f"""
-with toks as (select doc_id, {TOKENS} as tks from {table}),
+with bench_docs as (select doc_id from {table} where ({bench_filter})),
+corpus_docs as (select doc_id from {table} where ({corpus_filter})),
+toks as (select doc_id, {TOKENS} as tks from {table}),
 sh as (
   select doc_id,
     unnest(list_distinct(list_transform(generate_series(1, len(tks) - {n - 1}),
                          i -> array_to_string(tks[i:i+{n - 1}], ' ')))) as shingle
   from toks
 ),
-bench as (select distinct shingle from sh where {bench_filter}),
+bench as (select distinct shingle from sh join bench_docs using (doc_id)),
 hits as (
   select s.doc_id, cast(count(*) as bigint) as n_shared
   from sh s join bench using (shingle)
-  where s.{corpus_filter}
+  join corpus_docs using (doc_id)
   group by s.doc_id
 )
 select c.doc_id,
   cast(coalesce(h.n_shared, 0) as bigint) as n_shared_shingles,
   coalesce(h.n_shared, 0) > 0 as contaminated
-from (select doc_id from {table} where {corpus_filter}) c
+from corpus_docs c
 left join hits h using (doc_id)
 """
 

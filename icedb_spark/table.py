@@ -31,6 +31,7 @@ import json
 import os
 import threading
 import uuid
+import warnings
 from dataclasses import dataclass
 from typing import Callable, Iterable, Optional, Union
 
@@ -58,6 +59,11 @@ from .types import (
     duckdb_schema_to_spark,
     spark_schema_to_duckdb,
 )
+
+# gc_orphans deletes unreferenced data files by age; below this grace a
+# live writer's not-yet-committed file is at real risk (and driver-vs-store
+# clock skew eats into whatever margin remains)
+MIN_SAFE_GC_GRACE_MS = 60_000
 
 _PART_COL = "__ice_part"
 _SPLIT_COL = "__ice_split"
@@ -1202,7 +1208,23 @@ class IceTable:
         the data prefix — O(files) — by necessity: orphans are exactly the
         files the metadata cannot see. Schedule it like the reference
         schedules vacuum: rarely.
+
+        Clock-skew caveat: ages compare DRIVER ``now_ms()`` against BACKEND
+        mtimes (e.g. S3 ``LastModified``), so driver/object-store skew
+        silently shrinks the effective grace. Keep ``grace_ms`` well above
+        (max write-to-commit latency + plausible skew); values under
+        ``MIN_SAFE_GC_GRACE_MS`` warn, because beside a live writer they
+        can delete an in-flight insert's uncommitted data files.
         """
+        if grace_ms < MIN_SAFE_GC_GRACE_MS:
+            warnings.warn(
+                f"gc_orphans(grace_ms={grace_ms}) is below the safe minimum "
+                f"{MIN_SAFE_GC_GRACE_MS}; beside live writers this can delete "
+                "uncommitted in-flight data files (and driver/object-store "
+                "clock skew shrinks the window further). Use a grace above "
+                "your longest write-to-commit latency plus skew.",
+                stacklevel=2,
+            )
         state = self.snapshot()
         referenced = {m.path for m in state.file_markers}
         cutoff = now_ms() - grace_ms

@@ -89,3 +89,34 @@ def test_sql_only_folds_referenced_tables(cat, spark):
     out = cat.sql("select count(*) as c from orders").collect()
     assert out[0]["c"] == 20
     assert gets["n"] == 0  # users' log untouched by an orders-only query
+
+
+def test_default_instant_is_shared_across_tables(cat, monkeypatch):
+    """at_ms=None must pin ONE wall-clock instant for every registered
+    table — otherwise a commit landing between two registrations yields a
+    join mixing snapshots."""
+    from icedb_spark.table import IceTable
+
+    seen = []
+    orig_read = IceTable.read
+
+    def recording_read(self, *args, **kwargs):
+        seen.append(kwargs.get("at_ms"))
+        return orig_read(self, *args, **kwargs)
+
+    monkeypatch.setattr(IceTable, "read", recording_read)
+    cat.sql("select count(*) as c from users u join orders o on u.k = o.k").collect()
+    assert len(seen) == 2
+    assert all(isinstance(a, int) for a in seen)
+    assert seen[0] == seen[1]
+
+
+def test_add_replacing_name_drops_prior_view(cat, spark, tmp_path):
+    """Re-adding a name must not leave the old table's frozen view
+    answering queries."""
+    cat.sql("select count(*) as c from users").collect()
+    fresh = _mk(spark, tmp_path / "users2")
+    fresh.insert([{"bucket": "b", "k": 1, "name": "only"}])
+    cat.add("users", fresh)
+    out = cat.sql("select count(*) as c from users").collect()
+    assert out[0]["c"] == 1

@@ -101,3 +101,14 @@ def test_gc_collects_crashed_writer_tmp_file(table):
     deleted, kept = table.gc_orphans(grace_ms=0)
     assert tmp_key in deleted and kept == []
     assert not table.storage.exists(tmp_key)
+
+
+def test_gc_warns_below_min_safe_grace(table):
+    """A grace below MIN_SAFE_GC_GRACE_MS risks deleting a live writer's
+    uncommitted files (clock skew shrinks it further) — must warn."""
+    from icedb_spark.table import MIN_SAFE_GC_GRACE_MS
+
+    with pytest.warns(UserWarning, match="safe minimum"):
+        table.gc_orphans(grace_ms=0)
+    with pytest.warns(UserWarning):
+        table.gc_orphans(grace_ms=MIN_SAFE_GC_GRACE_MS - 1)

@@ -150,3 +150,13 @@ def test_transient_classifier_recognizes_botocore_shape():
 
     assert _default_transient(Aiohttp())
     assert not _default_transient(ValueError("nope"))
+
+    # S3 throttling/timeout errors arrive as HTTP 400 + a throttling
+    # Error.Code — the string must win over the numeric status, or the
+    # primary throttling path never retries
+    assert _default_transient(FakeClientError(status=400, code="SlowDown"))
+    assert _default_transient(FakeClientError(status=400, code="Throttling"))
+    assert _default_transient(FakeClientError(status=400, code="RequestTimeout"))
+    assert _default_transient(FakeClientError(status=500, code="InternalError"))
+    assert not _default_transient(FakeClientError(status=400, code="AccessDenied"))
+    assert not _default_transient(FakeClientError(status=403, code="InvalidToken"))

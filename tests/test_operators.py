@@ -188,6 +188,48 @@ def test_cosine_topk_lsh_bucketing(spark, emb):
         assert abs(top[q][1] - 1.0) < 1e-6
 
 
+def test_cosine_topk_multiprobe_recall_superset(spark, emb):
+    """Multi-probe must (a) return the same schema as single-probe, (b) never
+    miss a neighbor single-probe found (its probe set contains the base
+    bucket), and (c) find strictly more of the exact top-k here, where
+    single-probe recall is known-poor."""
+    from icedb_spark.operators import cosine_topk_multiprobe
+
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    exact, single, multi = {}, {}, {}
+    for tgt, fn in (
+        (exact, lambda: cosine_topk(emb, queries, k=5)),
+        (single, lambda: cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=6)),
+        (
+            multi,
+            lambda: cosine_topk_multiprobe(
+                emb, queries, dim=64, k=5, n_planes=6, n_probe=4
+            ),
+        ),
+    ):
+        for r in fn().collect():
+            tgt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi > r_single
+    # The candidate pool only grows (base bucket is always probed), and any
+    # pooled exact-top-k member outranks every non-member, so single-probe's
+    # TRUE hits are a subset of multi-probe's true hits.
+    for q in exact:
+        assert (single.get(q, set()) & exact[q]) <= (multi.get(q, set()) & exact[q])
+
+
+def test_cosine_topk_multiprobe_validates_n_probe(spark, emb):
+    from icedb_spark.operators import cosine_topk_multiprobe
+
+    with pytest.raises(ValueError):
+        cosine_topk_multiprobe(emb, emb.limit(1), dim=64, n_planes=6, n_probe=7)
+
+
 def test_multimodal_features(spark):
     media = synthetic_media(spark, 32)
     feats = extract_features(media, dim=8)
@@ -640,3 +682,27 @@ def test_decontaminate_empty_benchmark(spark):
     out = decontaminate(corpus, bench, n=2).collect()
     assert len(out) == 1
     assert out[0]["n_shared_shingles"] == 0 and out[0]["contaminated"] is False
+
+
+def test_decontaminate_oracle_accepts_arbitrary_boolean_filters():
+    """The DuckDB oracle must parse filters that don't start with a bare
+    column name — e.g. ``not (doc_id % 2 = 0)`` — because the filter is a
+    full boolean expression, not a column predicate."""
+    import duckdb
+
+    from icedb_spark import oracles
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    sql = oracles.decontaminate_sql(
+        bench_filter="not (doc_id % 2 = 0)",
+        corpus_filter="(doc_id % 2 = 0) and length(text) > 0",
+    )
+    rows = con.execute(sql).fetchall()
+    assert len(rows) > 0
+    # the default filters must keep producing the same gate-checked shape
+    default_rows = con.execute(oracles.decontaminate_sql()).fetchall()
+    assert len(default_rows) > 0
