@@ -1026,6 +1026,42 @@ def ice17_stats_pruning(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice19_auto_prune(spark, sf_dir):
+    """Predicate-derived pruning (beyond reference): ``IceTable.sql`` parses
+    the query's own WHERE clause into the explicit-hint kinds — identity-
+    partition equality → partition pruning, literal ranges → zone maps,
+    equality → Bloom — so the user writes plain SQL and still opens only
+    the files that can match (v2's range-pruned ``get_files`` macro,
+    /root/reference/examples/segment-webhook-sink.py:84-90, without the
+    hand-written macro). The derivation must provably fire (asserted via
+    the derived file list) and the pruned answer must equal the oracle's
+    plain filtered aggregate."""
+    from icedb_spark.pruning import derive_scan_hints
+
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("et", "event_type")]),
+        sort_order=["event_id"],
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev)
+        q = (
+            "select event_type, count(*) as cnt, "
+            "round(sum(value), 2) as sum_value from ice "
+            f"where event_type = 'click' and event_id between 0 and {m // 2} "
+            "group by event_type"
+        )
+        hints = derive_scan_hints(q, "ice", t._identity_partition_cols())
+        assert hints.get("partition_values") == {"et": "click"}, hints
+        total, kept = len(t.files_for()), len(t.files_for(**hints))
+        assert 0 < kept < total, "auto-derived hints must skip files"
+        return t.sql(q).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice18_bloom_pruning(spark, sf_dir):
     """Per-file Bloom filters (beyond reference): writes capture a bitset of
     each file's distinct ``user_id`` values into the log marker (reserved
@@ -1622,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "ice18_bloom_pruning": ice18_bloom_pruning,
+        "ice19_auto_prune": ice19_auto_prune,
         "q05_topk": q05_topk,
         "q25_conditional_agg": q25_conditional_agg,
         "d09_dedup_clusters": d09_dedup_clusters,
@@ -2112,5 +2149,12 @@ from events where event_id % 40 = 0 group by 1
         # bloom-pruned point lookup ≡ plain equality (pruning must be invisible)
         "ice18_bloom_pruning": ev_agg.format(
             where=" where user_id = (select max(user_id) from events)"
+        ),
+        # WHERE-derived pruning ≡ the same plain filtered aggregate
+        "ice19_auto_prune": ev_agg.format(
+            where=(
+                " where event_type = 'click' and event_id between 0"
+                " and (select max(event_id) // 2 from events)"
+            )
         ),
     }

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import uuid
 import warnings
@@ -55,6 +56,7 @@ from .log import (
     unique_ms,
     partition_from_path,
 )
+from .pruning import derive_scan_hints
 from .types import (
     duckdb_schema_to_spark,
     spark_schema_to_duckdb,
@@ -772,8 +774,50 @@ class IceTable:
         paths = [self.storage.absolute(m.path) for m in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def sql(self, query: str, view: str = "ice", **read_kwargs) -> DataFrame:
-        """Run Spark SQL with the snapshot registered as a temp view."""
+    def _identity_partition_cols(self) -> dict[str, str]:
+        """data column → partition field name, for fields whose expression
+        is the bare column (the only transform a literal predicate can be
+        pushed through without evaluating it)."""
+        spec = self.partition_spec
+        if spec is None or spec.fields is None:
+            return {}
+        out = {}
+        for f in spec.fields:
+            expr = f.expr.strip()
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+                out[expr] = f.name
+        return out
+
+    def sql(
+        self,
+        query: str,
+        view: str = "ice",
+        auto_prune: bool = True,
+        **read_kwargs,
+    ) -> DataFrame:
+        """Run Spark SQL with the snapshot registered as a temp view.
+
+        With ``auto_prune`` (default), simple conjunctive predicates in the
+        query's WHERE clause are parsed into the same pruning hints
+        ``read`` takes explicitly — identity-partition equality/IN/string
+        ranges → partition pruning, literal ranges → zone-map skipping,
+        literal equality → Bloom skipping — so a query like
+        ``WHERE d = '2024-01-02' AND v BETWEEN 10 AND 20`` opens only the
+        files that can match, with no hint kwargs (reference analog: v2's
+        range-pruned ``get_files`` macro,
+        /root/reference/examples/segment-webhook-sink.py:84-90). The
+        derivation is conservative (see :mod:`icedb_spark.pruning`):
+        anything it cannot prove prunes nothing, and Catalyst still applies
+        the full predicate to every kept file's rows. Passing any explicit
+        hint kwarg disables the auto-derivation.
+        """
+        if auto_prune and not any(
+            k in read_kwargs
+            for k in ("partition_values", "column_ranges", "column_equals")
+        ):
+            read_kwargs.update(
+                derive_scan_hints(query, view, self._identity_partition_cols())
+            )
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
