@@ -752,13 +752,15 @@ def m01_media_features(spark, sf_dir):
 
 
 def m03_image_headers(spark, sf_dir):
-    """REAL (non-fake) media decode branch: blobs are well-formed PNG/JPEG
-    container headers synthesized byte-for-byte from doc_id (JVM-side
-    concat/unhex — big-endian dimension fields and all); the operator then
-    parses the ACTUAL bytes with the pure-Python header parser in
-    mapInPandas (operators/multimodal.py parse_image_header). The oracle
-    derives the same dimensions from the generation formula in closed form,
-    so any parsing error breaks the hash match."""
+    """REAL (non-fake) media decode branch: blobs are well-formed
+    PNG/JPEG/BMP/WebP container headers synthesized byte-for-byte from
+    doc_id (JVM-side concat/unhex — correct endianness and packing per
+    format); the operator then parses the ACTUAL bytes with the
+    pure-Python header parser in mapInPandas (operators/multimodal.py
+    parse_image_header: PNG IHDR big-endian, JPEG SOF0, BMP
+    BITMAPINFOHEADER little-endian, WebP VP8L 14-bit packed). The oracle
+    derives the same dimensions from the generation formula in closed
+    form, so any parsing error breaks the hash match."""
     from icedb_spark.operators import decode_image_headers
 
     docs = _t(spark, sf_dir, "documents")
@@ -766,6 +768,12 @@ def m03_image_headers(spark, sf_dir):
     h = (F.col("doc_id") % 384 + 1).cast("bigint")
     be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
     be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    # little-endian from byte arithmetic (hex() emits big-endian only)
+    _byte = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint") % 256), 2, "0"))  # noqa: E731
+    le16 = lambda c: F.concat(_byte(c), _byte(c / 256))  # noqa: E731
+    le32 = lambda c: F.concat(  # noqa: E731
+        _byte(c), _byte(c / 256), _byte(c / 65536), _byte(c / 16777216)
+    )
     png = F.concat(
         F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452")),  # sig+len+IHDR
         be32(w),
@@ -778,9 +786,25 @@ def m03_image_headers(spark, sf_dir):
         be16(w),
         F.lit(bytes.fromhex("01011100")),  # 1 component spec
     )
+    bmp = F.concat(
+        # "BM" + filesize/reserved/offset (unchecked) + DIB size 40 (LE)
+        F.lit(b"BM" + b"\x00" * 12 + b"\x28\x00\x00\x00"),
+        le16(w), F.lit(b"\x00\x00"),   # width  i32le
+        le16(h), F.lit(b"\x00\x00"),   # height i32le
+    )
+    webp = F.concat(
+        # RIFF header + VP8L chunk: 0x2F signature then u32le of
+        # (w-1) | (h-1)<<14 — the lossless 14-bit packed dimension field
+        F.lit(b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4 + b"\x2f"),
+        le32((w - 1) + (h - 1) * 16384),
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpg).alias("content"),
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, jpg)
+        .when(F.col("doc_id") % 4 == 2, bmp)
+        .otherwise(webp)
+        .alias("content"),
     )
     return decode_image_headers(media).select("media_id", "format", "width", "height")
 
@@ -1979,7 +2003,8 @@ from per_sess group by user_id
         "m01_media_features": oracles.media_features_sql(8),
         "m03_image_headers": """
 select doc_id as media_id,
-  case when doc_id % 2 = 0 then 'png' else 'jpeg' end as format,
+  case doc_id % 4 when 0 then 'png' when 1 then 'jpeg'
+                  when 2 then 'bmp' else 'webp' end as format,
   cast(doc_id % 512 + 1 as int) as width,
   cast(doc_id % 384 + 1 as int) as height
 from documents

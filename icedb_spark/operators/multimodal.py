@@ -7,8 +7,9 @@ deterministic fake because codec libraries (Pillow, ffmpeg, torchaudio...)
 are not available in this environment — drop a real decoder into
 ``decode_fn`` and nothing else changes. Container-HEADER decoding is real:
 :func:`parse_image_header` / :func:`decode_image_headers` parse PNG IHDR,
-JPEG SOFn and GIF screen-descriptor bytes in pure Python (no codec libs
-needed) — a non-fake decode branch with the same mapInPandas plumbing.
+JPEG SOFn, GIF screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes
+in pure Python (no codec libs needed) — a non-fake decode branch with the
+same mapInPandas plumbing.
 
 Scale notes: media blobs never leave the executors; ``mapInPandas`` streams
 Arrow record batches so one task holds only a batch of blobs, not a
@@ -71,9 +72,11 @@ def parse_image_header(blob) -> tuple:
     """REAL pure-Python container-header decode: ``(format, width, height)``
     from raw bytes — PNG IHDR (big-endian u32 pair at offset 16), JPEG SOFn
     scan (height/width u16 at segment offset 5/7), GIF screen descriptor
-    (little-endian u16 pair at offset 6). Unknown/truncated input yields
-    ``(None, None, None)``; a JPEG without a reachable SOF yields
-    ``('jpeg', None, None)``."""
+    (little-endian u16 pair at offset 6), BMP DIB header (core and info
+    variants), and WebP RIFF (lossy VP8 sync-coded dims, lossless VP8L
+    14-bit packed dims, extended VP8X 24-bit canvas). Unknown/truncated
+    input yields ``(None, None, None)``; a recognized container whose
+    dimension bytes are unreachable yields ``(fmt, None, None)``."""
     import struct
 
     b = bytes(blob or b"")
@@ -83,6 +86,34 @@ def parse_image_header(blob) -> tuple:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h
+    if b[:2] == b"BM" and len(b) >= 18:
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib >= 40 and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            # negative height = top-down row order, same pixel extent
+            return "bmp", w, abs(h)
+        if dib == 12 and len(b) >= 22:  # BITMAPCOREHEADER (OS/2)
+            w, h = struct.unpack("<HH", b[18:22])
+            return "bmp", w, h
+        return "bmp", None, None
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        fourcc = b[12:16]
+        if fourcc == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            # lossy: u16le pairs after the frame-tag sync code; high 2 bits
+            # are the scaling hint, not size
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return "webp", w, h
+        if fourcc == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            # lossless: two 14-bit (value-1) fields packed little-endian
+            u = struct.unpack("<I", b[21:25])[0]
+            return "webp", (u & 0x3FFF) + 1, ((u >> 14) & 0x3FFF) + 1
+        if fourcc == b"VP8X" and len(b) >= 30:
+            # extended: 24-bit (canvas-1) little-endian pair at offset 24
+            w = 1 + int.from_bytes(b[24:27], "little")
+            h = 1 + int.from_bytes(b[27:30], "little")
+            return "webp", w, h
+        return "webp", None, None
     if b[:2] == b"\xff\xd8":
         o, n = 2, len(b)
         while o + 4 <= n:

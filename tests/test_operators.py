@@ -372,6 +372,34 @@ def test_parse_image_header_pure_python():
     assert parse_image_header(b"not an image") == (None, None, None)
     assert parse_image_header(None) == (None, None, None)
 
+    # BMP BITMAPINFOHEADER (negative height = top-down, same extent)
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, 1024, 768)
+    assert parse_image_header(bmp) == ("bmp", 1024, 768)
+    bmp_td = b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, 1024, -768)
+    assert parse_image_header(bmp_td) == ("bmp", 1024, 768)
+    # BMP OS/2 BITMAPCOREHEADER (u16 dims)
+    core = b"BM" + b"\x00" * 12 + struct.pack("<IHH", 12, 64, 48)
+    assert parse_image_header(core) == ("bmp", 64, 48)
+    assert parse_image_header(b"BM" + b"\x00" * 12 + struct.pack("<I", 40)) == ("bmp", None, None)
+
+    # WebP lossy VP8: sync code then 14-bit u16le dims
+    vp8 = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8 " + b"\x00" * 4
+           + b"\x00" * 3 + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 550, 368))
+    assert parse_image_header(vp8) == ("webp", 550, 368)
+    # WebP lossless VP8L: 0x2F then (w-1) | (h-1)<<14 packed u32le
+    u = (800 - 1) | ((600 - 1) << 14)
+    vp8l = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
+            + b"\x2f" + struct.pack("<I", u))
+    assert parse_image_header(vp8l) == ("webp", 800, 600)
+    # WebP extended VP8X: 24-bit (canvas-1) LE pair at offset 24
+    vp8x = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X" + b"\x00" * 4
+            + b"\x00" * 4
+            + (1920 - 1).to_bytes(3, "little") + (1080 - 1).to_bytes(3, "little"))
+    assert parse_image_header(vp8x) == ("webp", 1920, 1080)
+    # recognized RIFF/WEBP with an unknown chunk -> format only
+    assert parse_image_header(b"RIFF" + b"\x00" * 4 + b"WEBPXXXX") == ("webp", None, None)
+
 
 def test_decode_image_headers_dataframe(spark):
     from icedb_spark.operators import decode_image_headers
