@@ -163,3 +163,167 @@ def test_fsspec_storage_requires_fsspec():
         pass
     with pytest.raises(ImportError, match="fsspec"):
         storage_for("s3://bucket/table")
+
+
+# ------------------------------------------------- fsspec end-to-end + faults
+#
+# fsspec is not installed in this environment, so these tests register a
+# minimal POSIX-backed stand-in module exposing exactly the fsspec method
+# surface FsspecStorage consumes (pipe_file / cat_file / find / rm_file /
+# info / exists). Every DRIVER-side storage operation — log puts/gets/
+# lists, tombstone + vacuum deletes, orphan listing, mtimes — then flows
+# through the real FsspecStorage retry/fs code on BOTH the log and data
+# slots. (Data-file BYTES are written by executors through pyarrow.fs, by
+# design: Storage objects never carry row data.) A `file://` root keeps
+# `absolute()` URIs Spark-readable.
+
+
+class _Blip(Exception):
+    """503-shaped transient error, as an object store would raise it."""
+
+    status_code = 503
+
+
+class _FakeLocalFS:
+    def __init__(self):
+        import threading
+
+        self.blips_served = 0
+        self._fail_ops = set()  # op names that fail once with a _Blip
+        self._lock = threading.Lock()
+
+    def fail_once(self, op: str) -> None:
+        with self._lock:
+            self._fail_ops.add(op)
+
+    def fail_always(self, op: str) -> None:
+        with self._lock:
+            self._always_fail = getattr(self, "_always_fail", set()) | {op}
+
+    def _maybe_blip(self, op: str) -> None:
+        with self._lock:
+            if op in getattr(self, "_always_fail", ()):
+                self.blips_served += 1
+                raise _Blip()
+            if op in self._fail_ops:
+                self._fail_ops.discard(op)
+                self.blips_served += 1
+                raise _Blip()
+
+    def pipe_file(self, path, data):
+        import os
+
+        self._maybe_blip("pipe_file")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp-fake"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+
+    def cat_file(self, path):
+        self._maybe_blip("cat_file")
+        with open(path, "rb") as f:
+            return f.read()
+
+    def find(self, base, detail=False):
+        import os
+
+        self._maybe_blip("find")
+        out = {}
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out[p] = {"type": "file", "size": st.st_size, "mtime": st.st_mtime}
+        return out if detail else sorted(out)
+
+    def rm_file(self, path):
+        import os
+
+        self._maybe_blip("rm_file")
+        os.remove(path)
+
+    def info(self, path):
+        import os
+
+        st = os.stat(path)  # FileNotFoundError (an OSError) when absent
+        return {"type": "file", "size": st.st_size, "mtime": st.st_mtime}
+
+    def exists(self, path):
+        import os
+
+        return os.path.exists(path)
+
+
+@pytest.fixture()
+def fake_fsspec(monkeypatch):
+    import sys
+    import types
+
+    fs = _FakeLocalFS()
+    mod = types.ModuleType("fsspec")
+    mod.filesystem = lambda protocol, **opts: fs
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    return fs
+
+
+def test_fsspec_lifecycle_both_slots(spark, tmp_path, fake_fsspec):
+    """Full ice02-style lifecycle with FsspecStorage on BOTH slots (separate
+    log and data roots, the reference's split-client layout) including
+    merge, time travel, tombstone vacuum, and orphan GC — with transient
+    faults injected into log PUT, log GET, and vacuum DELETE, all absorbed
+    by the retry layer."""
+    from icedb_spark.log import FsspecStorage
+
+    root = f"file://{tmp_path}/tbl"
+    t = IceTable(spark, root, partition_spec=SPEC, sort_order=["ts"])
+    t.storage = FsspecStorage(root, backoff_s=0.0)
+    t.log_storage = FsspecStorage(f"file://{tmp_path}/tbl_log", backoff_s=0.0)
+
+    fake_fsspec.fail_once("pipe_file")  # first log commit PUT blips
+    t.insert(_rows())
+    t.insert(_rows(base=1686_000_000_100))
+    t.insert(_rows(base=1686_000_000_200))
+    assert fake_fsspec.blips_served == 1
+
+    fake_fsspec.fail_once("cat_file")  # a log read blips mid-fold
+    assert t.read().count() == 12
+    assert fake_fsspec.blips_served == 2
+    t0 = t.snapshot().log_files[-1]
+    from icedb_spark.log import get_log_file_info
+
+    ts0 = get_log_file_info(t0)[0]
+
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        pass
+    assert t.read().count() == 12
+    assert t.read(at_ms=ts0).count() == 12  # time travel through fsspec log
+
+    # orphan GC: a never-committed object on the DATA slot
+    t.storage.put("_data/orphan.parquet", b"garbage")
+    with pytest.warns(UserWarning):
+        deleted, _kept = t.gc_orphans(grace_ms=0)
+    assert deleted == ["_data/orphan.parquet"]
+    assert t.read().count() == 12
+
+    fake_fsspec.fail_once("rm_file")  # a vacuum delete blips
+    logs_gone, data_gone = t.tombstone_cleanup(min_age_ms=0)
+    assert data_gone and logs_gone
+    assert fake_fsspec.blips_served == 3
+    assert t.read().count() == 12
+
+    # both slots really are fsspec-backed and disjoint
+    assert t.log_storage.list("_log") and t.storage.list("_log") == []
+
+
+def test_fsspec_retry_gives_up_on_persistent_fault(tmp_path, fake_fsspec):
+    """The retry budget is finite (3 attempts, matching the reference's
+    policy): a persistent 503 surfaces after exactly `attempts` tries."""
+    from icedb_spark.log import FsspecStorage
+
+    st = FsspecStorage(f"file://{tmp_path}/x", attempts=3, backoff_s=0.0)
+    fake_fsspec.fail_always("pipe_file")
+    with pytest.raises(_Blip):
+        st.put("k", b"v")
+    assert fake_fsspec.blips_served == 3
+    assert not st.exists("k")
