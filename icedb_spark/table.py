@@ -821,6 +821,50 @@ class IceTable:
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
+    def changes(
+        self, since_ms: int, until_ms: Optional[int] = None
+    ) -> DataFrame:
+        """Incremental (CDC-style) read: the rows INSERTED in
+        ``(since_ms, until_ms]`` — the append stream a downstream consumer
+        tails without re-reading the table.
+
+        Log-based, O(window metadata): the changed rows are exactly the
+        file markers introduced by non-merged (insert) commits inside the
+        window. Merge/rewrite commits are excluded — they rewrite EXISTING
+        rows into new files, so including them would re-emit old data; and
+        because data files are immutable, an insert-era file still serves
+        its rows even after a later merge tombstones it (vacuum's
+        ``min_age_ms`` grace is what bounds how far back a consumer may
+        lag, same contract as time travel). Every inserted row appears in
+        exactly one ``(since, until]`` window, so consecutive windows
+        compose into the full append stream.
+
+        Rows are returned under the CURRENT unified schema (columns added
+        later read as NULL for older windows). Typical loop::
+
+            t0 = 0
+            while True:
+                head = table.snapshot().max_timestamp()   # or now_ms()
+                batch = table.changes(t0, head)
+                ...process batch...
+                t0 = head
+        """
+        state = self.snapshot(until_ms, keep_parsed=True)
+        new_paths: list[str] = []
+        for key, (_meta, _sch, fms, _tmbs) in self._log_contents(state):
+            ts, merged = get_log_file_info(key)
+            if merged or ts <= since_ms:
+                continue
+            # an insert commit's markers are exactly the files it created
+            # (alive-filter is belt-and-suspenders: every maintenance op
+            # that tombstones writes merged logs, skipped above)
+            new_paths.extend(m.path for m in fms if m.alive)
+        schema = self.spark_schema(state)
+        if not new_paths:
+            return self.spark.createDataFrame([], schema)
+        paths = [self.storage.absolute(p) for p in sorted(set(new_paths))]
+        return self.spark.read.schema(schema).parquet(*paths)
+
     # ------------------------------------------------------- observability
 
     def history(self) -> list[dict]:

@@ -799,3 +799,70 @@ def test_history_and_stats(spark, tmp_path):
     pre_merge_ts = h[0]["timestamp_ms"]
     s_past = t.stats(at_ms=pre_merge_ts)
     assert s_past["alive_files"] == 2 and s_past["tombstoned_files"] == 0
+
+
+# ------------------------------------------------------- incremental (CDC)
+
+
+def test_changes_returns_only_window_inserts(spark, tmp_path):
+    from icedb_spark import get_log_file_info
+
+    t = make_table(spark, tmp_path)
+    t.insert([{"ts": 1686_000_000_000 + i, "event": "a", "v": i} for i in range(4)])
+    t0 = get_log_file_info(t.snapshot().log_files[-1])[0]
+    t.insert([{"ts": 1686_000_000_100 + i, "event": "b", "v": 100 + i} for i in range(3)])
+    out = t.changes(t0)
+    assert out.count() == 3
+    assert {r["event"] for r in out.collect()} == {"b"}
+    # nothing before the watermark, everything from zero
+    assert t.changes(0).count() == 7
+    head = get_log_file_info(t.snapshot().log_files[-1])[0]
+    assert t.changes(head).count() == 0
+
+
+def test_changes_unaffected_by_compaction(spark, tmp_path):
+    """Merged files rewrite EXISTING rows — they must never re-emit into a
+    change window, and tombstoned insert-era files must still serve
+    theirs."""
+    from icedb_spark import get_log_file_info
+
+    t = make_table(spark, tmp_path)
+    t.insert([{"ts": 1686_000_000_000 + i, "event": "a", "v": i} for i in range(4)])
+    t0 = get_log_file_info(t.snapshot().log_files[-1])[0]
+    t.insert([{"ts": 1686_000_000_100 + i, "event": "b", "v": i} for i in range(3)])
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    out = t.changes(t0)
+    assert out.count() == 3
+    assert {r["event"] for r in out.collect()} == {"b"}
+    # merge commit itself is newer than t0 yet contributes nothing
+    assert t.changes(0).count() == 7
+
+
+def test_changes_windows_compose(spark, tmp_path):
+    """Consecutive (since, until] windows partition the append stream."""
+    from icedb_spark import get_log_file_info
+
+    t = make_table(spark, tmp_path)
+    marks = [0]
+    for b in range(3):
+        t.insert(
+            [{"ts": 1686_000_000_000 + 100 * b + i, "event": f"e{b}", "v": i}
+             for i in range(2)]
+        )
+        marks.append(get_log_file_info(t.snapshot().log_files[-1])[0])
+    seen = []
+    for since, until in zip(marks, marks[1:]):
+        seen += [tuple(r) for r in t.changes(since, until).collect()]
+    full = [tuple(r) for r in t.read().collect()]
+    assert sorted(seen) == sorted(full)
+
+
+def test_changes_uses_current_unified_schema(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert([{"ts": 1686_000_000_000, "event": "a", "v": 1}])
+    t0 = 0
+    t.insert([{"ts": 1686_000_000_001, "event": "b", "v": 2, "extra": "x"}])
+    out = t.changes(t0)
+    assert "extra" in out.columns
+    rows = {r["event"]: r["extra"] for r in out.collect()}
+    assert rows == {"a": None, "b": "x"}
