@@ -148,3 +148,38 @@ def test_decontaminate_broadcasts_benchmark_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_multiprobe_lsh_plans_broadcast_equi_join(spark, sf_dir):
+    """s04 must plan as a bucketed equi-join with the (probe-exploded)
+    query side broadcast — never a cartesian/nested-loop pair scan."""
+    from icedb_spark.operators import cosine_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    df = cosine_topk_multiprobe(emb, queries, dim=64, k=5, n_planes=6, n_probe=4)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_pruned_sql_scans_fewer_files(spark, tmp_path):
+    """sql() with a WHERE-derived partition hint must hand Spark a smaller
+    file list than the unpruned scan — visible in inputFiles()."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "prune_tbl"),
+        partition_spec=PartitionSpec(fields=[PartitionField("d", "d")]),
+        sort_order=["v"],
+    )
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        t.insert([{"d": day, "v": i} for i in range(5)])
+    q = "select * from ice where d = '2024-01-02'"
+    pruned = t.sql(q)
+    unpruned = t.sql(q, auto_prune=False)
+    assert len(pruned.inputFiles()) == 1
+    assert len(unpruned.inputFiles()) == 3
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, unpruned.collect()))
