@@ -18,7 +18,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .graph import connected_components, dedup_clusters
+from .graph import connected_components, dedup_clusters, pick_canonical
 from .multimodal import (
     HEADER_SCHEMA,
     MEDIA_SCHEMA,
@@ -46,6 +46,7 @@ from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join, sessionize
 from .text import (
     PII_PATTERNS,
+    chunk_documents,
     doc_fingerprint,
     language_id,
     ngram_col,
@@ -73,6 +74,8 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_multiprobe",
     "dedup_clusters",
+    "pick_canonical",
+    "chunk_documents",
     "extract_features",
     "sample_frames",
     "synthetic_media",

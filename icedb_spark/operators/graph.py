@@ -48,7 +48,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pick_canonical"]
 
 
 def connected_components(
@@ -190,3 +190,39 @@ def dedup_clusters(
     out.count()
     comp.unpersist()
     return out
+
+
+def pick_canonical(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware keep-one selection: for each transitive duplicate
+    cluster, keep the member with the highest ``score_col`` (ties break to
+    the lowest id) — the policy real training-data pipelines want, where
+    the SURVIVOR of a dup cluster should be its best-quality copy, not an
+    arbitrary one. ``dedup_clusters``' own ``is_keeper`` (min-id) is the
+    score-free special case.
+
+    Output: ``(doc_id, cluster_id, cluster_size, score, is_keeper)`` — one
+    row per document that appears in some pair. Scale shape: the cluster
+    table is O(docs-in-pairs) — tiny relative to the corpus — so the
+    per-cluster ``row_number`` window shuffles only that; the corpus-sized
+    work stays inside the pair detector.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs, id_a, id_b).drop("is_keeper")
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("score")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return joined.withColumn("is_keeper", F.row_number().over(w) == 1)

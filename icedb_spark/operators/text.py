@@ -261,3 +261,55 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(norm).alias("fingerprint_md5"),
         rolling.alias("fingerprint_rolling"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the standard pre-tokenize
+    windowing step for long documents (context-window prep, embedding
+    input, retrieval passages).
+
+    Chunk ``i`` covers characters ``[i*step, i*step + size)`` with
+    ``step = size - overlap``; every document yields at least one chunk
+    (empty/NULL text included, as one empty chunk). Purely row-local
+    (sequence + explode + substring — no shuffle, no UDF); output carries
+    ``md5`` of each chunk rather than the text so downstream exact-dedup of
+    chunks is a ready-made groupBy.
+
+    Output: ``(doc_id, chunk_idx, chunk_len, chunk_hash)``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"need 0 <= overlap < size; got size={size} overlap={overlap}"
+        )
+    step = size - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(float(step))),
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring(_t, chunk_idx * {step} + 1, {size})").alias(
+                "_c"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.length("_c").cast("int").alias("chunk_len"),
+            F.md5(F.col("_c").cast("binary")).alias("chunk_hash"),
+        )
+    )

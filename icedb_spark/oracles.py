@@ -780,3 +780,47 @@ select c.doc_id, c.cluster_id, s.cluster_size,
   c.doc_id = c.cluster_id as is_keeper
 from comp c join sizes s using (cluster_id)
 """
+
+
+def pick_canonical_sql(pairs_sql: str, quality_sql: str | None = None) -> str:
+    """Mirror of operators.graph.pick_canonical: per transitive dup cluster
+    keep the highest-quality member (ties → lowest doc_id). Reuses the
+    recursive-CTE components oracle and the text-quality oracle."""
+    q = quality_sql or text_quality_sql()
+    return f"""
+with clusters as (
+  select doc_id, cluster_id, cluster_size from ({dedup_clusters_sql(pairs_sql)})
+), q as ({q}),
+scored as (
+  select c.doc_id, c.cluster_id, c.cluster_size, q.quality_score as score
+  from clusters c join q using (doc_id)
+)
+select doc_id, cluster_id, cluster_size, score,
+  row_number() over (partition by cluster_id
+                     order by score desc, doc_id) = 1 as is_keeper
+from scored
+"""
+
+
+def chunk_documents_sql(
+    size: int = 512, overlap: int = 64, table: str = "documents"
+) -> str:
+    """Mirror of operators.text.chunk_documents: chunk i covers characters
+    [i*step, i*step+size), step = size - overlap, at least one chunk per
+    document (NULL text = one empty chunk)."""
+    step = size - overlap
+    return f"""
+with base as (select doc_id, coalesce(text, '') as t from {table}),
+nn as (
+  select doc_id, t,
+    greatest(1, cast(ceil((length(t) - {overlap}) / {step}.0) as bigint)) as nc
+  from base
+), ex as (
+  select doc_id, t, unnest(range(0, nc)) as chunk_idx from nn
+)
+select doc_id, cast(chunk_idx as int) as chunk_idx,
+  cast(length(substr(t, cast(chunk_idx * {step} + 1 as bigint), {size}))
+       as int) as chunk_len,
+  md5(substr(t, cast(chunk_idx * {step} + 1 as bigint), {size})) as chunk_hash
+from ex
+"""

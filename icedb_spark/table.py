@@ -71,6 +71,22 @@ _PART_COL = "__ice_part"
 _SPLIT_COL = "__ice_split"
 _ZORDER_COL = "__ice_zorder"
 
+# above this many candidate files, delete/update switch from one small
+# Spark job per file to two cluster-wide jobs (count pass + rewrite pass) —
+# a wide DML on 100k files must not schedule 100k driver-side jobs
+_DML_DISTRIBUTED_THRESHOLD = 32
+
+
+def _src_file_col() -> F.Column:
+    """``input_file_name()`` normalized to the same scheme-stripped form
+    ``_strip_scheme`` produces driver-side (``file:///x`` → ``/x``,
+    ``s3a://b/k`` → ``b/k``), so executor rows can be matched back to
+    their source ``FileMarker``."""
+    return F.regexp_replace(
+        F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", ""
+    )
+
+
 # The custom insert/merge/rewrite contracts name their views `_rows` /
 # `source_files` (reference API parity), and temp views are session-global —
 # two threads registering + resolving concurrently would race. spark.sql()
@@ -488,6 +504,14 @@ class IceTable:
             with _VIEW_LOCK:
                 df.createOrReplaceTempView("_rows")
                 df = self.spark.sql(self.custom_insert_query)
+        return self._attach_partition(df)
+
+    def _attach_partition(self, df: DataFrame) -> DataFrame:
+        """Attach ``_PART_COL`` placement to a batch: an explicit
+        ``_partition`` value always wins, else the partition function.
+        Shared by ``insert`` (via ``_prepare_batch``) and the row-level DML
+        rewrites (``update`` / ``merge_into``), whose transformed rows may
+        move partitions and therefore need placement recomputed."""
         if "_partition" in df.columns:
             # Reference parity (icedb/icedb.py:191-196): a row's _partition
             # value ALWAYS wins for placement; preserve_partition only
@@ -1439,6 +1463,548 @@ class IceTable:
                 new_markers + tombstoned, merged=True, timestamp_ms=ts,
             )
         return rewritten
+
+
+    # --------------------------------------------------------------- row DML
+    def _dml_candidates(
+        self, state: LogState, where: str
+    ) -> list[FileMarker]:
+        """Alive files that MAY hold a row matching ``where`` — the same
+        conservative predicate→hint derivation ``sql(auto_prune=True)``
+        uses (partition identity, zone maps, Blooms). Anything unprovable
+        keeps the file, so DML never misses a row; pruning only shrinks
+        the copy-on-write working set."""
+        hints = derive_scan_hints(
+            f"select * from _t where {where}",
+            "_t",
+            self._identity_partition_cols(),
+        )
+        return self.files_for(state=state, **hints)
+
+    def _read_marker(self, m: FileMarker, schema: T.StructType) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(
+            self.storage.absolute(m.path)
+        )
+
+    def _write_rewrite(
+        self, df: DataFrame, pin_partition: Optional[str] = None
+    ) -> list[FileMarker]:
+        """Write DML-transformed rows through the standard sorted-group
+        writer and return UNSTAMPED markers (``created_ms`` filled at
+        commit). ``pin_partition`` keeps rows in their source file's
+        partition (delete: values unchanged); otherwise placement is
+        recomputed so updated/merged rows migrate to the partition their
+        new values imply."""
+        if pin_partition is not None:
+            df = df.withColumn(_PART_COL, F.lit(pin_partition))
+        elif _PART_COL not in df.columns:
+            # a pre-attached _PART_COL (distributed DML maps placement from
+            # each row's source-file path) is honored as-is
+            df = self._attach_partition(df)
+        df, sort_cols = self._apply_layout(df)
+        writer = _make_group_writer(
+            self.path, sort_cols, self.compression, self.row_group_size,
+            stats_cols=self._stats_cols(),
+            bloom_spec=self._bloom_spec(),
+        )
+        manifest = (
+            df.groupBy(_PART_COL)
+            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+            .collect()
+        )
+        return [
+            FileMarker(
+                r["path"], 0, r["file_bytes"],
+                stats=json.loads(r["stats"]) if r["stats"] else None,
+            )
+            for r in manifest
+        ]
+
+    def _commit_dml(
+        self,
+        state: LogState,
+        new_markers: list[FileMarker],
+        replaced: list[FileMarker],
+    ) -> int:
+        """One atomic merged-type log append: new files + tombstones for
+        every replaced file, stamped at commit time (same rationale as
+        ``rewrite_partition``: a pre-job stamp would retroactively change
+        time travel for instants during the job)."""
+        if not new_markers and not replaced:
+            return 0
+        ts = unique_ms()
+        stamped = [
+            FileMarker(m.path, ts, m.file_bytes, stats=m.stats)
+            for m in new_markers
+        ]
+        tombstoned = [
+            FileMarker(m.path, m.created_ms, m.file_bytes, ts, m.stats)
+            for m in replaced
+        ]
+        self.log_io.append(
+            self.log_storage, 1, state.schema,
+            stamped + tombstoned, merged=True, timestamp_ms=ts,
+        )
+        return ts
+
+    def _per_file_match_counts(
+        self, targets: list[FileMarker], schema: T.StructType, pred
+    ) -> list[tuple[FileMarker, int, int]]:
+        """ONE Spark job computing (total, matched) per candidate file via
+        ``input_file_name()`` grouping — the distributed DML path's
+        touch-detection pass. Parquet column pruning means untouched
+        candidates are read only for the predicate's columns."""
+        by_norm = {
+            _strip_scheme(self.storage.absolute(m.path)): m for m in targets
+        }
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*[self.storage.absolute(m.path) for m in targets])
+            .withColumn("_ice_src", _src_file_col())
+            .groupBy("_ice_src")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(F.when(pred, 1)).alias("matched"),
+            )
+            .collect()
+        )
+        return [(by_norm[r["_ice_src"]], r["total"], r["matched"])
+                for r in rows]
+
+    def _placement_mapping(self, markers: list[FileMarker]) -> DataFrame:
+        """Tiny broadcastable (source-file → partition) frame so the
+        distributed rewrite can place each surviving row back into its
+        file's partition without recomputing the partition expression."""
+        return self.spark.createDataFrame(
+            [
+                (_strip_scheme(self.storage.absolute(m.path)), m.partition())
+                for m in markers
+            ],
+            T.StructType([
+                T.StructField("_ice_src", T.StringType(), False),
+                T.StructField(_PART_COL, T.StringType(), False),
+            ]),
+        )
+
+    def delete(
+        self,
+        where: str,
+        concurrency: int = 8,
+        distributed: Optional[bool] = None,
+    ) -> dict:
+        """Row-level ``DELETE FROM t WHERE ...`` via copy-on-write
+        (beyond reference — its deletion story stops at partition drops and
+        hand-written ``rewrite_partition`` queries,
+        /root/reference/icedb/icedb.py:435-589).
+
+        SQL semantics: rows where ``where`` is TRUE are removed; FALSE and
+        NULL rows survive. Scale shape: the predicate first prunes the
+        candidate file list driver-side (partition identity + zone maps +
+        Blooms — a keyed delete on a 100 TB table touches only the files
+        that can match); ONLY files with matching rows are rewritten
+        (fully-matched files are tombstoned with no write at all); a single
+        atomic commit publishes the whole delete.
+
+        Two execution strategies, auto-picked by candidate count when
+        ``distributed=None``: a pruned point delete runs one small
+        matched-count + rewrite job per file, ``concurrency``-wide (lowest
+        latency, preserves file granularity); a wide delete (more
+        candidates than the threshold) runs exactly TWO cluster-wide jobs
+        regardless of file count — a per-file matched-count pass grouped on
+        ``input_file_name()``, then one rewrite of the touched files' kept
+        rows (which also compacts each touched partition's survivors into
+        one file). Returns a summary dict.
+        """
+        state = self.snapshot()
+        schema = self.spark_schema(state)
+        targets = self._dml_candidates(state, where)
+        dpred = F.coalesce(F.expr(where), F.lit(False))
+        if distributed is None:
+            distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
+        if distributed and targets:
+            counts = self._per_file_match_counts(targets, schema, dpred)
+            partial = [m for m, tot, mat in counts if 0 < mat < tot]
+            dropped = [m for m, tot, mat in counts if mat and mat == tot]
+            new_markers: list[FileMarker] = []
+            if partial:
+                kept = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[self.storage.absolute(m.path) for m in partial]
+                    )
+                    .withColumn("_ice_src", _src_file_col())
+                    .where(~dpred)
+                    .join(
+                        F.broadcast(self._placement_mapping(partial)),
+                        "_ice_src",
+                    )
+                    .drop("_ice_src")
+                )
+                new_markers = self._write_rewrite(kept)
+            self._commit_dml(state, new_markers, dropped + partial)
+            return {
+                "files_scanned": len(targets),
+                "files_rewritten": len(partial),
+                "files_dropped": len(dropped),
+                "rows_deleted": sum(mat for _, _, mat in counts),
+            }
+
+        def delete_one(m: FileMarker):
+            df = self._read_marker(m, schema)
+            pred = F.coalesce(F.expr(where), F.lit(False))
+            total, matched = df.select(
+                F.count(F.lit(1)), F.count(F.when(pred, 1))
+            ).first()
+            if not matched:
+                return ("keep", [], 0)
+            if matched == total:
+                return ("drop", [], matched)
+            kept = df.where(~pred)
+            return ("rewrite", self._write_rewrite(kept, m.partition()), matched)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        new_markers: list[FileMarker] = []
+        replaced: list[FileMarker] = []
+        summary = {"files_scanned": len(targets), "files_rewritten": 0,
+                   "files_dropped": 0, "rows_deleted": 0}
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            for m, (kind, files, matched) in zip(
+                targets, ex.map(delete_one, targets)
+            ):
+                summary["rows_deleted"] += matched
+                if kind == "keep":
+                    continue
+                replaced.append(m)
+                new_markers.extend(files)
+                summary["files_rewritten" if kind == "rewrite"
+                        else "files_dropped"] += 1
+        self._commit_dml(state, new_markers, replaced)
+        return summary
+
+    def update(
+        self,
+        set: dict[str, str],
+        where: str = "true",
+        concurrency: int = 8,
+        distributed: Optional[bool] = None,
+    ) -> dict:
+        """Row-level ``UPDATE t SET col = expr WHERE ...`` via copy-on-write
+        (beyond reference). ``set`` maps existing columns to SQL expressions
+        evaluated per row (they may reference any column); assignments apply
+        only where ``where`` is TRUE (NULL = no update, SQL semantics), and
+        each assigned expression is cast back to the column's current type —
+        UPDATE never changes the schema.
+
+        Same scale shape as :meth:`delete` (predicate-pruned candidates,
+        matched-count gate, only touched files rewritten, per-file jobs vs
+        two cluster-wide jobs auto-picked by candidate count, one atomic
+        commit) with one difference: placement is RECOMPUTED when an
+        assigned column feeds the partition expression, so such updates
+        migrate their rows to the right partition instead of stranding
+        them (otherwise rows stay pinned to their source partition).
+        """
+        assignments = dict(set)
+        state = self.snapshot()
+        schema = self.spark_schema(state)
+        by_name = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in assignments if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"update may not add columns; unknown columns {unknown}"
+            )
+        targets = self._dml_candidates(state, where)
+
+        # pin rows to their source partition only when no assigned column
+        # can alter placement; a Python-callable partition fn (fields=None)
+        # may read anything, so it always recomputes
+        if self.partition_spec and self.partition_spec.fields is not None:
+            part_cols = {"_partition"}
+            for f in self.partition_spec.fields:
+                part_cols |= {
+                    t for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", f.expr)
+                }
+            placement_safe = not (part_cols & assignments.keys())
+        else:
+            placement_safe = False
+
+        upred = F.coalesce(F.expr(where), F.lit(False))
+
+        def apply_assignments(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(upred, F.expr(assignments[c]).cast(by_name[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in assignments else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        if distributed is None:
+            distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
+        if distributed and targets:
+            counts = self._per_file_match_counts(targets, schema, upred)
+            touched = [m for m, _, mat in counts if mat]
+            new_markers: list[FileMarker] = []
+            if touched:
+                df = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[self.storage.absolute(m.path) for m in touched]
+                    )
+                    .withColumn("_ice_src", _src_file_col())
+                )
+                out = apply_assignments(df)
+                if placement_safe:
+                    out = out.join(
+                        F.broadcast(self._placement_mapping(touched)),
+                        "_ice_src",
+                    ).drop("_ice_src")
+                else:
+                    out = out.drop("_ice_src")
+                new_markers = self._write_rewrite(out)
+            self._commit_dml(state, new_markers, touched)
+            return {
+                "files_scanned": len(targets),
+                "files_rewritten": len(touched),
+                "rows_updated": sum(mat for _, _, mat in counts),
+            }
+
+        def update_one(m: FileMarker):
+            df = self._read_marker(m, schema)
+            pred = F.coalesce(F.expr(where), F.lit(False))
+            matched = df.select(F.count(F.when(pred, 1))).first()[0]
+            if not matched:
+                return ([], 0, False)
+            out = df.select(
+                *[
+                    F.when(pred, F.expr(assignments[c]).cast(by_name[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in assignments else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            pin = m.partition() if placement_safe else None
+            return (self._write_rewrite(out, pin), matched, True)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        new_markers: list[FileMarker] = []
+        replaced: list[FileMarker] = []
+        summary = {"files_scanned": len(targets), "files_rewritten": 0,
+                   "rows_updated": 0}
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            for m, (files, matched, touched) in zip(
+                targets, ex.map(update_one, targets)
+            ):
+                summary["rows_updated"] += matched
+                if touched:
+                    replaced.append(m)
+                    new_markers.extend(files)
+                    summary["files_rewritten"] += 1
+        self._commit_dml(state, new_markers, replaced)
+        return summary
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: Union[str, list[str]],
+        when_matched: Union[str, dict, None] = "update",
+        when_not_matched: Optional[str] = "insert",
+    ) -> dict:
+        """``MERGE INTO t USING source ON keys`` — upsert via copy-on-write
+        (beyond reference; the standard lakehouse CoW MERGE shape).
+
+        ``when_matched``: ``"update"`` replaces every shared non-key column
+        with the source's value; ``"delete"`` drops matched rows; a dict
+        maps target columns to SQL expressions over aliases ``t`` (target
+        row) and ``s`` (source row); ``None`` leaves matches untouched.
+        ``when_not_matched``: ``"insert"`` appends source rows with no
+        match (missing table columns null-seeded), ``None`` ignores them.
+        Source keys must be unique (ambiguous-match guard).
+
+        Scale shape, assuming the usual small-source/large-target MERGE:
+        (1) the source's per-key min/max prunes candidate files driver-side
+        via zone maps; (2) one broadcast semi-join finds the files that
+        actually hold matches — ONLY those are rewritten; (3) matched rows
+        are transformed with a single broadcast left join; (4) inserts are
+        the source anti-joined against the touched rows (sound because any
+        source key present anywhere in the table lives in a touched file);
+        (5) one shuffle places the result by partition, each task writes
+        one file, and a single atomic commit publishes new files +
+        tombstones. Untouched files are never read past their footer
+        stats. The commit is merge-typed, so like all CoW rewrites it is
+        invisible to :meth:`changes` — CDC consumers see MERGE-inserted
+        rows only via a fresh snapshot read.
+        """
+        if isinstance(on, str):
+            on = [on]
+        if when_matched not in ("update", "delete", None) and not isinstance(
+            when_matched, dict
+        ):
+            raise ValueError(
+                "when_matched must be 'update', 'delete', a {col: expr} "
+                f"dict, or None; got {when_matched!r}"
+            )
+        if when_not_matched not in ("insert", None):
+            raise ValueError(
+                f"when_not_matched must be 'insert' or None; got "
+                f"{when_not_matched!r}"
+            )
+        state = self.snapshot()
+        schema = self.spark_schema(state)
+        tcols = [f.name for f in schema.fields]
+        by_name = {f.name: f.dataType for f in schema.fields}
+        extra = [c for c in source.columns if c not in by_name]
+        if extra:
+            raise ValueError(
+                f"merge_into source has columns not in the table: {extra}"
+            )
+        missing = [k for k in on if k not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing merge key columns {missing}")
+        if isinstance(when_matched, dict):
+            unknown = [c for c in when_matched if c not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"when_matched may not add columns; unknown {unknown}"
+                )
+        source = source.select(
+            *[F.col(c).cast(by_name[c]).alias(c) for c in source.columns]
+        )
+        if (
+            source.groupBy(*on).count()
+            .where(F.col("count") > 1).limit(1).count()
+        ):
+            raise ValueError(
+                f"merge_into source has duplicate keys on {on} — each "
+                "target row must match at most one source row"
+            )
+
+        # (1) zone-map pruning from the source's key envelope
+        aggs = []
+        for k in on:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        env = source.agg(*aggs).first()
+        ranges = {
+            k: (_stat_value(env[f"mn_{k}"]), _stat_value(env[f"mx_{k}"]))
+            for k in on
+            if env[f"mn_{k}"] is not None
+        }
+        cands = self.files_for(state=state, column_ranges=ranges or None)
+
+        # (2) which candidate files actually hold a matching key
+        touched: list[FileMarker] = []
+        if cands and when_matched is not None:
+            by_path = {
+                _strip_scheme(self.storage.absolute(m.path)): m for m in cands
+            }
+            tgt = self.spark.read.schema(schema).parquet(
+                *[self.storage.absolute(m.path) for m in cands]
+            ).withColumn("_ice_src", F.input_file_name())
+            hit = (
+                tgt.join(
+                    F.broadcast(source.select(*on).distinct()), on=on,
+                    how="left_semi",
+                )
+                .select("_ice_src").distinct().collect()
+            )
+            touched = [by_path[_strip_scheme(r[0])] for r in hit]
+
+        parts: list[DataFrame] = []
+        summary = {"files_scanned": len(cands),
+                   "files_rewritten": len(touched)}
+        if touched:
+            base = self.spark.read.schema(schema).parquet(
+                *[self.storage.absolute(m.path) for m in touched]
+            )
+            # (3) one broadcast left join transforms matched rows in place
+            srcb = F.broadcast(source.withColumn("_ice_m", F.lit(True)))
+            # plain equality: SQL MERGE ON semantics — NULL keys never match
+            joined = base.alias("t").join(
+                srcb.alias("s"),
+                on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+                how="left",
+            )
+            is_m = F.col("_ice_m").isNotNull()
+            if when_matched == "delete":
+                out = joined.where(~is_m).select(
+                    *[F.col(f"t.{c}").alias(c) for c in tcols]
+                )
+            else:
+                sel = []
+                for c in tcols:
+                    if when_matched == "update" and c in source.columns \
+                            and c not in on:
+                        sel.append(
+                            F.when(is_m, F.col(f"s.{c}"))
+                            .otherwise(F.col(f"t.{c}")).alias(c)
+                        )
+                    elif isinstance(when_matched, dict) and c in when_matched:
+                        sel.append(
+                            F.when(
+                                is_m,
+                                F.expr(when_matched[c]).cast(by_name[c]),
+                            ).otherwise(F.col(f"t.{c}")).alias(c)
+                        )
+                    else:
+                        sel.append(F.col(f"t.{c}").alias(c))
+                out = joined.select(*sel)
+            parts.append(out)
+
+        if when_not_matched == "insert":
+            # (4) anti-join to find genuinely-new keys. Against touched-file
+            # rows this equals against the whole table (any source key
+            # present anywhere lives in a touched file); with
+            # when_matched=None no touch pass ran, so anti against the full
+            # candidate scan instead. Plain equality (NULL keys insert).
+            if when_matched is None and cands:
+                rhs = self.spark.read.schema(schema).parquet(
+                    *[self.storage.absolute(m.path) for m in cands]
+                )
+            elif touched:
+                rhs = self.spark.read.schema(schema).parquet(
+                    *[self.storage.absolute(m.path) for m in touched]
+                )
+            else:
+                rhs = None
+            ins_src = source
+            if rhs is not None:
+                ins_src = source.alias("si").join(
+                    rhs.select(*on).alias("ti"),
+                    on=[F.col(f"si.{k}") == F.col(f"ti.{k}") for k in on],
+                    how="left_anti",
+                )
+            ins = ins_src.select(
+                *[
+                    F.col(c).alias(c) if c in source.columns
+                    else F.lit(None).cast(by_name[c]).alias(c)
+                    for c in tcols
+                ]
+            )
+            parts.append(ins)
+
+        new_markers: list[FileMarker] = []
+        if parts:
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionByName(p)
+            new_markers = self._write_rewrite(result)
+        self._commit_dml(state, new_markers, touched)
+        summary["files_written"] = len(new_markers)
+        return summary
+
+
+def _strip_scheme(p: str) -> str:
+    """Normalize ``file:///x`` / ``/x`` / ``s3://b/x`` to a comparable
+    form for matching ``input_file_name()`` against storage-absolute
+    paths."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return unquote(u.path) if u.scheme else p
+    return f"{u.netloc}{unquote(u.path)}"
 
 
 def _plan_merge(
