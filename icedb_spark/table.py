@@ -1525,11 +1525,14 @@ class IceTable:
         state: LogState,
         new_markers: list[FileMarker],
         replaced: list[FileMarker],
+        schema: Optional[Schema] = None,
     ) -> int:
         """One atomic merged-type log append: new files + tombstones for
         every replaced file, stamped at commit time (same rationale as
         ``rewrite_partition``: a pre-job stamp would retroactively change
-        time travel for instants during the job)."""
+        time travel for instants during the job). ``schema`` overrides the
+        snapshot schema for schema-evolving DML (merge_into with
+        ``allow_new_columns``)."""
         if not new_markers and not replaced:
             return 0
         ts = unique_ms()
@@ -1542,7 +1545,7 @@ class IceTable:
             for m in replaced
         ]
         self.log_io.append(
-            self.log_storage, 1, state.schema,
+            self.log_storage, 1, schema or state.schema,
             stamped + tombstoned, merged=True, timestamp_ms=ts,
         )
         return ts
@@ -1811,6 +1814,7 @@ class IceTable:
         on: Union[str, list[str]],
         when_matched: Union[str, dict, None] = "update",
         when_not_matched: Optional[str] = "insert",
+        allow_new_columns: bool = False,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` — upsert via copy-on-write
         (beyond reference; the standard lakehouse CoW MERGE shape).
@@ -1822,6 +1826,14 @@ class IceTable:
         ``when_not_matched``: ``"insert"`` appends source rows with no
         match (missing table columns null-seeded), ``None`` ignores them.
         Source keys must be unique (ambiguous-match guard).
+
+        ``allow_new_columns=True`` lets the source carry columns the table
+        doesn't have yet (the mergeSchema analog): they accumulate into
+        the log schema in the same atomic commit, rewritten/inserted rows
+        carry them, and every untouched file simply reads back null-seeded
+        — exactly the engine's normal schema-evolution path (`ice10`),
+        no backfill rewrite. Without the flag, unknown source columns
+        raise.
 
         Scale shape, assuming the usual small-source/large-target MERGE:
         (1) the source's per-key min/max prunes candidate files driver-side
@@ -1855,11 +1867,34 @@ class IceTable:
         schema = self.spark_schema(state)
         tcols = [f.name for f in schema.fields]
         by_name = {f.name: f.dataType for f in schema.fields}
+        base_cols = set(tcols)
         extra = [c for c in source.columns if c not in by_name]
-        if extra:
+        if extra and not allow_new_columns:
             raise ValueError(
-                f"merge_into source has columns not in the table: {extra}"
+                f"merge_into source has columns not in the table: {extra} "
+                "(pass allow_new_columns=True to evolve the schema)"
             )
+        commit_schema: Optional[Schema] = None
+        if extra:
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            for c in extra:
+                by_name[c] = src_types[c]
+            new_cols = spark_schema_to_duckdb(
+                T.StructType(
+                    [T.StructField(c, by_name[c], True) for c in extra]
+                )
+            )
+            existing = state.schema.columns()
+            commit_schema = Schema()
+            # accumulate raises SchemaConflictException on type clashes,
+            # same contract as insert-time evolution
+            commit_schema.accumulate(
+                list(existing.keys()), list(existing.values())
+            )
+            commit_schema.accumulate(
+                list(new_cols.keys()), list(new_cols.values())
+            )
+            tcols = tcols + extra
         missing = [k for k in on if k not in source.columns]
         if missing:
             raise ValueError(f"source is missing merge key columns {missing}")
@@ -1927,9 +1962,17 @@ class IceTable:
                 how="left",
             )
             is_m = F.col("_ice_m").isNotNull()
+
+            def tref(c: str):
+                # schema-evolved columns don't exist in the base files yet;
+                # unmatched rows read them as NULL, same as a snapshot scan
+                if c in base_cols:
+                    return F.col(f"t.{c}")
+                return F.lit(None).cast(by_name[c])
+
             if when_matched == "delete":
                 out = joined.where(~is_m).select(
-                    *[F.col(f"t.{c}").alias(c) for c in tcols]
+                    *[tref(c).alias(c) for c in tcols]
                 )
             else:
                 sel = []
@@ -1938,17 +1981,17 @@ class IceTable:
                             and c not in on:
                         sel.append(
                             F.when(is_m, F.col(f"s.{c}"))
-                            .otherwise(F.col(f"t.{c}")).alias(c)
+                            .otherwise(tref(c)).alias(c)
                         )
                     elif isinstance(when_matched, dict) and c in when_matched:
                         sel.append(
                             F.when(
                                 is_m,
                                 F.expr(when_matched[c]).cast(by_name[c]),
-                            ).otherwise(F.col(f"t.{c}")).alias(c)
+                            ).otherwise(tref(c)).alias(c)
                         )
                     else:
-                        sel.append(F.col(f"t.{c}").alias(c))
+                        sel.append(tref(c).alias(c))
                 out = joined.select(*sel)
             parts.append(out)
 
@@ -1990,7 +2033,7 @@ class IceTable:
             for p in parts[1:]:
                 result = result.unionByName(p)
             new_markers = self._write_rewrite(result)
-        self._commit_dml(state, new_markers, touched)
+        self._commit_dml(state, new_markers, touched, commit_schema)
         summary["files_written"] = len(new_markers)
         return summary
 

@@ -322,6 +322,30 @@ def test_merge_atomic_single_commit_and_time_travel(spark, tmp_path):
     assert got == {1: 1.0, 2: 4.0, 3: 4.0}
 
 
+def test_merge_schema_evolution(spark, tmp_path):
+    """allow_new_columns: the source's new column accumulates into the log
+    schema in the same atomic commit; untouched files read back
+    null-seeded via the unified-schema scan (ice10 machinery), no
+    backfill."""
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1], bucket="a"))
+    t.insert(rows([2], bucket="b"))
+    src = spark.createDataFrame(
+        [{"id": 2, "bucket": "b", "v": 9.0, "tag": "hot"},
+         {"id": 5, "bucket": "b", "v": 7.0, "tag": "new"}]
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        t.merge_into(src, on="id")
+    before = {m.path for m in t.snapshot().alive_files()}
+    t.merge_into(src, on="id", allow_new_columns=True)
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (1.0, None), 2: (9.0, "hot"), 5: (7.0, "new")}
+    assert "tag" in dict(t.snapshot().schema.columns())
+    # file a (id=1) was never rewritten — its nulls come from the scan
+    a_file = [p for p in before if "b=a" in p]
+    assert set(a_file) <= {m.path for m in t.snapshot().alive_files()}
+
+
 def test_merge_empty_table_inserts_everything(spark, tmp_path):
     t = make_table(spark, tmp_path)
     t.insert(rows([1]))
