@@ -47,8 +47,37 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["connected_components", "dedup_clusters", "pick_canonical"]
+
+
+def _union_find_labels(pairs: list[tuple]) -> dict:
+    """Exact min-id component labels via union-find with path compression —
+    the driver-side fast path for provably-small edge lists."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots: dict = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    labels: dict = {}
+    for members in roots.values():
+        lo = min(members)
+        for m in members:
+            labels[m] = lo
+    return labels
 
 
 def connected_components(
@@ -58,6 +87,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_every: int = 5,
     reliable_checkpoint: bool = False,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -65,8 +95,19 @@ def connected_components(
     ``component`` is the MINIMUM node id in the node's component (a
     deterministic canonical label any engine reproduces).
 
-    The result is materialized (the iteration must run to find the
-    fixpoint) and returned persisted; callers own the unpersist.
+    When the (deduplicated) edge list is at most ``small_graph_threshold``
+    rows, components are solved with a driver-side union-find instead of
+    the iterative shuffle rounds: the collect is explicitly bounded (1M
+    edges ≈ tens of MB), exact, and replaces ~4 shuffles × O(log diameter)
+    rounds with one pass — near-dup pair graphs are tiny relative to their
+    corpus, so in practice this is the common path even at 100 TB corpus
+    scale, while a genuinely huge graph (cross-corpus entity resolution)
+    still takes the distributed iteration. Pass ``0`` to force the
+    distributed path. Labels are identical between the two paths
+    (property-tested).
+
+    The result is materialized (the fixpoint must be found either way)
+    and returned persisted; callers own the unpersist.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -74,6 +115,26 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if small_graph_threshold:
+        # limit(k+1) bounds the probe itself — never a full count of a
+        # graph we are not going to collect
+        probe = e.limit(small_graph_threshold + 1).count()
+        if probe <= small_graph_threshold:
+            try:
+                pairs = [(r["u"], r["v"]) for r in e.collect()]
+                labels = _union_find_labels(pairs)
+                node_t = e.schema["u"].dataType
+                out_schema = T.StructType([
+                    T.StructField("node", node_t, True),
+                    T.StructField("comp", node_t, True),
+                ])
+                out = edges.sparkSession.createDataFrame(
+                    sorted(labels.items()), out_schema
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                out.count()
+                return out
+            finally:
+                e.unpersist()
     labels = (
         e.select(F.col("u").alias("node"))
         .distinct()

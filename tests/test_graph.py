@@ -62,7 +62,9 @@ def test_long_chain_converges_in_log_rounds(spark):
     # jumping must finish within max_iter=12 (~log2(64)+slack)
     nodes = [f"n{i:03d}" for i in range(64)]
     pairs = list(zip(nodes[1:], nodes[:-1]))
-    cc = connected_components(_edges(spark, pairs), max_iter=12)
+    cc = connected_components(
+        _edges(spark, pairs), max_iter=12, small_graph_threshold=0
+    )
     lab = _labels(cc)
     assert set(lab.values()) == {"n000"}
     assert len(lab) == 64
@@ -75,6 +77,7 @@ def test_non_convergence_raises(spark):
             _edges(spark, [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]),
             max_iter=2,
             checkpoint_every=0,
+            small_graph_threshold=0,
         )
 
 
@@ -106,3 +109,37 @@ def test_anti_join_dedups_corpus(spark):
     drop = clusters.where(~F.col("is_keeper")).select("doc_id")
     kept = corpus.join(drop, "doc_id", "left_anti")
     assert {r["doc_id"] for r in kept.collect()} == {"a", "x", "lone"}
+
+
+def test_small_graph_fastpath_matches_distributed(spark):
+    """The driver-side union-find short-circuit must produce bit-identical
+    labels to the distributed hash-to-min iteration on the same graph
+    (chain + triangle + star + singleton edge, string AND int ids)."""
+    pairs = (
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(20)]
+        + [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+        + [("hub", s) for s in ("s1", "s2", "s3")]
+        + [("z9", "z8")]
+    )
+    fast = _labels(connected_components(_edges(spark, pairs)))
+    dist = _labels(
+        connected_components(_edges(spark, pairs), small_graph_threshold=0)
+    )
+    assert fast == dist
+
+    ints = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7)], "id_a long, id_b long"
+    )
+    fast_i = _labels(connected_components(ints))
+    dist_i = _labels(connected_components(ints, small_graph_threshold=0))
+    assert fast_i == dist_i == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7}
+
+
+def test_small_graph_threshold_probe_is_bounded(spark):
+    """A graph just over the threshold takes the distributed path (the
+    probe counts at most threshold+1 rows, never the whole graph)."""
+    pairs = [(f"a{i}", f"b{i}") for i in range(6)]
+    cc = connected_components(_edges(spark, pairs), small_graph_threshold=5)
+    lab = _labels(cc)
+    assert len(lab) == 12 and len(set(lab.values())) == 6
+    cc.unpersist()
