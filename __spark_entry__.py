@@ -1143,6 +1143,36 @@ def ice20_incremental_read(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice24_rollback(spark, sf_dir):
+    """One-commit snapshot restore (beyond reference): insert half the
+    events, then insert the rest, compact, and DELETE some rows — then
+    ``rollback`` to the first-insert instant. The restore is pure log
+    metadata (asserted: exactly one log append, zero new data files); LWW
+    makes the re-added markers win over their tombstones, and the result
+    must equal the oracle's first-half filter. The pre-rollback head stays
+    time-travelable (asserted)."""
+    from icedb_spark import get_log_file_info
+
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev.where(F.col("event_id") <= m // 2))
+        at = get_log_file_info(t.snapshot().log_files[-1])[0]
+        t.insert(df=ev.where(F.col("event_id") > m // 2))
+        t.merge_all(max_file_size=1 << 40, max_file_count=1000)
+        t.delete(f"event_id <= {m // 4}")
+        head = get_log_file_info(t.snapshot().log_files[-1])[0]
+        logs_before = len(t.snapshot().log_files)
+        s = t.rollback(at)
+        assert s["files_restored"] > 0, s
+        assert len(t.snapshot().log_files) == logs_before + 1
+        assert t.read(at_ms=head).count() > 0  # pre-rollback still visible
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -1831,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "m03_image_headers": m03_image_headers,
         "st04_session_window": st04_session_window,
+        "ice24_rollback": ice24_rollback,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2344,6 +2375,10 @@ from events where event_id % 40 = 0 group by 1
         # CDC window ≡ the second half of the generation split
         "ice20_incremental_read": ev_agg.format(
             where=" where event_id > (select max(event_id) // 2 from events)"
+        ),
+        # rollback restores exactly the first-insert snapshot
+        "ice24_rollback": ev_agg.format(
+            where=" where event_id <= (select max(event_id) // 2 from events)"
         ),
         # DELETE keeps rows where the predicate is not TRUE (SQL semantics)
         "ice21_delete": ev_agg.format(

@@ -1184,6 +1184,73 @@ class IceTable:
 
     # ---------------------------------------------------------------- cleanup
 
+    def rollback(self, at_ms: int) -> dict:
+        """Restore the table to its snapshot at ``at_ms`` with ONE atomic,
+        metadata-only commit (beyond reference — the MVCC log makes this
+        free): files alive at ``at_ms`` but since tombstoned are re-added
+        as fresh markers pointing at the same immutable data files, and
+        files created after ``at_ms`` are tombstoned. No data I/O at any
+        table size. The rollback is itself a commit, so time travel to the
+        pre-rollback state still works, and a bad rollback can be rolled
+        back.
+
+        Requires every to-be-restored data file to still exist (i.e. not
+        vacuumed past its grace window) — verified against storage before
+        committing; run under the maintenance lock like other maintenance
+        ops so a concurrent vacuum cannot win the race between check and
+        commit. Schema is NOT rolled back: log schema evolution is
+        additive-union by design (reference wire contract), so columns
+        added after ``at_ms`` simply read as NULL for restored files.
+        """
+        old = self.snapshot(at_ms)
+        cur = self.snapshot()
+        if not old.log_files and cur.log_files:
+            # tombstone_cleanup collapses superseded logs into newer ones,
+            # so a timestamp older than the oldest retained log folds to an
+            # EMPTY state — rolling back to it would silently truncate the
+            # table, which is never what "restore that snapshot" meant
+            raise RuntimeError(
+                f"cannot roll back to {at_ms}: no log files at or before "
+                "that instant — the snapshot is no longer reconstructible "
+                "(logs collapsed past it by tombstone_cleanup); pick a "
+                "younger snapshot or increase the cleanup grace window"
+            )
+        old_alive = {m.path: m for m in old.alive_files()}
+        cur_alive = {m.path: m for m in cur.alive_files()}
+        to_restore = [
+            m for p, m in sorted(old_alive.items()) if p not in cur_alive
+        ]
+        to_remove = [
+            m for p, m in sorted(cur_alive.items()) if p not in old_alive
+        ]
+        missing = [
+            m.path for m in to_restore if not self.storage.exists(m.path)
+        ]
+        if missing:
+            raise RuntimeError(
+                f"cannot roll back to {at_ms}: {len(missing)} data files "
+                f"were already vacuumed (first: {missing[0]}); pick a "
+                "younger snapshot or increase the vacuum grace window"
+            )
+        if not to_restore and not to_remove:
+            return {"files_restored": 0, "files_removed": 0}
+        ts = unique_ms()
+        markers = [
+            FileMarker(m.path, ts, m.file_bytes, stats=m.stats)
+            for m in to_restore
+        ] + [
+            FileMarker(m.path, m.created_ms, m.file_bytes, ts, m.stats)
+            for m in to_remove
+        ]
+        self.log_io.append(
+            self.log_storage, 1, cur.schema, markers, merged=True,
+            timestamp_ms=ts,
+        )
+        return {
+            "files_restored": len(to_restore),
+            "files_removed": len(to_remove),
+        }
+
     def tombstone_cleanup(
         self, min_age_ms: int, concurrency: int = 16
     ) -> tuple[list[str], list[str]]:

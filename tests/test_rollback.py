@@ -1,0 +1,114 @@
+"""IceTable.rollback — one-commit snapshot restore from pure log metadata.
+
+The MVCC fold is last-writer-wins, so a rollback commit's re-added markers
+must win over older tombstones for the same paths, and maintenance
+(vacuum) afterwards must treat restored files as alive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icedb_spark import IceTable, PartitionField, PartitionSpec, get_log_file_info
+
+
+def make_table(spark, tmp_path, **kw) -> IceTable:
+    return IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=kw.pop(
+            "partition_spec",
+            PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        ),
+        sort_order=kw.pop("sort_order", ["id"]),
+        **kw,
+    )
+
+
+def rows(ids, bucket="x", v=1.0):
+    return [{"id": i, "bucket": bucket, "v": float(v)} for i in ids]
+
+
+def ids_of(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def head_ms(t):
+    return get_log_file_info(t.snapshot().log_files[-1])[0]
+
+
+def test_rollback_restores_insert_boundary(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    at = head_ms(t)
+    t.insert(rows([3, 4], bucket="y"))
+    logs_before = len(t.snapshot().log_files)
+    s = t.rollback(at)
+    assert s == {"files_restored": 0, "files_removed": 1}
+    assert len(t.snapshot().log_files) == logs_before + 1  # one append
+    assert ids_of(t.read()) == [1, 2]
+
+
+def test_rollback_undoes_delete_and_merge(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    t.insert(rows([3, 4]))
+    at = head_ms(t)
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    t.delete("id in (2, 3)")
+    assert ids_of(t.read()) == [1, 4]
+    s = t.rollback(at)
+    assert s["files_restored"] == 2  # the two pre-merge small files
+    assert ids_of(t.read()) == [1, 2, 3, 4]
+
+
+def test_rollback_is_itself_time_travelable(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1]))
+    at1 = head_ms(t)
+    t.insert(rows([2]))
+    at2 = head_ms(t)
+    t.rollback(at1)
+    assert ids_of(t.read()) == [1]
+    assert ids_of(t.read(at_ms=at2)) == [1, 2]  # pre-rollback still visible
+    # roll the rollback back
+    t.rollback(at2)
+    assert ids_of(t.read()) == [1, 2]
+
+
+def test_rollback_noop_at_head(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1]))
+    at = head_ms(t)
+    logs = len(t.snapshot().log_files)
+    assert t.rollback(at) == {"files_restored": 0, "files_removed": 0}
+    assert len(t.snapshot().log_files) == logs
+
+
+def test_rollback_refuses_vacuumed_target(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    t.insert(rows([3, 4]))
+    at = head_ms(t)
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    t.tombstone_cleanup(min_age_ms=0)  # pre-merge files physically deleted
+    with pytest.raises(
+        RuntimeError, match="already vacuumed|no longer reconstructible"
+    ):
+        t.rollback(at)
+    assert ids_of(t.read()) == [1, 2, 3, 4]  # table unharmed
+
+
+def test_vacuum_after_rollback_keeps_restored_files(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    t.insert(rows([3, 4]))
+    at = head_ms(t)
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    t.rollback(at)
+    # LWW: restored markers are now alive; vacuum must remove only the
+    # merged file (tombstoned by the rollback), never the restored ones
+    t.tombstone_cleanup(min_age_ms=0)
+    assert ids_of(t.read()) == [1, 2, 3, 4]
+    assert len(t.snapshot().alive_files()) == 2
