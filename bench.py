@@ -162,6 +162,12 @@ def main():
                 "conflate data growth with code changes"
             )
     out["scaling"] = _scaling_block(run, sf_dir, sf)
+    # row-level DML lifecycle timings, kept OUT of the headline total so
+    # the suite stays comparable to rounds benched before DML existed
+    out["dml"] = {
+        name: round(run(name), 3)
+        for name in ("ice21_delete", "ice23_merge_into", "ice24_rollback")
+    }
     print(json.dumps(out))
 
 
