@@ -1574,6 +1574,65 @@ def st03_stateful_sessions(spark, sf_dir):
     )
 
 
+def st05_stream_upsert(spark, sf_dir):
+    """CDC-apply streaming (foreachBatch-MERGE): a change stream carrying
+    TWO versions of each updated key (ver 1/2 — per-batch compaction must
+    keep the last), brand-new keys, and a schema-evolving ``ver`` column
+    (``allow_new_columns``) is drained with availableNow into an events
+    table via ``stream_upsert``; each batch is one atomic merge commit
+    with an in-log replay tag. Oracle reconstructs the final state:
+    max-ver change per key wins, unchanged rows pass through."""
+    from icedb_spark.streaming import stream_upsert
+
+    t, d = _scratch(spark, sort_order=["event_id"])
+    src = tempfile.mkdtemp(prefix="icecdc-src-")
+    ck = tempfile.mkdtemp(prefix="icecdc-ck-")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev)
+        upd = ev.where(F.col("event_id") <= m // 4).select(
+            "event_id", "event_type", "value"
+        )
+        changes = (
+            upd.select(
+                "event_id", "event_type",
+                (F.col("value") + 500).alias("value"),
+                F.lit(1).alias("ver"),
+            )
+            .unionByName(
+                upd.select(
+                    "event_id", "event_type",
+                    (F.col("value") + 1000).alias("value"),
+                    F.lit(2).alias("ver"),
+                )
+            )
+            .unionByName(
+                ev.where(F.col("event_id") % 5 == 0).select(
+                    (F.col("event_id") + m + 1).alias("event_id"),
+                    F.lit("synthetic").alias("event_type"),
+                    F.col("value"),
+                    F.lit(1).alias("ver"),
+                )
+            )
+        )
+        changes.coalesce(1).write.mode("overwrite").parquet(src)
+        q = stream_upsert(
+            t,
+            spark.readStream.schema(changes.schema).parquet(src),
+            ck,
+            on="event_id",
+            order_by="ver",
+            allow_new_columns=True,
+        )
+        q.awaitTermination()
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def st04_session_window(spark, sf_dir):
     """Built-in gap-based session windows (F.session_window): session end =
     last event + gap. Run in batch mode, where no watermark gates emission —
@@ -1862,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "st04_session_window": st04_session_window,
         "ice24_rollback": ice24_rollback,
+        "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2376,6 +2436,34 @@ from events where event_id % 40 = 0 group by 1
         "ice20_incremental_read": ev_agg.format(
             where=" where event_id > (select max(event_id) // 2 from events)"
         ),
+        # CDC-apply final state: max-ver change per key wins, unchanged
+        # rows pass through, remapped keys insert
+        "st05_stream_upsert": """
+with mm as (select max(event_id) as m from events),
+ch as (
+  select event_id, event_type, value + 500 as value, 1 as ver
+  from events, mm where event_id <= m // 4
+  union all
+  select event_id, event_type, value + 1000 as value, 2 as ver
+  from events, mm where event_id <= m // 4
+  union all
+  select event_id + m + 1, 'synthetic', value, 1
+  from events, mm where event_id % 5 = 0
+),
+last as (
+  select event_id, event_type, value from (
+    select *, row_number() over (partition by event_id order by ver desc) rn
+    from ch) where rn = 1
+),
+fin as (
+  select event_type, value from last
+  union all
+  select event_type, value from events
+  where event_id not in (select event_id from last)
+)
+select event_type, count(*) as cnt, round(sum(value), 2) as sum_value
+from fin group by event_type
+""",
         # rollback restores exactly the first-insert snapshot
         "ice24_rollback": ev_agg.format(
             where=" where event_id <= (select max(event_id) // 2 from events)"

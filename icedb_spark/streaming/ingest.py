@@ -74,8 +74,6 @@ def stream_insert(
     nothing is ever dropped but the key set grows forever, acceptable
     only for bounded backfills.
     """
-    import hashlib
-
     if watermark:
         stream_df = stream_df.withWatermark(*watermark)
     if dedup_keys:
@@ -84,6 +82,101 @@ def stream_insert(
             if watermark
             else stream_df.dropDuplicates(dedup_keys)
         )
+
+    def apply(batch_df: DataFrame, tag: Optional[str]) -> None:
+        df = transform(batch_df) if transform else batch_df
+        table.insert(df=df, commit_tag=tag)
+
+    return _stream_apply(
+        table, stream_df, checkpoint_dir, apply,
+        trigger=trigger, merge_every=merge_every,
+        cleanup_every=cleanup_every, cleanup_min_age_ms=cleanup_min_age_ms,
+        dedup_on_replay=dedup_on_replay, stream_id=stream_id,
+    )
+
+
+def stream_upsert(
+    table: IceTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    on: "str | list[str]",
+    when_matched="update",
+    when_not_matched: Optional[str] = "insert",
+    order_by: Optional[str] = None,
+    allow_new_columns: bool = False,
+    trigger: Optional[dict] = None,
+    merge_every: int = 0,
+    cleanup_every: int = 0,
+    cleanup_min_age_ms: int = 0,
+    dedup_on_replay: bool = True,
+    stream_id: Optional[str] = None,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+):
+    """CDC-apply streaming: each micro-batch UPSERTS into ``table`` via
+    :meth:`IceTable.merge_into` (the foreachBatch-MERGE pattern) with the
+    same atomic in-log replay tags as :func:`stream_insert` — the commit
+    and its idempotency token land in one put, so a replayed batch after a
+    crash can never double-apply.
+
+    ``order_by``: CDC streams routinely carry several versions of one key
+    in a batch; merge_into (correctly) rejects duplicate source keys, so
+    pass the version/ordering column and each key's LAST row per batch
+    (highest ``order_by``, ties broken by deterministic row order) wins —
+    standard CDC compaction. Required whenever the upstream can emit more
+    than one change per key per batch. ``when_matched="delete"`` +
+    ``when_not_matched=None`` applies a deletion stream.
+
+    Scale shape: per batch this is merge_into's shape — zone-map pruning
+    from the batch's key envelope, only match-holding files rewritten; a
+    small steady CDC stream against a 100 TB table touches only the files
+    its keys live in.
+    """
+    if isinstance(on, str):
+        on = [on]
+
+    def apply(batch_df: DataFrame, tag: Optional[str]) -> None:
+        d = transform(batch_df) if transform else batch_df
+        if order_by:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*on).orderBy(F.desc(order_by))
+            d = (
+                d.withColumn("_ice_rn", F.row_number().over(w))
+                .where(F.col("_ice_rn") == 1)
+                .drop("_ice_rn")
+            )
+        table.merge_into(
+            d, on=on, when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            allow_new_columns=allow_new_columns, commit_tag=tag,
+        )
+
+    return _stream_apply(
+        table, stream_df, checkpoint_dir, apply,
+        trigger=trigger, merge_every=merge_every,
+        cleanup_every=cleanup_every, cleanup_min_age_ms=cleanup_min_age_ms,
+        dedup_on_replay=dedup_on_replay, stream_id=stream_id,
+    )
+
+
+def _stream_apply(
+    table: IceTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    apply: Callable[[DataFrame, Optional[str]], None],
+    trigger: Optional[dict] = None,
+    merge_every: int = 0,
+    cleanup_every: int = 0,
+    cleanup_min_age_ms: int = 0,
+    dedup_on_replay: bool = True,
+    stream_id: Optional[str] = None,
+):
+    """Shared foreachBatch harness: stream-scoped replay tags (atomic
+    in-log token + marker-file fast path) and maintenance cadence, with
+    ``apply(batch_df, tag)`` supplying the actual commit (insert or
+    upsert)."""
+    import hashlib
 
     trigger = trigger or {"availableNow": True}
     sid = stream_id or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
@@ -136,8 +229,7 @@ def stream_insert(
             if tag in state["seen"]:
                 table.storage.put(_marker_key(batch_id), b"done")
                 return
-        df = transform(batch_df) if transform else batch_df
-        table.insert(df=df, commit_tag=tag if dedup_on_replay else None)
+        apply(batch_df, tag if dedup_on_replay else None)
         if dedup_on_replay:
             state["seen"].add(tag)
             table.storage.put(_marker_key(batch_id), b"done")

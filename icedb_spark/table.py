@@ -1593,13 +1593,15 @@ class IceTable:
         new_markers: list[FileMarker],
         replaced: list[FileMarker],
         schema: Optional[Schema] = None,
+        tag: Optional[str] = None,
     ) -> int:
         """One atomic merged-type log append: new files + tombstones for
         every replaced file, stamped at commit time (same rationale as
         ``rewrite_partition``: a pre-job stamp would retroactively change
         time travel for instants during the job). ``schema`` overrides the
         snapshot schema for schema-evolving DML (merge_into with
-        ``allow_new_columns``)."""
+        ``allow_new_columns``); ``tag`` embeds an idempotency token in the
+        log file name (streaming upsert replay dedup)."""
         if not new_markers and not replaced:
             return 0
         ts = unique_ms()
@@ -1613,7 +1615,7 @@ class IceTable:
         ]
         self.log_io.append(
             self.log_storage, 1, schema or state.schema,
-            stamped + tombstoned, merged=True, timestamp_ms=ts,
+            stamped + tombstoned, merged=True, timestamp_ms=ts, tag=tag,
         )
         return ts
 
@@ -1882,6 +1884,7 @@ class IceTable:
         when_matched: Union[str, dict, None] = "update",
         when_not_matched: Optional[str] = "insert",
         allow_new_columns: bool = False,
+        commit_tag: Optional[str] = None,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` — upsert via copy-on-write
         (beyond reference; the standard lakehouse CoW MERGE shape).
@@ -2100,7 +2103,9 @@ class IceTable:
             for p in parts[1:]:
                 result = result.unionByName(p)
             new_markers = self._write_rewrite(result)
-        self._commit_dml(state, new_markers, touched, commit_schema)
+        self._commit_dml(
+            state, new_markers, touched, commit_schema, tag=commit_tag
+        )
         summary["files_written"] = len(new_markers)
         return summary
 

@@ -159,3 +159,83 @@ def test_stream_row_dedup_within_watermark(spark, tmp_path, sf_dir):
     assert got.select("event_id").distinct().count() == total
     # the state store really saw two batches: the table carries >= 2 commits
     assert len(t.snapshot().log_files) >= 2
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """foreachBatch-MERGE CDC apply: a change stream with several versions
+    per key compacts to the last version per batch (order_by), upserts
+    atomically, and a replayed restart cannot double-apply."""
+    from icedb_spark.streaming import stream_upsert
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        sort_order=["id"],
+        stats_columns=["id"],
+    )
+    t.insert([{"id": i, "bucket": "x", "v": 0.0, "ver": 0} for i in (1, 2, 3)])
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    changes = spark.createDataFrame(
+        [
+            # two versions of key 2 in one batch: ver=2 must win
+            {"id": 2, "bucket": "x", "v": 10.0, "ver": 1},
+            {"id": 2, "bucket": "x", "v": 20.0, "ver": 2},
+            {"id": 9, "bucket": "y", "v": 9.0, "ver": 1},  # brand-new key
+        ]
+    )
+    changes.coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = stream_upsert(
+        t, stream, str(tmp_path / "ckpt"), on="id", order_by="ver",
+    )
+    _wait(q)
+    got = {r["id"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: (0.0, 0), 2: (20.0, 2), 3: (0.0, 0), 9: (9.0, 1)}
+
+    # restart on the same checkpoint: replay dedup, nothing re-applied
+    logs = len(t.snapshot().log_files)
+    q2 = stream_upsert(
+        t,
+        spark.readStream.schema(changes.schema).parquet(src),
+        str(tmp_path / "ckpt"),
+        on="id",
+        order_by="ver",
+    )
+    _wait(q2)
+    assert len(t.snapshot().log_files) == logs
+    got2 = {r["id"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got2 == got
+
+
+def test_stream_upsert_delete_stream(spark, tmp_path):
+    """A deletion stream: when_matched='delete', when_not_matched=None."""
+    from icedb_spark.streaming import stream_upsert
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tbl"),
+        partition_spec=PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        sort_order=["id"],
+    )
+    t.insert([{"id": i, "bucket": "x", "v": 1.0} for i in (1, 2, 3, 4)])
+
+    src = str(tmp_path / "dels")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [{"id": 2, "bucket": "x", "v": 0.0}, {"id": 4, "bucket": "x", "v": 0.0}]
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_upsert(
+        t,
+        spark.readStream.schema(t.spark_schema()).parquet(src),
+        str(tmp_path / "ckpt"),
+        on="id",
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    _wait(q)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
