@@ -1801,6 +1801,23 @@ def sm02_stratified_sample(spark, sf_dir):
     )
 
 
+def sm05_mixture_sample(spark, sf_dir):
+    """Corpus mixing: the largest deterministic subset matching a target
+    per-language mixture (5:2:2:1 en/es/fr/de; zh unlisted -> dropped).
+    One O(strata) count agg finds the binding stratum, per-stratum rates
+    (w*t)/n with t=min(n/w) feed sm02's single-scan CASE filter — rates
+    are scale-invariant doubles derived identically in the oracle's SQL,
+    so the member set matches bit-exactly."""
+    from icedb_spark.operators import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0},
+        strata_col="lang", key_col="doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
 def sm03_split_assign(spark, sf_dir):
     """Stable train/val/test assignment by key hash: a document keeps its
     split across runs and dataset versions (the anti-leakage property)."""
@@ -1959,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "t10_chunk_docs": t10_chunk_docs,
+        "sm05_mixture_sample": sm05_mixture_sample,
     }
 
 
@@ -2245,6 +2263,9 @@ from per_sess group by user_id
             oracles.minhash_pairs_sql(16, 4, 3, 0.5)
         ),
         "t10_chunk_docs": oracles.chunk_documents_sql(512, 64),
+        "sm05_mixture_sample": oracles.mixture_sample_sql(
+            {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0}
+        ),
         "d07_embedding_dups_lsh": oracles.embedding_dups_lsh_sql(0.4, 64, 6),
         "s01_cosine_topk": oracles.cosine_topk_sql(5, 50),
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),

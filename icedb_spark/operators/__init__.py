@@ -29,6 +29,7 @@ from .multimodal import (
     synthetic_media,
 )
 from .sampling import (
+    mixture_sample,
     assign_splits,
     hash_sample,
     stratified_sample,
@@ -63,6 +64,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "assign_splits",
     "hash_sample",
+    "mixture_sample",
     "stratified_sample",
     "top_k_sample",
     "decode_image_headers",

@@ -148,3 +148,46 @@ def top_k_sample(
         .limit(k)
         .drop("__tks_h")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture — the data-mixing step of a
+    training pipeline ("50% web, 30% wiki, 20% books").
+
+    Returns the LARGEST deterministic subset whose per-stratum proportions
+    match ``weights`` in expectation: one O(strata) count aggregate finds
+    the binding stratum (the one that runs out first), then per-stratum
+    acceptance fractions ``(w * t) / n`` with ``t = min(n/w)`` feed the
+    same single-scan CASE filter as :func:`stratified_sample` — the
+    binding stratum keeps everything, the rest downsample. Weights are
+    scale-invariant (no normalization: doubling every weight changes
+    nothing), listed strata absent from the data are ignored, and
+    unlisted / NULL strata are DROPPED — the mixture defines the corpus.
+    Row-local after the one count agg; zero shuffle on the data path.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for g, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for stratum {g!r} must be > 0, got {w}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strata_col).isin(list(weights)))
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    present = {g: float(w) for g, w in weights.items() if counts.get(g)}
+    if not present:
+        return df.where(F.lit(False))
+    t = min(counts[g] / w for g, w in present.items())
+    rates = {g: (w * t) / counts[g] for g, w in present.items()}
+    return stratified_sample(
+        df, rates, strata_col, key_col, default_rate=0.0, seed=seed
+    )

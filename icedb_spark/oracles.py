@@ -824,3 +824,27 @@ select doc_id, cast(chunk_idx as int) as chunk_idx,
   md5(substr(t, cast(chunk_idx * {step} + 1 as bigint), {size})) as chunk_hash
 from ex
 """
+
+
+def mixture_sample_sql(
+    weights: dict[str, float], seed: int = 0, table: str = "documents",
+    strata_col: str = "lang", key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.mixture_sample: acceptance rates are
+    derived IN SQL with the same IEEE double arithmetic ((w*t)/n with
+    t = min(n/w), no normalization — min and the two-op rate are
+    order-independent), so the member set matches bit-exactly."""
+    vals = ", ".join(f"('{g}', {float(w)!r})" for g, w in weights.items())
+    return f"""
+with w(stratum, wt) as (values {vals}),
+c as (
+  select {strata_col} as stratum, count(*) as n from {table}
+  where {strata_col} in (select stratum from w) group by 1
+),
+p as (select w.stratum, w.wt, c.n from w join c using (stratum) where c.n > 0),
+t as (select min(n / wt) as t from p),
+r as (select stratum, (wt * (select t from t)) / n as rate from p)
+select d.doc_id, d.{strata_col} from {table} d
+join r on d.{strata_col} = r.stratum
+where {_fraction_expr(key_expr, seed)} < r.rate
+"""

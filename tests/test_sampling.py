@@ -119,3 +119,40 @@ def test_top_k_sample_is_uniform_k_and_stable(docs):
 def test_top_k_plans_as_take_ordered_not_full_sort(docs):
     plan = top_k_sample(docs, 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_sample_targets_and_binding_stratum(spark):
+    from icedb_spark.operators import mixture_sample
+
+    rows = (
+        [{"doc_id": i, "lang": "en"} for i in range(400)]
+        + [{"doc_id": 1000 + i, "lang": "de"} for i in range(50)]
+        + [{"doc_id": 2000 + i, "lang": "zh"} for i in range(100)]
+    )
+    df = spark.createDataFrame(rows)
+    # target 1:1 — de (50 rows vs en's 400) is binding: keep ALL de,
+    # downsample en to ~50; zh unlisted → dropped entirely
+    out = mixture_sample(df, {"en": 1.0, "de": 1.0}, "lang", "doc_id")
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("zh") is None
+    assert counts["de"] == 50          # binding stratum: rate exactly 1.0
+    assert 25 <= counts["en"] <= 80    # ~50 in expectation (hash variance)
+    # deterministic: same call → same member set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               mixture_sample(df, {"en": 1.0, "de": 1.0}, "lang",
+                              "doc_id").collect())
+    assert a == b
+
+
+def test_mixture_sample_validation(spark):
+    from icedb_spark.operators import mixture_sample
+
+    df = spark.createDataFrame([{"doc_id": 1, "lang": "en"}])
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, {}, "lang", "doc_id")
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_sample(df, {"en": 0.0}, "lang", "doc_id")
+    # all listed strata absent → empty result, not an error
+    assert mixture_sample(df, {"xx": 1.0}, "lang", "doc_id").count() == 0
