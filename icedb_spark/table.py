@@ -1885,6 +1885,7 @@ class IceTable:
         when_not_matched: Optional[str] = "insert",
         allow_new_columns: bool = False,
         commit_tag: Optional[str] = None,
+        broadcast_source: bool = True,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` — upsert via copy-on-write
         (beyond reference; the standard lakehouse CoW MERGE shape).
@@ -1896,6 +1897,11 @@ class IceTable:
         ``when_not_matched``: ``"insert"`` appends source rows with no
         match (missing table columns null-seeded), ``None`` ignores them.
         Source keys must be unique (ambiguous-match guard).
+
+        ``broadcast_source=False`` drops the broadcast hints for a
+        backfill-scale source (too big for the driver): the semi-join and
+        transform join plan as plain equi-joins and AQE picks the
+        physical strategy.
 
         ``allow_new_columns=True`` lets the source carry columns the table
         doesn't have yet (the mergeSchema analog): they accumulate into
@@ -1986,6 +1992,14 @@ class IceTable:
                 "target row must match at most one source row"
             )
 
+        def _bcast(d: DataFrame) -> DataFrame:
+            # the usual MERGE has a small source — broadcast both the
+            # touch semi-join and the transform join. For a backfill-scale
+            # source pass broadcast_source=False: the joins become plain
+            # equi-joins and AQE picks the physical strategy (shuffle hash
+            # / sort-merge), trading latency for not OOMing the driver.
+            return F.broadcast(d) if broadcast_source else d
+
         # (1) zone-map pruning from the source's key envelope
         aggs = []
         for k in on:
@@ -2009,7 +2023,7 @@ class IceTable:
             ).withColumn("_ice_src", F.input_file_name())
             hit = (
                 tgt.join(
-                    F.broadcast(source.select(*on).distinct()), on=on,
+                    _bcast(source.select(*on).distinct()), on=on,
                     how="left_semi",
                 )
                 .select("_ice_src").distinct().collect()
@@ -2024,7 +2038,7 @@ class IceTable:
                 *[self.storage.absolute(m.path) for m in touched]
             )
             # (3) one broadcast left join transforms matched rows in place
-            srcb = F.broadcast(source.withColumn("_ice_m", F.lit(True)))
+            srcb = _bcast(source.withColumn("_ice_m", F.lit(True)))
             # plain equality: SQL MERGE ON semantics — NULL keys never match
             joined = base.alias("t").join(
                 srcb.alias("s"),

@@ -352,3 +352,14 @@ def test_merge_empty_table_inserts_everything(spark, tmp_path):
     t.delete("true")
     t.merge_into(spark.createDataFrame(rows([5, 6])), on="id")
     assert ids_of(t.read()) == [5, 6]
+
+
+def test_merge_without_broadcast_hint_same_result(spark, tmp_path):
+    """broadcast_source=False (backfill-scale source) must be
+    result-identical to the broadcast path."""
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2, 3], v=1.0))
+    src = spark.createDataFrame(rows([2, 3, 4], v=9.0))
+    t.merge_into(src, on="id", broadcast_source=False)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 9.0, 4: 9.0}
