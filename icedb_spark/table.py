@@ -1252,7 +1252,7 @@ class IceTable:
         }
 
     def tombstone_cleanup(
-        self, min_age_ms: int, concurrency: int = 16
+        self, min_age_ms: int, concurrency: int = 16, dry_run: bool = False
     ) -> tuple[list[str], list[str]]:
         """Vacuum: physically delete data files whose tombstones and log
         files whose supersede-markers are older than ``min_age_ms``, then
@@ -1267,7 +1267,9 @@ class IceTable:
         file.
 
         Returns (deleted_log_files, deleted_data_files). Requires the same
-        external exclusive lock as ``merge``.
+        external exclusive lock as ``merge``. ``dry_run=True`` returns the
+        same two lists (what WOULD be deleted) without deleting anything or
+        committing the collapsed log — preview a vacuum before running it.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1341,6 +1343,15 @@ class IceTable:
         # then the superseded log files — a crash mid-vacuum never leaves
         # the fresh log referencing a deleted file.
         delete_paths = list(data_delete)
+        if dry_run:
+            return (
+                list(
+                    dict.fromkeys(
+                        expired_log_files + [k for k, _s, _f in collapse]
+                    )
+                ),
+                delete_paths,
+            )
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_data = [
                 p
@@ -1369,12 +1380,13 @@ class IceTable:
         return deleted_logs, deleted_data
 
     def gc_orphans(
-        self, grace_ms: int = 24 * 3600 * 1000
+        self, grace_ms: int = 24 * 3600 * 1000, dry_run: bool = False
     ) -> tuple[list[str], list[str]]:
         """Delete data files no log entry references — the garbage a writer
         that crashed between its data PUTs and its log commit leaves behind
         (visibility comes only from the log, so such files are invisible but
-        billable forever). Returns ``(deleted, kept_young)`` keys.
+        billable forever). Returns ``(deleted, kept_young)`` keys;
+        ``dry_run=True`` returns the same lists without deleting.
 
         The referenced set is every marker path in the folded log (alive AND
         tombstoned — tombstoned files stay until ``tombstone_cleanup``). The
@@ -1418,7 +1430,8 @@ class IceTable:
                 continue
             mt = self.storage.mtime_ms(key)
             if mt is not None and mt <= cutoff:
-                self.storage.delete(key)
+                if not dry_run:
+                    self.storage.delete(key)
                 deleted.append(key)
             else:
                 kept.append(key)

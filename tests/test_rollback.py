@@ -112,3 +112,40 @@ def test_vacuum_after_rollback_keeps_restored_files(spark, tmp_path):
     t.tombstone_cleanup(min_age_ms=0)
     assert ids_of(t.read()) == [1, 2, 3, 4]
     assert len(t.snapshot().alive_files()) == 2
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """dry_run returns exactly what a real vacuum would delete, touching
+    nothing; the subsequent real vacuum deletes exactly that set."""
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    t.insert(rows([3, 4]))
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    logs_before = set(t.snapshot().log_files)
+    files_before = {m.path for m in t.snapshot().alive_files()}
+    dry_logs, dry_data = t.tombstone_cleanup(min_age_ms=0, dry_run=True)
+    assert dry_data and dry_logs
+    # nothing happened: same logs, same alive files, data still readable
+    assert set(t.snapshot().log_files) == logs_before
+    assert {m.path for m in t.snapshot().alive_files()} == files_before
+    real_logs, real_data = t.tombstone_cleanup(min_age_ms=0)
+    assert sorted(real_data) == sorted(dry_data)
+    assert sorted(real_logs) == sorted(dry_logs)
+    assert ids_of(t.read()) == [1, 2, 3, 4]
+
+
+def test_gc_dry_run(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1]))
+    # plant an orphan (never-committed data file)
+    t.storage.put("_data/b=x/orphan.parquet", b"junk")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        dry_del, _ = t.gc_orphans(grace_ms=0, dry_run=True)
+        assert dry_del == ["_data/b=x/orphan.parquet"]
+        assert t.storage.exists("_data/b=x/orphan.parquet")  # untouched
+        real_del, _ = t.gc_orphans(grace_ms=0)
+    assert real_del == dry_del
+    assert not t.storage.exists("_data/b=x/orphan.parquet")
