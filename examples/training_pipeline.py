@@ -2,9 +2,11 @@
 
 The combined story the engine exists for: raw documents land in an IceTable
 (MVCC commits, schema union), a curation pass runs entirely as DataFrame
-operators — language ID, quality scoring, exact + MinHash dedup, a
-Gopher-style repetition screen, a PII screen, benchmark decontamination,
-and deterministic train/val/test assignment — and the survivors are
+operators — language ID, quality scoring, exact dedup, MinHash near-dedup
+with quality-aware best-of-cluster survivor selection, a Gopher-style
+repetition screen, a PII screen, benchmark decontamination, mixture
+rebalancing to a target language mix, deterministic train/val/test
+assignment, and context-window chunking — and the survivors are
 committed to a curated table whose snapshot is the training set. Every step
 is a pipeline operator with a DuckDB oracle elsewhere in the repo; this
 file wires them together as executable documentation.
@@ -24,10 +26,13 @@ from pyspark.sql import functions as F
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import (
     assign_splits,
+    chunk_documents,
     decontaminate,
     exact_duplicates,
     language_id,
     minhash_lsh_pairs,
+    mixture_sample,
+    pick_canonical,
     pii_stats,
     repetition_stats,
     text_quality,
@@ -86,11 +91,15 @@ def main() -> None:
     print(f"after exact dedup: {kept.count()} docs "
           f"({groups.count()} duplicate groups collapsed)")
 
-    # near-dedup: drop the higher-id side of each MinHash-confirmed pair
+    # near-dedup with quality-aware survivor selection: MinHash pairs →
+    # transitive clusters → keep each cluster's HIGHEST-quality member
+    # (pick_canonical), not an arbitrary one
     near = minhash_lsh_pairs(kept, threshold=0.8)
-    near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    canon = pick_canonical(near, quality.select("doc_id", "quality_score"))
+    near_losers = canon.where(~F.col("is_keeper")).select("doc_id")
     kept = kept.join(near_losers, "doc_id", "left_anti")
-    print(f"after MinHash near-dedup: {kept.count()} docs")
+    print(f"after MinHash near-dedup (best-of-cluster kept): "
+          f"{kept.count()} docs")
 
     # repetition screen: drop degenerate boilerplate (Gopher-style)
     rep = repetition_stats(kept).where(
@@ -112,6 +121,15 @@ def main() -> None:
     ).select("doc_id")
     kept = kept.join(contaminated, "doc_id", "left_anti")
     print(f"after decontamination: {kept.count()} docs")
+
+    # mixture rebalance: the largest subset matching a 3:1:1:1:1 language
+    # target (the data-mixing step; binding language kept whole)
+    kept = mixture_sample(
+        kept,
+        {"en": 3.0, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 1.0},
+        strata_col="lang_pred", key_col="doc_id",
+    )
+    print(f"after mixture rebalance: {kept.count()} docs")
 
     # deterministic train/val/test assignment (hash-stable across runs)
     kept = assign_splits(
@@ -138,6 +156,12 @@ def main() -> None:
         "sum(n_tokens) as total_tokens "
         "from ice group by lang_pred, split order by docs desc"
     ).show()
+
+    # context-window prep: overlapping character chunks of the train split
+    chunks = chunk_documents(
+        curated.read().where("split = 'train'"), size=512, overlap=64
+    )
+    print("train chunks:", chunks.count())
 
 
 if __name__ == "__main__":
