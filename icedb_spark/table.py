@@ -1202,6 +1202,19 @@ class IceTable:
         additive-union by design (reference wire contract), so columns
         added after ``at_ms`` simply read as NULL for restored files.
         """
+        horizon = self._log_horizon()
+        if at_ms <= horizon:
+            # a vacuum at `horizon` physically deleted log files, and a
+            # deleted log served every instant up to that vacuum — the
+            # fold at this instant may be PARTIAL (its markers now ride in
+            # the newer collapsed log), so restoring it could silently
+            # drop rows that were alive then
+            raise RuntimeError(
+                f"cannot roll back to {at_ms}: a vacuum at {horizon} "
+                "deleted log files, so snapshots at or before it are no "
+                "longer faithfully reconstructible; pick a snapshot after "
+                "the last vacuum or increase the cleanup grace window"
+            )
         old = self.snapshot(at_ms)
         cur = self.snapshot()
         if not old.log_files and cur.log_files:
@@ -1370,6 +1383,14 @@ class IceTable:
         logs_to_delete = list(
             dict.fromkeys(expired_log_files + [k for k, _s, _f in collapse])
         )
+        # Advance the rollback horizon BEFORE deleting any log: a deleted
+        # log served EVERY instant from its stamp until this vacuum (its
+        # markers now ride only in the collapsed log stamped `now`), so
+        # every pre-vacuum instant may fold partially — the horizon is the
+        # vacuum's own timestamp. Writing first is the crash-safe order: a
+        # horizon with no deletion only over-refuses.
+        if logs_to_delete:
+            self._advance_log_horizon(now)
         with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
             deleted_logs = [
                 k
@@ -1378,6 +1399,26 @@ class IceTable:
                 )
             ]
         return deleted_logs, deleted_data
+
+    _HORIZON_KEY = "_meta/log_horizon"
+
+    def _advance_log_horizon(self, ts: int) -> None:
+        self.log_storage.put(
+            self._HORIZON_KEY, str(max(ts, self._log_horizon())).encode()
+        )
+
+    def _log_horizon(self) -> int:
+        """Timestamp of the newest vacuum that physically deleted a log
+        file — folds at instants <= this may be partial (a deleted log
+        served every instant from its stamp until that vacuum; its markers
+        now ride only in the newer collapsed log), so rollback refuses
+        them. 0 if no vacuum has deleted a log."""
+        try:
+            if self.log_storage.exists(self._HORIZON_KEY):
+                return int(self.log_storage.get(self._HORIZON_KEY))
+        except (ValueError, OSError):
+            pass
+        return 0
 
     def gc_orphans(
         self, grace_ms: int = 24 * 3600 * 1000, dry_run: bool = False

@@ -94,7 +94,7 @@ def test_rollback_refuses_vacuumed_target(spark, tmp_path):
     t.merge_all(max_file_size=1 << 40, max_file_count=100)
     t.tombstone_cleanup(min_age_ms=0)  # pre-merge files physically deleted
     with pytest.raises(
-        RuntimeError, match="already vacuumed|no longer reconstructible"
+        RuntimeError, match="vacuum"
     ):
         t.rollback(at)
     assert ids_of(t.read()) == [1, 2, 3, 4]  # table unharmed
@@ -149,3 +149,33 @@ def test_gc_dry_run(spark, tmp_path):
         real_del, _ = t.gc_orphans(grace_ms=0)
     assert real_del == dry_del
     assert not t.storage.exists("_data/b=x/orphan.parquet")
+
+
+def test_rollback_refuses_partially_collapsed_target(spark, tmp_path):
+    """The subtle hazard: after a vacuum, an intermediate instant can fold
+    to a PARTIAL state (a surviving insert log + markers that were carried
+    into the newer collapsed log). The horizon guard must refuse every
+    pre-vacuum instant, not just fully-empty ones."""
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2], bucket="a"))
+    t.insert(rows([3, 4], bucket="a"))
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)  # merged log M
+    t.insert(rows([5, 6], bucket="z"))  # L3: survives the vacuum untouched
+    at = head_ms(t)  # everything alive: {merged a-file, z-file}
+    t.tombstone_cleanup(min_age_ms=0)  # deletes L1, L2, M → collapsed C(now)
+    # without the horizon guard, snapshot(at) would fold to z's file only
+    # (M's marker rides in C, stamped after `at`) — a silent partial state
+    with pytest.raises(RuntimeError, match="vacuum"):
+        t.rollback(at)
+    assert ids_of(t.read()) == [1, 2, 3, 4, 5, 6]  # table unharmed
+
+
+def test_rollback_allowed_after_vacuum_for_younger_instants(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.insert(rows([1, 2]))
+    t.merge_all(max_file_size=1 << 40, max_file_count=100)
+    t.tombstone_cleanup(min_age_ms=0)
+    at = head_ms(t)  # post-vacuum instant: fully reconstructible
+    t.insert(rows([9]))
+    t.rollback(at)
+    assert ids_of(t.read()) == [1, 2]

@@ -12,6 +12,10 @@ Invariants (the round-2 vacuum bugs each violated one):
   I1  fold's alive set == model's alive set (no loss, no resurrection)
   I2  every alive file exists on disk (vacuum never deletes live data)
   I3  vacuum with a huge min_age deletes no data files (grace)
+  I4  rollback is atomic-or-refused: it either restores EXACTLY the
+      recorded historical alive set, or raises (post-vacuum horizon /
+      vacuumed files) leaving the state bit-identical — never a partial
+      restore
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ ops = st.lists(
         st.tuples(st.just("merge"), st.integers(0, 2), st.just(0)),
         st.tuples(st.just("remove"), st.integers(0, 2), st.just(0)),
         st.tuples(st.just("vacuum"), st.sampled_from([0, 3_600_000]), st.just(0)),
+        st.tuples(st.just("rollback"), st.integers(0, 13), st.just(0)),
     ),
     min_size=1,
     max_size=14,
@@ -63,6 +68,7 @@ def test_random_maintenance_sequences_hold_invariants(tmp_path_factory, ops):
         sort_order=[],
     )
     alive: set[str] = set()  # the model
+    hist: list[tuple[int, set[str]]] = []  # (instant, alive set) history
 
     def check():
         state = t.snapshot()
@@ -115,4 +121,14 @@ def test_random_maintenance_sequences_hold_invariants(tmp_path_factory, ops):
             _logs, deleted = t.tombstone_cleanup(min_age_ms=a)
             if a > 0:
                 assert deleted == []  # I3: everything is younger than 1h
+        elif op == "rollback":
+            if not hist:
+                continue
+            at, snap = hist[a % len(hist)]
+            try:
+                t.rollback(at)
+                alive = set(snap)  # I4: exact historical restore
+            except RuntimeError:
+                pass  # I4: refusal must leave state untouched (check())
         check()
+        hist.append((unique_ms(), set(alive)))
