@@ -149,7 +149,9 @@ def derive_scan_hints(
       a superset, sound for skipping). Partition-path ranges additionally
       require STRING literals: the path stores strings, and numeric ranges
       compare lexicographically there ("10" < "9").
-    * ``col IN (lits)`` → partition membership for identity partition cols.
+    * ``col IN (lits)`` → partition membership for identity partition cols
+      AND an any-value zone-map/Bloom ``column_in`` hint for the data
+      column (a file survives if ANY listed value may be present).
     * anything else contributes nothing.
     """
     found = _find_where(query, view)
@@ -163,6 +165,7 @@ def derive_scan_hints(
     partition_values: dict[str, Union[str, tuple, list]] = {}
     column_ranges: dict[str, list] = {}
     column_equals: dict = {}
+    column_in: dict[str, list] = {}
 
     def add_range(col: str, lo, hi) -> None:
         cur = column_ranges.setdefault(col, [None, None])
@@ -261,6 +264,8 @@ def derive_scan_hints(
             field = identity_partition_cols.get(col)
             if field and not any(isinstance(v, float) for v in vals):
                 partition_values[field] = [str(v) for v in vals]
+            # data-column IN: any-value zone-map/Bloom membership hint
+            column_in[col] = vals
             continue
 
     out: dict = {}
@@ -270,4 +275,6 @@ def derive_scan_hints(
         out["column_ranges"] = {k: tuple(v) for k, v in column_ranges.items()}
     if column_equals:
         out["column_equals"] = column_equals
+    if column_in:
+        out["column_in"] = column_in
     return out

@@ -713,6 +713,7 @@ class IceTable:
         partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
         column_ranges: Optional[dict[str, tuple]] = None,
         column_equals: Optional[dict] = None,
+        column_in: Optional[dict[str, list]] = None,
         state: Optional[LogState] = None,
     ) -> list[FileMarker]:
         """The scan's file list: alive markers at ``at_ms`` after driver-side
@@ -750,6 +751,28 @@ class IceTable:
                     for c, v in column_equals.items()
                 )
             ]
+        if column_in:
+            # membership: a file survives a column's IN-list when ANY
+            # listed value may be present (zone map AND Bloom agree it
+            # might); it must survive EVERY listed column
+            for col, vals in column_in.items():
+                if not vals or any(v is None for v in vals):
+                    raise ValueError(
+                        f"column_in[{col!r}] must be a non-empty list of "
+                        "non-null literals — SQL IN never matches NULL"
+                    )
+            files = [
+                m
+                for m in files
+                if all(
+                    any(
+                        _stats_overlap(m.stats, {col: (v, v)})
+                        and _bloom_may_contain(m.stats, col, v)
+                        for v in vals
+                    )
+                    for col, vals in column_in.items()
+                )
+            ]
         return files
 
     def read(
@@ -759,6 +782,7 @@ class IceTable:
         partition_values: Optional[dict[str, Union[str, tuple, set, list]]] = None,
         column_ranges: Optional[dict[str, tuple]] = None,
         column_equals: Optional[dict] = None,
+        column_in: Optional[dict[str, list]] = None,
     ) -> DataFrame:
         """Snapshot scan: alive files at ``at_ms``, driver-side partition
         pruning + zone-map skipping, explicit unified schema → Catalyst does
@@ -783,6 +807,10 @@ class IceTable:
         for unclustered columns whose min/max spans are too wide to prune.
         Same hint-not-filter contract: apply the real ``col = v`` predicate
         on the returned DataFrame.
+
+        ``column_in`` is the IN-list sibling of ``column_equals``: a file
+        survives when ANY listed value may be present (zone map and Bloom
+        agree it might) for EVERY listed column. Same hint contract.
         """
         state = self.snapshot(at_ms)
         files = self.files_for(
@@ -790,6 +818,7 @@ class IceTable:
             partition_values=partition_values,
             column_ranges=column_ranges,
             column_equals=column_equals,
+            column_in=column_in,
             state=state,
         )
         schema = self.spark_schema(state)
@@ -837,7 +866,10 @@ class IceTable:
         """
         if auto_prune and not any(
             k in read_kwargs
-            for k in ("partition_values", "column_ranges", "column_equals")
+            for k in (
+                "partition_values", "column_ranges", "column_equals",
+                "column_in",
+            )
         ):
             read_kwargs.update(
                 derive_scan_hints(query, view, self._identity_partition_cols())

@@ -168,3 +168,23 @@ def test_sql_results_identical_with_and_without_pruning(table):
         pruned = [tuple(r) for r in table.sql(q).collect()]
         unpruned = [tuple(r) for r in table.sql(q, auto_prune=False).collect()]
         assert pruned == unpruned, q
+
+
+def test_in_list_derives_column_in_hint():
+    from icedb_spark.pruning import derive_scan_hints
+
+    h = derive_scan_hints(
+        "select * from ice where user_id in (7, 9, 11) and lang in ('en')",
+        "ice", {},
+    )
+    assert h["column_in"] == {"user_id": [7, 9, 11], "lang": ["en"]}
+
+
+def test_in_list_on_identity_partition_gets_both_hints():
+    from icedb_spark.pruning import derive_scan_hints
+
+    h = derive_scan_hints(
+        "select * from ice where et in ('a', 'b')", "ice", {"et": "p_et"}
+    )
+    assert h["partition_values"] == {"p_et": ["a", "b"]}
+    assert h["column_in"] == {"et": ["a", "b"]}

@@ -201,3 +201,30 @@ def test_zorder_table_captures_stats_on_every_z_column(spark, tmp_path):
     t.insert([{"x": float(i), "y": float(9 - i)} for i in range(10)])
     (m,) = t.snapshot().alive_files()
     assert m.stats == {"x": [0.0, 9.0], "y": [0.0, 9.0]}
+
+
+def test_column_in_prunes_by_zone_map_and_keeps_any_match(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "tin"),
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'x'")]),
+        sort_order=["id"],
+        stats_columns=["id"],
+    )
+    t.insert([{"id": i} for i in (1, 2, 3)])
+    t.insert([{"id": i} for i in (100, 200)])
+    t.insert([{"id": i} for i in (900, 950)])
+    # IN-list spanning files 1 and 3 — file 2 provably disjoint
+    kept = t.files_for(column_in={"id": [2, 940]})
+    assert len(kept) == 2
+    # sql() auto-derives the same hint end-to-end
+    df = t.sql("select count(*) as c from ice where id in (2, 940)")
+    assert df.collect()[0]["c"] == 1  # 940 not present; 2 is
+    import pytest
+
+    with pytest.raises(ValueError, match="non-null"):
+        t.files_for(column_in={"id": [1, None]})
+    with pytest.raises(ValueError, match="non-empty"):
+        t.files_for(column_in={"id": []})
