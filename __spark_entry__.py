@@ -1173,6 +1173,36 @@ def ice24_rollback(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice25_change_feed(spark, sf_dir):
+    """Row-level change data feed (beyond reference; the CDF analog):
+    DELETE and UPDATE run with ``capture_changes=True``, writing their
+    delete / pre / post row images under ``_changes/<commit_ts>/`` in the
+    same atomic-commit envelope (exposed only when the timestamp names a
+    committed log). ``changes_feed(t0)`` then streams exactly those
+    images. The oracle reconstructs each image set from the predicates
+    (disjoint by construction: the delete hits value<50 clicks, the
+    update hits value>90)."""
+    from icedb_spark import get_log_file_info
+
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        t0 = get_log_file_info(t.snapshot().log_files[-1])[0]
+        t.delete("event_type = 'click' and value < 50", capture_changes=True)
+        t.update({"value": "value * 2"}, "value > 90", capture_changes=True)
+        feed = t.changes_feed(t0)
+        return (
+            feed.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -1938,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "st04_session_window": st04_session_window,
         "ice24_rollback": ice24_rollback,
+        "ice25_change_feed": ice25_change_feed,
         "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -2484,6 +2515,24 @@ fin as (
 )
 select event_type, count(*) as cnt, round(sum(value), 2) as sum_value
 from fin group by event_type
+""",
+        # change feed images reconstructed from the (disjoint) predicates
+        "ice25_change_feed": """
+with del_rows as (
+  select value from events
+  where coalesce(event_type = 'click' and value < 50, false)
+),
+upd_rows as (
+  select value from events
+  where coalesce(value > 90, false)
+    and not coalesce(event_type = 'click' and value < 50, false)
+)
+select 'delete' as change_type, count(*) as cnt,
+  round(sum(value), 2) as sum_value from del_rows
+union all
+select 'update_preimage', count(*), round(sum(value), 2) from upd_rows
+union all
+select 'update_postimage', count(*), round(sum(value * 2), 2) from upd_rows
 """,
         # rollback restores exactly the first-insert snapshot
         "ice24_rollback": ev_agg.format(

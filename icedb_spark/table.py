@@ -921,6 +921,82 @@ class IceTable:
         paths = [self.storage.absolute(p) for p in sorted(set(new_paths))]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def changes_feed(
+        self, since_ms: int, until_ms: Optional[int] = None
+    ) -> DataFrame:
+        """Row-level change feed over ``(since_ms, until_ms]`` — the CDC
+        stream INCLUDING mutations (beyond :meth:`changes`, which is
+        insert-only): insert commits stream their rows tagged
+        ``_change_type='insert'`` from pure log metadata, and DML commits
+        made with ``capture_changes=True`` stream their recorded
+        ``delete`` / ``update_preimage`` / ``update_postimage`` /
+        ``insert`` rows from the ``_changes/<commit_ts>/`` set written
+        atomically-before their commit.
+
+        Exposure rule: a change set appears ONLY when its timestamp names
+        a committed log file, so a writer that crashed between change
+        write and commit contributes nothing (``gc_orphans`` collects the
+        leftovers). DML run WITHOUT capture contributes nothing — enable
+        capture wherever a downstream consumer tails this feed. Retention
+        matches time travel: once vacuum collapses a commit's log past the
+        grace window, its change set goes orphan and is collected.
+
+        Output: current unified schema + ``_change_type`` (older windows
+        null-seed later columns, same as every scan).
+        """
+        state = self.snapshot(until_ms, keep_parsed=True)
+        committed: set[int] = set()
+        insert_paths: list[str] = []
+        for key, (_meta, _sch, fms, _tmbs) in self._log_contents(state):
+            ts, merged = get_log_file_info(key)
+            committed.add(ts)
+            if not merged and ts > since_ms:
+                insert_paths.extend(m.path for m in fms if m.alive)
+        schema = self.spark_schema(state)
+        feed_schema = self._feed_schema(schema)
+        outs: list[DataFrame] = []
+        if insert_paths:
+            outs.append(
+                self.spark.read.schema(schema)
+                .parquet(
+                    *[
+                        self.storage.absolute(p)
+                        for p in sorted(set(insert_paths))
+                    ]
+                )
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        change_ts: set[int] = set()
+        for key, _size in self.storage.list(self._CHANGES_PREFIX):
+            seg = key.split("/")
+            if len(seg) < 2:
+                continue
+            try:
+                ts = int(seg[1])
+            except ValueError:
+                continue
+            if (
+                ts > since_ms
+                and (until_ms is None or ts <= until_ms)
+                and ts in committed
+            ):
+                change_ts.add(ts)
+        if change_ts:
+            outs.append(
+                self.spark.read.schema(feed_schema).parquet(
+                    *[
+                        self.storage.absolute(f"{self._CHANGES_PREFIX}/{t}")
+                        for t in sorted(change_ts)
+                    ]
+                )
+            )
+        if not outs:
+            return self.spark.createDataFrame([], feed_schema)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
     # ------------------------------------------------------- observability
 
     def history(self) -> list[dict]:
@@ -1508,6 +1584,29 @@ class IceTable:
                 deleted.append(key)
             else:
                 kept.append(key)
+        # change sets whose timestamp names no committed log are orphans
+        # too: a crashed pre-commit capture, or a set whose commit log a
+        # vacuum collapsed away (feed retention = time-travel retention)
+        committed = {get_log_file_info(k)[0] for k in state.log_files}
+        for key, _size in self.storage.list(
+            self._CHANGES_PREFIX, include_hidden=True
+        ):
+            seg = key.split("/")
+            ts = None
+            if len(seg) >= 2:
+                try:
+                    ts = int(seg[1])
+                except ValueError:
+                    ts = None
+            if ts is not None and ts in committed:
+                continue
+            mt = self.storage.mtime_ms(key)
+            if mt is not None and mt <= cutoff:
+                if not dry_run:
+                    self.storage.delete(key)
+                deleted.append(key)
+            else:
+                kept.append(key)
         return deleted, kept
 
     # ------------------------------------------------------- partition admin
@@ -1673,6 +1772,39 @@ class IceTable:
             for r in manifest
         ]
 
+    _CHANGES_PREFIX = "_changes"
+
+    def _write_change_set(
+        self,
+        ts: int,
+        parts: list[tuple[DataFrame, str]],
+        schema: T.StructType,
+    ) -> None:
+        """Write the row-level change set of a DML commit to
+        ``_changes/<commit_ts>/`` (one Spark-native parquet write). Runs
+        BEFORE the log append: the commit timestamp is the linkage, so a
+        crash between this write and the commit leaves a change set no
+        committed log names — ``changes_feed`` never exposes it and
+        ``gc_orphans`` collects it."""
+        cols = [f.name for f in schema.fields]
+        out = None
+        for df, kind in parts:
+            d = df.select(*[F.col(c) for c in cols]).withColumn(
+                "_change_type", F.lit(kind)
+            )
+            out = d if out is None else out.unionByName(d)
+        if out is None:
+            return
+        out.write.mode("overwrite").parquet(
+            self.storage.absolute(f"{self._CHANGES_PREFIX}/{ts}")
+        )
+
+    def _feed_schema(self, schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), True)]
+        )
+
     def _commit_dml(
         self,
         state: LogState,
@@ -1680,6 +1812,7 @@ class IceTable:
         replaced: list[FileMarker],
         schema: Optional[Schema] = None,
         tag: Optional[str] = None,
+        timestamp_ms: Optional[int] = None,
     ) -> int:
         """One atomic merged-type log append: new files + tombstones for
         every replaced file, stamped at commit time (same rationale as
@@ -1687,10 +1820,11 @@ class IceTable:
         time travel for instants during the job). ``schema`` overrides the
         snapshot schema for schema-evolving DML (merge_into with
         ``allow_new_columns``); ``tag`` embeds an idempotency token in the
-        log file name (streaming upsert replay dedup)."""
+        log file name (streaming upsert replay dedup); ``timestamp_ms``
+        pins the stamp when a change set was pre-written under it."""
         if not new_markers and not replaced:
             return 0
-        ts = unique_ms()
+        ts = timestamp_ms if timestamp_ms is not None else unique_ms()
         stamped = [
             FileMarker(m.path, ts, m.file_bytes, stats=m.stats)
             for m in new_markers
@@ -1749,6 +1883,7 @@ class IceTable:
         where: str,
         concurrency: int = 8,
         distributed: Optional[bool] = None,
+        capture_changes: bool = False,
     ) -> dict:
         """Row-level ``DELETE FROM t WHERE ...`` via copy-on-write
         (beyond reference — its deletion story stops at partition drops and
@@ -1777,6 +1912,23 @@ class IceTable:
         schema = self.spark_schema(state)
         targets = self._dml_candidates(state, where)
         dpred = F.coalesce(F.expr(where), F.lit(False))
+
+        def commit(new_markers: list[FileMarker], replaced: list[FileMarker]):
+            ts = None
+            if capture_changes and replaced:
+                deleted_rows = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[self.storage.absolute(m.path) for m in replaced]
+                    )
+                    .where(dpred)
+                )
+                ts = unique_ms()
+                self._write_change_set(
+                    ts, [(deleted_rows, "delete")], schema
+                )
+            self._commit_dml(state, new_markers, replaced, timestamp_ms=ts)
+
         if distributed is None:
             distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
         if distributed and targets:
@@ -1799,7 +1951,7 @@ class IceTable:
                     .drop("_ice_src")
                 )
                 new_markers = self._write_rewrite(kept)
-            self._commit_dml(state, new_markers, dropped + partial)
+            commit(new_markers, dropped + partial)
             return {
                 "files_scanned": len(targets),
                 "files_rewritten": len(partial),
@@ -1837,7 +1989,7 @@ class IceTable:
                 new_markers.extend(files)
                 summary["files_rewritten" if kind == "rewrite"
                         else "files_dropped"] += 1
-        self._commit_dml(state, new_markers, replaced)
+        commit(new_markers, replaced)
         return summary
 
     def update(
@@ -1846,6 +1998,7 @@ class IceTable:
         where: str = "true",
         concurrency: int = 8,
         distributed: Optional[bool] = None,
+        capture_changes: bool = False,
     ) -> dict:
         """Row-level ``UPDATE t SET col = expr WHERE ...`` via copy-on-write
         (beyond reference). ``set`` maps existing columns to SQL expressions
@@ -1898,6 +2051,25 @@ class IceTable:
                 ]
             )
 
+        def commit(new_markers: list[FileMarker], replaced: list[FileMarker]):
+            ts = None
+            if capture_changes and replaced:
+                pre = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[self.storage.absolute(m.path) for m in replaced]
+                    )
+                    .where(upred)
+                )
+                ts = unique_ms()
+                self._write_change_set(
+                    ts,
+                    [(pre, "update_preimage"),
+                     (apply_assignments(pre), "update_postimage")],
+                    schema,
+                )
+            self._commit_dml(state, new_markers, replaced, timestamp_ms=ts)
+
         if distributed is None:
             distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
         if distributed and targets:
@@ -1921,7 +2093,7 @@ class IceTable:
                 else:
                     out = out.drop("_ice_src")
                 new_markers = self._write_rewrite(out)
-            self._commit_dml(state, new_markers, touched)
+            commit(new_markers, touched)
             return {
                 "files_scanned": len(targets),
                 "files_rewritten": len(touched),
@@ -1960,7 +2132,7 @@ class IceTable:
                     replaced.append(m)
                     new_markers.extend(files)
                     summary["files_rewritten"] += 1
-        self._commit_dml(state, new_markers, replaced)
+        commit(new_markers, replaced)
         return summary
 
     def merge_into(
@@ -1972,6 +2144,7 @@ class IceTable:
         allow_new_columns: bool = False,
         commit_tag: Optional[str] = None,
         broadcast_source: bool = True,
+        capture_changes: bool = False,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` — upsert via copy-on-write
         (beyond reference; the standard lakehouse CoW MERGE shape).
@@ -2117,6 +2290,7 @@ class IceTable:
             touched = [by_path[_strip_scheme(r[0])] for r in hit]
 
         parts: list[DataFrame] = []
+        change_parts: list[tuple[DataFrame, str]] = []
         summary = {"files_scanned": len(cands),
                    "files_rewritten": len(touched)}
         if touched:
@@ -2140,6 +2314,14 @@ class IceTable:
                     return F.col(f"t.{c}")
                 return F.lit(None).cast(by_name[c])
 
+            if capture_changes and when_matched is not None:
+                pre = joined.where(is_m).select(
+                    *[tref(c).alias(c) for c in tcols]
+                )
+                change_parts.append(
+                    (pre, "delete" if when_matched == "delete"
+                     else "update_preimage")
+                )
             if when_matched == "delete":
                 out = joined.where(~is_m).select(
                     *[tref(c).alias(c) for c in tcols]
@@ -2163,6 +2345,10 @@ class IceTable:
                     else:
                         sel.append(tref(c).alias(c))
                 out = joined.select(*sel)
+                if capture_changes:
+                    change_parts.append(
+                        (joined.where(is_m).select(*sel), "update_postimage")
+                    )
             parts.append(out)
 
         if when_not_matched == "insert":
@@ -2196,6 +2382,8 @@ class IceTable:
                 ]
             )
             parts.append(ins)
+            if capture_changes:
+                change_parts.append((ins, "insert"))
 
         new_markers: list[FileMarker] = []
         if parts:
@@ -2203,8 +2391,19 @@ class IceTable:
             for p in parts[1:]:
                 result = result.unionByName(p)
             new_markers = self._write_rewrite(result)
+        ts = None
+        if capture_changes and change_parts and (new_markers or touched):
+            ts = unique_ms()
+            self._write_change_set(
+                ts,
+                change_parts,
+                T.StructType(
+                    [T.StructField(c, by_name[c], True) for c in tcols]
+                ),
+            )
         self._commit_dml(
-            state, new_markers, touched, commit_schema, tag=commit_tag
+            state, new_markers, touched, commit_schema, tag=commit_tag,
+            timestamp_ms=ts,
         )
         summary["files_written"] = len(new_markers)
         return summary
