@@ -781,6 +781,54 @@ def m01_media_features(spark, sf_dir):
     )
 
 
+def m04_av_headers(spark, sf_dir):
+    """REAL audio/video container-header decode (sibling of m03): even
+    doc_ids become byte-exact WAV files (RIFF chunk walk → channels /
+    sample rate / bits; duration from data-chunk size over byte rate),
+    odd doc_ids become minimal ISO-BMFF MP4s (ftyp + moov/mvhd v0 →
+    duration from timescale), synthesized JVM-side with correct
+    endianness; the operator parses the ACTUAL bytes in mapInPandas
+    (operators/multimodal.py parse_av_header). Oracle derives every field
+    from the generation formula in closed form."""
+    from icedb_spark.operators import decode_av_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    _byte = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint") % 256), 2, "0"))  # noqa: E731
+    le16 = lambda c: F.concat(_byte(c), _byte(c / 256))  # noqa: E731
+    le32 = lambda c: F.concat(  # noqa: E731
+        _byte(c), _byte(c / 256), _byte(c / 65536), _byte(c / 16777216)
+    )
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))  # noqa: E731
+
+    ch = (F.col("doc_id") % 4) / 2 + 1  # floor via _byte casts below
+    ch = F.floor(ch).cast("bigint")
+    sr = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("bigint")
+    br = (sr * ch * 2).cast("bigint")
+    data_size = ((F.col("doc_id") % 5 + 1) * br).cast("bigint")
+    wav = F.concat(
+        F.lit(b"RIFF"), le32(data_size + 36), F.lit(b"WAVEfmt "),
+        le32(F.lit(16).cast("bigint")), le16(F.lit(1).cast("bigint")),
+        le16(ch), le32(sr), le32(br), le16(ch * 2),
+        le16(F.lit(16).cast("bigint")),
+        F.lit(b"data"), le32(data_size),
+    )
+    dur_units = ((F.col("doc_id") % 7 + 1) * 600).cast("bigint")
+    mp4 = F.concat(
+        # ftyp(16) + moov(36) wrapping mvhd v0 (28): version/flags,
+        # ctime/mtime zero, timescale 600 be32, duration be32
+        F.lit(bytes.fromhex("000000106674797069736f6d00000000")),
+        F.lit(bytes.fromhex("000000246d6f6f760000001c6d766864")),
+        F.lit(bytes.fromhex("00000000" + "00000000" + "00000000")),
+        F.lit(bytes.fromhex("00000258")),  # timescale 600
+        be32(dur_units),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, wav).otherwise(mp4).alias("content"),
+    )
+    return decode_av_headers(media)
+
+
 def m03_image_headers(spark, sf_dir):
     """REAL (non-fake) media decode branch: blobs are well-formed
     PNG/JPEG/BMP/WebP container headers synthesized byte-for-byte from
@@ -1966,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_range_join": q29_range_join,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "m03_image_headers": m03_image_headers,
+        "m04_av_headers": m04_av_headers,
         "st04_session_window": st04_session_window,
         "ice24_rollback": ice24_rollback,
         "ice25_change_feed": ice25_change_feed,
@@ -2312,6 +2361,18 @@ select doc_id as media_id,
 from documents
 """,
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
+        "m04_av_headers": """
+select doc_id as media_id,
+  case when doc_id % 2 = 0 then 'wav' else 'mp4' end as format,
+  case when doc_id % 2 = 0
+       then cast(8000 + (doc_id % 8) * 1000 as int) end as sample_rate,
+  case when doc_id % 2 = 0
+       then cast((doc_id % 4) // 2 + 1 as int) end as channels,
+  case when doc_id % 2 = 0 then cast(16 as int) end as bits_per_sample,
+  cast((case when doc_id % 2 = 0 then doc_id % 5 + 1
+             else doc_id % 7 + 1 end) * 1000 as bigint) as duration_ms
+from documents
+""",
         "t01_token_stats": oracles.token_stats_sql(),
         "t02_text_quality": oracles.text_quality_sql(),
         "t03_language_id": oracles.language_id_sql(),

@@ -20,6 +20,9 @@ from .dedup import (
 )
 from .graph import connected_components, dedup_clusters, pick_canonical
 from .multimodal import (
+    AV_HEADER_SCHEMA,
+    decode_av_headers,
+    parse_av_header,
     HEADER_SCHEMA,
     MEDIA_SCHEMA,
     decode_image_headers,
@@ -61,6 +64,9 @@ from .text import (
 
 __all__ = [
     "HEADER_SCHEMA",
+    "AV_HEADER_SCHEMA",
+    "decode_av_headers",
+    "parse_av_header",
     "MEDIA_SCHEMA",
     "assign_splits",
     "hash_sample",

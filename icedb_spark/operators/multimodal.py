@@ -257,3 +257,113 @@ def synthetic_media(spark, n: int = 64):
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+AV_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def parse_av_header(blob) -> tuple:
+    """REAL pure-Python audio/video container-header decode:
+    ``(format, sample_rate, channels, bits_per_sample, duration_ms)``.
+
+    WAV (RIFF/WAVE): walks the chunk list; ``fmt `` yields channels /
+    sample rate / bits and byte-rate, ``data`` yields the payload size, so
+    ``duration_ms = data_size * 1000 // byte_rate``. MP4 (ISO-BMFF): walks
+    top-level boxes to ``moov`` → ``mvhd`` (version 0 and 1 layouts) and
+    derives ``duration_ms = duration * 1000 // timescale``; audio fields
+    stay NULL (they live per-track). Unknown/truncated input yields all
+    NULLs; a recognized container with unreachable fields yields the
+    format alone.
+    """
+    import struct
+
+    b = bytes(blob or b"")
+    if len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sr = ch = bits = None
+        byte_rate = data_size = None
+        o = 12
+        while o + 8 <= len(b):
+            cid = b[o:o + 4]
+            (csize,) = struct.unpack("<I", b[o + 4:o + 8])
+            body = b[o + 8:o + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                ch = struct.unpack("<H", body[2:4])[0]
+                sr = struct.unpack("<I", body[4:8])[0]
+                byte_rate = struct.unpack("<I", body[8:12])[0]
+                bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                data_size = csize
+            o += 8 + csize + (csize & 1)  # chunks are word-aligned
+        dur = (
+            data_size * 1000 // byte_rate
+            if byte_rate and data_size is not None
+            else None
+        )
+        return "wav", sr, ch, bits, dur
+    # ISO-BMFF: size u32be + type; 'ftyp' usually first but not required
+    def boxes(buf, start, end):
+        o = start
+        while o + 8 <= end:
+            (size,) = struct.unpack(">I", buf[o:o + 4])
+            typ = buf[o + 4:o + 8]
+            if size < 8 or o + size > end:
+                return
+            yield typ, o + 8, o + size
+            o += size
+
+    if len(b) >= 8 and b[4:8] in (b"ftyp", b"moov", b"mdat", b"free"):
+        for typ, s, e in boxes(b, 0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in boxes(b, s, e):
+                if t2 != b"mvhd" or e2 - s2 < 4:
+                    continue
+                ver = b[s2]
+                try:
+                    if ver == 1:
+                        ts = struct.unpack(">I", b[s2 + 20:s2 + 24])[0]
+                        dur = struct.unpack(">Q", b[s2 + 24:s2 + 32])[0]
+                    else:
+                        ts = struct.unpack(">I", b[s2 + 12:s2 + 16])[0]
+                        dur = struct.unpack(">I", b[s2 + 16:s2 + 20])[0]
+                except struct.error:
+                    return "mp4", None, None, None, None
+                return (
+                    "mp4", None, None, None,
+                    dur * 1000 // ts if ts else None,
+                )
+            return "mp4", None, None, None, None
+        return "mp4", None, None, None, None
+    return None, None, None, None, None
+
+
+def decode_av_headers(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Audio/video sibling of :func:`decode_image_headers`: parse WAV /
+    MP4 container headers executor-side over Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[content_col].map(parse_av_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": parsed.map(lambda t: t[0]),
+                    "sample_rate": parsed.map(lambda t: t[1]),
+                    "channels": parsed.map(lambda t: t[2]),
+                    "bits_per_sample": parsed.map(lambda t: t[3]),
+                    "duration_ms": parsed.map(lambda t: t[4]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AV_HEADER_SCHEMA)

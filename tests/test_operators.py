@@ -734,3 +734,46 @@ def test_decontaminate_oracle_accepts_arbitrary_boolean_filters():
     # the default filters must keep producing the same gate-checked shape
     default_rows = con.execute(oracles.decontaminate_sql()).fetchall()
     assert len(default_rows) > 0
+
+
+def test_parse_av_header_wav_and_mp4():
+    import struct
+
+    from icedb_spark.operators import parse_av_header
+
+    sr, ch, bits = 44100, 2, 16
+    br = sr * ch * bits // 8
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + br) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, ch, sr, br, ch * bits // 8, bits)
+        + b"data" + struct.pack("<I", br) + b"\x00" * br
+    )
+    assert parse_av_header(wav) == ("wav", 44100, 2, 16, 1000)
+
+    # odd-sized chunk before fmt: word-alignment must be honored
+    odd = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    )
+    assert parse_av_header(odd)[:4] == ("wav", 8000, 1, 16)
+
+    mvhd1 = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+             + struct.pack(">I", 1000) + struct.pack(">Q", 90_500))
+    box = struct.pack(">I", 8 + len(mvhd1)) + b"mvhd" + mvhd1
+    moov = struct.pack(">I", 8 + len(box)) + b"moov" + box
+    assert parse_av_header(moov) == ("mp4", None, None, None, 90_500)
+
+    assert parse_av_header(b"") == (None,) * 5
+    assert parse_av_header(b"RIFFxxxxWAVE") == ("wav", None, None, None, None)
+    assert parse_av_header(b"\x00\x00\x00\x08mdat") == (
+        "mp4", None, None, None, None
+    )
+    # zero timescale must not divide by zero
+    mvhd0 = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+             + struct.pack(">I", 0) + struct.pack(">I", 42))
+    b0 = struct.pack(">I", 8 + len(mvhd0)) + b"mvhd" + mvhd0
+    m0 = struct.pack(">I", 8 + len(b0)) + b"moov" + b0
+    assert parse_av_header(m0) == ("mp4", None, None, None, None)
