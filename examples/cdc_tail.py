@@ -71,6 +71,17 @@ def main() -> None:
         print(f"table holds {total} rows; consumer saw 15 across 3 windows")
         assert total == 15
 
+        # row-level feed: DML run with capture_changes lands in
+        # changes_feed as delete / update_preimage / update_postimage
+        # images, composed with insert commits under the same watermark
+        table.delete("user = 'u2'", capture_changes=True)
+        table.update({"v": "v + 0.5"}, "user = 'u0'", capture_changes=True)
+        feed = table.changes_feed(watermark)
+        print("DML change feed since the last watermark:")
+        feed.groupBy("_change_type").count().orderBy("_change_type").show()
+        assert feed.where("_change_type = 'delete'").count() == 3
+        assert feed.where("_change_type = 'update_postimage'").count() == 6
+
 
 if __name__ == "__main__":
     main()
