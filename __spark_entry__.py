@@ -1251,6 +1251,36 @@ def ice25_change_feed(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice26_in_pruning(spark, sf_dir):
+    """IN-list file skipping (beyond reference): three event_id-range
+    slices are inserted with zone maps; a plain SQL ``WHERE event_id IN
+    (lo_probe, hi_probe)`` auto-derives a ``column_in`` hint that keeps a
+    file only if ANY listed value may be present — the middle slice is
+    provably disjoint and must be skipped (asserted), and the pruned
+    answer must equal the oracle's plain IN filter."""
+    t, d = _scratch(
+        spark, sort_order=["event_id"], stats_columns=["event_id"]
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        lo, hi = m // 3, 2 * m // 3
+        t.insert(df=ev.where(F.col("event_id") < lo))
+        t.insert(df=ev.where(F.col("event_id").between(lo, hi)))
+        t.insert(df=ev.where(F.col("event_id") > hi))
+        probes = (1, m - 1)  # land in slices 1 and 3; slice 2 disjoint
+        kept = t.files_for(column_in={"event_id": list(probes)})
+        assert 0 < len(kept) < len(t.files_for()), "IN hint must skip files"
+        return t.sql(
+            "select event_type, count(*) as cnt, "
+            "round(sum(value), 2) as sum_value from ice "
+            f"where event_id in ({probes[0]}, {probes[1]}) "
+            "group by event_type"
+        ).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -2018,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st04_session_window": st04_session_window,
         "ice24_rollback": ice24_rollback,
         "ice25_change_feed": ice25_change_feed,
+        "ice26_in_pruning": ice26_in_pruning,
         "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -2577,6 +2608,13 @@ fin as (
 select event_type, count(*) as cnt, round(sum(value), 2) as sum_value
 from fin group by event_type
 """,
+        # IN-pruned scan ≡ the plain IN-filtered aggregate
+        "ice26_in_pruning": (
+            "select event_type, count(*) as cnt,"
+            " round(sum(value), 2) as sum_value from events"
+            " where event_id in (1, (select max(event_id) - 1 from events))"
+            " group by event_type"
+        ),
         # change feed images reconstructed from the (disjoint) predicates
         "ice25_change_feed": """
 with del_rows as (
