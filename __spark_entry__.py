@@ -1281,6 +1281,67 @@ def ice26_in_pruning(spark, sf_dir):
         _cleanup_later(d)
 
 
+def _register_icedb_source(spark):
+    from icedb_spark import IceDataSource
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def ice27_datasource_scan(spark, sf_dir):
+    """Spark Python DataSource integration (beyond reference — its analog
+    is hand-wired scan UDFs per engine, /root/reference/examples/
+    segment-webhook-sink.py:84-90): after one registration, any consumer
+    reads the table by ``format("icedb")`` with zero imports — the reader
+    folds the log driver-side, plans one input partition per alive file,
+    and executors stream Arrow batches conformed to the unified schema.
+    A delete between insert and read must be reflected (the scan is a
+    snapshot, not a directory listing)."""
+    _register_icedb_source(spark)
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        t.delete("event_type = 'click' and value < 50")
+        df = spark.read.format("icedb").option("path", t.path).load()
+        return _agg_by_type(df).cache()
+    finally:
+        _cleanup_later(d)
+
+
+def st06_datasource_stream(spark, sf_dir):
+    """Streaming DataSource: ``readStream.format("icedb")`` tails the
+    table's append stream with log-timestamp offsets — each micro-batch
+    is the INSERT commits in (start, end], merge commits invisible
+    (asserted implicitly: a compaction between the two inserts must not
+    change the drained rows). Drained availableNow into a memory sink."""
+    import tempfile as _tf
+
+    _register_icedb_source(spark)
+    t, d = _scratch(spark, sort_order=["event_id"])
+    ck = _tf.mkdtemp(prefix="icedsck-")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev.where(F.col("event_id") <= m // 2))
+        t.merge_all(max_file_size=1 << 40, max_file_count=1000)
+        t.insert(df=ev.where(F.col("event_id") > m // 2))
+        name = f"ice_ds_{abs(hash(d)) % 10_000_000}"
+        q = (
+            spark.readStream.format("icedb").option("path", t.path).load()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _agg_by_type(spark.table(name)).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(ck)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -2049,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice24_rollback": ice24_rollback,
         "ice25_change_feed": ice25_change_feed,
         "ice26_in_pruning": ice26_in_pruning,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "st06_datasource_stream": st06_datasource_stream,
         "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -2608,6 +2671,15 @@ fin as (
 select event_type, count(*) as cnt, round(sum(value), 2) as sum_value
 from fin group by event_type
 """,
+        # format("icedb") snapshot scan ≡ the post-delete filter
+        "ice27_datasource_scan": ev_agg.format(
+            where=(
+                " where not coalesce(event_type = 'click' and value < 50,"
+                " false)"
+            )
+        ),
+        # streamed append windows ≡ all inserted rows
+        "st06_datasource_stream": ev_agg.format(where=""),
         # IN-pruned scan ≡ the plain IN-filtered aggregate
         "ice26_in_pruning": (
             "select event_type, count(*) as cnt,"

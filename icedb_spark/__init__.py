@@ -30,6 +30,7 @@ from .log import (
 from .mv import DoubleWriter
 from .session import get_spark
 from .catalog import IceCatalog
+from .datasource import IceDataSource
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "get_spark",
     "IceLogIO",
     "IceCatalog",
+    "IceDataSource",
     "IceTable",
     "LogMetadata",
     "LogState",

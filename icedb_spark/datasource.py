@@ -1,0 +1,298 @@
+"""Spark Python DataSource for IceTable: ``spark.read.format("icedb")``
+and ``spark.readStream.format("icedb")`` over the MVCC log.
+
+The IceTable class is the full-featured API (writes, DML, maintenance);
+this DataSource is the *native integration surface* for read paths — any
+Spark job, SQL statement, or streaming query can consume an IceTable by
+format name with zero imports on the consumer side, after one
+``spark.dataSource.register(IceDataSource)``.
+
+Scale design:
+
+* **Planning is pure log metadata** (driver): the fold yields the alive
+  file list; ``pushFilters`` maps Spark's typed filters onto the same
+  driver-side pruning the engine uses everywhere — partition-path
+  equality/IN (for path fields whose name matches the column), zone-map
+  ranges, Bloom equality/IN. All filters are reported back as
+  unsupported, so Spark still applies the full predicate to the rows of
+  every kept file — the hints only shrink the file list (the engine's
+  standard hint-not-filter contract).
+* **One input partition per data file** (the engine's unit of work
+  everywhere else too); executors read their file via pyarrow (URI roots
+  through ``pyarrow.fs``) and stream Arrow record batches — rows never
+  pass through Python object conversion.
+* **Streaming offsets are log timestamps**: a micro-batch is exactly the
+  INSERT commits in ``(start, end]`` (the `changes()` contract —
+  merge/rewrite commits rewrite existing rows and are skipped), so a
+  streaming consumer tails the append stream with replayable,
+  monotonically-composing windows.
+
+Reference analog: the reference exposes tables to engines via hand-wired
+scan UDFs (DuckDB ``get_files`` macro, ClickHouse executable UDF —
+/root/reference/examples/segment-webhook-sink.py:84-90,
+/root/reference/ch/user_scripts/main.go); this is the same capability as
+a first-class Spark source. Writes intentionally not implemented: a
+correct write needs the table's partition spec and sort order, which live
+with IceTable — use ``IceTable.insert`` / DML.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from .log import IceLogIO, get_log_file_info, storage_for
+from .types import duckdb_schema_to_spark
+
+
+class _ScanPartition(InputPartition):
+    def __init__(self, abs_path: str):
+        self.abs_path = abs_path
+
+
+def _attr(f) -> Optional[str]:
+    """Single-part column name of a pushed filter, else None."""
+    try:
+        path = f.attribute
+    except AttributeError:
+        return None
+    return path[0] if isinstance(path, tuple) and len(path) == 1 else None
+
+
+class _LogHandle:
+    """Driver-side fold helpers shared by batch and stream readers."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("format('icedb') requires .option('path', ...)")
+        self.storage = storage_for(path)
+        self.log_storage = storage_for(options.get("log_path") or path)
+        self.log_io = IceLogIO()
+        at = options.get("at_ms")
+        self.at_ms = int(at) if at is not None else None
+
+    def state(self, at_ms: Optional[int] = None):
+        at = at_ms if at_ms is not None else self.at_ms
+        return self.log_io.read_at_max_time(
+            self.log_storage, None if at is None else at + 1,
+            keep_parsed=True,
+        )
+
+    def spark_schema(self) -> StructType:
+        return duckdb_schema_to_spark(self.state().schema.columns())
+
+
+class _IceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._handle = _LogHandle(options)
+        self._ranges: dict = {}      # column → [lo, hi]
+        self._equals: dict = {}
+        self._in: dict = {}
+
+    def _push(self, filters):
+        for f in filters:
+            col = _attr(f)
+            if col is not None:
+                if isinstance(f, EqualTo) and f.value is not None:
+                    self._equals[col] = f.value
+                elif isinstance(f, In) and f.value and all(
+                    v is not None for v in f.value
+                ):
+                    self._in[col] = list(f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
+                        and f.value is not None:
+                    self._ranges.setdefault(col, [None, None])[0] = f.value
+                elif isinstance(f, (LessThan, LessThanOrEqual)) \
+                        and f.value is not None:
+                    self._ranges.setdefault(col, [None, None])[1] = f.value
+            # every filter is re-applied by Spark (hint-not-filter)
+            yield f
+
+    def partitions(self):
+        from .table import (
+            _bloom_may_contain,
+            _match_partition,
+            _stats_overlap,
+            parse_partition,
+        )
+
+        state = self._handle.state()
+        files = state.alive_files()
+        # partition-path pruning for path fields whose NAME matches the
+        # filtered column (identity-style layouts); non-matching names
+        # simply never prune
+        for col, v in self._equals.items():
+            files = [
+                m for m in files
+                if parse_partition(m.partition()).get(col, str(v)) == str(v)
+            ]
+        for col, vals in self._in.items():
+            svals = {str(v) for v in vals}
+            files = [
+                m for m in files
+                if parse_partition(m.partition()).get(col) is None
+                or parse_partition(m.partition())[col] in svals
+            ]
+        if self._ranges:
+            rng = {c: tuple(b) for c, b in self._ranges.items()}
+            files = [m for m in files if _stats_overlap(m.stats, rng)]
+        if self._equals:
+            eq = {c: (v, v) for c, v in self._equals.items()}
+            files = [
+                m for m in files
+                if _stats_overlap(m.stats, eq)
+                and all(
+                    _bloom_may_contain(m.stats, c, v)
+                    for c, v in self._equals.items()
+                )
+            ]
+        if self._in:
+            files = [
+                m for m in files
+                if all(
+                    any(
+                        _stats_overlap(m.stats, {c: (v, v)})
+                        and _bloom_may_contain(m.stats, c, v)
+                        for v in vals
+                    )
+                    for c, vals in self._in.items()
+                )
+            ]
+        return [
+            _ScanPartition(self._handle.storage.absolute(m.path))
+            for m in files
+        ]
+
+    def read(self, partition: _ScanPartition):
+        yield from _read_conformed(partition.abs_path, self._schema)
+
+
+class _IcePushdownReader(_IceReader):
+    """Variant that DEFINES ``pushFilters`` — Spark refuses a reader that
+    merely defines the method unless
+    ``spark.sql.python.filterPushdown.enabled`` is true, so pushdown is
+    opt-in via ``.option("pushdown", "true")`` (the engine's own
+    ``get_spark`` enables the conf)."""
+
+    def pushFilters(self, filters):
+        yield from self._push(filters)
+
+
+def _read_conformed(abs_path: str, schema: StructType):
+    """Executor-side: open one parquet file (URI roots via pyarrow.fs) and
+    yield Arrow record batches conformed to the unified schema — missing
+    columns null-seeded, extras dropped, order fixed (the same contract as
+    the engine's schema-specified scans)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if "://" in abs_path:
+        import pyarrow.fs as pafs
+
+        fs, inner = pafs.FileSystem.from_uri(abs_path)
+        table = pq.read_table(inner, filesystem=fs)
+    else:
+        table = pq.read_table(abs_path)
+    target = to_arrow_schema(schema)
+    cols = []
+    for field in target:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(table.num_rows, type=field.type))
+    for batch in pa.Table.from_arrays(cols, schema=target).to_batches():
+        yield batch
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    """Offsets are log timestamps; each micro-batch = the INSERT commits
+    in ``(start, end]`` (merge/rewrite commits rewrite existing rows and
+    are skipped — the ``changes()`` contract). ``since_ms`` starts the
+    stream mid-log; retention is bounded by the vacuum grace, like every
+    lagging consumer."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._handle = _LogHandle(options)
+        self._since = int(options.get("since_ms") or 0)
+
+    def initialOffset(self):
+        return {"ts": self._since}
+
+    def latestOffset(self):
+        head = self._since
+        for key, _size in self._handle.log_io.get_current_log_files(
+            self._handle.log_storage
+        ):
+            head = max(head, get_log_file_info(key)[0])
+        return {"ts": head}
+
+    def partitions(self, start, end):
+        lo, hi = start["ts"], end["ts"]
+        state = self._handle.state(at_ms=hi)
+        paths: list[str] = []
+        for key in state.log_files:
+            ts, merged = get_log_file_info(key)
+            if merged or ts <= lo or ts > hi:
+                continue
+            _meta, _sch, fms, _tmb = state.parsed.get(
+                key
+            ) or self._handle.log_io.read_log(self._handle.log_storage, key)
+            paths.extend(m.path for m in fms if m.alive)
+        return [
+            _ScanPartition(self._handle.storage.absolute(p))
+            for p in sorted(set(paths))
+        ]
+
+    def read(self, partition: _ScanPartition):
+        yield from _read_conformed(partition.abs_path, self._schema)
+
+    def commit(self, end):
+        pass
+
+
+class IceDataSource(DataSource):
+    """``spark.dataSource.register(IceDataSource)`` then::
+
+        spark.read.format("icedb").option("path", root).load()
+        spark.readStream.format("icedb").option("path", root).load()
+
+    Options: ``path`` (table root), ``log_path`` (separate log store),
+    ``at_ms`` (batch time travel), ``since_ms`` (stream start),
+    ``pushdown=true`` (driver-side file pruning from Spark's pushed
+    filters; requires ``spark.sql.python.filterPushdown.enabled``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icedb"
+
+    def schema(self) -> StructType:
+        return _LogHandle(self.options).spark_schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return _IcePushdownReader(schema, self.options)
+        return _IceReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _IceStreamReader(schema, self.options)
