@@ -27,6 +27,14 @@ Scale design:
   streaming consumer tails the append stream with replayable,
   monotonically-composing windows.
 
+Throughput note: a Python data source reads through a Python worker
+(pyarrow → Arrow IPC → JVM), which adds per-batch overhead versus the
+engine's own ``IceTable.read`` (JVM parquet scan with whole-stage
+codegen). Use ``IceTable.read``/``sql`` for hot analytical paths; use
+this source where the integration matters — format-name access, SQL
+``CREATE TABLE ... USING icedb`` surfaces, streaming tails, tools that
+only speak reader options.
+
 Reference analog: the reference exposes tables to engines via hand-wired
 scan UDFs (DuckDB ``get_files`` macro, ClickHouse executable UDF —
 /root/reference/examples/segment-webhook-sink.py:84-90,
