@@ -31,9 +31,11 @@ Throughput note: a Python data source reads through a Python worker
 (pyarrow → Arrow IPC → JVM), which adds per-batch overhead versus the
 engine's own ``IceTable.read`` (JVM parquet scan with whole-stage
 codegen). Use ``IceTable.read``/``sql`` for hot analytical paths; use
-this source where the integration matters — format-name access, SQL
-``CREATE TABLE ... USING icedb`` surfaces, streaming tails, tools that
-only speak reader options.
+this source where the integration matters — format-name access,
+streaming tails, tools that only speak reader options. Catalog DDL
+(``CREATE TABLE ... USING icedb``) is NOT supported: Spark 4.1 does not
+forward a catalog table's OPTIONS to a Python data source at read time —
+mount tables with ``load().createOrReplaceTempView(...)`` instead.
 
 Reference analog: the reference exposes tables to engines via hand-wired
 scan UDFs (DuckDB ``get_files`` macro, ClickHouse executable UDF —
@@ -84,7 +86,7 @@ class _LogHandle:
     """Driver-side fold helpers shared by batch and stream readers."""
 
     def __init__(self, options):
-        path = options.get("path")
+        path = options.get("path") or options.get("root")  # root: alias
         if not path:
             raise ValueError("format('icedb') requires .option('path', ...)")
         self.storage = storage_for(path)
