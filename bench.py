@@ -166,7 +166,10 @@ def main():
     # the suite stays comparable to rounds benched before DML existed
     out["dml"] = {
         name: round(run(name), 3)
-        for name in ("ice21_delete", "ice23_merge_into", "ice24_rollback")
+        for name in (
+            "ice21_delete", "ice23_merge_into", "ice24_rollback",
+            "ice25_change_feed",
+        )
     }
     print(json.dumps(out))
 
