@@ -188,7 +188,11 @@ class _IceReader(DataSourceReader):
             for m in files
         ]
 
-    def read(self, partition: _ScanPartition):
+    def read(self, partition: Optional[_ScanPartition]):
+        if partition is None:
+            # Spark probes a single None partition when partitions() is
+            # empty (brand-new table with no commits): emit nothing
+            return
         yield from _read_conformed(partition.abs_path, self._schema)
 
 
@@ -274,7 +278,9 @@ class _IceStreamReader(DataSourceStreamReader):
             for p in sorted(set(paths))
         ]
 
-    def read(self, partition: _ScanPartition):
+    def read(self, partition: Optional[_ScanPartition]):
+        if partition is None:
+            return
         yield from _read_conformed(partition.abs_path, self._schema)
 
     def commit(self, end):

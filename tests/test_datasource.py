@@ -117,3 +117,16 @@ def test_streaming_source_tails_inserts_only(spark, table, tmp_path):
 def test_missing_path_raises(spark):
     with pytest.raises(Exception, match="path"):
         spark.read.format("icedb").load().count()
+
+
+def test_empty_table_reads_zero_rows(spark, tmp_path):
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    d = str(tmp_path / "never-written")
+    import os
+
+    os.makedirs(d)
+    df = spark.read.format("icedb").option("path", d).load()
+    assert df.count() == 0
