@@ -934,6 +934,31 @@ def t09_vocab(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+# The testdata documents are single-line, so the line-dedup gate entry
+# derives a three-line corpus with PLANTED cross-document boilerplate (a
+# per-language header, a per-source footer) around a mostly-unique body —
+# the exact shape CCNet-style line dedup exists to clean. The oracle builds
+# the identical corpus in SQL.
+_LINE_DEDUP_SPARK_TEXT = (
+    "concat_ws('\\n', concat('shared ', coalesce(lang, '?'), ' header'), "
+    "substring(coalesce(text, ''), 1, 90), "
+    "concat('footer: ', coalesce(source, '?')))"
+)
+_LINE_DEDUP_DUCK_TEXT = (
+    "concat_ws(chr(10), 'shared ' || coalesce(lang, '?') || ' header', "
+    "substr(coalesce(text, ''), 1, 90), 'footer: ' || coalesce(source, '?'))"
+)
+
+
+def t11_line_dedup(spark, sf_dir):
+    from icedb_spark.operators import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINE_DEDUP_SPARK_TEXT).alias("text2")
+    )
+    return line_dedup(docs, text_col="text2")
+
+
 def _inject_pii(docs):
     """Deterministically splice synthetic PII into the corpus (mirrored
     verbatim in the oracle SQL) so the detector counts non-zero hits of
@@ -2153,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "t10_chunk_docs": t10_chunk_docs,
+        "t11_line_dedup": t11_line_dedup,
         "sm05_mixture_sample": sm05_mixture_sample,
     }
 
@@ -2440,6 +2466,9 @@ from per_sess group by user_id
             oracles.minhash_pairs_sql(16, 4, 3, 0.5)
         ),
         "t10_chunk_docs": oracles.chunk_documents_sql(512, 64),
+        "t11_line_dedup": oracles.line_dedup_sql(
+            text_expr=_LINE_DEDUP_DUCK_TEXT
+        ),
         "sm05_mixture_sample": oracles.mixture_sample_sql(
             {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0}
         ),

@@ -53,6 +53,7 @@ from .text import (
     chunk_documents,
     doc_fingerprint,
     language_id,
+    line_dedup,
     ngram_col,
     pii_stats,
     repetition_stats,
@@ -94,6 +95,7 @@ __all__ = [
     "lsh_bucket_stats",
     "exact_duplicates",
     "language_id",
+    "line_dedup",
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",

@@ -313,3 +313,85 @@ def chunk_documents(
             F.md5(F.col("_c").cast("binary")).alias("chunk_hash"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the CCNet / RefinedWeb
+    pre-filter: boilerplate lines — nav bars, cookie banners, footers —
+    repeat across millions of pages and are dropped before model training).
+
+    Every document is split on ``\\n``; blank lines (empty after trim) are
+    ignored. For each distinct line (by md5), only its FIRST occurrence in
+    the corpus survives, where "first" is the deterministic total order
+    ``(doc_id, line_idx)``; every later occurrence is dropped — including
+    repeats inside the same document. Deduped documents are summarized, not
+    re-materialized: ``kept_hash`` is the md5 of the kept lines' hashes
+    joined in original order, so downstream stages can verify or rebuild
+    content without shuffling text.
+
+    Scale shape: one shuffle, keyed by ``line_hash`` (the window that picks
+    the first occurrence), then one groupBy ``doc_id``. Only 32-byte hashes
+    and two longs cross the wire — the text itself never leaves the scan
+    stage. At 100 TB the line-hash key space is huge and uniform (md5), so
+    no skew; the boilerplate lines that DO repeat millions of times cost
+    one window partition each, bounded by their occurrence count.
+
+    Output: ``(doc_id, n_lines, n_kept, n_dropped, kept_hash)`` — one row
+    per input document (docs with no non-blank lines keep ``n_lines=0`` and
+    a NULL ``kept_hash``; NULL text behaves like empty).
+    """
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(F.split(t, "\n")).alias("line_idx", "_line"),
+        )
+        .where(F.length(F.trim("_line")) > 0)
+        .select(
+            id_col,
+            "line_idx",
+            F.md5(F.trim("_line").cast("binary")).alias("line_hash"),
+        )
+    )
+    w = Window.partitionBy("line_hash").orderBy(id_col, "line_idx")
+    flagged = exploded.withColumn(
+        "_keep", F.row_number().over(w) == 1
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_keep"),
+                    F.struct(F.col("line_idx"), F.col("line_hash")),
+                )
+            )
+        ),
+        lambda s: s["line_hash"],
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count_if("_keep").cast("long").alias("n_kept"),
+        F.when(
+            F.count_if("_keep") > 0,
+            F.md5(F.array_join(kept_sorted, "\n").cast("binary")),
+        ).alias("kept_hash"),
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            "kept_hash",
+        )
+    )

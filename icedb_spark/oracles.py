@@ -848,3 +848,40 @@ select d.doc_id, d.{strata_col} from {table} d
 join r on d.{strata_col} = r.stratum
 where {_fraction_expr(key_expr, seed)} < r.rate
 """
+
+
+def line_dedup_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """Mirrors operators.text.line_dedup: split on newline, drop blank
+    lines, keep each distinct line's first (doc_id, position) occurrence
+    corpus-wide, summarize per doc. ``text_expr`` lets the gate entry build
+    a multi-line corpus from the single-line test documents."""
+    return f"""
+with base as (select doc_id, {text_expr} as t from {table}),
+parts as (select doc_id, string_split(coalesce(t, ''), chr(10)) as ps from base),
+lines as (
+  select doc_id, unnest(generate_series(1, len(ps))) as i, ps from parts
+),
+nonblank as (
+  select doc_id, i - 1 as line_idx, md5(trim(ps[i])) as line_hash
+  from lines where len(trim(ps[i])) > 0
+),
+flagged as (
+  select doc_id, line_idx, line_hash,
+    row_number() over (partition by line_hash order by doc_id, line_idx) = 1 as keep
+  from nonblank
+),
+perdoc as (
+  select doc_id,
+    count(*) as n_lines,
+    count(*) filter (keep) as n_kept,
+    md5(string_agg(line_hash, chr(10) order by line_idx) filter (keep)) as kept_hash
+  from flagged group by doc_id
+)
+select b.doc_id,
+  cast(coalesce(p.n_lines, 0) as bigint) as n_lines,
+  cast(coalesce(p.n_kept, 0) as bigint) as n_kept,
+  cast(coalesce(p.n_lines, 0) - coalesce(p.n_kept, 0) as bigint) as n_dropped,
+  p.kept_hash
+from (select distinct doc_id from base) b
+left join perdoc p using (doc_id)
+"""

@@ -777,3 +777,63 @@ def test_parse_av_header_wav_and_mp4():
     b0 = struct.pack(">I", 8 + len(mvhd0)) + b"mvhd" + mvhd0
     m0 = struct.pack(">I", 8 + len(b0)) + b"moov" + b0
     assert parse_av_header(m0) == ("mp4", None, None, None, None)
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_hand_values(spark):
+    from icedb_spark.operators import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: header + unique body; header is the corpus-wide first
+            (0, "COMMON HEADER\nalpha body zero\nCOMMON FOOTER"),
+            # doc 1: repeats the header/footer -> both dropped; body kept
+            (1, "COMMON HEADER\nbravo body one\nCOMMON FOOTER"),
+            # doc 2: in-doc repeat -> second copy dropped too
+            (2, "charlie\ncharlie\n  \n"),
+            # doc 3: blank-only text -> zero lines
+            (3, "   \n\n"),
+            # doc 4: NULL text behaves like empty
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(docs).collect()
+    }
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["n_dropped"] == 2
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[3] == dict(
+        doc_id=3, n_lines=0, n_kept=0, n_dropped=0, kept_hash=None
+    )
+    assert out[4]["n_lines"] == 0 and out[4]["kept_hash"] is None
+    # kept_hash is order-sensitive md5 over the kept lines' hashes
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expect0 = h(
+        "\n".join(h(x) for x in ["COMMON HEADER", "alpha body zero", "COMMON FOOTER"])
+    )
+    assert out[0]["kept_hash"] == expect0
+    assert out[1]["kept_hash"] == h(h("bravo body one"))
+
+
+def test_line_dedup_first_occurrence_is_deterministic(spark):
+    from icedb_spark.operators import line_dedup
+
+    # the same duplicate line across many docs survives only in the lowest
+    # (doc_id, line_idx) slot regardless of partitioning
+    docs = spark.createDataFrame(
+        [(i, "dup line\nuniq %d" % i) for i in range(20)],
+        "doc_id long, text string",
+    ).repartition(7)
+    out = line_dedup(docs).orderBy("doc_id").collect()
+    assert out[0]["n_kept"] == 2
+    assert all(r["n_kept"] == 1 for r in out[1:])
