@@ -1883,6 +1883,53 @@ def mv01_materialized_view(spark, sf_dir):
         _cleanup_later(d2)
 
 
+def mv02_incremental_mv(spark, sf_dir):
+    """Aggregate MV maintained INCREMENTALLY from the change feed (IVM):
+    three refresh windows — an insert commit, a captured DELETE, a captured
+    UPDATE — each fold only that window's signed deltas into the view; the
+    view's partials then compact under its fold-on-merge SQL and the final
+    read must equal re-aggregating the mutated base from scratch (which is
+    exactly what the oracle does on the source parquet)."""
+    from icedb_spark.mv import IncrementalView
+
+    base, d1 = _scratch(spark, sort_order=["event_id"])
+    view, d2 = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("t", "event_type")]
+        ),
+        sort_order=["event_type"],
+    )
+    try:
+        iv = IncrementalView(
+            base, view, keys=["event_type"], sums=["value"]
+        )
+        view.custom_merge_query = iv.merge_sql()
+        ev = _t(spark, sf_dir, "events")
+        base.insert(df=ev)
+        r1 = iv.refresh()
+        assert r1["delta_groups"] > 0
+        base.delete(
+            "event_type = 'click' and value < 50", capture_changes=True
+        )
+        r2 = iv.refresh()
+        base.update({"value": "value * 2"}, "value > 90", capture_changes=True)
+        r3 = iv.refresh()
+        assert r2["since"] == r1["until"] and r3["since"] == r2["until"]
+        # replayed window is a no-op; compaction is read-invariant
+        assert iv.refresh()["delta_groups"] == 0
+        while view.merge(max_file_size=1 << 40, max_file_count=100):
+            pass
+        return iv.read().select(
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ).cache()
+    finally:
+        _cleanup_later(d1)
+        _cleanup_later(d2)
+
+
 def ice13_partition_fn_paths(spark, sf_dir):
     """the two non-native partition paths under one gate entry: batch 1
     carries a precomputed ``_partition`` column honored via
@@ -2087,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st02_windowed_agg": st02_windowed_agg,
         "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
+        "mv02_incremental_mv": mv02_incremental_mv,
         # --- core query surface (one witness per capability family;
         # adjacent built-in variants are below the window) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -2637,6 +2685,16 @@ from sess group by user_id, session_id
 """,
         "mv01_materialized_view": (
             "select event_type, count(*) as cnt from events group by event_type"
+        ),
+        # incremental view after insert-all, captured delete, captured
+        # update = re-aggregate of the mutated base
+        "mv02_incremental_mv": (
+            "select event_type, count(*) as cnt,"
+            " round(sum(case when value > 90 then value * 2 else value end),"
+            " 2) as sum_value"
+            " from events"
+            " where not coalesce(event_type = 'click' and value < 50, false)"
+            " group by event_type"
         ),
         "ice16_format_row": """
 select cast(floor(value / 25.0) as bigint) as vbucket,

@@ -27,7 +27,7 @@ from .log import (
     retry_transient,
     storage_for,
 )
-from .mv import DoubleWriter
+from .mv import DoubleWriter, IncrementalView
 from .session import get_spark
 from .catalog import IceCatalog
 from .datasource import IceDataSource
@@ -35,6 +35,7 @@ from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
     "DoubleWriter",
+    "IncrementalView",
     "FileMarker",
     "get_spark",
     "IceLogIO",

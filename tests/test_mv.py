@@ -86,3 +86,104 @@ def test_doublewriter_rows_path_applies_format_row(spark, tmp_path):
     dw.insert(rows=[{"k": 1}])
     assert base.read().collect()[0]["tagged"] == "yes"
     assert view.read().collect()[0]["tagged"] == "yes"
+
+
+# ------------------------------------------------------- incremental view
+
+
+def _ivm_pair(spark, tmp_path, name="ivm"):
+    from icedb_spark.mv import IncrementalView
+
+    base = IceTable(
+        spark,
+        str(tmp_path / f"{name}-base"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    view = IceTable(
+        spark,
+        str(tmp_path / f"{name}-view"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["kind"],
+    )
+    iv = IncrementalView(base, view, keys=["kind"], sums=["v"])
+    # fold-on-merge keeps compaction read-invariant
+    view.custom_merge_query = iv.merge_sql()
+    return base, view, iv
+
+
+def _rows(iv):
+    return {
+        r["kind"]: (r["cnt"], r["sum_v"])
+        for r in iv.read().collect()
+    }
+
+
+def test_ivm_insert_delete_update_lifecycle(spark, tmp_path):
+    base, view, iv = _ivm_pair(spark, tmp_path)
+    base.insert(rows=[
+        {"id": 1, "kind": "a", "v": 10.0},
+        {"id": 2, "kind": "a", "v": 20.0},
+        {"id": 3, "kind": "b", "v": 5.0},
+    ])
+    r = iv.refresh()
+    assert r["delta_groups"] > 0
+    assert _rows(iv) == {"a": (2, 30.0), "b": (1, 5.0)}
+
+    # captured DML folds as signed deltas
+    base.delete("id = 2", capture_changes=True)
+    base.update({"v": "v + 1"}, "kind = 'b'", capture_changes=True)
+    iv.refresh()
+    assert _rows(iv) == {"a": (1, 10.0), "b": (1, 6.0)}
+
+    # a group fully retracted disappears from read()
+    base.delete("kind = 'a'", capture_changes=True)
+    iv.refresh()
+    assert _rows(iv) == {"b": (1, 6.0)}
+
+
+def test_ivm_refresh_is_idempotent_and_no_op_on_empty_window(spark, tmp_path):
+    base, view, iv = _ivm_pair(spark, tmp_path)
+    base.insert(rows=[{"id": 1, "kind": "a", "v": 1.0}])
+    r1 = iv.refresh()
+    r2 = iv.refresh()  # nothing new
+    assert r2["delta_groups"] == 0 and r2["since"] == r2["until"]
+    assert r1["until"] == r2["since"]
+    assert _rows(iv) == {"a": (1, 1.0)}
+
+
+def test_ivm_replayed_window_cannot_double_apply(spark, tmp_path):
+    """Simulate the crash-replay: a second refresh over the SAME window
+    (cursor marker lost, tag present) must be a no-op because the tag
+    names a committed view log."""
+    base, view, iv = _ivm_pair(spark, tmp_path)
+    base.insert(rows=[{"id": 1, "kind": "a", "v": 2.0}])
+    iv.refresh()
+    # wipe the convenience marker; the in-log tag must still win
+    view.storage.delete(iv.CURSOR_KEY)
+    r = iv.refresh()
+    assert r["delta_groups"] == 0
+    assert _rows(iv) == {"a": (1, 2.0)}
+
+
+def test_ivm_merge_of_view_partials_is_read_invariant(spark, tmp_path):
+    base, view, iv = _ivm_pair(spark, tmp_path)
+    for i in range(4):
+        base.insert(rows=[{"id": i, "kind": "a", "v": float(i)}])
+        iv.refresh()
+    base.delete("id = 0", capture_changes=True)
+    iv.refresh()
+    before = _rows(iv)
+    n = 0
+    while view.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        n += 1
+    assert n > 0
+    assert _rows(iv) == before == {"a": (3, 6.0)}
+
+
+def test_ivm_rejects_colliding_count_col(spark, tmp_path):
+    import pytest
+    from icedb_spark.mv import IncrementalView
+
+    with pytest.raises(ValueError):
+        IncrementalView(None, None, keys=["cnt"], sums=[], count_col="cnt")
