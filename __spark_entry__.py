@@ -1306,6 +1306,34 @@ def ice26_in_pruning(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice28_snapshot_tags(spark, sf_dir):
+    """Named snapshot tags (beyond reference; the Iceberg tag / Delta
+    version-pin analog): tag the first-half snapshot, keep mutating — more
+    inserts, full compaction, a zero-grace vacuum — and ``read(tag=...)``
+    must still reproduce the tagged corpus exactly, because vacuum's
+    default ``protect_tags`` refuses to delete anything the tag still
+    needs. The pinned garbage is released the moment the tag is dropped
+    (asserted)."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev.where(F.col("event_id") <= m // 2))
+        t.tag("training-v1")
+        t.insert(df=ev.where(F.col("event_id") > m // 2))
+        t.merge_all(max_file_size=1 << 40, max_file_count=1000)
+        t.tombstone_cleanup(min_age_ms=0)
+        out = _agg_by_type(t.read(tag="training-v1")).cache()
+        out.count()  # materialize before the tag is dropped below
+        assert t.read().count() > t.read(tag="training-v1").count()
+        t.delete_tag("training-v1")
+        _logs, data = t.tombstone_cleanup(min_age_ms=0)
+        assert data, "dropping the tag must release the pinned files"
+        return out
+    finally:
+        _cleanup_later(d)
+
+
 def _register_icedb_source(spark):
     from icedb_spark import IceDataSource
 
@@ -2187,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st04_session_window": st04_session_window,
         "ice26_in_pruning": ice26_in_pruning,
         "ice27_datasource_scan": ice27_datasource_scan,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
         "st06_datasource_stream": st06_datasource_stream,
         "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
@@ -2796,6 +2825,10 @@ union all
 select 'update_postimage', count(*), round(sum(value * 2), 2) from upd_rows
 """,
         # rollback restores exactly the first-insert snapshot
+        # tagged snapshot = exactly the first-half corpus, vacuum or not
+        "ice28_snapshot_tags": ev_agg.format(
+            where=" where event_id <= (select max(event_id) // 2 from events)"
+        ),
         "ice24_rollback": ev_agg.format(
             where=" where event_id <= (select max(event_id) // 2 from events)"
         ),

@@ -658,7 +658,10 @@ class IceTable:
     # ------------------------------------------------------------------- read
 
     def snapshot(
-        self, at_ms: Optional[int] = None, keep_parsed: bool = False
+        self,
+        at_ms: Optional[int] = None,
+        keep_parsed: bool = False,
+        tag: Optional[str] = None,
     ) -> LogState:
         """Fold the log at (or before) ``at_ms`` — time travel when set.
 
@@ -666,7 +669,12 @@ class IceTable:
         log-layer primitive is strict-``<`` for reference wire parity, so
         pass ``at_ms + 1`` down. ``keep_parsed`` retains the per-log parsed
         contents on the returned state for maintenance ops that would
-        otherwise re-fetch every log."""
+        otherwise re-fetch every log. ``tag`` resolves a named snapshot
+        (mutually exclusive with ``at_ms``)."""
+        if tag is not None:
+            if at_ms is not None:
+                raise ValueError("pass at_ms or tag, not both")
+            at_ms = self.tag_ts(tag)
         return self.log_io.read_at_max_time(
             self.log_storage,
             None if at_ms is None else at_ms + 1,
@@ -783,10 +791,11 @@ class IceTable:
         column_ranges: Optional[dict[str, tuple]] = None,
         column_equals: Optional[dict] = None,
         column_in: Optional[dict[str, list]] = None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
-        """Snapshot scan: alive files at ``at_ms``, driver-side partition
-        pruning + zone-map skipping, explicit unified schema → Catalyst does
-        the rest.
+        """Snapshot scan: alive files at ``at_ms`` (or at a named ``tag``),
+        driver-side partition pruning + zone-map skipping, explicit unified
+        schema → Catalyst does the rest.
 
         ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
         ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
@@ -812,7 +821,7 @@ class IceTable:
         survives when ANY listed value may be present (zone map and Bloom
         agree it might) for EVERY listed column. Same hint contract.
         """
-        state = self.snapshot(at_ms)
+        state = self.snapshot(at_ms, tag=tag)
         files = self.files_for(
             partition_filter=partition_filter,
             partition_values=partition_values,
@@ -998,6 +1007,67 @@ class IceTable:
         return out
 
     # ------------------------------------------------------- observability
+
+    # ----------------------------------------------------------- tags
+
+    _TAGS_PREFIX = "_tags"
+    _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def tag(
+        self, name: str, at_ms: Optional[int] = None, replace: bool = False
+    ) -> int:
+        """Pin a snapshot under a NAME (the Iceberg/Delta tag analog):
+        ``read(tag=name)`` then time-travels to it without the caller
+        bookkeeping timestamps, and vacuum (``tombstone_cleanup`` with its
+        default ``protect_tags=True``) refuses to destroy anything a tagged
+        snapshot still needs — the release-pinning workflow (tag the
+        exact corpus snapshot a model trained on; reproduce it years
+        later regardless of maintenance cadence).
+
+        ``at_ms`` defaults to the current committed head. Tags are
+        immutable unless ``replace=True``. Metadata-only: one small object
+        under ``_tags/`` in the log store. Returns the pinned timestamp.
+        """
+        if not self._TAG_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        if at_ms is None:
+            state = self.snapshot()
+            at_ms = max(
+                (get_log_file_info(k)[0] for k in state.log_files), default=0
+            )
+            if at_ms == 0:
+                raise ValueError("cannot tag an empty table; pass at_ms")
+        key = f"{self._TAGS_PREFIX}/{name}"
+        if not replace and self.log_storage.exists(key):
+            raise ValueError(
+                f"tag {name!r} exists (use replace=True to move it)"
+            )
+        self.log_storage.put(key, str(int(at_ms)).encode())
+        return int(at_ms)
+
+    def tag_ts(self, name: str) -> int:
+        """Resolve a tag to its pinned timestamp; KeyError if absent."""
+        try:
+            return int(
+                self.log_storage.get(f"{self._TAGS_PREFIX}/{name}").decode()
+            )
+        except Exception:
+            raise KeyError(f"no such tag: {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        """All tags, name → pinned timestamp."""
+        out = {}
+        plen = len(self._TAGS_PREFIX) + 1
+        for key, _size in self.log_storage.list(self._TAGS_PREFIX):
+            try:
+                out[key[plen:]] = int(self.log_storage.get(key).decode())
+            except Exception:
+                continue
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag; the snapshot it pinned becomes vacuum-collectible."""
+        self.log_storage.delete(f"{self._TAGS_PREFIX}/{name}")
 
     def history(self) -> list[dict]:
         """Commit history, newest first: one entry per log file with its
@@ -1373,12 +1443,25 @@ class IceTable:
         }
 
     def tombstone_cleanup(
-        self, min_age_ms: int, concurrency: int = 16, dry_run: bool = False
+        self,
+        min_age_ms: int,
+        concurrency: int = 16,
+        dry_run: bool = False,
+        protect_tags: bool = True,
     ) -> tuple[list[str], list[str]]:
         """Vacuum: physically delete data files whose tombstones and log
         files whose supersede-markers are older than ``min_age_ms``, then
         collapse surviving state into one fresh merged log (reference
         ``tombstone_cleanup``, /root/reference/icedb/icedb.py:327-433).
+
+        ``protect_tags`` (default) keeps every TAGGED snapshot readable
+        forever, whatever ``min_age_ms`` says: a data file still alive at
+        some tag's instant is not deleted, a superseded log a tag still
+        reads through is not deleted, and logs visible at a tag are not
+        collapsed away (collapse replaces them at a NEWER timestamp, which
+        a time-travel read at the tag cannot see). Tag-pinned garbage is
+        reclaimed by a later vacuum once the tag is dropped. Pass
+        ``protect_tags=False`` for the raw reference behavior.
 
         Deletes within each phase run ``concurrency``-wide (object-store
         deletes are latency-bound — a large vacuum is thousands of them);
@@ -1398,16 +1481,35 @@ class IceTable:
         now = unique_ms()
         expired_cutoff = now - min_age_ms
 
+        # a tag at instant T pins everything a read at T touches: an
+        # artifact whose visibility window [born_ms, gone_ms) contains T
+        # must survive this vacuum
+        pins = sorted(self.tags().values()) if protect_tags else []
+
+        def _pinned(born_ms: int, gone_ms: Optional[int]) -> bool:
+            return any(
+                born_ms <= T and (gone_ms is None or T < gone_ms)
+                for T in pins
+            )
+
         # Log tombstones past min_age name log files safe to physically
         # delete; younger ones are preserved in the collapsed log and their
         # superseded target logs STAY on disk until the grace period passes
         # (reference icedb/icedb.py:363-368) — so in-flight readers and
-        # time-travel reads inside the window never hit a missing log.
+        # time-travel reads inside the window never hit a missing log. A
+        # superseded log a tag still reads through (visible from its own
+        # timestamp until its supersede instant) is reclassified young.
         expired_log_files = [
-            t.path for t in state.log_tombstones if t.created_ms <= expired_cutoff
+            t.path
+            for t in state.log_tombstones
+            if t.created_ms <= expired_cutoff
+            and not _pinned(get_log_file_info(t.path)[0], t.created_ms)
         ]
         keep_tombstones = [
-            t for t in state.log_tombstones if t.created_ms > expired_cutoff
+            t
+            for t in state.log_tombstones
+            if t.created_ms > expired_cutoff
+            or _pinned(get_log_file_info(t.path)[0], t.created_ms)
         ]
         # the fold lists every on-disk log, so a young-tombstoned superseded
         # log appears in state.log_files — it is PROTECTED from collapse
@@ -1415,10 +1517,13 @@ class IceTable:
         protected = {t.path for t in keep_tombstones}
 
         # data files to physically delete: FOLDED tombstone past the grace
+        # (and no tag caught the file alive — [created, tombstoned))
         data_delete = {
             m.path: True
             for m in state.file_markers
-            if m.tombstone is not None and m.tombstone <= expired_cutoff
+            if m.tombstone is not None
+            and m.tombstone <= expired_cutoff
+            and not _pinned(m.created_ms, m.tombstone)
         }
 
         # Collapse set: merged logs (reference scans only `_m` logs,
@@ -1431,8 +1536,8 @@ class IceTable:
         collapse: list[tuple[str, Schema, list[FileMarker]]] = []
         outside_refs: set[str] = set()
         for key, (_meta, sch, fms, _t) in reads:
-            merged = get_log_file_info(key)[1]
-            if key not in protected and (
+            kts, merged = get_log_file_info(key)
+            if key not in protected and not _pinned(kts, None) and (
                 merged or any(fm.path in data_delete for fm in fms)
             ):
                 collapse.append((key, sch, fms))
