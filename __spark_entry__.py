@@ -1334,6 +1334,44 @@ def ice28_snapshot_tags(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice29_constraints(spark, sf_dir):
+    """CHECK constraints on ingest (beyond reference; the Delta CHECK /
+    DLT-expectations analog): every 11th event is deterministically
+    corrupted to a negative value, a 'drop'-mode table filters exactly
+    those rows at insert (zero extra jobs — the filter fuses into the
+    ingest scan), and a 'fail'-mode table must abort the same batch
+    atomically with per-rule counts, leaving no file and no commit
+    (asserted). The oracle applies the identical corruption + SQL CHECK
+    (NULL passes) semantics on the source parquet."""
+    from icedb_spark import ConstraintViolation
+
+    rules = {"non_negative": "value >= 0"}
+    t, d = _scratch(
+        spark, sort_order=["event_id"], constraints=rules,
+        constraint_mode="drop",
+    )
+    strict, d2 = _scratch(spark, sort_order=["event_id"], constraints=rules)
+    try:
+        ev = _t(spark, sf_dir, "events")
+        corrupted = ev.withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 11 == 0, -F.col("value") - 1
+            ).otherwise(F.col("value")),
+        )
+        try:
+            strict.insert(df=corrupted)
+            raise AssertionError("fail-mode insert must raise")
+        except ConstraintViolation as e:
+            assert e.counts.get("non_negative", 0) > 0
+        assert strict.read().count() == 0  # atomic: nothing written
+        t.insert(df=corrupted)
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(d2)
+
+
 def _register_icedb_source(spark):
     from icedb_spark import IceDataSource
 
@@ -2216,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice26_in_pruning": ice26_in_pruning,
         "ice27_datasource_scan": ice27_datasource_scan,
         "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
         "st06_datasource_stream": st06_datasource_stream,
         "st05_stream_upsert": st05_stream_upsert,
         "q02_count_by_user": q02_count_by_user,
@@ -2825,6 +2864,18 @@ union all
 select 'update_postimage', count(*), round(sum(value * 2), 2) from upd_rows
 """,
         # rollback restores exactly the first-insert snapshot
+        # drop-mode CHECK keeps exactly the rows passing the corrupted-value
+        # rule under SQL CHECK semantics (NULL passes)
+        "ice29_constraints": (
+            "select event_type, count(*) as cnt,"
+            " round(sum(value), 2) as sum_value from ("
+            "  select event_type,"
+            "    case when event_id % 11 = 0 then -value - 1 else value end"
+            "      as value"
+            "  from events)"
+            " where coalesce(value >= 0, true)"
+            " group by event_type"
+        ),
         # tagged snapshot = exactly the first-half corpus, vacuum or not
         "ice28_snapshot_tags": ev_agg.format(
             where=" where event_id <= (select max(event_id) // 2 from events)"

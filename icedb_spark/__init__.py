@@ -28,6 +28,7 @@ from .log import (
     storage_for,
 )
 from .mv import DoubleWriter, IncrementalView
+from .quality import ConstraintViolation, split_valid, violation_counts
 from .session import get_spark
 from .catalog import IceCatalog
 from .datasource import IceDataSource
@@ -36,6 +37,9 @@ from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 __all__ = [
     "DoubleWriter",
     "IncrementalView",
+    "ConstraintViolation",
+    "split_valid",
+    "violation_counts",
     "FileMarker",
     "get_spark",
     "IceLogIO",

@@ -436,6 +436,8 @@ class IceTable:
         bloom_columns: Optional[list[str]] = None,
         bloom_bits: int = 8192,
         bloom_k: int = 4,
+        constraints: Optional[dict[str, str]] = None,
+        constraint_mode: str = "fail",
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -487,6 +489,21 @@ class IceTable:
         self.bloom_columns = bloom_columns
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # CHECK constraints (the Delta CHECK / DLT expectations analog):
+        # name -> SQL boolean expr every ingested row must satisfy. SQL
+        # CHECK semantics — NULL passes; only a FALSE evaluation violates.
+        # Enforced on insert() (and therefore on everything routed through
+        # it: streaming ingest, DoubleWriter, IncrementalView deltas).
+        # ``constraint_mode``: 'fail' aborts the whole batch BEFORE any
+        # file is written (one extra aggregate pass reporting per-rule
+        # violation counts); 'drop' silently filters violating rows (no
+        # extra job — the filter fuses into the insert's scan). For a
+        # quarantine flow, split with quality.split_valid() and route the
+        # invalid side to a second table yourself.
+        if constraint_mode not in ("fail", "drop"):
+            raise ValueError("constraint_mode must be 'fail' or 'drop'")
+        self.constraints = dict(constraints or {})
+        self.constraint_mode = constraint_mode
         # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
         # fsspec with put-retry; reads go through storage.absolute() URIs
         self.storage = storage_for(self.path)
@@ -613,6 +630,8 @@ class IceTable:
             if self.format_row:
                 rows = [self.format_row(dict(r)) for r in rows]
             df = self.spark.createDataFrame(rows)
+        if self.constraints:
+            df = self._enforce_constraints(df)
         df = self._prepare_batch(df)
 
         data_fields = [f for f in df.schema.fields if f.name != _PART_COL]
@@ -654,6 +673,19 @@ class IceTable:
                 tag=commit_tag,
             )
         return markers
+
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Apply the table's CHECK constraints to an ingest batch: 'fail'
+        aborts (with per-rule counts) before any file exists; 'drop'
+        filters violators with zero extra jobs."""
+        from . import quality
+
+        if self.constraint_mode == "drop":
+            return df.where(quality.all_ok(self.constraints))
+        bad = quality.violation_counts(df, self.constraints)
+        if bad:
+            raise quality.ConstraintViolation(self.path, bad)
+        return df
 
     # ------------------------------------------------------------------- read
 
