@@ -2141,6 +2141,18 @@ def sm04_top_k_sample(spark, sf_dir):
     return top_k_sample(docs, 100, "doc_id").select("doc_id", "lang")
 
 
+def sm06_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training order: one
+    seeded hash permutation of the corpus materialized as (shard, pos) —
+    resumable, engine-independent epoch order. One hash-balanced shuffle."""
+    from icedb_spark.operators import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shard(docs, "doc_id", n_shards=8, seed=7).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def _cleanup_later(d: str) -> None:
     # deferred delete: the returned DataFrame is materialized via cache()
     # before we get here, but keep dirs until process exit to be safe
@@ -2231,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm02_stratified_sample": sm02_stratified_sample,
         "sm03_split_assign": sm03_split_assign,
         "sm04_top_k_sample": sm04_top_k_sample,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
         # ==================== driver window boundary (50) ====================
         # Every capability below has an in-window sibling witnessing its
         # family (exact baselines whose scale path is in-window, built-in
@@ -2778,6 +2791,7 @@ from events where event_id % 40 = 0 group by 1
             {"train": 0.8, "val": 0.1, "test": 0.1}
         ),
         "sm04_top_k_sample": oracles.top_k_sample_sql(100),
+        "sm06_shuffle_shard": oracles.shuffle_shard_sql(8, seed=7),
         # zone-map pruned scan ≡ plain range filter (pruning must be invisible)
         "ice17_stats_pruning": ev_agg.format(
             where=(

@@ -35,6 +35,7 @@ from .sampling import (
     mixture_sample,
     assign_splits,
     hash_sample,
+    shuffle_shard,
     stratified_sample,
     top_k_sample,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "assign_splits",
     "hash_sample",
     "mixture_sample",
+    "shuffle_shard",
     "stratified_sample",
     "top_k_sample",
     "decode_image_headers",

@@ -191,3 +191,40 @@ def mixture_sample(
     return stratified_sample(
         df, rates, strata_col, key_col, default_rate=0.0, seed=seed
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + fixed sharding for training order:
+    every row gets a ``shard`` (hash-uniform in ``[0, n_shards)``) and a
+    ``pos`` — its 0-based position within the shard under the seeded
+    shuffle order. Consuming shards round-robin by position replays ONE
+    reproducible global permutation of the corpus, independent of input
+    partitioning, cluster size, or engine — the property a training run
+    needs to resume mid-epoch or compare runs example-for-example.
+    Changing ``seed`` yields an independent permutation (new epoch order).
+
+    Scale shape: the shard id is a row-local hash expression; the position
+    is one ``row_number`` window keyed by shard — a single shuffle whose
+    partitions are hash-balanced by construction (no skew: hash60 is
+    uniform on keys). Parallelism equals ``n_shards``, so size shards to
+    your cluster (shards-per-executor >= 1), exactly how training-data
+    writers size output files. Duplicate keys shuffle together (adjacent
+    positions, key-tiebroken) — shuffling is per-document identity.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = hash60(F.col(key_col), seed)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+    )

@@ -885,3 +885,21 @@ select b.doc_id,
 from (select distinct doc_id from base) b
 left join perdoc p using (doc_id)
 """
+
+
+def shuffle_shard_sql(
+    n_shards: int,
+    seed: int = 0,
+    key: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """Mirrors operators.sampling.shuffle_shard on the documents table."""
+    h = hash60_sql(key, seed)
+    return f"""
+with h as (select {key}, {h} as hh from {table})
+select {key},
+  cast(hh % {n_shards} as integer) as shard,
+  cast(row_number() over (partition by hh % {n_shards}
+                          order by hh asc, {key} asc) - 1 as bigint) as pos
+from h
+"""

@@ -156,3 +156,43 @@ def test_mixture_sample_validation(spark):
         mixture_sample(df, {"en": 0.0}, "lang", "doc_id")
     # all listed strata absent → empty result, not an error
     assert mixture_sample(df, {"xx": 1.0}, "lang", "doc_id").count() == 0
+
+
+# ------------------------------------------------------- shuffle shard
+
+
+def test_shuffle_shard_is_permutation_and_deterministic(spark):
+    from icedb_spark.operators import shuffle_shard
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    out = shuffle_shard(df, "k", n_shards=4, seed=1)
+    rows = out.collect()
+    # every row assigned, positions within a shard are 0..n-1 dense
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # deterministic across partitionings
+    again = {
+        (r["k"]): (r["shard"], r["pos"])
+        for r in shuffle_shard(df.repartition(13), "k", 4, seed=1).collect()
+    }
+    first = {r["k"]: (r["shard"], r["pos"]) for r in rows}
+    assert first == again
+    # a different seed produces a different permutation
+    other = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in shuffle_shard(df, "k", 4, seed=2).collect()
+    }
+    assert other != first
+
+
+def test_shuffle_shard_validates(spark):
+    import pytest
+    from icedb_spark.operators import shuffle_shard
+
+    with pytest.raises(ValueError):
+        shuffle_shard(spark.range(1), "id", 0)
