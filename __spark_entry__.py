@@ -751,6 +751,21 @@ def s04_cosine_topk_multiprobe(spark, sf_dir):
     return cosine_topk_multiprobe(emb, queries, dim=64, k=5, n_planes=6, n_probe=4)
 
 
+def s05_cosine_topk_ivfpq(spark, sf_dir):
+    """ANN via IVF-PQ (the billion-scale memory layout): vectors stored as
+    8 one-byte codes (32x smaller than 64 floats), queries score candidates
+    with m_sub ADC table lookups against a broadcast partial-dot table —
+    per-candidate cost independent of the embedding dimension."""
+    from icedb_spark.operators import cosine_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivfpq(
+        emb, queries, dim=64, n_centroids=16, nprobe=4, m_sub=8, k_sub=16,
+        k=5, rerank=30,
+    )
+
+
 def s03_cosine_topk_ivf(spark, sf_dir):
     """ANN via IVF cells (the other scale path next to LSH): deterministic
     codebook, per-cell inverted lists, nprobe-cell search — each query scores
@@ -2228,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_dedup_clusters": d09_dedup_clusters,
         # --- ANN (IVF, multi-probe LSH; single-probe baseline below) ---
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
+        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         # --- multimodal ---
         "m01_media_features": m01_media_features,
@@ -2606,6 +2622,7 @@ from per_sess group by user_id
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s04_cosine_topk_multiprobe": oracles.cosine_topk_multiprobe_sql(5, 50, 64, 6, 4),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
+        "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         "m01_media_features": oracles.media_features_sql(8),
         "m03_image_headers": """
 select doc_id as media_id,

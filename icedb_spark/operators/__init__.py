@@ -44,6 +44,7 @@ from .packing import pack_sequences
 from .similarity import (
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
     cosine_topk_multiprobe,
 )
@@ -82,6 +83,7 @@ __all__ = [
     "cosine_topk",
     "connected_components",
     "cosine_topk_ivf",
+    "cosine_topk_ivfpq",
     "cosine_topk_lsh",
     "cosine_topk_multiprobe",
     "dedup_clusters",

@@ -903,3 +903,110 @@ select {key},
                           order by hh asc, {key} asc) - 1 as bigint) as pos
 from h
 """
+
+
+def cosine_topk_ivfpq_sql(
+    dim: int,
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.similarity.cosine_topk_ivfpq``: deterministic
+    coarse + sub-codebooks (lowest-id vectors), round(.,6)+id-tiebroken
+    argmins, ADC scoring ``sum_s dot(q_s, c_code) / (|q|*|recon|)``."""
+    dsub = dim // m_sub
+    slice_ = "list_transform(generate_series(1, {d}), i -> {v}[s * {d} + i])"
+    sv = slice_.format(d=dsub, v="dv")
+    qsv_qual = (
+        "list_transform(generate_series(1, {d}), i -> qv[qs.s * {d} + i])"
+        .format(d=dsub)
+    )
+    final = "ranked"
+    rerank_ctes = ""
+    if rerank:
+        final = "reranked"
+        rerank_ctes = f""", exact as (
+  select r.query_id, r.neighbor_id,
+    round(list_cosine_similarity(nv.dv, q.qv), 6) as cosine
+  from ranked r
+  join v nv on nv.id = r.neighbor_id
+  join q on q.query_id = r.query_id
+  where r.rank <= {rerank}
+), reranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from exact
+)"""
+    return f"""
+with v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+), cents as (
+  select id as cid, dv as cv from v order by id limit {n_centroids}
+), assign as (
+  select id, cell from (
+    select v.id, c.cid as cell,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, cents c
+  ) where rn = 1
+), train as (
+  select row_number() over (order by id) - 1 as j, dv
+  from (select * from v order by id limit {k_sub})
+), subcents as (
+  select s, j, {slice_.format(d=dsub, v="dv")} as scv,
+    list_inner_product({slice_.format(d=dsub, v="dv")},
+                       {slice_.format(d=dsub, v="dv")}) as c2
+  from (select j, dv, unnest(generate_series(0, {m_sub - 1})) as s from train)
+), sub as (
+  select id, s, {sv} as sv
+  from (select id, dv, unnest(generate_series(0, {m_sub - 1})) as s from v)
+), codes as (
+  select id, s, code, c2c from (
+    select sub.id, sub.s, sc.j as code, sc.c2 as c2c,
+      row_number() over (partition by sub.id, sub.s
+        order by round(list_inner_product(sv, sv)
+                       - 2 * list_inner_product(sv, sc.scv) + sc.c2, 6) asc,
+                 sc.j asc) as rn
+    from sub join subcents sc on sub.s = sc.s
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv,
+    sqrt(list_inner_product(dv, dv)) as qn
+  from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qn, cell from (
+    select q.query_id, q.qn, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, cents c
+  ) where rn <= {nprobe}
+), adc as (
+  select query_id, s, j, list_inner_product(qsv, scv) as pdot from (
+    select query_id, s2.s as s, s2.j as j, {qsv_qual} as qsv, s2.scv as scv
+    from (select query_id, qv, unnest(generate_series(0, {m_sub - 1})) as s
+          from q) qs
+    join subcents s2 on qs.s = s2.s
+  )
+), scored as (
+  select p.query_id, a.id as neighbor_id,
+    round(sum(t.pdot) / (any_value(p.qn) * sqrt(sum(c.c2c))), 6) as cosine
+  from assign a
+  join codes c on a.id = c.id
+  join probes p on a.cell = p.cell
+  join adc t on t.query_id = p.query_id and t.s = c.s and t.j = c.code
+  where p.query_id <> a.id
+  group by p.query_id, a.id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+){rerank_ctes}
+select query_id, neighbor_id, cosine, rank from {final} where rank <= {k}
+"""

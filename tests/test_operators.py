@@ -837,3 +837,73 @@ def test_line_dedup_first_occurrence_is_deterministic(spark):
     out = line_dedup(docs).orderBy("doc_id").collect()
     assert out[0]["n_kept"] == 2
     assert all(r["n_kept"] == 1 for r in out[1:])
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def _clustered_vectors(spark, n_per=20, dim=8):
+    # two tight clusters around orthogonal axes + the id-ordered heads that
+    # become the deterministic codebooks
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(2 * n_per):
+        axis = i % 2
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[axis * (dim // 2)] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_shape_and_determinism(spark):
+    from icedb_spark.operators import cosine_topk_ivfpq
+
+    df = _clustered_vectors(spark)
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_ivfpq(
+        df, qs, dim=8, n_centroids=4, nprobe=2, m_sub=2, k_sub=4, k=3
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["query_id"] != r["neighbor_id"]
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = cosine_topk_ivfpq(
+        df.repartition(5), qs, dim=8, n_centroids=4, nprobe=2, m_sub=2,
+        k_sub=4, k=3,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_rerank_recovers_exact_ordering(spark):
+    from icedb_spark.operators import cosine_topk, cosine_topk_ivfpq
+
+    df = _clustered_vectors(spark)
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(df, qs, k=3).collect()
+    }
+    # rerank large enough to cover every probed candidate -> the reranked
+    # result's cosines are EXACT values (ADC's are approximations)
+    rer = cosine_topk_ivfpq(
+        df, qs, dim=8, n_centroids=4, nprobe=4, m_sub=2, k_sub=4, k=3,
+        rerank=100,
+    ).collect()
+    # every cell probed + full rerank -> exactly the exact top-k, with
+    # EXACT cosines (ADC's approximations are gone after the refine step)
+    assert {
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in rer
+    } == exact
+
+
+def test_ivfpq_validates_dim(spark):
+    from icedb_spark.operators import cosine_topk_ivfpq
+
+    with pytest.raises(ValueError):
+        cosine_topk_ivfpq(None, None, dim=10, m_sub=4)
