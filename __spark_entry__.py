@@ -1448,6 +1448,47 @@ def st06_datasource_stream(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st07_cdc_stream(spark, sf_dir):
+    """Streamed row-level change feed: ``readStream.format("icedb")`` with
+    ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
+    stream must contain every insert row tagged 'insert' plus the captured
+    DELETE/UPDATE images (same predicates as ice25), aggregated by change
+    type."""
+    import tempfile as _tf
+
+    _register_icedb_source(spark)
+    t, d = _scratch(spark, sort_order=["event_id"])
+    ck = _tf.mkdtemp(prefix="icecdcck-")
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        t.delete("event_type = 'click' and value < 50", capture_changes=True)
+        t.update({"value": "value * 2"}, "value > 90", capture_changes=True)
+        name = f"ice_cdc_{abs(hash(d)) % 10_000_000}"
+        q = (
+            spark.readStream.format("icedb")
+            .option("path", t.path)
+            .option("feed", "changes")
+            .load()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(ck)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -2187,15 +2228,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # The window holds the full MVCC engine lifecycle (ice01-15), streaming
-    # (st01-04), the MV, every pipeline-operator family, and the core
-    # reference query surface. Entries after the window marker are
-    # beyond-reference extras or redundant siblings of an in-window entry
-    # (e.g. exact O(n^2) baselines whose scale path is in-window); all of
-    # them stay under the repo's own bit-exact oracle tests
-    # (tests/test_entry_oracle.py) at sf0.001 regardless.
+    # The window holds the full MVCC engine lifecycle through this round's
+    # additions (DML, rollback, change feed, DataSource, snapshot tags,
+    # CHECK constraints), streaming + both MV flavors, and one witness per
+    # pipeline-operator family. Entries after the window marker either
+    # already earned a fully-green driver row in a prior round or have an
+    # in-window sibling witnessing their family; all of them stay under
+    # the repo's own bit-exact oracle tests (tests/test_entry_oracle.py)
+    # regardless.
     return {
-        # --- engine lifecycle (MVCC log, merge, vacuum, time travel) ---
+        # --- engine lifecycle: MVCC log, merge, vacuum, time travel,
+        # pruning, DML, rollback, CDF, DataSource, tags, constraints ---
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice02_merge_invariant": ice02_merge_invariant,
         "ice03_time_travel": ice03_time_travel,
@@ -2207,70 +2250,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "ice10_schema_evolution": ice10_schema_evolution,
         "ice11_partition_pruning": ice11_partition_pruning,
-        "ice12_path_derived": ice12_path_derived,
         "ice13_partition_fn_paths": ice13_partition_fn_paths,
         "ice14_json_flatten_insert": ice14_json_flatten_insert,
         "ice15_parallel_compaction": ice15_parallel_compaction,
-        "ice16_format_row": ice16_format_row,
         "ice17_stats_pruning": ice17_stats_pruning,
         "ice18_bloom_pruning": ice18_bloom_pruning,
         "ice19_auto_prune": ice19_auto_prune,
         "ice20_incremental_read": ice20_incremental_read,
-        # --- row-level DML (copy-on-write delete / update / merge) ---
         "ice21_delete": ice21_delete,
         "ice22_update": ice22_update,
         "ice23_merge_into": ice23_merge_into,
         "ice24_rollback": ice24_rollback,
         "ice25_change_feed": ice25_change_feed,
-        # --- streaming + materialized view ---
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
+        # --- streaming + materialized views (incl. incremental IVM) ---
         "st01_streaming_ingest": st01_streaming_ingest,
         "st02_windowed_agg": st02_windowed_agg,
         "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
         "mv02_incremental_mv": mv02_incremental_mv,
-        # --- core query surface (one witness per capability family;
-        # adjacent built-in variants are below the window) ---
+        # --- core query surface (one witness; adjacent built-in
+        # variants are below the window, all r02-driver-proven) ---
         "q01_pricing_summary": q01_pricing_summary,
-        "q17_approx_distinct": q17_approx_distinct,
-        # --- temporal / skew operators ---
-        "q31_salted_agg": q31_salted_agg,
-        # --- dedup family (exact, minhash, jaccard, embedding-LSH,
-        # simhash-band16, transitive clusters) ---
-        "d01_exact_dedup": d01_exact_dedup,
+        # --- dedup family (minhash-LSH, embedding-LSH, clusters) ---
         "d02_minhash_lsh": d02_minhash_lsh,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
-        "d08_simhash_band16": d08_simhash_band16,
         "d09_dedup_clusters": d09_dedup_clusters,
-        # --- ANN (IVF, multi-probe LSH; single-probe baseline below) ---
+        # --- ANN scale paths (IVF, multi-probe LSH, IVF-PQ+rerank) ---
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
-        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         # --- multimodal ---
         "m01_media_features": m01_media_features,
-        # --- text pipeline (quality, repetition, PII, decontam, packing, vocab) ---
-        "t02_text_quality": t02_text_quality,
+        # --- text pipeline (repetition, PII, decontam, packing,
+        # vocab, corpus line-dedup) ---
         "t05_repetition": t05_repetition,
         "t06_pii_detect": t06_pii_detect,
         "t07_decontaminate": t07_decontaminate,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
-        # --- sampling / splits ---
+        "t11_line_dedup": t11_line_dedup,
+        # --- sampling / splits / shuffle-shard ---
         "sm01_hash_sample": sm01_hash_sample,
         "sm02_stratified_sample": sm02_stratified_sample,
         "sm03_split_assign": sm03_split_assign,
         "sm04_top_k_sample": sm04_top_k_sample,
         "sm06_shuffle_shard": sm06_shuffle_shard,
         # ==================== driver window boundary (50) ====================
-        # Every capability below has an in-window sibling witnessing its
+        # Every entry below either (a) already holds a fully-green driver
+        # row from CORRECTNESS_r02 (ice12/ice16/q17/q31/d01/d08/t02 demoted
+        # by this round's rotation; q33/q29/q28/d03/st03/s02/m03 by the
+        # earlier one), or (b) has an in-window sibling witnessing its
         # family (exact baselines whose scale path is in-window, built-in
-        # Spark SQL variants adjacent to q01/q17, st03/st04's stateful and
-        # session windows next to st01/st02/st05, m02/m03/m04 next to m01,
-        # q28/q29 next to q31) — and each entry demoted by the round-3
-        # rotations already earned a fully-green driver row in a prior
-        # round's CORRECTNESS file (q33/q29/s02/m03/q28/d03/st03 in r02).
-        # ALL of them stay under the repo's own bit-exact oracle gate
-        # replica (tests/test_entry_oracle.py + tools/check_oracle.py,
-        # every key).
+        # Spark SQL variants adjacent to q01, st04/st06 next to st02/ice27,
+        # m02/m04 next to m01, ice26 next to ice18/ice19). ALL 106 keys
+        # stay under the repo's own bit-exact gate replica
+        # (tests/test_entry_oracle.py + tools/check_oracle.py).
+        "ice12_path_derived": ice12_path_derived,
+        "ice16_format_row": ice16_format_row,
+        "ice26_in_pruning": ice26_in_pruning,
+        "q17_approx_distinct": q17_approx_distinct,
+        "q31_salted_agg": q31_salted_agg,
+        "d01_exact_dedup": d01_exact_dedup,
+        "d08_simhash_band16": d08_simhash_band16,
+        "t02_text_quality": t02_text_quality,
         "q33_percentile_approx": q33_percentile_approx,
         "q29_range_join": q29_range_join,
         "q28_asof_join": q28_asof_join,
@@ -2280,12 +2325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "m04_av_headers": m04_av_headers,
         "st04_session_window": st04_session_window,
-        "ice26_in_pruning": ice26_in_pruning,
-        "ice27_datasource_scan": ice27_datasource_scan,
-        "ice28_snapshot_tags": ice28_snapshot_tags,
-        "ice29_constraints": ice29_constraints,
         "st06_datasource_stream": st06_datasource_stream,
-        "st05_stream_upsert": st05_stream_upsert,
+        "st07_cdc_stream": st07_cdc_stream,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2323,7 +2364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "t10_chunk_docs": t10_chunk_docs,
-        "t11_line_dedup": t11_line_dedup,
         "sm05_mixture_sample": sm05_mixture_sample,
     }
 
@@ -2869,6 +2909,26 @@ from fin group by event_type
         ),
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
+        # streamed feed = every insert row + the ice25 DML image sets
+        "st07_cdc_stream": """
+with del_rows as (
+  select value from events
+  where coalesce(event_type = 'click' and value < 50, false)
+),
+upd_rows as (
+  select value from events
+  where coalesce(value > 90, false)
+    and not coalesce(event_type = 'click' and value < 50, false)
+)
+select 'insert' as change_type, count(*) as cnt,
+  round(sum(value), 2) as sum_value from events
+union all
+select 'delete', count(*), round(sum(value), 2) from del_rows
+union all
+select 'update_preimage', count(*), round(sum(value), 2) from upd_rows
+union all
+select 'update_postimage', count(*), round(sum(value * 2), 2) from upd_rows
+""",
         # IN-pruned scan ≡ the plain IN-filtered aggregate
         "ice26_in_pruning": (
             "select event_type, count(*) as cnt,"

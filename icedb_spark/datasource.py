@@ -69,8 +69,11 @@ from .types import duckdb_schema_to_spark
 
 
 class _ScanPartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, change_type: Optional[str] = None):
         self.abs_path = abs_path
+        # change-feed streams tag insert-commit files with a constant
+        # _change_type; DML image files carry the column themselves
+        self.change_type = change_type
 
 
 def _attr(f) -> Optional[str]:
@@ -104,6 +107,14 @@ class _LogHandle:
 
     def spark_schema(self) -> StructType:
         return duckdb_schema_to_spark(self.state().schema.columns())
+
+    def feed_schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
+        base = self.spark_schema()
+        return StructType(
+            list(base.fields) + [StructField("_change_type", StringType(), True)]
+        )
 
 
 class _IceReader(DataSourceReader):
@@ -287,6 +298,71 @@ class _IceStreamReader(DataSourceStreamReader):
         pass
 
 
+class _IceChangeStreamReader(_IceStreamReader):
+    """``option("feed", "changes")``: the stream is the row-level change
+    feed (the streamed twin of ``IceTable.changes_feed``) — insert commits
+    yield their rows tagged ``_change_type='insert'`` from log metadata,
+    and DML commits made with ``capture_changes=True`` yield their
+    recorded delete / update_preimage / update_postimage / insert images
+    from the ``_changes/<commit_ts>/`` sets. Exposure and retention follow
+    the batch feed exactly: only change sets whose timestamp names a
+    committed log appear, and vacuum grace bounds consumer lag."""
+
+    _CHANGES_PREFIX = "_changes"
+
+    def partitions(self, start, end):
+        lo, hi = start["ts"], end["ts"]
+        state = self._handle.state(at_ms=hi)
+        committed: set[int] = set()
+        parts: list[_ScanPartition] = []
+        insert_paths: list[str] = []
+        for key in state.log_files:
+            ts, merged = get_log_file_info(key)
+            committed.add(ts)
+            if merged or ts <= lo or ts > hi:
+                continue
+            _meta, _sch, fms, _tmb = state.parsed.get(
+                key
+            ) or self._handle.log_io.read_log(self._handle.log_storage, key)
+            insert_paths.extend(m.path for m in fms if m.alive)
+        parts.extend(
+            _ScanPartition(self._handle.storage.absolute(p), "insert")
+            for p in sorted(set(insert_paths))
+        )
+        change_keys: list[str] = []
+        for key, _size in self._handle.storage.list(self._CHANGES_PREFIX):
+            seg = key.split("/")
+            if len(seg) < 3 or not key.endswith(".parquet"):
+                continue
+            try:
+                ts = int(seg[1])
+            except ValueError:
+                continue
+            if lo < ts <= hi and ts in committed:
+                change_keys.append(key)
+        parts.extend(
+            _ScanPartition(self._handle.storage.absolute(k))
+            for k in sorted(change_keys)
+        )
+        return parts
+
+    def read(self, partition: Optional[_ScanPartition]):
+        if partition is None:
+            return
+        for batch in _read_conformed(partition.abs_path, self._schema):
+            if partition.change_type is None:
+                yield batch
+                continue
+            import pyarrow as pa
+
+            idx = batch.schema.get_field_index("_change_type")
+            arrays = batch.columns
+            arrays[idx] = pa.array(
+                [partition.change_type] * batch.num_rows, type=pa.string()
+            )
+            yield pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
+
+
 class IceDataSource(DataSource):
     """``spark.dataSource.register(IceDataSource)`` then::
 
@@ -296,14 +372,21 @@ class IceDataSource(DataSource):
     Options: ``path`` (table root), ``log_path`` (separate log store),
     ``at_ms`` (batch time travel), ``since_ms`` (stream start),
     ``pushdown=true`` (driver-side file pruning from Spark's pushed
-    filters; requires ``spark.sql.python.filterPushdown.enabled``)."""
+    filters; requires ``spark.sql.python.filterPushdown.enabled``),
+    ``feed=changes`` (stream the row-level change feed instead of the
+    append stream: schema gains ``_change_type``, DML capture sets are
+    included)."""
 
     @classmethod
     def name(cls) -> str:
         return "icedb"
 
+    def _is_feed(self) -> bool:
+        return str(self.options.get("feed", "")).lower() == "changes"
+
     def schema(self) -> StructType:
-        return _LogHandle(self.options).spark_schema()
+        h = _LogHandle(self.options)
+        return h.feed_schema() if self._is_feed() else h.spark_schema()
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if str(self.options.get("pushdown", "")).lower() == "true":
@@ -311,4 +394,6 @@ class IceDataSource(DataSource):
         return _IceReader(schema, self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._is_feed():
+            return _IceChangeStreamReader(schema, self.options)
         return _IceStreamReader(schema, self.options)

@@ -130,3 +130,59 @@ def test_empty_table_reads_zero_rows(spark, tmp_path):
     os.makedirs(d)
     df = spark.read.format("icedb").option("path", d).load()
     assert df.count() == 0
+
+
+def test_change_feed_stream_matches_batch_feed(spark, table, tmp_path):
+    table.delete("id < 3", capture_changes=True)
+    table.update({"v": "v + 100"}, "id >= 18", capture_changes=True)
+    q = (
+        spark.readStream.format("icedb")
+        .option("path", table.path)
+        .option("feed", "changes")
+        .load()
+        .writeStream.format("memory").queryName("ice_cdc_stream")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ice_cdc_stream")
+    by_type = {
+        r["_change_type"]: r["cnt"]
+        for r in got.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    # streamed feed == batch feed (full window)
+    batch = {
+        r["_change_type"]: r["cnt"]
+        for r in table.changes_feed(0)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by_type == batch
+    assert by_type["insert"] == 20
+    assert by_type["delete"] == 3
+    assert by_type["update_preimage"] == by_type["update_postimage"] == 2
+    # image VALUES stream through too, not just counts
+    post = {
+        r["id"]: r["v"]
+        for r in got.where("_change_type = 'update_postimage'").collect()
+    }
+    assert post == {18: 118.0, 19: 119.0}
+
+
+def test_change_feed_stream_excludes_uncaptured_dml(spark, table, tmp_path):
+    table.delete("id = 5")  # no capture -> invisible to the feed
+    q = (
+        spark.readStream.format("icedb")
+        .option("path", table.path)
+        .option("feed", "changes")
+        .load()
+        .writeStream.format("memory").queryName("ice_cdc_stream2")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select distinct _change_type from ice_cdc_stream2")
+    assert {r[0] for r in got.collect()} == {"insert"}
