@@ -1448,6 +1448,48 @@ def st06_datasource_stream(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def ice30_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution (beyond reference): the first half of the
+    corpus lands under a month layout, the table is re-opened with an
+    event_type layout for the second half, and a type-pruned read must
+    (a) skip the provably-disjoint new-layout files, (b) KEEP every
+    old-layout file (a path without the field cannot prove absence — the
+    hint-not-filter contract), and (c) still return exactly the oracle's
+    plain filter after applying the real predicate."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev.where(F.col("event_id") <= m // 2))
+        t2 = IceTable(
+            spark,
+            d,
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("t", "event_type")]
+            ),
+            sort_order=["event_id"],
+        )
+        t2.insert(df=ev.where(F.col("event_id") > m // 2))
+        files = t2.files_for(partition_values={"t": "click"})
+        parts = {fm.partition() for fm in files}
+        assert any(p.startswith("m=") for p in parts), parts  # old kept
+        assert not any(
+            p.startswith("t=") and p != "t=click" for p in parts
+        ), parts  # new-layout non-click pruned
+        return (
+            t2.read(partition_values={"t": "click"})
+            .where("event_type = 'click'")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .cache()
+        )
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2327,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st04_session_window": st04_session_window,
         "st06_datasource_stream": st06_datasource_stream,
         "st07_cdc_stream": st07_cdc_stream,
+        "ice30_partition_evolution": ice30_partition_evolution,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2909,6 +2952,9 @@ from fin group by event_type
         ),
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
+        "ice30_partition_evolution": ev_agg.format(
+            where=" where event_type = 'click'"
+        ),
         # streamed feed = every insert row + the ice25 DML image sets
         "st07_cdc_stream": """
 with del_rows as (

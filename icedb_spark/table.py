@@ -2615,7 +2615,12 @@ def _match_partition(
     for k, cond in predicate.items():
         v = values.get(k)
         if v is None:
-            return False
+            # a file whose path does not carry the field (written under an
+            # earlier partition spec, or custom `_partition` placement) may
+            # still hold matching rows — keep it. Same hint-not-filter
+            # contract as zone maps: pruning must never change results,
+            # only shrink the file list when absence is PROVABLE.
+            continue
         if isinstance(cond, tuple):
             # tuples mean RANGE; any other arity is a malformed predicate —
             # raise rather than silently pruning every file
