@@ -1490,6 +1490,50 @@ def ice30_partition_evolution(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice31_transform_pruning(spark, sf_dir):
+    """Transform partition pruning (beyond reference; the Iceberg
+    hidden-partitioning analog): the table is month-partitioned via
+    ``date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')``, and a plain
+    ``ts BETWEEN a AND b`` predicate in ``sql()`` is pushed THROUGH the
+    monotonic transform into a day-path range — the scan opens strictly
+    fewer files (asserted) while returning exactly the oracle's filter.
+    The user never names the partition field."""
+    from icedb_spark.pruning import derive_scan_hints
+
+    # day granularity: the test events span ~one month, so day partitions
+    # give the range predicate real files to skip
+    t, d = _scratch(
+        spark,
+        sort_order=["event_id"],
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("m", f"date_format({_TS}, 'yyyy-MM-dd')")]
+        ),
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(df=ev.where(F.col("event_id") <= m // 2))
+        t.insert(df=ev.where(F.col("event_id") > m // 2))
+        mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        lo, hi = int(mn), int(mn) + (int(mx) - int(mn)) // 3
+        q = (
+            f"select event_type, count(*) as cnt,"
+            f" round(sum(value), 2) as sum_value from ice"
+            f" where ts between {lo} and {hi} group by event_type"
+        )
+        hints = derive_scan_hints(
+            q, "ice", t._identity_partition_cols(),
+            t._transform_partition_cols(),
+        )
+        assert "m" in hints.get("partition_values", {}), hints
+        n_pruned = len(t.files_for(**hints))
+        n_all = len(t.files_for())
+        assert n_pruned < n_all, (n_pruned, n_all)
+        return t.sql(q).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2370,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st06_datasource_stream": st06_datasource_stream,
         "st07_cdc_stream": st07_cdc_stream,
         "ice30_partition_evolution": ice30_partition_evolution,
+        "ice31_transform_pruning": ice31_transform_pruning,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2955,6 +3000,18 @@ from fin group by event_type
         "ice30_partition_evolution": ev_agg.format(
             where=" where event_type = 'click'"
         ),
+        # same ts window, bounds re-derived in SQL (ts is epoch-ns on the
+        # Spark side; epoch_us(ts)*1000 reproduces it exactly)
+        "ice31_transform_pruning": """
+with b as (
+  select min(epoch_us(ts)) * 1000 as mn, max(epoch_us(ts)) * 1000 as mx
+  from events
+)
+select event_type, count(*) as cnt, round(sum(value), 2) as sum_value
+from events, b
+where epoch_us(ts) * 1000 between b.mn and b.mn + (b.mx - b.mn) // 3
+group by event_type
+""",
         # streamed feed = every insert row + the ice25 DML image sets
         "st07_cdc_stream": """
 with del_rows as (

@@ -129,6 +129,7 @@ def derive_scan_hints(
     query: str,
     view: str,
     identity_partition_cols: dict[str, str],
+    transform_partition_cols: Optional[dict] = None,
 ) -> dict:
     """Pruning kwargs for :meth:`IceTable.read`, derived from ``query``.
 
@@ -153,6 +154,16 @@ def derive_scan_hints(
       AND an any-value zone-map/Bloom ``column_in`` hint for the data
       column (a file survives if ANY listed value may be present).
     * anything else contributes nothing.
+
+    ``transform_partition_cols`` maps a DATA column to ``(field,
+    eval_fn)`` for partition fields built from a MONOTONIC date transform
+    of that column (e.g. ``date_format(timestamp_micros(ts div 1000),
+    'yyyy-MM')``). After the conjunct pass, any equality / range / IN
+    bounds collected on the column are pushed through ``eval_fn`` into a
+    partition-path hint — the Iceberg-transform-pruning analog: a plain
+    ``ts BETWEEN a AND b`` prunes month partitions without the user ever
+    naming the partition field. ``eval_fn`` returning None (evaluation
+    failed) contributes nothing.
     """
     found = _find_where(query, view)
     if not found:
@@ -267,6 +278,28 @@ def derive_scan_hints(
             # data-column IN: any-value zone-map/Bloom membership hint
             column_in[col] = vals
             continue
+
+    for col, (field, eval_fn) in (transform_partition_cols or {}).items():
+        if field in partition_values:
+            continue  # an explicit path predicate already bounds the field
+        if col in column_equals:
+            fv = eval_fn(column_equals[col])
+            if fv is not None:
+                partition_values[field] = fv
+            continue
+        if col in column_in:
+            fvals = [eval_fn(v) for v in column_in[col]]
+            if all(v is not None for v in fvals):
+                partition_values[field] = sorted(set(fvals))
+            continue
+        if col in column_ranges:
+            lo, hi = column_ranges[col]
+            flo = eval_fn(lo) if lo is not None else None
+            fhi = eval_fn(hi) if hi is not None else None
+            # a failed endpoint evaluation widens that side to open —
+            # still sound, the transform is monotonic non-decreasing
+            if flo is not None or fhi is not None:
+                add_part_range(field, flo, fhi)
 
     out: dict = {}
     if partition_values:

@@ -868,6 +868,68 @@ class IceTable:
         paths = [self.storage.absolute(m.path) for m in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    # date_format over a monotonic expression of ONE column, with a
+    # fixed-width big-endian format — the transforms a range predicate can
+    # be pushed through (f monotonic non-decreasing => path-string range)
+    _DATE_FMT_RE = re.compile(
+        r"^date_format\s*\(\s*(.+?)\s*,\s*"
+        r"'(yyyy(?:-MM(?:-dd(?:-HH)?)?)?)'\s*\)$",
+        re.I | re.S,
+    )
+    _MONO_FUNCS = {
+        "timestamp_millis", "timestamp_micros", "timestamp_seconds",
+        "to_timestamp", "to_date", "from_unixtime", "cast", "div", "as",
+        "timestamp", "date", "bigint", "int", "long", "double", "string",
+    }
+
+    def _transform_partition_cols(self) -> dict:
+        """data column → ``(field_name, eval_fn)`` for partition fields
+        whose expression is a monotonic date transform of exactly one
+        column (see :func:`icedb_spark.pruning.derive_scan_hints`).
+        ``eval_fn`` evaluates the field expression at a literal via a
+        one-row driver-side Spark SQL — O(1), no data touched."""
+        spec = self.partition_spec
+        if spec is None or spec.fields is None:
+            return {}
+        out: dict = {}
+        for f in spec.fields:
+            m = self._DATE_FMT_RE.match(f.expr.strip())
+            if not m:
+                continue
+            inner = m.group(1)
+            # monotonicity whitelist: no '-' (5 - ts flips order), only
+            # known monotonic wrappers, exactly one source column
+            if "-" in inner:
+                continue
+            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", inner))
+            cols = {i for i in idents if i.lower() not in self._MONO_FUNCS}
+            if len(cols) != 1:
+                continue
+            col = cols.pop()
+
+            def _mk(expr: str, column: str):
+                def _eval(lit):
+                    if isinstance(lit, str):
+                        rendered = "'" + lit.replace("'", "''") + "'"
+                    elif isinstance(lit, (int, float)):
+                        rendered = repr(lit)
+                    else:
+                        return None
+                    sub = re.sub(
+                        rf"\b{re.escape(column)}\b", f"({rendered})", expr
+                    )
+                    try:
+                        row = self.spark.sql(f"select {sub} as v").collect()
+                        v = row[0][0]
+                        return str(v) if v is not None else None
+                    except Exception:
+                        return None
+
+                return _eval
+
+            out[col] = (f.name, _mk(f.expr.strip(), col))
+        return out
+
     def _identity_partition_cols(self) -> dict[str, str]:
         """data column → partition field name, for fields whose expression
         is the bare column (the only transform a literal predicate can be
@@ -913,7 +975,12 @@ class IceTable:
             )
         ):
             read_kwargs.update(
-                derive_scan_hints(query, view, self._identity_partition_cols())
+                derive_scan_hints(
+                    query,
+                    view,
+                    self._identity_partition_cols(),
+                    self._transform_partition_cols(),
+                )
             )
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)

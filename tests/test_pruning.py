@@ -188,3 +188,90 @@ def test_in_list_on_identity_partition_gets_both_hints():
     )
     assert h["partition_values"] == {"p_et": ["a", "b"]}
     assert h["column_in"] == {"et": ["a", "b"]}
+
+
+# ------------------------------------------------- transform pruning
+
+
+def _month_table(spark, tmp_path):
+    import datetime
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "months"),
+        partition_spec=PartitionSpec(fields=[
+            PartitionField("m", "date_format(timestamp_millis(ts), 'yyyy-MM')")
+        ]),
+        sort_order=["id"],
+    )
+    for mo in range(1, 7):
+        ts = int(
+            datetime.datetime(
+                2024, mo, 15, tzinfo=datetime.timezone.utc
+            ).timestamp() * 1000
+        )
+        t.insert(rows=[{"id": mo, "ts": ts, "v": float(mo)}])
+    return t
+
+
+def test_ts_range_prunes_month_partitions(spark, tmp_path):
+    import datetime
+
+    t = _month_table(spark, tmp_path)
+    lo = int(datetime.datetime(2024, 2, 1, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    hi = int(datetime.datetime(2024, 3, 20, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    from icedb_spark.pruning import derive_scan_hints
+
+    hints = derive_scan_hints(
+        f"select id from ice where ts between {lo} and {hi}",
+        "ice",
+        t._identity_partition_cols(),
+        t._transform_partition_cols(),
+    )
+    assert hints["partition_values"] == {"m": ("2024-02", "2024-03")}
+    assert len(t.files_for(**hints)) == 2 < len(t.files_for())
+    # end-to-end through sql(): pruned == unpruned results
+    q = f"select id from ice where ts between {lo} and {hi} order by id"
+    assert [r["id"] for r in t.sql(q).collect()] == [2, 3]
+    assert [r["id"] for r in t.sql(q, auto_prune=False).collect()] == [2, 3]
+
+
+def test_ts_equality_and_in_prune_months(spark, tmp_path):
+    import datetime
+
+    t = _month_table(spark, tmp_path)
+    ts4 = int(datetime.datetime(2024, 4, 15, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    ts1 = int(datetime.datetime(2024, 1, 15, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    from icedb_spark.pruning import derive_scan_hints
+
+    h_eq = derive_scan_hints(
+        f"select * from ice where ts = {ts4}", "ice",
+        {}, t._transform_partition_cols(),
+    )
+    assert h_eq["partition_values"] == {"m": "2024-04"}
+    h_in = derive_scan_hints(
+        f"select * from ice where ts in ({ts1}, {ts4})", "ice",
+        {}, t._transform_partition_cols(),
+    )
+    assert h_in["partition_values"] == {"m": ["2024-01", "2024-04"]}
+
+
+def test_non_monotonic_or_multi_column_transforms_skipped(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "nm"),
+        partition_spec=PartitionSpec(fields=[
+            # '-' inside the inner expression: 0 - ts flips order -> no hint
+            PartitionField("m", "date_format(timestamp_millis(0 - ts), 'yyyy-MM')"),
+            # two source columns -> no hint
+            PartitionField("n", "date_format(timestamp_millis(ts + off), 'yyyy')"),
+            # non-date_format partition field -> no hint
+            PartitionField("k", "kind"),
+        ]),
+        sort_order=["id"],
+    )
+    assert t._transform_partition_cols() == {}
