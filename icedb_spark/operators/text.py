@@ -347,21 +347,31 @@ def line_dedup(
     from pyspark.sql import Window
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    exploded = (
-        df.select(
-            F.col(id_col),
-            F.posexplode_outer(F.split(t, "\n")).alias("line_idx", "_line"),
+    # posexplode_outer keeps zero/blank-line documents as one (blank) row,
+    # so no re-join against the input is needed to emit their summary row.
+    # Blank rows ride through the line-hash shuffle under a UNIQUE fake
+    # key (doc_id:idx) — they never collide, never skew one partition, and
+    # the `valid` flag keeps them out of every count.
+    valid = F.length(F.trim("_line")) > 0
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(t, "\n")).alias("line_idx", "_line"),
+    ).select(
+        id_col,
+        "line_idx",
+        valid.alias("_valid"),
+        F.when(valid, F.md5(F.trim("_line").cast("binary")))
+        .otherwise(
+            F.md5(
+                F.concat_ws(":", F.lit("\0blank"), F.col(id_col), "line_idx")
+                .cast("binary")
+            )
         )
-        .where(F.length(F.trim("_line")) > 0)
-        .select(
-            id_col,
-            "line_idx",
-            F.md5(F.trim("_line").cast("binary")).alias("line_hash"),
-        )
+        .alias("line_hash"),
     )
     w = Window.partitionBy("line_hash").orderBy(id_col, "line_idx")
     flagged = exploded.withColumn(
-        "_keep", F.row_number().over(w) == 1
+        "_keep", F.col("_valid") & (F.row_number().over(w) == 1)
     )
     kept_sorted = F.transform(
         F.array_sort(
@@ -374,24 +384,14 @@ def line_dedup(
         ),
         lambda s: s["line_hash"],
     )
-    per_doc = flagged.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_lines"),
+    return flagged.groupBy(id_col).agg(
+        F.count_if("_valid").cast("long").alias("n_lines"),
         F.count_if("_keep").cast("long").alias("n_kept"),
+        (F.count_if("_valid") - F.count_if("_keep"))
+        .cast("long")
+        .alias("n_dropped"),
         F.when(
             F.count_if("_keep") > 0,
             F.md5(F.array_join(kept_sorted, "\n").cast("binary")),
         ).alias("kept_hash"),
-    )
-    return (
-        df.select(F.col(id_col)).distinct()
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
-            "kept_hash",
-        )
     )
