@@ -96,6 +96,14 @@ class _LogHandle:
         self.log_storage = storage_for(options.get("log_path") or path)
         self.log_io = IceLogIO()
         at = options.get("at_ms")
+        tag = options.get("tag")
+        if at is not None and tag is not None:
+            raise ValueError("pass at_ms or tag, not both")
+        if tag is not None:
+            try:
+                at = int(self.log_storage.get(f"_tags/{tag}").decode())
+            except Exception:
+                raise ValueError(f"no such tag: {tag!r}") from None
         self.at_ms = int(at) if at is not None else None
 
     def state(self, at_ms: Optional[int] = None):
@@ -375,7 +383,8 @@ class IceDataSource(DataSource):
     filters; requires ``spark.sql.python.filterPushdown.enabled``),
     ``feed=changes`` (stream the row-level change feed instead of the
     append stream: schema gains ``_change_type``, DML capture sets are
-    included)."""
+    included), ``tag`` (batch read at a named snapshot — the
+    ``IceTable.tag`` analog; mutually exclusive with ``at_ms``)."""
 
     @classmethod
     def name(cls) -> str:

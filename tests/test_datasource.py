@@ -186,3 +186,20 @@ def test_change_feed_stream_excludes_uncaptured_dml(spark, table, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("select distinct _change_type from ice_cdc_stream2")
     assert {r[0] for r in got.collect()} == {"insert"}
+
+
+def test_batch_read_at_tag(spark, table, tmp_path):
+    table.tag("cut")
+    table.insert([{"id": 200, "bucket": "z", "v": 1.0}])
+    full = spark.read.format("icedb").option("path", table.path).load()
+    tagged = (
+        spark.read.format("icedb")
+        .option("path", table.path)
+        .option("tag", "cut")
+        .load()
+    )
+    assert full.count() == 21 and tagged.count() == 20
+    with pytest.raises(Exception, match="no such tag"):
+        spark.read.format("icedb").option("path", table.path).option(
+            "tag", "nope"
+        ).load().count()
