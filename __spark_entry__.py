@@ -974,6 +974,15 @@ def t11_line_dedup(spark, sf_dir):
     return line_dedup(docs, text_col="text2")
 
 
+def t12_ngram_perplexity(spark, sf_dir):
+    """Char-trigram LM perplexity (CCNet-style quality signal): the model
+    is the corpus's own add-k trigram/bigram counts — bounded by
+    alphabet^3, broadcast to score every doc in one pass."""
+    from icedb_spark.operators import ngram_perplexity
+
+    return ngram_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def _inject_pii(docs):
     """Deterministically splice synthetic PII into the corpus (mirrored
     verbatim in the oracle SQL) so the detector counts non-zero hits of
@@ -2378,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t11_line_dedup": t11_line_dedup,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
         # --- sampling / splits / shuffle-shard ---
         "sm01_hash_sample": sm01_hash_sample,
         "sm02_stratified_sample": sm02_stratified_sample,
@@ -2742,6 +2752,7 @@ from per_sess group by user_id
         "t11_line_dedup": oracles.line_dedup_sql(
             text_expr=_LINE_DEDUP_DUCK_TEXT
         ),
+        "t12_ngram_perplexity": oracles.ngram_perplexity_sql(),
         "sm05_mixture_sample": oracles.mixture_sample_sql(
             {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0}
         ),

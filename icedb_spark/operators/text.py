@@ -395,3 +395,97 @@ def line_dedup(
             F.md5(F.array_join(kept_sorted, "\n").cast("binary")),
         ).alias("kept_hash"),
     )
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    model_df: "DataFrame | None" = None,
+) -> DataFrame:
+    """Character-trigram language-model perplexity per document — the
+    CCNet-style quality signal (docs that a corpus-fit LM finds surprising
+    are boilerplate, encoding noise, or non-text) without an external LM:
+    the model is add-k-smoothed trigram/bigram counts over the corpus
+    itself (or over ``model_df``, to score one corpus against a reference
+    corpus's model).
+
+    Per doc over normalized text (lowercased, whitespace collapsed):
+    ``avg_neg_logp = avg(-ln((c3(g)+k) / (c2(prefix)+k*V)))`` across its
+    trigram positions, ``ppl = exp(avg_neg_logp)``; ``V`` is the distinct
+    continuation-character count. Counts use trigram POSITIONS, so
+    ``sum_x c3(p·x) = c2(p)`` and the conditional is a proper
+    distribution.
+
+    Scale shape: the model is bounded by ALPHABET³, not corpus size — a
+    100 TB corpus still yields a broadcastable model table, so scoring is
+    one explode + two broadcast joins + one per-doc aggregate; the only
+    corpus-sized shuffles are the two model count aggregates (map-side
+    combined into O(alphabet³) rows).
+
+    Output: ``(doc_id, n_ngrams, avg_neg_logp, ppl)`` — docs shorter than
+    3 normalized chars keep ``n_ngrams=0`` and NULL scores.
+    """
+    norm = F.lower(
+        F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    base = df.select(F.col(id_col), norm.alias("_t"))
+    pos = F.explode_outer(
+        F.when(
+            F.length("_t") >= 3, F.sequence(F.lit(1), F.length("_t") - 2)
+        )
+    ).alias("i")
+    tri = base.select(id_col, "_t", pos).select(
+        id_col,
+        F.expr("substring(_t, i, 3)").alias("g"),
+        F.expr("substring(_t, i, 2)").alias("p"),
+    )
+    model_src = tri
+    if model_df is not None:
+        mnorm = F.lower(
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        )
+        mbase = model_df.select(mnorm.alias("_t")).where(F.length("_t") >= 3)
+        model_src = mbase.select(
+            "_t",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("i"),
+        ).select(
+            F.expr("substring(_t, i, 3)").alias("g"),
+            F.expr("substring(_t, i, 2)").alias("p"),
+        )
+    c3 = model_src.where(F.col("g").isNotNull()).groupBy("g").agg(
+        F.count("*").alias("_c3")
+    )
+    c2 = model_src.where(F.col("g").isNotNull()).groupBy("p").agg(
+        F.count("*").alias("_c2")
+    )
+    v = model_src.where(F.col("g").isNotNull()).agg(
+        F.countDistinct(F.expr("substring(g, 3, 1)")).alias("_v")
+    )
+    scored = (
+        tri.join(F.broadcast(c3), "g", "left")
+        .join(F.broadcast(c2), "p", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("g")).cast("long").alias("n_ngrams"),
+            F.avg(
+                F.when(
+                    F.col("g").isNotNull(),
+                    -F.log(
+                        (F.coalesce("_c3", F.lit(0)) + F.lit(float(k)))
+                        / (F.coalesce("_c2", F.lit(0)) + F.lit(float(k)) * F.col("_v"))
+                    ),
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_ngrams",
+        F.round("_s", 6).alias("avg_neg_logp"),
+        F.round(F.exp("_s"), 4).alias("ppl"),
+    )

@@ -1010,3 +1010,35 @@ with v as (
 ){rerank_ctes}
 select query_id, neighbor_id, cosine, rank from {final} where rank <= {k}
 """
+
+
+def ngram_perplexity_sql(k: float = 0.5, table: str = "documents") -> str:
+    """Mirrors operators.text.ngram_perplexity with the model fit on the
+    same corpus: add-k-smoothed char-trigram conditional, position-based
+    counts, V = distinct continuation chars."""
+    return f"""
+with base as (
+  select doc_id,
+    lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')) as t
+  from {table}
+),
+tri as (
+  select doc_id, substr(t, i, 3) as g, substr(t, i, 2) as p
+  from (select doc_id, t, unnest(generate_series(1, len(t) - 2)) as i
+        from base where len(t) >= 3)
+),
+c3 as (select g, count(*) as c from tri group by g),
+c2 as (select p, count(*) as c from tri group by p),
+v as (select count(distinct substr(g, 3, 1)) as v from tri),
+scored as (
+  select doc_id, count(*) as n_ngrams,
+    avg(-ln((c3.c + {k}) / (c2.c + {k} * v.v))) as s
+  from tri join c3 using (g) join c2 using (p) cross join v
+  group by doc_id
+)
+select b.doc_id,
+  cast(coalesce(n_ngrams, 0) as bigint) as n_ngrams,
+  round(s, 6) as avg_neg_logp,
+  round(exp(s), 4) as ppl
+from base b left join scored using (doc_id)
+"""

@@ -907,3 +907,63 @@ def test_ivfpq_validates_dim(spark):
 
     with pytest.raises(ValueError):
         cosine_topk_ivfpq(None, None, dim=10, m_sub=4)
+
+
+# ----------------------------------------------------------- perplexity
+
+
+def test_ngram_perplexity_hand_values(spark):
+    import math
+
+    from icedb_spark.operators import ngram_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "ababab"), (1, "ab"), (2, None), (3, "ABAB  ab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in ngram_perplexity(docs).collect()}
+    # doc 1 ("ab") and doc 2 (NULL) are too short -> no score
+    assert out[1] == dict(doc_id=1, n_ngrams=0, avg_neg_logp=None, ppl=None)
+    assert out[2]["n_ngrams"] == 0 and out[2]["ppl"] is None
+    # normalization lowers + collapses whitespace: doc 3 -> "abab ab"
+    assert out[3]["n_ngrams"] == 5
+    # doc 0: trigrams aba,bab,aba,bab -> verify against a hand model
+    # corpus positions: doc0 aba,bab,aba,bab; doc3 aba,bab,ab_,b_a,_ab
+    c3 = {"aba": 3, "bab": 3, "ab ": 1, "b a": 1, " ab": 1}
+    c2 = {"ab": 4, "ba": 4, "b ": 1}
+    # prefixes: ab->aba,ab_ ... recount: doc0: ab,ba,ab,ba; doc3: ab,ba,ab,b_, _a
+    c2 = {}
+    p_of = {"aba": "ab", "bab": "ba", "ab ": "ab", "b a": "b ", " ab": " a"}
+    seq = ["aba", "bab", "aba", "bab", "aba", "bab", "ab ", "b a", " ab"]
+    c3 = {}
+    for g in seq:
+        c3[g] = c3.get(g, 0) + 1
+        c2[p_of[g]] = c2.get(p_of[g], 0) + 1
+    V = len({g[2] for g in seq})  # distinct continuation chars
+    k = 0.5
+
+    def nlp(g):
+        return -math.log((c3[g] + k) / (c2[p_of[g]] + k * V))
+
+    expect = sum(nlp(g) for g in ["aba", "bab", "aba", "bab"]) / 4
+    assert abs(out[0]["avg_neg_logp"] - round(expect, 6)) < 1e-6
+    assert abs(out[0]["ppl"] - round(math.exp(expect), 4)) < 1e-4
+
+
+def test_ngram_perplexity_reference_model(spark):
+    from icedb_spark.operators import ngram_perplexity
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzqxj zzqxj zzqxj")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in ngram_perplexity(docs, model_df=ref).collect()
+    }
+    # in-distribution text scores far lower perplexity than junk
+    assert out[1] < out[2]
