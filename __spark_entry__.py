@@ -983,6 +983,40 @@ def t12_ngram_perplexity(spark, sf_dir):
     return ngram_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def t13_url_stats(spark, sf_dir):
+    """Per-doc URL/domain stats over a corpus with deterministically
+    SPLICED urls (the test documents are url-free word soup): every third
+    doc gains two urls, one repeated domain family — so counts, distinct
+    domains, and first-domain are all exercised non-trivially."""
+    from icedb_spark.operators import url_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/page and http://Example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/x plus https://other.net"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return url_stats(docs)
+
+
+def sm07_quality_filter(spark, sf_dir):
+    """Corpus curation cut: keep the top 30% of documents by quality
+    score via an EXACT quantile that never sorts the corpus — per-rounded-
+    score counts (bounded key space), a tiny cumulative table, and a
+    broadcast threshold filter."""
+    from icedb_spark.operators import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"), keep_frac=0.3)
+
+
 def _inject_pii(docs):
     """Deterministically splice synthetic PII into the corpus (mirrored
     verbatim in the oracle SQL) so the detector counts non-zero hits of
@@ -2388,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_vocab": t09_vocab,
         "t11_line_dedup": t11_line_dedup,
         "t12_ngram_perplexity": t12_ngram_perplexity,
+        "t13_url_stats": t13_url_stats,
+        "sm07_quality_filter": sm07_quality_filter,
         # --- sampling / splits / shuffle-shard ---
         "sm01_hash_sample": sm01_hash_sample,
         "sm02_stratified_sample": sm02_stratified_sample,
@@ -2753,6 +2789,18 @@ from per_sess group by user_id
             text_expr=_LINE_DEDUP_DUCK_TEXT
         ),
         "t12_ngram_perplexity": oracles.ngram_perplexity_sql(),
+        "t13_url_stats": oracles.url_stats_sql(
+            table="spliced", cte="""spliced as (
+  select doc_id,
+    case when doc_id % 3 = 0 then
+      text || ' see https://example' || cast(doc_id % 7 as varchar)
+           || '.org/page and http://Example' || cast(doc_id % 7 as varchar)
+           || '.org/x plus https://other.net'
+    else text end as text
+  from documents
+)"""
+        ),
+        "sm07_quality_filter": oracles.quality_filter_sql(0.3),
         "sm05_mixture_sample": oracles.mixture_sample_sql(
             {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0}
         ),

@@ -228,3 +228,50 @@ def shuffle_shard(
         df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int"))
         .withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    keep_frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score (the
+    curation step after scoring: "train on the best X% of the crawl").
+
+    The cut is an EXACT quantile over the 6-decimal-rounded
+    ``quality_score`` — and still 100 TB-scalable, because the rounded
+    score space is bounded (≤ ~10^6 distinct values): one map-side-combined
+    count per distinct score, a cumulative sum over that tiny sorted table,
+    and a broadcast threshold filter. No global sort of the corpus, no
+    per-group memory. Ties at the threshold are all kept, so the result
+    has AT LEAST ``ceil(keep_frac * n)`` documents — deterministic and
+    engine-reproducible (the oracle runs the identical arithmetic).
+
+    Output: ``(doc_id, quality_score)`` of the kept documents.
+    """
+    from pyspark.sql import Window
+
+    from .text import text_quality
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    scored = text_quality(df, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    counts = scored.groupBy("quality_score").agg(F.count("*").alias("_c"))
+    w = (
+        Window.orderBy(F.desc("quality_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        counts.withColumn("_cum", F.sum("_c").over(w))
+        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("_n"))))
+        .where(F.col("_cum") >= F.ceil(F.lit(float(keep_frac)) * F.col("_n")))
+        .agg(F.max("quality_score").alias("_thr"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("quality_score") >= F.col("_thr"))
+        .select(id_col, "quality_score")
+    )

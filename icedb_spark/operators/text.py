@@ -489,3 +489,30 @@ def ngram_perplexity(
         F.round("_s", 6).alias("avg_neg_logp"),
         F.round(F.exp("_s"), 4).alias("ppl"),
     )
+
+
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)(?:/[^\s]*)?"
+
+
+def url_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document URL statistics (web-corpus curation: link-farm pages
+    have many URLs over few domains; citations have few URLs). One
+    RE2-compatible regex pass, JVM-side in the scan stage — zero shuffles.
+
+    Output: ``(doc_id, n_urls, n_unique_domains, first_domain)`` with
+    domains lowercased; NULL/URL-free text yields zeros and NULL domain.
+    """
+    doms = F.transform(
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_PATTERN), F.lit(1)
+        ),
+        lambda d: F.lower(d),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(doms).cast("long").alias("n_urls"),
+        F.size(F.array_distinct(doms)).cast("long").alias("n_unique_domains"),
+        F.try_element_at(doms, F.lit(1)).alias("first_domain"),
+    )

@@ -1042,3 +1042,48 @@ select b.doc_id,
   round(exp(s), 4) as ppl
 from base b left join scored using (doc_id)
 """
+
+
+def url_stats_sql(table: str = "documents", cte: str = "") -> str:
+    """Mirrors operators.text.url_stats. ``cte`` optionally prepends the
+    gate entry's URL-splicing CTE that derives ``table``."""
+    from .operators.text import URL_PATTERN
+
+    prelude = f"{cte}," if cte else ""
+    return f"""
+with {prelude}doms as (
+  select doc_id,
+    list_transform(
+      regexp_extract_all(coalesce(text, ''), '{URL_PATTERN}', 1),
+      d -> lower(d)) as ds
+  from {table}
+)
+select doc_id,
+  cast(len(ds) as bigint) as n_urls,
+  cast(len(list_distinct(ds)) as bigint) as n_unique_domains,
+  ds[1] as first_domain
+from doms
+"""
+
+
+def quality_filter_sql(keep_frac: float, table: str = "documents") -> str:
+    """Mirrors operators.sampling.quality_filter: exact quantile over the
+    rounded quality score via per-score counts + cumulative sum."""
+    return f"""
+with q as ({text_quality_sql(table)}),
+scored as (select doc_id, quality_score from q),
+counts as (select quality_score, count(*) as c from scored group by quality_score),
+n as (select count(*) as n from scored),
+cum as (
+  select quality_score,
+    sum(c) over (order by quality_score desc
+                 rows between unbounded preceding and current row) as cum
+  from counts
+),
+thr as (
+  select max(quality_score) as thr from cum, n
+  where cum >= ceil({keep_frac} * n.n)
+)
+select doc_id, quality_score from scored, thr
+where quality_score >= thr.thr
+"""

@@ -967,3 +967,50 @@ def test_ngram_perplexity_reference_model(spark):
     }
     # in-distribution text scores far lower perplexity than junk
     assert out[1] < out[2]
+
+
+# ------------------------------------------------------ urls + quality cut
+
+
+def test_url_stats_hand_values(spark):
+    from icedb_spark.operators import url_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://A.org/x and http://a.org/y plus https://b.net"),
+            (1, "no links here"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in url_stats(docs).collect()}
+    assert out[0]["n_urls"] == 3
+    assert out[0]["n_unique_domains"] == 2  # a.org lowercased dedups
+    assert out[0]["first_domain"] == "a.org"
+    assert out[1] == dict(
+        doc_id=1, n_urls=0, n_unique_domains=0, first_domain=None
+    )
+    assert out[2]["n_urls"] == 0 and out[2]["first_domain"] is None
+
+
+def test_quality_filter_keeps_top_fraction_with_ties(spark):
+    from icedb_spark.operators import quality_filter, text_quality
+
+    docs = spark.createDataFrame(
+        [(i, ("the and of to a in is it you that word%d " % i) * (1 + i % 5))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    kept = quality_filter(docs, keep_frac=0.25).collect()
+    assert len(kept) >= 10  # ceil(0.25*40), ties included
+    thr = min(r["quality_score"] for r in kept)
+    allscores = {
+        r["doc_id"]: r["quality_score"] for r in text_quality(docs).collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept}
+    for d, s in allscores.items():
+        assert (s >= thr) == (d in kept_ids)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quality_filter(docs, keep_frac=0.0)
