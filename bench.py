@@ -171,6 +171,19 @@ def main():
             "ice25_change_feed",
         )
     }
+    # late-round-3 additions, timed separately for the same comparability
+    # reason as the dml block (tags, constraints, IVM, transform pruning,
+    # IVF-PQ, line dedup, perplexity, quality cut, shuffle-shard)
+    out["ops_new"] = {
+        name: round(run(name), 3)
+        for name in (
+            "ice28_snapshot_tags", "ice29_constraints",
+            "ice31_transform_pruning", "mv02_incremental_mv",
+            "s05_cosine_topk_ivfpq", "t11_line_dedup",
+            "t12_ngram_perplexity", "t13_url_stats",
+            "sm06_shuffle_shard", "sm07_quality_filter",
+        )
+    }
     print(json.dumps(out))
 
 
