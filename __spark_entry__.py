@@ -1577,6 +1577,28 @@ def ice31_transform_pruning(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice32_datasource_write(spark, sf_dir):
+    """Native write path: ``df.write.format("icedb").mode("append")`` —
+    executors reuse the engine's group writer (sort order, codec, zone
+    maps from the persisted ``_meta/spec.json``), the driver commits ONE
+    atomic log append from the collected manifests. The engine's own read
+    path must see exactly the written corpus (oracle = plain re-agg)."""
+    _register_icedb_source(spark)
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        logs0 = len(t.snapshot().log_files)
+        (
+            ev.withColumn("_partition", t.partition_spec.partition_column(ev))
+            .write.format("icedb").mode("append")
+            .option("path", t.path).save()
+        )
+        assert len(t.snapshot().log_files) == logs0 + 1  # one atomic commit
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2461,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st07_cdc_stream": st07_cdc_stream,
         "ice30_partition_evolution": ice30_partition_evolution,
         "ice31_transform_pruning": ice31_transform_pruning,
+        "ice32_datasource_write": ice32_datasource_write,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -3056,6 +3079,7 @@ from fin group by event_type
         ),
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
+        "ice32_datasource_write": ev_agg.format(where=""),
         "ice30_partition_evolution": ev_agg.format(
             where=" where event_type = 'click'"
         ),

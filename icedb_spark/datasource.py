@@ -41,9 +41,21 @@ Reference analog: the reference exposes tables to engines via hand-wired
 scan UDFs (DuckDB ``get_files`` macro, ClickHouse executable UDF —
 /root/reference/examples/segment-webhook-sink.py:84-90,
 /root/reference/ch/user_scripts/main.go); this is the same capability as
-a first-class Spark source. Writes intentionally not implemented: a
-correct write needs the table's partition spec and sort order, which live
-with IceTable — use ``IceTable.insert`` / DML.
+a first-class Spark source.
+
+Writes: ``df.write.format("icedb").mode("append").option("path", root)
+.save()`` appends with the SAME atomic-commit protocol as
+``IceTable.insert`` — executors write sorted parquet files (layout knobs
+and zone-map/Bloom capture read from the table's persisted
+``_meta/spec.json``), the driver folds their manifests into ONE log
+append in ``commit()``, and ``abort()`` deletes the orphaned files (a
+crashed write is invisible either way: visibility comes from the log).
+Placement: rows carrying a ``_partition`` column are placed there
+(compute it with the table spec's ``partition_column`` or any
+expression); without one, rows land in the root partition — readable and
+compactable, just unpruned (partition exprs are Spark SQL and cannot be
+evaluated inside a Python writer task). Only ``append`` is supported;
+use IceTable DML for anything else.
 """
 
 from __future__ import annotations
@@ -52,8 +64,10 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -61,11 +75,12 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-from .log import IceLogIO, get_log_file_info, storage_for
-from .types import duckdb_schema_to_spark
+from .log import IceLogIO, Schema, get_log_file_info, storage_for
+from .types import duckdb_schema_to_spark, spark_schema_to_duckdb
 
 
 class _ScanPartition(InputPartition):
@@ -371,6 +386,135 @@ class _IceChangeStreamReader(_IceStreamReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
 
 
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, manifest: list):
+        self.manifest = manifest  # [(part, path, file_bytes, rows, stats_json)]
+
+
+class _IceBatchWriter(DataSourceArrowWriter):
+    """Append writer with the engine's atomic-commit protocol: executors
+    produce files + manifests (reusing the exact same group writer as
+    ``IceTable.insert`` — sort order, codec, zone maps, Blooms all honored
+    from ``_meta/spec.json``), the driver commits ONE log append."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "format('icedb') supports mode('append') only — use "
+                "IceTable.delete/remove_partitions + insert for replaces"
+            )
+        path = options.get("path") or options.get("root")
+        if not path:
+            raise ValueError("format('icedb') requires .option('path', ...)")
+        self._path = path.rstrip("/")
+        self._log_path = options.get("log_path") or self._path
+        doc = {}
+        try:
+            import json as _json
+
+            doc = _json.loads(
+                storage_for(self._log_path).get("_meta/spec.json").decode()
+            )
+        except Exception:
+            pass  # spec-less table: plain append, no layout knobs
+        self._sort_order = doc.get("sort_order") or []
+        self._compression = doc.get("compression", "snappy")
+        self._row_group_size = doc.get("row_group_size", 122_880)
+        self._stats_cols = doc.get("stats_columns")
+        bc = doc.get("bloom_columns")
+        self._bloom_spec = (
+            (bc, doc.get("bloom_bits", 8192), doc.get("bloom_k", 4))
+            if bc
+            else None
+        )
+        if self._stats_cols is None:
+            self._stats_cols = [
+                c for c in (doc.get("zorder_by") or self._sort_order)
+            ] or None
+        self._data_fields = [f for f in schema.fields if f.name != "_partition"]
+
+    # ---- executor side
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        import pyarrow as pa
+
+        from .table import _PART_COL, _make_group_writer
+
+        batches = list(iterator)
+        manifest: list = []
+        if not batches:
+            return _WriteMessage(manifest)
+        table = pa.Table.from_batches(batches)
+        if "_partition" in table.column_names:
+            part_vals = table.column("_partition").to_pylist()
+            table = table.drop_columns(["_partition"])
+        else:
+            part_vals = [""] * table.num_rows
+        write_group = _make_group_writer(
+            self._path,
+            self._sort_order,
+            self._compression,
+            self._row_group_size,
+            stats_cols=self._stats_cols,
+            bloom_spec=self._bloom_spec,
+        )
+        by_part: dict[str, list[int]] = {}
+        for i, p in enumerate(part_vals):
+            by_part.setdefault(p if p is not None else "", []).append(i)
+        for part, idxs in sorted(by_part.items()):
+            sub = table.take(idxs) if len(idxs) < table.num_rows else table
+            sub = sub.append_column(
+                _PART_COL, pa.array([part] * sub.num_rows, type=pa.string())
+            )
+            m = write_group(sub)
+            manifest.append(
+                tuple(m.column(c)[0].as_py() for c in
+                      ("part", "path", "file_bytes", "rows", "stats"))
+            )
+        return _WriteMessage(manifest)
+
+    # ---- driver side
+
+    def commit(self, messages) -> None:
+        import json as _json
+
+        from .log import FileMarker, unique_ms
+
+        markers = []
+        ts = unique_ms()
+        for msg in messages:
+            if msg is None:
+                continue
+            for _part, path, file_bytes, _rows, stats in msg.manifest:
+                markers.append(
+                    FileMarker(
+                        path=path,
+                        created_ms=ts,
+                        file_bytes=file_bytes,
+                        stats=_json.loads(stats) if stats else None,
+                    )
+                )
+        if not markers:
+            return
+        sch = Schema()
+        cols = spark_schema_to_duckdb(StructType(self._data_fields))
+        sch.accumulate(list(cols.keys()), list(cols.values()))
+        IceLogIO().append(
+            storage_for(self._log_path), 1, sch, markers, timestamp_ms=ts
+        )
+
+    def abort(self, messages) -> None:
+        store = storage_for(self._path)
+        for msg in messages or []:
+            if msg is None:
+                continue
+            for _part, path, *_rest in msg.manifest:
+                try:
+                    store.delete(path)
+                except Exception:
+                    pass
+
+
 class IceDataSource(DataSource):
     """``spark.dataSource.register(IceDataSource)`` then::
 
@@ -406,3 +550,6 @@ class IceDataSource(DataSource):
         if self._is_feed():
             return _IceChangeStreamReader(schema, self.options)
         return _IceStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _IceBatchWriter(self.options, schema, overwrite)

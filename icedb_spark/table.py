@@ -512,6 +512,94 @@ class IceTable:
         # (icedb/icedb.py:75-78); pass any Storage-like object here
         self.log_storage = log_storage or self.storage
         self.log_io = IceLogIO()
+        self._persist_spec()
+
+    # -------------------------------------------------------------- metadata
+
+    _SPEC_KEY = "_meta/spec.json"
+
+    def _spec_doc(self) -> Optional[dict]:
+        spec = self.partition_spec
+        if spec is None or spec.fields is None:
+            return None  # python_fn specs are not serializable
+        return {
+            "version": 1,
+            "partition_fields": [
+                {"name": f.name, "expr": f.expr} for f in spec.fields
+            ],
+            "sort_order": self.sort_order,
+            "zorder_by": self.zorder_by,
+            "stats_columns": self.stats_columns,
+            "bloom_columns": self.bloom_columns,
+            "bloom_bits": self.bloom_bits,
+            "bloom_k": self.bloom_k,
+            "row_group_size": self.row_group_size,
+            "compression": self.compression,
+            "write_splits": self.write_splits,
+            "preserve_partition": self.preserve_partition,
+        }
+
+    def _persist_spec(self) -> None:
+        """Best-effort table metadata under ``_meta/spec.json`` so a later
+        :meth:`IceTable.open` (or the DataSource) can reconstruct the table
+        without the caller restating the spec — the Iceberg-metadata-file
+        analog the reference lacks (its constructor IS the metadata).
+        Last writer wins: partition evolution simply records the newest
+        spec. Never fails the constructor (read-only storage is fine)."""
+        doc = self._spec_doc()
+        if doc is None:
+            return
+        payload = json.dumps(doc, sort_keys=True).encode()
+        try:
+            if self.log_storage.exists(self._SPEC_KEY) and (
+                self.log_storage.get(self._SPEC_KEY) == payload
+            ):
+                return
+            self.log_storage.put(self._SPEC_KEY, payload)
+        except Exception:
+            pass
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        log_storage: Optional[Storage] = None,
+        **overrides,
+    ) -> "IceTable":
+        """Open an existing table from its persisted ``_meta/spec.json`` —
+        no spec restating. Keyword ``overrides`` replace any persisted
+        knob (e.g. ``constraints=...``, which is never persisted because
+        rules are enforcement policy, not layout)."""
+        store = log_storage or storage_for(path.rstrip("/"))
+        try:
+            doc = json.loads(store.get(cls._SPEC_KEY).decode())
+        except Exception:
+            raise ValueError(
+                f"no persisted table metadata at {path}/{cls._SPEC_KEY} — "
+                "construct IceTable(...) with an explicit partition_spec "
+                "once; it persists the spec for open()"
+            ) from None
+        kw = dict(
+            partition_spec=PartitionSpec(
+                fields=[
+                    PartitionField(f["name"], f["expr"])
+                    for f in doc["partition_fields"]
+                ]
+            ),
+            sort_order=doc.get("sort_order") or None,
+            zorder_by=doc.get("zorder_by"),
+            stats_columns=doc.get("stats_columns"),
+            bloom_columns=doc.get("bloom_columns"),
+            bloom_bits=doc.get("bloom_bits", 8192),
+            bloom_k=doc.get("bloom_k", 4),
+            row_group_size=doc.get("row_group_size", 122_880),
+            compression=doc.get("compression", "snappy"),
+            write_splits=doc.get("write_splits", 1),
+            preserve_partition=doc.get("preserve_partition", False),
+        )
+        kw.update(overrides)
+        return cls(spark, path, log_storage=log_storage, **kw)
 
     # ------------------------------------------------------------------ write
 

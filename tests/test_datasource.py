@@ -203,3 +203,66 @@ def test_batch_read_at_tag(spark, table, tmp_path):
         spark.read.format("icedb").option("path", table.path).option(
             "tag", "nope"
         ).load().count()
+
+
+def test_writer_appends_with_atomic_commit(spark, table):
+    df = spark.createDataFrame(
+        [(1000, "a", 1.5), (1001, "z", 2.5)], "id long, bucket string, v double"
+    )
+    logs_before = len(table.snapshot().log_files)
+    part_col = table.partition_spec.partition_column(df)
+    (
+        df.withColumn("_partition", part_col)
+        .write.format("icedb").mode("append")
+        .option("path", table.path).save()
+    )
+    # one atomic log append; rows visible to the engine's own read path
+    assert len(table.snapshot().log_files) == logs_before + 1
+    assert table.read().count() == 22
+    got = table.read().where("id >= 1000")
+    assert {r["bucket"] for r in got.collect()} == {"a", "z"}
+    # placement honored the partition column
+    parts = {m.partition() for m in table.snapshot().alive_files()}
+    assert "bucket=a" in parts and "bucket=z" in parts
+    # the engine can compact datasource-written files like any others
+    while table.merge(max_file_size=1 << 40, max_file_count=100):
+        pass
+    assert table.read().count() == 22
+
+
+def test_writer_without_partition_column_lands_in_root(spark, tmp_path):
+    d = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(d)
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    df.write.format("icedb").mode("append").option("path", d).save()
+    got = spark.read.format("icedb").option("path", d).load()
+    assert got.count() == 1 and got.collect()[0]["s"] == "x"
+
+
+def test_writer_honors_persisted_layout(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "lay"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"], stats_columns=["id"],
+    )
+    t.insert(rows=[{"id": 5, "kind": "a"}])
+    df = spark.createDataFrame(
+        [(9, "a"), (2, "a")], "id long, kind string"
+    ).withColumn("_partition", F.lit("k=a"))
+    df.write.format("icedb").mode("append").option("path", t.path).save()
+    # zone maps captured per spec.json -> range pruning works on new file
+    files = t.files_for(column_ranges={"id": (8, 20)})
+    assert len(files) == 1
+    assert t.read().count() == 3
+
+
+def test_writer_rejects_overwrite(spark, table):
+    df = spark.createDataFrame([(1, "a", 0.0)], "id long, bucket string, v double")
+    with pytest.raises(Exception, match="append"):
+        df.write.format("icedb").mode("overwrite").option(
+            "path", table.path
+        ).save()
