@@ -1640,6 +1640,41 @@ def st07_cdc_stream(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st08_datasource_sink(spark, sf_dir):
+    """Streaming sink: ``writeStream.format("icedb")`` — each micro-batch
+    is one atomic log commit with the batch id in the commit tag
+    (replay-safe). The sunk corpus must equal the source events exactly
+    under the engine's own read path."""
+    import tempfile as _tf
+
+    _register_icedb_source(spark)
+    t, d = _scratch(spark, sort_order=["event_id"])
+    src = _tf.mkdtemp(prefix="icesinksrc-")
+    ck = _tf.mkdtemp(prefix="icesinkck-")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(src + "/b1")
+        part_expr = t.partition_spec.partition_column(ev)
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(src + "/*")
+            .withColumn("_partition", part_expr)
+        )
+        q = (
+            stream.writeStream.format("icedb")
+            .option("path", t.path)
+            .option("checkpointLocation", ck)
+            .option("stream_id", "gate08")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def ice21_delete(spark, sf_dir):
     """Row-level DELETE via copy-on-write (beyond reference — its deletion
     story stops at partition drops and hand-written ``rewrite_partition``
@@ -2484,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice30_partition_evolution": ice30_partition_evolution,
         "ice31_transform_pruning": ice31_transform_pruning,
         "ice32_datasource_write": ice32_datasource_write,
+        "st08_datasource_sink": st08_datasource_sink,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -3080,6 +3116,7 @@ from fin group by event_type
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
         "ice32_datasource_write": ev_agg.format(where=""),
+        "st08_datasource_sink": ev_agg.format(where=""),
         "ice30_partition_evolution": ev_agg.format(
             where=" where event_type = 'click'"
         ),

@@ -60,11 +60,13 @@ use IceTable DML for anything else.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
@@ -515,6 +517,68 @@ class _IceBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+class _IceStreamBatchWriter(_IceBatchWriter, DataSourceStreamArrowWriter):
+    """Streaming sink: ``writeStream.format("icedb")`` — each micro-batch
+    commits exactly like the batch writer (one atomic log append), with
+    the batch id embedded in the commit tag (``w<stream_id>b<batch_id>``)
+    so a replayed batch after a crash/restart can never double-commit:
+    the tag is checked against the committed log before appending, and a
+    skipped replay's already-written files are unreferenced garbage for
+    ``gc_orphans``. Pass ``option("stream_id", ...)`` to keep replay
+    dedup across a rebuilt checkpoint (same contract as
+    ``streaming.stream_insert``)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        sid = re.sub(
+            r"[^0-9a-zA-Z]", "", str(options.get("stream_id") or "ds")
+        ) or "ds"
+        self._sid = sid
+
+    def _tag(self, batch_id: int) -> str:
+        return f"w{self._sid}b{batch_id}"
+
+    def _already_committed(self, store, tag: str) -> bool:
+        pat = re.compile(rf"-({re.escape(tag)})\.jsonl$")
+        return any(
+            pat.search(key)
+            for key, _size in IceLogIO().get_current_log_files(store)
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+
+        from .log import FileMarker, unique_ms
+
+        store = storage_for(self._log_path)
+        tag = self._tag(batchId)
+        if self._already_committed(store, tag):
+            return  # replayed batch: files written are orphans, GC'd later
+        markers = []
+        ts = unique_ms()
+        for msg in messages:
+            if msg is None:
+                continue
+            for _part, path, file_bytes, _rows, stats in msg.manifest:
+                markers.append(
+                    FileMarker(
+                        path=path,
+                        created_ms=ts,
+                        file_bytes=file_bytes,
+                        stats=_json.loads(stats) if stats else None,
+                    )
+                )
+        if not markers:
+            return
+        sch = Schema()
+        cols = spark_schema_to_duckdb(StructType(self._data_fields))
+        sch.accumulate(list(cols.keys()), list(cols.values()))
+        IceLogIO().append(store, 1, sch, markers, timestamp_ms=ts, tag=tag)
+
+    def abort(self, messages, batchId: int) -> None:
+        _IceBatchWriter.abort(self, messages)
+
+
 class IceDataSource(DataSource):
     """``spark.dataSource.register(IceDataSource)`` then::
 
@@ -553,3 +617,6 @@ class IceDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _IceBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _IceStreamBatchWriter(self.options, schema, overwrite)

@@ -266,3 +266,62 @@ def test_writer_rejects_overwrite(spark, table):
         df.write.format("icedb").mode("overwrite").option(
             "path", table.path
         ).save()
+
+
+def test_stream_writer_sinks_microbatches_exactly_once(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    t = IceTable(
+        spark, str(tmp_path / "sink"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck-sink")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, kind string"
+    ).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema("id long, kind string")
+        .parquet(src + "/*")
+        .withColumn("_partition", F.concat(F.lit("k="), F.col("kind")))
+    )
+    q = (
+        stream.writeStream.format("icedb")
+        .option("path", t.path)
+        .option("checkpointLocation", ck)
+        .option("stream_id", "sinktest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert t.read().count() == 2
+    parts = {m.partition() for m in t.snapshot().alive_files()}
+    assert parts == {"k=a", "k=b"}
+    # commit tag rides in the log name -> a re-delivered batch is a no-op
+    tagged = [
+        k for k, _ in t.log_io.get_current_log_files(t.log_storage)
+        if "wsinktestb0" in k
+    ]
+    assert len(tagged) == 1
+    # second batch through the SAME checkpoint appends batch 1
+    spark.createDataFrame(
+        [(3, "a")], "id long, kind string"
+    ).write.parquet(src + "/b2")
+    q2 = (
+        stream.writeStream.format("icedb")
+        .option("path", t.path)
+        .option("checkpointLocation", ck)
+        .option("stream_id", "sinktest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert t.read().count() == 3
