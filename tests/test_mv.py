@@ -187,3 +187,57 @@ def test_ivm_rejects_colliding_count_col(spark, tmp_path):
 
     with pytest.raises(ValueError):
         IncrementalView(None, None, keys=["cnt"], sums=[], count_col="cnt")
+
+
+def test_ivm_random_op_sequences_match_full_recompute(spark, tmp_path):
+    """Seeded randomized soak: arbitrary insert/delete/update sequences
+    with refreshes sprinkled anywhere must leave the view equal to
+    re-aggregating the mutated base from scratch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (7, 23):
+        base, view, iv = _ivm_pair(spark, tmp_path, name=f"soak{seed}")
+        rng = random.Random(seed)
+        next_id = 0
+        for step in range(6):
+            op = (
+                "insert"
+                if step == 0  # DML needs a schema to exist
+                else rng.choice(["insert", "insert", "delete", "update"])
+            )
+            if op == "insert":
+                rows = [
+                    {
+                        "id": (next_id := next_id + 1),
+                        "kind": rng.choice("ab"),
+                        "v": float(rng.randint(0, 9)),
+                    }
+                    for _ in range(rng.randint(1, 3))
+                ]
+                base.insert(rows=rows)
+            elif op == "delete":
+                base.delete(
+                    f"id % 3 = {rng.randint(0, 2)}", capture_changes=True
+                )
+            else:
+                base.update(
+                    {"v": "v + 1"},
+                    f"kind = '{rng.choice('ab')}'",
+                    capture_changes=True,
+                )
+            if rng.random() < 0.5:
+                iv.refresh()
+        iv.refresh()
+        got = {
+            r["kind"]: (r["cnt"], r["sum_v"]) for r in iv.read().collect()
+        }
+        want = {
+            r["kind"]: (r["cnt"], r["sum_v"])
+            for r in base.read()
+            .groupBy("kind")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
