@@ -539,11 +539,19 @@ class _IceStreamBatchWriter(_IceBatchWriter, DataSourceStreamArrowWriter):
         return f"w{self._sid}b{batch_id}"
 
     def _already_committed(self, store, tag: str) -> bool:
-        pat = re.compile(rf"-({re.escape(tag)})\.jsonl$")
-        return any(
-            pat.search(key)
-            for key, _size in IceLogIO().get_current_log_files(store)
-        )
+        # one log listing seeds a session cache; later batches in this
+        # writer's lifetime check memory (the listing stays authoritative
+        # across restarts — the tag rides in the committed file name)
+        seen = getattr(self, "_seen", None)
+        if seen is None:
+            pat = re.compile(r"-(w[0-9a-zA-Z]+b\d+)\.jsonl$")
+            seen = self._seen = {
+                m.group(1)
+                for key, _size in IceLogIO().get_current_log_files(store)
+                for m in [pat.search(key)]
+                if m
+            }
+        return tag in seen
 
     def commit(self, messages, batchId: int) -> None:
         import json as _json
@@ -574,6 +582,7 @@ class _IceStreamBatchWriter(_IceBatchWriter, DataSourceStreamArrowWriter):
         cols = spark_schema_to_duckdb(StructType(self._data_fields))
         sch.accumulate(list(cols.keys()), list(cols.values()))
         IceLogIO().append(store, 1, sch, markers, timestamp_ms=ts, tag=tag)
+        getattr(self, "_seen", set()).add(tag)
 
     def abort(self, messages, batchId: int) -> None:
         _IceBatchWriter.abort(self, messages)

@@ -102,6 +102,10 @@ class IncrementalView:
     ``changes_feed``), and base commit timestamps must be monotonic at the
     refresh boundary (single writer, or writers with bounded clock skew
     and a refresh lag above it — the same assumption time travel makes).
+    Run ONE refresher at a time (two concurrent refreshes of the same
+    window would each commit under a distinct writer identity and
+    double-apply — the same external-lock contract every maintenance op
+    in this engine carries).
     Supported aggregates are the self-inverse ones: COUNT and SUM. MIN/MAX
     are not incrementally maintainable under deletes (a retracted max
     needs the base) — recompute those with :class:`DoubleWriter` or a full
