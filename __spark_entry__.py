@@ -2473,14 +2473,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text pipeline (repetition, PII, decontam, packing,
         # vocab, corpus line-dedup) ---
         "t05_repetition": t05_repetition,
-        "t06_pii_detect": t06_pii_detect,
         "t07_decontaminate": t07_decontaminate,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t11_line_dedup": t11_line_dedup,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "t13_url_stats": t13_url_stats,
-        "sm07_quality_filter": sm07_quality_filter,
         # --- sampling / splits / shuffle-shard ---
         "sm01_hash_sample": sm01_hash_sample,
         "sm02_stratified_sample": sm02_stratified_sample,
@@ -2505,6 +2502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d01_exact_dedup": d01_exact_dedup,
         "d08_simhash_band16": d08_simhash_band16,
         "t02_text_quality": t02_text_quality,
+        "t06_pii_detect": t06_pii_detect,
+        "t13_url_stats": t13_url_stats,
+        "sm07_quality_filter": sm07_quality_filter,
         "q33_percentile_approx": q33_percentile_approx,
         "q29_range_join": q29_range_join,
         "q28_asof_join": q28_asof_join,
