@@ -2486,7 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm06_shuffle_shard": sm06_shuffle_shard,
         # ==================== driver window boundary (50) ====================
         # Every entry below either (a) already holds a fully-green driver
-        # row from CORRECTNESS_r02 (ice12/ice16/q17/q31/d01/d08/t02 demoted
+        # row from CORRECTNESS_r02 (ice12/ice16/q17/q31/d01/d08/t02/t06
         # by this round's rotation; q33/q29/q28/d03/st03/s02/m03 by the
         # earlier one), or (b) has an in-window sibling witnessing its
         # family (exact baselines whose scale path is in-window, built-in
