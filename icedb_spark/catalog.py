@@ -59,6 +59,12 @@ class IceCatalog:
                     pass
         return self
 
+    def add_path(self, name: str, path: str, **overrides) -> "IceCatalog":
+        """Mount a table straight from its storage root via the persisted
+        ``_meta/spec.json`` (:meth:`IceTable.open`) — no spec restating,
+        the one-liner for attaching an existing lakehouse directory."""
+        return self.add(name, IceTable.open(self.spark, path, **overrides))
+
     def remove(self, name: str) -> None:
         # same lock as sql(): dropping the view while another thread is
         # between registration and query would race it into a missing or

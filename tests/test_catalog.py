@@ -120,3 +120,17 @@ def test_add_replacing_name_drops_prior_view(cat, spark, tmp_path):
     cat.add("users", fresh)
     out = cat.sql("select count(*) as c from users").collect()
     assert out[0]["c"] == 1
+
+
+def test_add_path_mounts_from_persisted_metadata(spark, tmp_path):
+    from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "mnt"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": 1, "kind": "a"}, {"id": 2, "kind": "b"}])
+    cat = IceCatalog(spark).add_path("mounted", str(tmp_path / "mnt"))
+    got = cat.sql("select count(*) as c from mounted").collect()[0]["c"]
+    assert got == 2
