@@ -69,7 +69,10 @@ SCALING = [
     "d08_simhash_band16",
     "s02_cosine_topk_lsh",
     "s03_cosine_topk_ivf",
+    "s05_cosine_topk_ivfpq",
     "t07_decontaminate",
+    "t11_line_dedup",
+    "t12_ngram_perplexity",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -80,7 +83,10 @@ _SCALING_TABLE = {
     "d08_simhash_band16": "documents",
     "s02_cosine_topk_lsh": "embeddings",
     "s03_cosine_topk_ivf": "embeddings",
+    "s05_cosine_topk_ivfpq": "embeddings",
     "t07_decontaminate": "documents",
+    "t11_line_dedup": "documents",
+    "t12_ngram_perplexity": "documents",
 }
 
 
