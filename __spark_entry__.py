@@ -1599,6 +1599,41 @@ def ice32_datasource_write(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice33_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE (beyond reference; the deletion-vector /
+    lazy-delete analog): one O(1) metadata PUT hides the rows at scan
+    time — no file is rewritten at delete time (asserted) — and the same
+    answer must hold after ``apply_deletes`` folds the predicate into the
+    data and vacuum collects the obsolete set (asserted empty). A row
+    matching the predicate but inserted AFTER the delete survives (SQL
+    point-in-time semantics, asserted via the oracle's max-id row)."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        t.insert(df=ev)
+        files0 = {m.path for m in t.snapshot().alive_files()}
+        t.delete_where("event_type = 'click' and value < 50")
+        assert {m.path for m in t.snapshot().alive_files()} == files0
+        # a later insert of a would-match row is NOT retro-deleted
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        t.insert(rows=[{
+            "event_id": int(m) + 1_000_000, "ts": 0, "user_id": 0,
+            "event_type": "click", "value": 1.0,
+        }])  # props omitted: schema union null-seeds it
+        before = _agg_by_type(t.read()).cache()
+        before.count()
+        t.apply_deletes()
+        t.tombstone_cleanup(min_age_ms=0)
+        assert t._mor_sets() == []
+        after = _agg_by_type(t.read())
+        assert sorted(map(tuple, before.collect())) == sorted(
+            map(tuple, after.collect())
+        )
+        return before
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2519,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice30_partition_evolution": ice30_partition_evolution,
         "ice31_transform_pruning": ice31_transform_pruning,
         "ice32_datasource_write": ice32_datasource_write,
+        "ice33_mor_delete": ice33_mor_delete,
         "st08_datasource_sink": st08_datasource_sink,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -3116,6 +3152,15 @@ from fin group by event_type
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
         "ice32_datasource_write": ev_agg.format(where=""),
+        # survivors of the point-in-time delete + the one post-delete row
+        "ice33_mor_delete": (
+            "with aug as ("
+            "  select event_type, value from events"
+            "  where not coalesce(event_type = 'click' and value < 50, false)"
+            "  union all select 'click', 1.0"
+            ") select event_type, count(*) as cnt,"
+            " round(sum(value), 2) as sum_value from aug group by event_type"
+        ),
         "st08_datasource_sink": ev_agg.format(where=""),
         "ice30_partition_evolution": ev_agg.format(
             where=" where event_type = 'click'"

@@ -133,6 +133,18 @@ class _LogHandle:
     def spark_schema(self) -> StructType:
         return duckdb_schema_to_spark(self.state().schema.columns())
 
+    def assert_no_mor(self) -> None:
+        """Batch scans read files verbatim, so a pending merge-on-read
+        delete set would resurrect hidden rows here — refuse, same
+        contract as the engine's own rewrite guards."""
+        for key, _size in self.storage.list("_deletes"):
+            if key.endswith(".json"):
+                raise RuntimeError(
+                    "table has pending merge-on-read delete set(s); run "
+                    "IceTable.optimize() (then vacuum) before reading it "
+                    "through format('icedb'), or read via IceTable.read()"
+                )
+
     def feed_schema(self) -> StructType:
         from pyspark.sql.types import StringType, StructField
 
@@ -170,6 +182,10 @@ class _IceReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        self._handle.assert_no_mor()
+        return self._partitions_inner()
+
+    def _partitions_inner(self):
         from .table import (
             _bloom_may_contain,
             _match_partition,

@@ -941,6 +941,9 @@ class IceTable:
         survives when ANY listed value may be present (zone map and Bloom
         agree it might) for EVERY listed column. Same hint contract.
         """
+        if tag is not None and at_ms is None:
+            at_ms = self.tag_ts(tag)
+            tag = None
         state = self.snapshot(at_ms, tag=tag)
         files = self.files_for(
             partition_filter=partition_filter,
@@ -953,6 +956,9 @@ class IceTable:
         schema = self.spark_schema(state)
         if not files:
             return self.spark.createDataFrame([], schema)
+        sets = self._mor_sets(at_ms)
+        if sets:
+            return self._mor_read(files, schema, sets)
         paths = [self.storage.absolute(m.path) for m in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
@@ -1219,11 +1225,12 @@ class IceTable:
             raise ValueError(f"invalid tag name {name!r}")
         if at_ms is None:
             state = self.snapshot()
-            at_ms = max(
-                (get_log_file_info(k)[0] for k in state.log_files), default=0
-            )
-            if at_ms == 0:
+            if not state.log_files:
                 raise ValueError("cannot tag an empty table; pass at_ms")
+            # pin the current INSTANT, not the last commit: log-less
+            # metadata (merge-on-read delete sets) stamped between the
+            # last commit and now must be inside the pinned snapshot
+            at_ms = unique_ms()
         key = f"{self._TAGS_PREFIX}/{name}"
         if not replace and self.log_storage.exists(key):
             raise ValueError(
@@ -1433,8 +1440,20 @@ class IceTable:
         separately so passes can batch many rewrites into one log append."""
         spark = self.spark
         schema = self.spark_schema(state)
-        paths = [self.storage.absolute(m.path) for m in acc]
-        df = spark.read.schema(schema).parquet(*paths)
+        sets = [
+            (ts, p)
+            for ts, p in self._mor_sets()
+            if any(self._mor_applies(m, ts) for m in acc)
+        ]
+        if sets:
+            # fold pending merge-on-read deletes into the rewrite: the new
+            # file's created_ms postdates every set, so the rows must be
+            # physically gone from it (this is exactly how the MOR debt is
+            # paid down; once no alive file predates a set, vacuum drops it)
+            df = self._mor_read(acc, schema, sets)
+        else:
+            paths = [self.storage.absolute(m.path) for m in acc]
+            df = spark.read.schema(schema).parquet(*paths)
         # expose hive partition values as columns for the merge query
         # (reference reads with hive_partitioning=1, icedb/icedb.py:271-281)
         part_values = parse_partition(part)
@@ -1481,12 +1500,25 @@ class IceTable:
             buf = io.BytesIO()
             pq.write_table(empty, buf, compression=self.compression)
             self.storage.put(rel, buf.getvalue())
-            return rel, len(buf.getvalue()), out_cols, None
+            stats0 = (
+                {self._MOR_STATS_KEY: max(ts for ts, _p in sets)}
+                if sets
+                else None
+            )
+            return rel, len(buf.getvalue()), out_cols, stats0
+        stats = json.loads(manifest[0]["stats"]) if manifest[0]["stats"] else None
+        if sets:
+            # record the fold: these rows can never need the applied sets
+            # again (vacuum uses this to prove a set obsolete — the new
+            # marker inherits its sources' created_ms for age semantics,
+            # so created_ms alone cannot)
+            stats = dict(stats or {})
+            stats[self._MOR_STATS_KEY] = max(ts for ts, _p in sets)
         return (
             manifest[0]["path"],
             manifest[0]["file_bytes"],
             out_cols,
-            json.loads(manifest[0]["stats"]) if manifest[0]["stats"] else None,
+            stats,
         )
 
     def _commit_merge(
@@ -1798,6 +1830,15 @@ class IceTable:
                     logs_to_delete, ex.map(self.log_storage.delete, logs_to_delete)
                 )
             ]
+        # merge-on-read delete sets: once no ALIVE file predates a set,
+        # compaction has folded it into the data and it only matters to
+        # time travel — so it follows vacuum retention (grace + tag pins;
+        # a tag at T >= set_ts may still read pre-compaction files).
+        alive_now = state.alive_files()
+        for ts, _pred in self._mor_sets():
+            obsolete = not any(self._mor_applies(m, ts) for m in alive_now)
+            if obsolete and ts <= expired_cutoff and not _pinned(ts, None):
+                self.storage.delete(f"{self._MOR_PREFIX}/{ts}.json")
         return deleted_logs, deleted_data
 
     _HORIZON_KEY = "_meta/log_horizon"
@@ -1945,6 +1986,7 @@ class IceTable:
 
         The query must not add columns (same contract as the reference,
         icedb/icedb.py:508-510)."""
+        self._mor_guard("rewrite_partition")
         state = self.snapshot()
         schema = self.spark_schema(state)
         known = set(state.schema.columns().keys())
@@ -2170,6 +2212,153 @@ class IceTable:
             ]),
         )
 
+    # ------------------------------------------- merge-on-read deletes
+
+    _MOR_PREFIX = "_deletes"
+
+    def _mor_sets(self, at_ms: Optional[int] = None) -> list[tuple[int, str]]:
+        """Pending merge-on-read delete sets visible at ``at_ms``:
+        ``[(ts, predicate), ...]`` ascending. A set applies to rows of
+        files CREATED BEFORE its timestamp (rows that existed when the
+        DELETE ran — later inserts of matching rows are untouched, exactly
+        SQL DELETE semantics)."""
+        out = []
+        for key, _size in self.storage.list(self._MOR_PREFIX):
+            name = key.rsplit("/", 1)[-1]
+            if not name.endswith(".json"):
+                continue
+            try:
+                ts = int(name[:-5])
+            except ValueError:
+                continue
+            if at_ms is not None and ts > at_ms:
+                continue
+            try:
+                doc = json.loads(self.storage.get(key).decode())
+                out.append((ts, doc["predicate"]))
+            except Exception:
+                continue
+        return sorted(out)
+
+    _MOR_STATS_KEY = "~mor"
+
+    def _mor_applies(self, m: FileMarker, set_ts: int) -> bool:
+        """Does the delete set stamped ``set_ts`` still apply to rows of
+        file ``m``? Yes iff the file's rows predate the set (created
+        before it) AND no rewrite has folded that set in yet (rewrites
+        carry the max folded set ts in the reserved ``~mor`` stats key —
+        merged markers inherit their sources' created_ms for vacuum-age
+        semantics, so created_ms alone cannot prove the fold)."""
+        if m.created_ms >= set_ts:
+            return False
+        folded = ((m.stats or {}).get(self._MOR_STATS_KEY)) or 0
+        return folded < set_ts
+
+    def _mor_guard(self, op: str) -> None:
+        sets = self._mor_sets()
+        if sets:
+            raise RuntimeError(
+                f"{op} cannot run with {len(sets)} pending merge-on-read "
+                "delete set(s): a rewrite would re-materialize rows the "
+                "sets still hide (fresh files escape their applicability "
+                "window). Run optimize() to fold the deletes into the "
+                "data, then vacuum collects the obsolete sets."
+            )
+
+    def _mor_read(
+        self, files: list[FileMarker], schema, sets: list[tuple[int, str]]
+    ) -> DataFrame:
+        """Union of per-applicability file groups with each group's
+        pending delete predicates applied as filters — the merge-on-read
+        half of every scan. Typically two groups (pre-delete files with
+        the filter, post-delete files without), so the plan stays one scan
+        per group with the NOT-predicate fused into it."""
+        groups: dict[tuple, list[str]] = {}
+        for m in files:
+            key = tuple(
+                i
+                for i, (ts, _p) in enumerate(sets)
+                if self._mor_applies(m, ts)
+            )
+            groups.setdefault(key, []).append(self.storage.absolute(m.path))
+        out: Optional[DataFrame] = None
+        for key, paths in sorted(groups.items()):
+            df = self.spark.read.schema(schema).parquet(*paths)
+            for i in key:
+                df = df.where(
+                    ~F.coalesce(F.expr(sets[i][1]).cast("boolean"), F.lit(False))
+                )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def delete_where(self, where: str) -> dict:
+        """Merge-on-read DELETE: O(1) write cost whatever the table size —
+        one small ``_deletes/<ts>.json`` PUT records the predicate, and
+        every subsequent scan applies ``NOT coalesce(where, FALSE)`` to
+        rows of files created before it (later inserts are untouched: SQL
+        DELETE semantics, time-scoped by file ``created_ms``). The
+        streaming-deletes / GDPR-queue path where copy-on-write rewrite
+        cost per delete is unaffordable.
+
+        The debt is paid at compaction: ``merge``/``optimize`` fold the
+        applicable predicates into each rewrite (``apply_deletes()``
+        forces the fold for files compaction would not otherwise touch),
+        and once no alive file predates a set, vacuum collects it
+        (tag-pinned sets are kept, so tagged time travel stays exact).
+        Until then, row-level DML
+        (copy-on-write delete / update / merge_into / rewrite_partition)
+        refuses to run — a rewrite would resurrect hidden rows — and the
+        DataSource batch reader refuses the table for the same reason.
+        CDC note: merge-on-read deletes record no row images; use
+        ``delete(..., capture_changes=True)`` where a change feed needs
+        the deleted rows.
+        """
+        # validate the predicate against the current schema before
+        # publishing (a typo'd column must fail NOW, not at every scan)
+        state = self.snapshot()
+        schema = self.spark_schema(state)
+        self.spark.createDataFrame([], schema).where(
+            F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+        ).schema  # analysis only
+        ts = unique_ms()
+        self.storage.put(
+            f"{self._MOR_PREFIX}/{ts}.json",
+            json.dumps({"predicate": where, "ts": ts}).encode(),
+        )
+        return {"ts": ts, "predicate": where, "mode": "merge_on_read"}
+
+    def apply_deletes(self, concurrency: int = 8) -> int:
+        """Pay down the merge-on-read debt NOW: rewrite every alive file
+        some pending delete set still applies to (folding the predicates
+        in, exactly as merge does) in one atomic commit. Returns the file
+        count rewritten. ``merge``/``optimize`` fold sets opportunistically
+        as they compact; this targets files compaction has no other reason
+        to touch (e.g. a single-file partition). After it, the sets are
+        obsolete and the next vacuum collects them, lifting the rewrite
+        guards."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        sets = self._mor_sets()
+        if not sets:
+            return 0
+        state = self.snapshot(keep_parsed=True)
+        by_part: dict[str, list[FileMarker]] = {}
+        for m in state.alive_files():
+            if any(self._mor_applies(m, ts) for ts, _p in sets):
+                by_part.setdefault(m.partition(), []).append(m)
+        if not by_part:
+            return 0
+        plans = sorted(by_part.items())
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+            rewritten = list(
+                ex.map(
+                    lambda pa: (pa[0], pa[1], *self._rewrite_for_merge(state, *pa)),
+                    plans,
+                )
+            )
+        self._commit_merge(state, rewritten)
+        return sum(len(acc) for _part, acc in plans)
+
     def delete(
         self,
         where: str,
@@ -2200,6 +2389,7 @@ class IceTable:
         rows (which also compacts each touched partition's survivors into
         one file). Returns a summary dict.
         """
+        self._mor_guard("delete(copy_on_write)")
         state = self.snapshot()
         schema = self.spark_schema(state)
         targets = self._dml_candidates(state, where)
@@ -2307,6 +2497,7 @@ class IceTable:
         migrate their rows to the right partition instead of stranding
         them (otherwise rows stay pinned to their source partition).
         """
+        self._mor_guard("update")
         assignments = dict(set)
         state = self.snapshot()
         schema = self.spark_schema(state)
@@ -2476,6 +2667,7 @@ class IceTable:
         invisible to :meth:`changes` — CDC consumers see MERGE-inserted
         rows only via a fresh snapshot read.
         """
+        self._mor_guard("merge_into")
         if isinstance(on, str):
             on = [on]
         if when_matched not in ("update", "delete", None) and not isinstance(
