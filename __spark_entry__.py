@@ -1634,6 +1634,25 @@ def ice33_mor_delete(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice34_sql_dml(spark, sf_dir):
+    """SQL-statement DML routing (beyond reference; the Delta-SQL surface):
+    ``DELETE FROM ice WHERE ...`` and ``UPDATE ice SET ... WHERE ...``
+    strings run the engine's transactional copy-on-write operators, and
+    the post-statement corpus must equal the oracle's filter+CASE."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        t.insert(df=_t(spark, sf_dir, "events"))
+        r1 = t.sql(
+            "DELETE FROM ice WHERE event_type = 'click' AND value < 50"
+        ).collect()[0]
+        assert r1["operation"] == "delete" and r1["rows_deleted"] > 0
+        r2 = t.sql("UPDATE ice SET value = value * 2 WHERE value > 90").collect()[0]
+        assert r2["operation"] == "update" and r2["rows_updated"] > 0
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2555,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice31_transform_pruning": ice31_transform_pruning,
         "ice32_datasource_write": ice32_datasource_write,
         "ice33_mor_delete": ice33_mor_delete,
+        "ice34_sql_dml": ice34_sql_dml,
         "st08_datasource_sink": st08_datasource_sink,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -3152,6 +3172,15 @@ from fin group by event_type
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
         "ice32_datasource_write": ev_agg.format(where=""),
+        # delete clicks<50 then double value>90, re-aggregated
+        "ice34_sql_dml": (
+            "select event_type, count(*) as cnt,"
+            " round(sum(case when value > 90 then value * 2 else value end),"
+            " 2) as sum_value"
+            " from events"
+            " where not coalesce(event_type = 'click' and value < 50, false)"
+            " group by event_type"
+        ),
         # survivors of the point-in-time delete + the one post-delete row
         "ice33_mor_delete": (
             "with aug as ("

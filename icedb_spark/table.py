@@ -313,6 +313,28 @@ class PartitionSpec:
         return _part(*[F.col(f.name) for f in schema.fields])
 
 
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas outside parens/quotes (SET a = f(x, y), b = 2)."""
+    out, depth, start, i, q = [], 0, 0, 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p for p in (x.strip() for x in out) if p]
+
+
 def parse_partition(part: str) -> dict[str, str]:
     """``u=a/d=2023-06-07`` → ``{"u": "a", "d": "2023-06-07"}``."""
     out: dict[str, str] = {}
@@ -1060,7 +1082,16 @@ class IceTable:
         anything it cannot prove prunes nothing, and Catalyst still applies
         the full predicate to every kept file's rows. Passing any explicit
         hint kwarg disables the auto-derivation.
+
+        DML statements route to the engine's own operators (the Delta-SQL
+        surface): ``DELETE FROM <view> WHERE ...`` →  :meth:`delete`,
+        ``UPDATE <view> SET c = expr[, ...] WHERE ...`` → :meth:`update`.
+        Both return a 1-row summary DataFrame. Anything else is plain
+        Spark SQL over the snapshot view.
         """
+        dml = self._route_sql_dml(query, view)
+        if dml is not None:
+            return dml
         if auto_prune and not any(
             k in read_kwargs
             for k in (
@@ -1078,6 +1109,59 @@ class IceTable:
             )
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
+
+    def _route_sql_dml(self, query: str, view: str) -> Optional[DataFrame]:
+        """Recognize ``DELETE FROM <view> [WHERE ...]`` and ``UPDATE
+        <view> SET a = e[, ...] [WHERE ...]`` and run them through the
+        engine's transactional operators. Conservative by design: only
+        these two statement shapes over THIS table's view name match;
+        anything else returns None and runs as a plain SELECT. The
+        assignments/predicate substrings pass through verbatim, so every
+        Spark SQL expression the operators accept works here too."""
+        q = query.strip().rstrip(";").strip()
+        m = re.fullmatch(
+            rf"delete\s+from\s+{re.escape(view)}(?:\s+where\s+(.*))?",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            summary = self.delete(m.group(1) or "true")
+            return self.spark.createDataFrame(
+                [
+                    {
+                        "operation": "delete",
+                        "rows_deleted": int(summary.get("rows_deleted", 0)),
+                        "files_rewritten": int(
+                            summary.get("files_rewritten", 0)
+                        ),
+                    }
+                ]
+            )
+        m = re.fullmatch(
+            rf"update\s+{re.escape(view)}\s+set\s+(.*?)(?:\s+where\s+(.*))?",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            assigns: dict[str, str] = {}
+            for part in _split_top_level_commas(m.group(1)):
+                col, _, expr = part.partition("=")
+                if not col.strip() or not expr.strip():
+                    raise ValueError(f"malformed SET clause: {part!r}")
+                assigns[col.strip()] = expr.strip()
+            summary = self.update(assigns, m.group(2) or "true")
+            return self.spark.createDataFrame(
+                [
+                    {
+                        "operation": "update",
+                        "rows_updated": int(summary.get("rows_updated", 0)),
+                        "files_rewritten": int(
+                            summary.get("files_rewritten", 0)
+                        ),
+                    }
+                ]
+            )
+        return None
 
     def changes(
         self, since_ms: int, until_ms: Optional[int] = None

@@ -363,3 +363,48 @@ def test_merge_without_broadcast_hint_same_result(spark, tmp_path):
     t.merge_into(src, on="id", broadcast_source=False)
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 9.0, 4: 9.0}
+
+
+# ----------------------------------------------------------- SQL routing
+
+
+def test_sql_delete_and_update_statements_route_to_engine(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "sqldml"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": i, "kind": "a", "v": float(i)} for i in range(6)])
+
+    out = t.sql("DELETE FROM ice WHERE v >= 4").collect()[0]
+    assert out["operation"] == "delete" and out["rows_deleted"] == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3]
+
+    out = t.sql(
+        "UPDATE ice SET v = v + 10, kind = upper(kind) WHERE id in (0, 1);"
+    ).collect()[0]
+    assert out["operation"] == "update" and out["rows_updated"] == 2
+    got = {r["id"]: (r["kind"], r["v"]) for r in t.read().collect()}
+    assert got[0] == ("A", 10.0) and got[1] == ("A", 11.0)
+    assert got[2] == ("a", 2.0)
+
+    # unmatched shapes fall through to plain SELECT
+    assert t.sql("select count(*) as c from ice").collect()[0]["c"] == 4
+    # a different view name does not trigger DML on this table
+    df = t.sql("select * from t2 where 1=0", view="t2")
+    assert df.count() == 0
+
+
+def test_sql_update_set_with_function_commas(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "sqldml2"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": 1, "kind": "a", "v": 2.0}])
+    t.sql("update ice set v = round(v + 0.123, 1) where id = 1")
+    assert t.read().collect()[0]["v"] == 2.1
