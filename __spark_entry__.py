@@ -902,6 +902,21 @@ def m03_image_headers(spark, sf_dir):
     return decode_image_headers(media).select("media_id", "format", "width", "height")
 
 
+def m05_perceptual_hash(spark, sf_dir):
+    """Perceptual image fingerprints (aHash) over the media blobs: exact
+    integer mean-threshold bits from the digest-fake pixels (real decoder
+    slots into decode_fn with identical plumbing); collided hashes are the
+    perceptual-dup groups (`phash_dup_groups`)."""
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return perceptual_hash(media, bits=60)
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -2567,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "m03_image_headers": m03_image_headers,
         "m04_av_headers": m04_av_headers,
+        "m05_perceptual_hash": m05_perceptual_hash,
         "st04_session_window": st04_session_window,
         "st06_datasource_stream": st06_datasource_stream,
         "st07_cdc_stream": st07_cdc_stream,
@@ -2934,6 +2950,7 @@ select doc_id as media_id,
   cast(doc_id % 384 + 1 as int) as height
 from documents
 """,
+        "m05_perceptual_hash": oracles.perceptual_hash_sql(60),
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "m04_av_headers": """
 select doc_id as media_id,

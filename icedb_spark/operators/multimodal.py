@@ -367,3 +367,81 @@ def decode_av_headers(
             )
 
     return df.mapInPandas(run, schema=AV_HEADER_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _fake_pixels(blob: bytes, n: int) -> list[int]:
+    """Deterministic stand-in grayscale pixels (digest bytes, repeated) —
+    the same real-plumbing/fake-decode contract as :func:`_fake_feature`."""
+    import hashlib
+
+    h = hashlib.md5(blob or b"").digest()
+    return [h[i % len(h)] for i in range(n)]
+
+
+def perceptual_hash(
+    df: DataFrame,
+    bits: int = 60,
+    decode_fn: Optional[Callable[[bytes], bytes]] = None,
+    use_fake: bool = True,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per media blob — the
+    image-dedup primitive (near-identical images, re-encodes, and resizes
+    collapse to the same few bits; pair search is then a groupBy or a
+    SimHash-style hamming band join over the integers).
+
+    Each blob decodes to ``bits`` grayscale pixels (the deterministic
+    digest fake by default; a real decoder + downscale slots into
+    ``decode_fn``/``use_fake=False`` with identical plumbing), and bit i
+    is set iff ``pixel_i * bits > sum(pixels)`` — the mean threshold in
+    EXACT integer arithmetic, so any engine reproduces the hash
+    bit-for-bit. Output: ``(media_id, phash)`` with the big-endian bit
+    pack in ``[0, 2^bits)``; Arrow-batched ``mapInPandas``, blobs never
+    leave executors.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in 1..62, got {bits}")
+    decoder = decode_fn or decode_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ah(blob):
+            b = blob if use_fake else decoder(blob)
+            px = _fake_pixels(b, bits) if use_fake else list(b[:bits])
+            total = sum(px)
+            val = 0
+            for p in px:
+                val = (val << 1) | (1 if p * bits > total else 0)
+            return val
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"].map(ah).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact perceptual-duplicate groups from :func:`perceptual_hash`
+    output: media whose hashes collide, smallest id as keeper. One
+    hash-keyed shuffle (the near-dup variant is a hamming band join —
+    see ``operators.simhash_pairs`` for the identical pattern)."""
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.sort_array(F.collect_list("media_id")).alias("member_ids"),
+            F.min("media_id").alias("keeper_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )

@@ -1087,3 +1087,28 @@ thr as (
 select doc_id, quality_score from scored, thr
 where quality_score >= thr.thr
 """
+
+
+def perceptual_hash_sql(bits: int = 60, table: str = "documents") -> str:
+    """Mirrors operators.multimodal.perceptual_hash on utf-8 document
+    bodies: pixels = md5 digest bytes repeated, bit i set iff
+    ``pixel_i * bits > sum(pixels)`` (exact integer arithmetic), packed
+    big-endian."""
+    byte_i = (
+        f"(({_HEX.format(pos='2*(i % 16)+1')}) * 16 "
+        f"+ ({_HEX.format(pos='2*(i % 16)+2')}))"
+    )
+    return f"""
+with px as (
+  select doc_id as media_id,
+    list_transform(range(0, {bits}), i -> {byte_i}) as ps
+  from {table}
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(ps, p -> cast(case when p * {bits} > list_sum(ps)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from px
+"""

@@ -1014,3 +1014,35 @@ def test_quality_filter_keeps_top_fraction_with_ties(spark):
 
     with _pt.raises(ValueError):
         quality_filter(docs, keep_frac=0.0)
+
+
+# ------------------------------------------------------- perceptual hash
+
+
+def test_perceptual_hash_hand_values_and_groups(spark):
+    from icedb_spark.operators import perceptual_hash, phash_dup_groups
+
+    media = spark.createDataFrame(
+        [(1, b"same bytes"), (2, b"same bytes"), (3, b"different")],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert out[1] == out[2] != out[3]
+    assert 0 <= out[1] < (1 << 60)
+    # hand-check bit 0 against the definition
+    import hashlib
+
+    h = hashlib.md5(b"same bytes").digest()
+    px = [h[i % 16] for i in range(60)]
+    expect = 0
+    for p in px:
+        expect = (expect << 1) | (1 if p * 60 > sum(px) else 0)
+    assert out[1] == expect
+    groups = phash_dup_groups(perceptual_hash(media)).collect()
+    assert len(groups) == 1
+    assert groups[0]["member_ids"] == [1, 2] and groups[0]["keeper_id"] == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        perceptual_hash(media, bits=63)
