@@ -2436,6 +2436,18 @@ def sm05_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def sm08_alpha_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) rebalancing: per-language targets ∝ n^0.5
+    derived from the corpus itself — low-resource languages keep a larger
+    share, the binding one keeps everything."""
+    from icedb_spark.operators import alpha_sample
+
+    return alpha_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5,
+        strata_col="lang", key_col="doc_id", seed=3,
+    ).select("doc_id", "lang")
+
+
 def sm03_split_assign(spark, sf_dir):
     """Stable train/val/test assignment by key hash: a document keeps its
     split across runs and dataset versions (the anti-leakage property)."""
@@ -2630,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_fingerprint": t04_fingerprint,
         "t10_chunk_docs": t10_chunk_docs,
         "sm05_mixture_sample": sm05_mixture_sample,
+        "sm08_alpha_sample": sm08_alpha_sample,
     }
 
 
@@ -2932,6 +2945,7 @@ from per_sess group by user_id
 )"""
         ),
         "sm07_quality_filter": oracles.quality_filter_sql(0.3),
+        "sm08_alpha_sample": oracles.alpha_sample_sql(0.5, seed=3),
         "sm05_mixture_sample": oracles.mixture_sample_sql(
             {"en": 5.0, "es": 2.0, "fr": 2.0, "de": 1.0}
         ),

@@ -275,3 +275,35 @@ def quality_filter(
         .where(F.col("quality_score") >= F.col("_thr"))
         .select(id_col, "quality_score")
     )
+
+
+def alpha_sample(
+    df: DataFrame,
+    alpha: float,
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based rebalancing: target proportions ``∝ n_g^alpha``
+    (the multilingual alpha-sampling rule — ``alpha < 1`` upweights
+    low-resource strata relative to their natural share, ``alpha = 1`` is
+    a no-op mixture, ``alpha = 0`` equalizes all strata). The targets are
+    derived from the data itself with ONE O(strata) count aggregate, then
+    the largest deterministic subset matching them is selected exactly
+    like :func:`mixture_sample` (binding stratum keeps everything, the
+    rest hash-downsample; NULL strata dropped). Row-local scan after the
+    count agg; zero shuffle on the data path.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    weights = {g: float(n) ** alpha for g, n in counts.items()}
+    return mixture_sample(df, weights, strata_col, key_col, seed=seed)

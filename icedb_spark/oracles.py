@@ -1112,3 +1112,23 @@ select media_id,
     (acc, b) -> acc * 2 + b) as bigint) as phash
 from px
 """
+
+
+def alpha_sample_sql(
+    alpha: float, seed: int = 0, table: str = "documents",
+    strata_col: str = "lang", key_expr: str = "cast(doc_id as varchar)",
+) -> str:
+    """Mirror of operators.sampling.alpha_sample: weights = n^alpha from
+    the same counts, then mixture_sample's (w*t)/n rate arithmetic."""
+    return f"""
+with c as (
+  select {strata_col} as stratum, count(*) as n from {table}
+  where {strata_col} is not null group by 1
+),
+w as (select stratum, pow(n, {float(alpha)!r}) as wt, n from c),
+t as (select min(n / wt) as t from w),
+r as (select stratum, (wt * (select t from t)) / n as rate from w)
+select d.doc_id, d.{strata_col} from {table} d
+join r on d.{strata_col} = r.stratum
+where {_fraction_expr(key_expr, seed)} < r.rate
+"""

@@ -196,3 +196,32 @@ def test_shuffle_shard_validates(spark):
 
     with pytest.raises(ValueError):
         shuffle_shard(spark.range(1), "id", 0)
+
+
+# ------------------------------------------------------- alpha sampling
+
+
+def test_alpha_sample_rebalances_toward_uniform(spark):
+    from icedb_spark.operators import alpha_sample
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "small") for i in range(100)]
+        + [(2000, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = alpha_sample(df, 0.5, "lang", "doc_id").groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    # targets ∝ sqrt(n): 30:10 -> 'small' keeps ALL 100 (binding stratum),
+    # 'big' downsamples to ~300; NULL strata dropped
+    assert got["small"] == 100
+    assert 200 <= got["big"] <= 400
+    assert None not in got
+    # alpha=1 is the identity mixture (natural proportions -> keep all)
+    full = alpha_sample(df, 1.0, "lang", "doc_id")
+    assert full.count() == 1000
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        alpha_sample(df, 1.5, "lang", "doc_id")
