@@ -82,6 +82,20 @@ def main() -> None:
     print("pre-rollback head still readable:",
           table.read(at_ms=head).count(), "rows")
 
+    # the same DML as SQL statements (the Delta-SQL surface)
+    print(table.sql("DELETE FROM ice WHERE balance < 0").collect()[0])
+    print(table.sql("UPDATE ice SET status = 'vip' WHERE balance > 500")
+          .collect()[0])
+
+    # merge-on-read delete: O(1) write, rows hidden at scan time; the
+    # debt folds in at compaction and vacuum collects the set
+    print("mor:", table.delete_where("status = 'closed'"))
+    show("after merge-on-read delete (no file rewritten)", table.read())
+    print("folded", table.apply_deletes(), "file(s);",
+          "sets after vacuum:", end=" ")
+    table.tombstone_cleanup(min_age_ms=0)
+    print(table._mor_sets())
+
 
 if __name__ == "__main__":
     main()
