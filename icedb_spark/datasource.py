@@ -55,7 +55,10 @@ Placement: rows carrying a ``_partition`` column are placed there
 expression); without one, rows land in the root partition — readable and
 compactable, just unpruned (partition exprs are Spark SQL and cannot be
 evaluated inside a Python writer task). Only ``append`` is supported;
-use IceTable DML for anything else.
+use IceTable DML for anything else. CHECK constraints are enforcement
+POLICY, not layout — they live on the IceTable instance and are not
+persisted, so this writer does not apply them; gate with
+``quality.split_valid`` upstream when writing by format name.
 """
 
 from __future__ import annotations
