@@ -917,6 +917,38 @@ def m05_perceptual_hash(spark, sf_dir):
     return perceptual_hash(media, bits=60)
 
 
+def m06_phash_pairs(spark, sf_dir):
+    """Perceptual near-dup PAIR search, fully JVM-side: md5-derived pixel
+    arrays (the deterministic decode fake as pure column expressions),
+    perturbed clones planted for every fifth doc, `ahash_from_pixels`
+    (zero UDFs), then the generic hamming band join + exact popcount —
+    the same blocking contract as SimHash (d08), reused via
+    `hamming_pairs`."""
+    from icedb_spark.operators import ahash_from_pixels, hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    byte_i = (
+        "conv(substring(md5(text), 2 * (i % 16) + 1, 2), 16, 10)"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"transform(sequence(0, 59), i -> cast({byte_i} as int))"
+        ).alias("pixels"),
+    )
+    clones = base.where(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"),
+        F.expr(
+            "transform(pixels, (p, i) -> "
+            "case when i = 0 and p < 255 then p + 1 else p end)"
+        ).alias("pixels"),
+    )
+    hashes = ahash_from_pixels(base.unionByName(clones))
+    return hamming_pairs(
+        hashes, "media_id", "phash", bits=60, max_hamming=4, band_bits=12
+    )
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -2595,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "m04_av_headers": m04_av_headers,
         "m05_perceptual_hash": m05_perceptual_hash,
+        "m06_phash_pairs": m06_phash_pairs,
         "st04_session_window": st04_session_window,
         "st06_datasource_stream": st06_datasource_stream,
         "st07_cdc_stream": st07_cdc_stream,
@@ -2965,6 +2998,7 @@ select doc_id as media_id,
 from documents
 """,
         "m05_perceptual_hash": oracles.perceptual_hash_sql(60),
+        "m06_phash_pairs": oracles.phash_pairs_sql(),
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "m04_av_headers": """
 select doc_id as media_id,

@@ -385,6 +385,36 @@ def simhash_pairs(
     probabilistic-recall tradeoff explicit — silent recall loss is exactly
     the failure mode band blocking is supposed to prevent.
     """
+    if bits // band_bits <= max_hamming and not allow_partial_recall:
+        raise ValueError(
+            f"need bits//band_bits > max_hamming bands for full recall "
+            f"(got {bits // band_bits} bands, max_hamming={max_hamming}); "
+            f"pass allow_partial_recall=True to accept probabilistic recall"
+        )
+    sk = simhash(df, id_col, text_col, bits)
+    return hamming_pairs(
+        sk, "id", "simhash", bits, max_hamming, band_bits,
+        allow_partial_recall=allow_partial_recall,
+    )
+
+
+def hamming_pairs(
+    sketches: DataFrame,
+    id_col: str,
+    sketch_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+    allow_partial_recall: bool = False,
+) -> DataFrame:
+    """Generic near-dup pair search over ANY packed-integer sketch column
+    (SimHash, perceptual aHash, ...): band blocking (pigeonhole — a pair
+    within hamming ≤ bands−1 shares at least one unchanged band), then an
+    exact popcount verify. The same recall guarantee/raise contract as
+    :func:`simhash_pairs` (which delegates here).
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
     n_bands = bits // band_bits
     if n_bands <= max_hamming and not allow_partial_recall:
         raise ValueError(
@@ -392,20 +422,22 @@ def simhash_pairs(
             f"(got {n_bands} bands, max_hamming={max_hamming}); pass "
             f"allow_partial_recall=True to accept probabilistic recall"
         )
-    sk = simhash(df, id_col, text_col, bits)
+    sk = sketches.select(
+        F.col(id_col).alias("id"), F.col(sketch_col).alias("_sk")
+    )
     mask = (1 << band_bits) - 1
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * band_bits)
+            F.shiftright(F.col("_sk"), b * band_bits)
             .bitwiseAND(F.lit(mask))
             .alias("bv"),
         )
         for b in range(n_bands)
     ]
     bands = sk.select(
-        "id", "simhash", F.explode(F.array(*band_cols)).alias("e")
-    ).select("id", "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+        "id", "_sk", F.explode(F.array(*band_cols)).alias("e")
+    ).select("id", "_sk", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), on=[F.col("a.band") == F.col("b.band"),
@@ -414,8 +446,8 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._sk").alias("sh_a"),
+            F.col("b._sk").alias("sh_b"),
         )
         .distinct()
     )

@@ -445,3 +445,44 @@ def phash_dup_groups(hashes: DataFrame) -> DataFrame:
         )
         .where(F.col("group_size") > 1)
     )
+
+
+def ahash_from_pixels(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    id_col: str = "media_id",
+    bits: int = 60,
+) -> DataFrame:
+    """aHash as a PURE column expression over an ``array<int>`` pixel
+    column — zero UDFs, whole-stage codegen: bit i set iff
+    ``pixel_i * n > sum(pixels)`` (exact integer mean threshold), packed
+    big-endian into a BIGINT. Pair a decoder that yields pixel arrays
+    with this for the fully-JVM perceptual-dedup path; the blob variant
+    (:func:`perceptual_hash`) wraps the same arithmetic in mapInPandas.
+
+    Output: ``(media_id, phash)``. Arrays shorter than ``bits`` raise at
+    execution (malformed decode should fail loudly, not hash garbage).
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in 1..62, got {bits}")
+    px = F.slice(F.col(pixels_col), 1, bits)
+    total = F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x)
+    packed = F.aggregate(
+        F.transform(
+            px,
+            lambda p: F.when(
+                p.cast("long") * bits > total, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    n_px = F.size(F.col(pixels_col))
+    return df.select(
+        F.col(id_col),
+        F.when(n_px >= bits, packed)
+        .otherwise(F.raise_error(F.format_string(
+            "ahash_from_pixels: need >= %d pixels, got %d", F.lit(bits), n_px
+        )))
+        .alias("phash"),
+    )

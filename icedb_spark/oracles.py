@@ -1132,3 +1132,57 @@ select d.doc_id, d.{strata_col} from {table} d
 join r on d.{strata_col} = r.stratum
 where {_fraction_expr(key_expr, seed)} < r.rate
 """
+
+
+def phash_pairs_sql(
+    bits: int = 60,
+    band_bits: int = 12,
+    max_hamming: int = 4,
+    clone_mod: int = 5,
+    table: str = "documents",
+) -> str:
+    """Mirrors the m06 gate entry: md5-derived synthetic pixel arrays
+    (decorrelated per doc), perturbed clones, the pure-arithmetic aHash,
+    and the band-blocked + exact-popcount pair search."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {bits}),
+      i -> ({_HEX.format(pos='2*(i % 16)+1')}) * 16
+           + ({_HEX.format(pos='2*(i % 16)+2')})) as ps
+  from {table}
+),
+clones as (
+  select media_id + 1000000 as media_id,
+    list_transform(range(0, {bits}),
+      i -> case when i = 0 and ps[1] < 255 then ps[1] + 1
+                else ps[i + 1] end) as ps
+  from base where media_id % {clone_mod} = 0
+),
+media as (select * from base union all select * from clones),
+hashed as (
+  select media_id,
+    cast(list_reduce(
+      list_prepend(cast(0 as bigint),
+        list_transform(ps, p -> cast(case when p * {bits} > list_sum(ps)
+                                          then 1 else 0 end as bigint))),
+      (acc, b) -> acc * 2 + b) as bigint) as phash
+  from media
+),
+bands as (
+  select media_id, phash, b,
+    (phash >> (b * {band_bits})) & {mask} as bv
+  from hashed, unnest(generate_series(0, {n_bands - 1})) as u(b)
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b,
+    a.phash as pa, b.phash as pb
+  from bands a join bands b
+    on a.b = b.b and a.bv = b.bv and a.media_id < b.media_id
+)
+select id_a, id_b,
+  cast(bit_count(xor(pa, pb)) as integer) as hamming
+from cand where bit_count(xor(pa, pb)) <= {max_hamming}
+"""

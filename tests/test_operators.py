@@ -1046,3 +1046,40 @@ def test_perceptual_hash_hand_values_and_groups(spark):
 
     with _pt.raises(ValueError):
         perceptual_hash(media, bits=63)
+
+
+def test_ahash_from_pixels_matches_blob_variant_and_validates(spark):
+    from icedb_spark.operators import ahash_from_pixels, perceptual_hash
+
+    media = spark.createDataFrame(
+        [(1, b"alpha"), (2, b"beta")], "media_id long, content binary"
+    )
+    # rebuild the blob variant's fake pixels as arrays -> identical hashes
+    import hashlib
+
+    rows = []
+    for mid, blob in [(1, b"alpha"), (2, b"beta")]:
+        h = hashlib.md5(blob).digest()
+        rows.append((mid, [h[i % 16] for i in range(60)]))
+    arr = spark.createDataFrame(rows, "media_id long, pixels array<int>")
+    a = {r["media_id"]: r["phash"] for r in ahash_from_pixels(arr).collect()}
+    b = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert a == b
+    # short arrays fail loudly
+    bad = spark.createDataFrame([(9, [1, 2, 3])], "media_id long, pixels array<int>")
+    with pytest.raises(Exception):
+        ahash_from_pixels(bad).collect()
+
+
+def test_hamming_pairs_generic_blocking(spark):
+    from icedb_spark.operators import hamming_pairs
+
+    sk = spark.createDataFrame(
+        [(1, 0b111100001111), (2, 0b111100001110), (3, 0b000011110000)],
+        "id long, sketch long",
+    )
+    out = hamming_pairs(sk, "id", "sketch", bits=12, max_hamming=2,
+                        band_bits=4).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 1)]
+    with pytest.raises(ValueError, match="bands"):
+        hamming_pairs(sk, "id", "sketch", bits=12, max_hamming=5, band_bits=4)
