@@ -1083,11 +1083,14 @@ class IceTable:
         the full predicate to every kept file's rows. Passing any explicit
         hint kwarg disables the auto-derivation.
 
-        DML statements route to the engine's own operators (the Delta-SQL
-        surface): ``DELETE FROM <view> WHERE ...`` →  :meth:`delete`,
-        ``UPDATE <view> SET c = expr[, ...] WHERE ...`` → :meth:`update`.
-        Both return a 1-row summary DataFrame. Anything else is plain
-        Spark SQL over the snapshot view.
+        DML and maintenance statements route to the engine's own
+        operators (the Delta-SQL surface): ``DELETE FROM <view> WHERE
+        ...`` → :meth:`delete`, ``UPDATE <view> SET c = expr[, ...] WHERE
+        ...`` → :meth:`update`, ``OPTIMIZE <view>`` → :meth:`optimize`,
+        ``VACUUM <view> [RETAIN n HOURS]`` (7-day default retention) →
+        :meth:`tombstone_cleanup`. Each returns a 1-row summary
+        DataFrame. Anything else is plain Spark SQL over the snapshot
+        view.
         """
         dml = self._route_sql_dml(query, view)
         if dml is not None:
@@ -1134,6 +1137,37 @@ class IceTable:
                         "files_rewritten": int(
                             summary.get("files_rewritten", 0)
                         ),
+                    }
+                ]
+            )
+        m = re.fullmatch(
+            rf"optimize\s+{re.escape(view)}",
+            q,
+            re.I,
+        )
+        if m:
+            n = self.optimize(max_file_size=10_000_000, max_file_count=10)
+            return self.spark.createDataFrame(
+                [{"operation": "optimize", "merges": int(n)}]
+            )
+        m = re.fullmatch(
+            rf"vacuum\s+{re.escape(view)}"
+            rf"(?:\s+retain\s+(\d+)\s+hours?)?",
+            q,
+            re.I,
+        )
+        if m:
+            hours = int(m.group(1)) if m.group(1) else 168  # 7-day default
+            logs, data = self.tombstone_cleanup(
+                min_age_ms=hours * 3_600_000
+            )
+            return self.spark.createDataFrame(
+                [
+                    {
+                        "operation": "vacuum",
+                        "retain_hours": hours,
+                        "log_files_deleted": len(logs),
+                        "data_files_deleted": len(data),
                     }
                 ]
             )

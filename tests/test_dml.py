@@ -408,3 +408,25 @@ def test_sql_update_set_with_function_commas(spark, tmp_path):
     t.insert(rows=[{"id": 1, "kind": "a", "v": 2.0}])
     t.sql("update ice set v = round(v + 0.123, 1) where id = 1")
     assert t.read().collect()[0]["v"] == 2.1
+
+
+def test_sql_optimize_and_vacuum_statements(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "sqlmaint"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    for i in range(3):
+        t.insert(rows=[{"id": i, "kind": "a"}])
+    out = t.sql("OPTIMIZE ice").collect()[0]
+    assert out["operation"] == "optimize" and out["merges"] >= 1
+    out = t.sql("VACUUM ice RETAIN 0 HOURS").collect()[0]
+    assert out["operation"] == "vacuum" and out["data_files_deleted"] >= 3
+    assert t.read().count() == 3
+    # default retention deletes nothing young
+    t.insert(rows=[{"id": 9, "kind": "a"}])
+    t.sql("OPTIMIZE ice")
+    out = t.sql("VACUUM ice").collect()[0]
+    assert out["retain_hours"] == 168 and out["data_files_deleted"] == 0
