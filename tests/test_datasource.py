@@ -325,3 +325,56 @@ def test_stream_writer_sinks_microbatches_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert t.read().count() == 3
+
+
+def test_streaming_pipeline_source_to_sink_by_format_name(spark, tmp_path):
+    """End-to-end: table A --readStream('icedb')--> transform
+    --writeStream('icedb')--> table B, no engine imports on the pipeline
+    path. B must hold exactly A's transformed rows, incrementally across
+    two source commits through one checkpoint."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    a = IceTable(
+        spark, str(tmp_path / "src-t"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    b = IceTable(
+        spark, str(tmp_path / "dst-t"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    ck = str(tmp_path / "ck-pipe")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("icedb").option("path", a.path).load()
+            .where("v >= 0")
+            .withColumn("v2", F.col("v") * 2)
+            .withColumn("_partition", F.concat(F.lit("k="), F.col("kind")))
+        )
+        q = (
+            stream.writeStream.format("icedb")
+            .option("path", b.path)
+            .option("checkpointLocation", ck)
+            .option("stream_id", "pipe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    a.insert(rows=[{"id": 1, "kind": "x", "v": 1.0},
+                   {"id": 2, "kind": "y", "v": -1.0}])
+    run_once()
+    assert {(r["id"], r["v2"]) for r in b.read().collect()} == {(1, 2.0)}
+    a.insert(rows=[{"id": 3, "kind": "x", "v": 3.0}])
+    run_once()
+    assert {(r["id"], r["v2"]) for r in b.read().collect()} == {
+        (1, 2.0), (3, 6.0),
+    }
+    parts = {m.partition() for m in b.snapshot().alive_files()}
+    assert parts == {"k=x"}
