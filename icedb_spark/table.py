@@ -2427,6 +2427,11 @@ class IceTable:
         (copy-on-write delete / update / merge_into / rewrite_partition)
         refuses to run — a rewrite would resurrect hidden rows — and the
         DataSource batch reader refuses the table for the same reason.
+        External raw-parquet consumers taking :meth:`files_for` lists
+        carry the same obligation: consult ``_mor_sets()`` (or require an
+        ``apply_deletes()`` before export) — raw files do not know about
+        predicate deletes, exactly as raw Delta files do not know about
+        deletion vectors.
         CDC note: merge-on-read deletes record no row images; use
         ``delete(..., capture_changes=True)`` where a change feed needs
         the deleted rows.
