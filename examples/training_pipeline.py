@@ -101,6 +101,16 @@ def main() -> None:
     print(f"after MinHash near-dedup (best-of-cluster kept): "
           f"{kept.count()} docs")
 
+    # perplexity screen: a corpus-fit trigram LM flags encoding noise /
+    # non-text (high ppl); the model is alphabet-bounded -> broadcastable
+    from icedb_spark.operators import ngram_perplexity
+
+    ppl = ngram_perplexity(kept)
+    cut = ppl.agg(F.expr("percentile(ppl, 0.95)")).collect()[0][0]
+    noisy = ppl.where(F.col("ppl") > cut).select("doc_id")
+    kept = kept.join(noisy, "doc_id", "left_anti")
+    print(f"after perplexity screen (ppl > {cut:.1f}): {kept.count()} docs")
+
     # repetition screen: drop degenerate boilerplate (Gopher-style)
     rep = repetition_stats(kept).where(
         (F.col("dup_2gram_frac") > 0.9) | (F.col("top_2gram_frac") > 0.5)
@@ -130,6 +140,10 @@ def main() -> None:
         strata_col="lang_pred", key_col="doc_id",
     )
     print(f"after mixture rebalance: {kept.count()} docs")
+
+    # temperature rebalance option: alpha-sampling toward uniform is the
+    # one-liner alternative when no explicit mixture is mandated
+    # (kept = alpha_sample(kept, 0.7, "lang_pred", "doc_id"))
 
     # deterministic train/val/test assignment (hash-stable across runs)
     kept = assign_splits(
