@@ -1700,6 +1700,31 @@ def ice34_sql_dml(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice35_wap(spark, sf_dir):
+    """Write-audit-publish (beyond reference; the WAP staging pattern):
+    two halves of the corpus are STAGED (files written, nothing
+    committed — readers must see zero rows, asserted), audited directly
+    from the staged files, then published together in ONE atomic log
+    append (exactly one commit, asserted). The final corpus must equal
+    the plain re-aggregation."""
+    t, d = _scratch(spark, sort_order=["event_id"])
+    try:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.max("event_id")).collect()[0][0]
+        s1 = t.insert(df=ev.where(F.col("event_id") <= m // 2), publish=False)
+        s2 = t.insert(df=ev.where(F.col("event_id") > m // 2), publish=False)
+        assert t.read().count() == 0  # invisible until published
+        audited = spark.read.parquet(
+            *[t.storage.absolute(fm.path) for fm in s1.markers + s2.markers]
+        )
+        assert audited.count() == ev.count()  # the audit step
+        t.publish([s1, s2])
+        assert len(t.snapshot().log_files) == 1  # one atomic commit
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def st07_cdc_stream(spark, sf_dir):
     """Streamed row-level change feed: ``readStream.format("icedb")`` with
     ``feed=changes`` — the streaming twin of ``changes_feed``. The drained
@@ -2636,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice32_datasource_write": ice32_datasource_write,
         "ice33_mor_delete": ice33_mor_delete,
         "ice34_sql_dml": ice34_sql_dml,
+        "ice35_wap": ice35_wap,
         "st08_datasource_sink": st08_datasource_sink,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
@@ -3237,6 +3263,7 @@ from fin group by event_type
         # streamed append windows ≡ all inserted rows
         "st06_datasource_stream": ev_agg.format(where=""),
         "ice32_datasource_write": ev_agg.format(where=""),
+        "ice35_wap": ev_agg.format(where=""),
         # delete clicks<50 then double value>90, re-aggregated
         "ice34_sql_dml": (
             "select event_type, count(*) as cnt,"

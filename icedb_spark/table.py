@@ -34,7 +34,7 @@ import threading
 import uuid
 import warnings
 from dataclasses import dataclass
-from typing import Callable, Iterable, Optional, Union
+from typing import NamedTuple, Callable, Iterable, Optional, Union
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -430,6 +430,14 @@ def _make_group_writer(
     return write_group
 
 
+class StagedInsert(NamedTuple):
+    """An ``insert(publish=False)`` result: written-but-uncommitted files
+    plus the batch schema :meth:`IceTable.publish` needs for the commit."""
+
+    markers: list
+    schema: Schema
+
+
 class IceTable:
     """One lakehouse table: a storage root holding ``_data/`` + ``_log/``.
 
@@ -726,13 +734,25 @@ class IceTable:
         rows: Optional[list[dict]] = None,
         df: Optional[DataFrame] = None,
         commit_tag: Optional[str] = None,
-    ) -> list[FileMarker]:
+        publish: bool = True,
+    ) -> "list[FileMarker] | StagedInsert":
         """Write one sorted Parquet file per touched partition, then commit
         with a single log append (reference ``insert``,
         /root/reference/icedb/icedb.py:183-221).
 
         Accepts either row dicts (reference-style JSON ingest) or any Spark
         DataFrame (native path — streams, CSV, other tables).
+
+        ``publish=False`` is the write-audit-publish (WAP) pattern: the
+        files are written but NO log entry is committed — the batch is
+        invisible to every reader until :meth:`publish` appends it (one
+        atomic commit, possibly covering several staged batches). Audit
+        the staged files however you like in between (read them directly,
+        run checks); abandoning a staged batch costs nothing — its files
+        are never referenced and ``gc_orphans`` collects them, which also
+        means a staged batch must be published within the orphan-GC grace
+        window, like any in-flight writer. Returns a :class:`StagedInsert`
+        instead of the marker list.
         """
         if df is None:
             if not rows:
@@ -777,11 +797,36 @@ class IceTable:
             )
             for r in manifest
         ]
+        if not publish:
+            return StagedInsert(markers=markers, schema=batch_schema)
         if markers:
             self.log_io.append(
                 self.log_storage, 1, batch_schema, markers, timestamp_ms=ts,
                 tag=commit_tag,
             )
+        return markers
+
+    def publish(
+        self,
+        staged: "StagedInsert | list[StagedInsert]",
+        commit_tag: Optional[str] = None,
+    ) -> list[FileMarker]:
+        """Commit previously staged batches (``insert(publish=False)``) in
+        ONE atomic log append — several staged batches become visible at
+        the same instant or not at all (the WAP publish step)."""
+        batches = [staged] if isinstance(staged, StagedInsert) else list(staged)
+        markers: list[FileMarker] = []
+        schema = Schema()
+        for b in batches:
+            markers.extend(b.markers)
+            cols = b.schema.columns()
+            schema.accumulate(list(cols.keys()), list(cols.values()))
+        if not markers:
+            return []
+        self.log_io.append(
+            self.log_storage, 1, schema, markers,
+            timestamp_ms=unique_ms(), tag=commit_tag,
+        )
         return markers
 
     def _enforce_constraints(self, df: DataFrame) -> DataFrame:

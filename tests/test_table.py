@@ -866,3 +866,70 @@ def test_changes_uses_current_unified_schema(spark, tmp_path):
     assert "extra" in out.columns
     rows = {r["event"]: r["extra"] for r in out.collect()}
     assert rows == {"a": None, "b": "x"}
+
+
+# --------------------------------------------------- write-audit-publish
+
+
+def test_staged_insert_invisible_until_published(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "wap"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": 1, "kind": "a"}])
+    staged = t.insert(rows=[{"id": 2, "kind": "a"}], publish=False)
+    assert staged.markers and t.read().count() == 1  # invisible
+    # audit the staged file directly, then publish atomically
+    audited = spark.read.parquet(
+        *[t.storage.absolute(m.path) for m in staged.markers]
+    )
+    assert audited.count() == 1
+    logs0 = len(t.snapshot().log_files)
+    t.publish(staged)
+    assert len(t.snapshot().log_files) == logs0 + 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_publish_many_staged_batches_is_one_atomic_commit(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "wap2"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    s1 = t.insert(rows=[{"id": 1, "kind": "a"}], publish=False)
+    s2 = t.insert(rows=[{"id": 2, "kind": "b", "extra": "x"}], publish=False)
+    assert t.read().count() == 0
+    t.publish([s1, s2])
+    assert len(t.snapshot().log_files) == 1
+    df = t.read()
+    assert df.count() == 2 and "extra" in df.columns  # schemas unioned
+    assert t.publish([]) == []
+
+
+def test_abandoned_staged_batch_is_orphan_collected(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "wap3"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": 1, "kind": "a"}])
+    staged = t.insert(rows=[{"id": 99, "kind": "a"}], publish=False)
+    deleted, kept = t.gc_orphans(grace_ms=3_600_000, dry_run=True)
+    assert {m.path for m in staged.markers} <= set(kept)  # young: safe
+    # an unsafe grace WARNS and would collect the staged (uncommitted)
+    # files — exactly the in-flight-writer hazard the warning names
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        deleted2, _ = t.gc_orphans(grace_ms=0, dry_run=True)
+    assert any("grace" in str(x.message) for x in rec)
+    assert {m.path for m in staged.markers} <= set(deleted2)
+    assert t.read().count() == 1
