@@ -96,7 +96,24 @@ class IceCatalog:
         registers harmlessly): with many registered tables, each holding
         thousands of log files, folding all of them for a one-table query
         would dominate the driver's planning time.
+
+        DML and maintenance statements route to the NAMED table's own
+        operators, exactly like ``IceTable.sql`` (``DELETE FROM t ...``,
+        ``UPDATE t SET ...``, ``OPTIMIZE t``, ``VACUUM t [RETAIN n
+        HOURS]``) — but only when ``at_ms`` is unset: mutating the
+        present from a time-traveled session is a contradiction and
+        raises.
         """
+        if re.match(r"\s*(delete|update|optimize|vacuum)\b", query, re.I):
+            if at_ms is not None:
+                raise ValueError(
+                    "DML through a time-traveled catalog session is not "
+                    "allowed; drop at_ms to mutate"
+                )
+            for name, table in self._tables.items():
+                routed = table._route_sql_dml(query, name)
+                if routed is not None:
+                    return routed
         # Pin ONE instant even when the caller passed none: each read()
         # lists and folds its table's log independently, so with
         # at_ms=None a commit landing between two registrations would give

@@ -134,3 +134,35 @@ def test_add_path_mounts_from_persisted_metadata(spark, tmp_path):
     cat = IceCatalog(spark).add_path("mounted", str(tmp_path / "mnt"))
     got = cat.sql("select count(*) as c from mounted").collect()[0]["c"]
     assert got == 2
+
+
+def test_catalog_routes_dml_to_the_named_table(spark, tmp_path):
+    from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+
+    a = IceTable(
+        spark, str(tmp_path / "dml-a"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    b = IceTable(
+        spark, str(tmp_path / "dml-b"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    a.insert(rows=[{"id": 1, "kind": "x"}, {"id": 2, "kind": "x"}])
+    b.insert(rows=[{"id": 9, "kind": "y"}])
+    cat = IceCatalog(spark).add("ta", a).add("tb", b)
+
+    out = cat.sql("DELETE FROM tb WHERE id = 9").collect()[0]
+    assert out["operation"] == "delete" and out["rows_deleted"] == 1
+    assert a.read().count() == 2 and b.read().count() == 0  # only tb touched
+    assert cat.sql("select count(*) as c from ta").collect()[0]["c"] == 2
+
+    out = cat.sql("OPTIMIZE ta").collect()[0]
+    assert out["operation"] == "optimize"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="time-traveled"):
+        cat.sql("DELETE FROM ta WHERE id = 1", at_ms=123)
+    assert a.read().count() == 2  # refused before any mutation
