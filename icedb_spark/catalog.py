@@ -105,12 +105,18 @@ class IceCatalog:
         raises.
         """
         if re.match(r"\s*(delete|update|optimize|vacuum)\b", query, re.I):
-            if at_ms is not None:
-                raise ValueError(
-                    "DML through a time-traveled catalog session is not "
-                    "allowed; drop at_ms to mutate"
-                )
+            # Route first, then enforce the at_ms contradiction only when a
+            # registered table actually matches the DML shape — a query that
+            # merely STARTS with one of these words (e.g. selecting from an
+            # unregistered `delete_log` table) falls through to plain SQL.
             for name, table in self._tables.items():
+                if at_ms is not None:
+                    if table._route_sql_dml(query, name, dry_run=True):
+                        raise ValueError(
+                            "DML through a time-traveled catalog session is "
+                            "not allowed; drop at_ms to mutate"
+                        )
+                    continue
                 routed = table._route_sql_dml(query, name)
                 if routed is not None:
                     return routed

@@ -452,7 +452,15 @@ class _IceBatchWriter(DataSourceArrowWriter):
             self._stats_cols = [
                 c for c in (doc.get("zorder_by") or self._sort_order)
             ] or None
-        self._data_fields = [f for f in schema.fields if f.name != "_partition"]
+        # a table built with preserve_partition=True keeps `_partition`
+        # as a DATA column (IceTable.insert does the same, table.py:724)
+        # — dropping it here would leave files whose scans read NULL
+        self._preserve_partition = bool(doc.get("preserve_partition", False))
+        self._data_fields = [
+            f
+            for f in schema.fields
+            if f.name != "_partition" or self._preserve_partition
+        ]
 
     # ---- executor side
 
@@ -468,7 +476,8 @@ class _IceBatchWriter(DataSourceArrowWriter):
         table = pa.Table.from_batches(batches)
         if "_partition" in table.column_names:
             part_vals = table.column("_partition").to_pylist()
-            table = table.drop_columns(["_partition"])
+            if not self._preserve_partition:
+                table = table.drop_columns(["_partition"])
         else:
             part_vals = [""] * table.num_rows
         write_group = _make_group_writer(

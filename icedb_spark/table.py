@@ -986,6 +986,13 @@ class IceTable:
 
         ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
         ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
+        Like every pruning knob here it is a HINT, not a row filter: after
+        partition-spec evolution, files written under an older spec whose
+        path lacks the requested field are KEPT (their rows may or may not
+        match — the path cannot prove absence), so the scan can return rows
+        outside the requested partitions. Re-apply the predicate on the
+        returned DataFrame (``df.where(...)``) when exact filtering is
+        needed; on a single-spec table the pruning is exact.
         ``partition_filter`` is an arbitrary predicate on the partition string.
         ``column_ranges`` maps data columns to ``(lo, hi)`` bounds (either
         side None = open) and skips files whose zone map proves no row
@@ -1158,14 +1165,19 @@ class IceTable:
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
-    def _route_sql_dml(self, query: str, view: str) -> Optional[DataFrame]:
+    def _route_sql_dml(
+        self, query: str, view: str, dry_run: bool = False
+    ) -> Optional[DataFrame]:
         """Recognize ``DELETE FROM <view> [WHERE ...]`` and ``UPDATE
         <view> SET a = e[, ...] [WHERE ...]`` and run them through the
         engine's transactional operators. Conservative by design: only
         these two statement shapes over THIS table's view name match;
         anything else returns None and runs as a plain SELECT. The
         assignments/predicate substrings pass through verbatim, so every
-        Spark SQL expression the operators accept works here too."""
+        Spark SQL expression the operators accept works here too.
+        ``dry_run=True`` answers "WOULD this statement route to this
+        table?" (truthy/None) without executing anything — the catalog
+        uses it to reject DML only when a table actually matches."""
         q = query.strip().rstrip(";").strip()
         m = re.fullmatch(
             rf"delete\s+from\s+{re.escape(view)}(?:\s+where\s+(.*))?",
@@ -1173,6 +1185,8 @@ class IceTable:
             re.I | re.S,
         )
         if m:
+            if dry_run:
+                return True
             summary = self.delete(m.group(1) or "true")
             return self.spark.createDataFrame(
                 [
@@ -1191,6 +1205,8 @@ class IceTable:
             re.I,
         )
         if m:
+            if dry_run:
+                return True
             n = self.optimize(max_file_size=10_000_000, max_file_count=10)
             return self.spark.createDataFrame(
                 [{"operation": "optimize", "merges": int(n)}]
@@ -1202,6 +1218,8 @@ class IceTable:
             re.I,
         )
         if m:
+            if dry_run:
+                return True
             hours = int(m.group(1)) if m.group(1) else 168  # 7-day default
             logs, data = self.tombstone_cleanup(
                 min_age_ms=hours * 3_600_000
@@ -1222,6 +1240,8 @@ class IceTable:
             re.I | re.S,
         )
         if m:
+            if dry_run:
+                return True
             assigns: dict[str, str] = {}
             for part in _split_top_level_commas(m.group(1)):
                 col, _, expr = part.partition("=")
@@ -1761,7 +1781,14 @@ class IceTable:
         commit. Schema is NOT rolled back: log schema evolution is
         additive-union by design (reference wire contract), so columns
         added after ``at_ms`` simply read as NULL for restored files.
+
+        Refuses while merge-on-read delete sets are pending (same guard as
+        delete/update/merge_into/rewrite_partition): restored markers are
+        stamped ``created_ms = now``, so a pending set (``ts < now``) would
+        silently stop applying to them and rows the set still hides would
+        resurrect. Run ``optimize()``/``apply_deletes()`` first.
         """
+        self._mor_guard("rollback")
         horizon = self._log_horizon()
         if at_ms <= horizon:
             # a vacuum at `horizon` physically deleted log files, and a
@@ -1997,10 +2024,25 @@ class IceTable:
         # compaction has folded it into the data and it only matters to
         # time travel — so it follows vacuum retention (grace + tag pins;
         # a tag at T >= set_ts may still read pre-compaction files).
+        # Retention is gated on the FOLD age, not the set's own age: a
+        # time-travel read at any instant in [set_ts, fold) resolves
+        # pre-fold files (their tombstones are young and survive this
+        # vacuum) and NEEDS the set to hide the deleted rows — so the set
+        # must outlive the newest tombstone among the files it applied to,
+        # or rows would resurrect inside the grace window.
         alive_now = state.alive_files()
         for ts, _pred in self._mor_sets():
-            obsolete = not any(self._mor_applies(m, ts) for m in alive_now)
-            if obsolete and ts <= expired_cutoff and not _pinned(ts, None):
+            if any(self._mor_applies(m, ts) for m in alive_now):
+                continue
+            fold_ms = max(
+                (
+                    m.tombstone
+                    for m in state.file_markers
+                    if m.tombstone is not None and self._mor_applies(m, ts)
+                ),
+                default=ts,
+            )
+            if max(ts, fold_ms) <= expired_cutoff and not _pinned(ts, None):
                 self.storage.delete(f"{self._MOR_PREFIX}/{ts}.json")
         return deleted_logs, deleted_data
 

@@ -166,3 +166,18 @@ def test_catalog_routes_dml_to_the_named_table(spark, tmp_path):
     with _pt.raises(ValueError, match="time-traveled"):
         cat.sql("DELETE FROM ta WHERE id = 1", at_ms=123)
     assert a.read().count() == 2  # refused before any mutation
+
+def test_time_travel_dml_error_only_when_a_table_matches(cat, spark):
+    """ADVICE r3: a DML-shaped query over an UNREGISTERED name must fall
+    through to plain SQL even with at_ms set; the contradiction error is
+    reserved for statements that would actually route to a table."""
+    # routes to a registered table -> the at_ms contradiction raises
+    with pytest.raises(ValueError, match="time-traveled"):
+        cat.sql("DELETE FROM orders WHERE k = 1", at_ms=1)
+    # matches no registered table -> falls through to Spark SQL, which
+    # surfaces ITS error (table not found), not the at_ms contradiction
+    with pytest.raises(Exception) as e:
+        cat.sql("DELETE FROM not_registered WHERE k = 1", at_ms=1)
+    assert "time-traveled" not in str(e.value)
+    # and nothing was mutated by the first refusal
+    assert cat.sql("select count(*) as c from orders").collect()[0]["c"] == 20

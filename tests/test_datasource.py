@@ -378,3 +378,25 @@ def test_streaming_pipeline_source_to_sink_by_format_name(spark, tmp_path):
     }
     parts = {m.partition() for m in b.snapshot().alive_files()}
     assert parts == {"k=x"}
+
+def test_writer_keeps_partition_column_when_spec_preserves(spark, tmp_path):
+    """ADVICE r3: a table built with preserve_partition=True keeps
+    `_partition` as a DATA column; the DataSource writer must honor the
+    persisted flag instead of always dropping it (files written without it
+    would scan as NULL)."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "pp"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"], preserve_partition=True,
+    )
+    t.insert(rows=[{"id": 1, "kind": "a", "_partition": "k=a"}])
+    df = spark.createDataFrame(
+        [(2, "a")], "id long, kind string"
+    ).withColumn("_partition", F.lit("k=a"))
+    df.write.format("icedb").mode("append").option("path", t.path).save()
+    got = t.read().orderBy("id").collect()
+    assert [r["_partition"] for r in got] == ["k=a", "k=a"]
+    # placement still honored the value
+    assert {m.partition() for m in t.snapshot().alive_files()} == {"k=a"}

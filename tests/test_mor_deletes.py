@@ -115,3 +115,54 @@ def test_tag_pins_mor_set_for_time_travel(spark, tmp_path):
     t.delete_tag("post-delete")
     t.tombstone_cleanup(min_age_ms=0)
     assert t._mor_sets() == []
+
+def test_vacuum_retains_mor_set_until_fold_ages_out(spark, tmp_path):
+    """ADVICE r3: set retention is gated on the FOLD age, not the set age.
+
+    A set older than min_age whose fold is RECENT must survive vacuum:
+    a time-travel read at an instant in [set_ts, fold) resolves pre-fold
+    files (young tombstones survive) and needs the set to hide rows."""
+    import time
+
+    t = _mk(spark, tmp_path)
+    t.insert(rows=[{"id": 1, "kind": "a", "v": 1.0},
+                   {"id": 2, "kind": "a", "v": 9.0}])
+    t.delete_where("v > 5")
+    time.sleep(0.3)  # age the set well past the grace window below
+    assert t.apply_deletes() == 1  # fold happens NOW (young)
+    fold_ms = max(
+        m.tombstone for m in t.snapshot().file_markers
+        if m.tombstone is not None
+    )
+    # grace window: set ts (~300ms old) is expired, the fold (~0ms) is not
+    t.tombstone_cleanup(min_age_ms=150)
+    assert t._mor_sets(), "set must outlive the fold's grace window"
+    # and the in-window time-travel read stays exact (no row resurrection)
+    assert _ids(t.read(at_ms=fold_ms - 1)) == [1]
+    # once the fold itself ages out, the set is collected
+    t.tombstone_cleanup(min_age_ms=0)
+    assert t._mor_sets() == []
+    assert _ids(t.read()) == [1]
+
+
+def test_rollback_refuses_while_mor_sets_pending(spark, tmp_path):
+    """ADVICE r3: restored markers get created_ms=now, so a pending set
+    would stop applying to them — rollback must take the MOR guard."""
+    from icedb_spark.log import unique_ms
+
+    t = _mk(spark, tmp_path)
+    t.insert(rows=[{"id": 1, "kind": "a", "v": 1.0}])
+    at = unique_ms()
+    t.insert(rows=[{"id": 2, "kind": "a", "v": 9.0}])
+    t.delete_where("v > 5")
+    with pytest.raises(RuntimeError, match="merge-on-read"):
+        t.rollback(at)
+    # folding + vacuum lifts the guard, as for the other rewrites (the
+    # vacuum also advances the log horizon, so roll back to a POST-vacuum
+    # instant — the pre-vacuum one is gone by design)
+    t.apply_deletes()
+    t.tombstone_cleanup(min_age_ms=0)
+    at2 = unique_ms()
+    t.insert(rows=[{"id": 3, "kind": "a", "v": 2.0}])
+    t.rollback(at2)
+    assert _ids(t.read()) == [1]
