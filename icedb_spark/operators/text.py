@@ -333,19 +333,21 @@ def line_dedup(
     joined in original order, so downstream stages can verify or rebuild
     content without shuffling text.
 
-    Scale shape: one shuffle, keyed by ``line_hash`` (the window that picks
-    the first occurrence), then one groupBy ``doc_id``. Only 32-byte hashes
+    Scale shape: the first occurrence per line is picked with a
+    PARTIAL-AGGREGATABLE ``groupBy(line_hash).agg(min(struct(doc_id,
+    line_idx)))`` — map-side combine collapses a billion-occurrence
+    boilerplate line to one candidate per map task before the shuffle —
+    then flagged back via an equi-join on ``(line_hash, doc_id,
+    line_idx)``, whose 3-column shuffle key spreads even the hottest
+    line_hash uniformly (no single-partition straggler, the failure mode
+    of a ``row_number`` window over ``line_hash``). Only 32-byte hashes
     and two longs cross the wire — the text itself never leaves the scan
-    stage. At 100 TB the line-hash key space is huge and uniform (md5), so
-    no skew; the boilerplate lines that DO repeat millions of times cost
-    one window partition each, bounded by their occurrence count.
+    stage.
 
     Output: ``(doc_id, n_lines, n_kept, n_dropped, kept_hash)`` — one row
     per input document (docs with no non-blank lines keep ``n_lines=0`` and
     a NULL ``kept_hash``; NULL text behaves like empty).
     """
-    from pyspark.sql import Window
-
     t = F.coalesce(F.col(text_col), F.lit(""))
     # posexplode_outer keeps zero/blank-line documents as one (blank) row,
     # so no re-join against the input is needed to emit their summary row.
@@ -369,9 +371,26 @@ def line_dedup(
         )
         .alias("line_hash"),
     )
-    w = Window.partitionBy("line_hash").orderBy(id_col, "line_idx")
-    flagged = exploded.withColumn(
-        "_keep", F.col("_valid") & (F.row_number().over(w) == 1)
+    # First occurrence per line, skew-proof: min(struct) is partial-
+    # aggregatable (map-side combine), and the flag-back join's 3-column
+    # key never concentrates a hot line_hash on one reducer. Blank lines
+    # carry unique fake hashes and are excluded by `_valid`, so they never
+    # match `firsts` and never skew anything.
+    firsts = (
+        exploded.where("_valid")
+        .groupBy("line_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_f"))
+        .select(
+            "line_hash",
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col("_f.line_idx").alias("line_idx"),
+            F.lit(True).alias("_first"),
+        )
+    )
+    flagged = exploded.join(
+        firsts, on=["line_hash", id_col, "line_idx"], how="left"
+    ).withColumn(
+        "_keep", F.col("_valid") & F.coalesce("_first", F.lit(False))
     )
     kept_sorted = F.transform(
         F.array_sort(

@@ -183,3 +183,18 @@ def test_auto_pruned_sql_scans_fewer_files(spark, tmp_path):
     assert len(pruned.inputFiles()) == 1
     assert len(unpruned.inputFiles()) == 3
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, unpruned.collect()))
+
+def test_line_dedup_first_pick_is_partial_agg_not_window(spark, sf_dir):
+    """The first-occurrence pick must be a partial-aggregatable min(struct)
+    (map-side combine — a billion-occurrence boilerplate line collapses to
+    one candidate per map task), never a row_number window partitioned by
+    line_hash (one straggler partition per hot line)."""
+    from icedb_spark.operators import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(line_dedup(docs))
+    assert "Window" not in plan
+    # the line_hash stage shows a partial aggregate of min(struct(...))
+    assert "partial_min" in plan or "partial_merge_min" in plan or (
+        "HashAggregate" in plan and "min(" in plan
+    )
