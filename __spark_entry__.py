@@ -775,6 +775,20 @@ def s03_cosine_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(emb, queries, n_centroids=16, nprobe=4, k=5)
 
 
+def s06_cosine_topk_tuned(spark, sf_dir):
+    """The production-recall IVF preset: 64 cells, nprobe=44. Measured
+    recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
+    40 queries) and 0.916 at sf0.001, for ~0.69x brute-force candidate
+    volume — the untrained deterministic codebook (lowest-id vectors) is
+    the recall limiter, so coverage buys what k-means quality otherwise
+    would; a trained codebook drops the nprobe/C ratio without changing
+    any join shape. Same plan as s03: broadcast codebook, map-side cell
+    argmax, probed-cell equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(emb, queries, n_centroids=64, nprobe=44, k=5)
+
+
 def m01_media_features(spark, sf_dir):
     """Multimodal plumbing under the value gate: opaque binary blobs →
     Arrow-batched ``mapInPandas`` feature extraction. The blobs are utf-8
@@ -2552,97 +2566,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # The window holds the full MVCC engine lifecycle through this round's
-    # additions (DML, rollback, change feed, DataSource, snapshot tags,
-    # CHECK constraints), streaming + both MV flavors, and one witness per
-    # pipeline-operator family. Entries after the window marker either
-    # already earned a fully-green driver row in a prior round or have an
-    # in-window sibling witnessing their family; all of them stay under
-    # the repo's own bit-exact oracle tests (tests/test_entry_oracle.py)
-    # regardless.
+    # Round-4 rotation (VERDICT r3 #1): the window now leads with the 20
+    # entries that had never held a driver row (late-r3 DataSource
+    # write/stream matrix, MOR deletes, WAP, SQL DML, partition evolution,
+    # m04-m06, d10, t10/t13, sm05/07/08, q25), the new tuned-recall ANN
+    # preset s06, and the two entries whose implementation changed this
+    # round (ice24 rollback guard, t11 de-skewed plan); the rest of the
+    # window is the engine-lifecycle core plus one witness per operator
+    # family. Every entry below the boundary already holds a fully-green
+    # driver row from r2/r3, and ALL keys stay under the repo's own
+    # bit-exact gate replica (tests/test_entry_oracle.py +
+    # tools/check_oracle.py) regardless.
     return {
-        # --- engine lifecycle: MVCC log, merge, vacuum, time travel,
-        # pruning, DML, rollback, CDF, DataSource, tags, constraints ---
+        "ice26_in_pruning": ice26_in_pruning,
+        "ice30_partition_evolution": ice30_partition_evolution,
+        "ice31_transform_pruning": ice31_transform_pruning,
+        "ice32_datasource_write": ice32_datasource_write,
+        "ice33_mor_delete": ice33_mor_delete,
+        "ice34_sql_dml": ice34_sql_dml,
+        "ice35_wap": ice35_wap,
+        "st06_datasource_stream": st06_datasource_stream,
+        "st07_cdc_stream": st07_cdc_stream,
+        "st08_datasource_sink": st08_datasource_sink,
+        "m04_av_headers": m04_av_headers,
+        "m05_perceptual_hash": m05_perceptual_hash,
+        "m06_phash_pairs": m06_phash_pairs,
+        "d10_cluster_pick_best": d10_cluster_pick_best,
+        "t10_chunk_docs": t10_chunk_docs,
+        "t13_url_stats": t13_url_stats,
+        "sm05_mixture_sample": sm05_mixture_sample,
+        "sm07_quality_filter": sm07_quality_filter,
+        "sm08_alpha_sample": sm08_alpha_sample,
+        "q25_conditional_agg": q25_conditional_agg,
+        "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
+        "ice24_rollback": ice24_rollback,
+        "t11_line_dedup": t11_line_dedup,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice02_merge_invariant": ice02_merge_invariant,
         "ice03_time_travel": ice03_time_travel,
-        "ice04_rewrite": ice04_rewrite,
-        "ice05_agg_on_merge": ice05_agg_on_merge,
-        "ice06_remove_partitions": ice06_remove_partitions,
-        "ice07_replace_on_merge": ice07_replace_on_merge,
-        "ice08_dedup_on_merge": ice08_dedup_on_merge,
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
-        "ice10_schema_evolution": ice10_schema_evolution,
         "ice11_partition_pruning": ice11_partition_pruning,
-        "ice13_partition_fn_paths": ice13_partition_fn_paths,
-        "ice14_json_flatten_insert": ice14_json_flatten_insert,
-        "ice15_parallel_compaction": ice15_parallel_compaction,
         "ice17_stats_pruning": ice17_stats_pruning,
-        "ice18_bloom_pruning": ice18_bloom_pruning,
         "ice19_auto_prune": ice19_auto_prune,
-        "ice20_incremental_read": ice20_incremental_read,
         "ice21_delete": ice21_delete,
         "ice22_update": ice22_update,
         "ice23_merge_into": ice23_merge_into,
-        "ice24_rollback": ice24_rollback,
         "ice25_change_feed": ice25_change_feed,
-        "ice27_datasource_scan": ice27_datasource_scan,
-        "ice28_snapshot_tags": ice28_snapshot_tags,
-        "ice29_constraints": ice29_constraints,
-        # --- streaming + materialized views (incl. incremental IVM) ---
+        "q01_pricing_summary": q01_pricing_summary,
         "st01_streaming_ingest": st01_streaming_ingest,
         "st02_windowed_agg": st02_windowed_agg,
         "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
         "mv02_incremental_mv": mv02_incremental_mv,
-        # --- core query surface (one witness; adjacent built-in
-        # variants are below the window, all r02-driver-proven) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        # --- dedup family (minhash-LSH, embedding-LSH, clusters) ---
+        "m01_media_features": m01_media_features,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d09_dedup_clusters": d09_dedup_clusters,
-        # --- ANN scale paths (IVF, multi-probe LSH, IVF-PQ+rerank) ---
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
-        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
-        # --- multimodal ---
-        "m01_media_features": m01_media_features,
-        # --- text pipeline (repetition, PII, decontam, packing,
-        # vocab, corpus line-dedup) ---
         "t05_repetition": t05_repetition,
         "t07_decontaminate": t07_decontaminate,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a fully-green driver row from a prior
+        # round (r2 or r3) — this rotation only demotes proven entries.
+        "ice04_rewrite": ice04_rewrite,
+        "ice05_agg_on_merge": ice05_agg_on_merge,
+        "ice06_remove_partitions": ice06_remove_partitions,
+        "ice07_replace_on_merge": ice07_replace_on_merge,
+        "ice08_dedup_on_merge": ice08_dedup_on_merge,
+        "ice10_schema_evolution": ice10_schema_evolution,
+        "ice13_partition_fn_paths": ice13_partition_fn_paths,
+        "ice14_json_flatten_insert": ice14_json_flatten_insert,
+        "ice15_parallel_compaction": ice15_parallel_compaction,
+        "ice18_bloom_pruning": ice18_bloom_pruning,
+        "ice20_incremental_read": ice20_incremental_read,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
-        "t11_line_dedup": t11_line_dedup,
-        "t12_ngram_perplexity": t12_ngram_perplexity,
-        # --- sampling / splits / shuffle-shard ---
         "sm01_hash_sample": sm01_hash_sample,
         "sm02_stratified_sample": sm02_stratified_sample,
         "sm03_split_assign": sm03_split_assign,
         "sm04_top_k_sample": sm04_top_k_sample,
-        "sm06_shuffle_shard": sm06_shuffle_shard,
-        # ==================== driver window boundary (50) ====================
-        # Every entry below either (a) already holds a fully-green driver
-        # row from CORRECTNESS_r02 (ice12/ice16/q17/q31/d01/d08/t02/t06
-        # by this round's rotation; q33/q29/q28/d03/st03/s02/m03 by the
-        # earlier one), or (b) has an in-window sibling witnessing its
-        # family (exact baselines whose scale path is in-window, built-in
-        # Spark SQL variants adjacent to q01, st04/st06 next to st02/ice27,
-        # m02/m04 next to m01, ice26 next to ice18/ice19). ALL 106 keys
-        # stay under the repo's own bit-exact gate replica
-        # (tests/test_entry_oracle.py + tools/check_oracle.py).
         "ice12_path_derived": ice12_path_derived,
         "ice16_format_row": ice16_format_row,
-        "ice26_in_pruning": ice26_in_pruning,
         "q17_approx_distinct": q17_approx_distinct,
         "q31_salted_agg": q31_salted_agg,
         "d01_exact_dedup": d01_exact_dedup,
         "d08_simhash_band16": d08_simhash_band16,
         "t02_text_quality": t02_text_quality,
         "t06_pii_detect": t06_pii_detect,
-        "t13_url_stats": t13_url_stats,
-        "sm07_quality_filter": sm07_quality_filter,
         "q33_percentile_approx": q33_percentile_approx,
         "q29_range_join": q29_range_join,
         "q28_asof_join": q28_asof_join,
@@ -2650,19 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st03_stateful_sessions": st03_stateful_sessions,
         "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
         "m03_image_headers": m03_image_headers,
-        "m04_av_headers": m04_av_headers,
-        "m05_perceptual_hash": m05_perceptual_hash,
-        "m06_phash_pairs": m06_phash_pairs,
         "st04_session_window": st04_session_window,
-        "st06_datasource_stream": st06_datasource_stream,
-        "st07_cdc_stream": st07_cdc_stream,
-        "ice30_partition_evolution": ice30_partition_evolution,
-        "ice31_transform_pruning": ice31_transform_pruning,
-        "ice32_datasource_write": ice32_datasource_write,
-        "ice33_mor_delete": ice33_mor_delete,
-        "ice34_sql_dml": ice34_sql_dml,
-        "ice35_wap": ice35_wap,
-        "st08_datasource_sink": st08_datasource_sink,
         "q02_count_by_user": q02_count_by_user,
         "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
@@ -2685,7 +2690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_string_funcs": q22_string_funcs,
         "q23_array_funcs": q23_array_funcs,
         "q24_salted_join": q24_salted_join,
-        "q25_conditional_agg": q25_conditional_agg,
         "q26_scalar_subquery": q26_scalar_subquery,
         "q27_cube": q27_cube,
         "q30_sessionize": q30_sessionize,
@@ -2693,15 +2697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
         "d06_simhash_pairs": d06_simhash_pairs,
-        "d10_cluster_pick_best": d10_cluster_pick_best,
         "s01_cosine_topk": s01_cosine_topk,
         "m02_frame_sample": m02_frame_sample,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
-        "t10_chunk_docs": t10_chunk_docs,
-        "sm05_mixture_sample": sm05_mixture_sample,
-        "sm08_alpha_sample": sm08_alpha_sample,
     }
 
 
@@ -3013,6 +3013,7 @@ from per_sess group by user_id
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s04_cosine_topk_multiprobe": oracles.cosine_topk_multiprobe_sql(5, 50, 64, 6, 4),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
+        "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         "m01_media_features": oracles.media_features_sql(8),
         "m03_image_headers": """

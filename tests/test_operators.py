@@ -1083,3 +1083,26 @@ def test_hamming_pairs_generic_blocking(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 1)]
     with pytest.raises(ValueError, match="bands"):
         hamming_pairs(sk, "id", "sketch", bits=12, max_hamming=5, band_bits=4)
+
+
+def test_cosine_topk_ivf_tuned_recall(spark, emb):
+    """The s06 production preset (64 cells, nprobe=44) must hold recall@5
+    >= 0.9 against the exact baseline (measured 0.930 at sf0.1; this
+    asserts the same bar on the test corpus)."""
+    from icedb_spark.operators import cosine_topk_ivf
+
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    exact, tuned = {}, {}
+    for tgt, fn in (
+        (exact, lambda: cosine_topk(emb, queries, k=5)),
+        (
+            tuned,
+            lambda: cosine_topk_ivf(
+                emb, queries, n_centroids=64, nprobe=44, k=5
+            ),
+        ),
+    ):
+        for r in fn().collect():
+            tgt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & tuned.get(q, set())) for q in exact)
+    assert hits / sum(len(exact[q]) for q in exact) >= 0.9
