@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (VERDICT r3 #2): detail blocks (per-query deltas, the
+scaling curve, the dml / ops_new suites, ingest throughput) are printed
+as their OWN earlier JSON lines, each tagged {"detail": <name>, ...}; the
+FINAL stdout line is a compact headline-only JSON — {"metric", "value",
+"unit", "queries", "sf", "rows", "ingest_rows_per_sec", ...} — kept well
+under the driver's 2000-char tail capture so BENCH_r{N}.json parses.
 
 Queries are materialized with the noop sink (full execution, no driver
 transfer). One untimed warmup run primes the JVM/codegen caches.
@@ -146,51 +151,132 @@ def main():
         # 2.5x documents, which dominates any naive wall-clock ratio
         "rows": _table_rows(sf_dir),
     }
+    def emit(obj):
+        # each detail block is its OWN stdout line; only the LAST line
+        # must survive the driver's 2000-char tail capture
+        print(json.dumps(obj), flush=True)
+
     prev = _previous_round(sf)
     if prev:
         prev_name, prev_doc = prev
         prev_queries = prev_doc.get("queries") or {}
-        out[f"delta_vs_{prev_name}"] = {
+        deltas = {
             q: round(results[q] / prev_queries[q], 2)
             for q in results
             if prev_queries.get(q)
         }
+        detail = {"detail": "delta", "vs": prev_name, "queries": deltas}
         prev_rows = prev_doc.get("rows")
         if prev_rows:
-            out[f"rows_vs_{prev_name}"] = {
+            detail["rows_ratio"] = {
                 t: round(out["rows"][t] / prev_rows[t], 2)
                 for t in out["rows"]
                 if isinstance(prev_rows.get(t), (int, float)) and prev_rows[t]
             }
         else:
-            out["delta_note"] = (
+            detail["note"] = (
                 f"{prev_name} recorded no row counts; wall-clock ratios vs it "
                 "conflate data growth with code changes"
             )
-    out["scaling"] = _scaling_block(run, sf_dir, sf)
+        emit(detail)
+        prev_total = sum(
+            prev_queries[q] for q in results if prev_queries.get(q)
+        )
+        this_total = sum(
+            results[q] for q in results if prev_queries.get(q)
+        )
+        if prev_total:
+            out[f"delta_total_vs_{prev_name}"] = round(
+                this_total / prev_total, 3
+            )
+    emit({"detail": "scaling", **(_scaling_block(run, sf_dir, sf) or {})})
     # row-level DML lifecycle timings, kept OUT of the headline total so
     # the suite stays comparable to rounds benched before DML existed
-    out["dml"] = {
-        name: round(run(name), 3)
-        for name in (
-            "ice21_delete", "ice23_merge_into", "ice24_rollback",
-            "ice25_change_feed",
+    emit({
+        "detail": "dml",
+        "entries": {
+            name: round(run(name), 3)
+            for name in (
+                "ice21_delete", "ice23_merge_into", "ice24_rollback",
+                "ice25_change_feed",
+            )
+        },
+    })
+    # later-round additions, timed separately for the same comparability
+    # reason as the dml block
+    emit({
+        "detail": "ops_new",
+        "entries": {
+            name: round(run(name), 3)
+            for name in (
+                "ice28_snapshot_tags", "ice29_constraints",
+                "ice31_transform_pruning", "mv02_incremental_mv",
+                "s05_cosine_topk_ivfpq", "s06_cosine_topk_tuned",
+                "t11_line_dedup", "t12_ngram_perplexity", "t13_url_stats",
+                "sm06_shuffle_shard", "sm07_quality_filter",
+            )
+        },
+    })
+    ingest = _ingest_block(spark)
+    emit({"detail": "ingest", **ingest})
+    out["ingest_rows_per_sec"] = ingest["rows_per_sec"]
+    out["ingest_vs_baseline"] = ingest["vs_baseline"]
+    line = json.dumps(out)
+    if len(line) > 1800:  # belt-and-braces: shed optional keys, keep core
+        for k in ("rows", f"delta_total_vs_{prev[0]}" if prev else ""):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 1800:
+                break
+    print(line, flush=True)
+
+
+def _ingest_block(spark):
+    """Insert-throughput analog of the reference's one published comparable
+    number (perf_tests/local_testing/README.md:10-13: 6 M tiny synthetic
+    rows, 100 partitions, local MinIO, ~690 k rows/s). Here: 1 M synthetic
+    rows with the same shape (id, 100-value partition key, two payload
+    columns) through ``IceTable.insert`` — one shuffle, one sorted file
+    per partition, one atomic log commit — timed end-to-end, reported as
+    rows/s and the ratio vs the reference's 690 k."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    n = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "1000000"))
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t = IceTable(
+            spark,
+            root,
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("p", "part")]
+            ),
+            sort_order=["id"],
         )
-    }
-    # late-round-3 additions, timed separately for the same comparability
-    # reason as the dml block (tags, constraints, IVM, transform pruning,
-    # IVF-PQ, line dedup, perplexity, quality cut, shuffle-shard)
-    out["ops_new"] = {
-        name: round(run(name), 3)
-        for name in (
-            "ice28_snapshot_tags", "ice29_constraints",
-            "ice31_transform_pruning", "mv02_incremental_mv",
-            "s05_cosine_topk_ivfpq", "t11_line_dedup",
-            "t12_ngram_perplexity", "t13_url_stats",
-            "sm06_shuffle_shard", "sm07_quality_filter",
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 100).cast("string").alias("part"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+            F.concat(F.lit("user_"), F.col("id") % 5000).alias("user"),
         )
-    }
-    print(json.dumps(out))
+        t0 = time.time()
+        markers = t.insert(df=df)
+        dt = time.time() - t0
+        rps = n / dt if dt > 0 else float("inf")
+        return {
+            "rows": n,
+            "partitions": len(markers),
+            "seconds": round(dt, 3),
+            "rows_per_sec": int(rps),
+            "baseline_rows_per_sec": 690_000,
+            "vs_baseline": round(rps / 690_000, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _scaling_block(run, sf_dir: str, sf: float):

@@ -32,6 +32,7 @@ from .quality import ConstraintViolation, split_valid, violation_counts
 from .session import get_spark
 from .catalog import IceCatalog
 from .datasource import IceDataSource
+from .locks import file_lock_provider
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [

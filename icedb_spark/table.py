@@ -27,12 +27,14 @@ Scale design notes (targeting a 1000-executor cluster, not local mode):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
 import threading
 import uuid
 import warnings
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import NamedTuple, Callable, Iterable, Optional, Union
 
@@ -335,6 +337,20 @@ def _split_top_level_commas(s: str) -> list[str]:
     return [p for p in (x.strip() for x in out) if p]
 
 
+def _maintenance_op(fn):
+    """Hold the table's ``lock_provider`` (if configured) for the duration
+    of an exclusive maintenance operation. Reentrant within a thread, so
+    compound operations (``optimize`` -> ``merge_all`` -> ``merge``)
+    acquire the external lock exactly once."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._maintenance_lock(fn.__name__):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 def parse_partition(part: str) -> dict[str, str]:
     """``u=a/d=2023-06-07`` → ``{"u": "a", "d": "2023-06-07"}``."""
     out: dict[str, str] = {}
@@ -468,6 +484,7 @@ class IceTable:
         bloom_k: int = 4,
         constraints: Optional[dict[str, str]] = None,
         constraint_mode: str = "fail",
+        lock_provider: Optional[Callable[[str], "object"]] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -536,6 +553,21 @@ class IceTable:
         self.constraint_mode = constraint_mode
         # scheme-dispatched: plain/``file://`` -> POSIX, ``s3://`` etc. ->
         # fsspec with put-retry; reads go through storage.absolute() URIs
+        # Exclusive-lock hook for multi-node maintenance: the reference
+        # REQUIRES callers to hold an external exclusive lock around
+        # merge/vacuum (/root/reference/ARCHITECTURE.md:115-117,
+        # README.md:600-616) but cannot enforce it; this turns the
+        # documented contract into an enforceable one. A provider is a
+        # callable ``op_name -> context manager`` held for the whole
+        # operation (every rewrite/vacuum path below is decorated with
+        # @_maintenance_op). ``locks.file_lock_provider`` covers shared-
+        # filesystem deployments; object-store deployments plug a
+        # DynamoDB / ZooKeeper / Postgres advisory lock with the same
+        # shape. Default None keeps the reference behavior: the caller
+        # manages locking. Inserts never take the lock — concurrent
+        # lock-free inserts are safe by the log design.
+        self.lock_provider = lock_provider
+        self._lock_local = threading.local()
         self.storage = storage_for(self.path)
         # log may live on a separate (lower-latency) store than data —
         # reference keeps separate log/data S3 clients with own credentials
@@ -543,6 +575,24 @@ class IceTable:
         self.log_storage = log_storage or self.storage
         self.log_io = IceLogIO()
         self._persist_spec()
+
+    @contextmanager
+    def _maintenance_lock(self, op: str):
+        local = self._lock_local
+        depth = getattr(local, "depth", 0)
+        if self.lock_provider is None or depth:
+            local.depth = depth + 1
+            try:
+                yield
+            finally:
+                local.depth -= 1
+            return
+        with self.lock_provider(op):
+            local.depth = 1
+            try:
+                yield
+            finally:
+                local.depth = 0
 
     # -------------------------------------------------------------- metadata
 
@@ -1501,6 +1551,7 @@ class IceTable:
 
     # ------------------------------------------------------------------ merge
 
+    @_maintenance_op
     def merge(
         self,
         max_file_size: int = 10_000_000,
@@ -1535,6 +1586,7 @@ class IceTable:
             return self._merge_files(state, part, acc)
         return None
 
+    @_maintenance_op
     def optimize(self, full: bool = True, concurrency: int = 0, **merge_kwargs) -> int:
         """Merge-to-exhaustion convenience. ``concurrency=0`` loops ``merge``
         serially — ``full=True`` processes partitions smallest-file-count
@@ -1553,6 +1605,7 @@ class IceTable:
             n += 1
         return n
 
+    @_maintenance_op
     def merge_all(
         self,
         max_file_size: int = 10_000_000,
@@ -1764,6 +1817,7 @@ class IceTable:
 
     # ---------------------------------------------------------------- cleanup
 
+    @_maintenance_op
     def rollback(self, at_ms: int) -> dict:
         """Restore the table to its snapshot at ``at_ms`` with ONE atomic,
         metadata-only commit (beyond reference — the MVCC log makes this
@@ -1851,6 +1905,7 @@ class IceTable:
             "files_removed": len(to_remove),
         }
 
+    @_maintenance_op
     def tombstone_cleanup(
         self,
         min_age_ms: int,
@@ -2066,6 +2121,7 @@ class IceTable:
             pass
         return 0
 
+    @_maintenance_op
     def gc_orphans(
         self, grace_ms: int = 24 * 3600 * 1000, dry_run: bool = False
     ) -> tuple[list[str], list[str]]:
@@ -2149,6 +2205,7 @@ class IceTable:
 
     # ------------------------------------------------------- partition admin
 
+    @_maintenance_op
     def remove_partitions(
         self,
         removal_fn: Callable[[list[str]], list[str]],
@@ -2179,6 +2236,7 @@ class IceTable:
             )
         return len(tombstoned)
 
+    @_maintenance_op
     def rewrite_partition(
         self, partition: str, filter_query: str, concurrency: int = 8
     ) -> list[str]:
@@ -2537,6 +2595,7 @@ class IceTable:
         )
         return {"ts": ts, "predicate": where, "mode": "merge_on_read"}
 
+    @_maintenance_op
     def apply_deletes(self, concurrency: int = 8) -> int:
         """Pay down the merge-on-read debt NOW: rewrite every alive file
         some pending delete set still applies to (folding the predicates
@@ -2569,6 +2628,7 @@ class IceTable:
         self._commit_merge(state, rewritten)
         return sum(len(acc) for _part, acc in plans)
 
+    @_maintenance_op
     def delete(
         self,
         where: str,
@@ -2684,6 +2744,7 @@ class IceTable:
         commit(new_markers, replaced)
         return summary
 
+    @_maintenance_op
     def update(
         self,
         set: dict[str, str],
@@ -2828,6 +2889,7 @@ class IceTable:
         commit(new_markers, replaced)
         return summary
 
+    @_maintenance_op
     def merge_into(
         self,
         source: DataFrame,

@@ -113,3 +113,57 @@ def test_concurrent_processes_insert_and_merge(spark, tmp_path):
     assert got2 == got
     parts = {m.partition() for m in t.snapshot().alive_files()}
     assert len(parts) == len(t.snapshot().alive_files()) == 2
+
+
+LOCKED_MERGER = _COMMON % "lockmerge" + """
+from icedb_spark import file_lock_provider
+t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"],
+             lock_provider=file_lock_provider(path + "/.maintenance.lock"))
+passes = int(sys.argv[2])
+merged = 0
+for _ in range(passes):
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        merged += 1
+    time.sleep(0.25)
+print("merged", merged, flush=True)
+"""
+
+
+def test_two_mergers_race_with_file_lock(spark, tmp_path):
+    """merge-vs-merge requires an exclusive lock (reference
+    ARCHITECTURE.md:115-117). With IceTable(lock_provider=
+    file_lock_provider(...)), TWO merger processes racing one inserter
+    must serialize: no lost rows, no duplicated rows (the unlocked
+    failure mode is both mergers rewriting the same source files into
+    two alive merged files), every alive file on disk."""
+    path = str(tmp_path / "tbl")
+    env = dict(os.environ)
+
+    def run(script, tag, *args):
+        f = tmp_path / f"script_{tag}.py"
+        f.write_text(script)
+        return subprocess.Popen(
+            [sys.executable, str(f), path, *map(str, args)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+
+    n_each = 8
+    procs = [
+        run(INSERTER, "ins", 0, n_each),
+        run(LOCKED_MERGER, "m1", 5),
+        run(LOCKED_MERGER, "m2", 5),
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out.decode(), err.decode()[-800:]))
+    assert all(rc == 0 for rc, _o, _e in outs), outs
+
+    spec = PartitionSpec(fields=[
+        PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')")
+    ])
+    t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+    got = sorted(r["k"] for r in t.read().select("k").collect())
+    assert got == list(range(n_each))  # no loss, no duplication
+    for m in t.snapshot().alive_files():
+        assert os.path.exists(t.storage.absolute(m.path)), m.path

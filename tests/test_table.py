@@ -933,3 +933,39 @@ def test_abandoned_staged_batch_is_orphan_collected(spark, tmp_path):
     assert any("grace" in str(x.message) for x in rec)
     assert {m.path for m in staged.markers} <= set(deleted2)
     assert t.read().count() == 1
+
+
+def test_lock_provider_acquired_once_per_compound_op(spark, tmp_path):
+    """The maintenance lock is reentrant within a thread: optimize ->
+    merge_all -> merge acquires the provider exactly once, and every
+    rewrite/vacuum entry point takes it; insert never does."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    acquired = []
+
+    class _Ctx:
+        def __init__(self, op):
+            self.op = op
+
+        def __enter__(self):
+            acquired.append(self.op)
+
+        def __exit__(self, *exc):
+            return False
+
+    t = IceTable(
+        spark, str(tmp_path / "locked"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"], lock_provider=_Ctx,
+    )
+    t.insert(rows=[{"id": 1, "kind": "a"}])
+    t.insert(rows=[{"id": 2, "kind": "a"}])
+    assert acquired == []  # inserts are lock-free by contract
+    t.optimize(max_file_size=1 << 40, max_file_count=100)
+    assert acquired == ["optimize"]  # one acquisition for the compound op
+    acquired.clear()
+    t.delete("id = 2")
+    assert acquired == ["delete"]
+    acquired.clear()
+    t.tombstone_cleanup(min_age_ms=0)
+    assert acquired == ["tombstone_cleanup"]
