@@ -538,11 +538,127 @@ class FsspecStorage:
         return f"{self.root}/{key}"
 
 
+class PyArrowFsStorage:
+    """Object-store storage backed by ``pyarrow.fs`` — the fallback for
+    environments without fsspec (pyarrow bundles the real AWS C++ SDK S3
+    client, so ``s3://`` works out of the box). Same five-method contract
+    and transient-retry policy as :class:`FsspecStorage`.
+
+    Credentials/endpoint resolve exactly as the AWS SDK does (env vars
+    incl. ``AWS_ENDPOINT_URL``, profiles, IMDS); ``storage_options``
+    pass straight to ``pyarrow.fs.S3FileSystem`` (``access_key``,
+    ``secret_key``, ``endpoint_override``, ``scheme``, ``region``, ...)
+    for explicit configuration. End-to-end tested against a real S3 REST
+    server in tests/test_s3_lifecycle.py.
+    """
+
+    def __init__(
+        self,
+        root_uri: str,
+        storage_options: Optional[dict] = None,
+        attempts: int = 3,
+        backoff_s: float = 0.3,
+    ):
+        import pyarrow.fs as pafs
+
+        self.root = root_uri.rstrip("/")
+        self.protocol = root_uri.split("://", 1)[0]
+        self._base = self.root.split("://", 1)[1]
+        if storage_options:
+            if self.protocol != "s3":
+                raise ValueError(
+                    "storage_options are only supported for s3:// roots"
+                )
+            self.fs = pafs.S3FileSystem(**storage_options)
+        else:
+            self.fs, _ = pafs.FileSystem.from_uri(self.root)
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+
+    def _abs(self, key: str) -> str:
+        return f"{self._base}/{key}"
+
+    def _retry(self, fn):
+        return retry_transient(
+            fn, attempts=self.attempts, backoff_s=self.backoff_s
+        )
+
+    def put(self, key: str, data: bytes) -> None:
+        # visible atomically at multipart-complete / PUT on object stores
+        def _put():
+            with self.fs.open_output_stream(self._abs(key)) as f:
+                f.write(data)
+
+        self._retry(_put)
+
+    def get(self, key: str) -> bytes:
+        def _get():
+            with self.fs.open_input_stream(self._abs(key)) as f:
+                return f.read()
+
+        return self._retry(_get)
+
+    def list(
+        self, prefix: str, include_hidden: bool = False
+    ) -> list[tuple[str, int]]:
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(
+            self._abs(prefix), recursive=True, allow_not_found=True
+        )
+        infos = self._retry(lambda: self.fs.get_file_info(sel))
+        out = []
+        for fi in infos:
+            if fi.type != pafs.FileType.File:
+                continue
+            name = fi.path.rsplit("/", 1)[-1]
+            if not include_hidden and (
+                name.startswith(".") or ".tmp-" in name
+            ):
+                continue
+            rel = fi.path[len(self._base):].lstrip("/")
+            out.append((rel, int(fi.size or 0)))
+        out.sort()
+        return out
+
+    def delete(self, key: str) -> None:
+        try:
+            self._retry(lambda: self.fs.delete_file(self._abs(key)))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def size(self, key: str) -> int:
+        return int(self._retry(lambda: self.fs.get_file_info(self._abs(key))).size)
+
+    def exists(self, key: str) -> bool:
+        import pyarrow.fs as pafs
+
+        fi = self._retry(lambda: self.fs.get_file_info(self._abs(key)))
+        return fi.type != pafs.FileType.NotFound
+
+    def mtime_ms(self, key: str) -> Optional[int]:
+        import pyarrow.fs as pafs
+
+        try:
+            fi = self._retry(lambda: self.fs.get_file_info(self._abs(key)))
+        except OSError:
+            return None
+        if fi.type == pafs.FileType.NotFound or fi.mtime is None:
+            return None
+        return int(fi.mtime.timestamp() * 1000)
+
+    def absolute(self, key: str) -> str:
+        if self.protocol == "s3":
+            return f"s3a://{self._base}/{key}"
+        return f"{self.root}/{key}"
+
+
 def storage_for(root: str, **kwargs):
     """Factory: pick the Storage implementation from the root's scheme.
 
     Plain paths and ``file://`` stay POSIX; ``memory://`` maps to the
-    in-process store; anything else (``s3://`` etc.) goes through fsspec.
+    in-process store; anything else (``s3://`` etc.) goes through fsspec,
+    falling back to pyarrow.fs (bundled AWS SDK) when fsspec is absent.
     """
     if "://" not in root:
         return Storage(root)
@@ -551,7 +667,10 @@ def storage_for(root: str, **kwargs):
         return Storage("/" + rest.lstrip("/"))
     if proto == "memory":
         return MemoryStorage(rest)
-    return FsspecStorage(root, **kwargs)
+    try:
+        return FsspecStorage(root, **kwargs)
+    except ImportError:
+        return PyArrowFsStorage(root, **kwargs)
 
 
 def path_safe_hostname() -> str:

