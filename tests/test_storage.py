@@ -155,14 +155,29 @@ def test_table_with_file_uri_root(spark, tmp_path):
     assert t.read().count() == 4
 
 
-def test_fsspec_storage_requires_fsspec():
+def test_s3_falls_back_to_pyarrow_without_fsspec():
+    """Without fsspec, storage_for('s3://...') falls back to the
+    pyarrow-bundled AWS SDK client (PyArrowFsStorage) instead of failing
+    — tests/test_s3_lifecycle.py drives it end-to-end."""
     try:
         import fsspec  # noqa: F401
-        pytest.skip("fsspec installed; gate does not apply")
+        pytest.skip("fsspec installed; fallback does not apply")
     except ImportError:
         pass
-    with pytest.raises(ImportError, match="fsspec"):
-        storage_for("s3://bucket/table")
+    from icedb_spark.log import PyArrowFsStorage
+
+    st = storage_for(
+        "s3://bucket/table",
+        storage_options={
+            "access_key": "k",
+            "secret_key": "s",
+            "endpoint_override": "127.0.0.1:1",  # never contacted here
+            "scheme": "http",
+            "region": "us-east-1",
+        },
+    )
+    assert isinstance(st, PyArrowFsStorage)
+    assert st.absolute("x") == "s3a://bucket/table/x"
 
 
 # ------------------------------------------------- fsspec end-to-end + faults
