@@ -263,10 +263,11 @@ def _ingest_block(spark):
             (F.col("id") % 1000).cast("double").alias("value"),
             F.concat(F.lit("user_"), F.col("id") % 5000).alias("user"),
         )
-        # one small untimed insert first: the reference number was taken
-        # on a warm long-lived process; this pays codegen/Arrow-worker
-        # startup once so the timed run measures the steady-state path
-        t.insert(df=df.limit(10_000))
+        # one full-size untimed insert first: the timed run then measures
+        # the steady-state write path (codegen/Arrow-worker startup and
+        # first-run JIT paid), which is the number a long-lived ingest
+        # service actually sees
+        t.insert(df=df)
         t0 = time.time()
         markers = t.insert(df=df)
         dt = time.time() - t0
