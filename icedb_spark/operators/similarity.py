@@ -13,6 +13,10 @@
 * :func:`cosine_topk_ivfpq` — IVF + product quantization: vectors stored
   as m_sub one-byte codes, ADC table-lookup scoring, optional exact
   rerank — the billion-scale memory layout.
+* :func:`cosine_topk_ivf_trained` — IVF with an IN-ENGINE trained
+  codebook: deterministic Lloyd (k-means) iterations refine the seed
+  centroids, so a small nprobe/C ratio reaches the recall the untrained
+  codebook needs majority-coverage for.
 """
 
 from __future__ import annotations
@@ -150,6 +154,120 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_topk_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cosine top-k with a k-means-TRAINED codebook (Lloyd
+    iterations), demonstrating the production recall/cost trade the
+    untrained variants cannot reach: cells that follow the data need a
+    small ``nprobe/C`` ratio where the lowest-id seed codebook
+    (:func:`cosine_topk_ivf`) needs majority coverage.
+
+    Determinism across engines (the whole point of the oracle gate) with
+    floating-point means: training runs on vectors ROUNDED to 3 decimals
+    and each refined centroid component is rounded to 4 decimals — at
+    those precisions the summation-order differences between Spark's
+    shuffle-order aggregation and any other engine's are ~1e-12 below
+    the rounding step, so both engines materialize bit-identical
+    codebooks. Assignment/probing use round(cosine, 6) with centroid-id
+    tiebreaks, as everywhere else. Final scoring uses the ORIGINAL
+    vectors (training precision never touches result cosines).
+
+    Scale shape: each Lloyd iteration is the same broadcast-codebook +
+    map-side argmax assignment as search-time cell assignment, plus a
+    partial-aggregatable per-(cell, dim) mean — O(iters * N * C)
+    compute, no shuffle wider than C*dim rows. Production systems train
+    offline on a sample and feed centroids in; this shows the identical
+    plan running in-engine, and ``iters=0`` degrades exactly to
+    :func:`cosine_topk_ivf`.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
+    ).withColumn("tv", F.transform("dv", lambda x: F.round(x, 3)))
+    cents = (
+        v.orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("tv").alias("cv"))
+    )
+    for _ in range(iters):
+        csim = F.round(
+            _dot(F.col("tv"), F.col("cv"))
+            / (_norm(F.col("tv")) * _norm(F.col("cv"))),
+            6,
+        )
+        assigned = (
+            v.select("id", "tv")
+            .crossJoin(F.broadcast(cents))
+            .select("id", "tv", "cid", csim.alias("cs"))
+            .groupBy("id", "tv")
+            .agg(
+                F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
+                    "cell"
+                )
+            )
+        )
+        cents = assigned.groupBy(F.col("cell").alias("cid")).agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col("tv")[i]), 4)
+                    for i in range(dim)
+                ]
+            ).alias("cv")
+        )
+    vn = v.withColumn("n", _norm(F.col("dv")))
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "dv", "n", "cid", sim.alias("csim"))
+        .groupBy("id", "dv", "n")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "qv", "qn", "cid", qsim.alias("qsim"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("dv"), F.col("qv")) / (F.col("n") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def cosine_topk_multiprobe(

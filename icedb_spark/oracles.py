@@ -359,6 +359,79 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
 """
 
 
+def cosine_topk_ivf_trained_sql(
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.similarity.cosine_topk_ivf_trained``: the
+    Lloyd iterations are UNROLLED as CTE pairs (assign_i, cents_i).
+    Cross-engine float determinism comes from the same rounding ladder as
+    the Spark side: training vectors rounded to 3 decimals, refined
+    centroid components to 4, cosines to 6 with id tiebreaks — at those
+    precisions summation-order differences sit ~1e-12 below the rounding
+    step, so both engines materialize identical codebooks."""
+    ctes = [
+        f"""v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+), vr as (
+  select id, dv, list_transform(dv, x -> round(x, 3)) as tv from v
+), c0 as (
+  select id as cid, tv as cv from vr order by id limit {n_centroids}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} as (
+  select id, tv, cell from (
+    select vr.id, vr.tv, c.cid as cell,
+      row_number() over (partition by vr.id
+        order by round(list_cosine_similarity(vr.tv, c.cv), 6) desc, c.cid asc) as rn
+    from vr, {prev} c
+  ) where rn = 1
+), c{i} as (
+  select cell as cid, list(mv order by idx) as cv from (
+    select cell, r.i as idx, round(avg(tv[r.i]), 4) as mv
+    from a{i}, range(1, {dim + 1}) r(i)
+    group by cell, r.i
+  ) group by cell
+)""")
+        prev = f"c{i}"
+    return f"""
+with {', '.join(ctes)}, assign as (
+  select id, dv, cell from (
+    select vr.id, vr.dv, c.cid as cell,
+      row_number() over (partition by vr.id
+        order by round(list_cosine_similarity(vr.dv, c.cv), 6) desc, c.cid asc) as rn
+    from vr, {prev} c
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qv, cell from (
+    select q.query_id, q.qv, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, {prev} c
+  ) where rn <= {nprobe}
+), scored as (
+  select p.query_id, a.id as neighbor_id,
+    round(list_cosine_similarity(a.dv, p.qv), 6) as cosine
+  from assign a join probes p on a.cell = p.cell
+  where p.query_id <> a.id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
+"""
+
+
 def cosine_topk_ivf_sql(
     k: int = 5,
     query_mod: int = 50,

@@ -1106,3 +1106,43 @@ def test_cosine_topk_ivf_tuned_recall(spark, emb):
             tgt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(exact[q] & tuned.get(q, set())) for q in exact)
     assert hits / sum(len(exact[q]) for q in exact) >= 0.9
+
+
+def test_cosine_topk_ivf_trained_deterministic_and_recall(spark, emb):
+    """The k-means-trained IVF must (a) be run-to-run deterministic (the
+    rounding ladder makes float summation order irrelevant), (b) return
+    the standard ANN schema, (c) not lose recall vs the UNTRAINED
+    codebook at the same nprobe on this corpus."""
+    from icedb_spark.operators import cosine_topk_ivf, cosine_topk_ivf_trained
+
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+
+    def run():
+        return cosine_topk_ivf_trained(
+            emb, queries, dim=64, n_centroids=64, nprobe=8, iters=2, k=5
+        )
+
+    a = sorted(map(tuple, run().collect()))
+    b = sorted(map(tuple, run().collect()))
+    assert a == b  # bit-identical across runs
+    assert run().columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+    exact, untrained, trained = {}, {}, {}
+    for tgt, fn in (
+        (exact, lambda: cosine_topk(emb, queries, k=5)),
+        (
+            untrained,
+            lambda: cosine_topk_ivf(
+                emb, queries, n_centroids=64, nprobe=8, k=5
+            ),
+        ),
+        (trained, run),
+    ):
+        for r in fn().collect():
+            tgt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    assert recall(trained) >= recall(untrained)
