@@ -304,20 +304,55 @@ class _IceStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._handle = _LogHandle(options)
         self._since = int(options.get("since_ms") or 0)
+        # Backpressure (the maxFilesPerTrigger analog, in the log's
+        # native unit): each micro-batch advances past at most N commits,
+        # so a stream resuming after a long gap drains the backlog in
+        # bounded chunks instead of one giant batch. Latency knob, not a
+        # correctness knob: offsets stay exact; after a RESTART the first
+        # trigger may exceed the cap (the Python stream API gives
+        # latestOffset() no view of the checkpointed start, and returning
+        # an offset behind it would regress the checkpoint), then the cap
+        # re-engages from the next trigger.
+        self._max_commits = int(options.get("max_commits_per_batch") or 0)
+        # Advance floor for the cap. Seeded from since_ms on first use
+        # (Spark asks latestOffset BEFORE initialOffset on a fresh
+        # stream) and bumped by every batch's bounds. After a restart the
+        # floor starts at since_ms again, below the checkpointed start:
+        # the capped offsets are then behind the checkpoint for a few
+        # (empty) batches until the floor catches up — bounded-latency
+        # catch-up, and a crash inside that window re-emits at most the
+        # capped commits (at-least-once; the icedb streaming SINK already
+        # dedups by batch id, and foreachBatch sinks must tolerate
+        # replays anyway).
+        self._cursor: Optional[int] = None
 
     def initialOffset(self):
+        self._cursor = self._since
         return {"ts": self._since}
 
     def latestOffset(self):
-        head = self._since
-        for key, _size in self._handle.log_io.get_current_log_files(
-            self._handle.log_storage
-        ):
-            head = max(head, get_log_file_info(key)[0])
+        if self._cursor is None:
+            self._cursor = self._since
+        stamps = sorted(
+            get_log_file_info(key)[0]
+            for key, _size in self._handle.log_io.get_current_log_files(
+                self._handle.log_storage
+            )
+        )
+        head = max(stamps or [self._since], default=self._since)
+        head = max(head, self._since)
+        if self._max_commits and self._cursor is not None:
+            pending = [t for t in stamps if t > self._cursor]
+            if len(pending) > self._max_commits:
+                head = pending[self._max_commits - 1]
+        if self._cursor is not None:
+            head = max(head, self._cursor)
+        self._cursor = head
         return {"ts": head}
 
     def partitions(self, start, end):
         lo, hi = start["ts"], end["ts"]
+        self._cursor = max(self._cursor or 0, lo, hi)
         state = self._handle.state(at_ms=hi)
         paths: list[str] = []
         for key in state.log_files:
@@ -356,6 +391,7 @@ class _IceChangeStreamReader(_IceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["ts"], end["ts"]
+        self._cursor = max(self._cursor or 0, lo, hi)
         state = self._handle.state(at_ms=hi)
         committed: set[int] = set()
         parts: list[_ScanPartition] = []

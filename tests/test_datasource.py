@@ -400,3 +400,45 @@ def test_writer_keeps_partition_column_when_spec_preserves(spark, tmp_path):
     assert [r["_partition"] for r in got] == ["k=a", "k=a"]
     # placement still honored the value
     assert {m.partition() for m in t.snapshot().alive_files()} == {"k=a"}
+
+def test_streaming_source_rate_limits_commits_per_batch(spark, tmp_path):
+    """max_commits_per_batch=1: a stream facing a 4-commit backlog drains
+    it one commit per micro-batch (bounded chunks, the maxFilesPerTrigger
+    analog) instead of one giant batch — offsets stay exact, so nothing
+    is lost or duplicated."""
+    import time as _time
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark, str(tmp_path / "rl"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    for i in range(4):
+        t.insert(rows=[
+            {"id": 2 * i, "kind": "a"}, {"id": 2 * i + 1, "kind": "a"},
+        ])
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    batches: list[int] = []
+    q = (
+        spark.readStream.format("icedb")
+        .option("path", t.path)
+        .option("max_commits_per_batch", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: batches.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ck_rl"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while sum(batches) < 8 and _time.time() < deadline:
+        _time.sleep(0.5)
+    q.stop()
+    nonempty = [b for b in batches if b]
+    assert sum(batches) == 8          # nothing lost, nothing duplicated
+    assert len(nonempty) == 4         # one commit per micro-batch...
+    assert max(nonempty) == 2         # ...never more than one commit's rows
