@@ -65,7 +65,30 @@ class IceCatalog:
         the one-liner for attaching an existing lakehouse directory."""
         return self.add(name, IceTable.open(self.spark, path, **overrides))
 
-    def remove(self, name: str) -> None:
+    def discover(self, warehouse_root: str) -> "IceCatalog":
+        """Mount every table under a warehouse root: each immediate child
+        directory holding a persisted ``_meta/spec.json`` is attached
+        under its directory name (``warehouse/events`` → table
+        ``events``). One storage listing, then one :meth:`add_path` per
+        table — the zero-config way to open an existing lakehouse
+        directory tree. Children without a spec (or unreadable) are
+        skipped; names that collide with an already-registered table
+        raise, same contract as :meth:`add`."""
+        from .log import storage_for
+
+        store = storage_for(warehouse_root.rstrip("/"))
+        names = sorted(
+            {
+                key.split("/", 1)[0]
+                for key, _size in store.list("", include_hidden=True)
+                if key.count("/") >= 1
+                and key.split("/", 2)[1:2] == ["_meta"]
+                and key.endswith("spec.json")
+            }
+        )
+        for name in names:
+            self.add_path(name, f"{warehouse_root.rstrip('/')}/{name}")
+        return self
         # same lock as sql(): dropping the view while another thread is
         # between registration and query would race it into a missing or
         # stale view

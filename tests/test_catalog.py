@@ -181,3 +181,21 @@ def test_time_travel_dml_error_only_when_a_table_matches(cat, spark):
     assert "time-traveled" not in str(e.value)
     # and nothing was mutated by the first refusal
     assert cat.sql("select count(*) as c from orders").collect()[0]["c"] == 20
+
+
+def test_discover_mounts_warehouse_tree(spark, tmp_path):
+    """discover() attaches every child directory holding a persisted
+    _meta/spec.json under its directory name; non-table children are
+    skipped."""
+    wh = tmp_path / "wh"
+    for nm in ("users", "orders"):
+        t = _mk(spark, wh / nm)
+        t.insert([{"bucket": "b", "k": 1, "name": nm}])
+    (wh / "not_a_table").mkdir(parents=True)
+    (wh / "not_a_table" / "junk.txt").write_text("x")
+    cat = IceCatalog(spark).discover(str(wh))
+    assert cat.names() == ["orders", "users"]
+    out = cat.sql(
+        "select name from users union all select name from orders"
+    ).collect()
+    assert sorted(r["name"] for r in out) == ["orders", "users"]

@@ -198,3 +198,20 @@ def test_line_dedup_first_pick_is_partial_agg_not_window(spark, sf_dir):
     assert "partial_min" in plan or "partial_merge_min" in plan or (
         "HashAggregate" in plan and "min(" in plan
     )
+
+
+def test_trained_ivf_plans_broadcast_codebook(spark, sf_dir):
+    """s07: every Lloyd iteration and the search itself must join against
+    a BROADCAST codebook — never a shuffle of the corpus for assignment,
+    never an unbroadcast cartesian."""
+    from icedb_spark.operators import cosine_topk_ivf_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    df = cosine_topk_ivf_trained(
+        emb, queries, dim=64, n_centroids=16, nprobe=4, iters=2, k=5
+    )
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # broadcast codebook
+    assert "BroadcastHashJoin" in plan                 # probed-cell join
