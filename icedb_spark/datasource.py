@@ -275,6 +275,11 @@ def _read_conformed(abs_path: str, schema: StructType):
     if "://" in abs_path:
         import pyarrow.fs as pafs
 
+        # Storage.absolute() maps s3 roots to s3a:// for Spark's Hadoop
+        # parquet reader, but THIS path reads via pyarrow on the Python
+        # worker — same objects, pyarrow's native client, s3:// scheme
+        if abs_path.startswith("s3a://"):
+            abs_path = "s3://" + abs_path[len("s3a://"):]
         fs, inner = pafs.FileSystem.from_uri(abs_path)
         table = pq.read_table(inner, filesystem=fs)
     else:

@@ -45,7 +45,7 @@ class _Obj:
 class MiniS3Server:
     """``with MiniS3Server() as s3: ... s3.endpoint ...``"""
 
-    def __init__(self):
+    def __init__(self, port: int = 0):
         self.buckets: dict[str, dict[str, _Obj]] = {}
         self.uploads: dict[str, dict[int, bytes]] = {}
         self._lock = threading.Lock()
@@ -265,7 +265,7 @@ class MiniS3Server:
                     self.end_headers()
 
         self._server = http.server.ThreadingHTTPServer(
-            ("127.0.0.1", 0), HeadFixHandler
+            ("127.0.0.1", port), HeadFixHandler
         )
         self.port = self._server.server_address[1]
         self.endpoint = f"http://127.0.0.1:{self.port}"

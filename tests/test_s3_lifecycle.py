@@ -10,11 +10,14 @@ byte here crosses a real HTTP S3 wire — executor Arrow writers included.
 Covered on ``s3://`` roots for BOTH the log and data slots: insert
 (executor-side multipart parquet writes + atomic log commit), fold/read
 of the log, time travel, rollback, vacuum physically deleting S3
-objects, and gc_orphans collecting unreferenced uploads. NOT covered:
-Spark scans of the data (``s3a://`` needs hadoop-aws jars this
-container lacks — the mapping in ``Storage.absolute()`` is the deploy
-contract); data files are read back and value-checked through the same
-real S3 client instead.
+objects, and gc_orphans collecting unreferenced uploads — plus a full
+``spark.read.format('icedb')`` batch scan over the s3:// root (the
+DataSource reads via pyarrow on the Python workers, so it needs no
+hadoop-aws). The ONE remaining un-coverable piece is the engine's own
+``IceTable.read`` scan (Spark's Hadoop ``s3a://`` reader needs
+hadoop-aws jars this container lacks — the mapping in
+``Storage.absolute()`` is that deploy contract); those data files are
+value-checked back through the same real S3 client instead.
 """
 
 from __future__ import annotations
@@ -141,3 +144,53 @@ def test_s3_storage_contract(s3env):
     st.delete("x/a.bin")
     st.delete("x/a.bin")  # idempotent
     assert not st.exists("x/a.bin")
+
+
+def test_s3_datasource_batch_read(spark, tmp_path):
+    """spark.read.format('icedb') over an s3:// root, end-to-end on the
+    real S3 wire: the DRIVER folds the log through the ambient-env
+    pyarrow client, and EXECUTOR python workers read the parquet objects
+    via pyarrow's native s3:// (Storage.absolute()'s s3a:// mapping is
+    for Spark's Hadoop reader; the DataSource read path translates it
+    back). Requires the conftest-reserved endpoint so workers inherited
+    the env at process-tree start."""
+    from conftest import MINI_S3_PORT
+    from icedb_spark.datasource import IceDataSource
+
+    with MiniS3Server(port=MINI_S3_PORT) as _srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{MINI_S3_PORT}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        pafs.S3FileSystem(**opts).create_dir("dsbkt", recursive=True)
+        t = IceTable(
+            spark,
+            "s3://dsbkt/tbl",
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"],
+            storage_options=opts,
+        )
+        t.insert(rows=[
+            {"id": 1, "kind": "a"}, {"id": 2, "kind": "b"},
+            {"id": 3, "kind": "a"},
+        ])
+        try:
+            spark.dataSource.register(IceDataSource)
+        except Exception:
+            pass
+        got = (
+            spark.read.format("icedb")
+            .option("path", "s3://dsbkt/tbl")
+            .load()
+            .orderBy("id")
+            .collect()
+        )
+        assert [(r["id"], r["kind"]) for r in got] == [
+            (1, "a"), (2, "b"), (3, "a"),
+        ]
