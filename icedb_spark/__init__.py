@@ -29,6 +29,7 @@ from .log import (
 )
 from .mv import DoubleWriter, IncrementalView
 from .quality import ConstraintViolation, split_valid, violation_counts
+from .rest import IceRestServer, RowBatcher
 from .session import get_spark
 from .catalog import IceCatalog
 from .datasource import IceDataSource
@@ -45,6 +46,8 @@ __all__ = [
     "get_spark",
     "IceLogIO",
     "IceCatalog",
+    "IceRestServer",
+    "RowBatcher",
     "IceDataSource",
     "IceTable",
     "LogMetadata",
