@@ -71,24 +71,31 @@ class IceCatalog:
         under its directory name (``warehouse/events`` → table
         ``events``). One storage listing, then one :meth:`add_path` per
         table — the zero-config way to open an existing lakehouse
-        directory tree. Children without a spec (or unreadable) are
-        skipped; names that collide with an already-registered table
-        raise, same contract as :meth:`add`."""
+        directory tree. Children without a readable spec (or whose
+        directory name can't be a view name) are skipped; a name that
+        collides with an already-registered table replaces it, same
+        contract as :meth:`add`."""
         from .log import storage_for
 
         store = storage_for(warehouse_root.rstrip("/"))
         names = sorted(
             {
-                key.split("/", 1)[0]
+                key.split("/")[0]
                 for key, _size in store.list("", include_hidden=True)
-                if key.count("/") >= 1
-                and key.split("/", 2)[1:2] == ["_meta"]
-                and key.endswith("spec.json")
+                if key.split("/")[1:] == ["_meta", "spec.json"]
             }
         )
+        # a directory name that can't be a view name can't be mounted —
+        # skip it rather than abort the whole warehouse
+        names = [n for n in names if n.isidentifier()]
         for name in names:
-            self.add_path(name, f"{warehouse_root.rstrip('/')}/{name}")
+            try:
+                self.add_path(name, f"{warehouse_root.rstrip('/')}/{name}")
+            except Exception:
+                continue  # unreadable or corrupt spec: skip, per contract
         return self
+
+    def remove(self, name: str) -> None:
         # same lock as sql(): dropping the view while another thread is
         # between registration and query would race it into a missing or
         # stale view

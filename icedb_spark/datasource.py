@@ -313,26 +313,26 @@ class _IceStreamReader(DataSourceStreamReader):
         # native unit): each micro-batch advances past at most N commits,
         # so a stream resuming after a long gap drains the backlog in
         # bounded chunks instead of one giant batch. Latency knob, not a
-        # correctness knob: offsets stay exact; after a RESTART the first
-        # trigger may exceed the cap (the Python stream API gives
-        # latestOffset() no view of the checkpointed start, and returning
-        # an offset behind it would regress the checkpoint), then the cap
-        # re-engages from the next trigger.
+        # correctness knob: offsets stay exact.
         self._max_commits = int(options.get("max_commits_per_batch") or 0)
-        # Advance floor for the cap. Seeded from since_ms on first use
-        # (Spark asks latestOffset BEFORE initialOffset on a fresh
-        # stream) and bumped by every batch's bounds. After a restart the
-        # floor starts at since_ms again, below the checkpointed start:
-        # the capped offsets are then behind the checkpoint for a few
-        # (empty) batches until the floor catches up — bounded-latency
-        # catch-up, and a crash inside that window re-emits at most the
-        # capped commits (at-least-once; the icedb streaming SINK already
-        # dedups by batch id, and foreachBatch sinks must tolerate
-        # replays anyway).
+        # Advance floor for the cap. Capping below the checkpointed
+        # start would regress the checkpoint and re-emit the regressed
+        # span, so the floor must reach the checkpoint before the cap
+        # engages after a restart. It does, by Spark's own call order
+        # (verified against pyspark 4.1.2's MicroBatchExecution with a
+        # tracing reader, both mid-batch and clean Trigger.Once
+        # restarts): a restarted query ALWAYS re-plans the checkpointed
+        # batch — partitions(ck_start, ck_end) — before its first
+        # latestOffset (the documented "last batch is executed before
+        # getOffset is called again" source contract), and partitions()
+        # bumps the floor to those bounds. A first latestOffset with no
+        # floor therefore means a genuinely fresh stream, where since_ms
+        # IS the checkpoint-equivalent floor and capping against it is
+        # exact (Spark asks latestOffset before initialOffset there).
         self._cursor: Optional[int] = None
 
     def initialOffset(self):
-        self._cursor = self._since
+        self._cursor = max(self._cursor or 0, self._since)
         return {"ts": self._since}
 
     def latestOffset(self):

@@ -624,11 +624,26 @@ class PyArrowFsStorage:
     def delete(self, key: str) -> None:
         try:
             self._retry(lambda: self.fs.delete_file(self._abs(key)))
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             pass
+        except OSError as e:
+            # pyarrow surfaces some not-found errors as a bare
+            # ArrowIOError; those are fine (delete is idempotent), but a
+            # real failure (permissions, network) MUST propagate —
+            # vacuum counts a swallowed error as a successful physical
+            # delete and would collapse the log over a leaked object
+            msg = str(e).lower()
+            if not ("not found" in msg or "no such file" in msg
+                    or "does not exist" in msg):
+                raise
 
     def size(self, key: str) -> int:
-        return int(self._retry(lambda: self.fs.get_file_info(self._abs(key))).size)
+        import pyarrow.fs as pafs
+
+        fi = self._retry(lambda: self.fs.get_file_info(self._abs(key)))
+        if fi.type == pafs.FileType.NotFound or fi.size is None:
+            raise FileNotFoundError(key)  # contract parity with fsspec
+        return int(fi.size)
 
     def exists(self, key: str) -> bool:
         import pyarrow.fs as pafs

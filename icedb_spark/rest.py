@@ -167,18 +167,28 @@ class IceRestServer:
                     self._json(400, {"error": "body must be a JSON object "
                                               "or array of objects"})
                     return
-                self._json(200, {"buffered": outer.batcher.add(rows)})
+                try:
+                    self._json(200, {"buffered": outer.batcher.add(rows)})
+                except Exception as e:
+                    # add() may flush inline past the row threshold; a
+                    # flush failure re-buffers the rows (at-least-once),
+                    # so the rows ARE accepted — say so, with the error
+                    self._json(202, {"buffered": len(rows),
+                                     "flush_error": str(e)})
 
             def do_GET(self):
                 u = urlsplit(self.path)
                 q = parse_qs(u.query)
                 if u.path == "/state":
-                    state = outer.table.snapshot()
-                    self._json(200, {
-                        "log_files": len(state.log_files),
-                        "alive_files": len(state.alive_files()),
-                        "buffered_rows": outer.batcher.buffered(),
-                    })
+                    try:
+                        state = outer.table.snapshot()
+                        self._json(200, {
+                            "log_files": len(state.log_files),
+                            "alive_files": len(state.alive_files()),
+                            "buffered_rows": outer.batcher.buffered(),
+                        })
+                    except Exception as e:
+                        self._json(500, {"error": str(e)})
                     return
                 if u.path != "/query":
                     self._json(404, {"error": "GET /query?q=... or /state"})
@@ -187,7 +197,11 @@ class IceRestServer:
                 if not sql:
                     self._json(400, {"error": "missing q parameter"})
                     return
-                limit = int((q.get("limit") or [outer.default_limit])[0])
+                try:
+                    limit = int((q.get("limit") or [outer.default_limit])[0])
+                except ValueError:
+                    self._json(400, {"error": "limit must be an integer"})
+                    return
                 try:
                     df = outer.table.sql(sql)
                     rows = df.limit(limit).collect()
@@ -211,7 +225,10 @@ class IceRestServer:
         return self
 
     def __exit__(self, *exc) -> bool:
-        self.batcher.stop(drain=True)
-        self._server.shutdown()
-        self._server.server_close()
+        try:
+            self.batcher.stop(drain=True)
+        finally:
+            # a drain-flush failure must not leak the running server
+            self._server.shutdown()
+            self._server.server_close()
         return False

@@ -191,19 +191,33 @@ class MiniS3Server:
                 prefix = q.get("prefix", [""])[0]
                 delim = q.get("delimiter", [""])[0]
                 max_keys = int(q.get("max-keys", ["1000"])[0])
+                # ListObjectsV2 pagination: the token is the last emitted
+                # entry (keys sort lexicographically, so "> token" resumes
+                # exactly where the previous page stopped)
+                token = (q.get("continuation-token", [""])[0]
+                         or q.get("start-after", [""])[0])
                 contents, prefixes = [], []
+                truncated, last = False, ""
                 for k in sorted(objs):
                     if not k.startswith(prefix):
                         continue
+                    entry = k
                     if delim:
                         rest = k[len(prefix):]
                         if delim in rest:
-                            p = prefix + rest.split(delim, 1)[0] + delim
-                            if p not in prefixes:
-                                prefixes.append(p)
-                            continue
-                    contents.append(k)
-                contents = contents[:max_keys]
+                            entry = prefix + rest.split(delim, 1)[0] + delim
+                            if entry in prefixes:
+                                continue
+                    if token and entry <= token:
+                        continue
+                    if len(contents) + len(prefixes) >= max_keys:
+                        truncated = True
+                        break
+                    last = entry
+                    if entry is k:
+                        contents.append(k)
+                    else:
+                        prefixes.append(entry)
                 items = "".join(
                     "<Contents>"
                     f"<Key>{_xesc(k)}</Key>"
@@ -214,7 +228,11 @@ class MiniS3Server:
                     for k in contents
                 ) + "".join(
                     f"<CommonPrefixes><Prefix>{_xesc(p)}</Prefix></CommonPrefixes>"
-                    for p in prefixes[:max_keys]
+                    for p in prefixes
+                )
+                more = (
+                    f"<NextContinuationToken>{_xesc(last)}"
+                    "</NextContinuationToken>" if truncated else ""
                 )
                 xml = (
                     '<?xml version="1.0" encoding="UTF-8"?>'
@@ -222,7 +240,8 @@ class MiniS3Server:
                     f"<Name>{bucket}</Name><Prefix>{_xesc(prefix)}</Prefix>"
                     f"<KeyCount>{len(contents) + len(prefixes)}</KeyCount>"
                     f"<MaxKeys>{max_keys}</MaxKeys>"
-                    "<IsTruncated>false</IsTruncated>"
+                    f"<IsTruncated>{'true' if truncated else 'false'}"
+                    f"</IsTruncated>{more}"
                     f"{items}</ListBucketResult>"
                 ).encode()
                 self._send(200, xml, [("Content-Type", "application/xml")])

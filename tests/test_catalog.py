@@ -199,3 +199,32 @@ def test_discover_mounts_warehouse_tree(spark, tmp_path):
         "select name from users union all select name from orders"
     ).collect()
     assert sorted(r["name"] for r in out) == ["orders", "users"]
+
+
+def test_discover_skips_stray_and_corrupt_specs(spark, tmp_path):
+    """A file merely ENDING in spec.json (backup-spec.json), a corrupt
+    spec, or a non-identifier directory name must be skipped — not abort
+    the whole warehouse mount."""
+    wh = tmp_path / "wh"
+    t = _mk(spark, wh / "good")
+    t.insert([{"bucket": "b", "k": 1, "name": "g"}])
+    (wh / "stray" / "_meta").mkdir(parents=True)
+    (wh / "stray" / "_meta" / "backup-spec.json").write_text("{}")
+    (wh / "corrupt" / "_meta").mkdir(parents=True)
+    (wh / "corrupt" / "_meta" / "spec.json").write_text("{not json")
+    bad = _mk(spark, wh / "not-an-identifier")
+    bad.insert([{"bucket": "b", "k": 1, "name": "x"}])
+    cat = IceCatalog(spark).discover(str(wh))
+    assert cat.names() == ["good"]
+
+
+def test_discover_then_remove(spark, tmp_path):
+    """remove() survives next to discover() (regression: discover once
+    clobbered the remove method)."""
+    wh = tmp_path / "wh"
+    t = _mk(spark, wh / "solo")
+    t.insert([{"bucket": "b", "k": 1, "name": "s"}])
+    cat = IceCatalog(spark).discover(str(wh))
+    assert cat.names() == ["solo"]
+    cat.remove("solo")
+    assert cat.names() == []

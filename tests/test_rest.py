@@ -112,3 +112,15 @@ def test_batcher_requeues_on_failure(spark, tmp_path):
     finally:
         t.insert = real_insert
     assert t.read().count() == 1
+
+
+def test_rest_bad_limit_is_400_not_dropped_connection(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.insert([{"id": 1, "kind": "a"}])
+    with IceRestServer(t, flush_interval_s=3600) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, r = _req(f"{base}/query?q=select+1+as+x&limit=abc")
+        assert code == 400 and "limit" in r["error"]
+        # and the handler thread survived to serve the next request
+        code, r = _req(f"{base}/query?q=select+count(*)+as+c+from+ice")
+        assert code == 200 and r["rows"][0][0] == 1

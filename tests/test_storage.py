@@ -342,3 +342,15 @@ def test_fsspec_retry_gives_up_on_persistent_fault(tmp_path, fake_fsspec):
         st.put("k", b"v")
     assert fake_fsspec.blips_served == 3
     assert not st.exists("k")
+
+
+def test_pyarrow_storage_size_contract_on_missing_key(tmp_path):
+    """PyArrowFsStorage.size on a missing key raises FileNotFoundError
+    (contract parity with FsspecStorage), not TypeError from int(None)."""
+    from icedb_spark.log import PyArrowFsStorage
+
+    st = PyArrowFsStorage(f"file://{tmp_path}")
+    st.put("present.txt", b"abc")
+    assert st.size("present.txt") == 3
+    with pytest.raises(FileNotFoundError):
+        st.size("absent.txt")
