@@ -809,6 +809,60 @@ def s06_cosine_topk_tuned(spark, sf_dir):
     return cosine_topk_ivf(emb, queries, n_centroids=64, nprobe=44, k=5)
 
 
+def rest01_ingest_query(spark, sf_dir):
+    """The REST ingest/query wrapper end-to-end UNDER the value gate
+    (reference ``examples/api-flask.py:184-217``): POST ``/insert``
+    buffers the region rows as JSON, POST ``/flush`` commits them as one
+    atomic log commit, GET ``/query`` answers a count over the committed
+    table through the live server — then the returned DataFrame re-reads
+    the table through the engine, so the gate hashes exactly what the
+    REST surface made durable."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from icedb_spark.rest import IceRestServer
+
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("rk", "r_regionkey")]
+        ),
+        sort_order=["r_regionkey"],
+    )
+    try:
+        cols = ["r_regionkey", "r_name"]
+        rows = [
+            {k: r[k] for k in cols}
+            for r in _t(spark, sf_dir, "region").collect()
+        ]
+        with IceRestServer(t, flush_interval_s=3600.0) as srv:
+            base = f"http://127.0.0.1:{srv.port}"
+            req = urllib.request.Request(
+                f"{base}/insert",
+                data=_json.dumps(rows).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                if _json.loads(resp.read())["buffered"] != len(rows):
+                    raise RuntimeError("REST buffer count mismatch")
+            req = urllib.request.Request(f"{base}/flush", data=b"",
+                                         headers={"Content-Type":
+                                                  "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                if _json.loads(resp.read())["files"] < 1:
+                    raise RuntimeError("REST flush wrote no files")
+            q = urllib.parse.quote("select count(*) as c from ice")
+            with urllib.request.urlopen(
+                f"{base}/query?q={q}", timeout=300
+            ) as resp:
+                if _json.loads(resp.read())["rows"][0][0] != len(rows):
+                    raise RuntimeError("REST query saw wrong row count")
+        return t.read().select(*cols).cache()
+    finally:
+        _cleanup_later(d)
+
+
 def m01_media_features(spark, sf_dir):
     """Multimodal plumbing under the value gate: opaque binary blobs →
     Arrow-batched ``mapInPandas`` feature extraction. The blobs are utf-8
@@ -2589,8 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 rotation (VERDICT r3 #1): the window now leads with the 20
     # entries that had never held a driver row (late-r3 DataSource
     # write/stream matrix, MOR deletes, WAP, SQL DML, partition evolution,
-    # m04-m06, d10, t10/t13, sm05/07/08, q25), the new tuned-recall ANN
-    # preset s06, and the two entries whose implementation changed this
+    # m04-m06, d10, t10/t13, sm05/07/08, q25), this round's new entries
+    # (tuned-recall ANN s06, k-means-trained IVF s07, REST wrapper
+    # rest01), and the two entries whose implementation changed this
     # round (ice24 rollback guard, t11 de-skewed plan); the rest of the
     # window is the engine-lifecycle core plus one witness per operator
     # family. Every entry below the boundary already holds a fully-green
@@ -2646,8 +2701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "t05_repetition": t05_repetition,
         "t07_decontaminate": t07_decontaminate,
-        "t12_ngram_perplexity": t12_ngram_perplexity,
-        "sm06_shuffle_shard": sm06_shuffle_shard,
+        "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "rest01_ingest_query": rest01_ingest_query,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from a prior
         # round (r2 or r3) — this rotation only demotes proven entries.
@@ -2722,7 +2777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
-        "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
     }
 
 
@@ -3039,6 +3095,11 @@ from per_sess group by user_id
             5, 50, 64, 8, 64, 2
         ),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
+        # rest01 round-trips region through POST /insert + /flush and
+        # reads the committed table back — the durable content must be
+        # exactly the source rows
+        "rest01_ingest_query":
+            "select r_regionkey, r_name from region",
         "m01_media_features": oracles.media_features_sql(8),
         "m03_image_headers": """
 select doc_id as media_id,

@@ -212,6 +212,7 @@ def main():
                 "ice28_snapshot_tags", "ice29_constraints",
                 "ice31_transform_pruning", "mv02_incremental_mv",
                 "s05_cosine_topk_ivfpq", "s06_cosine_topk_tuned",
+                "s07_cosine_topk_trained", "rest01_ingest_query",
                 "t11_line_dedup", "t12_ngram_perplexity", "t13_url_stats",
                 "sm06_shuffle_shard", "sm07_quality_filter",
             )
