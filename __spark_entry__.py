@@ -1204,6 +1204,25 @@ def t07_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=4)
 
 
+def t14_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (the semantic sibling of t07 —
+    paraphrased eval leakage that shares no shingle still lands next to
+    the benchmark in embedding space): per corpus vector, the max cosine
+    against the whole benchmark slice and a threshold flag. Exact mode
+    under the gate: the benchmark broadcasts, the |corpus|x|bench| fold
+    is one map-side nested-loop join with zero corpus shuffle, and the
+    per-id max partial-aggregates; the d07-style LSH prefilter is the
+    tested scale knob (n_planes=...)."""
+    from icedb_spark.operators import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 29 == 0)
+    corpus = emb.where(F.col("vec_id") % 29 != 0)
+    return semantic_decontaminate(
+        corpus, bench, threshold=0.35, vec_col="embedding"
+    )
+
+
 # ------------------------------------------------ engine lifecycle
 # Each builds a scratch IceTable under /tmp, runs real engine operations and
 # returns a result the oracle can compute straight from the source parquet —
@@ -1493,6 +1512,49 @@ def ice26_in_pruning(spark, sf_dir):
             "select event_type, count(*) as cnt, "
             "round(sum(value), 2) as sum_value from ice "
             f"where event_id in ({probes[0]}, {probes[1]}) "
+            "group by event_type"
+        ).cache()
+    finally:
+        _cleanup_later(d)
+
+
+def ice36_zorder_pruning(spark, sf_dir):
+    """Z-order clustered layout under the value gate (beyond reference;
+    the Delta/Iceberg OPTIMIZE ZORDER analog, built from pure column
+    expressions in operators/zorder.py): user_id and event_id bits
+    interleave into a Morton code at insert, and ``write_splits`` cuts
+    the batch into CONTIGUOUS z-ranges (approxQuantile boundaries), so
+    every file's zone map is selective on BOTH columns — file-level
+    skipping must fire for a narrow range on either column (asserted),
+    and the two-column pruned scan must equal the oracle's plain
+    filter."""
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        zorder_by=["user_id", "event_id"],
+        write_splits=8,
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        lo_u, hi_u, lo_e, hi_e = ev.agg(
+            F.min("user_id"), F.max("user_id"),
+            F.min("event_id"), F.max("event_id"),
+        ).collect()[0]
+        u_cut = int(lo_u) + (int(hi_u) - int(lo_u)) // 8
+        e_cut = int(lo_e) + (int(hi_e) - int(lo_e)) // 8
+        t.insert(df=ev)
+        files = t.files_for()
+        assert len(files) > 4, "z-range splits must produce several files"
+        for col, lo, hi in (
+            ("user_id", lo_u, u_cut), ("event_id", lo_e, e_cut)
+        ):
+            kept = t.files_for(column_ranges={col: (lo, hi)})
+            assert 0 < len(kept) < len(files), (col, len(kept), len(files))
+        return t.sql(
+            "select event_type, count(*) as cnt, "
+            "round(sum(value), 2) as sum_value from ice "
+            f"where user_id between {lo_u} and {u_cut} "
+            f"and event_id between {lo_e} and {e_cut} "
             "group by event_type"
         ).cache()
     finally:
@@ -2699,8 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_dedup_clusters": d09_dedup_clusters,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
-        "t05_repetition": t05_repetition,
-        "t07_decontaminate": t07_decontaminate,
+        "ice36_zorder_pruning": ice36_zorder_pruning,
+        "t14_semantic_decontam": t14_semantic_decontam,
         "s07_cosine_topk_trained": s07_cosine_topk_trained,
         "rest01_ingest_query": rest01_ingest_query,
         # ==================== driver window boundary (50) ====================
@@ -2777,6 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
+        "t05_repetition": t05_repetition,
+        "t07_decontaminate": t07_decontaminate,
         "t12_ngram_perplexity": t12_ngram_perplexity,
         "sm06_shuffle_shard": sm06_shuffle_shard,
     }
@@ -3155,6 +3219,9 @@ from documents
 )""",
         ),
         "t07_decontaminate": oracles.decontaminate_sql(n=4),
+        "t14_semantic_decontam": oracles.semantic_decontam_sql(
+            0.35, bench_mod=29
+        ),
         "ice01_insert_roundtrip": ev_agg.format(where=""),
         "ice02_merge_invariant": ev_agg.format(where=""),
         "ice03_time_travel": ev_agg.format(where=" where event_id % 2 = 0"),
@@ -3294,6 +3361,17 @@ from events where event_id % 40 = 0 group by 1
                 " where event_id between"
                 " (select max(event_id) // 6 from events)"
                 " and (select max(event_id) // 2 from events)"
+            )
+        ),
+        # z-order file-pruned two-column scan ≡ the same plain filter
+        "ice36_zorder_pruning": ev_agg.format(
+            where=(
+                " where user_id between (select min(user_id) from events)"
+                " and (select min(user_id) +"
+                " (max(user_id) - min(user_id)) // 8 from events)"
+                " and event_id between (select min(event_id) from events)"
+                " and (select min(event_id) +"
+                " (max(event_id) - min(event_id)) // 8 from events)"
             )
         ),
         # bloom-pruned point lookup ≡ plain equality (pruning must be invisible)

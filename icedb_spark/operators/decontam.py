@@ -87,3 +87,73 @@ def decontaminate(
             ),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    dim: int | None = None,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    to ANY benchmark vector reaches ``threshold`` — the semantic sibling
+    of :func:`decontaminate` (paraphrased eval leakage that shares no
+    8-gram still lands next to the benchmark in embedding space).
+
+    Returns ``(id_col, max_cosine double, contaminated boolean)``, one
+    row per corpus vector (``max_cosine`` over the whole benchmark).
+
+    Plan shape (scale-first): both sides normalize row-locally; the
+    benchmark (eval sets are thousands of vectors against a TB-scale
+    corpus) broadcasts, so the |corpus|x|bench| cosine fold is one
+    map-side nested-loop join with ZERO corpus shuffle, and the per-id
+    max is a partial aggregate (map-side combined). Exact by default.
+    ``n_planes`` switches to the d07-style hyperplane-LSH prefilter
+    (requires ``dim``): only bucket-colliding pairs pay the exact
+    cosine — work drops ~2^planes-fold; recall becomes approximate and
+    clean rows surface with ``max_cosine = NULL`` (never compared)."""
+    from .similarity import _as_double, _norm, lsh_bucket
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            _as_double(F.col(vec_col)).alias(f"{side}_v"),
+        ).withColumn(f"{side}_n", _norm(F.col(f"{side}_v")))
+        if n_planes:
+            if dim is None:
+                raise ValueError("dim is required for the LSH prefilter")
+            out = out.withColumn(
+                "bucket", lsh_bucket(F.col(f"{side}_v"), dim, n_planes)
+            )
+        return out
+
+    c, b = prep(corpus, "c"), prep(benchmark, "b")
+    dot = F.aggregate(
+        F.zip_with(F.col("c_v"), F.col("b_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("c_n") * F.col("b_n")), 6)
+    if n_planes:
+        joined = c.join(F.broadcast(b), "bucket")
+    else:
+        joined = c.join(F.broadcast(b))
+    scores = (
+        joined.select(F.col("c_id"), cos.alias("cos"))
+        .groupBy("c_id")
+        .agg(F.max("cos").alias("max_cosine"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scores.withColumnRenamed("c_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_cosine"),
+            F.coalesce(
+                F.col("max_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

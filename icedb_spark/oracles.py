@@ -203,6 +203,28 @@ where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
 """
 
 
+def semantic_decontam_sql(
+    threshold: float, bench_mod: int = 29, table: str = "embeddings"
+) -> str:
+    """Oracle for ``operators.decontam.semantic_decontaminate`` (exact
+    mode): per corpus vector, the max round-6 cosine against the whole
+    benchmark slice, and the threshold flag."""
+    return f"""
+with c as (
+  select vec_id, cast(embedding as double[]) as dv
+  from {table} where vec_id % {bench_mod} <> 0
+), b as (
+  select cast(embedding as double[]) as dv
+  from {table} where vec_id % {bench_mod} = 0
+), s as (
+  select c.vec_id,
+    max(round(list_cosine_similarity(c.dv, b.dv), 6)) as max_cosine
+  from c cross join b group by c.vec_id
+)
+select vec_id, max_cosine, max_cosine >= {threshold} as contaminated from s
+"""
+
+
 def cosine_topk_lsh_sql(
     k: int = 5,
     query_mod: int = 50,

@@ -767,6 +767,31 @@ class IceTable:
             return None
         return (self.bloom_columns, self.bloom_bits, self.bloom_k)
 
+    def _attach_split(self, df: DataFrame, sort_cols: list[str]) -> DataFrame:
+        """Assign each row its write-split file (``write_splits > 1``).
+
+        Plain tables split randomly — parallelism is the only goal. A
+        z-ordered batch instead splits on CONTIGUOUS z-ranges (boundaries
+        from one approxQuantile sketch pass, assignment a pure monotone
+        column expression), so each file covers a narrow slice of the
+        Morton curve and its FILE-level zone map stays selective on every
+        z column — ``files_for(column_ranges=...)`` then skips whole
+        files driver-side, not just row groups inside them. Random splits
+        would hand every file the full domain and zero any file-level
+        pruning the z layout earned."""
+        if sort_cols == [_ZORDER_COL]:
+            n = self.write_splits
+            cuts = df.stat.approxQuantile(
+                _ZORDER_COL, [i / n for i in range(1, n)], 0.01
+            )
+            split = F.lit(0)
+            for c in cuts:  # monotone: number of boundaries passed
+                split = split + (F.col(_ZORDER_COL) > F.lit(c)).cast("int")
+            return df.withColumn(_SPLIT_COL, split)
+        return df.withColumn(
+            _SPLIT_COL, F.floor(F.rand(42) * self.write_splits).cast("int")
+        )
+
     def _apply_layout(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         """Attach the layout sort key: z-order code when configured (and the
         batch carries every z column), else the plain sort_order."""
@@ -847,10 +872,7 @@ class IceTable:
         )
         group_cols = [_PART_COL]
         if self.write_splits > 1:
-            df = df.withColumn(
-                _SPLIT_COL,
-                F.floor(F.rand(42) * self.write_splits).cast("int"),
-            )
+            df = self._attach_split(df, sort_cols)
             group_cols.append(_SPLIT_COL)
         manifest = (
             df.groupBy(*group_cols)

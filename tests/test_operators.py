@@ -1146,3 +1146,52 @@ def test_cosine_topk_ivf_trained_deterministic_and_recall(spark, emb):
         return hits / sum(len(exact[q]) for q in exact)
 
     assert recall(trained) >= recall(untrained)
+
+
+def test_semantic_decontaminate_exact_and_lsh(spark):
+    """Exact mode: every corpus vector gets its true max cosine and the
+    threshold flag. LSH mode: flagged rows are a SUBSET of exact's
+    (candidates only lose recall, never gain), and never-compared rows
+    surface with NULL max_cosine and contaminated=False."""
+    import math
+
+    from icedb_spark.operators import semantic_decontaminate
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = (
+        [(i, vec(0.01 * i), "corpus") for i in range(1, 6)]     # near 0 rad
+        + [(10 + i, vec(1.5 + 0.01 * i), "corpus") for i in range(3)]
+        + [(100, vec(0.0), "bench")]                            # 0 rad probe
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    corpus = df.where(F.col("vec_id") < 100)
+    bench = df.where(F.col("vec_id") >= 100)
+    exact = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.99, vec_col="embedding"
+        ).collect()
+    }
+    assert len(exact) == 8
+    for i in range(1, 6):  # cos(0.05) ~ 0.9988 > 0.99
+        assert exact[i]["contaminated"], exact[i]
+    for i in (10, 11, 12):  # cos(1.5) ~ 0.07
+        assert not exact[i]["contaminated"]
+        assert exact[i]["max_cosine"] < 0.1
+    lsh = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.99, vec_col="embedding",
+            dim=8, n_planes=4,
+        ).collect()
+    }
+    assert len(lsh) == 8
+    flagged = {k for k, r in lsh.items() if r["contaminated"]}
+    assert flagged <= {k for k, r in exact.items() if r["contaminated"]}
+    for k, r in lsh.items():
+        if r["max_cosine"] is None:  # never shared a bucket
+            assert not r["contaminated"]

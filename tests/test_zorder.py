@@ -93,3 +93,32 @@ def test_zorder_survives_merge(spark, tmp_path):
     # the merged file is re-z-ordered, not concatenated
     z_y = _rowgroup_coverage(_single_file(t), "y")
     assert z_y < 0.5, f"merged file lost z locality: {z_y}"
+
+
+def test_zorder_range_splits_give_file_level_pruning(spark, tmp_path):
+    """write_splits on a z-ordered table cuts the batch into contiguous
+    z-ranges (not random shards), so FILE-level zone maps prune on both
+    z columns: a narrow range on either x or y must skip files."""
+    t = IceTable(spark, str(tmp_path / "zsplit"), partition_spec=SPEC,
+                 zorder_by=["x", "y"], write_splits=8, row_group_size=512)
+    t.insert(df=_grid(spark))
+    files = t.snapshot().alive_files()
+    assert len(files) > 4
+    n = 96
+    for col in ("x", "y"):
+        kept = t.files_for(column_ranges={col: (0.0, n / 8.0)})
+        assert 0 < len(kept) < len(files), (
+            f"file-level zone maps must prune on {col}: "
+            f"{len(kept)}/{len(files)}"
+        )
+    # correctness: the pruned union is still the whole corpus
+    assert t.read().count() == n * n
+
+
+def test_random_splits_still_used_without_zorder(spark, tmp_path):
+    t = IceTable(spark, str(tmp_path / "rsplit"), partition_spec=SPEC,
+                 sort_order=["x"], write_splits=4, row_group_size=512)
+    t.insert(df=_grid(spark, n=32))
+    files = t.snapshot().alive_files()
+    assert len(files) == 4
+    assert t.read().count() == 32 * 32
