@@ -1656,6 +1656,60 @@ def ice27_datasource_scan(spark, sf_dir):
         _cleanup_later(d)
 
 
+def ice37_cross_table_txn(spark, sf_dir):
+    """Cross-table ACID transaction (beyond reference — its log is
+    strictly table-scoped, /root/reference/ARCHITECTURE.md): facts and
+    dims are staged inside one transaction (asserted invisible
+    mid-body), then flip visible together via ONE commit-marker PUT;
+    both participants carry the SAME commit instant, so time travel to
+    ts-1 sees neither (asserted). The returned join must equal the
+    oracle's plain events-per-region join on the source parquet."""
+    from icedb_spark import IceCatalog, get_log_file_info
+
+    d1, d2, dtx = (tempfile.mkdtemp(prefix=p)
+                   for p in ("icetxnf-", "icetxnd-", "icetxnm-"))
+    facts = IceTable(
+        spark, d1,
+        partition_spec=PartitionSpec(fields=[PartitionField("et", "event_type")]),
+        sort_order=["event_id"],
+    )
+    dims = IceTable(
+        spark, d2,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["r_regionkey"],
+    )
+    cat = (
+        IceCatalog(spark)
+        .add("facts_t", facts).add("dims_t", dims)
+        .enable_transactions(dtx)
+    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        rg = _t(spark, sf_dir, "region")
+        n_regions = rg.count()
+        with cat.transaction() as txn:
+            txn.insert("facts_t", df=ev.withColumn(
+                "region_key", (F.col("event_id") % n_regions).cast("long")
+            ))
+            txn.insert("dims_t", df=rg)
+            assert facts.read().count() == 0 and dims.read().count() == 0
+        ts = max(
+            get_log_file_info(k)[0] for k in facts.snapshot().log_files
+        )
+        assert cat.sql(
+            "select count(*) as c from dims_t", at_ms=ts - 1
+        ).collect()[0]["c"] == 0  # nothing before the shared instant
+        return cat.sql(
+            "select r_name, count(*) as cnt,"
+            " round(sum(value), 2) as sum_value"
+            " from facts_t join dims_t on region_key = r_regionkey"
+            " group by r_name"
+        ).cache()
+    finally:
+        for d in (d1, d2, dtx):
+            _cleanup_later(d)
+
+
 def st06_datasource_stream(spark, sf_dir):
     """Streaming DataSource: ``readStream.format("icedb")`` tails the
     table's append stream with log-timestamp offsets — each micro-batch
@@ -2750,7 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice23_merge_into": ice23_merge_into,
         "ice25_change_feed": ice25_change_feed,
         "q01_pricing_summary": q01_pricing_summary,
-        "st01_streaming_ingest": st01_streaming_ingest,
+        "ice37_cross_table_txn": ice37_cross_table_txn,
         "st02_windowed_agg": st02_windowed_agg,
         "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
@@ -2843,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_decontaminate": t07_decontaminate,
         "t12_ngram_perplexity": t12_ngram_perplexity,
         "sm06_shuffle_shard": sm06_shuffle_shard,
+        "st01_streaming_ingest": st01_streaming_ingest,
     }
 
 
@@ -3363,6 +3418,14 @@ from events where event_id % 40 = 0 group by 1
                 " and (select max(event_id) // 2 from events)"
             )
         ),
+        # cross-table txn commit ≡ the plain events-per-region join (the
+        # atomicity is asserted inside the entry; content equality here)
+        "ice37_cross_table_txn": """
+select r_name, count(*) as cnt, round(sum(value), 2) as sum_value
+from events join region
+  on (event_id % (select count(*) from region)) = r_regionkey
+group by r_name
+""",
         # z-order file-pruned two-column scan ≡ the same plain filter
         "ice36_zorder_pruning": ev_agg.format(
             where=(

@@ -215,6 +215,7 @@ def main():
                 "s07_cosine_topk_trained", "rest01_ingest_query",
                 "t11_line_dedup", "t12_ngram_perplexity", "t13_url_stats",
                 "t14_semantic_decontam", "ice36_zorder_pruning",
+                "ice37_cross_table_txn",
                 "sm06_shuffle_shard", "sm07_quality_filter",
             )
         },

@@ -32,6 +32,7 @@ from .quality import ConstraintViolation, split_valid, violation_counts
 from .rest import IceRestServer, RowBatcher
 from .session import get_spark
 from .catalog import IceCatalog
+from .txn import CatalogTransaction, TxnVisibility
 from .datasource import IceDataSource
 from .locks import file_lock_provider
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
@@ -46,6 +47,8 @@ __all__ = [
     "get_spark",
     "IceLogIO",
     "IceCatalog",
+    "CatalogTransaction",
+    "TxnVisibility",
     "IceRestServer",
     "RowBatcher",
     "IceDataSource",

@@ -39,12 +39,70 @@ class IceCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, IceTable] = {}
+        self._txn_store = None
+        self._txn_vis = None
+
+    def enable_transactions(self, txn_root: str) -> "IceCatalog":
+        """Turn on cross-table ACID transactions (:mod:`icedb_spark.txn`).
+
+        ``txn_root`` is a directory/prefix (any supported scheme) holding
+        the transaction markers — give every catalog of the same
+        warehouse the SAME root. Every table registered (before or
+        after) gets the shared visibility filter, so catalog readers
+        never observe a partial transaction; raw readers that bypass the
+        catalog carry the documented raw-reader obligation."""
+        from .log import storage_for
+        from .txn import TxnVisibility
+
+        self._txn_store = storage_for(txn_root.rstrip("/"))
+        self._txn_vis = TxnVisibility(self._txn_store)
+        with _CATALOG_LOCK:
+            for t in self._tables.values():
+                t.commit_visibility = self._txn_vis
+        return self
+
+    def transaction(self) -> "object":
+        """``with catalog.transaction() as txn: txn.insert("t", df=...)``
+        — commits atomically on clean exit (one marker PUT flips every
+        participant visible at the same instant), aborts to nothing on
+        exception. Requires :meth:`enable_transactions`."""
+        if self._txn_vis is None:
+            raise RuntimeError(
+                "call enable_transactions(txn_root) before transaction()"
+            )
+        from contextlib import contextmanager
+
+        from .txn import CatalogTransaction
+
+        @contextmanager
+        def _run():
+            txn = CatalogTransaction(self, self._txn_store)
+            try:
+                yield txn
+            except BaseException:
+                txn.abort()
+                raise
+            txn.commit()
+            self._txn_vis.refresh()
+
+        return _run()
+
+    def txn_cleanup(self, min_age_ms: int = 3_600_000) -> dict:
+        """Collect transactions that died between intent and commit —
+        see :func:`icedb_spark.txn.abort_orphans`."""
+        from .txn import abort_orphans
+
+        if self._txn_vis is None:
+            raise RuntimeError("transactions are not enabled")
+        return abort_orphans(self, min_age_ms)
 
     def add(self, name: str, table: IceTable) -> "IceCatalog":
         if not name.isidentifier():
             raise ValueError(f"table name {name!r} is not a valid identifier")
         if table.spark is not self.spark:
             raise ValueError("table belongs to a different SparkSession")
+        if self._txn_vis is not None and table.commit_visibility is None:
+            table.commit_visibility = self._txn_vis
         # under the lock: a concurrent sql() mid-registration must not see
         # the name flip tables, and replacing a name must drop the prior
         # table's frozen view — a stale snapshot answering for the new
@@ -157,7 +215,16 @@ class IceCatalog:
         # advertises must hold on the default path too.
         if at_ms is None:
             at_ms = now_ms()
-        with _CATALOG_LOCK:
+        # one txn-visibility refresh for the WHOLE query: a transaction
+        # committing between two tables' folds must not appear in the
+        # second but not the first (that partial view is exactly what the
+        # txn layer exists to prevent)
+        from contextlib import nullcontext
+
+        vis_window = (
+            self._txn_vis.consistent() if self._txn_vis else nullcontext()
+        )
+        with _CATALOG_LOCK, vis_window:
             for name, table in self._tables.items():
                 if re.search(rf"\b{re.escape(name)}\b", query):
                     table.read(at_ms=at_ms).createOrReplaceTempView(name)

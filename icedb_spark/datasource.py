@@ -125,12 +125,28 @@ class _LogHandle:
             except Exception:
                 raise ValueError(f"no such tag: {tag!r}") from None
         self.at_ms = int(at) if at is not None else None
+        # option("txn_root", ...): opt into the catalog's cross-table
+        # transaction visibility (icedb_spark.txn) — without it, a
+        # format('icedb') scan is a RAW reader and may observe a partial
+        # transaction during the publish window (the documented
+        # obligation)
+        txn_root = options.get("txn_root")
+        self.txn_vis = None
+        if txn_root:
+            from .txn import TxnVisibility
+
+            self.txn_vis = TxnVisibility(storage_for(txn_root.rstrip("/")))
 
     def state(self, at_ms: Optional[int] = None):
         at = at_ms if at_ms is not None else self.at_ms
+        if self.txn_vis is not None:
+            self.txn_vis.refresh()
         return self.log_io.read_at_max_time(
             self.log_storage, None if at is None else at + 1,
             keep_parsed=True,
+            key_filter=(
+                None if self.txn_vis is None else self.txn_vis.is_visible
+            ),
         )
 
     def spark_schema(self) -> StructType:
@@ -308,6 +324,16 @@ class _IceStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._handle = _LogHandle(options)
+        if self._handle.txn_vis is not None:
+            # offsets are log timestamps: a transaction whose commit
+            # marker lands AFTER later plain commits advanced the offset
+            # past its (already-stamped) publish ts would be skipped
+            # silently — refuse rather than lose rows
+            raise ValueError(
+                "txn_root is not supported for streaming reads; consume "
+                "the table through the catalog or accept raw-reader "
+                "semantics"
+            )
         self._since = int(options.get("since_ms") or 0)
         # Backpressure (the maxFilesPerTrigger analog, in the log's
         # native unit): each micro-batch advances past at most N commits,

@@ -31,7 +31,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Callable, Optional
 
 
 def now_ms() -> int:
@@ -842,6 +842,7 @@ class IceLogIO:
         storage: Storage,
         max_ms: Optional[int] = None,
         keep_parsed: bool = False,
+        key_filter: Optional[Callable[[str], bool]] = None,
     ) -> LogState:
         """Snapshot read / time travel: fold log files with embedded
         timestamp strictly ``< max_ms`` (all files when ``max_ms`` is None).
@@ -850,7 +851,9 @@ class IceLogIO:
         (``icedb/log.py:311-322``) so a table read by both engines sees the
         same snapshot at the same T. ``IceTable.snapshot(at_ms)`` exposes the
         friendlier inclusive at-this-instant semantics by passing
-        ``at_ms + 1``."""
+        ``at_ms + 1``. ``key_filter`` drops commits by KEY before the fold
+        (metadata-only — the cross-table transaction layer hides
+        txn-tagged commits whose transaction never committed)."""
         def fold_once() -> LogState:
             keys = []
             for key, _size in self.get_current_log_files(storage):
@@ -860,8 +863,11 @@ class IceLogIO:
                     # a stray non-log object under _log/ must not make the
                     # whole table unreadable; ignore it
                     continue
-                if max_ms is None or ts < max_ms:
-                    keys.append(key)
+                if max_ms is not None and ts >= max_ms:
+                    continue
+                if key_filter is not None and not key_filter(key):
+                    continue
+                keys.append(key)
             return self.read_log_forward(storage, keys, keep_parsed=keep_parsed)
 
         try:

@@ -495,6 +495,7 @@ class IceTable:
         constraint_mode: str = "fail",
         lock_provider: Optional[Callable[[str], "object"]] = None,
         storage_options: Optional[dict] = None,
+        commit_visibility: Optional[object] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -583,6 +584,12 @@ class IceTable:
         # executor-side Arrow writers; None = ambient resolution (env
         # vars / profiles / IMDS), the usual production default
         self.storage_options = storage_options
+        # cross-table transaction visibility (icedb_spark.txn): an object
+        # with refresh() + is_visible(log_key) that hides txn-tagged
+        # commits whose transaction never committed. Runtime wiring only
+        # (never persisted in the spec): the catalog attaches it to every
+        # table it registers when transactions are enabled.
+        self.commit_visibility = commit_visibility
         self.storage = (
             storage_for(self.path, storage_options=storage_options)
             if storage_options
@@ -902,10 +909,13 @@ class IceTable:
         self,
         staged: "StagedInsert | list[StagedInsert]",
         commit_tag: Optional[str] = None,
+        timestamp_ms: Optional[int] = None,
     ) -> list[FileMarker]:
         """Commit previously staged batches (``insert(publish=False)``) in
         ONE atomic log append — several staged batches become visible at
-        the same instant or not at all (the WAP publish step)."""
+        the same instant or not at all (the WAP publish step).
+        ``timestamp_ms`` pins the commit instant (the cross-table
+        transaction layer stamps every participant with the same one)."""
         batches = [staged] if isinstance(staged, StagedInsert) else list(staged)
         markers: list[FileMarker] = []
         schema = Schema()
@@ -917,7 +927,10 @@ class IceTable:
             return []
         self.log_io.append(
             self.log_storage, 1, schema, markers,
-            timestamp_ms=unique_ms(), tag=commit_tag,
+            timestamp_ms=(
+                timestamp_ms if timestamp_ms is not None else unique_ms()
+            ),
+            tag=commit_tag,
         )
         return markers
 
@@ -954,10 +967,14 @@ class IceTable:
             if at_ms is not None:
                 raise ValueError("pass at_ms or tag, not both")
             at_ms = self.tag_ts(tag)
+        vis = self.commit_visibility
+        if vis is not None:
+            vis.refresh()  # no-op inside a held consistent() window
         return self.log_io.read_at_max_time(
             self.log_storage,
             None if at_ms is None else at_ms + 1,
             keep_parsed=keep_parsed,
+            key_filter=None if vis is None else vis.is_visible,
         )
 
     def _log_contents(

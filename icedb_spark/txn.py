@@ -1,0 +1,246 @@
+"""Cross-table ACID transactions through the catalog.
+
+The reference engine is strictly table-scoped — each table's JSONL log is
+its own commit domain (``/root/reference/ARCHITECTURE.md``), so a pipeline
+writing facts + dims atomically has no primitive to lean on. This layer
+adds one, from the same object-store primitives the table log already
+relies on (atomic PUT, list-after-write):
+
+Protocol (coordinator-free, all steps idempotent):
+
+1. **STAGE** — every write inside the transaction is a WAP staged insert
+   (``insert(publish=False)``): files land, no log commit exists.
+2. **INTENT** — one marker ``<txn_root>/<id>.intent.json`` records the
+   participant tables and their staged files (the cleanup manifest).
+3. **PUBLISH** — each participant publishes its staged batches with
+   ``commit_tag="txn<id>"`` and the SAME ``timestamp_ms``. The tag rides
+   in the log FILENAME (log.py:log_file_name), so visibility filtering
+   is metadata-only — no extra GETs on the read path.
+4. **COMMIT** — one PUT of ``<txn_root>/<id>.commit.json``. This single
+   PUT is the atomic visibility flip: a txn-aware reader treats a
+   txn-tagged log commit as visible IFF its commit marker exists, so the
+   whole transaction appears in every table at once — or never.
+
+Reader contract: tables registered in a catalog with
+``enable_transactions(txn_root)`` filter automatically (the catalog
+attaches a shared :class:`TxnVisibility` to each). ``catalog.sql`` pins
+ONE marker listing per query (``TxnVisibility.consistent``), so a
+transaction committing mid-query cannot appear in table B but not table
+A. Raw readers that bypass the catalog (plain ``IceTable.open`` without
+``commit_visibility``, external Parquet scanners) may observe a partial
+transaction during the publish window — the same documented raw-reader
+obligation merge-on-read delete sets already carry.
+
+Crash windows: dying before INTENT leaves only staged files (each
+table's ``gc_orphans`` reclaims them); dying after INTENT but before
+COMMIT leaves txn-tagged commits no filtered reader ever saw —
+:func:`abort_orphans` uses the intent manifest to delete their log
+commits and data files after a grace window. Commit markers are tiny and
+kept forever (they are the transaction's durability record).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import uuid
+from typing import TYPE_CHECKING, Optional
+
+from .log import get_log_file_info, now_ms, unique_ms
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import IceCatalog
+
+# tag chars survive log_file_name's '/'->'-' '_'->'-' mangling untouched
+_TXN_TAG_RE = re.compile(r"-txn([0-9a-f]{12})\.jsonl$")
+
+
+def txn_tag(txn_id: str) -> str:
+    return f"txn{txn_id}"
+
+
+def parse_txn_id(log_key: str) -> Optional[str]:
+    """The transaction id a log commit is tagged with, or None."""
+    m = _TXN_TAG_RE.search(log_key)
+    return m.group(1) if m else None
+
+
+class TxnVisibility:
+    """Shared reader-side filter over one transaction store.
+
+    ``is_visible(log_key)`` hides txn-tagged commits whose commit marker
+    is absent as of the last ``refresh()`` — ONE listing of the (tiny)
+    txn store, not a GET per commit. ``consistent()`` holds a refresh
+    across a multi-table fold so every table in one query sees the same
+    committed set (without it, a transaction landing mid-query could
+    appear in the second table folded but not the first)."""
+
+    def __init__(self, store):
+        self.store = store
+        self._committed: set[str] = set()
+        self._lock = threading.RLock()
+        self._hold = 0
+
+    # the DataSource reader ships its handle (and this object) to
+    # executors; the lock must not ride along, and a deserialized copy
+    # starts unheld with a fresh lock
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_lock", None)
+        d["_hold"] = 0
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._lock = threading.RLock()
+
+    def refresh(self) -> None:
+        with self._lock:
+            if self._hold:
+                return
+            self._committed = {
+                key[: -len(".commit.json")]
+                for key, _size in self.store.list("", include_hidden=True)
+                if key.endswith(".commit.json")
+            }
+
+    def is_visible(self, log_key: str) -> bool:
+        tid = parse_txn_id(log_key)
+        return tid is None or tid in self._committed
+
+    def consistent(self):
+        """Context manager: one refresh for a whole multi-table query."""
+        vis = self
+
+        class _Hold:
+            def __enter__(self):
+                vis.refresh()
+                with vis._lock:
+                    vis._hold += 1
+                return vis
+
+            def __exit__(self, *exc):
+                with vis._lock:
+                    vis._hold -= 1
+                return False
+
+        return _Hold()
+
+
+class CatalogTransaction:
+    """One transaction: stage writes, then one-PUT atomic commit.
+
+    Use through ``with catalog.transaction() as txn:`` — the context
+    manager commits on clean exit and aborts (stages become orphans, no
+    commit ever exists) when the body raises."""
+
+    def __init__(self, catalog: "IceCatalog", store):
+        self.catalog = catalog
+        self.store = store
+        self.txn_id = uuid.uuid4().hex[:12]
+        self._staged: list[tuple[str, object]] = []  # (table name, StagedInsert)
+        self._done = False
+
+    def insert(self, table_name: str, rows=None, df=None):
+        """Stage one insert into a registered table (WAP staged — files
+        written now, visible only if the transaction commits)."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        t = self.catalog.table(table_name)
+        staged = t.insert(rows=rows, df=df, publish=False)
+        self._staged.append((table_name, staged))
+        return staged
+
+    def commit(self) -> Optional[int]:
+        """INTENT -> per-table tagged PUBLISH (same instant) -> one-PUT
+        COMMIT marker. Returns the transaction's commit timestamp, or
+        None for an empty transaction."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._staged:
+            return None
+        ts = unique_ms()
+        intent = {
+            "txn": self.txn_id,
+            "ts": ts,
+            "tables": [
+                {
+                    "name": name,
+                    "path": self.catalog.table(name).path,
+                    "files": [m.path for m in staged.markers],
+                }
+                for name, staged in self._staged
+            ],
+        }
+        self.store.put(
+            f"{self.txn_id}.intent.json", json.dumps(intent).encode()
+        )
+        by_table: dict[str, list] = {}
+        for name, staged in self._staged:
+            by_table.setdefault(name, []).append(staged)
+        for name, batches in by_table.items():
+            self.catalog.table(name).publish(
+                batches, commit_tag=txn_tag(self.txn_id), timestamp_ms=ts
+            )
+        # the atomic visibility flip
+        self.store.put(
+            f"{self.txn_id}.commit.json",
+            json.dumps({"txn": self.txn_id, "ts": ts}).encode(),
+        )
+        return ts
+
+    def abort(self) -> None:
+        """Walk away: nothing was published (or, if commit() died midway,
+        nothing is visible to filtered readers). Staged files are
+        unreferenced and per-table ``gc_orphans`` / :func:`abort_orphans`
+        reclaim them after their grace windows."""
+        self._done = True
+
+
+def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
+    """Collect transactions that died between INTENT and COMMIT: for each
+    intent marker older than ``min_age_ms`` with no commit marker, delete
+    the participants' txn-tagged log commits (never visible to filtered
+    readers), their staged data files (from the intent manifest), and
+    finally the intent marker itself. Returns per-txn counts.
+
+    The grace window serves raw readers the same way gc_orphans' does: a
+    reader that bypasses the catalog may be mid-scan over a partial
+    transaction; age the abort well past any plausible scan."""
+    store = catalog._txn_store
+    vis = catalog._txn_vis
+    vis.refresh()
+    cutoff = now_ms() - min_age_ms
+    out: dict[str, dict] = {}
+    for key, _size in store.list("", include_hidden=True):
+        if not key.endswith(".intent.json"):
+            continue
+        tid = key[: -len(".intent.json")]
+        if tid in vis._committed:
+            continue
+        intent = json.loads(store.get(key).decode())
+        if intent.get("ts", 0) > cutoff:
+            continue
+        counts = {"logs": 0, "files": 0}
+        for entry in intent.get("tables", []):
+            name = entry.get("name")
+            try:
+                t = catalog.table(name)
+            except KeyError:
+                continue
+            # tagged log commits of this txn (metadata-only match)
+            for log_key, _sz in t.log_io.get_current_log_files(
+                t.log_storage
+            ):
+                if parse_txn_id(log_key) == tid:
+                    get_log_file_info(log_key)  # validates shape
+                    t.log_storage.delete(log_key)
+                    counts["logs"] += 1
+            for rel in entry.get("files", []):
+                t.storage.delete(rel)
+                counts["files"] += 1
+        store.delete(key)
+        out[tid] = counts
+    return out

@@ -1,0 +1,196 @@
+"""Cross-table ACID transactions (icedb_spark.txn): stage -> intent ->
+tagged publish at one instant -> one-PUT commit marker; catalog readers
+never see a partial transaction."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+from icedb_spark.txn import CatalogTransaction, parse_txn_id, txn_tag
+
+
+def _mk(spark, path):
+    return IceTable(
+        spark,
+        str(path),
+        partition_spec=PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        sort_order=["k"],
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    facts = _mk(spark, tmp_path / "facts")
+    dims = _mk(spark, tmp_path / "dims")
+    cat = (
+        IceCatalog(spark)
+        .add("facts", facts)
+        .add("dims", dims)
+        .enable_transactions(str(tmp_path / "_txn"))
+    )
+    return cat
+
+
+def _counts(cat):
+    r = cat.sql(
+        "select (select count(*) from facts) as f,"
+        " (select count(*) from dims) as d"
+    ).collect()[0]
+    return r["f"], r["d"]
+
+
+def test_txn_commits_both_tables_atomically(cat):
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": i} for i in range(4)])
+        txn.insert("dims", rows=[{"bucket": "b", "k": 0, "name": "x"}])
+        # inside the body nothing is visible anywhere
+        assert _counts(cat) == (0, 0)
+    assert _counts(cat) == (4, 1)
+    # both tables committed at the SAME instant: time travel to just
+    # before it sees neither, at it sees both
+    ts = max(
+        int(k.rsplit("/", 1)[-1].split("_")[0])
+        for k in cat.table("facts").snapshot().log_files
+    )
+    with_t = cat.sql(
+        "select (select count(*) from facts) as f,"
+        " (select count(*) from dims) as d",
+        at_ms=ts,
+    ).collect()[0]
+    assert (with_t["f"], with_t["d"]) == (4, 1)
+    before = cat.sql(
+        "select (select count(*) from facts) as f,"
+        " (select count(*) from dims) as d",
+        at_ms=ts - 1,
+    ).collect()[0]
+    assert (before["f"], before["d"]) == (0, 0)
+
+
+def test_txn_abort_leaves_nothing_visible(cat):
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+            raise RuntimeError("boom")
+    assert _counts(cat) == (0, 0)
+    # no commit, no intent, no log entry — only orphaned staged files,
+    # which gc_orphans owns
+    assert cat.table("facts").snapshot().log_files == []
+
+
+def test_crash_between_intent_and_commit_is_invisible_then_reclaimed(cat):
+    """Simulate dying after the intent marker and one table's tagged
+    publish but BEFORE the commit marker: filtered readers see nothing;
+    txn_cleanup reclaims the tagged log and its files; a raw unfiltered
+    reader (the documented obligation) would have seen the partial."""
+    txn = CatalogTransaction(cat, cat._txn_store)
+    staged = txn.insert("facts", rows=[{"bucket": "b", "k": 7}])
+    ts = 9_999_999  # any stamp; visibility is marker-driven
+    cat._txn_store.put(
+        f"{txn.txn_id}.intent.json",
+        json.dumps({
+            "txn": txn.txn_id, "ts": 0,
+            "tables": [{
+                "name": "facts",
+                "path": cat.table("facts").path,
+                "files": [m.path for m in staged.markers],
+            }],
+        }).encode(),
+    )
+    cat.table("facts").publish(
+        staged, commit_tag=txn_tag(txn.txn_id), timestamp_ms=ts
+    )
+    # the tagged commit exists physically...
+    raw_keys = [
+        k for k, _ in cat.table("facts").log_io.get_current_log_files(
+            cat.table("facts").log_storage
+        )
+    ]
+    assert any(parse_txn_id(k) == txn.txn_id for k in raw_keys)
+    # ...but no filtered reader sees it
+    assert _counts(cat) == (0, 0)
+    assert cat.table("facts").read().count() == 0
+    # a raw reader without the filter DOES see it (raw-reader obligation)
+    raw = IceTable.open(cat.spark, cat.table("facts").path)
+    assert raw.read().count() == 1
+    # reclaim after grace
+    out = cat.txn_cleanup(min_age_ms=0)
+    assert out[txn.txn_id]["logs"] == 1
+    assert out[txn.txn_id]["files"] == len(staged.markers)
+    assert cat.table("facts").snapshot().log_files == []
+    assert _counts(cat) == (0, 0)
+
+
+def test_committed_txn_survives_cleanup_and_caches(cat):
+    with cat.transaction() as txn:
+        txn.insert("dims", rows=[{"bucket": "b", "k": 1, "name": "y"}])
+    assert cat.txn_cleanup(min_age_ms=0) == {}
+    assert _counts(cat) == (0, 1)
+    # the commit marker is the durability record: still present
+    assert any(
+        k.endswith(".commit.json")
+        for k, _ in cat._txn_store.list("", include_hidden=True)
+    )
+
+
+def test_consistent_hold_freezes_visibility(cat):
+    vis = cat._txn_vis
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    with vis.consistent():
+        committed_now = set(vis._committed)
+        # a refresh inside the hold is a no-op even if markers change
+        cat._txn_store.put("deadbeefdead.commit.json", b"{}")
+        vis.refresh()
+        assert vis._committed == committed_now
+    vis.refresh()
+    assert "deadbeefdead" in vis._committed
+
+
+def test_mixed_plain_and_txn_commits(cat):
+    """Plain (untagged) inserts stay visible regardless of txn state."""
+    cat.table("facts").insert([{"bucket": "b", "k": 100}])
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 101}])
+        assert _counts(cat)[0] == 1  # plain insert visible mid-txn
+    assert _counts(cat)[0] == 2
+
+
+def test_datasource_batch_read_honors_txn_root(cat, spark, tmp_path):
+    """format('icedb') with option('txn_root') filters uncommitted
+    transactions like the catalog; without it the scan is raw."""
+    from icedb_spark import IceDataSource
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    # a committed txn row + a crashed-txn row (tagged, no marker)
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    crash = CatalogTransaction(cat, cat._txn_store)
+    staged = crash.insert("facts", rows=[{"bucket": "b", "k": 2}])
+    cat.table("facts").publish(
+        staged, commit_tag=txn_tag(crash.txn_id), timestamp_ms=8_888_888
+    )
+    path = cat.table("facts").path
+    filtered = (
+        spark.read.format("icedb").option("path", path)
+        .option("txn_root", str(tmp_path / "_txn")).load()
+    )
+    assert [r["k"] for r in filtered.collect()] == [1]
+    raw = spark.read.format("icedb").option("path", path).load()
+    assert sorted(r["k"] for r in raw.collect()) == [1, 2]
+    # streaming + txn_root refuses (at stream start — load() is lazy)
+    # rather than silently skipping late-committing transactions
+    q = (
+        spark.readStream.format("icedb").option("path", path)
+        .option("txn_root", str(tmp_path / "_txn")).load()
+        .writeStream.format("memory").queryName("txn_refuse")
+        .option("checkpointLocation", str(tmp_path / "ck_refuse"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="txn_root"):
+        q.awaitTermination()
