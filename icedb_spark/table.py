@@ -603,6 +603,17 @@ class IceTable:
         self._persist_spec()
 
     @contextmanager
+    def _tagged_commits(self, tag: str, timestamp_ms: int):
+        """Scope for the txn layer: DML commits inside it are tagged and
+        pinned to the transaction's shared instant (thread-local, so a
+        concurrent plain writer on another thread is unaffected)."""
+        self._lock_local.txn_override = (tag, timestamp_ms)
+        try:
+            yield
+        finally:
+            self._lock_local.txn_override = None
+
+    @contextmanager
     def _maintenance_lock(self, op: str):
         local = self._lock_local
         depth = getattr(local, "depth", 0)
@@ -2483,6 +2494,14 @@ class IceTable:
         pins the stamp when a change set was pre-written under it."""
         if not new_markers and not replaced:
             return 0
+        # transaction-scoped DML (icedb_spark.txn): ops executed inside
+        # CatalogTransaction.commit() run under this override so their
+        # commits carry the txn tag and the transaction's shared instant
+        ov = getattr(self._lock_local, "txn_override", None)
+        if ov is not None:
+            tag = tag or ov[0]
+            if timestamp_ms is None:
+                timestamp_ms = ov[1]
         ts = timestamp_ms if timestamp_ms is not None else unique_ms()
         stamped = [
             FileMarker(m.path, ts, m.file_bytes, stats=m.stats)

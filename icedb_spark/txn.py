@@ -8,14 +8,19 @@ relies on (atomic PUT, list-after-write):
 
 Protocol (coordinator-free, all steps idempotent):
 
-1. **STAGE** — every write inside the transaction is a WAP staged insert
-   (``insert(publish=False)``): files land, no log commit exists.
+1. **STAGE** — inserts inside the transaction are WAP staged
+   (``insert(publish=False)``: files land, no log commit exists);
+   DELETE/UPDATE ops are QUEUED and execute at commit under the txn tag
+   (each sees the pre-txn state plus this transaction's earlier tagged
+   commits — self-visibility — never other pending transactions).
 2. **INTENT** — one marker ``<txn_root>/<id>.intent.json`` records the
    participant tables and their staged files (the cleanup manifest).
-3. **PUBLISH** — each participant publishes its staged batches with
-   ``commit_tag="txn<id>"`` and the SAME ``timestamp_ms``. The tag rides
-   in the log FILENAME (log.py:log_file_name), so visibility filtering
-   is metadata-only — no extra GETs on the read path.
+3. **PUBLISH** — queued DML executes, then each participant publishes
+   its staged batches; every commit carries ``commit_tag="txn<id>-NNN"``
+   and the SAME ``timestamp_ms`` (the seq keeps same-instant log names
+   unique and fold-ordered). The tag rides in the log FILENAME
+   (log.py:log_file_name), so visibility filtering is metadata-only —
+   no extra GETs on the read path.
 4. **COMMIT** — one PUT of ``<txn_root>/<id>.commit.json``. This single
    PUT is the atomic visibility flip: a txn-aware reader treats a
    txn-tagged log commit as visible IFF its commit marker exists, so the
@@ -52,8 +57,12 @@ from .log import get_log_file_info, now_ms, unique_ms
 if TYPE_CHECKING:  # pragma: no cover
     from .catalog import IceCatalog
 
-# tag chars survive log_file_name's '/'->'-' '_'->'-' mangling untouched
-_TXN_TAG_RE = re.compile(r"-txn([0-9a-f]{12})\.jsonl$")
+# tag chars survive log_file_name's '/'->'-' '_'->'-' mangling untouched.
+# The optional -NNN suffix sequences a transaction's several commits (all
+# stamped at the SAME instant): it keeps their log filenames unique and
+# makes the fold's sorted-key order equal their execution order, so a
+# later op's tombstones win LWW over an earlier op's markers.
+_TXN_TAG_RE = re.compile(r"-txn([0-9a-f]{12})(?:-\d{3})?\.jsonl$")
 
 
 def txn_tag(txn_id: str) -> str:
@@ -79,6 +88,11 @@ class TxnVisibility:
     def __init__(self, store):
         self.store = store
         self._committed: set[str] = set()
+        # transactions THIS process is mid-commit on: their tagged
+        # commits are visible to their own later operations (a txn's
+        # second DML on a table must see its first), never to readers in
+        # other processes (no marker yet)
+        self._own: set[str] = set()
         self._lock = threading.RLock()
         self._hold = 0
 
@@ -107,7 +121,25 @@ class TxnVisibility:
 
     def is_visible(self, log_key: str) -> bool:
         tid = parse_txn_id(log_key)
-        return tid is None or tid in self._committed
+        return tid is None or tid in self._committed or tid in self._own
+
+    def self_visible(self, tid: str):
+        """Context: make ``tid``'s tagged commits visible to this
+        process while its commit() is in flight."""
+        vis = self
+
+        class _Own:
+            def __enter__(self):
+                with vis._lock:
+                    vis._own.add(tid)
+                return vis
+
+            def __exit__(self, *exc):
+                with vis._lock:
+                    vis._own.discard(tid)
+                return False
+
+        return _Own()
 
     def consistent(self):
         """Context manager: one refresh for a whole multi-table query."""
@@ -140,6 +172,7 @@ class CatalogTransaction:
         self.store = store
         self.txn_id = uuid.uuid4().hex[:12]
         self._staged: list[tuple[str, object]] = []  # (table name, StagedInsert)
+        self._dml: list[tuple[str, str, tuple]] = []  # (table, op, args)
         self._done = False
 
     def insert(self, table_name: str, rows=None, df=None):
@@ -152,38 +185,84 @@ class CatalogTransaction:
         self._staged.append((table_name, staged))
         return staged
 
+    def delete(self, table_name: str, where: str) -> None:
+        """Queue a row-level DELETE. DML ops execute at commit() under
+        the transaction's tag and shared instant — they see the
+        PRE-transaction snapshot (this txn's staged inserts are not yet
+        visible to them), and they do not support capture_changes."""
+        self._queue_dml(table_name, "delete", (where,))
+
+    def update(self, table_name: str, assignments: dict, where: str) -> None:
+        """Queue a row-level UPDATE (same contract as :meth:`delete`)."""
+        self._queue_dml(table_name, "update", (assignments, where))
+
+    def _queue_dml(self, table_name: str, op: str, args: tuple) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self.catalog.table(table_name)  # KeyError early for typos
+        self._dml.append((table_name, op, args))
+
     def commit(self) -> Optional[int]:
-        """INTENT -> per-table tagged PUBLISH (same instant) -> one-PUT
-        COMMIT marker. Returns the transaction's commit timestamp, or
-        None for an empty transaction."""
+        """INTENT -> tagged DML execution + per-table tagged PUBLISH
+        (same instant) -> one-PUT COMMIT marker. Returns the
+        transaction's commit timestamp, or None for an empty
+        transaction."""
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
-        if not self._staged:
+        if not self._staged and not self._dml:
             return None
         ts = unique_ms()
+        participants = {name for name, _ in self._staged} | {
+            name for name, _, _ in self._dml
+        }
+        staged_files: dict[str, list[str]] = {}
+        for name, staged in self._staged:
+            staged_files.setdefault(name, []).extend(
+                m.path for m in staged.markers
+            )
         intent = {
             "txn": self.txn_id,
             "ts": ts,
+            # staged-insert files are listed here; files a tagged DML
+            # writes are recovered from its tagged log at cleanup time
             "tables": [
                 {
                     "name": name,
                     "path": self.catalog.table(name).path,
-                    "files": [m.path for m in staged.markers],
+                    "files": staged_files.get(name, []),
                 }
-                for name, staged in self._staged
+                for name in sorted(participants)
             ],
         }
         self.store.put(
             f"{self.txn_id}.intent.json", json.dumps(intent).encode()
         )
-        by_table: dict[str, list] = {}
-        for name, staged in self._staged:
-            by_table.setdefault(name, []).append(staged)
-        for name, batches in by_table.items():
-            self.catalog.table(name).publish(
-                batches, commit_tag=txn_tag(self.txn_id), timestamp_ms=ts
-            )
+        tag = txn_tag(self.txn_id)
+        vis = self.catalog._txn_vis
+        seq = 0
+        with vis.self_visible(self.txn_id):
+            # ordering inside the transaction: DML ops run first (each
+            # sees the pre-txn state plus this txn's EARLIER tagged
+            # commits, via self-visibility), then staged inserts append.
+            # Every commit shares ts; the zero-padded seq in the tag
+            # keeps same-instant log names unique and fold-ordered.
+            for name, op, args in self._dml:
+                t = self.catalog.table(name)
+                with t._tagged_commits(f"{tag}-{seq:03d}", ts):
+                    if op == "delete":
+                        t.delete(args[0])
+                    else:
+                        t.update(args[0], args[1])
+                seq += 1
+            by_table: dict[str, list] = {}
+            for name, staged in self._staged:
+                by_table.setdefault(name, []).append(staged)
+            for name, batches in by_table.items():
+                self.catalog.table(name).publish(
+                    batches, commit_tag=f"{tag}-{seq:03d}", timestamp_ms=ts
+                )
+                seq += 1
         # the atomic visibility flip
         self.store.put(
             f"{self.txn_id}.commit.json",
@@ -230,17 +309,36 @@ def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
                 t = catalog.table(name)
             except KeyError:
                 continue
-            # tagged log commits of this txn (metadata-only match)
+            # tagged log commits of this txn (metadata-only match). A
+            # tagged DML log's ALIVE markers are rewrite files the txn
+            # itself wrote (uuid-fresh, referenced nowhere else) —
+            # delete them with the log; its TOMBSTONE markers reference
+            # pre-txn files and are left strictly alone (deleting the
+            # log un-tombstones them, which IS the abort).
+            deleted: set[str] = set()
             for log_key, _sz in t.log_io.get_current_log_files(
                 t.log_storage
             ):
-                if parse_txn_id(log_key) == tid:
-                    get_log_file_info(log_key)  # validates shape
-                    t.log_storage.delete(log_key)
-                    counts["logs"] += 1
+                if parse_txn_id(log_key) != tid:
+                    continue
+                get_log_file_info(log_key)  # validates shape
+                try:
+                    _m, _s, fms, _t = t.log_io.read_log(
+                        t.log_storage, log_key
+                    )
+                except Exception:
+                    fms = []
+                for m in fms:
+                    if m.alive and m.path not in deleted:
+                        t.storage.delete(m.path)
+                        deleted.add(m.path)
+                t.log_storage.delete(log_key)
+                counts["logs"] += 1
             for rel in entry.get("files", []):
-                t.storage.delete(rel)
-                counts["files"] += 1
+                if rel not in deleted:  # staged-but-never-published
+                    t.storage.delete(rel)
+                    deleted.add(rel)
+            counts["files"] += len(deleted)
         store.delete(key)
         out[tid] = counts
     return out

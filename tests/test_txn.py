@@ -194,3 +194,84 @@ def test_datasource_batch_read_honors_txn_root(cat, spark, tmp_path):
     )
     with pytest.raises(Exception, match="txn_root"):
         q.awaitTermination()
+
+
+def test_txn_dml_commits_with_inserts_atomically(cat):
+    """DELETE/UPDATE queued in a transaction execute at commit under the
+    txn tag and shared instant: mid-body nothing changes, after commit
+    the DML plus the staged insert land together, and time travel to
+    ts-1 still shows the pre-txn state."""
+    cat.table("facts").insert(
+        [{"bucket": "b", "k": i, "v": float(i)} for i in range(6)]
+    )
+    with cat.transaction() as txn:
+        txn.delete("facts", "k >= 4")
+        txn.update("facts", {"v": "v + 100"}, "k = 0")
+        txn.insert("dims", rows=[{"bucket": "b", "k": 1, "name": "n"}])
+        # queued, not executed: nothing moved yet
+        assert _counts(cat) == (6, 0)
+        assert cat.sql(
+            "select sum(v) as s from facts"
+        ).collect()[0]["s"] == 15.0
+    assert _counts(cat) == (4, 1)
+    rows = {r["k"]: r["v"] for r in cat.table("facts").read().collect()}
+    assert rows == {0: 100.0, 1: 1.0, 2: 2.0, 3: 3.0}
+    # shared instant: just before it, the old facts and no dims
+    ts = max(
+        int(k.rsplit("/", 1)[-1].split("_")[0])
+        for k in cat.table("dims").snapshot().log_files
+    )
+    old = cat.sql(
+        "select (select count(*) from facts) as f,"
+        " (select sum(v) from facts) as s,"
+        " (select count(*) from dims) as d",
+        at_ms=ts - 1,
+    ).collect()[0]
+    assert (old["f"], old["s"], old["d"]) == (6, 15.0, 0)
+
+
+def test_txn_sequential_dml_same_table_sees_own_effects(cat):
+    """A txn's second DML on the same table folds over the first's
+    tagged commit (self-visibility + seq-ordered same-instant logs) —
+    no resurrections, no double-application."""
+    cat.table("facts").insert(
+        [{"bucket": "b", "k": i, "v": float(i)} for i in range(4)]
+    )
+    with cat.transaction() as txn:
+        txn.delete("facts", "k = 1")
+        txn.update("facts", {"v": "v * 10"}, "k >= 0")  # post-delete rows
+    rows = {r["k"]: r["v"] for r in cat.table("facts").read().collect()}
+    assert rows == {0: 0.0, 2: 20.0, 3: 30.0}
+
+
+def test_txn_dml_crash_reclaim_restores_pretxn_state(cat):
+    """Crash between a tagged DML commit and the marker: readers keep
+    the pre-txn state; txn_cleanup deletes the tagged log AND its
+    rewrite files while leaving the pre-txn files alone."""
+    cat.table("facts").insert(
+        [{"bucket": "b", "k": i, "v": float(i)} for i in range(4)]
+    )
+    txn = CatalogTransaction(cat, cat._txn_store)
+    txn.delete("facts", "k >= 2")
+    # run only intent + DML, skip the marker (simulated crash)
+    txn._done = True
+    import json as _json
+
+    from icedb_spark.log import unique_ms
+
+    ts = unique_ms()
+    cat._txn_store.put(
+        f"{txn.txn_id}.intent.json",
+        _json.dumps({"txn": txn.txn_id, "ts": 0, "tables": [
+            {"name": "facts", "path": cat.table("facts").path, "files": []},
+        ]}).encode(),
+    )
+    t = cat.table("facts")
+    with t._tagged_commits(txn_tag(txn.txn_id) + "-000", ts):
+        t.delete("k >= 2")
+    assert t.read().count() == 4  # invisible
+    out = cat.txn_cleanup(min_age_ms=0)
+    assert out[txn.txn_id]["logs"] == 1
+    assert t.read().count() == 4  # pre-txn state intact after reclaim
+    raw = IceTable.open(cat.spark, t.path)
+    assert raw.read().count() == 4  # even for raw readers now
