@@ -1382,6 +1382,73 @@ class IceTable:
             )
         return None
 
+    # --------------------------------------------------- metadata tables
+    def history_df(self, at_ms: Optional[int] = None) -> DataFrame:
+        """Commit history as a DataFrame (the Iceberg ``snapshots``
+        metadata-table analog; :meth:`history` returns the same story as
+        plain dicts): one row per log commit with its instant, kind,
+        file/byte deltas, and the raw log key.
+
+        Metadata-scale only: the fold's already-fetched log contents are
+        reused (``keep_parsed``), rows are O(commits), and no data file
+        is opened. ``operation`` is derived: ``insert`` (plain append),
+        ``merge`` (merged-type with tombstones restating prior files),
+        or ``overwrite`` for merged commits that both add and tombstone
+        at their own instant (DML / rewrite / compaction share this
+        shape on the wire — the log records effects, not intents)."""
+        state = self.snapshot(at_ms=at_ms, keep_parsed=True)
+        rows = []
+        for key, (_meta, _sch, fms, _tmbs) in self._log_contents(state):
+            ts, merged = get_log_file_info(key)
+            added = [m for m in fms if m.created_ms == ts]
+            tombed = [m for m in fms if m.tombstone == ts]
+            op = "insert" if not merged else (
+                "overwrite" if added and tombed else "merge"
+            )
+            rows.append({
+                "commit_ms": ts,
+                "operation": op,
+                "files_added": len(added),
+                "files_tombstoned": len(tombed),
+                "bytes_added": sum(m.file_bytes for m in added),
+                "log_key": key,
+            })
+        schema = T.StructType([
+            T.StructField("commit_ms", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("files_added", T.LongType()),
+            T.StructField("files_tombstoned", T.LongType()),
+            T.StructField("bytes_added", T.LongType()),
+            T.StructField("log_key", T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema=schema).orderBy(
+            "commit_ms", "log_key"
+        )
+
+    def file_manifest(self, at_ms: Optional[int] = None) -> DataFrame:
+        """Alive files as a DataFrame (the Iceberg ``files`` metadata
+        table): path, partition, size, commit instant, and the zone-map
+        stats JSON — the scan-planning metadata, queryable with SQL."""
+        state = self.snapshot(at_ms=at_ms)
+        rows = [
+            {
+                "path": m.path,
+                "partition": m.partition(),
+                "file_bytes": m.file_bytes,
+                "created_ms": m.created_ms,
+                "stats_json": json.dumps(m.stats) if m.stats else None,
+            }
+            for m in state.alive_files()
+        ]
+        schema = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("partition", T.StringType()),
+            T.StructField("file_bytes", T.LongType()),
+            T.StructField("created_ms", T.LongType()),
+            T.StructField("stats_json", T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema=schema).orderBy("path")
+
     def changes(
         self, since_ms: int, until_ms: Optional[int] = None
     ) -> DataFrame:

@@ -215,3 +215,54 @@ def test_trained_ivf_plans_broadcast_codebook(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # broadcast codebook
     assert "BroadcastHashJoin" in plan                 # probed-cell join
+
+
+def test_semantic_decontam_plans_broadcast_nlj_partial_max(spark, sf_dir):
+    """t14 exact mode: the corpus x benchmark cosine fold must be a
+    BroadcastNestedLoopJoin (tiny benchmark broadcast, zero corpus
+    shuffle) and the per-id max a partial aggregate (map-side combine) —
+    never a shuffled cartesian."""
+    from icedb_spark.operators import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 29 == 0)
+    corpus = emb.where(F.col("vec_id") % 29 != 0)
+    plan = _physical(
+        semantic_decontaminate(corpus, bench, 0.35, vec_col="embedding")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "partial_merge_max" in plan or (
+        "HashAggregate" in plan and "max(" in plan
+    )
+
+
+def test_zorder_split_assignment_is_column_expression(spark, tmp_path):
+    """The z-range split must be assigned by a monotone column expression
+    over the Morton code — the write job's plan may not gain a window,
+    sort, or extra exchange beyond the single partition shuffle."""
+    from icedb_spark.table import (
+        _MANIFEST_SCHEMA, _PART_COL, _make_group_writer,
+    )
+
+    t = IceTable(
+        spark, str(tmp_path / "zplan"),
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        zorder_by=["x", "y"], write_splits=4,
+    )
+    df = spark.range(2048).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    prepped = t._prepare_batch(df)
+    laid, sort_cols = t._apply_layout(prepped)
+    split = t._attach_split(laid, sort_cols)
+    writer = _make_group_writer(t.path, sort_cols, "snappy", 122_880)
+    from icedb_spark.table import _SPLIT_COL
+
+    manifest = split.groupBy(_PART_COL, _SPLIT_COL).applyInArrow(
+        writer, schema=_MANIFEST_SCHEMA
+    )
+    plan = _physical(manifest)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

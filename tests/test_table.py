@@ -969,3 +969,33 @@ def test_lock_provider_acquired_once_per_compound_op(spark, tmp_path):
     acquired.clear()
     t.tombstone_cleanup(min_age_ms=0)
     assert acquired == ["tombstone_cleanup"]
+
+
+def test_history_and_file_manifest_metadata_tables(spark, tmp_path):
+    """history_df() derives one row per commit with file/byte deltas;
+    file_manifest() lists alive files with partition + stats — both are
+    metadata-only (no data file opened) and time-travelable."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.log import get_log_file_info
+
+    t = IceTable(
+        spark, str(tmp_path / "meta_t"),
+        partition_spec=PartitionSpec(fields=[PartitionField("b", "bucket")]),
+        sort_order=["k"],
+    )
+    t.insert([{"bucket": "x", "k": 1}, {"bucket": "x", "k": 4},
+              {"bucket": "y", "k": 2}])
+    first_ts = get_log_file_info(t.snapshot().log_files[-1])[0]
+    t.insert([{"bucket": "x", "k": 3}])
+    t.delete("k = 1")
+    h = {r["operation"]: r for r in t.history_df().collect()}
+    assert h["insert"]["files_added"] >= 1
+    assert h["overwrite"]["files_tombstoned"] >= 1  # the delete rewrite
+    assert t.history_df().count() == len(t.snapshot().log_files)
+    m = t.file_manifest().collect()
+    assert {r["partition"] for r in m} == {"b=x", "b=y"}
+    assert all(r["file_bytes"] > 0 and r["stats_json"] for r in m)
+    # time travel: at the first commit, one insert row, two files
+    h0 = t.history_df(at_ms=first_ts).collect()
+    assert len(h0) == 1 and h0[0]["operation"] == "insert"
+    assert t.file_manifest(at_ms=first_ts).count() == 2
