@@ -889,14 +889,24 @@ class IceTable:
             fs_options=self.storage_options,
         )
         group_cols = [_PART_COL]
+        cached = None
         if self.write_splits > 1:
+            if sort_cols == [_ZORDER_COL]:
+                # the z-range split needs a quantile pass BEFORE the
+                # write job — persist so the caller's (possibly
+                # expensive) upstream pipeline runs once, not twice
+                cached = df = df.persist()
             df = self._attach_split(df, sort_cols)
             group_cols.append(_SPLIT_COL)
-        manifest = (
-            df.groupBy(*group_cols)
-            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
-            .collect()
-        )
+        try:
+            manifest = (
+                df.groupBy(*group_cols)
+                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                .collect()
+            )
+        finally:
+            if cached is not None:
+                cached.unpersist()
         ts = unique_ms()
         markers = [
             FileMarker(
@@ -928,19 +938,23 @@ class IceTable:
         ``timestamp_ms`` pins the commit instant (the cross-table
         transaction layer stamps every participant with the same one)."""
         batches = [staged] if isinstance(staged, StagedInsert) else list(staged)
+        ts = timestamp_ms if timestamp_ms is not None else unique_ms()
         markers: list[FileMarker] = []
         schema = Schema()
         for b in batches:
-            markers.extend(b.markers)
+            # restamp to the COMMIT instant: visibility (MOR set
+            # applicability, history deltas, time travel) is defined by
+            # when rows became readable, not when the staging job ran
+            markers.extend(
+                FileMarker(m.path, ts, m.file_bytes, stats=m.stats)
+                for m in b.markers
+            )
             cols = b.schema.columns()
             schema.accumulate(list(cols.keys()), list(cols.values()))
         if not markers:
             return []
         self.log_io.append(
-            self.log_storage, 1, schema, markers,
-            timestamp_ms=(
-                timestamp_ms if timestamp_ms is not None else unique_ms()
-            ),
+            self.log_storage, 1, schema, markers, timestamp_ms=ts,
             tag=commit_tag,
         )
         return markers
@@ -978,6 +992,16 @@ class IceTable:
             if at_ms is not None:
                 raise ValueError("pass at_ms or tag, not both")
             at_ms = self.tag_ts(tag)
+        # inside a transaction's commit, every operation reads AS OF the
+        # transaction's pinned instant (snapshot isolation): its commits
+        # are stamped with that instant, so tombstoning anything that
+        # committed AFTER it would fold in the wrong order — a plain
+        # insert landing mid-commit would restate the tombstoned file
+        # alive (resurrection). Reading at the pinned instant makes such
+        # late commits invisible to the txn and therefore untouchable.
+        ov = getattr(self._lock_local, "txn_override", None)
+        if ov is not None and at_ms is None:
+            at_ms = ov[1]
         vis = self.commit_visibility
         if vis is not None:
             vis.refresh()  # no-op inside a held consistent() window
@@ -1449,6 +1473,39 @@ class IceTable:
         ])
         return self.spark.createDataFrame(rows, schema=schema).orderBy("path")
 
+    def _refuse_pending_txn_window(
+        self, op: str, since_ms: int, until_ms: Optional[int]
+    ) -> None:
+        """Incremental readers must not advance their watermark past a
+        PENDING transaction: its commits carry an instant pinned before
+        the commit marker lands, so skipping them now means dropping
+        them from every future window (exactly-once broken silently).
+        Raise and let the consumer retry — the same reasoning behind the
+        streaming source refusing ``txn_root``."""
+        vis = self.commit_visibility
+        if vis is None or not hasattr(vis, "pending"):
+            return
+        from .txn import parse_txn_id as _parse_txn_id
+
+        vis.refresh()
+        pend = vis.pending()
+        if not pend:
+            return
+        until = until_ms if until_ms is not None else now_ms()
+        blocking = sorted({
+            tid
+            for key, _sz in self.log_io.get_current_log_files(
+                self.log_storage
+            )
+            for tid in [_parse_txn_id(key)]
+            if tid in pend and since_ms < get_log_file_info(key)[0] <= until
+        })
+        if blocking:
+            raise RuntimeError(
+                f"{op}(): pending transaction(s) {blocking} have commits "
+                "inside the window; retry after they commit or are cleaned"
+            )
+
     def changes(
         self, since_ms: int, until_ms: Optional[int] = None
     ) -> DataFrame:
@@ -1476,7 +1533,18 @@ class IceTable:
                 batch = table.changes(t0, head)
                 ...process batch...
                 t0 = head
+
+        On a transaction-enabled table (``commit_visibility`` set) this
+        raises while a PENDING transaction's commits sit inside the
+        window: a txn's commits carry an instant pinned BEFORE its
+        marker lands, so advancing the watermark past that instant
+        before the marker appears would drop the transaction's rows
+        from every future window. Retry after the transaction commits
+        (or is reclaimed by ``txn_cleanup``) — exactly-once is
+        preserved by refusing to skip, the same reasoning the streaming
+        source uses to refuse ``txn_root``.
         """
+        self._refuse_pending_txn_window("changes", since_ms, until_ms)
         state = self.snapshot(until_ms, keep_parsed=True)
         new_paths: list[str] = []
         for key, (_meta, _sch, fms, _tmbs) in self._log_contents(state):
@@ -1516,6 +1584,7 @@ class IceTable:
         Output: current unified schema + ``_change_type`` (older windows
         null-seed later columns, same as every scan).
         """
+        self._refuse_pending_txn_window("changes_feed", since_ms, until_ms)
         state = self.snapshot(until_ms, keep_parsed=True)
         committed: set[int] = set()
         insert_paths: list[str] = []

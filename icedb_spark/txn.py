@@ -88,26 +88,37 @@ class TxnVisibility:
     def __init__(self, store):
         self.store = store
         self._committed: set[str] = set()
-        # transactions THIS process is mid-commit on: their tagged
+        # transactions THIS THREAD is mid-commit on: their tagged
         # commits are visible to their own later operations (a txn's
         # second DML on a table must see its first), never to readers in
-        # other processes (no marker yet)
-        self._own: set[str] = set()
+        # other processes (no marker yet) — and never to OTHER THREADS
+        # of this process either: a serving thread folding tables while
+        # commit() is between two publishes would otherwise observe the
+        # torn state the whole layer exists to prevent
+        self._own_local = threading.local()
         self._lock = threading.RLock()
         self._hold = 0
 
+    def _own(self) -> set:
+        s = getattr(self._own_local, "tids", None)
+        if s is None:
+            s = self._own_local.tids = set()
+        return s
+
     # the DataSource reader ships its handle (and this object) to
-    # executors; the lock must not ride along, and a deserialized copy
-    # starts unheld with a fresh lock
+    # executors; the lock and thread-local must not ride along, and a
+    # deserialized copy starts unheld with fresh ones
     def __getstate__(self):
         d = self.__dict__.copy()
         d.pop("_lock", None)
+        d.pop("_own_local", None)
         d["_hold"] = 0
         return d
 
     def __setstate__(self, d):
         self.__dict__.update(d)
         self._lock = threading.RLock()
+        self._own_local = threading.local()
 
     def refresh(self) -> None:
         with self._lock:
@@ -121,22 +132,31 @@ class TxnVisibility:
 
     def is_visible(self, log_key: str) -> bool:
         tid = parse_txn_id(log_key)
-        return tid is None or tid in self._committed or tid in self._own
+        return tid is None or tid in self._committed or tid in self._own()
+
+    def pending(self) -> set[str]:
+        """Txn ids with an intent marker but (as of the last refresh) no
+        commit marker — transactions in flight or crashed mid-commit."""
+        out = set()
+        for key, _size in self.store.list("", include_hidden=True):
+            if key.endswith(".intent.json"):
+                tid = key[: -len(".intent.json")]
+                if tid not in self._committed:
+                    out.add(tid)
+        return out
 
     def self_visible(self, tid: str):
-        """Context: make ``tid``'s tagged commits visible to this
-        process while its commit() is in flight."""
+        """Context: make ``tid``'s tagged commits visible to THIS THREAD
+        while its commit() is in flight."""
         vis = self
 
         class _Own:
             def __enter__(self):
-                with vis._lock:
-                    vis._own.add(tid)
+                vis._own().add(tid)
                 return vis
 
             def __exit__(self, *exc):
-                with vis._lock:
-                    vis._own.discard(tid)
+                vis._own().discard(tid)
                 return False
 
         return _Own()
@@ -212,6 +232,17 @@ class CatalogTransaction:
         self._done = True
         if not self._staged and not self._dml:
             return None
+        n_ops = len(self._dml) + len(
+            {name for name, _ in self._staged}
+        )
+        if n_ops > 999:
+            # the 3-digit tag sequence is a correctness boundary: a
+            # 4-digit seq would not parse as a txn tag (instantly
+            # visible mid-commit — torn) and would sort before -999
+            raise ValueError(
+                f"transaction has {n_ops} operations; the limit is 999 "
+                "— batch DML predicates or split the transaction"
+            )
         ts = unique_ms()
         participants = {name for name, _ in self._staged} | {
             name for name, _, _ in self._dml
@@ -268,6 +299,14 @@ class CatalogTransaction:
             f"{self.txn_id}.commit.json",
             json.dumps({"txn": self.txn_id, "ts": ts}).encode(),
         )
+        # the intent is only the crash-cleanup manifest — once the
+        # commit marker exists it is dead weight on every reader's
+        # marker listing; best-effort delete (abort_orphans sweeps
+        # stragglers from a crash landing exactly here)
+        try:
+            self.store.delete(f"{self.txn_id}.intent.json")
+        except Exception:
+            pass
         return ts
 
     def abort(self) -> None:
@@ -285,22 +324,44 @@ def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
     readers), their staged data files (from the intent manifest), and
     finally the intent marker itself. Returns per-txn counts.
 
-    The grace window serves raw readers the same way gc_orphans' does: a
-    reader that bypasses the catalog may be mid-scan over a partial
-    transaction; age the abort well past any plausible scan."""
+    The grace window serves two roles: raw readers bypassing the
+    catalog may be mid-scan over a partial transaction, AND the intent
+    timestamp is stamped at commit START — so ``min_age_ms`` must
+    comfortably exceed the longest plausible commit (DML Spark jobs
+    included) or a slow-but-healthy transaction could be reaped mid
+    flight. The commit marker is re-checked immediately before anything
+    is destroyed, which closes the window to the final deletion pass;
+    run cleanup like vacuum (scheduled, rare), not beside every commit.
+    """
     store = catalog._txn_store
-    vis = catalog._txn_vis
-    vis.refresh()
     cutoff = now_ms() - min_age_ms
+    # fresh listing, not the shared visibility snapshot: a concurrent
+    # consistent() hold makes vis.refresh() a deliberate no-op, and
+    # reaping from a frozen committed-set would destroy a transaction
+    # that committed during the hold
+    listed = store.list("", include_hidden=True)
+    committed = {
+        k[: -len(".commit.json")]
+        for k, _s in listed
+        if k.endswith(".commit.json")
+    }
     out: dict[str, dict] = {}
-    for key, _size in store.list("", include_hidden=True):
+    for key, _size in listed:
         if not key.endswith(".intent.json"):
             continue
         tid = key[: -len(".intent.json")]
-        if tid in vis._committed:
+        if tid in committed:
+            # committed: the intent is dead weight (commit() deletes it
+            # on the happy path; this sweeps crash stragglers)
+            store.delete(key)
             continue
         intent = json.loads(store.get(key).decode())
         if intent.get("ts", 0) > cutoff:
+            continue
+        # last-instant re-check: the committer may have landed its
+        # marker since the listing
+        if store.exists(f"{tid}.commit.json"):
+            store.delete(key)
             continue
         counts = {"logs": 0, "files": 0}
         for entry in intent.get("tables", []):

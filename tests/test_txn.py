@@ -275,3 +275,123 @@ def test_txn_dml_crash_reclaim_restores_pretxn_state(cat):
     assert t.read().count() == 4  # pre-txn state intact after reclaim
     raw = IceTable.open(cat.spark, t.path)
     assert raw.read().count() == 4  # even for raw readers now
+
+
+def test_plain_insert_landing_mid_commit_survives_txn_dml(cat):
+    """Snapshot isolation at the pinned instant: a plain insert whose
+    commit lands AFTER the txn's pinned ts (but before its DML runs)
+    must be invisible to the txn's DELETE — tombstoning it would fold in
+    the wrong order and resurrect the file (LWW restatement)."""
+    import json as _json
+
+    from icedb_spark.log import unique_ms
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    txn = CatalogTransaction(cat, cat._txn_store)
+    txn._done = True
+    ts = unique_ms()
+    t.insert([{"bucket": "b", "k": 99}])  # lands after the pinned ts
+    with t._tagged_commits(txn_tag(txn.txn_id) + "-000", ts):
+        t.delete("k >= 0")  # true for every row, incl. k=99
+    cat._txn_store.put(
+        f"{txn.txn_id}.commit.json",
+        _json.dumps({"txn": txn.txn_id, "ts": ts}).encode(),
+    )
+    cat._txn_vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [99]  # pre-txn rows deleted, late insert survives
+
+
+def test_self_visibility_is_thread_scoped(cat):
+    """Another thread of the same process must NOT see a transaction's
+    tagged commits while its commit() is in flight."""
+    import threading
+
+    vis = cat._txn_vis
+    t = cat.table("facts")
+    txn = CatalogTransaction(cat, cat._txn_store)
+    staged = txn.insert("facts", rows=[{"bucket": "b", "k": 5}])
+    with vis.self_visible(txn.txn_id):
+        t.publish(staged, commit_tag=txn_tag(txn.txn_id) + "-000",
+                  timestamp_ms=7_777_777)
+        assert t.read().count() == 1  # committing thread sees it
+        other: list[int] = []
+        th = threading.Thread(
+            target=lambda: other.append(t.read().count())
+        )
+        th.start()
+        th.join()
+        assert other == [0]  # serving thread does not
+    assert t.read().count() == 0  # nobody does once the scope ends
+
+
+def test_cleanup_never_reaps_committed_and_prunes_intents(cat):
+    """abort_orphans re-checks the commit marker before destroying
+    anything and deletes redundant intents of committed transactions;
+    commit() itself removes its intent on the happy path."""
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    keys = [k for k, _ in cat._txn_store.list("", include_hidden=True)]
+    assert not any(k.endswith(".intent.json") for k in keys)  # happy path
+    # crash straggler: committed but intent survived
+    import json as _json
+
+    cat._txn_store.put(
+        f"{txn.txn_id}.intent.json",
+        _json.dumps({"txn": txn.txn_id, "ts": 0, "tables": []}).encode(),
+    )
+    assert cat.txn_cleanup(min_age_ms=0) == {}  # nothing reaped
+    keys = [k for k, _ in cat._txn_store.list("", include_hidden=True)]
+    assert not any(k.endswith(".intent.json") for k in keys)  # pruned
+    assert cat.table("facts").read().count() == 1  # data intact
+
+
+def test_txn_op_limit_guard(cat):
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    big = CatalogTransaction(cat, cat._txn_store)
+    for _ in range(1000):
+        big._dml.append(("facts", "delete", ("k < 0",)))
+    with pytest.raises(ValueError, match="999"):
+        big.commit()
+
+
+def test_changes_refuses_to_advance_past_pending_txn(cat):
+    """The CDC watermark must not skip a transaction whose marker has
+    not landed: changes() raises while a pending txn's commits are in
+    the window, and succeeds once the marker (or cleanup) resolves it."""
+    import json as _json
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": 0}])
+    crash = CatalogTransaction(cat, cat._txn_store)
+    staged = crash.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    cat._txn_store.put(
+        f"{crash.txn_id}.intent.json",
+        _json.dumps({"txn": crash.txn_id, "ts": 0, "tables": [
+            {"name": "facts", "path": t.path, "files": []},
+        ]}).encode(),
+    )
+    t.publish(staged, commit_tag=txn_tag(crash.txn_id) + "-000",
+              timestamp_ms=8_888_999)
+    with pytest.raises(RuntimeError, match="pending transaction"):
+        t.changes(0)
+    # resolving the txn (here: committing it) unblocks the stream
+    cat._txn_store.put(
+        f"{crash.txn_id}.commit.json",
+        _json.dumps({"txn": crash.txn_id, "ts": 8_888_999}).encode(),
+    )
+    cat._txn_store.delete(f"{crash.txn_id}.intent.json")
+    cat._txn_vis.refresh()
+    assert t.changes(0).count() == 2
+
+
+def test_history_df_counts_published_commits(cat):
+    """publish() restamps markers to the commit instant, so history_df
+    attributes files/bytes to WAP- and txn-published commits."""
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    h = cat.table("facts").history_df().collect()
+    assert len(h) == 1
+    assert h[0]["files_added"] >= 1 and h[0]["bytes_added"] > 0
