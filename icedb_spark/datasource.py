@@ -324,16 +324,6 @@ class _IceStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._handle = _LogHandle(options)
-        if self._handle.txn_vis is not None:
-            # offsets are log timestamps: a transaction whose commit
-            # marker lands AFTER later plain commits advanced the offset
-            # past its (already-stamped) publish ts would be skipped
-            # silently — refuse rather than lose rows
-            raise ValueError(
-                "txn_root is not supported for streaming reads; consume "
-                "the table through the catalog or accept raw-reader "
-                "semantics"
-            )
         self._since = int(options.get("since_ms") or 0)
         # Backpressure (the maxFilesPerTrigger analog, in the log's
         # native unit): each micro-batch advances past at most N commits,
@@ -364,18 +354,38 @@ class _IceStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         if self._cursor is None:
             self._cursor = self._since
-        stamps = sorted(
-            get_log_file_info(key)[0]
-            for key, _size in self._handle.log_io.get_current_log_files(
-                self._handle.log_storage
-            )
-        )
+        # txn_root: the SAFE WATERMARK rule. A transaction's commits
+        # carry an instant pinned before its marker lands, so an offset
+        # that passed that instant would silently skip the whole
+        # transaction when it commits. Clamp the head BELOW the earliest
+        # not-yet-visible txn commit: the stream stalls at the pending
+        # transaction (bounded by commit duration / txn_cleanup grace)
+        # and resumes through it once the marker lands — exactly-once,
+        # never dropped. (commit() pins its instant only after the
+        # intent marker is durable, so a head that could reach the
+        # instant implies this listing already shows the tagged logs.)
+        vis = self._handle.txn_vis
+        if vis is not None:
+            vis.refresh()
+        stamps, safe = [], None
+        for key, _size in self._handle.log_io.get_current_log_files(
+            self._handle.log_storage
+        ):
+            ts = get_log_file_info(key)[0]
+            if vis is not None and not vis.is_visible(key):
+                safe = ts - 1 if safe is None else min(safe, ts - 1)
+                continue
+            stamps.append(ts)
+        stamps.sort()
         head = max(stamps or [self._since], default=self._since)
         head = max(head, self._since)
         if self._max_commits and self._cursor is not None:
             pending = [t for t in stamps if t > self._cursor]
             if len(pending) > self._max_commits:
                 head = pending[self._max_commits - 1]
+        if safe is not None:
+            head = min(head, safe)  # after the cap: plain commits may
+            #                         postdate the pending transaction
         if self._cursor is not None:
             head = max(head, self._cursor)
         self._cursor = head

@@ -1480,8 +1480,8 @@ class IceTable:
         PENDING transaction: its commits carry an instant pinned before
         the commit marker lands, so skipping them now means dropping
         them from every future window (exactly-once broken silently).
-        Raise and let the consumer retry — the same reasoning behind the
-        streaming source refusing ``txn_root``."""
+        Raise and let the consumer retry — the batch analog of the
+        streaming source's safe-watermark clamp under ``txn_root``."""
         vis = self.commit_visibility
         if vis is None or not hasattr(vis, "pending"):
             return
@@ -1541,8 +1541,8 @@ class IceTable:
         before the marker appears would drop the transaction's rows
         from every future window. Retry after the transaction commits
         (or is reclaimed by ``txn_cleanup``) — exactly-once is
-        preserved by refusing to skip, the same reasoning the streaming
-        source uses to refuse ``txn_root``.
+        preserved by refusing to skip — the batch analog of the
+        streaming source's safe-watermark clamp under ``txn_root``.
         """
         self._refuse_pending_txn_window("changes", since_ms, until_ms)
         state = self.snapshot(until_ms, keep_parsed=True)

@@ -243,7 +243,6 @@ class CatalogTransaction:
                 f"transaction has {n_ops} operations; the limit is 999 "
                 "— batch DML predicates or split the transaction"
             )
-        ts = unique_ms()
         participants = {name for name, _ in self._staged} | {
             name for name, _, _ in self._dml
         }
@@ -254,7 +253,7 @@ class CatalogTransaction:
             )
         intent = {
             "txn": self.txn_id,
-            "ts": ts,
+            "ts": now_ms(),  # age-gating stamp for abort_orphans
             # staged-insert files are listed here; files a tagged DML
             # writes are recovered from its tagged log at cleanup time
             "tables": [
@@ -269,6 +268,13 @@ class CatalogTransaction:
         self.store.put(
             f"{self.txn_id}.intent.json", json.dumps(intent).encode()
         )
+        # pin the commit instant AFTER the intent is durable: any
+        # incremental reader whose watermark could reach ts must have
+        # listed the txn store after this PUT and therefore sees the
+        # pending marker (the safe-watermark clamp) — pinning before the
+        # PUT would leave a sliver where a concurrent reader advances
+        # past ts with no way to know a transaction was in flight
+        ts = unique_ms()
         tag = txn_tag(self.txn_id)
         vis = self.catalog._txn_vis
         seq = 0

@@ -183,17 +183,39 @@ def test_datasource_batch_read_honors_txn_root(cat, spark, tmp_path):
     assert [r["k"] for r in filtered.collect()] == [1]
     raw = spark.read.format("icedb").option("path", path).load()
     assert sorted(r["k"] for r in raw.collect()) == [1, 2]
-    # streaming + txn_root refuses (at stream start — load() is lazy)
-    # rather than silently skipping late-committing transactions
-    q = (
-        spark.readStream.format("icedb").option("path", path)
-        .option("txn_root", str(tmp_path / "_txn")).load()
-        .writeStream.format("memory").queryName("txn_refuse")
-        .option("checkpointLocation", str(tmp_path / "ck_refuse"))
-        .trigger(availableNow=True).start()
-    )
-    with pytest.raises(Exception, match="txn_root"):
+    # streaming + txn_root uses the SAFE WATERMARK: while the crashed
+    # transaction pends (its pinned instant predates every later
+    # commit), the stream refuses to advance past it — zero rows, no
+    # silent skip...
+    def drain(_qname):
+        got: list[int] = []
+        q = (
+            spark.readStream.format("icedb").option("path", path)
+            .option("txn_root", str(tmp_path / "_txn")).load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(r["k"] for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_safe"))
+            .trigger(availableNow=True).start()
+        )
         q.awaitTermination()
+        return got
+
+    # the crashed txn needs an intent marker for this to be a realistic
+    # pending state (cleanup uses it later)
+    cat._txn_store.put(
+        f"{crash.txn_id}.intent.json",
+        json.dumps({"txn": crash.txn_id, "ts": 0, "tables": [
+            {"name": "facts", "path": cat.table("facts").path,
+             "files": []},
+        ]}).encode(),
+    )
+    assert drain("txn_safe_1") == []
+    # ...and once cleanup (or a commit marker) resolves it, the same
+    # checkpoint advances through the committed transaction exactly once
+    out = cat.txn_cleanup(min_age_ms=0)
+    assert crash.txn_id in out
+    assert drain("txn_safe_2") == [1]
 
 
 def test_txn_dml_commits_with_inserts_atomically(cat):
