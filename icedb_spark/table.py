@@ -1506,6 +1506,27 @@ class IceTable:
                 "inside the window; retry after they commit or are cleaned"
             )
 
+    def safe_watermark(self) -> int:
+        """The highest ``until_ms`` an incremental consumer can use RIGHT
+        NOW without risking a pending transaction's commits: one below
+        the earliest not-yet-visible txn commit, else the current
+        instant. The cooperative twin of the pending-window guard —
+        ``t.changes(t0, t.safe_watermark())`` never raises and never
+        skips; on tables without transaction visibility it is simply
+        ``now``."""
+        vis = self.commit_visibility
+        now = now_ms()
+        if vis is None or not hasattr(vis, "refresh"):
+            return now
+        from .txn import parse_txn_id as _parse_txn_id
+
+        vis.refresh()
+        floor = now
+        for key, _sz in self.log_io.get_current_log_files(self.log_storage):
+            if _parse_txn_id(key) is not None and not vis.is_visible(key):
+                floor = min(floor, get_log_file_info(key)[0] - 1)
+        return floor
+
     def changes(
         self, since_ms: int, until_ms: Optional[int] = None
     ) -> DataFrame:
@@ -1539,10 +1560,12 @@ class IceTable:
         window: a txn's commits carry an instant pinned BEFORE its
         marker lands, so advancing the watermark past that instant
         before the marker appears would drop the transaction's rows
-        from every future window. Retry after the transaction commits
-        (or is reclaimed by ``txn_cleanup``) — exactly-once is
-        preserved by refusing to skip — the batch analog of the
-        streaming source's safe-watermark clamp under ``txn_root``.
+        from every future window. Use ``until_ms=t.safe_watermark()``
+        to never hit the guard (the window bounds itself below any
+        pending transaction), or retry after the transaction commits /
+        is reclaimed by ``txn_cleanup`` — exactly-once is preserved by
+        refusing to skip, the batch analog of the streaming source's
+        safe-watermark clamp under ``txn_root``.
         """
         self._refuse_pending_txn_window("changes", since_ms, until_ms)
         state = self.snapshot(until_ms, keep_parsed=True)

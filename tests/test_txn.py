@@ -417,3 +417,35 @@ def test_history_df_counts_published_commits(cat):
     h = cat.table("facts").history_df().collect()
     assert len(h) == 1
     assert h[0]["files_added"] >= 1 and h[0]["bytes_added"] > 0
+
+
+def test_safe_watermark_cooperates_with_changes_guard(cat):
+    """t.changes(t0, t.safe_watermark()) never raises and never skips:
+    bounded below a pending transaction, advances through it once the
+    marker lands."""
+    import json as _json
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": 0}])
+    assert t.changes(0, t.safe_watermark()).count() == 1
+    crash = CatalogTransaction(cat, cat._txn_store)
+    staged = crash.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    cat._txn_store.put(
+        f"{crash.txn_id}.intent.json",
+        _json.dumps({"txn": crash.txn_id, "ts": 0, "tables": []}).encode(),
+    )
+    from icedb_spark.log import unique_ms
+
+    pin = unique_ms()
+    t.publish(staged, commit_tag=txn_tag(crash.txn_id) + "-000",
+              timestamp_ms=pin)
+    wm = t.safe_watermark()
+    assert wm == pin - 1                      # clamped below the pending txn
+    assert t.changes(0, wm).count() == 1      # no raise, nothing skipped
+    cat._txn_store.put(
+        f"{crash.txn_id}.commit.json",
+        _json.dumps({"txn": crash.txn_id, "ts": pin}).encode(),
+    )
+    cat._txn_vis.refresh()
+    assert t.safe_watermark() >= pin          # unblocked
+    assert t.changes(wm, t.safe_watermark()).count() == 1  # exactly once
