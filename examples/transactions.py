@@ -75,6 +75,13 @@ def main() -> None:
         " (select count(*) from archive) as archived"
     ).collect()[0].asDict())
 
+    # CDC consumers bound their window with safe_watermark(): it stays
+    # below any pending transaction, so the incremental loop never skips
+    # one whose commit marker hasn't landed yet
+    wm = orders.safe_watermark()
+    print("CDC window to safe watermark:",
+          orders.changes(0, wm).count(), "rows")
+
     # Housekeeping for transactions that died between intent and commit
     print("cleanup of crashed txns:", cat.txn_cleanup(min_age_ms=0))
     spark.stop()
