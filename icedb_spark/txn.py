@@ -216,6 +216,17 @@ class CatalogTransaction:
         """Queue a row-level UPDATE (same contract as :meth:`delete`)."""
         self._queue_dml(table_name, "update", (assignments, where))
 
+    def merge_into(self, table_name: str, source, on, **kwargs) -> None:
+        """Queue a ``MERGE INTO`` upsert (same contract as
+        :meth:`delete`: executes at commit under the txn tag against the
+        pre-txn snapshot; the source DataFrame is evaluated then).
+        ``capture_changes`` is not supported inside a transaction."""
+        if kwargs.get("capture_changes"):
+            raise ValueError(
+                "capture_changes is not supported inside a transaction"
+            )
+        self._queue_dml(table_name, "merge_into", (source, on, kwargs))
+
     def _queue_dml(self, table_name: str, op: str, args: tuple) -> None:
         if self._done:
             raise RuntimeError("transaction already finished")
@@ -289,8 +300,10 @@ class CatalogTransaction:
                 with t._tagged_commits(f"{tag}-{seq:03d}", ts):
                     if op == "delete":
                         t.delete(args[0])
-                    else:
+                    elif op == "update":
                         t.update(args[0], args[1])
+                    else:
+                        t.merge_into(args[0], args[1], **args[2])
                 seq += 1
             by_table: dict[str, list] = {}
             for name, staged in self._staged:

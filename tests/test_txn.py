@@ -449,3 +449,29 @@ def test_safe_watermark_cooperates_with_changes_guard(cat):
     cat._txn_vis.refresh()
     assert t.safe_watermark() >= pin          # unblocked
     assert t.changes(wm, t.safe_watermark()).count() == 1  # exactly once
+
+
+def test_txn_merge_into_commits_atomically(cat, spark):
+    """MERGE INTO queued in a transaction: upsert (update matched +
+    insert unmatched) lands atomically with the other participants at
+    the shared instant; mid-body nothing moves."""
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i, "v": float(i)} for i in range(3)])
+    src = spark.createDataFrame(
+        [{"bucket": "b", "k": 1, "v": 100.0},
+         {"bucket": "b", "k": 9, "v": 9.0}]
+    )
+    with cat.transaction() as txn:
+        txn.merge_into("facts", src, on="k")
+        txn.insert("dims", rows=[{"bucket": "b", "k": 0, "name": "z"}])
+        assert _counts(cat) == (3, 0)
+        assert cat.sql(
+            "select sum(v) as s from facts"
+        ).collect()[0]["s"] == 3.0
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {0: 0.0, 1: 100.0, 2: 2.0, 9: 9.0}
+    assert _counts(cat) == (4, 1)
+    # capture flag rejected at queue time
+    bad = CatalogTransaction(cat, cat._txn_store)
+    with pytest.raises(ValueError, match="capture_changes"):
+        bad.merge_into("facts", src, on="k", capture_changes=True)
