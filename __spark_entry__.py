@@ -2761,10 +2761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # write/stream matrix, MOR deletes, WAP, SQL DML, partition evolution,
     # m04-m06, d10, t10/t13, sm05/07/08, q25), this round's new entries
     # (tuned-recall ANN s06, k-means-trained IVF s07, REST wrapper
-    # rest01), and the two entries whose implementation changed this
-    # round (ice24 rollback guard, t11 de-skewed plan); the rest of the
-    # window is the engine-lifecycle core plus one witness per operator
-    # family. Every entry below the boundary already holds a fully-green
+    # rest01, z-order file pruning ice36, semantic decontamination t14,
+    # cross-table transactions ice37), and the two entries whose
+    # implementation changed this round (ice24 rollback guard, t11
+    # de-skewed plan); the rest of the window is the engine-lifecycle
+    # core plus one witness per operator family. Every entry below the boundary already holds a fully-green
     # driver row from r2/r3, and ALL keys stay under the repo's own
     # bit-exact gate replica (tests/test_entry_oracle.py +
     # tools/check_oracle.py) regardless.
