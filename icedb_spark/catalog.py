@@ -22,7 +22,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .log import now_ms
+from .log import read_horizon_ms
 from .table import IceTable
 
 # temp views are session-global: registration and the query that reads them
@@ -214,7 +214,11 @@ class IceCatalog:
         # a cross-table join mixing snapshots — the consistency this class
         # advertises must hold on the default path too.
         if at_ms is None:
-            at_ms = now_ms()
+            # read_horizon_ms, not now_ms: unique_ms commit stamps run
+            # ahead of the wall clock when several commits share a
+            # millisecond, and a default snapshot must cover every
+            # commit that has already returned to its caller
+            at_ms = read_horizon_ms()
         # one txn-visibility refresh for the WHOLE query: a transaction
         # committing between two tables' folds must not appear in the
         # second but not the first (that partial view is exactly what the

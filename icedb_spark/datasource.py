@@ -112,6 +112,7 @@ class _LogHandle:
         path = options.get("path") or options.get("root")  # root: alias
         if not path:
             raise ValueError("format('icedb') requires .option('path', ...)")
+        self.table_path = path.rstrip("/")  # intent-manifest participant key
         self.storage = storage_for(path)
         self.log_storage = storage_for(options.get("log_path") or path)
         self.log_io = IceLogIO()
@@ -365,9 +366,17 @@ class _IceStreamReader(DataSourceStreamReader):
         # intent marker is durable, so a head that could reach the
         # instant implies this listing already shows the tagged logs.)
         vis = self._handle.txn_vis
+        stamps, safe = [], None
         if vis is not None:
             vis.refresh()
-        stamps, safe = [], None
+            # pending INTENTS clamp too: between a transaction's intent
+            # PUT and its first tagged log append (DML runs Spark jobs),
+            # the log listing below shows nothing — the intent ts, which
+            # is stamped before the commit instant is pinned, is the
+            # only signal that commits below `now` are still coming
+            from .txn import intent_clamp_ms
+
+            safe = intent_clamp_ms(vis, self._handle.table_path)
         for key, _size in self._handle.log_io.get_current_log_files(
             self._handle.log_storage
         ):

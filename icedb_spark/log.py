@@ -61,6 +61,18 @@ def unique_ms() -> int:
         return ms
 
 
+def read_horizon_ms() -> int:
+    """The instant a "read everything committed so far" snapshot should
+    pin: wall clock, bumped to cover every commit timestamp this process
+    has already ISSUED. ``unique_ms`` runs ahead of the clock when
+    several commits land in one millisecond, so a reader pinning plain
+    ``now_ms()`` can sit one millisecond BEHIND a commit that has
+    already returned to its caller — a just-committed transaction would
+    be invisible until the clock catches up. Does not allocate a stamp."""
+    with _ms_lock:
+        return max(now_ms(), _last_issued_ms)
+
+
 class SchemaConflictException(Exception):
     """A column appeared with two different type strings across batches."""
 

@@ -39,6 +39,11 @@ from typing import Optional
 from urllib.parse import parse_qs, urlsplit
 
 
+class BufferFullError(RuntimeError):
+    """The batcher's ``max_buffered_rows`` bound is hit — rows NOT
+    accepted. The REST server answers 503; clients back off and retry."""
+
+
 class RowBatcher:
     """The reference's async-insert buffer (api-flask.py's IceDBBatcher):
     ``add`` appends to an in-memory list; a daemon timer flushes every
@@ -48,10 +53,15 @@ class RowBatcher:
     the next tick (at-least-once; the durable unit is the commit)."""
 
     def __init__(self, table, flush_interval_s: float = 3.0,
-                 flush_rows: int = 10_000):
+                 flush_rows: int = 10_000,
+                 max_buffered_rows: int = 1_000_000):
         self.table = table
         self.flush_interval_s = flush_interval_s
         self.flush_rows = flush_rows
+        # backpressure bound: when flushes keep failing (storage outage)
+        # the buffer must not grow without limit — add() refuses past
+        # this (the server maps that to 503), callers retry later
+        self.max_buffered_rows = max_buffered_rows
         self._rows: list[dict] = []
         self._lock = threading.Lock()
         self._timer: Optional[threading.Timer] = None
@@ -76,6 +86,12 @@ class RowBatcher:
 
     def add(self, rows: list[dict]) -> int:
         with self._lock:
+            if len(self._rows) + len(rows) > self.max_buffered_rows:
+                raise BufferFullError(
+                    f"insert buffer full ({len(self._rows)} rows "
+                    f"buffered, cap {self.max_buffered_rows}); flushes "
+                    "are failing or lagging — retry later"
+                )
             self._rows.extend(rows)
             n = len(self._rows)
         if n >= self.flush_rows:
@@ -114,9 +130,11 @@ class IceRestServer:
 
     def __init__(self, table, host: str = "127.0.0.1", port: int = 0,
                  flush_interval_s: float = 3.0, flush_rows: int = 10_000,
-                 default_limit: int = 1000):
+                 default_limit: int = 1000,
+                 max_buffered_rows: int = 1_000_000):
         self.table = table
-        self.batcher = RowBatcher(table, flush_interval_s, flush_rows)
+        self.batcher = RowBatcher(table, flush_interval_s, flush_rows,
+                                  max_buffered_rows)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -169,6 +187,10 @@ class IceRestServer:
                     return
                 try:
                     self._json(200, {"buffered": outer.batcher.add(rows)})
+                except BufferFullError as e:
+                    # bounded backpressure: the rows were NOT accepted —
+                    # the client must retry after flushes recover
+                    self._json(503, {"error": str(e)})
                 except Exception as e:
                     # add() may flush inline past the row threshold; a
                     # flush failure re-buffers the rows (at-least-once),

@@ -341,11 +341,17 @@ def _maintenance_op(fn):
     """Hold the table's ``lock_provider`` (if configured) for the duration
     of an exclusive maintenance operation. Reentrant within a thread, so
     compound operations (``optimize`` -> ``merge_all`` -> ``merge``)
-    acquire the external lock exactly once."""
+    acquire the external lock exactly once. At the outermost level (after
+    the lock is held, so a transaction commit holding participant locks
+    serializes cleanly) the pending-transaction guard refuses to rewrite
+    while an uncommitted transaction involves this table — see
+    :meth:`IceTable._txn_guard`."""
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
         with self._maintenance_lock(fn.__name__):
+            if getattr(self._lock_local, "depth", 0) <= 1:
+                self._txn_guard(fn.__name__)
             return fn(self, *args, **kwargs)
 
     return wrapper
@@ -1473,6 +1479,52 @@ class IceTable:
         ])
         return self.spark.createDataFrame(rows, schema=schema).orderBy("path")
 
+    def _txn_guard(self, op: str) -> None:
+        """Refuse exclusive maintenance/rewrite while an uncommitted
+        transaction involves this table. A compaction or vacuum running
+        inside a transaction's publish window folds the
+        visibility-FILTERED snapshot — it cannot see the transaction's
+        tombstones, so it would restate those files alive in a collapsed
+        log stamped LATER than the transaction's pinned instant; once
+        the commit marker lands, last-writer-wins would silently undo
+        the transaction's deletes (resurrection) or duplicate its
+        rewrites. The ``_mor_guard`` analog for pending transactions.
+
+        Two signals: pending intent manifests naming this table (covers
+        the window before the first tagged log append), and
+        txn-tagged-but-invisible log commits on this table. A
+        transaction's OWN queued DML is exempt (``txn_override`` set —
+        it reads at the pinned instant, which is safe by construction),
+        as are its self-visible commits."""
+        vis = self.commit_visibility
+        if vis is None or not hasattr(vis, "pending_intents"):
+            return
+        if getattr(self._lock_local, "txn_override", None) is not None:
+            return
+        from .txn import intent_involves, parse_txn_id as _parse_txn_id
+
+        vis.refresh()
+        own = vis._own() if hasattr(vis, "_own") else set()
+        blocking = {
+            doc.get("txn")
+            for doc in vis.pending_intents()
+            if doc.get("txn") not in own
+            and intent_involves(doc, self.path)
+        }
+        for key, _sz in self.log_io.get_current_log_files(self.log_storage):
+            tid = _parse_txn_id(key)
+            if tid is not None and not vis.is_visible(key):
+                blocking.add(tid)
+        blocking.discard(None)
+        if blocking:
+            raise RuntimeError(
+                f"{op}(): transaction(s) {sorted(blocking)} are pending "
+                "on this table; rewriting now could fold over their "
+                "invisible commits (resurrecting deleted rows or "
+                "duplicating rewrites). Retry after they commit, or "
+                "reclaim crashed ones with txn_cleanup()."
+            )
+
     def _refuse_pending_txn_window(
         self, op: str, since_ms: int, until_ms: Optional[int]
     ) -> None:
@@ -1481,29 +1533,46 @@ class IceTable:
         the commit marker lands, so skipping them now means dropping
         them from every future window (exactly-once broken silently).
         Raise and let the consumer retry — the batch analog of the
-        streaming source's safe-watermark clamp under ``txn_root``."""
+        streaming source's safe-watermark clamp under ``txn_root``.
+
+        Two signals, both required: the transaction's already-appended
+        tagged log files, AND its pending INTENT manifest — between the
+        intent PUT and the first tagged log append (DML runs Spark jobs:
+        seconds to minutes) the log listing shows nothing, but every
+        commit the transaction will write is stamped at an instant
+        pinned AFTER the intent's ``ts``, so an intent with
+        ``ts <= until`` means commits may still land inside the window."""
         vis = self.commit_visibility
         if vis is None or not hasattr(vis, "pending"):
             return
-        from .txn import parse_txn_id as _parse_txn_id
+        from .txn import intent_involves, parse_txn_id as _parse_txn_id
 
         vis.refresh()
-        pend = vis.pending()
-        if not pend:
-            return
         until = until_ms if until_ms is not None else now_ms()
-        blocking = sorted({
+        intents = (
+            vis.pending_intents() if hasattr(vis, "pending_intents") else []
+        )
+        blocking = {
+            doc.get("txn")
+            for doc in intents
+            if intent_involves(doc, self.path)
+            and doc.get("ts", 0) <= until
+        }
+        pend = {doc.get("txn") for doc in intents} | vis.pending()
+        blocking |= {
             tid
             for key, _sz in self.log_io.get_current_log_files(
                 self.log_storage
             )
             for tid in [_parse_txn_id(key)]
             if tid in pend and since_ms < get_log_file_info(key)[0] <= until
-        })
+        }
+        blocking.discard(None)
         if blocking:
             raise RuntimeError(
-                f"{op}(): pending transaction(s) {blocking} have commits "
-                "inside the window; retry after they commit or are cleaned"
+                f"{op}(): pending transaction(s) {sorted(blocking)} have "
+                "(or may still write) commits inside the window; retry "
+                "after they commit or are cleaned"
             )
 
     def safe_watermark(self) -> int:
@@ -1518,10 +1587,17 @@ class IceTable:
         now = now_ms()
         if vis is None or not hasattr(vis, "refresh"):
             return now
-        from .txn import parse_txn_id as _parse_txn_id
+        from .txn import intent_clamp_ms, parse_txn_id as _parse_txn_id
 
         vis.refresh()
         floor = now
+        # pending INTENTS clamp first: between a transaction's intent PUT
+        # and its first tagged log append, the log listing below shows
+        # nothing — but the intent ts lower-bounds every commit it will
+        # write, so it is the only safe signal during that window
+        clamp = intent_clamp_ms(vis, self.path)
+        if clamp is not None:
+            floor = min(floor, clamp)
         for key, _sz in self.log_io.get_current_log_files(self.log_storage):
             if _parse_txn_id(key) is not None and not vis.is_visible(key):
                 floor = min(floor, get_log_file_info(key)[0] - 1)
@@ -2389,7 +2465,15 @@ class IceTable:
                 "your longest write-to-commit latency plus skew.",
                 stacklevel=2,
             )
-        state = self.snapshot()
+        # fold the UNFILTERED log for the reference set: a pending
+        # transaction's already-published data files are referenced only
+        # by txn-tagged logs a filtered snapshot hides — treating them
+        # as orphans would delete files a committing transaction is
+        # about to make visible. (The _txn_guard refuses gc outright
+        # while a pending transaction involves this table; this keeps
+        # the reference computation safe even for the guard's blind
+        # spots, e.g. a transaction whose intent lands mid-listing.)
+        state = self.log_io.read_at_max_time(self.log_storage, None)
         referenced = {m.path for m in state.file_markers}
         cutoff = now_ms() - grace_ms
         deleted: list[str] = []

@@ -46,6 +46,7 @@ kept forever (they are the transaction's durability record).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import re
 import threading
@@ -56,6 +57,14 @@ from .log import get_log_file_info, now_ms, unique_ms
 
 if TYPE_CHECKING:  # pragma: no cover
     from .catalog import IceCatalog
+
+
+class TxnConflictError(RuntimeError):
+    """Raised by ``commit()`` when first-committer-wins validation finds a
+    conflicting write that landed (or is pending with priority) since this
+    transaction pinned its snapshot. The transaction is fully reclaimed
+    before the raise — nothing it wrote is visible or left behind; retry
+    the whole transaction against the new state."""
 
 # tag chars survive log_file_name's '/'->'-' '_'->'-' mangling untouched.
 # The optional -NNN suffix sequences a transaction's several commits (all
@@ -94,10 +103,14 @@ class TxnVisibility:
         # other processes (no marker yet) — and never to OTHER THREADS
         # of this process either: a serving thread folding tables while
         # commit() is between two publishes would otherwise observe the
-        # torn state the whole layer exists to prevent
+        # torn state the whole layer exists to prevent. The same
+        # thread-local also carries consistent()'s PINNED committed-set:
+        # a hold freezes only the holding thread's view, so a concurrent
+        # commit() or reader in another thread still sees fresh markers
+        # (a process-global hold would hand them a stale committed-set
+        # and silently lose the transactions that landed during it)
         self._own_local = threading.local()
         self._lock = threading.RLock()
-        self._hold = 0
 
     def _own(self) -> set:
         s = getattr(self._own_local, "tids", None)
@@ -112,7 +125,6 @@ class TxnVisibility:
         d = self.__dict__.copy()
         d.pop("_lock", None)
         d.pop("_own_local", None)
-        d["_hold"] = 0
         return d
 
     def __setstate__(self, d):
@@ -120,29 +132,73 @@ class TxnVisibility:
         self._lock = threading.RLock()
         self._own_local = threading.local()
 
-    def refresh(self) -> None:
+    def _list_committed(self) -> set[str]:
+        """Fresh listing of commit markers — always hits the store."""
+        return {
+            key[: -len(".commit.json")]
+            for key, _size in self.store.list("", include_hidden=True)
+            if key.endswith(".commit.json")
+        }
+
+    def _pinned(self) -> Optional[set]:
+        return getattr(self._own_local, "pinned", None)
+
+    def _effective(self) -> set:
+        """The committed-set THIS THREAD should read: its consistent()
+        pin when one is held, else the shared snapshot."""
+        pin = self._pinned()
+        if pin is not None:
+            return pin
         with self._lock:
-            if self._hold:
-                return
-            self._committed = {
-                key[: -len(".commit.json")]
-                for key, _size in self.store.list("", include_hidden=True)
-                if key.endswith(".commit.json")
-            }
+            return self._committed
+
+    def refresh(self) -> None:
+        if self._pinned() is not None:
+            # this thread's view is frozen by its consistent() hold;
+            # other threads refresh independently
+            return
+        fresh = self._list_committed()
+        with self._lock:
+            self._committed = fresh
 
     def is_visible(self, log_key: str) -> bool:
         tid = parse_txn_id(log_key)
-        return tid is None or tid in self._committed or tid in self._own()
+        return tid is None or tid in self._effective() or tid in self._own()
 
     def pending(self) -> set[str]:
-        """Txn ids with an intent marker but (as of the last refresh) no
-        commit marker — transactions in flight or crashed mid-commit."""
+        """Txn ids with an intent marker but (as of this thread's
+        effective committed-set) no commit marker — transactions in
+        flight or crashed mid-commit."""
+        committed = self._effective()
         out = set()
         for key, _size in self.store.list("", include_hidden=True):
             if key.endswith(".intent.json"):
                 tid = key[: -len(".intent.json")]
-                if tid not in self._committed:
+                if tid not in committed:
                     out.add(tid)
+        return out
+
+    def pending_intents(self) -> list[dict]:
+        """Parsed intent manifests of pending transactions (one small GET
+        per pending intent — rare, tiny objects). The intent's ``ts`` is
+        stamped BEFORE the transaction pins its commit instant, so it
+        lower-bounds every commit the transaction will ever write — the
+        safe-watermark clamps rely on that to cover the window between
+        the intent PUT and the transaction's first tagged log append."""
+        committed = self._effective()
+        out: list[dict] = []
+        for key, _size in self.store.list("", include_hidden=True):
+            if not key.endswith(".intent.json"):
+                continue
+            tid = key[: -len(".intent.json")]
+            if tid in committed:
+                continue
+            try:
+                doc = json.loads(self.store.get(key).decode())
+            except Exception:
+                continue  # racing commit/cleanup deleted it — not pending
+            doc.setdefault("txn", tid)
+            out.append(doc)
         return out
 
     def self_visible(self, tid: str):
@@ -162,22 +218,59 @@ class TxnVisibility:
         return _Own()
 
     def consistent(self):
-        """Context manager: one refresh for a whole multi-table query."""
+        """Context manager: one pinned committed-set for a whole
+        multi-table query, scoped to THE HOLDING THREAD (reentrant).
+        Other threads' refresh()/is_visible() stay live."""
         vis = self
 
         class _Hold:
             def __enter__(self):
-                vis.refresh()
-                with vis._lock:
-                    vis._hold += 1
+                local = vis._own_local
+                depth = getattr(local, "pin_depth", 0)
+                if depth == 0:
+                    fresh = vis._list_committed()
+                    with vis._lock:
+                        vis._committed = fresh
+                    local.pinned = fresh
+                local.pin_depth = depth + 1
                 return vis
 
             def __exit__(self, *exc):
-                with vis._lock:
-                    vis._hold -= 1
+                local = vis._own_local
+                local.pin_depth -= 1
+                if local.pin_depth == 0:
+                    local.pinned = None
                 return False
 
         return _Hold()
+
+
+def intent_involves(intent: dict, table_path: str) -> bool:
+    """True when an intent manifest names ``table_path`` as a participant."""
+    p = (table_path or "").rstrip("/")
+    return any(
+        (e.get("path") or "").rstrip("/") == p
+        for e in intent.get("tables", [])
+    )
+
+
+def intent_clamp_ms(vis, table_path: str) -> Optional[int]:
+    """The highest watermark safe against PENDING INTENTS on a table:
+    ``min(intent.ts) - 1`` over pending transactions naming it, or None
+    when none pend. Complements the tagged-log clamp — between a
+    transaction's intent PUT and its first tagged log append (DML runs
+    Spark jobs: seconds to minutes), the log listing shows nothing, and
+    this is the only signal that commits below ``now`` are still coming."""
+    if vis is None or not hasattr(vis, "pending_intents"):
+        return None
+    floor: Optional[int] = None
+    for doc in vis.pending_intents():
+        if not intent_involves(doc, table_path):
+            continue
+        ts = doc.get("ts")
+        if isinstance(ts, int):
+            floor = ts - 1 if floor is None else min(floor, ts - 1)
+    return floor
 
 
 class CatalogTransaction:
@@ -235,9 +328,32 @@ class CatalogTransaction:
 
     def commit(self) -> Optional[int]:
         """INTENT -> tagged DML execution + per-table tagged PUBLISH
-        (same instant) -> one-PUT COMMIT marker. Returns the
-        transaction's commit timestamp, or None for an empty
-        transaction."""
+        (same instant) -> first-committer-wins VALIDATION -> one-PUT
+        COMMIT marker. Returns the transaction's commit timestamp, or
+        None for an empty transaction.
+
+        Isolation: snapshot isolation with file-level first-committer
+        wins. Every queued DML reads AS OF the pinned instant; before
+        the marker PUT, validation re-lists each DML table's log and
+        aborts (full reclaim + :class:`TxnConflictError`) when a foreign
+        commit that became visible since the pin references any file
+        this transaction's DML tombstoned — the duplicated-survivor /
+        resurrection hazard two concurrent CoW rewrites of the same file
+        would otherwise create. Concurrently PENDING transactions with a
+        queued-DML table in common conflict at table granularity (their
+        file sets are unknowable until they finish): the YOUNGER intent
+        aborts. A younger transaction always lists the store after the
+        older intent's PUT, so at least the younger side of any pair
+        sees the conflict — exactly one survives. Insert-only
+        transactions never conflict (fresh files, no tombstones).
+
+        When participant tables carry a ``lock_provider``, commit()
+        additionally holds each (sorted order, reentrant for the queued
+        DML inside) across the WHOLE commit window, closing the
+        maintenance-during-publish race for lock-using deployments.
+        Crashed transactions (intent, no marker) block younger
+        overlapping transactions until ``txn_cleanup`` reclaims them.
+        """
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
@@ -254,6 +370,35 @@ class CatalogTransaction:
                 f"transaction has {n_ops} operations; the limit is 999 "
                 "— batch DML predicates or split the transaction"
             )
+        with self._participant_locks():
+            intent = self._begin()
+            ts = self._execute()
+            self._validate_and_finalize(intent, ts)
+        return ts
+
+    def _participant_locks(self):
+        """Hold every lock-configured participant's maintenance lock for
+        the whole commit window (sorted by table name — a global order,
+        so two transactions locking overlapping sets cannot deadlock)."""
+        stack = contextlib.ExitStack()
+        participants = sorted(
+            {name for name, _ in self._staged}
+            | {name for name, _, _ in self._dml}
+        )
+        for name in participants:
+            t = self.catalog.table(name)
+            if getattr(t, "lock_provider", None) is not None:
+                stack.enter_context(t._maintenance_lock("txn_commit"))
+        return stack
+
+    def _begin(self) -> dict:
+        """PUT the intent manifest, snapshot the committed-marker set
+        (C0) and pin the commit instant — in that order: any reader
+        whose watermark could reach the pinned instant must have listed
+        the store after the intent PUT and therefore sees the pending
+        marker (the safe-watermark clamp); pinning first would leave a
+        sliver where a concurrent reader advances past the instant with
+        no way to know a transaction was in flight."""
         participants = {name for name, _ in self._staged} | {
             name for name, _, _ in self._dml
         }
@@ -264,7 +409,14 @@ class CatalogTransaction:
             )
         intent = {
             "txn": self.txn_id,
-            "ts": now_ms(),  # age-gating stamp for abort_orphans
+            # age-gating stamp + safe-watermark floor + pending-peer
+            # priority; unique_ms so two commits in the same process
+            # never tie (cross-process ms ties fall to the txn-id
+            # tie-break, which is symmetric and therefore still safe)
+            "ts": unique_ms(),
+            # tables whose rows this txn REWRITES — the conflict domain
+            # (staged-insert-only participants never conflict)
+            "dml_tables": sorted({name for name, _, _ in self._dml}),
             # staged-insert files are listed here; files a tagged DML
             # writes are recovered from its tagged log at cleanup time
             "tables": [
@@ -279,17 +431,39 @@ class CatalogTransaction:
         self.store.put(
             f"{self.txn_id}.intent.json", json.dumps(intent).encode()
         )
-        # pin the commit instant AFTER the intent is durable: any
-        # incremental reader whose watermark could reach ts must have
-        # listed the txn store after this PUT and therefore sees the
-        # pending marker (the safe-watermark clamp) — pinning before the
-        # PUT would leave a sliver where a concurrent reader advances
-        # past ts with no way to know a transaction was in flight
-        ts = unique_ms()
+        self._intent_ts = intent["ts"]
+        self._c0 = self.catalog._txn_vis._list_committed()
+        self._pin = unique_ms()
+        return intent
+
+    @contextlib.contextmanager
+    def _pinned_visibility(self):
+        """Pin this thread's committed-set to the transaction's C0
+        snapshot for the whole execution: every queued DML op reads the
+        SAME committed state (no torn visibility when a peer's marker
+        lands between two ops), and validation against C0 becomes exact
+        — a conflict is flagged iff something became visible after the
+        state the DML actually read."""
+        vis = self.catalog._txn_vis
+        local = vis._own_local
+        prev_pin = getattr(local, "pinned", None)
+        prev_depth = getattr(local, "pin_depth", 0)
+        local.pinned = set(self._c0)
+        local.pin_depth = prev_depth + 1
+        try:
+            yield
+        finally:
+            local.pin_depth = prev_depth
+            local.pinned = prev_pin
+
+    def _execute(self) -> int:
+        """Run queued DML then publish staged inserts, all tagged and
+        stamped at the pinned instant, reading the pinned C0 snapshot."""
+        ts = self._pin
         tag = txn_tag(self.txn_id)
         vis = self.catalog._txn_vis
         seq = 0
-        with vis.self_visible(self.txn_id):
+        with vis.self_visible(self.txn_id), self._pinned_visibility():
             # ordering inside the transaction: DML ops run first (each
             # sees the pre-txn state plus this txn's EARLIER tagged
             # commits, via self-visibility), then staged inserts append.
@@ -313,6 +487,22 @@ class CatalogTransaction:
                     batches, commit_tag=f"{tag}-{seq:03d}", timestamp_ms=ts
                 )
                 seq += 1
+        return ts
+
+    def _validate_and_finalize(self, intent: dict, ts: int) -> None:
+        """First-committer-wins validation, then the atomic visibility
+        flip. On conflict: reclaim everything this transaction wrote
+        (tagged logs, rewrite files, staged files, intent) and raise
+        :class:`TxnConflictError` — abort, never duplicate."""
+        try:
+            self._validate(intent, ts)
+        except TxnConflictError:
+            _reclaim_participants(self.catalog, intent)
+            try:
+                self.store.delete(f"{self.txn_id}.intent.json")
+            except Exception:
+                pass
+            raise
         # the atomic visibility flip
         self.store.put(
             f"{self.txn_id}.commit.json",
@@ -326,7 +516,102 @@ class CatalogTransaction:
             self.store.delete(f"{self.txn_id}.intent.json")
         except Exception:
             pass
-        return ts
+
+    def _validate(self, intent: dict, ts: int) -> None:
+        """First-committer-wins: abort if anything that became visible
+        since the pin — or an OLDER still-pending peer — touches what
+        this transaction's DML rewrote."""
+        dml_tables = set(intent.get("dml_tables") or ())
+        if not dml_tables:
+            return  # insert-only: fresh files, nothing to conflict with
+        vis = self.catalog._txn_vis
+        # (a) what did MY DML tombstone? Read back my own tagged logs —
+        # few and tiny (one per queued op).
+        own_tomb: dict[str, set[str]] = {}
+        for name in dml_tables:
+            t = self.catalog.table(name)
+            paths: set[str] = set()
+            for key, _sz in t.log_io.get_current_log_files(t.log_storage):
+                if parse_txn_id(key) != self.txn_id:
+                    continue
+                try:
+                    _m, _s, fms, tmbs = t.log_io.read_log(
+                        t.log_storage, key
+                    )
+                except Exception:
+                    continue
+                # a DML commit records the files it rewrote as DEAD
+                # FileMarkers (alive=False); tmbs holds log-file
+                # tombstones — take both
+                paths.update(m.path for m in fms if not m.alive)
+                paths.update(tb.path for tb in tmbs)
+            if paths:
+                own_tomb[name] = paths
+        # (b) foreign commits visible since the pin that reference any
+        # of those paths: txn markers in C1−C0, and plain logs stamped
+        # after the pin (a merge/rewrite collapsing over my invisible
+        # tombstones restates the files alive with a LATER stamp — LWW
+        # would resurrect them the instant my marker lands).
+        newly_committed = (
+            vis._list_committed() - self._c0 - {self.txn_id}
+        )
+        for name, mine in own_tomb.items():
+            t = self.catalog.table(name)
+            for key, _sz in t.log_io.get_current_log_files(t.log_storage):
+                tid = parse_txn_id(key)
+                if tid == self.txn_id:
+                    continue
+                if tid is None:
+                    lts, merged = get_log_file_info(key)
+                    if lts <= ts:
+                        continue  # pre-pin plain commit: in my snapshot
+                    if not merged:
+                        continue  # plain INSERT: fresh files only, can
+                        #           never reference my tombstoned paths
+                elif tid not in newly_committed:
+                    continue  # still pending (handled below) or in C0
+                try:
+                    _m, _s, fms, tmbs = t.log_io.read_log(
+                        t.log_storage, key
+                    )
+                except Exception:
+                    continue
+                refs = {m.path for m in fms} | {tb.path for tb in tmbs}
+                hit = refs & mine
+                if hit:
+                    raise TxnConflictError(
+                        f"transaction {self.txn_id}: concurrent commit "
+                        f"{key!r} on table {name!r} references "
+                        f"{len(hit)} file(s) this transaction rewrote "
+                        f"(e.g. {sorted(hit)[0]!r}); first committer "
+                        "wins — transaction aborted, retry"
+                    )
+        # (c) still-pending peers sharing a DML table: file sets are
+        # unknowable until they finish, so conflict at table granularity
+        # — the YOUNGER (intent ts, txn id) aborts. The younger side of
+        # any pair always lists the store after the older intent's PUT,
+        # so at least one side sees the overlap.
+        my_key = (self._intent_ts, self.txn_id)
+        for doc in vis.pending_intents():
+            tid = doc.get("txn")
+            if tid == self.txn_id:
+                continue
+            theirs = set(
+                doc.get(
+                    "dml_tables",
+                    [e.get("name") for e in doc.get("tables", [])],
+                )
+            )
+            if not (theirs & dml_tables):
+                continue
+            if (doc.get("ts", 0), tid) < my_key:
+                raise TxnConflictError(
+                    f"transaction {self.txn_id}: older pending "
+                    f"transaction {tid} also rewrites "
+                    f"{sorted(theirs & dml_tables)}; first committer "
+                    "wins — this transaction aborted, retry (if the "
+                    "older one crashed, txn_cleanup() unblocks)"
+                )
 
     def abort(self) -> None:
         """Walk away: nothing was published (or, if commit() died midway,
@@ -382,43 +667,53 @@ def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
         if store.exists(f"{tid}.commit.json"):
             store.delete(key)
             continue
-        counts = {"logs": 0, "files": 0}
-        for entry in intent.get("tables", []):
-            name = entry.get("name")
-            try:
-                t = catalog.table(name)
-            except KeyError:
-                continue
-            # tagged log commits of this txn (metadata-only match). A
-            # tagged DML log's ALIVE markers are rewrite files the txn
-            # itself wrote (uuid-fresh, referenced nowhere else) —
-            # delete them with the log; its TOMBSTONE markers reference
-            # pre-txn files and are left strictly alone (deleting the
-            # log un-tombstones them, which IS the abort).
-            deleted: set[str] = set()
-            for log_key, _sz in t.log_io.get_current_log_files(
-                t.log_storage
-            ):
-                if parse_txn_id(log_key) != tid:
-                    continue
-                get_log_file_info(log_key)  # validates shape
-                try:
-                    _m, _s, fms, _t = t.log_io.read_log(
-                        t.log_storage, log_key
-                    )
-                except Exception:
-                    fms = []
-                for m in fms:
-                    if m.alive and m.path not in deleted:
-                        t.storage.delete(m.path)
-                        deleted.add(m.path)
-                t.log_storage.delete(log_key)
-                counts["logs"] += 1
-            for rel in entry.get("files", []):
-                if rel not in deleted:  # staged-but-never-published
-                    t.storage.delete(rel)
-                    deleted.add(rel)
-            counts["files"] += len(deleted)
+        out[tid] = _reclaim_participants(catalog, intent)
         store.delete(key)
-        out[tid] = counts
     return out
+
+
+def _reclaim_participants(catalog: "IceCatalog", intent: dict) -> dict:
+    """Undo an uncommitted transaction's footprint from its intent
+    manifest: delete its tagged log commits (never visible to filtered
+    readers), the rewrite files those logs aliveness-reference, and the
+    staged-insert files the manifest lists. Shared by ``abort_orphans``
+    (crash cleanup) and ``commit()``'s conflict abort. Returns counts."""
+    tid = intent.get("txn")
+    counts = {"logs": 0, "files": 0}
+    for entry in intent.get("tables", []):
+        name = entry.get("name")
+        try:
+            t = catalog.table(name)
+        except KeyError:
+            continue
+        # tagged log commits of this txn (metadata-only match). A
+        # tagged DML log's ALIVE markers are rewrite files the txn
+        # itself wrote (uuid-fresh, referenced nowhere else) —
+        # delete them with the log; its TOMBSTONE markers reference
+        # pre-txn files and are left strictly alone (deleting the
+        # log un-tombstones them, which IS the abort).
+        deleted: set[str] = set()
+        for log_key, _sz in t.log_io.get_current_log_files(
+            t.log_storage
+        ):
+            if parse_txn_id(log_key) != tid:
+                continue
+            get_log_file_info(log_key)  # validates shape
+            try:
+                _m, _s, fms, _t = t.log_io.read_log(
+                    t.log_storage, log_key
+                )
+            except Exception:
+                fms = []
+            for m in fms:
+                if m.alive and m.path not in deleted:
+                    t.storage.delete(m.path)
+                    deleted.add(m.path)
+            t.log_storage.delete(log_key)
+            counts["logs"] += 1
+        for rel in entry.get("files", []):
+            if rel not in deleted:  # staged-but-never-published
+                t.storage.delete(rel)
+                deleted.add(rel)
+        counts["files"] += len(deleted)
+    return counts

@@ -475,3 +475,240 @@ def test_txn_merge_into_commits_atomically(cat, spark):
     bad = CatalogTransaction(cat, cat._txn_store)
     with pytest.raises(ValueError, match="capture_changes"):
         bad.merge_into("facts", src, on="k", capture_changes=True)
+
+
+# ------------------------------------------------------------------ round 5:
+# first-committer-wins conflict validation, pending-txn maintenance guard,
+# intent-timestamp watermark clamps, thread-local consistent() holds.
+
+
+def test_concurrent_txn_cow_race_aborts_younger(cat):
+    """Two transactions CoW-rewriting the same file: the younger pending
+    intent aborts at validation (first committer wins), fully reclaims,
+    and the older one commits — abort, never duplicated survivors."""
+    from icedb_spark.txn import TxnConflictError
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    older = CatalogTransaction(cat, cat._txn_store)
+    older.delete("facts", "k = 1")
+    younger = CatalogTransaction(cat, cat._txn_store)
+    younger.delete("facts", "k = 2")
+    # drive the older to mid-commit: intent + tagged DML executed, no
+    # marker yet (the window a concurrent committer actually sees)
+    older._done = True
+    o_intent = older._begin()
+    o_ts = older._execute()
+    with pytest.raises(TxnConflictError, match="older pending"):
+        younger.commit()
+    # the younger left no trace: no tagged logs, no intent
+    assert not any(
+        parse_txn_id(k) == younger.txn_id
+        for k, _ in t.log_io.get_current_log_files(t.log_storage)
+    )
+    assert not cat._txn_store.exists(f"{younger.txn_id}.intent.json")
+    older._validate_and_finalize(o_intent, o_ts)
+    cat._txn_vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 2, 3]  # older's delete applied once; k=2 survives
+
+
+def test_txn_conflict_with_committed_peer_aborts(cat):
+    """A peer that commits BETWEEN this transaction's pin and its
+    validation conflicts at file granularity: both CoW-rewrote the same
+    file, so the later validator aborts instead of duplicating rows."""
+    from icedb_spark.txn import TxnConflictError
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    first = CatalogTransaction(cat, cat._txn_store)
+    first.delete("facts", "k = 1")
+    second = CatalogTransaction(cat, cat._txn_store)
+    second.delete("facts", "k = 2")
+    first._done = second._done = True
+    f_intent = first._begin()
+    s_intent = second._begin()  # pins BEFORE first commits
+    f_ts = first._execute()
+    first._validate_and_finalize(f_intent, f_ts)  # sees second: younger
+    s_ts = second._execute()  # pinned C0 excludes first → same file CoW
+    with pytest.raises(TxnConflictError, match="first committer"):
+        second._validate_and_finalize(s_intent, s_ts)
+    cat._txn_vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 2, 3]  # exactly the first txn's delete, no dupes
+    # the loser's footprint is fully reclaimed
+    assert not any(
+        parse_txn_id(k) == second.txn_id
+        for k, _ in t.log_io.get_current_log_files(t.log_storage)
+    )
+    assert not cat._txn_store.exists(f"{second.txn_id}.intent.json")
+
+
+def test_serial_txn_dml_does_not_conflict(cat):
+    """Back-to-back transactions on the same table are serial: the
+    second pins after the first's marker, sees its state, no conflict."""
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    with cat.transaction() as txn:
+        txn.delete("facts", "k = 1")
+    with cat.transaction() as txn:
+        txn.delete("facts", "k = 2")
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 3]
+
+
+def test_insert_only_txns_never_conflict(cat):
+    """Staged-insert-only transactions write fresh files — two pending
+    at once both commit."""
+    a = CatalogTransaction(cat, cat._txn_store)
+    a.insert("facts", rows=[{"bucket": "b", "k": 1}])
+    b = CatalogTransaction(cat, cat._txn_store)
+    b.insert("facts", rows=[{"bucket": "b", "k": 2}])
+    a._done = b._done = True
+    a_intent = a._begin()
+    b_intent = b._begin()
+    a_ts = a._execute()
+    b_ts = b._execute()
+    b._validate_and_finalize(b_intent, b_ts)  # younger, but insert-only
+    a._validate_and_finalize(a_intent, a_ts)
+    cat._txn_vis.refresh()
+    assert sorted(r["k"] for r in cat.table("facts").read().collect()) == [1, 2]
+
+
+def test_maintenance_refuses_during_pending_txn(cat):
+    """merge/vacuum/gc during a transaction's publish window would fold
+    the filtered snapshot over its invisible tombstones (resurrection) —
+    they refuse until the marker lands or cleanup reclaims."""
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    txn = CatalogTransaction(cat, cat._txn_store)
+    txn.delete("facts", "k = 1")
+    txn._done = True
+    intent = txn._begin()  # intent PUT: the guard must fire from HERE,
+    #                        before any tagged log exists
+    with pytest.raises(RuntimeError, match="pending"):
+        t.merge()
+    ts = txn._execute()
+    for op in (t.merge, t.tombstone_cleanup, t.gc_orphans, t.optimize):
+        with pytest.raises(RuntimeError, match="pending"):
+            op()
+    txn._validate_and_finalize(intent, ts)
+    cat._txn_vis.refresh()
+    t.merge()  # unblocked once committed
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 3]
+
+
+def test_safe_watermark_clamps_on_pending_intent(cat):
+    """Between a transaction's intent PUT and its first tagged log
+    append the log listing shows nothing — the watermark must clamp on
+    the INTENT's ts (stamped before the commit instant is pinned), or a
+    concurrent plain commit lets consumers advance past the pinned
+    instant and drop the transaction from every future window."""
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": 0}])
+    txn = CatalogTransaction(cat, cat._txn_store)
+    txn.delete("facts", "k < 0")
+    txn._done = True
+    intent = txn._begin()  # intent durable, NO tagged log yet
+    # a plain commit lands with a higher stamp — without the intent
+    # clamp the watermark would ride it past the txn's pinned instant
+    t.insert([{"bucket": "b", "k": 1}])
+    wm = t.safe_watermark()
+    assert wm == intent["ts"] - 1
+    with pytest.raises(RuntimeError, match="pending transaction"):
+        t.changes(0)  # unbounded window overlaps the pending intent
+    assert t.changes(0, wm).count() == 1  # pre-intent insert only
+    ts = txn._execute()
+    txn._validate_and_finalize(intent, ts)
+    cat._txn_vis.refresh()
+    assert t.safe_watermark() >= ts
+    # exactly-once: the clamped-out plain insert arrives once the txn
+    # resolves (the txn's own DML is a merged rewrite — not an insert)
+    assert t.changes(wm, t.safe_watermark()).count() == 1
+
+
+def test_stream_offset_clamps_on_pending_intent(cat, spark, tmp_path):
+    """The streaming source's latestOffset must apply the same intent
+    clamp — a stream polling during the intent→first-log window must not
+    advance past the transaction's future commits."""
+    from icedb_spark.datasource import IceDataSource
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": 0}])
+    ds = IceDataSource(
+        {"path": t.path, "txn_root": cat._txn_store.root
+         if hasattr(cat._txn_store, "root") else str(tmp_path / "_txn")}
+    )
+    reader = ds.streamReader(ds.schema())
+    head0 = reader.latestOffset()["ts"]
+    txn = CatalogTransaction(cat, cat._txn_store)
+    txn.delete("facts", "k < 0")
+    txn._done = True
+    intent = txn._begin()
+    t.insert([{"bucket": "b", "k": 1}])  # plain commit, higher stamp
+    head1 = reader.latestOffset()["ts"]
+    assert head1 <= intent["ts"] - 1 or head1 == head0  # never past intent
+    ts = txn._execute()
+    txn._validate_and_finalize(intent, ts)
+    head2 = reader.latestOffset()["ts"]
+    assert head2 >= ts  # resumes through the committed txn
+
+
+def test_consistent_hold_is_thread_local(cat):
+    """One thread's consistent() hold must not freeze OTHER threads'
+    visibility: a transaction committing during the hold is immediately
+    visible to a second thread, while the holder stays frozen."""
+    import threading
+
+    vis = cat._txn_vis
+    t = cat.table("facts")
+    entered = threading.Event()
+    release = threading.Event()
+    holder_counts: list[int] = []
+
+    def holder():
+        with vis.consistent():
+            entered.set()
+            release.wait(timeout=30)
+            holder_counts.append(t.read().count())  # frozen view
+
+    th = threading.Thread(target=holder)
+    th.start()
+    entered.wait(timeout=30)
+    with cat.transaction() as txn:
+        txn.insert("facts", rows=[{"bucket": "b", "k": 7}])
+    # this (main) thread sees the commit immediately — the hold in the
+    # other thread must not have pinned OUR refresh
+    assert t.read().count() == 1
+    release.set()
+    th.join()
+    assert holder_counts == [0]  # the holder's own view stayed frozen
+
+
+def test_rest_insert_buffer_bound(cat):
+    """RowBatcher refuses rows past max_buffered_rows instead of growing
+    driver memory without limit while flushes fail."""
+    from icedb_spark.rest import BufferFullError, RowBatcher
+
+    t = cat.table("facts")
+
+    class _Boom:
+        def insert(self, rows):
+            raise IOError("storage outage")
+
+    b = RowBatcher(_Boom(), flush_interval_s=3600, flush_rows=100,
+                   max_buffered_rows=25)
+    rows = [{"bucket": "b", "k": i} for i in range(10)]
+    b.add(rows)
+    with pytest.raises(IOError):
+        b.flush()  # flush fails; rows stay buffered
+    assert b.buffered() == 10
+    b.add(rows[:5])  # under the flush threshold: buffered quietly
+    assert b.buffered() == 15
+    with pytest.raises(BufferFullError):
+        b.add([{"bucket": "b", "k": 0}] * 11)  # 15+11 > 25
+    assert b.buffered() == 15  # refused rows were NOT partially taken
+    b.table = t  # storage recovers
+    assert b.flush() >= 1
+    assert b.buffered() == 0
+    b.stop(drain=False)
