@@ -795,6 +795,29 @@ def s07_cosine_topk_trained(spark, sf_dir):
     )
 
 
+def s08_trained_clustered(spark, sf_dir):
+    """Trained IVF on a CLUSTERED corpus — the scaling demonstration s07's
+    flat-corpus finding called for: when the data has cluster structure,
+    a k-means-trained codebook reaches recall@5 >= 0.9 at nprobe/C =
+    0.125 (measured 0.970 at sf0.1, 0.90-0.92 at sf0.001/sf0.01) where
+    the untrained lowest-id codebook measures 0.885 here and needed 0.69
+    coverage on the flat corpus (COVERAGE.md recall grid). The corpus is
+    ``testdata.load_clustered_embeddings`` — a mixture-of-Gaussians
+    derivation from the embeddings table in closed-form arithmetic, so
+    the DuckDB oracle rebuilds it bit-exactly and the whole
+    train+assign+probe pipeline stays under the value gate. Same plan
+    shape as s07: broadcast codebook, map-side argmax, partial-agg
+    means, codebook collected once (never retrained per use)."""
+    from icedb_spark.operators import cosine_topk_ivf_trained
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf_trained(
+        emb, queries, dim=64, n_centroids=16, nprobe=2, iters=2, k=5
+    )
+
+
 def s06_cosine_topk_tuned(spark, sf_dir):
     """The production-recall IVF preset: 64 cells, nprobe=44. Measured
     recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
@@ -2819,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice36_zorder_pruning": ice36_zorder_pruning,
         "t14_semantic_decontam": t14_semantic_decontam,
         "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "s08_trained_clustered": s08_trained_clustered,
         "rest01_ingest_query": rest01_ingest_query,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from a prior
@@ -3213,6 +3237,9 @@ from per_sess group by user_id
         "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s07_cosine_topk_trained": oracles.cosine_topk_ivf_trained_sql(
             5, 50, 64, 8, 64, 2
+        ),
+        "s08_trained_clustered": oracles.cosine_topk_ivf_trained_sql(
+            5, 50, 16, 2, 64, 2, clustered=True
         ),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         # rest01 round-trips region through POST /insert + /flush and

@@ -191,9 +191,23 @@ def cosine_topk_ivf_trained(
     plan running in-engine, and ``iters=0`` degrades exactly to
     :func:`cosine_topk_ivf`.
     """
-    v = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
-    ).withColumn("tv", F.transform("dv", lambda x: F.round(x, 3)))
+    # training grid: ti = the 3-decimal vector as EXACT integers
+    # (milli-units), tv = ti/1000 doubles. Centroid refinement averages
+    # the integers — sum(bigint)/(1000*count) is one IEEE division of
+    # identical operands on any engine, so the 4-decimal round sees the
+    # SAME double everywhere. (round(avg(double), 4) is not enough: at a
+    # few thousand rows some cell mean lands within summation-order
+    # noise of a .00005 boundary and two engines round it apart —
+    # observed at sf0.1 before this.)
+    v = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
+        )
+        .withColumn(
+            "ti", F.transform("dv", lambda x: F.round(x * 1000).cast("long"))
+        )
+        .withColumn("tv", F.transform("ti", lambda t: t / F.lit(1000.0)))
+    )
     cents = (
         v.orderBy("id")
         .limit(n_centroids)
@@ -206,10 +220,10 @@ def cosine_topk_ivf_trained(
             6,
         )
         assigned = (
-            v.select("id", "tv")
+            v.select("id", "ti", "tv")
             .crossJoin(F.broadcast(cents))
-            .select("id", "tv", "cid", csim.alias("cs"))
-            .groupBy("id", "tv")
+            .select("id", "ti", "tv", "cid", csim.alias("cs"))
+            .groupBy("id", "ti", "tv")
             .agg(
                 F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
                     "cell"
@@ -219,10 +233,27 @@ def cosine_topk_ivf_trained(
         cents = assigned.groupBy(F.col("cell").alias("cid")).agg(
             F.array(
                 *[
-                    F.round(F.avg(F.col("tv")[i]), 4)
+                    F.round(
+                        F.sum(F.col("ti")[i])
+                        / (F.count(F.lit(1)) * F.lit(1000.0)),
+                        4,
+                    )
                     for i in range(dim)
                 ]
             ).alias("cv")
+        )
+    if iters:
+        # materialize the trained codebook: it is C x dim doubles (a few
+        # KB), but its LINEAGE is the whole O(iters * N * C) Lloyd run —
+        # left lazy, corpus assignment and query probing would each
+        # re-execute the training passes. One collect, then a literal
+        # local relation feeds both uses (values are exact IEEE doubles,
+        # so results are bit-identical to the lazy plan).
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cv"]])
+             for r in cents.collect()],
+            "cid bigint, cv array<double>",
         )
     vn = v.withColumn("n", _norm(F.col("dv")))
     cn = cents.withColumn("cn", _norm(F.col("cv")))

@@ -389,6 +389,9 @@ def cosine_topk_ivf_trained_sql(
     dim: int = 64,
     iters: int = 2,
     table: str = "embeddings",
+    clustered: bool = False,
+    n_clusters: int = 16,
+    spread: float = 0.15,
 ) -> str:
     """Replicates ``operators.similarity.cosine_topk_ivf_trained``: the
     Lloyd iterations are UNROLLED as CTE pairs (assign_i, cents_i).
@@ -396,12 +399,39 @@ def cosine_topk_ivf_trained_sql(
     the Spark side: training vectors rounded to 3 decimals, refined
     centroid components to 4, cosines to 6 with id tiebreaks — at those
     precisions summation-order differences sit ~1e-12 below the rounding
-    step, so both engines materialize identical codebooks."""
-    ctes = [
-        f"""v as (
+    step, so both engines materialize identical codebooks.
+
+    ``clustered=True`` replaces the corpus with the derived
+    mixture-of-Gaussians table (``testdata.load_clustered_embeddings``):
+    cluster ``(id // 7) % n_clusters``, exact-rational centers
+    ``((c*31 + i*17) % 13 - 6) / 6``, component
+    ``round(center + spread * original, 3)`` — identical IEEE arithmetic
+    on both engines."""
+    if clustered:
+        v_cte = f"""v as (
+  select id, list(val order by i) as dv from (
+    select e.vec_id as id, r.i as i,
+      round(((((e.vec_id // 7) % {n_clusters}) * 31 + r.i * 17) % 13 - 6) / 6.0
+            + {spread} * cast(e.embedding[r.i + 1] as double), 3) as val
+    from {table} e, range(0, {dim}) r(i)
+  ) group by id
+)"""
+    else:
+        v_cte = f"""v as (
   select vec_id as id, cast(embedding as double[]) as dv from {table}
-), vr as (
-  select id, dv, list_transform(dv, x -> round(x, 3)) as tv from v
+)"""
+    # training grid mirrors the Spark side exactly: ti = exact bigint
+    # milli-units, tv = ti/1000.0; centroid refinement divides an exact
+    # integer sum so the 4-decimal round sees an identical double on
+    # both engines (round(avg(double)) diverges at summation-order
+    # noise near .00005 boundaries — observed at sf0.1)
+    ctes = [
+        v_cte
+        + f""", vr as (
+  select id, dv,
+    list_transform(dv, x -> cast(round(x * 1000) as bigint)) as ti,
+    list_transform(dv, x -> cast(round(x * 1000) as bigint) / 1000.0) as tv
+  from v
 ), c0 as (
   select id as cid, tv as cv from vr order by id limit {n_centroids}
 )"""
@@ -409,15 +439,16 @@ def cosine_topk_ivf_trained_sql(
     prev = "c0"
     for i in range(1, iters + 1):
         ctes.append(f"""a{i} as (
-  select id, tv, cell from (
-    select vr.id, vr.tv, c.cid as cell,
+  select id, ti, tv, cell from (
+    select vr.id, vr.ti, vr.tv, c.cid as cell,
       row_number() over (partition by vr.id
         order by round(list_cosine_similarity(vr.tv, c.cv), 6) desc, c.cid asc) as rn
     from vr, {prev} c
   ) where rn = 1
 ), c{i} as (
   select cell as cid, list(mv order by idx) as cv from (
-    select cell, r.i as idx, round(avg(tv[r.i]), 4) as mv
+    select cell, r.i as idx,
+      round(sum(ti[r.i]) / (count(*) * 1000.0), 4) as mv
     from a{i}, range(1, {dim + 1}) r(i)
     group by cell, r.i
   ) group by cell

@@ -70,3 +70,38 @@ def load_table(
     if split:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def load_clustered_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    spread: float = 0.15,
+    dim: int = 64,
+) -> DataFrame:
+    """A mixture-of-Gaussians-style CLUSTERED embedding corpus, derived
+    deterministically from the flat ``embeddings`` table (the driver's
+    synthetic vectors are near-uniform on the sphere, where IVF codebook
+    training cannot pay — recall tracks probed fraction when there is no
+    structure to learn; see the s07 finding in COVERAGE.md).
+
+    Construction is pure closed-form arithmetic so a SQL oracle can
+    reproduce it bit-exactly: vector ``id`` belongs to cluster
+    ``c = (id // 7) % n_clusters`` (blocks of 7, NOT a bijection on the
+    first n_clusters ids — the lowest-id seed codebook must not get the
+    clusters for free), the cluster center component is the exact
+    rational ``((c*31 + i*17) % 13 - 6) / 6`` and the vector is
+    ``round(center + spread * original[i], 3)``. With spread 0.15 the
+    intra-cluster variation is ~6x smaller than the center spread —
+    clearly clustered, not degenerate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (F.floor(F.col("vec_id") / 7) % n_clusters).cast("long")
+    vec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: F.round(
+            ((c * 31 + i.cast("long") * 17) % 13 - 6) / 6.0
+            + F.lit(spread) * x,
+            3,
+        ),
+    )
+    return emb.select("vec_id", vec.alias("embedding"))

@@ -1108,6 +1108,37 @@ def test_cosine_topk_ivf_tuned_recall(spark, emb):
     assert hits / sum(len(exact[q]) for q in exact) >= 0.9
 
 
+def test_trained_ivf_pays_on_clustered_corpus(spark, sf_dir):
+    """The s08 demonstration: on a corpus WITH cluster structure, the
+    k-means-trained codebook reaches recall@5 >= 0.9 at nprobe/C = 0.125
+    (2 of 16 cells) and beats the untrained lowest-id codebook at equal
+    coverage — on the flat corpus the untrained codebook needs ~0.69
+    coverage for the same bar (COVERAGE.md recall grid). Measured here:
+    trained 0.92 vs untrained 0.88 at sf0.001; 0.96 vs 0.885 at sf0.1."""
+    from icedb_spark.operators import (
+        cosine_topk, cosine_topk_ivf, cosine_topk_ivf_trained,
+    )
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir).cache()
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=5))
+    trained = pairs(cosine_topk_ivf_trained(
+        emb, queries, dim=64, n_centroids=16, nprobe=2, iters=2, k=5
+    ))
+    untrained = pairs(cosine_topk_ivf(
+        emb, queries, n_centroids=16, nprobe=2, k=5
+    ))
+    r_trained = len(trained & truth) / len(truth)
+    r_untrained = len(untrained & truth) / len(truth)
+    assert r_trained >= 0.9
+    assert r_trained > r_untrained
+
+
 def test_cosine_topk_ivf_trained_deterministic_and_recall(spark, emb):
     """The k-means-trained IVF must (a) be run-to-run deterministic (the
     rounding ladder makes float summation order irrelevant), (b) return

@@ -215,6 +215,12 @@ def test_trained_ivf_plans_broadcast_codebook(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # broadcast codebook
     assert "BroadcastHashJoin" in plan                 # probed-cell join
+    # the trained codebook is COLLECTED to a literal local relation, so
+    # the O(iters*N*C) Lloyd lineage executes exactly once — the search
+    # plan must contain no training aggregates (per-dimension avg) and
+    # must read the codebook from a local scan on both its uses
+    assert "avg(" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
 
 
 def test_semantic_decontam_plans_broadcast_nlj_partial_max(spark, sf_dir):
