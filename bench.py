@@ -119,11 +119,14 @@ def main():
 
     qs = entry.queries()
 
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    # default repeat=3 since round 5 (VERDICT r4 #2): the documented
+    # host-noise band swamps 0.3-3 s jobs, medians are the countermeasure;
+    # `repeat` rides on the headline line so rounds stay interpretable
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
 
-    def run(name: str, d: str = sf_dir) -> float:
+    def run(name: str, d: str = sf_dir, r: int = 0) -> float:
         samples = []
-        for _ in range(repeat):
+        for _ in range(r or repeat):
             t0 = time.time()
             df = qs[name](spark, d)
             df.write.format("noop").mode("overwrite").save()
@@ -195,7 +198,7 @@ def main():
     emit({
         "detail": "dml",
         "entries": {
-            name: round(run(name), 3)
+            name: round(run(name, r=1), 3)
             for name in (
                 "ice21_delete", "ice23_merge_into", "ice24_rollback",
                 "ice25_change_feed",
@@ -203,11 +206,12 @@ def main():
         },
     })
     # later-round additions, timed separately for the same comparability
-    # reason as the dml block
+    # reason as the dml block (r=1: informational absolute timings; the
+    # repeat-median budget is spent on the headline + scaling curves)
     emit({
         "detail": "ops_new",
         "entries": {
-            name: round(run(name), 3)
+            name: round(run(name, r=1), 3)
             for name in (
                 "ice28_snapshot_tags", "ice29_constraints",
                 "ice31_transform_pruning", "mv02_incremental_mv",
@@ -220,6 +224,11 @@ def main():
             )
         },
     })
+    sf1 = _sf1_block(run, cpus) if sf >= 0.1 else None
+    if sf1:
+        emit({"detail": "sf1", **sf1})
+        if "total" in sf1:
+            out["sf1_total"] = sf1["total"]
     ingest = _ingest_block(spark)
     emit({"detail": "ingest", **ingest})
     out["ingest_rows_per_sec"] = ingest["rows_per_sec"]
@@ -266,25 +275,104 @@ def _ingest_block(spark):
             (F.col("id") % 1000).cast("double").alias("value"),
             F.concat(F.lit("user_"), F.col("id") % 5000).alias("user"),
         )
-        # one full-size untimed insert first: the timed run then measures
-        # the steady-state write path (codegen/Arrow-worker startup and
-        # first-run JIT paid), which is the number a long-lived ingest
-        # service actually sees
+        # one full-size warmup insert first — TIMED AND REPORTED as the
+        # cold number: the reference's 690 k rows/s is a full cold run,
+        # so the comparison carries its own caveat. The second (timed)
+        # run is the steady-state write path (codegen/Arrow-worker
+        # startup and first-run JIT paid), the number a long-lived
+        # ingest service actually sees.
+        t0 = time.time()
         t.insert(df=df)
+        cold = time.time() - t0
         t0 = time.time()
         markers = t.insert(df=df)
         dt = time.time() - t0
         rps = n / dt if dt > 0 else float("inf")
+        cold_rps = n / cold if cold > 0 else float("inf")
         return {
             "rows": n,
             "partitions": len(markers),
             "seconds": round(dt, 3),
             "rows_per_sec": int(rps),
+            "cold_seconds": round(cold, 3),
+            "cold_rows_per_sec": int(cold_rps),
             "baseline_rows_per_sec": 690_000,
+            "baseline_is_cold_run": True,
             "vs_baseline": round(rps / 690_000, 3),
+            "cold_vs_baseline": round(cold_rps / 690_000, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _sf1_block(run, cpus: str):
+    """The bigger bench tier VERDICT r4 #2 asked for: generate sf1 once
+    (cached under .bench_sf1/, ~12 s cold, 183 MB — 6 M-row lineitem,
+    1 M events, 50 k documents per /root/testdata conventions), run the
+    headline suite there (repeat=1: these jobs are big enough that the
+    host-noise band matters less), and report the two rates BASELINE.md
+    publishes post-merge numbers for — count-by-month (ClickHouse
+    0.807 s over 209.5 M rows = 260 M rows/s on 128 vCPU) and
+    quantile+avg-by-group (36.3 M rows/s). `per_core_vs_baseline`
+    normalizes by core count so the cross-hardware comparison is
+    explicit rather than implied. Disable with SPARK_GRAFT_SF1=0."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "1":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.path.join(here, ".bench_sf1", "sf1")
+    try:
+        from icedb_spark.testdata import generate_sf
+
+        t0 = time.time()
+        generate_sf(sf1_dir, sf=1.0)
+        gen_s = round(time.time() - t0, 1)
+    except Exception as e:  # never fail the whole bench on the new tier
+        return {"error": f"sf1 generation failed: {e}"}
+    try:
+        results = {name: round(run(name, sf1_dir, r=1), 3) for name in HEADLINE}
+        # the rate comparison uses the APPROX percentile (q33): the
+        # baseline's ClickHouse quantile() is a t-digest sketch, and the
+        # repo's exact q07 is the documented oracle baseline, not the
+        # scale path
+        results["q33_percentile_approx"] = round(
+            run("q33_percentile_approx", sf1_dir, r=1), 3
+        )
+    except Exception as e:
+        return {"error": f"sf1 run failed: {e}"}
+    rows = _table_rows(sf1_dir)
+    cores = int(cpus)
+
+    def rate(rows_n, sec, baseline_rps, baseline_cores=128):
+        rps = rows_n / sec if sec > 0 else float("inf")
+        return {
+            "rows": rows_n,
+            "sec": sec,
+            "rows_per_sec": int(rps),
+            "baseline_rows_per_sec": int(baseline_rps),
+            "baseline_cores": baseline_cores,
+            "cores": cores,
+            "per_core_vs_baseline": round(
+                (rps / cores) / (baseline_rps / baseline_cores), 3
+            ),
+        }
+
+    return {
+        "dir": sf1_dir,
+        "gen_seconds": gen_s,
+        "rows": rows,
+        "queries": results,
+        "total": round(sum(results.values()), 3),
+        # BASELINE.md:43-44 post-merge rates (209.5 M taxi rows, 128 vCPU)
+        "rates": {
+            "count_by_month": rate(
+                rows.get("events", 0), results["q06_month_rollup"], 260e6
+            ),
+            "quantile_avg_by_group": rate(
+                rows.get("lineitem", 0), results["q33_percentile_approx"],
+                36.3e6,
+            ),
+        },
+    }
 
 
 def _scaling_block(run, sf_dir: str, sf: float):
