@@ -2779,29 +2779,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-4 rotation (VERDICT r3 #1): the window now leads with the 20
-    # entries that had never held a driver row (late-r3 DataSource
-    # write/stream matrix, MOR deletes, WAP, SQL DML, partition evolution,
-    # m04-m06, d10, t10/t13, sm05/07/08, q25), this round's new entries
-    # (tuned-recall ANN s06, k-means-trained IVF s07, REST wrapper
-    # rest01, z-order file pruning ice36, semantic decontamination t14,
-    # cross-table transactions ice37), and the two entries whose
-    # implementation changed this round (ice24 rollback guard, t11
-    # de-skewed plan); the rest of the window is the engine-lifecycle
-    # core plus one witness per operator family. Every entry below the boundary already holds a fully-green
-    # driver row from r2/r3, and ALL keys stay under the repo's own
-    # bit-exact gate replica (tests/test_entry_oracle.py +
+    # Round-5 rotation (VERDICT r4 #1): the window leads with the 31
+    # entries whose only driver row dated from round 1 (q05, q10-q16,
+    # q18-q24, q26/q27/q32, d04-d06, s01, t01/t03/t04, m02) or round 2
+    # (q03, q06-q09) while the engine underneath changed for three
+    # rounds; then this round's new entry (clustered trained-IVF s08)
+    # and the entries whose implementation changed in round 5 (s07
+    # codebook collection, ice37 first-committer-wins commit validation,
+    # st07 intent-clamped stream offsets, rest01 bounded ingest buffer);
+    # then the engine-lifecycle core and one witness per operator family
+    # on this round's changed paths (maintenance txn-guard, _scan_paths,
+    # catalog read horizon). Every entry below the boundary holds a
+    # fully-green driver row from r2-r4, and ALL keys stay under the
+    # repo's own bit-exact gate replica (tests/test_entry_oracle.py +
     # tools/check_oracle.py) regardless.
     return {
+        "q03_json_extract": q03_json_extract,
+        "q05_topk": q05_topk,
+        "q06_month_rollup": q06_month_rollup,
+        "q07_percentile": q07_percentile,
+        "q08_latest_by_user": q08_latest_by_user,
+        "q09_union_seed": q09_union_seed,
+        "q10_range_filter": q10_range_filter,
+        "q11_dedup_pickone": q11_dedup_pickone,
+        "q12_join_broadcast": q12_join_broadcast,
+        "q13_join_threeway": q13_join_threeway,
+        "q14_window_rank": q14_window_rank,
+        "q15_scalar_funcs": q15_scalar_funcs,
+        "q16_date_parts": q16_date_parts,
+        "q18_rollup": q18_rollup,
+        "q19_setops": q19_setops,
+        "q20_semi_anti": q20_semi_anti,
+        "q21_having": q21_having,
+        "q22_string_funcs": q22_string_funcs,
+        "q23_array_funcs": q23_array_funcs,
+        "q24_salted_join": q24_salted_join,
+        "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
+        "q32_asof_left_join": q32_asof_left_join,
+        "d04_simhash": d04_simhash,
+        "d05_embedding_dups": d05_embedding_dups,
+        "d06_simhash_pairs": d06_simhash_pairs,
+        "s01_cosine_topk": s01_cosine_topk,
+        "t01_token_stats": t01_token_stats,
+        "t03_language_id": t03_language_id,
+        "t04_fingerprint": t04_fingerprint,
+        "m02_frame_sample": m02_frame_sample,
+        "s08_trained_clustered": s08_trained_clustered,
+        "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "ice37_cross_table_txn": ice37_cross_table_txn,
+        "st07_cdc_stream": st07_cdc_stream,
+        "rest01_ingest_query": rest01_ingest_query,
+        "ice01_insert_roundtrip": ice01_insert_roundtrip,
+        "ice02_merge_invariant": ice02_merge_invariant,
+        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
+        "ice03_time_travel": ice03_time_travel,
+        "ice33_mor_delete": ice33_mor_delete,
+        "ice21_delete": ice21_delete,
+        "mv02_incremental_mv": mv02_incremental_mv,
+        "q01_pricing_summary": q01_pricing_summary,
+        "st02_windowed_agg": st02_windowed_agg,
+        "d02_minhash_lsh": d02_minhash_lsh,
+        "t11_line_dedup": t11_line_dedup,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
+        "m01_media_features": m01_media_features,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a fully-green driver row from a prior
+        # round — this rotation only demotes proven entries.
         "ice26_in_pruning": ice26_in_pruning,
         "ice30_partition_evolution": ice30_partition_evolution,
         "ice31_transform_pruning": ice31_transform_pruning,
         "ice32_datasource_write": ice32_datasource_write,
-        "ice33_mor_delete": ice33_mor_delete,
         "ice34_sql_dml": ice34_sql_dml,
         "ice35_wap": ice35_wap,
         "st06_datasource_stream": st06_datasource_stream,
-        "st07_cdc_stream": st07_cdc_stream,
         "st08_datasource_sink": st08_datasource_sink,
         "m04_av_headers": m04_av_headers,
         "m05_perceptual_hash": m05_perceptual_hash,
@@ -2815,38 +2867,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_conditional_agg": q25_conditional_agg,
         "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
         "ice24_rollback": ice24_rollback,
-        "t11_line_dedup": t11_line_dedup,
-        "ice01_insert_roundtrip": ice01_insert_roundtrip,
-        "ice02_merge_invariant": ice02_merge_invariant,
-        "ice03_time_travel": ice03_time_travel,
-        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "ice11_partition_pruning": ice11_partition_pruning,
         "ice17_stats_pruning": ice17_stats_pruning,
         "ice19_auto_prune": ice19_auto_prune,
-        "ice21_delete": ice21_delete,
         "ice22_update": ice22_update,
         "ice23_merge_into": ice23_merge_into,
         "ice25_change_feed": ice25_change_feed,
-        "q01_pricing_summary": q01_pricing_summary,
-        "ice37_cross_table_txn": ice37_cross_table_txn,
-        "st02_windowed_agg": st02_windowed_agg,
         "st05_stream_upsert": st05_stream_upsert,
         "mv01_materialized_view": mv01_materialized_view,
-        "mv02_incremental_mv": mv02_incremental_mv,
-        "m01_media_features": m01_media_features,
-        "d02_minhash_lsh": d02_minhash_lsh,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d09_dedup_clusters": d09_dedup_clusters,
         "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "ice36_zorder_pruning": ice36_zorder_pruning,
         "t14_semantic_decontam": t14_semantic_decontam,
-        "s07_cosine_topk_trained": s07_cosine_topk_trained,
-        "s08_trained_clustered": s08_trained_clustered,
-        "rest01_ingest_query": rest01_ingest_query,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a fully-green driver row from a prior
-        # round (r2 or r3) — this rotation only demotes proven entries.
         "ice04_rewrite": ice04_rewrite,
         "ice05_agg_on_merge": ice05_agg_on_merge,
         "ice06_remove_partitions": ice06_remove_partitions,
@@ -2858,7 +2892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice15_parallel_compaction": ice15_parallel_compaction,
         "ice18_bloom_pruning": ice18_bloom_pruning,
         "ice20_incremental_read": ice20_incremental_read,
-        "ice27_datasource_scan": ice27_datasource_scan,
         "ice28_snapshot_tags": ice28_snapshot_tags,
         "ice29_constraints": ice29_constraints,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
@@ -2885,43 +2918,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_image_headers": m03_image_headers,
         "st04_session_window": st04_session_window,
         "q02_count_by_user": q02_count_by_user,
-        "q03_json_extract": q03_json_extract,
         "q04_distinct": q04_distinct,
-        "q05_topk": q05_topk,
-        "q06_month_rollup": q06_month_rollup,
-        "q07_percentile": q07_percentile,
-        "q08_latest_by_user": q08_latest_by_user,
-        "q09_union_seed": q09_union_seed,
-        "q10_range_filter": q10_range_filter,
-        "q11_dedup_pickone": q11_dedup_pickone,
-        "q12_join_broadcast": q12_join_broadcast,
-        "q13_join_threeway": q13_join_threeway,
-        "q14_window_rank": q14_window_rank,
-        "q15_scalar_funcs": q15_scalar_funcs,
-        "q16_date_parts": q16_date_parts,
-        "q18_rollup": q18_rollup,
-        "q19_setops": q19_setops,
-        "q20_semi_anti": q20_semi_anti,
-        "q21_having": q21_having,
-        "q22_string_funcs": q22_string_funcs,
-        "q23_array_funcs": q23_array_funcs,
-        "q24_salted_join": q24_salted_join,
-        "q26_scalar_subquery": q26_scalar_subquery,
-        "q27_cube": q27_cube,
         "q30_sessionize": q30_sessionize,
-        "q32_asof_left_join": q32_asof_left_join,
-        "d04_simhash": d04_simhash,
-        "d05_embedding_dups": d05_embedding_dups,
-        "d06_simhash_pairs": d06_simhash_pairs,
-        "s01_cosine_topk": s01_cosine_topk,
-        "m02_frame_sample": m02_frame_sample,
-        "t01_token_stats": t01_token_stats,
-        "t03_language_id": t03_language_id,
-        "t04_fingerprint": t04_fingerprint,
         "t05_repetition": t05_repetition,
         "t07_decontaminate": t07_decontaminate,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "sm06_shuffle_shard": sm06_shuffle_shard,
         "st01_streaming_ingest": st01_streaming_ingest,
     }
 
