@@ -373,7 +373,8 @@ class CatalogTransaction:
         with self._participant_locks():
             intent = self._begin()
             ts = self._execute()
-            self._validate_and_finalize(intent, ts)
+            own = self._publish_rewrites(intent)
+            self._validate_and_finalize(intent, ts, own)
         return ts
 
     def _participant_locks(self):
@@ -489,44 +490,14 @@ class CatalogTransaction:
                 seq += 1
         return ts
 
-    def _validate_and_finalize(self, intent: dict, ts: int) -> None:
-        """First-committer-wins validation, then the atomic visibility
-        flip. On conflict: reclaim everything this transaction wrote
-        (tagged logs, rewrite files, staged files, intent) and raise
-        :class:`TxnConflictError` — abort, never duplicate."""
-        try:
-            self._validate(intent, ts)
-        except TxnConflictError:
-            _reclaim_participants(self.catalog, intent)
-            try:
-                self.store.delete(f"{self.txn_id}.intent.json")
-            except Exception:
-                pass
-            raise
-        # the atomic visibility flip
-        self.store.put(
-            f"{self.txn_id}.commit.json",
-            json.dumps({"txn": self.txn_id, "ts": ts}).encode(),
-        )
-        # the intent is only the crash-cleanup manifest — once the
-        # commit marker exists it is dead weight on every reader's
-        # marker listing; best-effort delete (abort_orphans sweeps
-        # stragglers from a crash landing exactly here)
-        try:
-            self.store.delete(f"{self.txn_id}.intent.json")
-        except Exception:
-            pass
-
-    def _validate(self, intent: dict, ts: int) -> None:
-        """First-committer-wins: abort if anything that became visible
-        since the pin — or an OLDER still-pending peer — touches what
-        this transaction's DML rewrote."""
+    def _publish_rewrites(self, intent: dict) -> dict[str, set[str]]:
+        """Read back what this transaction's DML tombstoned (its own
+        tagged logs — few and tiny, one per queued op) and publish the
+        COMPLETE map as ``<id>.rewrites.json``: once this object exists,
+        the set can no longer grow, so a concurrently-validating peer
+        may check file-level disjointness against it instead of
+        conflicting at table granularity."""
         dml_tables = set(intent.get("dml_tables") or ())
-        if not dml_tables:
-            return  # insert-only: fresh files, nothing to conflict with
-        vis = self.catalog._txn_vis
-        # (a) what did MY DML tombstone? Read back my own tagged logs —
-        # few and tiny (one per queued op).
         own_tomb: dict[str, set[str]] = {}
         for name in dml_tables:
             t = self.catalog.table(name)
@@ -547,6 +518,62 @@ class CatalogTransaction:
                 paths.update(tb.path for tb in tmbs)
             if paths:
                 own_tomb[name] = paths
+        if dml_tables:
+            self.store.put(
+                f"{self.txn_id}.rewrites.json",
+                json.dumps(
+                    {n: sorted(p) for n, p in own_tomb.items()}
+                ).encode(),
+            )
+        return own_tomb
+
+    def _cleanup_markers(self) -> None:
+        """Best-effort removal of the transaction's transient store
+        objects (intent manifest + rewrite map) — dead weight once a
+        commit marker exists, garbage after an abort."""
+        for key in (
+            f"{self.txn_id}.intent.json",
+            f"{self.txn_id}.rewrites.json",
+        ):
+            try:
+                self.store.delete(key)
+            except Exception:
+                pass
+
+    def _validate_and_finalize(
+        self, intent: dict, ts: int, own_tomb: dict[str, set[str]]
+    ) -> None:
+        """First-committer-wins validation, then the atomic visibility
+        flip. On conflict: reclaim everything this transaction wrote
+        (tagged logs, rewrite files, staged files, intent) and raise
+        :class:`TxnConflictError` — abort, never duplicate."""
+        try:
+            self._validate(intent, ts, own_tomb)
+        except TxnConflictError:
+            _reclaim_participants(self.catalog, intent)
+            self._cleanup_markers()
+            raise
+        # the atomic visibility flip
+        self.store.put(
+            f"{self.txn_id}.commit.json",
+            json.dumps({"txn": self.txn_id, "ts": ts}).encode(),
+        )
+        # the intent is only the crash-cleanup manifest — once the
+        # commit marker exists it is dead weight on every reader's
+        # marker listing; best-effort delete (abort_orphans sweeps
+        # stragglers from a crash landing exactly here)
+        self._cleanup_markers()
+
+    def _validate(
+        self, intent: dict, ts: int, own_tomb: dict[str, set[str]]
+    ) -> None:
+        """First-committer-wins: abort if anything that became visible
+        since the pin — or an OLDER still-pending peer — touches what
+        this transaction's DML rewrote."""
+        dml_tables = set(intent.get("dml_tables") or ())
+        if not dml_tables:
+            return  # insert-only: fresh files, nothing to conflict with
+        vis = self.catalog._txn_vis
         # (b) foreign commits visible since the pin that reference any
         # of those paths: txn markers in C1−C0, and plain logs stamped
         # after the pin (a merge/rewrite collapsing over my invisible
@@ -586,11 +613,14 @@ class CatalogTransaction:
                         f"(e.g. {sorted(hit)[0]!r}); first committer "
                         "wins — transaction aborted, retry"
                     )
-        # (c) still-pending peers sharing a DML table: file sets are
-        # unknowable until they finish, so conflict at table granularity
-        # — the YOUNGER (intent ts, txn id) aborts. The younger side of
-        # any pair always lists the store after the older intent's PUT,
-        # so at least one side sees the overlap.
+        # (c) still-pending peers sharing a DML table. When the peer has
+        # already published its COMPLETE rewrite map (<id>.rewrites.json,
+        # written after its last DML — the set can no longer grow), check
+        # file-level disjointness: disjoint rewrites commit concurrently.
+        # Otherwise (peer mid-execution, set unknowable) conflict at
+        # table granularity — the YOUNGER (intent ts, txn id) aborts. The
+        # younger side of any pair always lists the store after the older
+        # intent's PUT, so at least one side sees the overlap.
         my_key = (self._intent_ts, self.txn_id)
         for doc in vis.pending_intents():
             tid = doc.get("txn")
@@ -602,15 +632,44 @@ class CatalogTransaction:
                     [e.get("name") for e in doc.get("tables", [])],
                 )
             )
-            if not (theirs & dml_tables):
+            shared = theirs & dml_tables
+            if not shared:
                 continue
+            peer_map = None
+            try:
+                peer_map = json.loads(
+                    self.store.get(f"{tid}.rewrites.json").decode()
+                )
+            except Exception:
+                peer_map = None  # peer still executing (or pre-map era)
+            if peer_map is not None:
+                hit = {
+                    name: sorted(
+                        own_tomb.get(name, set())
+                        & set(peer_map.get(name, ()))
+                    )
+                    for name in shared
+                }
+                hit = {n: p for n, p in hit.items() if p}
+                if not hit:
+                    continue  # complete peer map, disjoint files — safe
+                if (doc.get("ts", 0), tid) < my_key:
+                    raise TxnConflictError(
+                        f"transaction {self.txn_id}: older pending "
+                        f"transaction {tid} rewrote the same file(s) "
+                        f"{hit}; first committer wins — this "
+                        "transaction aborted, retry (if the older one "
+                        "crashed, txn_cleanup() unblocks)"
+                    )
+                continue  # I have priority: the peer aborts, not me
             if (doc.get("ts", 0), tid) < my_key:
                 raise TxnConflictError(
                     f"transaction {self.txn_id}: older pending "
                     f"transaction {tid} also rewrites "
-                    f"{sorted(theirs & dml_tables)}; first committer "
-                    "wins — this transaction aborted, retry (if the "
-                    "older one crashed, txn_cleanup() unblocks)"
+                    f"{sorted(shared)} and has not finished its DML "
+                    "(file sets unknowable); first committer wins — "
+                    "this transaction aborted, retry (if the older one "
+                    "crashed, txn_cleanup() unblocks)"
                 )
 
     def abort(self) -> None:
@@ -658,6 +717,10 @@ def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
             # committed: the intent is dead weight (commit() deletes it
             # on the happy path; this sweeps crash stragglers)
             store.delete(key)
+            try:
+                store.delete(f"{tid}.rewrites.json")
+            except Exception:
+                pass
             continue
         intent = json.loads(store.get(key).decode())
         if intent.get("ts", 0) > cutoff:
@@ -669,6 +732,10 @@ def abort_orphans(catalog: "IceCatalog", min_age_ms: int = 3_600_000) -> dict:
             continue
         out[tid] = _reclaim_participants(catalog, intent)
         store.delete(key)
+        try:
+            store.delete(f"{tid}.rewrites.json")
+        except Exception:
+            pass
     return out
 
 

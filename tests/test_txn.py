@@ -507,7 +507,7 @@ def test_concurrent_txn_cow_race_aborts_younger(cat):
         for k, _ in t.log_io.get_current_log_files(t.log_storage)
     )
     assert not cat._txn_store.exists(f"{younger.txn_id}.intent.json")
-    older._validate_and_finalize(o_intent, o_ts)
+    older._validate_and_finalize(o_intent, o_ts, older._publish_rewrites(o_intent))
     cat._txn_vis.refresh()
     ks = sorted(r["k"] for r in t.read().collect())
     assert ks == [0, 2, 3]  # older's delete applied once; k=2 survives
@@ -529,10 +529,14 @@ def test_txn_conflict_with_committed_peer_aborts(cat):
     f_intent = first._begin()
     s_intent = second._begin()  # pins BEFORE first commits
     f_ts = first._execute()
-    first._validate_and_finalize(f_intent, f_ts)  # sees second: younger
+    first._validate_and_finalize(
+        f_intent, f_ts, first._publish_rewrites(f_intent)
+    )  # sees second: younger (and second has no complete rewrite map yet)
     s_ts = second._execute()  # pinned C0 excludes first → same file CoW
     with pytest.raises(TxnConflictError, match="first committer"):
-        second._validate_and_finalize(s_intent, s_ts)
+        second._validate_and_finalize(
+            s_intent, s_ts, second._publish_rewrites(s_intent)
+        )
     cat._txn_vis.refresh()
     ks = sorted(r["k"] for r in t.read().collect())
     assert ks == [0, 2, 3]  # exactly the first txn's delete, no dupes
@@ -569,8 +573,8 @@ def test_insert_only_txns_never_conflict(cat):
     b_intent = b._begin()
     a_ts = a._execute()
     b_ts = b._execute()
-    b._validate_and_finalize(b_intent, b_ts)  # younger, but insert-only
-    a._validate_and_finalize(a_intent, a_ts)
+    b._validate_and_finalize(b_intent, b_ts, b._publish_rewrites(b_intent))  # insert-only
+    a._validate_and_finalize(a_intent, a_ts, a._publish_rewrites(a_intent))
     cat._txn_vis.refresh()
     assert sorted(r["k"] for r in cat.table("facts").read().collect()) == [1, 2]
 
@@ -592,7 +596,7 @@ def test_maintenance_refuses_during_pending_txn(cat):
     for op in (t.merge, t.tombstone_cleanup, t.gc_orphans, t.optimize):
         with pytest.raises(RuntimeError, match="pending"):
             op()
-    txn._validate_and_finalize(intent, ts)
+    txn._validate_and_finalize(intent, ts, txn._publish_rewrites(intent))
     cat._txn_vis.refresh()
     t.merge()  # unblocked once committed
     assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 3]
@@ -619,7 +623,7 @@ def test_safe_watermark_clamps_on_pending_intent(cat):
         t.changes(0)  # unbounded window overlaps the pending intent
     assert t.changes(0, wm).count() == 1  # pre-intent insert only
     ts = txn._execute()
-    txn._validate_and_finalize(intent, ts)
+    txn._validate_and_finalize(intent, ts, txn._publish_rewrites(intent))
     cat._txn_vis.refresh()
     assert t.safe_watermark() >= ts
     # exactly-once: the clamped-out plain insert arrives once the txn
@@ -649,7 +653,7 @@ def test_stream_offset_clamps_on_pending_intent(cat, spark, tmp_path):
     head1 = reader.latestOffset()["ts"]
     assert head1 <= intent["ts"] - 1 or head1 == head0  # never past intent
     ts = txn._execute()
-    txn._validate_and_finalize(intent, ts)
+    txn._validate_and_finalize(intent, ts, txn._publish_rewrites(intent))
     head2 = reader.latestOffset()["ts"]
     assert head2 >= ts  # resumes through the committed txn
 
@@ -712,3 +716,63 @@ def test_rest_insert_buffer_bound(cat):
     assert b.flush() >= 1
     assert b.buffered() == 0
     b.stop(drain=False)
+
+
+def test_pending_peers_with_disjoint_files_both_commit(cat):
+    """Once a pending peer has published its COMPLETE rewrite map
+    (<id>.rewrites.json), a younger transaction checks file-level
+    disjointness instead of conflicting at table granularity: two
+    transactions CoW-rewriting DIFFERENT files of the same table commit
+    concurrently."""
+    t = cat.table("facts")
+    # two partitions -> two data files; each txn rewrites only one
+    t.insert([{"bucket": "b1", "k": 1}, {"bucket": "b1", "k": 2}])
+    t.insert([{"bucket": "b2", "k": 3}, {"bucket": "b2", "k": 4}])
+    older = CatalogTransaction(cat, cat._txn_store)
+    older.delete("facts", "bucket = 'b1' and k = 1")
+    younger = CatalogTransaction(cat, cat._txn_store)
+    younger.delete("facts", "bucket = 'b2' and k = 3")
+    older._done = younger._done = True
+    o_i = older._begin()
+    y_i = younger._begin()
+    o_ts = older._execute()
+    o_map = older._publish_rewrites(o_i)  # complete map durable
+    y_ts = younger._execute()
+    y_map = younger._publish_rewrites(y_i)
+    # the younger validates while the older still pends: disjoint files
+    # under the older's published map — no conflict
+    younger._validate_and_finalize(y_i, y_ts, y_map)
+    older._validate_and_finalize(o_i, o_ts, o_map)
+    cat._txn_vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [2, 4]  # both deletes applied, nothing duplicated
+    # the transient rewrite maps were cleaned up with the intents
+    keys = [k for k, _ in cat._txn_store.list("", include_hidden=True)]
+    assert not any(k.endswith(".rewrites.json") for k in keys)
+    assert not any(k.endswith(".intent.json") for k in keys)
+
+
+def test_pending_peers_same_file_still_conflict(cat):
+    """The file-level refinement must not weaken safety: two pending
+    transactions whose published rewrite maps OVERLAP still resolve by
+    priority — the younger aborts."""
+    from icedb_spark.txn import TxnConflictError
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])  # one file
+    older = CatalogTransaction(cat, cat._txn_store)
+    older.delete("facts", "k = 1")
+    younger = CatalogTransaction(cat, cat._txn_store)
+    younger.delete("facts", "k = 2")
+    older._done = younger._done = True
+    o_i = older._begin()
+    y_i = younger._begin()
+    o_ts = older._execute()
+    o_map = older._publish_rewrites(o_i)
+    y_ts = younger._execute()
+    y_map = younger._publish_rewrites(y_i)
+    with pytest.raises(TxnConflictError, match="same file"):
+        younger._validate_and_finalize(y_i, y_ts, y_map)
+    older._validate_and_finalize(o_i, o_ts, o_map)
+    cat._txn_vis.refresh()
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 3]
