@@ -224,7 +224,7 @@ def main():
             )
         },
     })
-    sf1 = _sf1_block(run, cpus) if sf >= 0.1 else None
+    sf1 = _sf1_block(run, cpus, spark) if sf >= 0.1 else None
     if sf1:
         emit({"detail": "sf1", **sf1})
         if "total" in sf1:
@@ -305,7 +305,7 @@ def _ingest_block(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _sf1_block(run, cpus: str):
+def _sf1_block(run, cpus: str, spark):
     """The bigger bench tier VERDICT r4 #2 asked for: generate sf1 once
     (cached under .bench_sf1/, ~12 s cold, 183 MB — 6 M-row lineitem,
     1 M events, 50 k documents per /root/testdata conventions), run the
@@ -330,13 +330,40 @@ def _sf1_block(run, cpus: str):
         return {"error": f"sf1 generation failed: {e}"}
     try:
         results = {name: round(run(name, sf1_dir, r=1), 3) for name in HEADLINE}
-        # the rate comparison uses the APPROX percentile (q33): the
-        # baseline's ClickHouse quantile() is a t-digest sketch, and the
-        # repo's exact q07 is the documented oracle baseline, not the
-        # scale path
-        results["q33_percentile_approx"] = round(
-            run("q33_percentile_approx", sf1_dir, r=1), 3
+        # the quantile rate uses the PRODUCTION shape (approx quantile +
+        # avg by month — BASELINE.md's "quantile+avg by month" query is
+        # ClickHouse's t-digest quantile()): the gate entries q07/q33
+        # both carry exact-percentile oracle machinery that is not what
+        # a user would run at scale
+        from pyspark.sql import functions as F
+
+        from icedb_spark.testdata import load_table
+
+        li = load_table(spark, sf1_dir, "lineitem")
+        t0 = time.time()
+        (
+            li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+            .agg(
+                F.expr(
+                    "percentile_approx(l_extendedprice, 0.5, 10000)"
+                ).alias("p50_price"),
+                F.expr(
+                    "percentile_approx(l_quantity, 0.5, 10000)"
+                ).alias("p50_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+            )
+            .write.format("noop").mode("overwrite").save()
         )
+        results["quantile_avg_by_month"] = round(time.time() - t0, 3)
+        # count-by-month over the BIG table, matching the baseline's
+        # shape (its count-by-month runs over the one 209 M-row table)
+        t0 = time.time()
+        (
+            li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+            .count().write.format("noop").mode("overwrite").save()
+        )
+        results["count_by_month"] = round(time.time() - t0, 3)
     except Exception as e:
         return {"error": f"sf1 run failed: {e}"}
     rows = _table_rows(sf1_dir)
@@ -365,10 +392,10 @@ def _sf1_block(run, cpus: str):
         # BASELINE.md:43-44 post-merge rates (209.5 M taxi rows, 128 vCPU)
         "rates": {
             "count_by_month": rate(
-                rows.get("events", 0), results["q06_month_rollup"], 260e6
+                rows.get("lineitem", 0), results["count_by_month"], 260e6
             ),
             "quantile_avg_by_group": rate(
-                rows.get("lineitem", 0), results["q33_percentile_approx"],
+                rows.get("lineitem", 0), results["quantile_avg_by_month"],
                 36.3e6,
             ),
         },

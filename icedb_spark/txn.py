@@ -340,12 +340,14 @@ class CatalogTransaction:
         this transaction's DML tombstoned — the duplicated-survivor /
         resurrection hazard two concurrent CoW rewrites of the same file
         would otherwise create. Concurrently PENDING transactions with a
-        queued-DML table in common conflict at table granularity (their
-        file sets are unknowable until they finish): the YOUNGER intent
-        aborts. A younger transaction always lists the store after the
-        older intent's PUT, so at least the younger side of any pair
-        sees the conflict — exactly one survives. Insert-only
-        transactions never conflict (fresh files, no tombstones).
+        queued-DML table in common are checked at FILE granularity when
+        the peer has published its complete rewrite map (disjoint
+        rewrites commit concurrently) and at table granularity while it
+        is still executing: on a real overlap the YOUNGER intent aborts.
+        A younger transaction always lists the store after the older
+        intent's PUT, so at least the younger side of any pair sees the
+        conflict — exactly one survives. Insert-only transactions never
+        conflict (fresh files, no tombstones).
 
         When participant tables carry a ``lock_provider``, commit()
         additionally holds each (sorted order, reentrant for the queued
