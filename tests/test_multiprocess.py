@@ -167,3 +167,97 @@ def test_two_mergers_race_with_file_lock(spark, tmp_path):
     assert got == list(range(n_each))  # no loss, no duplication
     for m in t.snapshot().alive_files():
         assert os.path.exists(t.storage.absolute(m.path)), m.path
+
+
+TXN_DELETER = """
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+from icedb_spark.txn import TxnConflictError
+
+path, txn_root, target, start_file = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+)
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("mp-txn-%d" % target)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "1g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spec = PartitionSpec(fields=[PartitionField("b", "bucket")])
+t = IceTable(spark, path, partition_spec=spec, sort_order=["k"])
+cat = IceCatalog(spark).add("facts", t).enable_transactions(txn_root)
+# crude start barrier: both processes spin until the parent drops the flag
+while not os.path.exists(start_file):
+    time.sleep(0.05)
+conflicts = 0
+for attempt in range(12):
+    try:
+        with cat.transaction() as txn:
+            txn.delete("facts", "k = %d" % target)
+        print("committed after", conflicts, "conflicts", flush=True)
+        sys.exit(0)
+    except TxnConflictError:
+        conflicts += 1
+        time.sleep(0.3)
+print("never committed", flush=True)
+sys.exit(3)
+"""
+
+
+def test_two_process_txn_race_first_committer_wins(spark, tmp_path):
+    """Two OS processes (separate JVMs) each run a catalog transaction
+    CoW-deleting a different row of the SAME single data file, starting
+    simultaneously. The commit protocol must resolve the race with
+    first-committer-wins + retry: both processes eventually commit
+    (the loser aborts cleanly and retries against the winner's state),
+    the final table reflects BOTH deletes exactly once, and no
+    transaction debris survives beyond the durable commit markers."""
+    path = str(tmp_path / "tbl")
+    txn_root = str(tmp_path / "_txn")
+    spec = PartitionSpec(fields=[PartitionField("b", "bucket")])
+    t = IceTable(spark, path, partition_spec=spec, sort_order=["k"])
+    t.insert([{"bucket": "b", "k": i} for i in range(6)])  # ONE file
+
+    env = dict(os.environ)
+    start_file = str(tmp_path / "go")
+
+    def run(tag, target):
+        f = tmp_path / f"txn_{tag}.py"
+        f.write_text(TXN_DELETER)
+        return subprocess.Popen(
+            [sys.executable, str(f), path, txn_root, str(target), start_file],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+
+    procs = [run("a", 1), run("b", 2)]
+    import time as _time
+
+    _time.sleep(1.0)  # let both reach the barrier spin
+    (tmp_path / "go").write_text("go")
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out.decode(), err.decode()[-800:]))
+    assert all(rc == 0 for rc, _o, _e in outs), outs
+
+    from icedb_spark import IceCatalog
+
+    cat = (
+        IceCatalog(spark)
+        .add("facts", IceTable(spark, path, partition_spec=spec,
+                               sort_order=["k"]))
+        .enable_transactions(txn_root)
+    )
+    got = sorted(
+        r["k"] for r in cat.sql("select k from facts").collect()
+    )
+    assert got == [0, 3, 4, 5], (got, outs)  # both deletes, no dups
+    keys = [k for k, _ in cat._txn_store.list("", include_hidden=True)]
+    assert sum(1 for k in keys if k.endswith(".commit.json")) == 2
+    assert not any(k.endswith(".intent.json") for k in keys), keys
+    assert not any(k.endswith(".rewrites.json") for k in keys), keys
