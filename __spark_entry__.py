@@ -693,6 +693,47 @@ def d09_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def d11_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over the embedding space — k-means cells (the trained
+    codebook machinery from s07/s08), then within each cell drop every
+    vector near-identical (cosine >= 0.95) to a kept mate that sits
+    closer to the centroid. Catches paraphrases/re-encodings that share
+    no n-gram (invisible to MinHash/SimHash). The corpus plants
+    deterministic semantic clones (every vec_id % 20 == 3 vector is a
+    0.97-scaled, integer-grid-perturbed copy of the vector 3 ids below)
+    so the operator has real work and the DuckDB oracle reproduces the
+    whole pipeline bit-exactly. Scale shape: broadcast-codebook
+    assignment + one equi-join on the cell id (candidate volume
+    ~ N^2/C, tuned by n_clusters — the paper's own knob); no global
+    cross join."""
+    from icedb_spark.operators import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("bv")
+    )
+    vid = F.col("vec_id")
+    base = e.select((F.col("vec_id") + 3).alias("vec_id"),
+                    F.col("bv").alias("ov"))
+    j = e.join(base, "vec_id", "left")
+    clone = F.transform(
+        F.col("ov"),
+        lambda x, i: F.round(
+            x * 0.97 + ((vid * 17 + i.cast("long")) % 7 - 3) / 1000.0, 3
+        ),
+    )
+    plain = F.transform(F.col("bv"), lambda x: F.round(x, 3))
+    corpus = j.select(
+        "vec_id",
+        F.when((vid % 20 == 3) & F.col("ov").isNotNull(), clone)
+        .otherwise(plain)
+        .alias("embedding"),
+    )
+    return semdedup(
+        corpus, dim=64, n_clusters=16, iters=2, threshold=0.95
+    )
+
+
 def d10_cluster_pick_best(spark, sf_dir):
     """Quality-aware keep-one dedup: d09's transitive clusters, but the
     survivor of each cluster is its highest-``quality_score`` member (ties
@@ -2842,11 +2883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_minhash_lsh": d02_minhash_lsh,
         "t11_line_dedup": t11_line_dedup,
         "sm06_shuffle_shard": sm06_shuffle_shard,
-        "m01_media_features": m01_media_features,
+        "d11_semdedup": d11_semdedup,
         "ice27_datasource_scan": ice27_datasource_scan,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from a prior
         # round — this rotation only demotes proven entries.
+        "m01_media_features": m01_media_features,
         "ice26_in_pruning": ice26_in_pruning,
         "ice30_partition_evolution": ice30_partition_evolution,
         "ice31_transform_pruning": ice31_transform_pruning,
@@ -3241,6 +3283,9 @@ from per_sess group by user_id
         ),
         "s08_trained_clustered": oracles.cosine_topk_ivf_trained_sql(
             5, 50, 16, 2, 64, 2, clustered=True
+        ),
+        "d11_semdedup": oracles.semdedup_sql(
+            n_clusters=16, iters=2, threshold=0.95
         ),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         # rest01 round-trips region through POST /insert + /flush and

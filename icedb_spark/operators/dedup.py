@@ -591,3 +591,94 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with an in-engine
+    k-means codebook, then WITHIN each cluster drop every vector that is
+    near-identical (cosine >= ``threshold``) to a kept cluster-mate —
+    catching paraphrases and re-encodings that share no n-gram, which
+    MinHash/SimHash (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`)
+    are blind to.
+
+    Survivor rule (deterministic, oracle-reproducible): among a
+    near-identical pair, the vector FARTHER from its cluster centroid
+    survives — SemDeDup's own choice (keeping edge examples preserves
+    diversity; the near-centroid copy is the redundant one). Ties break
+    toward the smaller id. A vector is dropped iff SOME cluster-mate
+    with cosine >= threshold dominates it (closer-to-centroid... i.e.
+    the DOMINATING vector has LOWER centroid-cosine rank), so the rule
+    needs no iteration and no transitive closure.
+
+    Scale shape: codebook training is O(iters * N * C) broadcast
+    map-side work (:func:`..similarity._train_codebook`); the pairwise
+    stage is an EQUI-join on the cluster id — candidate volume is
+    sum(|cell|^2) ~ N^2/C, tuned by ``n_clusters`` exactly like the
+    paper (production: C ~ sqrt(N) keeps cells ~sqrt(N)); no global
+    cross join ever. Returns one row per input vector:
+    ``(vec_id, cell, cent_cosine, kept)``.
+    """
+    from .similarity import _dot, _norm, _train_codebook, _training_view
+
+    v = _training_view(corpus, id_col, vec_col)
+    cents = _train_codebook(v, dim, n_clusters, iters)
+    vn = v.withColumn("n", _norm(F.col("dv")))
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "dv", "n", "cid", sim.alias("csim"))
+        .groupBy("id", "dv", "n")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("csim")),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "id", "dv", "n",
+            F.col("best.cid").alias("cell"),
+            F.col("best.csim").alias("cent_cos"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.dv"), F.col("b.dv")) / (F.col("a.n") * F.col("b.n")),
+        6,
+    )
+    # a is DOMINATED by b when they are near-identical and b sits
+    # strictly closer to the centroid (higher cent_cos; id tiebreak)
+    dominated = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .where(F.col("a.id") != F.col("b.id"))
+        .where(pair_cos >= F.lit(threshold))
+        .where(
+            (F.col("b.cent_cos") > F.col("a.cent_cos"))
+            | (
+                (F.col("b.cent_cos") == F.col("a.cent_cos"))
+                & (F.col("b.id") < F.col("a.id"))
+            )
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("_dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.round(F.col("cent_cos"), 6).alias("cent_cosine"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

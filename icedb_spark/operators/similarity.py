@@ -156,6 +156,97 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _training_view(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dv, ti, tv): the original double vector plus the exact
+    integer milli-grid (``ti``) the deterministic k-means trains on and
+    its double form (``tv = ti/1000``)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
+        )
+        .withColumn(
+            "ti", F.transform("dv", lambda x: F.round(x * 1000).cast("long"))
+        )
+        .withColumn("tv", F.transform("ti", lambda t: t / F.lit(1000.0)))
+    )
+
+
+def _train_codebook(
+    v: DataFrame, dim: int, n_centroids: int, iters: int
+) -> DataFrame:
+    """Deterministic in-engine k-means over a :func:`_training_view`:
+    seeds = the ``n_centroids`` lowest-id vectors, then ``iters`` Lloyd
+    passes (broadcast-codebook map-side argmax assignment + a
+    partial-aggregatable per-(cell, dim) mean). Returns a MATERIALIZED
+    ``(cid bigint, cv array<double>)`` relation.
+
+    Cross-engine float determinism: training runs on the exact integer
+    milli-grid (``ti``) — centroid refinement divides an exact bigint
+    sum, ``sum(ti)/(1000*count)``, so the 4-decimal round sees an
+    IDENTICAL double on every engine (round(avg(double), 4) diverges at
+    summation-order noise near .00005 boundaries — observed at sf0.1).
+    Assignment uses round(cosine, 6) with centroid-id tiebreaks.
+
+    The codebook is C x dim doubles (a few KB), but its LINEAGE is the
+    whole O(iters * N * C) Lloyd run — left lazy, every downstream use
+    would re-execute the training passes; one collect feeds them all a
+    literal local relation with bit-identical values."""
+    cents = (
+        v.orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("tv").alias("cv"))
+    )
+    for _ in range(iters):
+        csim = F.round(
+            _dot(F.col("tv"), F.col("cv"))
+            / (_norm(F.col("tv")) * _norm(F.col("cv"))),
+            6,
+        )
+        assigned = (
+            v.select("id", "ti", "tv")
+            .crossJoin(F.broadcast(cents))
+            .select("id", "ti", "tv", "cid", csim.alias("cs"))
+            .groupBy("id", "ti", "tv")
+            .agg(
+                F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
+                    "cell"
+                )
+            )
+        )
+        # the 4-decimal rounded mean, in PURE INTEGER arithmetic:
+        # round_half_up(10*S/n) = (20*|S| + n) div (2*n) signed — a
+        # float round(sum/(1000n), 4) lands EXACTLY on decimal
+        # half-cases (the operands are exact), where Spark's
+        # BigDecimal-toString rounding and an engine rounding the
+        # binary double disagree (0.07125 -> 0.0713 vs 0.0712,
+        # observed); integer division has no half-case to disagree on
+        sums = assigned.groupBy(F.col("cell").alias("cid")).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("ti")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        cents = sums.select(
+            "cid",
+            F.array(
+                *[
+                    (
+                        F.signum(F.col(f"s{i}"))
+                        * F.expr(f"(20 * abs(s{i}) + n) div (2 * n)")
+                        / F.lit(10000.0)
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("cv"),
+        )
+    if iters:
+        spark = v.sparkSession
+        cents = spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cv"]])
+             for r in cents.collect()],
+            "cid bigint, cv array<double>",
+        )
+    return cents
+
+
 def cosine_topk_ivf_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -191,70 +282,8 @@ def cosine_topk_ivf_trained(
     plan running in-engine, and ``iters=0`` degrades exactly to
     :func:`cosine_topk_ivf`.
     """
-    # training grid: ti = the 3-decimal vector as EXACT integers
-    # (milli-units), tv = ti/1000 doubles. Centroid refinement averages
-    # the integers — sum(bigint)/(1000*count) is one IEEE division of
-    # identical operands on any engine, so the 4-decimal round sees the
-    # SAME double everywhere. (round(avg(double), 4) is not enough: at a
-    # few thousand rows some cell mean lands within summation-order
-    # noise of a .00005 boundary and two engines round it apart —
-    # observed at sf0.1 before this.)
-    v = (
-        corpus.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
-        )
-        .withColumn(
-            "ti", F.transform("dv", lambda x: F.round(x * 1000).cast("long"))
-        )
-        .withColumn("tv", F.transform("ti", lambda t: t / F.lit(1000.0)))
-    )
-    cents = (
-        v.orderBy("id")
-        .limit(n_centroids)
-        .select(F.col("id").alias("cid"), F.col("tv").alias("cv"))
-    )
-    for _ in range(iters):
-        csim = F.round(
-            _dot(F.col("tv"), F.col("cv"))
-            / (_norm(F.col("tv")) * _norm(F.col("cv"))),
-            6,
-        )
-        assigned = (
-            v.select("id", "ti", "tv")
-            .crossJoin(F.broadcast(cents))
-            .select("id", "ti", "tv", "cid", csim.alias("cs"))
-            .groupBy("id", "ti", "tv")
-            .agg(
-                F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
-                    "cell"
-                )
-            )
-        )
-        cents = assigned.groupBy(F.col("cell").alias("cid")).agg(
-            F.array(
-                *[
-                    F.round(
-                        F.sum(F.col("ti")[i])
-                        / (F.count(F.lit(1)) * F.lit(1000.0)),
-                        4,
-                    )
-                    for i in range(dim)
-                ]
-            ).alias("cv")
-        )
-    if iters:
-        # materialize the trained codebook: it is C x dim doubles (a few
-        # KB), but its LINEAGE is the whole O(iters * N * C) Lloyd run —
-        # left lazy, corpus assignment and query probing would each
-        # re-execute the training passes. One collect, then a literal
-        # local relation feeds both uses (values are exact IEEE doubles,
-        # so results are bit-identical to the lazy plan).
-        spark = corpus.sparkSession
-        cents = spark.createDataFrame(
-            [(int(r["cid"]), [float(x) for x in r["cv"]])
-             for r in cents.collect()],
-            "cid bigint, cv array<double>",
-        )
+    v = _training_view(corpus, id_col, vec_col)
+    cents = _train_codebook(v, dim, n_centroids, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
     cn = cents.withColumn("cn", _norm(F.col("cv")))
     sim = F.round(

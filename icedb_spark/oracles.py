@@ -381,6 +381,109 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
 """
 
 
+def _kmeans_ctes(
+    v_cte: str, n_centroids: int, dim: int, iters: int
+) -> tuple[list[str], str]:
+    """The deterministic in-engine k-means as unrolled CTE pairs
+    (assign_i, cents_i) over a ``v(id, dv)`` source CTE. Returns
+    (cte_list, final_codebook_cte_name). Training grid mirrors the Spark
+    side exactly: ti = exact bigint milli-units, tv = ti/1000.0;
+    centroid refinement divides an exact integer sum so the 4-decimal
+    round sees an identical double on both engines (round(avg(double))
+    diverges at summation-order noise near .00005 boundaries — observed
+    at sf0.1)."""
+    ctes = [
+        v_cte
+        + f""", vr as (
+  select id, dv,
+    list_transform(dv, x -> cast(round(x * 1000) as bigint)) as ti,
+    list_transform(dv, x -> cast(round(x * 1000) as bigint) / 1000.0) as tv
+  from v
+), c0 as (
+  select id as cid, tv as cv from vr order by id limit {n_centroids}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} as (
+  select id, ti, tv, cell from (
+    select vr.id, vr.ti, vr.tv, c.cid as cell,
+      row_number() over (partition by vr.id
+        order by round(list_cosine_similarity(vr.tv, c.cv), 6) desc, c.cid asc) as rn
+    from vr, {prev} c
+  ) where rn = 1
+), c{i} as (
+  -- 4-decimal rounded mean in PURE INTEGER arithmetic (matches the
+  -- Spark side): float round(sum/(1000n), 4) lands exactly on decimal
+  -- half-cases where engines' rounding modes disagree
+  select cell as cid, list(mv order by idx) as cv from (
+    select cell, r.i as idx,
+      (case when sum(ti[r.i]) >= 0 then 1 else -1 end)
+        * ((20 * abs(sum(ti[r.i])) + count(*)) // (2 * count(*)))
+        / 10000.0 as mv
+    from a{i}, range(1, {dim + 1}) r(i)
+    group by cell, r.i
+  ) group by cell
+)""")
+        prev = f"c{i}"
+    return ctes, prev
+
+
+def semdedup_sql(
+    k_unused: int = 0,
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    dim: int = 64,
+    clone_mod: int = 20,
+    clone_off: int = 3,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``__spark_entry__.d11_semdedup``: the corpus is the
+    embeddings table with DETERMINISTIC semantic clones planted (every
+    ``vec_id % clone_mod == clone_off`` vector is replaced by a scaled +
+    integer-grid-perturbed copy of the vector ``clone_off`` ids below
+    it — high cosine to its base, no shared n-grams to find), then the
+    SemDeDup rule: k-means cells, and within a cell a vector is dropped
+    iff a near-identical mate (round(cosine,6) >= threshold) sits
+    strictly closer to the centroid (higher centroid-cosine; id
+    tiebreak toward the smaller id surviving)."""
+    v_cte = f"""base as (
+  select vec_id as id, cast(embedding as double[]) as bv from {table}
+), v as (
+  select b.id, list(val order by i) as dv from (
+    select b.id, r.i as i,
+      case when b.id % {clone_mod} = {clone_off} and o.id is not null
+        then round(o.bv[r.i + 1] * 0.97
+                   + ((b.id * 17 + r.i) % 7 - 3) / 1000.0, 3)
+        else round(b.bv[r.i + 1], 3) end as val
+    from base b
+    left join base o on b.id - {clone_off} = o.id, range(0, {dim}) r(i)
+  ) b group by b.id
+)"""
+    ctes, prev = _kmeans_ctes(v_cte, n_clusters, dim, iters)
+    return f"""
+with {', '.join(ctes)}, assign as (
+  select id, dv, cell, cent_cos from (
+    select v.id, v.dv, c.cid as cell,
+      round(list_cosine_similarity(v.dv, c.cv), 6) as cent_cos,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, {prev} c
+  ) where rn = 1
+), dominated as (
+  select distinct a.id
+  from assign a join assign b on a.cell = b.cell and a.id <> b.id
+  where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
+    and (b.cent_cos > a.cent_cos
+         or (b.cent_cos = a.cent_cos and b.id < a.id))
+)
+select a.id as vec_id, a.cell, round(a.cent_cos, 6) as cent_cosine,
+  (d.id is null) as kept
+from assign a left join dominated d on a.id = d.id
+"""
+
+
 def cosine_topk_ivf_trained_sql(
     k: int = 5,
     query_mod: int = 50,
@@ -420,40 +523,7 @@ def cosine_topk_ivf_trained_sql(
         v_cte = f"""v as (
   select vec_id as id, cast(embedding as double[]) as dv from {table}
 )"""
-    # training grid mirrors the Spark side exactly: ti = exact bigint
-    # milli-units, tv = ti/1000.0; centroid refinement divides an exact
-    # integer sum so the 4-decimal round sees an identical double on
-    # both engines (round(avg(double)) diverges at summation-order
-    # noise near .00005 boundaries — observed at sf0.1)
-    ctes = [
-        v_cte
-        + f""", vr as (
-  select id, dv,
-    list_transform(dv, x -> cast(round(x * 1000) as bigint)) as ti,
-    list_transform(dv, x -> cast(round(x * 1000) as bigint) / 1000.0) as tv
-  from v
-), c0 as (
-  select id as cid, tv as cv from vr order by id limit {n_centroids}
-)"""
-    ]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        ctes.append(f"""a{i} as (
-  select id, ti, tv, cell from (
-    select vr.id, vr.ti, vr.tv, c.cid as cell,
-      row_number() over (partition by vr.id
-        order by round(list_cosine_similarity(vr.tv, c.cv), 6) desc, c.cid asc) as rn
-    from vr, {prev} c
-  ) where rn = 1
-), c{i} as (
-  select cell as cid, list(mv order by idx) as cv from (
-    select cell, r.i as idx,
-      round(sum(ti[r.i]) / (count(*) * 1000.0), 4) as mv
-    from a{i}, range(1, {dim + 1}) r(i)
-    group by cell, r.i
-  ) group by cell
-)""")
-        prev = f"c{i}"
+    ctes, prev = _kmeans_ctes(v_cte, n_centroids, dim, iters)
     return f"""
 with {', '.join(ctes)}, assign as (
   select id, dv, cell from (

@@ -1226,3 +1226,65 @@ def test_semantic_decontaminate_exact_and_lsh(spark):
     for k, r in lsh.items():
         if r["max_cosine"] is None:  # never shared a bucket
             assert not r["contaminated"]
+
+
+def test_semdedup_drops_planted_semantic_clones(spark, sf_dir):
+    """SemDeDup on a corpus with planted semantic clones (scaled +
+    perturbed copies — high cosine, zero shared shingles): every clone
+    pair loses exactly its nearer-to-centroid member, non-clones all
+    survive (the plain corpus has no >= 0.95 pairs), and the operator is
+    deterministic."""
+    from icedb_spark.operators import semdedup
+    from icedb_spark.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # plant: every vec_id % 10 == 7 becomes a 0.98-scaled copy of the
+    # vector 7 below it (cosine ~1.0 to its base)
+    base = emb.select((F.col("vec_id") + 7).alias("vec_id"),
+                      F.col("v").alias("ov"))
+    corpus = (
+        emb.join(base, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") % 10 == 7) & F.col("ov").isNotNull(),
+                F.transform("ov", lambda x: x * 0.98),
+            ).otherwise(F.col("v")).alias("embedding"),
+        )
+    )
+    out = semdedup(corpus, dim=64, n_clusters=8, iters=2, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n = len(rows)
+    clone_ids = {i for i in rows if i % 10 == 7 and i >= 7}
+    dropped = {i for i, r in rows.items() if not r["kept"]}
+    # every clone pair loses exactly one member; scaling preserves the
+    # direction so base and clone share a cell and cent_cosine — the id
+    # tiebreak keeps the SMALLER id (the base)
+    assert dropped == clone_ids, (sorted(dropped)[:5], len(dropped))
+    assert sum(1 for r in rows.values() if r["kept"]) == n - len(clone_ids)
+    again = {
+        r["vec_id"]: r
+        for r in semdedup(
+            corpus, dim=64, n_clusters=8, iters=2, threshold=0.95
+        ).collect()
+    }
+    assert {i: (r["cell"], r["kept"]) for i, r in rows.items()} == {
+        i: (r["cell"], r["kept"]) for i, r in again.items()
+    }
+
+
+def test_semdedup_plans_equijoin_no_cartesian(spark, sf_dir):
+    """The pairwise stage must be an equi-join on the cluster id
+    (candidate volume ~ N^2/C), never a global cartesian; the codebook
+    rides as a broadcast/local relation."""
+    from icedb_spark.operators import semdedup
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    df = semdedup(emb, dim=64, n_clusters=16, iters=1, threshold=0.999)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "avg(" not in plan  # training ran once, collected
