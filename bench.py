@@ -23,9 +23,13 @@ Attribution features (all inside the same single JSON line):
   sf as well; reports the wall ratio, the data ratio, and the implied
   exponent (log wall-ratio / log data-ratio). The banding/prefix-filter
   designs claim sub-quadratic growth — this measures it every round.
-* ``SPARK_GRAFT_BENCH_REPEAT=N`` (default 1) — repeat timed runs and
-  report the per-query MEDIAN, for local variance hunting; the driver's
-  per-round invocation stays at 1 so rounds remain comparable.
+* ``SPARK_GRAFT_BENCH_REPEAT=N`` (default 3 since round 5) — headline
+  entries report the per-query MEDIAN of N timed runs; the ``repeat``
+  key on the headline line keeps rounds interpretable.
+* ``sf1`` detail block (round 5): a cached 6 M-row tier
+  (``testdata.generate_sf``) runs the headline suite plus the two
+  BASELINE.md post-merge rate shapes with hot-median-of-3 timings and
+  per-core normalization. Disable with ``SPARK_GRAFT_SF1=0``.
 """
 
 from __future__ import annotations
@@ -340,8 +344,19 @@ def _sf1_block(run, cpus: str, spark):
         from icedb_spark.testdata import load_table
 
         li = load_table(spark, sf1_dir, "lineitem")
-        t0 = time.time()
-        (
+
+        def med3(df) -> float:
+            # hot-run median of 3, matching the baseline protocol
+            # (BASELINE.md header: ClickHouse numbers are hot runs) —
+            # these two direct rate comparisons get the repeat budget
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            return round(sorted(samples)[1], 3)
+
+        results["quantile_avg_by_month"] = med3(
             li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
             .agg(
                 F.expr(
@@ -353,17 +368,13 @@ def _sf1_block(run, cpus: str, spark):
                 F.avg("l_extendedprice").alias("avg_price"),
                 F.avg("l_quantity").alias("avg_qty"),
             )
-            .write.format("noop").mode("overwrite").save()
         )
-        results["quantile_avg_by_month"] = round(time.time() - t0, 3)
         # count-by-month over the BIG table, matching the baseline's
         # shape (its count-by-month runs over the one 209 M-row table)
-        t0 = time.time()
-        (
+        results["count_by_month"] = med3(
             li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
-            .count().write.format("noop").mode("overwrite").save()
+            .count()
         )
-        results["count_by_month"] = round(time.time() - t0, 3)
     except Exception as e:
         return {"error": f"sf1 run failed: {e}"}
     rows = _table_rows(sf1_dir)

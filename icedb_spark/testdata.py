@@ -145,17 +145,26 @@ def generate_sf(out_dir: str, sf: float = 1.0, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    _GEN_VERSION = "v2"  # bump when the layout changes (forces regen)
     done_marker = os.path.join(out_dir, "_COMPLETE")
-    if os.path.exists(done_marker):
-        return out_dir
+    try:
+        with open(done_marker) as f:
+            if f.read().strip() == _GEN_VERSION:
+                return out_dir
+    except OSError:
+        pass
     rng = np.random.default_rng(seed)
     k = sf / 1.0
     n = {t: max(1, int(c * k)) for t, c in _SF1_ROWS.items()}
 
     def write(name: str, table: pa.Table) -> None:
+        # ~128k-row row groups: parquet splits at row-group granularity,
+        # so pyarrow's default ~1M-row groups would cap a 6M-row scan at
+        # 6 tasks — starving a 32-core executor (and the real cluster
+        # this models). 47 groups on sf1 lineitem parallelizes fully.
         pq.write_table(
             table, os.path.join(out_dir, f"{name}.parquet"),
-            compression="snappy",
+            compression="snappy", row_group_size=131_072,
         )
 
     # region / nation: fixed tiny dims (TPC-H-ish)
@@ -279,5 +288,5 @@ def generate_sf(out_dir: str, sf: float = 1.0, seed: int = 42) -> str:
         "label": pa.array(rng.integers(0, 10, nv), pa.int32()),
     }))
     with open(done_marker, "w") as f:
-        f.write("ok")
+        f.write(_GEN_VERSION)
     return out_dir
