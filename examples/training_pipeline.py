@@ -132,6 +132,21 @@ def main() -> None:
     kept = kept.join(contaminated, "doc_id", "left_anti")
     print(f"after decontamination: {kept.count()} docs")
 
+    # SEMANTIC dedup (SemDeDup): paraphrases and re-encodings share no
+    # shingle, so MinHash above cannot see them — cluster the embedding
+    # space and drop near-identical vectors within each cell (the member
+    # farther from its centroid survives, preserving diversity). The
+    # embeddings table stands in for the corpus's document embeddings.
+    from icedb_spark.operators import semdedup
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    sem = semdedup(emb, dim=64, n_clusters=16, iters=2, threshold=0.97)
+    sem_losers = sem.where(~F.col("kept")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    kept = kept.join(sem_losers, "doc_id", "left_anti")
+    print(f"after semantic (embedding) dedup: {kept.count()} docs")
+
     # mixture rebalance: the largest subset matching a 3:1:1:1:1 language
     # target (the data-mixing step; binding language kept whole)
     kept = mixture_sample(
