@@ -1186,19 +1186,30 @@ class IceTable:
         paths = [self.storage.absolute(m.path) for m in files]
         return self._scan_paths(paths, schema)
 
-    def _scan_paths(self, abs_paths: list[str], schema) -> DataFrame:
+    def _scan_paths(
+        self, abs_paths: list[str], schema, file_col: Optional[str] = None
+    ) -> DataFrame:
         """One explicit-file-list scan: Spark's native parquet reader when
         the JVM has a filesystem for the scheme, else pyarrow on the
         Python workers (``mapInArrow`` over the file list, one file per
         task) — the same executor read path the DataSource uses. This is
-        what makes ``IceTable.read()`` work against ``s3://`` roots on a
-        pyspark build without hadoop-aws jars: planning stays
-        log-metadata-only on the driver, and the workers read the objects
-        with pyarrow's native client (reference S3-native contract:
-        /root/reference/icedb/icedb.py:151-160)."""
+        what makes ``IceTable.read()`` (and every rewrite/DML scan) work
+        against ``s3://`` roots on a pyspark build without hadoop-aws
+        jars: planning stays log-metadata-only on the driver, and the
+        workers read the objects with pyarrow's native client (reference
+        S3-native contract: /root/reference/icedb/icedb.py:151-160).
+
+        ``file_col`` adds a column holding each row's source file path
+        in the SCHEME-STRIPPED form ``_strip_scheme`` produces, so rows
+        match back to their FileMarker identically on both paths
+        (``input_file_name()`` on the JVM path; attached per-file on the
+        arrow path, where ``input_file_name()`` would return '')."""
         scheme = abs_paths[0].split("://", 1)[0] if "://" in abs_paths[0] else ""
         if not scheme or self._jvm_reads_scheme(scheme):
-            return self.spark.read.schema(schema).parquet(*abs_paths)
+            df = self.spark.read.schema(schema).parquet(*abs_paths)
+            if file_col:
+                df = df.withColumn(file_col, _src_file_col())
+            return df
         from .datasource import _read_conformed
 
         sc = self.spark.sparkContext
@@ -1206,13 +1217,28 @@ class IceTable:
         paths_df = self.spark.createDataFrame(
             [(p,) for p in abs_paths], "path string"
         ).repartition(n)
+        out_schema = schema
+        if file_col:
+            out_schema = T.StructType(
+                schema.fields + [T.StructField(file_col, T.StringType())]
+            )
 
         def _gen(batches):
+            import pyarrow as _pa
+
             for b in batches:
                 for p in b.column("path").to_pylist():
-                    yield from _read_conformed(p, schema)
+                    norm = _strip_scheme(p)
+                    for rb in _read_conformed(p, schema):
+                        if file_col:
+                            rb = _pa.RecordBatch.from_arrays(
+                                rb.columns
+                                + [_pa.array([norm] * rb.num_rows)],
+                                names=list(rb.schema.names) + [file_col],
+                            )
+                        yield rb
 
-        return paths_df.mapInArrow(_gen, schema)
+        return paths_df.mapInArrow(_gen, out_schema)
 
     _SCHEME_READABLE: dict[str, bool] = {}
 
@@ -1706,7 +1732,7 @@ class IceTable:
         if not new_paths:
             return self.spark.createDataFrame([], schema)
         paths = [self.storage.absolute(p) for p in sorted(set(new_paths))]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._scan_paths(paths, schema)
 
     def changes_feed(
         self, since_ms: int, until_ms: Optional[int] = None
@@ -2042,7 +2068,7 @@ class IceTable:
             df = self._mor_read(acc, schema, sets)
         else:
             paths = [self.storage.absolute(m.path) for m in acc]
-            df = spark.read.schema(schema).parquet(*paths)
+            df = self._scan_paths(paths, schema)
         # expose hive partition values as columns for the merge query
         # (reference reads with hive_partitioning=1, icedb/icedb.py:271-281)
         part_values = parse_partition(part)
@@ -2618,9 +2644,7 @@ class IceTable:
         targets = [m for m in state.alive_files() if m.partition() == partition]
 
         def rewrite_one(m: FileMarker) -> list[tuple[str, int]]:
-            df = self.spark.read.schema(schema).parquet(
-                self.storage.absolute(m.path)
-            )
+            df = self._scan_paths([self.storage.absolute(m.path)], schema)
             with _VIEW_LOCK:
                 df.createOrReplaceTempView("_rows")
                 out = self.spark.sql(filter_query)
@@ -2694,9 +2718,7 @@ class IceTable:
         return self.files_for(state=state, **hints)
 
     def _read_marker(self, m: FileMarker, schema: T.StructType) -> DataFrame:
-        return self.spark.read.schema(schema).parquet(
-            self.storage.absolute(m.path)
-        )
+        return self._scan_paths([self.storage.absolute(m.path)], schema)
 
     def _write_rewrite(
         self, df: DataFrame, pin_partition: Optional[str] = None
@@ -2819,9 +2841,10 @@ class IceTable:
             _strip_scheme(self.storage.absolute(m.path)): m for m in targets
         }
         rows = (
-            self.spark.read.schema(schema)
-            .parquet(*[self.storage.absolute(m.path) for m in targets])
-            .withColumn("_ice_src", _src_file_col())
+            self._scan_paths(
+                [self.storage.absolute(m.path) for m in targets],
+                schema, file_col="_ice_src",
+            )
             .groupBy("_ice_src")
             .agg(
                 F.count(F.lit(1)).alias("total"),
@@ -3062,11 +3085,10 @@ class IceTable:
             new_markers: list[FileMarker] = []
             if partial:
                 kept = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[self.storage.absolute(m.path) for m in partial]
+                    self._scan_paths(
+                        [self.storage.absolute(m.path) for m in partial],
+                        schema, file_col="_ice_src",
                     )
-                    .withColumn("_ice_src", _src_file_col())
                     .where(~dpred)
                     .join(
                         F.broadcast(self._placement_mapping(partial)),
@@ -3203,12 +3225,9 @@ class IceTable:
             touched = [m for m, _, mat in counts if mat]
             new_markers: list[FileMarker] = []
             if touched:
-                df = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[self.storage.absolute(m.path) for m in touched]
-                    )
-                    .withColumn("_ice_src", _src_file_col())
+                df = self._scan_paths(
+                    [self.storage.absolute(m.path) for m in touched],
+                    schema, file_col="_ice_src",
                 )
                 out = apply_assignments(df)
                 if placement_safe:
@@ -3405,9 +3424,10 @@ class IceTable:
             by_path = {
                 _strip_scheme(self.storage.absolute(m.path)): m for m in cands
             }
-            tgt = self.spark.read.schema(schema).parquet(
-                *[self.storage.absolute(m.path) for m in cands]
-            ).withColumn("_ice_src", F.input_file_name())
+            tgt = self._scan_paths(
+                [self.storage.absolute(m.path) for m in cands],
+                schema, file_col="_ice_src",
+            )
             hit = (
                 tgt.join(
                     _bcast(source.select(*on).distinct()), on=on,
@@ -3422,8 +3442,8 @@ class IceTable:
         summary = {"files_scanned": len(cands),
                    "files_rewritten": len(touched)}
         if touched:
-            base = self.spark.read.schema(schema).parquet(
-                *[self.storage.absolute(m.path) for m in touched]
+            base = self._scan_paths(
+                [self.storage.absolute(m.path) for m in touched], schema
             )
             # (3) one broadcast left join transforms matched rows in place
             srcb = _bcast(source.withColumn("_ice_m", F.lit(True)))
@@ -3486,12 +3506,12 @@ class IceTable:
             # when_matched=None no touch pass ran, so anti against the full
             # candidate scan instead. Plain equality (NULL keys insert).
             if when_matched is None and cands:
-                rhs = self.spark.read.schema(schema).parquet(
-                    *[self.storage.absolute(m.path) for m in cands]
+                rhs = self._scan_paths(
+                    [self.storage.absolute(m.path) for m in cands], schema
                 )
             elif touched:
-                rhs = self.spark.read.schema(schema).parquet(
-                    *[self.storage.absolute(m.path) for m in touched]
+                rhs = self._scan_paths(
+                    [self.storage.absolute(m.path) for m in touched], schema
                 )
             else:
                 rhs = None

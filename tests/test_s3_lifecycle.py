@@ -10,14 +10,16 @@ byte here crosses a real HTTP S3 wire — executor Arrow writers included.
 Covered on ``s3://`` roots for BOTH the log and data slots: insert
 (executor-side multipart parquet writes + atomic log commit), fold/read
 of the log, time travel, rollback, vacuum physically deleting S3
-objects, and gc_orphans collecting unreferenced uploads — plus a full
-``spark.read.format('icedb')`` batch scan over the s3:// root (the
-DataSource reads via pyarrow on the Python workers, so it needs no
-hadoop-aws). The ONE remaining un-coverable piece is the engine's own
-``IceTable.read`` scan (Spark's Hadoop ``s3a://`` reader needs
-hadoop-aws jars this container lacks — the mapping in
-``Storage.absolute()`` is that deploy contract); those data files are
-value-checked back through the same real S3 client instead.
+objects, gc_orphans collecting unreferenced uploads, a full
+``spark.read.format('icedb')`` batch scan, the engine's own
+``IceTable.read()`` (round 5: ``_scan_paths`` probes the JVM for an
+``s3a://`` filesystem and falls back to the pyarrow worker scan when
+hadoop-aws is absent — the same executor path the DataSource uses),
+and row-level DML (CoW delete / update / MERGE INTO, whose rewrite
+scans and per-row source-file attribution all ride the same fallback).
+On deployments WITH hadoop-aws jars, the ``Storage.absolute()``
+``s3a://`` mapping routes everything through Spark's native reader
+instead — same results, JVM-side scan.
 """
 
 from __future__ import annotations
@@ -294,3 +296,53 @@ def test_mini_s3_listing_paginates_with_continuation_tokens(s3env):
     # sees a coherent listing through the same code path
     infos = fs.get_file_info(pafs.FileSelector("warehouse/pg/"))
     assert len(infos) == 7
+
+
+def test_s3_row_level_dml_via_arrow_scans(spark, tmp_path):
+    """Row-level DML (CoW delete / update / MERGE INTO) over a real
+    s3:// root on a JVM without hadoop-aws: every rewrite scan
+    (matched-count pass, partial rewrite, merge touch/transform/anti)
+    routes through the pyarrow worker path, including the per-row
+    source-file attribution input_file_name() cannot provide there."""
+    from conftest import MINI_S3_PORT
+
+    with MiniS3Server(port=MINI_S3_PORT) as _srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{MINI_S3_PORT}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        pafs.S3FileSystem(**opts).create_dir("dmlbkt", recursive=True)
+        t = IceTable(
+            spark,
+            "s3://dmlbkt/tbl",
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"],
+            storage_options=opts,
+        )
+        t.insert(rows=[
+            {"id": i, "kind": "a" if i % 2 else "b", "v": float(i)}
+            for i in range(8)
+        ])
+        out = t.delete("id >= 6")
+        assert out["files_rewritten"] + out.get("files_dropped", 0) >= 1
+        assert sorted(r["id"] for r in t.read().collect()) == list(range(6))
+        t.update({"v": "v + 100.0"}, "id = 1")
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[1] == 101.0 and got[2] == 2.0
+        src = spark.createDataFrame(
+            [{"id": 2, "kind": "b", "v": 222.0},
+             {"id": 99, "kind": "a", "v": 99.0}]
+        )
+        t.merge_into(src, on="id")
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[2] == 222.0 and got[99] == 99.0 and len(got) == 7
+        # compaction + vacuum still work over s3 (merge reads via arrow)
+        t.optimize()
+        t.tombstone_cleanup(min_age_ms=0)
+        assert {r["id"] for r in t.read().collect()} == set(range(6)) | {99}
