@@ -2824,10 +2824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries whose only driver row dated from round 1 (q05, q10-q16,
     # q18-q24, q26/q27/q32, d04-d06, s01, t01/t03/t04, m02) or round 2
     # (q03, q06-q09) while the engine underneath changed for three
-    # rounds; then this round's new entry (clustered trained-IVF s08)
-    # and the entries whose implementation changed in round 5 (s07
-    # codebook collection, ice37 first-committer-wins commit validation,
-    # st07 intent-clamped stream offsets, rest01 bounded ingest buffer);
+    # rounds; then this round's new entries (clustered trained-IVF s08;
+    # SemDeDup semantic dedup d11, placed with the changed-path
+    # witnesses) and the entries whose implementation changed in round 5
+    # (s07 codebook collection, ice37 first-committer-wins commit
+    # validation, st07 intent-clamped stream offsets, rest01 bounded
+    # ingest buffer);
     # then the engine-lifecycle core and one witness per operator family
     # on this round's changed paths (maintenance txn-guard, _scan_paths,
     # catalog read horizon). Every entry below the boundary holds a

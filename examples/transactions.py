@@ -84,6 +84,27 @@ def main() -> None:
 
     # Housekeeping for transactions that died between intent and commit
     print("cleanup of crashed txns:", cat.txn_cleanup(min_age_ms=0))
+
+    # Concurrency: commits validate FIRST-COMMITTER-WINS before their
+    # marker PUT. A conflicting transaction (same file rewritten by a
+    # peer since its snapshot) aborts with a full reclaim and raises
+    # TxnConflictError — the retry loop every writer should wear:
+    from icedb_spark.txn import TxnConflictError
+
+    for attempt in range(5):
+        try:
+            with cat.transaction() as txn:
+                txn.update("orders", {"status": "'audited'"},
+                           "status = 'open'")
+            break
+        except TxnConflictError as e:
+            # a peer won the race; re-run against the new state. If the
+            # named peer never resolves it crashed mid-commit — run
+            # cat.txn_cleanup() to reclaim it and unblock.
+            print(f"conflict (attempt {attempt}): {e}; retrying")
+    print("after audited update:", cat.sql(
+        "select status, count(*) as n from orders group by status"
+    ).collect())
     spark.stop()
 
 
