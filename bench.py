@@ -225,6 +225,7 @@ def main():
                 "t14_semantic_decontam", "ice36_zorder_pruning",
                 "ice37_cross_table_txn",
                 "sm06_shuffle_shard", "sm07_quality_filter",
+                "s08_trained_clustered", "d11_semdedup",
             )
         },
     })
