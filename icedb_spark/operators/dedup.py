@@ -612,12 +612,14 @@ def semdedup(
 
     Survivor rule (deterministic, oracle-reproducible): among a
     near-identical pair, the vector FARTHER from its cluster centroid
-    survives — SemDeDup's own choice (keeping edge examples preserves
-    diversity; the near-centroid copy is the redundant one). Ties break
-    toward the smaller id. A vector is dropped iff SOME cluster-mate
-    with cosine >= threshold dominates it (closer-to-centroid... i.e.
-    the DOMINATING vector has LOWER centroid-cosine rank), so the rule
-    needs no iteration and no transitive closure.
+    (LOWER centroid-cosine) survives — SemDeDup's own choice ("we keep
+    the one with the lowest cosine similarity to the centroid": edge
+    examples preserve diversity, the near-centroid copy is the
+    redundant one). Ties break toward the smaller id surviving. A
+    vector is dropped iff SOME cluster-mate with pairwise cosine >=
+    threshold sits strictly farther from the centroid (or equally far
+    with a smaller id), so the rule needs no iteration and no
+    transitive closure.
 
     Scale shape: codebook training is O(iters * N * C) broadcast
     map-side work (:func:`..similarity._train_codebook`); the pairwise
@@ -658,13 +660,14 @@ def semdedup(
         6,
     )
     # a is DOMINATED by b when they are near-identical and b sits
-    # strictly closer to the centroid (higher cent_cos; id tiebreak)
+    # strictly FARTHER from the centroid (lower cent_cos; id tiebreak)
+    # — the survivor is the edge example, per the paper
     dominated = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))
         .where(F.col("a.id") != F.col("b.id"))
         .where(pair_cos >= F.lit(threshold))
         .where(
-            (F.col("b.cent_cos") > F.col("a.cent_cos"))
+            (F.col("b.cent_cos") < F.col("a.cent_cos"))
             | (
                 (F.col("b.cent_cos") == F.col("a.cent_cos"))
                 & (F.col("b.id") < F.col("a.id"))

@@ -446,8 +446,9 @@ def semdedup_sql(
     it — high cosine to its base, no shared n-grams to find), then the
     SemDeDup rule: k-means cells, and within a cell a vector is dropped
     iff a near-identical mate (round(cosine,6) >= threshold) sits
-    strictly closer to the centroid (higher centroid-cosine; id
-    tiebreak toward the smaller id surviving)."""
+    strictly FARTHER from the centroid (lower centroid-cosine; id
+    tiebreak toward the smaller id surviving) — the edge example is
+    the survivor, per the paper."""
     v_cte = f"""base as (
   select vec_id as id, cast(embedding as double[]) as bv from {table}
 ), v as (
@@ -475,7 +476,7 @@ with {', '.join(ctes)}, assign as (
   select distinct a.id
   from assign a join assign b on a.cell = b.cell and a.id <> b.id
   where round(list_cosine_similarity(a.dv, b.dv), 6) >= {threshold}
-    and (b.cent_cos > a.cent_cos
+    and (b.cent_cos < a.cent_cos
          or (b.cent_cos = a.cent_cos and b.id < a.id))
 )
 select a.id as vec_id, a.cell, round(a.cent_cos, 6) as cent_cosine,
