@@ -376,6 +376,17 @@ def _sf1_block(run, cpus: str, spark):
             li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
             .count()
         )
+        # the same shape over 4x the bytes (the file read four times):
+        # a 6 M-row job is half fixed scheduling floor, so this is the
+        # closer analog to the baseline's 209 M-row amortization — the
+        # marginal rate (extra 18 M rows / extra wall) estimates pure
+        # scan+agg bandwidth with the floor subtracted out
+        p4 = os.path.join(sf1_dir, "lineitem.parquet")
+        li4 = spark.read.parquet(p4, p4, p4, p4)
+        results["count_by_month_x4"] = med3(
+            li4.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+            .count()
+        )
     except Exception as e:
         return {"error": f"sf1 run failed: {e}"}
     rows = _table_rows(sf1_dir)
@@ -406,6 +417,20 @@ def _sf1_block(run, cpus: str, spark):
             "count_by_month": rate(
                 rows.get("lineitem", 0), results["count_by_month"], 260e6
             ),
+            "count_by_month_x4": {
+                **rate(
+                    4 * rows.get("lineitem", 0),
+                    results["count_by_month_x4"], 260e6,
+                ),
+                "marginal_rows_per_sec": int(
+                    3 * rows.get("lineitem", 0)
+                    / max(
+                        results["count_by_month_x4"]
+                        - results["count_by_month"],
+                        1e-9,
+                    )
+                ),
+            },
             "quantile_avg_by_group": rate(
                 rows.get("lineitem", 0), results["quantile_avg_by_month"],
                 36.3e6,
