@@ -734,6 +734,24 @@ def d11_semdedup(spark, sf_dir):
     )
 
 
+def sm09_semantic_coverage(spark, sf_dir):
+    """Cluster-balanced (semantic-coverage) subsampling: k-means cells
+    over the clustered embedding corpus (the same deterministic trained
+    codebook as s08/d11), keep the 5 prototypes of every cell — equal
+    budget per semantic region instead of the corpus's own density (raw
+    and hash sampling oversample whatever dominates). SemDeDup's
+    sibling: d11 removes redundancy, this caps per-region budget. Scale
+    shape: broadcast-codebook map-side assignment, one window over ~N/C
+    row cell partitions."""
+    from icedb_spark.operators import semantic_coverage_sample
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    return semantic_coverage_sample(
+        emb, dim=64, per_cell=5, n_clusters=16, iters=2
+    )
+
+
 def d10_cluster_pick_best(spark, sf_dir):
     """Quality-aware keep-one dedup: d09's transitive clusters, but the
     survivor of each cluster is its highest-``quality_score`` member (ties
@@ -2825,8 +2843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q18-q24, q26/q27/q32, d04-d06, s01, t01/t03/t04, m02) or round 2
     # (q03, q06-q09) while the engine underneath changed for three
     # rounds; then this round's new entries (clustered trained-IVF s08;
-    # SemDeDup semantic dedup d11, placed with the changed-path
-    # witnesses) and the entries whose implementation changed in round 5
+    # SemDeDup semantic dedup d11 and semantic-coverage sampling sm09,
+    # placed with the changed-path witnesses) and the entries whose
+    # implementation changed in round 5
     # (s07 codebook collection, ice37 first-committer-wins commit
     # validation, st07 intent-clamped stream offsets, rest01 bounded
     # ingest buffer);
@@ -2886,8 +2905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_line_dedup": t11_line_dedup,
         "sm06_shuffle_shard": sm06_shuffle_shard,
         "d11_semdedup": d11_semdedup,
-        "ice27_datasource_scan": ice27_datasource_scan,
+        "sm09_semantic_coverage": sm09_semantic_coverage,
         # ==================== driver window boundary (50) ====================
+        "ice27_datasource_scan": ice27_datasource_scan,
         # Everything below holds a fully-green driver row from a prior
         # round — this rotation only demotes proven entries.
         "m01_media_features": m01_media_features,
@@ -3288,6 +3308,9 @@ from per_sess group by user_id
         ),
         "d11_semdedup": oracles.semdedup_sql(
             n_clusters=16, iters=2, threshold=0.95
+        ),
+        "sm09_semantic_coverage": oracles.semantic_coverage_sample_sql(
+            per_cell=5, n_clusters=16, iters=2
         ),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         # rest01 round-trips region through POST /insert + /flush and

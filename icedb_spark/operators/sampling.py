@@ -307,3 +307,72 @@ def alpha_sample(
         return df.where(F.lit(False))
     weights = {g: float(n) ** alpha for g, n in counts.items()}
     return mixture_sample(df, weights, strata_col, key_col, seed=seed)
+
+
+def semantic_coverage_sample(
+    corpus: DataFrame,
+    dim: int,
+    per_cell: int,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (semantic-coverage) subsampling: k-means the
+    embedding space with the deterministic in-engine codebook, then keep
+    the ``per_cell`` PROTOTYPES of every cell (members nearest their
+    centroid; centroid-cosine desc, id-asc tiebreak). Where raw or
+    hash sampling reproduces the corpus's density — oversampling
+    whatever dominates — this keeps every semantic region represented
+    at equal budget, the standard curation move for seed/eval set
+    construction and the sibling of :func:`..dedup.semdedup`
+    (which removes redundancy; this caps per-region budget).
+
+    Scale shape: broadcast-codebook map-side assignment (zero corpus
+    shuffle), then ONE window partitioned by cell id — partitions are
+    ~N/C rows, so no straggler, and tuning ``n_clusters`` bounds them
+    exactly like the paper-standard C ~ sqrt(N). Output one row per
+    KEPT vector: ``(id, cell, cent_cosine, cell_rank)``.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _norm, _train_codebook, _training_view
+
+    v = _training_view(corpus, id_col, vec_col)
+    cents = _train_codebook(v, dim, n_clusters, iters)
+    vn = v.withColumn("n", _norm(F.col("dv")))
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "cid", sim.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("csim")),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "id",
+            F.col("best.cid").alias("cell"),
+            F.col("best.csim").alias("cent_cos"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("cent_cos"), F.asc("id")
+    )
+    return (
+        assigned.withColumn(
+            "cell_rank", F.row_number().over(w).cast("integer")
+        )
+        .where(F.col("cell_rank") <= per_cell)
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.round(F.col("cent_cos"), 6).alias("cent_cosine"),
+            "cell_rank",
+        )
+    )

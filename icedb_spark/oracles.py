@@ -485,6 +485,54 @@ from assign a left join dominated d on a.id = d.id
 """
 
 
+def semantic_coverage_sample_sql(
+    per_cell: int = 5,
+    n_clusters: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    clustered: bool = True,
+    spread: float = 0.15,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``operators.sampling.semantic_coverage_sample`` over
+    the derived clustered corpus: k-means cells (shared unrolled CTEs),
+    assignment by round(cosine,6) with centroid-id tiebreak, then the
+    ``per_cell`` prototypes per cell (centroid-cosine desc, id asc)."""
+    if clustered:
+        v_cte = f"""v as (
+  select id, list(val order by i) as dv from (
+    select e.vec_id as id, r.i as i,
+      round(((((e.vec_id // 7) % {n_clusters}) * 31 + r.i * 17) % 13 - 6) / 6.0
+            + {spread} * cast(e.embedding[r.i + 1] as double), 3) as val
+    from {table} e, range(0, {dim}) r(i)
+  ) group by id
+)"""
+    else:
+        v_cte = f"""v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+)"""
+    ctes, prev = _kmeans_ctes(v_cte, n_clusters, dim, iters)
+    return f"""
+with {', '.join(ctes)}, assign as (
+  select id, cell, cent_cos from (
+    select v.id, c.cid as cell,
+      round(list_cosine_similarity(v.dv, c.cv), 6) as cent_cos,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, {prev} c
+  ) where rn = 1
+)
+select id as vec_id, cell, round(cent_cos, 6) as cent_cosine,
+  cast(cell_rank as integer) as cell_rank
+from (
+  select id, cell, cent_cos,
+    row_number() over (partition by cell
+      order by cent_cos desc, id asc) as cell_rank
+  from assign
+) where cell_rank <= {per_cell}
+"""
+
+
 def cosine_topk_ivf_trained_sql(
     k: int = 5,
     query_mod: int = 50,

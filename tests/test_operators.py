@@ -1288,3 +1288,38 @@ def test_semdedup_plans_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "avg(" not in plan  # training ran once, collected
+
+
+def test_semantic_coverage_sample_equalizes_regions(spark, sf_dir):
+    """Cluster-balanced sampling must hand every semantic region the
+    same budget regardless of the corpus's density: exactly per_cell
+    rows per non-tiny cell, prototypes ordered by centroid-cosine, and
+    the whole thing deterministic."""
+    from collections import Counter
+
+    from icedb_spark.operators import semantic_coverage_sample
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    out = semantic_coverage_sample(
+        emb, dim=64, per_cell=3, n_clusters=16, iters=2
+    )
+    rows = out.collect()
+    by_cell = Counter(r["cell"] for r in rows)
+    assert all(v <= 3 for v in by_cell.values())
+    assert len(by_cell) >= 12  # (nearly) every region represented
+    # rank 1 has the highest centroid-cosine within its cell
+    best = {}
+    for r in rows:
+        cur = best.get(r["cell"])
+        if cur is None or r["cent_cosine"] > cur[0] or (
+            r["cent_cosine"] == cur[0] and r["vec_id"] < cur[1]
+        ):
+            best[r["cell"]] = (r["cent_cosine"], r["vec_id"])
+    for r in rows:
+        if r["cell_rank"] == 1:
+            assert (r["cent_cosine"], r["vec_id"]) == best[r["cell"]]
+    again = semantic_coverage_sample(
+        emb, dim=64, per_cell=3, n_clusters=16, iters=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
