@@ -226,6 +226,7 @@ def main():
                 "ice37_cross_table_txn",
                 "sm06_shuffle_shard", "sm07_quality_filter",
                 "s08_trained_clustered", "d11_semdedup",
+                "sm09_semantic_coverage",
             )
         },
     })
