@@ -1204,6 +1204,13 @@ class IceTable:
         match back to their FileMarker identically on both paths
         (``input_file_name()`` on the JVM path; attached per-file on the
         arrow path, where ``input_file_name()`` would return '')."""
+        if not abs_paths:
+            out_schema = schema
+            if file_col:
+                out_schema = T.StructType(
+                    schema.fields + [T.StructField(file_col, T.StringType())]
+                )
+            return self.spark.createDataFrame([], out_schema)
         scheme = abs_paths[0].split("://", 1)[0] if "://" in abs_paths[0] else ""
         if not scheme or self._jvm_reads_scheme(scheme):
             df = self.spark.read.schema(schema).parquet(*abs_paths)

@@ -140,6 +140,30 @@ class TxnVisibility:
             if key.endswith(".commit.json")
         }
 
+    def _list_intents(self) -> dict[str, dict]:
+        """RAW intent snapshot: every intent marker currently listed,
+        fetched and parsed, with NO committed-set filtering — the caller
+        classifies each against a marker listing it takes strictly
+        AFTERWARDS (the ordering ``CatalogTransaction._validate``'s
+        correctness argument rests on). An intent GET that 404s mid-scan
+        means the intent was just deleted, which implies its commit
+        marker was already durable (``_validate_and_finalize`` PUTs the
+        marker strictly before ``_cleanup_markers`` deletes the intent)
+        — safe to skip here precisely because the caller's marker
+        listing happens after this scan completes."""
+        out: dict[str, dict] = {}
+        for key, _size in self.store.list("", include_hidden=True):
+            if not key.endswith(".intent.json"):
+                continue
+            tid = key[: -len(".intent.json")]
+            try:
+                doc = json.loads(self.store.get(key).decode())
+            except Exception:
+                continue  # deleted mid-scan: committed, marker durable
+            doc.setdefault("txn", tid)
+            out[tid] = doc
+        return out
+
     def _pinned(self) -> Optional[set]:
         return getattr(self._own_local, "pinned", None)
 
@@ -174,8 +198,15 @@ class TxnVisibility:
         for key, _size in self.store.list("", include_hidden=True):
             if key.endswith(".intent.json"):
                 tid = key[: -len(".intent.json")]
-                if tid not in committed:
-                    out.add(tid)
+                if tid in committed:
+                    continue
+                # the snapshot can be stale (commit() never refreshes
+                # it): a long-committed peer whose best-effort intent
+                # delete failed would otherwise read as pending forever
+                # — one direct marker probe settles it
+                if self.store.exists(f"{tid}.commit.json"):
+                    continue
+                out.add(tid)
         return out
 
     def pending_intents(self) -> list[dict]:
@@ -192,6 +223,12 @@ class TxnVisibility:
                 continue
             tid = key[: -len(".intent.json")]
             if tid in committed:
+                continue
+            # stale-snapshot guard, same as pending(): a committed peer
+            # with a failed intent delete is NOT pending — without this
+            # probe it would clamp watermarks (and, pre-r6, spuriously
+            # conflict every overlapping commit) until cleanup ran
+            if self.store.exists(f"{tid}.commit.json"):
                 continue
             try:
                 doc = json.loads(self.store.get(key).decode())
@@ -388,10 +425,18 @@ class CatalogTransaction:
             {name for name, _ in self._staged}
             | {name for name, _, _ in self._dml}
         )
-        for name in participants:
-            t = self.catalog.table(name)
-            if getattr(t, "lock_provider", None) is not None:
-                stack.enter_context(t._maintenance_lock("txn_commit"))
+        try:
+            for name in participants:
+                t = self.catalog.table(name)
+                if getattr(t, "lock_provider", None) is not None:
+                    stack.enter_context(t._maintenance_lock("txn_commit"))
+        except BaseException:
+            # a later participant's acquisition failed: release the
+            # locks already held (the stack is returned to commit()'s
+            # with-statement, which never starts on a raise here, and
+            # ExitStack does not close on GC)
+            stack.close()
+            raise
         return stack
 
     def _begin(self) -> dict:
@@ -566,24 +611,69 @@ class CatalogTransaction:
         # stragglers from a crash landing exactly here)
         self._cleanup_markers()
 
+    def _log_hit(self, t, key: str, mine: set[str]) -> set[str]:
+        """Paths a single log commit references that intersect ``mine``."""
+        try:
+            _m, _s, fms, tmbs = t.log_io.read_log(t.log_storage, key)
+        except Exception:
+            return set()
+        refs = {m.path for m in fms} | {tb.path for tb in tmbs}
+        return refs & mine
+
+    def _committed_peer_hit(
+        self, tid: str, own_tomb: dict[str, set[str]]
+    ) -> Optional[tuple[str, str, set[str]]]:
+        """File-level check of a COMMITTED peer's tagged logs against this
+        transaction's rewrites: (table, log key, overlapping paths) of
+        the first hit, or None when disjoint."""
+        for name, mine in own_tomb.items():
+            t = self.catalog.table(name)
+            for key, _sz in t.log_io.get_current_log_files(t.log_storage):
+                if parse_txn_id(key) != tid:
+                    continue
+                hit = self._log_hit(t, key, mine)
+                if hit:
+                    return name, key, hit
+        return None
+
     def _validate(
         self, intent: dict, ts: int, own_tomb: dict[str, set[str]]
     ) -> None:
         """First-committer-wins: abort if anything that became visible
         since the pin — or an OLDER still-pending peer — touches what
-        this transaction's DML rewrote."""
+        this transaction's DML rewrote.
+
+        LISTING ORDER IS THE CORRECTNESS ARGUMENT (closes the r5
+        statement-level TOCTOU): pending intents are snapshotted (V1,
+        listing + every GET) strictly BEFORE the commit markers are
+        listed (V2). A committing peer always PUTs its marker strictly
+        before deleting its intent (``_validate_and_finalize`` →
+        ``_cleanup_markers``), so a conflicting peer absent from the V1
+        intent snapshot is guaranteed present in the V2 marker listing:
+        marker-PUT < intent-delete < V1 < V2. The reverse order
+        (markers first, r1–r5) had a window where a peer completing
+        both steps between the two listings was invisible to BOTH
+        checks and both sides of an overlapping pair committed."""
         dml_tables = set(intent.get("dml_tables") or ())
         if not dml_tables:
             return  # insert-only: fresh files, nothing to conflict with
         vis = self.catalog._txn_vis
+        # V1: raw intent snapshot (no committed filtering — classified
+        # against the FRESH V2 listing below, never a stale cache)
+        intents = vis._list_intents()
+        # V2: fresh marker listing, strictly after every V1 GET
+        committed_now = vis._list_committed()
+        newly_committed = committed_now - self._c0 - {self.txn_id}
+        pending = {
+            tid: doc
+            for tid, doc in intents.items()
+            if tid != self.txn_id and tid not in committed_now
+        }
         # (b) foreign commits visible since the pin that reference any
         # of those paths: txn markers in C1−C0, and plain logs stamped
         # after the pin (a merge/rewrite collapsing over my invisible
         # tombstones restates the files alive with a LATER stamp — LWW
         # would resurrect them the instant my marker lands).
-        newly_committed = (
-            vis._list_committed() - self._c0 - {self.txn_id}
-        )
         for name, mine in own_tomb.items():
             t = self.catalog.table(name)
             for key, _sz in t.log_io.get_current_log_files(t.log_storage):
@@ -597,16 +687,19 @@ class CatalogTransaction:
                     if not merged:
                         continue  # plain INSERT: fresh files only, can
                         #           never reference my tombstoned paths
+                elif tid in self._c0:
+                    continue  # committed before my pin: in my snapshot
                 elif tid not in newly_committed:
-                    continue  # still pending (handled below) or in C0
-                try:
-                    _m, _s, fms, tmbs = t.log_io.read_log(
-                        t.log_storage, key
-                    )
-                except Exception:
-                    continue
-                refs = {m.path for m in fms} | {tb.path for tb in tmbs}
-                hit = refs & mine
+                    if tid in pending:
+                        continue  # genuinely pending: handled at (c)
+                    # neither committed at V2 nor pending at V1: a peer
+                    # that began after V1 (younger — it lists intents
+                    # after my intent PUT, sees me, and defers) or one
+                    # committing DURING this scan; a direct marker
+                    # probe distinguishes them
+                    if not self.store.exists(f"{tid}.commit.json"):
+                        continue
+                hit = self._log_hit(t, key, mine)
                 if hit:
                     raise TxnConflictError(
                         f"transaction {self.txn_id}: concurrent commit "
@@ -624,10 +717,7 @@ class CatalogTransaction:
         # younger side of any pair always lists the store after the older
         # intent's PUT, so at least one side sees the overlap.
         my_key = (self._intent_ts, self.txn_id)
-        for doc in vis.pending_intents():
-            tid = doc.get("txn")
-            if tid == self.txn_id:
-                continue
+        for tid, doc in pending.items():
             theirs = set(
                 doc.get(
                     "dml_tables",
@@ -644,6 +734,26 @@ class CatalogTransaction:
                 )
             except Exception:
                 peer_map = None  # peer still executing (or pre-map era)
+            if peer_map is None and self.store.exists(
+                f"{tid}.commit.json"
+            ):
+                # the rewrites GET failed because the peer COMMITTED
+                # after V2 and cleaned up its transient objects — it is
+                # not pending, and its rewrites are now authoritative:
+                # check its tagged logs at file granularity (regardless
+                # of intent age — the marker already exists)
+                chit = self._committed_peer_hit(tid, own_tomb)
+                if chit is not None:
+                    name, key, hit = chit
+                    raise TxnConflictError(
+                        f"transaction {self.txn_id}: peer {tid} "
+                        f"committed during validation and its commit "
+                        f"{key!r} on table {name!r} references "
+                        f"{len(hit)} file(s) this transaction rewrote "
+                        f"(e.g. {sorted(hit)[0]!r}); first committer "
+                        "wins — transaction aborted, retry"
+                    )
+                continue
             if peer_map is not None:
                 hit = {
                     name: sorted(

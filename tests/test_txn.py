@@ -875,3 +875,180 @@ def test_conflict_protocol_under_phase_interleavings(cat):
     # aborts AND cases where both serialize cleanly
     assert any(n == 1 for n, _ in seen_states)
     assert len(seen_states) >= 2
+
+
+def test_peer_commit_between_validate_listings_aborts(cat):
+    """Statement-level TOCTOU regression (VERDICT r5 #1): an older peer
+    completes its marker PUT + intent delete exactly BETWEEN the
+    validator's two listings. With the r5 order (markers, then intents)
+    the peer was invisible to both checks and BOTH sides committed —
+    duplicated survivors. With intents snapshotted first, the peer's
+    marker is guaranteed in the later marker listing: abort, never
+    duplicate."""
+    from icedb_spark.txn import TxnConflictError
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    older = CatalogTransaction(cat, cat._txn_store)
+    older.delete("facts", "k = 1")
+    younger = CatalogTransaction(cat, cat._txn_store)
+    younger.delete("facts", "k = 2")
+    older._done = younger._done = True
+    o_intent = older._begin()
+    o_ts = older._execute()
+    o_own = older._publish_rewrites(o_intent)
+    y_intent = younger._begin()
+    y_ts = younger._execute()  # pinned C0 excludes the older txn —
+    y_own = younger._publish_rewrites(y_intent)  # same-file CoW rewrite
+    vis = cat._txn_vis
+    real = vis._list_committed
+    state = {"armed": True, "fired": False}
+
+    def hooked():
+        if state["armed"]:
+            # fire on the younger validator's V2 marker listing (its V1
+            # intent snapshot already ran): the older peer validates
+            # (sees the younger's intent, has priority), PUTs its
+            # marker, and deletes its intent — all inside the window
+            state["armed"] = False
+            state["fired"] = True
+            older._validate_and_finalize(o_intent, o_ts, o_own)
+        return real()
+
+    vis._list_committed = hooked
+    try:
+        with pytest.raises(
+            TxnConflictError, match="first committer wins"
+        ):
+            younger._validate_and_finalize(y_intent, y_ts, y_own)
+    finally:
+        vis._list_committed = real
+    assert state["fired"]
+    vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 2, 3]  # older's delete applied ONCE, k=2 survives
+    assert len(ks) == len(set(ks))
+    # the loser is fully reclaimed
+    assert not any(
+        parse_txn_id(k) == younger.txn_id
+        for k, _ in t.log_io.get_current_log_files(t.log_storage)
+    )
+    assert not cat._txn_store.exists(f"{younger.txn_id}.intent.json")
+
+
+def test_peer_commit_after_marker_listing_caught_by_probe(cat):
+    """The sibling window: the peer commits AFTER the validator's V2
+    marker listing (so it reads as pending from the V1 intent snapshot)
+    and its cleanup deletes rewrites.json before the pending-peer check
+    GETs it. The direct marker probe reclassifies it as committed and
+    the file-level tagged-log check aborts the validator."""
+    from icedb_spark.txn import TxnConflictError
+
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    older = CatalogTransaction(cat, cat._txn_store)
+    older.delete("facts", "k = 1")
+    younger = CatalogTransaction(cat, cat._txn_store)
+    younger.delete("facts", "k = 2")
+    older._done = younger._done = True
+    o_intent = older._begin()
+    o_ts = older._execute()
+    o_own = older._publish_rewrites(o_intent)
+    y_intent = younger._begin()
+    y_ts = younger._execute()
+    y_own = younger._publish_rewrites(y_intent)
+    vis = cat._txn_vis
+    real = vis._list_committed
+    state = {"armed": True, "fired": False}
+
+    def hooked():
+        res = real()
+        if state["armed"]:
+            # commit the peer AFTER the V2 listing was taken: its
+            # marker is missing from V2, its intent was present at V1
+            state["armed"] = False
+            state["fired"] = True
+            older._validate_and_finalize(o_intent, o_ts, o_own)
+        return res
+
+    vis._list_committed = hooked
+    try:
+        with pytest.raises(
+            TxnConflictError, match="committed during validation"
+        ):
+            younger._validate_and_finalize(y_intent, y_ts, y_own)
+    finally:
+        vis._list_committed = real
+    assert state["fired"]
+    vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 2, 3]
+    assert not cat._txn_store.exists(f"{younger.txn_id}.intent.json")
+
+
+def test_committed_peer_with_leaked_intent_does_not_conflict(cat):
+    """Stale-snapshot regression (ADVICE r5): a peer that committed long
+    ago but whose best-effort intent delete failed must NOT read as a
+    pending older transaction — without the direct marker probe, every
+    overlapping commit spuriously aborted until cleanup ran."""
+    t = cat.table("facts")
+    t.insert([{"bucket": "b", "k": i} for i in range(4)])
+    with cat.transaction() as txn:
+        txn.delete("facts", "k = 1")
+    leaked = txn.txn_id
+    # simulate the failed intent delete: resurrect the intent marker
+    cat._txn_store.put(
+        f"{leaked}.intent.json",
+        json.dumps(
+            {"txn": leaked, "ts": 1, "dml_tables": ["facts"],
+             "tables": [{"name": "facts",
+                         "path": cat.table("facts").path, "files": []}]}
+        ).encode(),
+    )
+    assert cat._txn_store.exists(f"{leaked}.commit.json")
+    # not pending anywhere: the probe reclassifies it as committed
+    assert leaked not in cat._txn_vis.pending()
+    assert all(
+        d.get("txn") != leaked for d in cat._txn_vis.pending_intents()
+    )
+    # an overlapping commit sails through (no spurious TxnConflictError)
+    with cat.transaction() as txn2:
+        txn2.delete("facts", "k = 2")
+    cat._txn_vis.refresh()
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 3]
+
+
+def test_participant_lock_failure_releases_acquired_locks(cat):
+    """ExitStack regression (ADVICE r5): when a LATER participant's lock
+    acquisition raises, the locks already acquired must be released —
+    not leaked until the provider expires them."""
+    from contextlib import contextmanager
+
+    events = []
+
+    @contextmanager
+    def good_provider(op):
+        events.append("dims:acquire")
+        try:
+            yield
+        finally:
+            events.append("dims:release")
+
+    def bad_provider(op):
+        raise TimeoutError("lock held elsewhere")
+
+    # participants acquire in sorted order: "dims" (good) before
+    # "facts" (bad) — so the good lock IS held when the bad one raises
+    cat.table("dims").lock_provider = good_provider
+    cat.table("facts").lock_provider = bad_provider
+    try:
+        txn = CatalogTransaction(cat, cat._txn_store)
+        txn.insert("facts", rows=[{"bucket": "b", "k": 1}])
+        txn.insert("dims", rows=[{"bucket": "b", "k": 1, "name": "x"}])
+        with pytest.raises(TimeoutError):
+            txn.commit()
+        assert events == ["dims:acquire", "dims:release"]
+    finally:
+        cat.table("facts").lock_provider = None
+        cat.table("dims").lock_provider = None
