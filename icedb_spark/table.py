@@ -1129,10 +1129,19 @@ class IceTable:
         column_equals: Optional[dict] = None,
         column_in: Optional[dict[str, list]] = None,
         tag: Optional[str] = None,
+        columns: Optional[list[str]] = None,
     ) -> DataFrame:
         """Snapshot scan: alive files at ``at_ms`` (or at a named ``tag``),
         driver-side partition pruning + zone-map skipping, explicit unified
         schema → Catalyst does the rest.
+
+        ``columns`` projects the scan to just those columns — on the JVM
+        parquet path Catalyst prunes anyway, but on the pyarrow fallback
+        path (``s3://`` roots without hadoop-aws jars) the ``mapInArrow``
+        boundary blocks Catalyst's column pruning, so this is the ONLY
+        way a two-column aggregate over a wide table avoids reading every
+        column's byte ranges (the reference delegates this pruning to its
+        engine — /root/reference/README.md:410-413). Unknown names raise.
 
         ``partition_values`` prunes on parsed ``k=v`` path fields: exact value,
         ``set``/``list`` membership, or ``(lo, hi)`` inclusive string range.
@@ -1178,13 +1187,29 @@ class IceTable:
             state=state,
         )
         schema = self.spark_schema(state)
+        if columns is not None:
+            known = {f.name for f in schema.fields}
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise ValueError(
+                    f"columns not in table schema: {missing} "
+                    f"(have {sorted(known)})"
+                )
+            projected = T.StructType(
+                [f for f in schema.fields if f.name in set(columns)]
+            )
+        else:
+            projected = schema
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], projected)
         sets = self._mor_sets(at_ms)
         if sets:
-            return self._mor_read(files, schema, sets)
+            # delete-set predicates reference arbitrary columns: scan
+            # full width, apply them, THEN project
+            df = self._mor_read(files, schema, sets)
+            return df.select(*projected.names) if columns is not None else df
         paths = [self.storage.absolute(m.path) for m in files]
-        return self._scan_paths(paths, schema)
+        return self._scan_paths(paths, projected)
 
     def _scan_paths(
         self, abs_paths: list[str], schema, file_col: Optional[str] = None

@@ -48,6 +48,10 @@ class MiniS3Server:
     def __init__(self, port: int = 0):
         self.buckets: dict[str, dict[str, _Obj]] = {}
         self.uploads: dict[str, dict[int, bytes]] = {}
+        # payload bytes served per key across all GETs (ranged or whole)
+        # — lets tests assert that column projection actually shrinks
+        # the byte ranges a scan fetches
+        self.bytes_served: dict[str, int] = {}
         self._lock = threading.Lock()
         outer = self
 
@@ -180,11 +184,17 @@ class MiniS3Server:
                         lo = int(lo_s) if lo_s else 0
                         hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
                         part = data[lo : hi + 1]
+                        outer.bytes_served[key] = (
+                            outer.bytes_served.get(key, 0) + len(part)
+                        )
                         headers.append(
                             ("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
                         )
                         self._send(206, part, headers)
                         return
+                    outer.bytes_served[key] = (
+                        outer.bytes_served.get(key, 0) + len(data)
+                    )
                     self._send(200, data, headers)
 
             def _list(self, bucket, objs, q):

@@ -503,3 +503,125 @@ def test_streaming_rate_limit_survives_restart_without_duplication(
     run(6)                      # restart on the same checkpoint
     flat = sorted(x for v in seen.values() for x in v)
     assert flat == list(range(6))   # exactly once, in full
+
+
+def test_read_conformed_projects_and_pushes_filters(tmp_path, monkeypatch):
+    """VERDICT r5 #2 plumbing: the fallback reader projects the parquet
+    read to the target schema's columns and threads the pushed filter
+    conjuncts into the pyarrow scan (row groups whose stats exclude them
+    are skipped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icedb_spark import datasource as dsmod
+
+    p = str(tmp_path / "wide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": list(range(100)),
+                "b": [f"s{i}" for i in range(100)],
+                "c": [float(i) for i in range(100)],
+            }
+        ),
+        p,
+        row_group_size=10,
+    )
+    calls = []
+    real = dsmod._read_projected
+
+    def spy(source, fs, columns, filters):
+        calls.append((columns, filters))
+        return real(source, fs, columns, filters)
+
+    monkeypatch.setattr(dsmod, "_read_projected", spy)
+    schema = StructType([StructField("a", LongType())])
+    spec = {"ranges": {"a": (20, 29)}, "equals": {}, "in": {}}
+    batches = list(dsmod._read_conformed(p, schema, filters=spec))
+    assert calls == [(["a"], spec)]
+    vals = [v for b in batches for v in b.column("a").to_pylist()]
+    assert vals == list(range(20, 30))  # filter applied at the scan
+    # absent-column conjuncts and no-filter reads stay whole-file
+    calls.clear()
+    spec2 = {"equals": {"nope": 5}, "ranges": {}, "in": {}}
+    batches = list(dsmod._read_conformed(p, schema, filters=spec2))
+    vals = [v for b in batches for v in b.column("a").to_pylist()]
+    assert vals == list(range(100))
+
+
+def test_pushdown_reader_threads_filters_to_scan(spark, tmp_path):
+    """The pushdown reader's captured conjuncts reach the executor-side
+    pyarrow scan: read(partition) yields only matching rows (Spark would
+    re-apply the full predicate on top — the scan-level filter is a
+    correctness-invisible skip)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    root = str(tmp_path / "pd")
+    t = IceTable(
+        spark,
+        root,
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(
+        rows=[{"id": i, "kind": "a" if i % 2 else "b", "v": i * 1.0}
+              for i in range(50)]
+    )
+    schema = t.spark_schema()
+    r = _IcePushdownReader(schema, {"path": root})
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 10),
+                LessThan(("id",), 20),
+                EqualTo(("kind",), "a"),
+            ]
+        )
+    )
+    assert len(unsupported) == 3  # hint-not-filter: all re-applied
+    # LessThan maps onto the hi bound conservatively (applied as <= at
+    # the scan — strictness is restored by Spark's re-applied predicate)
+    assert r._pushed_spec() == {
+        "ranges": {"id": (10, 20)},
+        "equals": {"kind": "a"},
+        "in": {},
+    }
+    got = sorted(
+        v
+        for part in r.partitions()
+        for b in r.read(part)
+        for v in b.column("id").to_pylist()
+    )
+    assert got == [11, 13, 15, 17, 19]
+
+
+def test_table_read_columns_projection(spark, tmp_path):
+    """IceTable.read(columns=...) returns just those columns (schema
+    order), raises on unknown names, and composes with merge-on-read
+    delete sets (predicate applied on the full-width scan, THEN
+    projected)."""
+    import pytest as _pytest
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    root = str(tmp_path / "proj")
+    t = IceTable(
+        spark,
+        root,
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": i, "kind": "a", "v": float(i)} for i in range(10)])
+    narrow = t.read(columns=["id"])
+    assert narrow.columns == ["id"]
+    assert sorted(r["id"] for r in narrow.collect()) == list(range(10))
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.read(columns=["id", "nope"])
+    # MOR: the delete predicate references a column OUTSIDE the projection
+    t.delete_where("v >= 5.0")
+    narrow = t.read(columns=["id"])
+    assert narrow.columns == ["id"]
+    assert sorted(r["id"] for r in narrow.collect()) == [0, 1, 2, 3, 4]

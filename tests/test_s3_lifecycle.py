@@ -346,3 +346,70 @@ def test_s3_row_level_dml_via_arrow_scans(spark, tmp_path):
         t.optimize()
         t.tombstone_cleanup(min_age_ms=0)
         assert {r["id"] for r in t.read().collect()} == set(range(6)) | {99}
+
+
+def test_s3_read_projection_shrinks_bytes_fetched(spark, tmp_path):
+    """VERDICT r5 #2, measured on the wire: on the pyarrow fallback path
+    (no hadoop-aws jars — exactly this environment), a projected
+    ``read(columns=...)`` must fetch only the needed columns' byte
+    ranges. The mini-S3 server counts payload bytes served per key, so
+    the assertion is about real ranged GETs, not plan shape. Uses the
+    conftest-reserved endpoint so executor workers inherited the env."""
+    import random
+
+    from conftest import MINI_S3_PORT
+
+    with MiniS3Server(port=MINI_S3_PORT) as srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{MINI_S3_PORT}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        pafs.S3FileSystem(**opts).create_dir("projbkt", recursive=True)
+        t = IceTable(
+            spark,
+            "s3://projbkt/tbl",
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"],
+            storage_options=opts,
+        )
+        rnd = random.Random(7)
+        rows = [
+            {
+                "id": i,
+                "kind": "a",
+                "payload": "".join(
+                    chr(rnd.randint(33, 126)) for _ in range(400)
+                ),
+            }
+            for i in range(3000)
+        ]
+        t.insert(rows=rows)
+
+        def data_bytes():
+            return sum(
+                n
+                for k, n in srv.bytes_served.items()
+                if k.endswith(".parquet")
+            )
+
+        base = data_bytes()
+        full = t.read().collect()
+        assert len(full) == 3000
+        full_bytes = data_bytes() - base
+
+        base = data_bytes()
+        narrow_df = t.read(columns=["id"])
+        assert narrow_df.columns == ["id"]
+        narrow = narrow_df.collect()
+        assert sorted(r["id"] for r in narrow) == list(range(3000))
+        narrow_bytes = data_bytes() - base
+
+        # the ~1.2 MB incompressible payload column dominates the file;
+        # a projected scan that still fetched it would land near 1.0
+        assert narrow_bytes < full_bytes * 0.5, (narrow_bytes, full_bytes)
