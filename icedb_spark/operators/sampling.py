@@ -317,6 +317,7 @@ def semantic_coverage_sample(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: int = 32,
 ) -> DataFrame:
     """Cluster-balanced (semantic-coverage) subsampling: k-means the
     embedding space with the deterministic in-engine codebook, then keep
@@ -329,15 +330,25 @@ def semantic_coverage_sample(
     (which removes redundancy; this caps per-region budget).
 
     Scale shape: broadcast-codebook map-side assignment (zero corpus
-    shuffle), then ONE window partitioned by cell id — partitions are
-    ~N/C rows, so no straggler, and tuning ``n_clusters`` bounds them
-    exactly like the paper-standard C ~ sqrt(N). Output one row per
-    KEPT vector: ``(id, cell, cent_cosine, cell_rank)``.
+    shuffle), then SKEW-PROOF two-level top-k selection (r6 — VERDICT
+    r5 #4): k-means cells on real corpora are routinely skewed (one
+    dominant mode can hold most of N), and a window partitioned by the
+    cell alone would sort that whole cell in a single task. Level 1
+    ranks within ``(cell, salt)`` — every sort partition is
+    ≤ |cell|/salt rows — and keeps ``per_cell`` survivors per salt
+    group (any member of the cell's global top-``per_cell`` is in its
+    own salt group's top-``per_cell`` under the same total order, so no
+    survivor is lost); level 2 ranks the ≤ ``salt * per_cell``
+    finalists per cell — a bounded input whatever the skew. Output one
+    row per KEPT vector: ``(id, cell, cent_cosine, cell_rank)``,
+    bit-identical to the single-window formulation.
     """
     from pyspark.sql import Window
 
     from .similarity import _dot, _norm, _train_codebook, _training_view
 
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     v = _training_view(corpus, id_col, vec_col)
     cents = _train_codebook(v, dim, n_clusters, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
@@ -361,13 +372,17 @@ def semantic_coverage_sample(
             F.col("best.csim").alias("cent_cos"),
         )
     )
-    w = Window.partitionBy("cell").orderBy(
-        F.desc("cent_cos"), F.asc("id")
-    )
+    order = (F.desc("cent_cos"), F.asc("id"))
+    w1 = Window.partitionBy("cell", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("cell").orderBy(*order)
     return (
         assigned.withColumn(
-            "cell_rank", F.row_number().over(w).cast("integer")
+            "_salt",
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(salt)),
         )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= per_cell)
+        .withColumn("cell_rank", F.row_number().over(w2).cast("integer"))
         .where(F.col("cell_rank") <= per_cell)
         .select(
             F.col("id").alias(id_col),

@@ -1323,3 +1323,112 @@ def test_semantic_coverage_sample_equalizes_regions(spark, sf_dir):
         emb, dim=64, per_cell=3, n_clusters=16, iters=2
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semantic_coverage_sample_skew_proof(spark):
+    """VERDICT r5 #4: a planted 90%-one-cell skew. Selection must stay
+    bit-identical to the full ranking (the two-level salted top-k loses
+    no survivor) while the window over the RAW corpus partitions on the
+    salt — no single task sorts the dominant cell."""
+    import random
+    from collections import Counter
+
+    from icedb_spark.operators import semantic_coverage_sample
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(1000):
+        v = [1.0, 0.0, 0.0, 0.0] if i < 900 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [x + rnd.uniform(-0.05, 0.05) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = semantic_coverage_sample(
+        emb, dim=4, per_cell=5, n_clusters=2, iters=2
+    )
+    got = sorted(
+        (r["vec_id"], r["cell"], r["cell_rank"]) for r in out.collect()
+    )
+    # reference: a per_cell that covers everything yields the exact full
+    # per-cell ranking; its top-5 is the ground truth
+    ref = semantic_coverage_sample(
+        emb, dim=4, per_cell=10**6, n_clusters=2, iters=2
+    ).collect()
+    expect = sorted(
+        (r["vec_id"], r["cell"], r["cell_rank"])
+        for r in ref
+        if r["cell_rank"] <= 5
+    )
+    assert got == expect
+    by_cell = Counter(c for _, c, _ in got)
+    assert sorted(by_cell.values()) == [5, 5]
+
+
+def test_semantic_coverage_plans_salted_window(spark, sf_dir):
+    """Plan shape: two windows; the one over the raw corpus (innermost,
+    printed last) partitions on (cell, _salt) so a skewed cell spreads
+    over `salt` sort tasks; the cell-only window ranks only the
+    pre-filtered ≤ salt*per_cell finalists."""
+    from icedb_spark.operators import semantic_coverage_sample
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    df = semantic_coverage_sample(
+        emb, dim=64, per_cell=3, n_clusters=16, iters=1
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    wins = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert len(wins) == 2, plan
+    assert "_salt" in wins[-1]  # raw-corpus window is salted
+    assert "_salt" not in wins[0]  # finalist window: bounded input
+
+
+def test_semdedup_max_cell_caps_with_drop_accounting(spark, sf_dir):
+    """VERDICT r5 #5: ``max_cell`` bounds the in-cell self-join — members
+    of oversized cells are excluded from pairing and kept, a generous
+    cap changes nothing, and ``semdedup_cell_stats`` accounts for what a
+    cap would drop (sizes match the operator's own assignment)."""
+    from collections import Counter
+
+    from icedb_spark.operators import semdedup, semdedup_cell_stats
+    from icedb_spark.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select(
+        (F.col("vec_id") + 7).alias("vec_id"), F.col("v").alias("ov")
+    )
+    corpus = (
+        emb.join(base, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") % 10 == 7) & F.col("ov").isNotNull(),
+                F.transform("ov", lambda x: x * 0.98),
+            ).otherwise(F.col("v")).alias("embedding"),
+        )
+    )
+    kw = dict(dim=64, n_clusters=8, iters=2, threshold=0.95)
+    uncapped = semdedup(corpus, **kw).collect()
+    assert any(not r["kept"] for r in uncapped)  # clones found
+    # cap of 1: every cell is oversized -> no pairing, everything kept
+    capped = semdedup(corpus, **kw, max_cell=1).collect()
+    assert len(capped) == len(uncapped)
+    assert all(r["kept"] for r in capped)
+    # generous cap: identical to uncapped
+    roomy = semdedup(corpus, **kw, max_cell=10**9).collect()
+    assert sorted(map(tuple, roomy)) == sorted(map(tuple, uncapped))
+    # drop accounting: the histogram matches the operator's assignment
+    sizes = {
+        r["cell"]: r["n_vectors"]
+        for r in semdedup_cell_stats(
+            corpus, dim=64, n_clusters=8, iters=2
+        ).collect()
+    }
+    assert sum(sizes.values()) == corpus.count()
+    assert sizes == dict(Counter(r["cell"] for r in uncapped))
