@@ -26,10 +26,16 @@ Attribution features (all inside the same single JSON line):
 * ``SPARK_GRAFT_BENCH_REPEAT=N`` (default 3 since round 5) — headline
   entries report the per-query MEDIAN of N timed runs; the ``repeat``
   key on the headline line keeps rounds interpretable.
-* ``sf1`` detail block (round 5): a cached 6 M-row tier
-  (``testdata.generate_sf``) runs the headline suite plus the two
-  BASELINE.md post-merge rate shapes with hot-median-of-3 timings and
-  per-core normalization. Disable with ``SPARK_GRAFT_SF1=0``.
+* ``sf1`` tier (round 5; split + amplified round 6): a cached 6 M-row
+  tier (``testdata.generate_sf``) runs the headline suite plus the
+  BASELINE.md post-merge rate shapes — count-by-month and
+  quantile+avg-by-month, each at 1x and at 4x amplification (file read
+  four times, floor-amortized marginal rate) — hot-median-of-3,
+  per-core normalized. Emitted as THREE lines (``sf1_meta`` early,
+  then ``sf1_queries`` + ``sf1_rates`` right before the headline) so
+  the driver's 2000-char tail keeps the whole story; a final guard
+  sheds optional headline keys until the protocol lines fit together.
+  Disable with ``SPARK_GRAFT_SF1=0``.
 """
 
 from __future__ import annotations
@@ -231,22 +237,80 @@ def main():
         },
     })
     sf1 = _sf1_block(run, cpus, spark) if sf >= 0.1 else None
-    if sf1:
-        emit({"detail": "sf1", **sf1})
-        if "total" in sf1:
-            out["sf1_total"] = sf1["total"]
     ingest = _ingest_block(spark)
     emit({"detail": "ingest", **ingest})
     out["ingest_rows_per_sec"] = ingest["rows_per_sec"]
     out["ingest_vs_baseline"] = ingest["vs_baseline"]
-    line = json.dumps(out)
-    if len(line) > 1800:  # belt-and-braces: shed optional keys, keep core
-        for k in ("rows", f"delta_total_vs_{prev[0]}" if prev else ""):
-            out.pop(k, None)
-            line = json.dumps(out)
-            if len(line) <= 1800:
-                break
-    print(line, flush=True)
+    # cold ingest must survive the tail even if the ingest detail line
+    # is clipped (it now sits before the sf1 lines)
+    out["ingest_cold_rows_per_sec"] = ingest["cold_rows_per_sec"]
+    # ---- tail-budget protocol (VERDICT r5 #7): the driver records only
+    # the LAST 2000 stdout chars. The three lines that must survive
+    # whole are sf1_queries, sf1_rates, and the final headline — so the
+    # sf1 block is split in two (r5's one fat line lost its queries to
+    # the truncation), bulky-but-recoverable keys (gen_seconds, table
+    # rows) ride an earlier sacrificial line, and a final guard sheds
+    # optional keys until the three lines fit the budget together.
+    sf1_lines = []
+    if sf1 and "queries" in sf1:
+        emit({
+            "detail": "sf1_meta",
+            "gen_seconds": sf1["gen_seconds"],
+            "rows": sf1["rows"],
+        })
+        sf1_lines = [
+            {
+                "detail": "sf1_queries",
+                "queries": sf1["queries"],
+                "rate_queries": sf1["rate_queries"],
+                "total": sf1["total"],
+            },
+            {
+                "detail": "sf1_rates",
+                "cores": sf1["cores"],
+                "baseline_cores": sf1["baseline_cores"],
+                "baseline_rps": sf1["baseline_rps"],
+                "rates": sf1["rates"],
+            },
+        ]
+        out["sf1_total"] = sf1["total"]
+    elif sf1:
+        emit({"detail": "sf1", **sf1})
+
+    def tail_len():
+        return sum(
+            len(json.dumps(o)) + 1 for o in sf1_lines + [out]
+        )
+
+    def shed_steps():
+        # cheapest-information-loss first: the rate-shape secs also ride
+        # in sf1_rates; the full rows block also rides BENCH_r02-r05 and
+        # only the driving tables attribute deltas
+        if sf1_lines:
+            yield lambda: sf1_lines[0].pop("rate_queries", None)
+
+        def slim_rows():
+            if "rows" in out:
+                out["rows"] = {
+                    k: v
+                    for k, v in out["rows"].items()
+                    if k in ("lineitem", "events", "documents",
+                             "embeddings", "embedding_dim")
+                }
+
+        yield slim_rows
+        yield lambda: out.pop("ingest_vs_baseline", None)
+        if prev:
+            yield lambda: out.pop(f"delta_total_vs_{prev[0]}", None)
+        yield lambda: out.pop("rows", None)
+
+    for step in shed_steps():
+        if tail_len() <= 1990:
+            break
+        step()
+    for o in sf1_lines:
+        emit(o)
+    print(json.dumps(out), flush=True)
 
 
 def _ingest_block(spark):
@@ -340,7 +404,9 @@ def _sf1_block(run, cpus: str, spark):
         # avg by month — BASELINE.md's "quantile+avg by month" query is
         # ClickHouse's t-digest quantile()): the gate entries q07/q33
         # both carry exact-percentile oracle machinery that is not what
-        # a user would run at scale
+        # a user would run at scale. accuracy=2000 since r6 (VERDICT r5
+        # #3): closer to CH's t-digest fidelity than the former 10000,
+        # whose per-group buffers dominated the runtime
         from pyspark.sql import functions as F
 
         from icedb_spark.testdata import load_table
@@ -350,7 +416,7 @@ def _sf1_block(run, cpus: str, spark):
         def med3(df) -> float:
             # hot-run median of 3, matching the baseline protocol
             # (BASELINE.md header: ClickHouse numbers are hot runs) —
-            # these two direct rate comparisons get the repeat budget
+            # the direct rate comparisons get the repeat budget
             samples = []
             for _ in range(3):
                 t0 = time.time()
@@ -358,83 +424,85 @@ def _sf1_block(run, cpus: str, spark):
                 samples.append(time.time() - t0)
             return round(sorted(samples)[1], 3)
 
-        results["quantile_avg_by_month"] = med3(
-            li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
-            .agg(
+        def quantile_q(df):
+            return df.groupBy(
+                F.date_trunc("month", "l_shipdate").alias("m")
+            ).agg(
                 F.expr(
-                    "percentile_approx(l_extendedprice, 0.5, 10000)"
+                    "percentile_approx(l_extendedprice, 0.5, 2000)"
                 ).alias("p50_price"),
                 F.expr(
-                    "percentile_approx(l_quantity, 0.5, 10000)"
+                    "percentile_approx(l_quantity, 0.5, 2000)"
                 ).alias("p50_qty"),
                 F.avg("l_extendedprice").alias("avg_price"),
                 F.avg("l_quantity").alias("avg_qty"),
             )
-        )
-        # count-by-month over the BIG table, matching the baseline's
-        # shape (its count-by-month runs over the one 209 M-row table)
-        results["count_by_month"] = med3(
-            li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
-            .count()
-        )
-        # the same shape over 4x the bytes (the file read four times):
-        # a 6 M-row job is half fixed scheduling floor, so this is the
-        # closer analog to the baseline's 209 M-row amortization — the
-        # marginal rate (extra 18 M rows / extra wall) estimates pure
-        # scan+agg bandwidth with the floor subtracted out
+
+        # x4 variants read the same file four times: a 6 M-row job is
+        # half fixed scheduling floor, so the amplified 24 M-row scan is
+        # the closer analog to the baseline's 209 M-row amortization —
+        # the marginal rate (extra 18 M rows / extra wall) estimates
+        # pure scan+agg bandwidth with the floor subtracted out
         p4 = os.path.join(sf1_dir, "lineitem.parquet")
         li4 = spark.read.parquet(p4, p4, p4, p4)
-        results["count_by_month_x4"] = med3(
-            li4.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
-            .count()
-        )
+        rate_timings = {
+            "quantile_avg_by_month": med3(quantile_q(li)),
+            "quantile_avg_by_month_x4": med3(quantile_q(li4)),
+            "count_by_month": med3(
+                li.groupBy(
+                    F.date_trunc("month", "l_shipdate").alias("m")
+                ).count()
+            ),
+            "count_by_month_x4": med3(
+                li4.groupBy(
+                    F.date_trunc("month", "l_shipdate").alias("m")
+                ).count()
+            ),
+        }
     except Exception as e:
         return {"error": f"sf1 run failed: {e}"}
     rows = _table_rows(sf1_dir)
     cores = int(cpus)
+    li_rows = rows.get("lineitem", 0)
 
-    def rate(rows_n, sec, baseline_rps, baseline_cores=128):
+    def rate(rows_n, sec, baseline_rps, base_sec=None):
         rps = rows_n / sec if sec > 0 else float("inf")
-        return {
-            "rows": rows_n,
+        out = {
             "sec": sec,
             "rows_per_sec": int(rps),
-            "baseline_rows_per_sec": int(baseline_rps),
-            "baseline_cores": baseline_cores,
-            "cores": cores,
             "per_core_vs_baseline": round(
-                (rps / cores) / (baseline_rps / baseline_cores), 3
+                (rps / cores) / (baseline_rps / 128), 3
             ),
         }
+        if base_sec is not None:  # x4 shape: floor-amortized estimate
+            out["marginal_rows_per_sec"] = int(
+                0.75 * rows_n / max(sec - base_sec, 1e-9)
+            )
+        return out
 
+    t = rate_timings
     return {
-        "dir": sf1_dir,
         "gen_seconds": gen_s,
         "rows": rows,
         "queries": results,
-        "total": round(sum(results.values()), 3),
+        "rate_queries": t,
+        "total": round(sum(results.values()) + sum(t.values()), 3),
+        "cores": cores,
+        "baseline_cores": 128,
         # BASELINE.md:43-44 post-merge rates (209.5 M taxi rows, 128 vCPU)
+        "baseline_rps": {"count": 260_000_000, "quantile": 36_300_000},
         "rates": {
-            "count_by_month": rate(
-                rows.get("lineitem", 0), results["count_by_month"], 260e6
+            "count_by_month": rate(li_rows, t["count_by_month"], 260e6),
+            "count_by_month_x4": rate(
+                4 * li_rows, t["count_by_month_x4"], 260e6,
+                base_sec=t["count_by_month"],
             ),
-            "count_by_month_x4": {
-                **rate(
-                    4 * rows.get("lineitem", 0),
-                    results["count_by_month_x4"], 260e6,
-                ),
-                "marginal_rows_per_sec": int(
-                    3 * rows.get("lineitem", 0)
-                    / max(
-                        results["count_by_month_x4"]
-                        - results["count_by_month"],
-                        1e-9,
-                    )
-                ),
-            },
             "quantile_avg_by_group": rate(
-                rows.get("lineitem", 0), results["quantile_avg_by_month"],
-                36.3e6,
+                li_rows, t["quantile_avg_by_month"], 36.3e6
+            ),
+            "quantile_avg_by_group_x4": rate(
+                4 * li_rows, t["quantile_avg_by_month_x4"], 36.3e6,
+                base_sec=t["quantile_avg_by_month"],
             ),
         },
     }
