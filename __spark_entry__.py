@@ -2838,24 +2838,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-5 rotation (VERDICT r4 #1): the window leads with the 31
-    # entries whose only driver row dated from round 1 (q05, q10-q16,
-    # q18-q24, q26/q27/q32, d04-d06, s01, t01/t03/t04, m02) or round 2
-    # (q03, q06-q09) while the engine underneath changed for three
-    # rounds; then this round's new entries (clustered trained-IVF s08;
-    # SemDeDup semantic dedup d11 and semantic-coverage sampling sm09,
-    # placed with the changed-path witnesses) and the entries whose
-    # implementation changed in round 5
-    # (s07 codebook collection, ice37 first-committer-wins commit
-    # validation, st07 intent-clamped stream offsets, rest01 bounded
-    # ingest buffer);
-    # then the engine-lifecycle core and one witness per operator family
-    # on this round's changed paths (maintenance txn-guard, _scan_paths,
-    # catalog read horizon). Every entry below the boundary holds a
-    # fully-green driver row from r2-r4, and ALL keys stay under the
-    # repo's own bit-exact gate replica (tests/test_entry_oracle.py +
-    # tools/check_oracle.py) regardless.
+    # Round-6 rotation (VERDICT r5 #6): the window leads with the 19
+    # entries whose last green driver row dated from round 2 (d01, d03,
+    # d08, ice12, ice16, m03, q02, q04, q17, q28, q29, q30, q31, q33,
+    # s02, st03, st04, t02, t06), then the 25 r3-era ones (ice04-ice08,
+    # ice10, ice13/14/15/18/20/27/28/29, sm01-04, st01, t05/07/08/09/12,
+    # s04 — ice27 doubling as the fallback-scan witness), then one
+    # witness per path that CHANGED this round: ice37 (commit-validation
+    # TOCTOU reorder), sm09 (salted two-level top-k), d11 (max_cell
+    # guard), ice01/ice21/ice33 (insert/CoW-DML/MOR over the projected
+    # _scan_paths + empty-list guard). Every entry below the boundary
+    # holds a fully-green driver row from r4/r5, and ALL keys stay under
+    # the repo's own bit-exact gate replica (tests/test_entry_oracle.py
+    # + tools/check_oracle.py) regardless.
     return {
+        "d01_exact_dedup": d01_exact_dedup,
+        "d03_ngram_jaccard": d03_ngram_jaccard,
+        "d08_simhash_band16": d08_simhash_band16,
+        "ice12_path_derived": ice12_path_derived,
+        "ice16_format_row": ice16_format_row,
+        "m03_image_headers": m03_image_headers,
+        "q02_count_by_user": q02_count_by_user,
+        "q04_distinct": q04_distinct,
+        "q17_approx_distinct": q17_approx_distinct,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        "q30_sessionize": q30_sessionize,
+        "q31_salted_agg": q31_salted_agg,
+        "q33_percentile_approx": q33_percentile_approx,
+        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
+        "st03_stateful_sessions": st03_stateful_sessions,
+        "st04_session_window": st04_session_window,
+        "t02_text_quality": t02_text_quality,
+        "t06_pii_detect": t06_pii_detect,
+        "ice04_rewrite": ice04_rewrite,
+        "ice05_agg_on_merge": ice05_agg_on_merge,
+        "ice06_remove_partitions": ice06_remove_partitions,
+        "ice07_replace_on_merge": ice07_replace_on_merge,
+        "ice08_dedup_on_merge": ice08_dedup_on_merge,
+        "ice10_schema_evolution": ice10_schema_evolution,
+        "ice13_partition_fn_paths": ice13_partition_fn_paths,
+        "ice14_json_flatten_insert": ice14_json_flatten_insert,
+        "ice15_parallel_compaction": ice15_parallel_compaction,
+        "ice18_bloom_pruning": ice18_bloom_pruning,
+        "ice20_incremental_read": ice20_incremental_read,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
+        "sm01_hash_sample": sm01_hash_sample,
+        "sm02_stratified_sample": sm02_stratified_sample,
+        "sm03_split_assign": sm03_split_assign,
+        "sm04_top_k_sample": sm04_top_k_sample,
+        "st01_streaming_ingest": st01_streaming_ingest,
+        "t05_repetition": t05_repetition,
+        "t07_decontaminate": t07_decontaminate,
+        "t08_pack_sequences": t08_pack_sequences,
+        "t09_vocab": t09_vocab,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "ice37_cross_table_txn": ice37_cross_table_txn,
+        "sm09_semantic_coverage": sm09_semantic_coverage,
+        "d11_semdedup": d11_semdedup,
+        "ice01_insert_roundtrip": ice01_insert_roundtrip,
+        "ice21_delete": ice21_delete,
+        "ice33_mor_delete": ice33_mor_delete,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a fully-green driver row from r4/r5 —
+        # this rotation only demotes proven entries.
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
@@ -2889,27 +2938,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_frame_sample": m02_frame_sample,
         "s08_trained_clustered": s08_trained_clustered,
         "s07_cosine_topk_trained": s07_cosine_topk_trained,
-        "ice37_cross_table_txn": ice37_cross_table_txn,
         "st07_cdc_stream": st07_cdc_stream,
         "rest01_ingest_query": rest01_ingest_query,
-        "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice02_merge_invariant": ice02_merge_invariant,
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "ice03_time_travel": ice03_time_travel,
-        "ice33_mor_delete": ice33_mor_delete,
-        "ice21_delete": ice21_delete,
         "mv02_incremental_mv": mv02_incremental_mv,
         "q01_pricing_summary": q01_pricing_summary,
         "st02_windowed_agg": st02_windowed_agg,
         "d02_minhash_lsh": d02_minhash_lsh,
         "t11_line_dedup": t11_line_dedup,
         "sm06_shuffle_shard": sm06_shuffle_shard,
-        "d11_semdedup": d11_semdedup,
-        "sm09_semantic_coverage": sm09_semantic_coverage,
-        # ==================== driver window boundary (50) ====================
-        "ice27_datasource_scan": ice27_datasource_scan,
-        # Everything below holds a fully-green driver row from a prior
-        # round — this rotation only demotes proven entries.
         "m01_media_features": m01_media_features,
         "ice26_in_pruning": ice26_in_pruning,
         "ice30_partition_evolution": ice30_partition_evolution,
@@ -2945,49 +2984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "ice36_zorder_pruning": ice36_zorder_pruning,
         "t14_semantic_decontam": t14_semantic_decontam,
-        "ice04_rewrite": ice04_rewrite,
-        "ice05_agg_on_merge": ice05_agg_on_merge,
-        "ice06_remove_partitions": ice06_remove_partitions,
-        "ice07_replace_on_merge": ice07_replace_on_merge,
-        "ice08_dedup_on_merge": ice08_dedup_on_merge,
-        "ice10_schema_evolution": ice10_schema_evolution,
-        "ice13_partition_fn_paths": ice13_partition_fn_paths,
-        "ice14_json_flatten_insert": ice14_json_flatten_insert,
-        "ice15_parallel_compaction": ice15_parallel_compaction,
-        "ice18_bloom_pruning": ice18_bloom_pruning,
-        "ice20_incremental_read": ice20_incremental_read,
-        "ice28_snapshot_tags": ice28_snapshot_tags,
-        "ice29_constraints": ice29_constraints,
-        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
-        "t08_pack_sequences": t08_pack_sequences,
-        "t09_vocab": t09_vocab,
-        "sm01_hash_sample": sm01_hash_sample,
-        "sm02_stratified_sample": sm02_stratified_sample,
-        "sm03_split_assign": sm03_split_assign,
-        "sm04_top_k_sample": sm04_top_k_sample,
-        "ice12_path_derived": ice12_path_derived,
-        "ice16_format_row": ice16_format_row,
-        "q17_approx_distinct": q17_approx_distinct,
-        "q31_salted_agg": q31_salted_agg,
-        "d01_exact_dedup": d01_exact_dedup,
-        "d08_simhash_band16": d08_simhash_band16,
-        "t02_text_quality": t02_text_quality,
-        "t06_pii_detect": t06_pii_detect,
-        "q33_percentile_approx": q33_percentile_approx,
-        "q29_range_join": q29_range_join,
-        "q28_asof_join": q28_asof_join,
-        "d03_ngram_jaccard": d03_ngram_jaccard,
-        "st03_stateful_sessions": st03_stateful_sessions,
-        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
-        "m03_image_headers": m03_image_headers,
-        "st04_session_window": st04_session_window,
-        "q02_count_by_user": q02_count_by_user,
-        "q04_distinct": q04_distinct,
-        "q30_sessionize": q30_sessionize,
-        "t05_repetition": t05_repetition,
-        "t07_decontaminate": t07_decontaminate,
-        "t12_ngram_perplexity": t12_ngram_perplexity,
-        "st01_streaming_ingest": st01_streaming_ingest,
     }
 
 
