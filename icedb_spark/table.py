@@ -2862,20 +2862,59 @@ class IceTable:
         )
         return ts
 
+    _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+    def _predicate_schema(
+        self, schema: T.StructType, *exprs: str
+    ) -> T.StructType:
+        """``schema`` projected to the fields a SQL expression could
+        reference: any field whose name appears as an identifier token
+        in the text (conservative superset — a field name inside a
+        string literal merely widens the projection; an expression
+        cannot reference a column without spelling its name). On the
+        pyarrow fallback path this keeps a keyed DELETE/UPDATE's
+        touch-detection pass from reading every column of a wide table
+        (the JVM path gets the same effect from parquet column pruning).
+        Falls back to the full schema on backtick-quoted identifiers
+        (may contain chars the token scan misses) and keeps one field
+        when nothing matches (counting needs a column to count)."""
+        if any("`" in (e or "") for e in exprs):
+            return schema
+        idents = set()
+        for e in exprs:
+            idents.update(
+                t.lower() for t in self._IDENT_RE.findall(e or "")
+            )
+        fields = [f for f in schema.fields if f.name.lower() in idents]
+        if not fields:
+            fields = list(schema.fields[:1])
+        return T.StructType(fields)
+
     def _per_file_match_counts(
-        self, targets: list[FileMarker], schema: T.StructType, pred
+        self,
+        targets: list[FileMarker],
+        schema: T.StructType,
+        pred,
+        predicate_text: Optional[str] = None,
     ) -> list[tuple[FileMarker, int, int]]:
         """ONE Spark job computing (total, matched) per candidate file via
         ``input_file_name()`` grouping — the distributed DML path's
-        touch-detection pass. Parquet column pruning means untouched
-        candidates are read only for the predicate's columns."""
+        touch-detection pass. ``predicate_text`` projects the scan to
+        the predicate's columns so the pass reads only those on BOTH
+        scan paths (the fallback's ``mapInArrow`` boundary blocks
+        Catalyst's pruning; the JVM parquet reader prunes either way)."""
         by_norm = {
             _strip_scheme(self.storage.absolute(m.path)): m for m in targets
         }
+        scan_schema = (
+            self._predicate_schema(schema, predicate_text)
+            if predicate_text is not None
+            else schema
+        )
         rows = (
             self._scan_paths(
                 [self.storage.absolute(m.path) for m in targets],
-                schema, file_col="_ice_src",
+                scan_schema, file_col="_ice_src",
             )
             .groupBy("_ice_src")
             .agg(
@@ -3111,7 +3150,9 @@ class IceTable:
         if distributed is None:
             distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
         if distributed and targets:
-            counts = self._per_file_match_counts(targets, schema, dpred)
+            counts = self._per_file_match_counts(
+                targets, schema, dpred, predicate_text=where
+            )
             partial = [m for m, tot, mat in counts if 0 < mat < tot]
             dropped = [m for m, tot, mat in counts if mat and mat == tot]
             new_markers: list[FileMarker] = []
@@ -3253,7 +3294,9 @@ class IceTable:
         if distributed is None:
             distributed = len(targets) > _DML_DISTRIBUTED_THRESHOLD
         if distributed and targets:
-            counts = self._per_file_match_counts(targets, schema, upred)
+            counts = self._per_file_match_counts(
+                targets, schema, upred, predicate_text=where
+            )
             touched = [m for m, _, mat in counts if mat]
             new_markers: list[FileMarker] = []
             if touched:
@@ -3456,9 +3499,18 @@ class IceTable:
             by_path = {
                 _strip_scheme(self.storage.absolute(m.path)): m for m in cands
             }
+            # touch detection needs only the key columns: project the
+            # scan so a MERGE on a wide table reads just the keys here
+            # (full-width reads happen only for the touched files below)
+            key_fields = [f for f in schema.fields if f.name in set(on)]
+            key_schema = (
+                T.StructType(key_fields)
+                if len(key_fields) == len(on)
+                else schema
+            )
             tgt = self._scan_paths(
                 [self.storage.absolute(m.path) for m in cands],
-                schema, file_col="_ice_src",
+                key_schema, file_col="_ice_src",
             )
             hit = (
                 tgt.join(

@@ -430,3 +430,68 @@ def test_sql_optimize_and_vacuum_statements(spark, tmp_path):
     t.sql("OPTIMIZE ice")
     out = t.sql("VACUUM ice").collect()[0]
     assert out["retain_hours"] == 168 and out["data_files_deleted"] == 0
+
+
+def test_predicate_schema_projection(spark, tmp_path):
+    """_predicate_schema keeps exactly the fields a predicate could
+    reference (conservative superset), falls back on backticks, and
+    keeps one field when nothing matches — so the distributed DML
+    touch-detection pass reads only predicate columns on the fallback
+    scan path."""
+    from pyspark.sql import types as T
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "ps"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    assert [
+        f.name for f in t._predicate_schema(schema, "id >= 10 AND v < 2.0")
+    ] == ["id", "v"]
+    # case-insensitive resolution, function names filtered by schema
+    assert [
+        f.name for f in t._predicate_schema(schema, "upper(KIND) = 'A'")
+    ] == ["kind"]
+    # backticks: give up, full width (quoted names may contain anything)
+    assert t._predicate_schema(schema, "`id` = 1") == schema
+    # nothing referenced: keep one column so counting still works
+    assert len(t._predicate_schema(schema, "true").fields) == 1
+
+
+def test_distributed_dml_exact_with_projected_count_pass(spark, tmp_path):
+    """Distributed DELETE/UPDATE (forced) stay exact with the projected
+    matched-count pass, including a predicate on a non-sort column."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "dd"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(
+        rows=[
+            {"id": i, "kind": "a" if i % 2 else "b", "v": float(i % 7)}
+            for i in range(40)
+        ]
+    )
+    s = t.delete("v >= 5.0", distributed=True)
+    assert s["rows_deleted"] == sum(1 for i in range(40) if i % 7 >= 5)
+    left = sorted(r["id"] for r in t.read().collect())
+    assert left == [i for i in range(40) if i % 7 < 5]
+    s = t.update({"v": "v + 100"}, "id < 10", distributed=True)
+    assert s["rows_updated"] == sum(1 for i in left if i < 10)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    for i in left:
+        assert got[i] == (i % 7) + (100 if i < 10 else 0)
