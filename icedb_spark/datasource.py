@@ -109,6 +109,7 @@ class _LogHandle:
     """Driver-side fold helpers shared by batch and stream readers."""
 
     def __init__(self, options):
+        self.options = options
         path = options.get("path") or options.get("root")  # root: alias
         if not path:
             raise ValueError("format('icedb') requires .option('path', ...)")
@@ -150,8 +151,32 @@ class _LogHandle:
             ),
         )
 
+    def _project(self, schema: StructType) -> StructType:
+        """Apply the ``columns`` reader option (comma-separated names).
+        Spark's Python DataSource API has no column-pruning hook — the
+        declared schema IS what every partition read materializes — so
+        this option is the projection surface for format('icedb') scans
+        over wide tables: the narrowed schema flows into
+        ``_read_conformed``, which reads only those columns' byte
+        ranges. Unknown names raise."""
+        opt = self.options.get("columns")
+        if not opt:
+            return schema
+        want = [c.strip() for c in str(opt).split(",") if c.strip()]
+        known = {f.name for f in schema.fields}
+        missing = [c for c in want if c not in known]
+        if missing:
+            raise ValueError(
+                f"columns option names unknown columns: {missing} "
+                f"(have {sorted(known)})"
+            )
+        keep = set(want)
+        return StructType([f for f in schema.fields if f.name in keep])
+
     def spark_schema(self) -> StructType:
-        return duckdb_schema_to_spark(self.state().schema.columns())
+        return self._project(
+            duckdb_schema_to_spark(self.state().schema.columns())
+        )
 
     def assert_no_mor(self) -> None:
         """Batch scans read files verbatim, so a pending merge-on-read
@@ -801,6 +826,9 @@ class IceDataSource(DataSource):
 
     Options: ``path`` (table root), ``log_path`` (separate log store),
     ``at_ms`` (batch time travel), ``since_ms`` (stream start),
+    ``columns`` (comma-separated projection — Spark cannot push column
+    pruning into a Python data source, so this is how a scan over a
+    wide table avoids reading every column's byte ranges),
     ``pushdown=true`` (driver-side file pruning from Spark's pushed
     filters; requires ``spark.sql.python.filterPushdown.enabled``),
     ``feed=changes`` (stream the row-level change feed instead of the

@@ -1418,8 +1418,43 @@ class IceTable:
                     self._transform_partition_cols(),
                 )
             )
+        if auto_prune and "columns" not in read_kwargs:
+            cols = self._query_columns(query)
+            if cols is not None:
+                read_kwargs["columns"] = cols
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
+
+    def _query_columns(self, query: str) -> Optional[list[str]]:
+        """The table columns a SQL query can reference, or None for full
+        width. Same conservative identifier-token contract as
+        :meth:`_predicate_schema` (an expression cannot reference a
+        column without spelling its name), with SELECT-shaped escape
+        hatches that keep full width: any ``*`` other than
+        ``count(*)``/``count(1)``, a backtick-quoted identifier, or a
+        NATURAL join (the two ways a query touches columns namelessly).
+        A reference this scan somehow missed fails the query at ANALYSIS
+        ("column not found") — never a silent wrong answer. The win is
+        on the pyarrow fallback path, where the ``mapInArrow`` boundary
+        blocks Catalyst's column pruning: ``sql("select sum(v) from ice
+        where d = 'x'")`` over a wide s3 table reads two columns, not
+        forty."""
+        q = query or ""
+        if "`" in q or re.search(r"\bnatural\b", q, re.I):
+            return None
+        starless = re.sub(
+            r"count\s*\(\s*(?:\*|1)\s*\)", "count_rows", q, flags=re.I
+        )
+        if "*" in starless:
+            return None
+        schema = self.spark_schema()
+        idents = {t.lower() for t in self._IDENT_RE.findall(q)}
+        cols = [f.name for f in schema.fields if f.name.lower() in idents]
+        if len(cols) == len(schema.fields):
+            return None  # full width anyway
+        if not cols:  # counting still needs one column to count
+            cols = [schema.fields[0].name] if schema.fields else []
+        return cols or None
 
     def _route_sql_dml(
         self, query: str, view: str, dry_run: bool = False

@@ -75,3 +75,86 @@ def test_uuid_row_id_synthesis_at_merge(spark, tmp_path):
     with_id = df.where(F.col("_row_id").isNotNull())
     assert with_id.count() == with_id.select("_row_id").distinct().count() == 5
     assert df.count() == 13
+
+
+def test_sql_auto_projects_referenced_columns(spark, tmp_path):
+    """sql(auto_prune) narrows the snapshot view to the columns the query
+    text can reference (fallback-path projection), with the conservative
+    escape hatches: bare star, backticks, NATURAL join keep full width;
+    count(*) needs just one column."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "qp"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(
+        rows=[
+            {"id": i, "kind": "a", "v": float(i), "payload": "x" * 10}
+            for i in range(20)
+        ]
+    )
+    assert t._query_columns("select sum(v) from ice where id > 3") == [
+        "id", "v"
+    ]
+    assert t._query_columns("select count(*) from ice") == ["id"]
+    assert t._query_columns("select * from ice") is None
+    assert t._query_columns("select `v` from ice") is None
+    assert (
+        t._query_columns("select v from ice natural join other") is None
+    )
+    # full-width reference set -> no projection needed
+    assert t._query_columns("select id, kind, v, payload from ice") is None
+    # end-to-end: results exact through the projected view
+    got = t.sql("select sum(v) as s, count(*) as n from ice where id >= 10")
+    row = got.collect()[0]
+    assert (row["s"], row["n"]) == (sum(float(i) for i in range(10, 20)), 10)
+    # the registered view is the projected one
+    view_cols = spark.table("ice").columns
+    assert set(view_cols) == {"id", "v"}
+
+
+def test_datasource_columns_option_projects(spark, tmp_path):
+    """format('icedb').option('columns', ...) narrows the declared
+    schema (Spark has no Python-datasource column-pruning hook), flows
+    into the executor read, and rejects unknown names."""
+    import pytest as _pytest
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.datasource import IceDataSource
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "dsp")
+    t = IceTable(
+        spark,
+        root,
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(
+        rows=[
+            {"id": i, "kind": "a", "v": float(i), "payload": "x" * 10}
+            for i in range(10)
+        ]
+    )
+    df = (
+        spark.read.format("icedb")
+        .option("path", root)
+        .option("columns", "id, v")
+        .load()
+    )
+    assert set(df.columns) == {"id", "v"}
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+    with _pytest.raises(Exception, match="unknown columns"):
+        (
+            spark.read.format("icedb")
+            .option("path", root)
+            .option("columns", "nope")
+            .load()
+            .collect()
+        )
