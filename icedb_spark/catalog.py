@@ -231,5 +231,16 @@ class IceCatalog:
         with _CATALOG_LOCK, vis_window:
             for name, table in self._tables.items():
                 if re.search(rf"\b{re.escape(name)}\b", query):
-                    table.read(at_ms=at_ms).createOrReplaceTempView(name)
+                    # same conservative projection as IceTable.sql: the
+                    # fallback scan path cannot be column-pruned past
+                    # its mapInArrow boundary, so narrow each view to
+                    # the columns the query text can reference — one
+                    # fold shared by the derivation and the scan
+                    state = table.snapshot(at_ms)
+                    cols = table._query_columns(
+                        query, table.spark_schema(state)
+                    )
+                    table.read(
+                        at_ms=at_ms, columns=cols, state=state
+                    ).createOrReplaceTempView(name)
             return self.spark.sql(query)

@@ -1130,6 +1130,7 @@ class IceTable:
         column_in: Optional[dict[str, list]] = None,
         tag: Optional[str] = None,
         columns: Optional[list[str]] = None,
+        state: Optional[LogState] = None,
     ) -> DataFrame:
         """Snapshot scan: alive files at ``at_ms`` (or at a named ``tag``),
         driver-side partition pruning + zone-map skipping, explicit unified
@@ -1173,11 +1174,18 @@ class IceTable:
         ``column_in`` is the IN-list sibling of ``column_equals``: a file
         survives when ANY listed value may be present (zone map and Bloom
         agree it might) for EVERY listed column. Same hint contract.
+
+        ``state`` (advanced) plans from a pre-folded log state instead
+        of folding again — ``sql()``/``catalog.sql`` use it so the
+        projection derivation and the scan share ONE fold; it must
+        correspond to ``at_ms`` (merge-on-read delete-set scoping still
+        reads ``at_ms``).
         """
         if tag is not None and at_ms is None:
             at_ms = self.tag_ts(tag)
             tag = None
-        state = self.snapshot(at_ms, tag=tag)
+        if state is None:
+            state = self.snapshot(at_ms, tag=tag)
         files = self.files_for(
             partition_filter=partition_filter,
             partition_values=partition_values,
@@ -1418,14 +1426,21 @@ class IceTable:
                     self._transform_partition_cols(),
                 )
             )
-        if auto_prune and "columns" not in read_kwargs:
-            cols = self._query_columns(query)
+        if auto_prune and not any(
+            k in read_kwargs for k in ("columns", "tag", "state")
+        ):
+            # ONE fold shared by the projection derivation and the scan
+            state = self.snapshot(read_kwargs.get("at_ms"))
+            cols = self._query_columns(query, self.spark_schema(state))
             if cols is not None:
                 read_kwargs["columns"] = cols
+            read_kwargs["state"] = state
         self.read(**read_kwargs).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
-    def _query_columns(self, query: str) -> Optional[list[str]]:
+    def _query_columns(
+        self, query: str, schema: Optional[T.StructType] = None
+    ) -> Optional[list[str]]:
         """The table columns a SQL query can reference, or None for full
         width. Same conservative identifier-token contract as
         :meth:`_predicate_schema` (an expression cannot reference a
@@ -1447,7 +1462,8 @@ class IceTable:
         )
         if "*" in starless:
             return None
-        schema = self.spark_schema()
+        if schema is None:
+            schema = self.spark_schema()
         idents = {t.lower() for t in self._IDENT_RE.findall(q)}
         cols = [f.name for f in schema.fields if f.name.lower() in idents]
         if len(cols) == len(schema.fields):
