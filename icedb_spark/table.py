@@ -1196,6 +1196,12 @@ class IceTable:
         )
         schema = self.spark_schema(state)
         if columns is not None:
+            if not columns:
+                raise ValueError(
+                    "columns=[] would scan zero columns (rows would be "
+                    "lost at the Arrow boundary); pass None for full "
+                    "width or name at least one column"
+                )
             known = {f.name for f in schema.fields}
             missing = [c for c in columns if c not in known]
             if missing:

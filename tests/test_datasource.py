@@ -625,3 +625,21 @@ def test_table_read_columns_projection(spark, tmp_path):
     narrow = t.read(columns=["id"])
     assert narrow.columns == ["id"]
     assert sorted(r["id"] for r in narrow.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_table_read_rejects_empty_projection(spark, tmp_path):
+    """columns=[] must raise: a zero-column Arrow scan would lose row
+    counts at pa.Table.from_arrays, silently breaking count queries."""
+    import pytest as _pytest
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "ep"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+    )
+    t.insert(rows=[{"id": 1, "kind": "a"}])
+    with _pytest.raises(ValueError, match="columns"):
+        t.read(columns=[])
