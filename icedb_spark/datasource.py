@@ -370,7 +370,16 @@ def _read_projected(
     reader (VERDICT r5 #2)."""
     import pyarrow.dataset as pads
 
-    dset = pads.dataset(source, filesystem=filesystem, format="parquet")
+    # pre_buffer coalesces a file's needed column-chunk ranges into few
+    # large reads — on object stores that's the difference between one
+    # ranged GET per column chunk and a handful per file (read_table
+    # defaults to this; the dataset API historically does not)
+    fmt = pads.ParquetFileFormat(
+        default_fragment_scan_options=pads.ParquetFragmentScanOptions(
+            pre_buffer=True
+        )
+    )
+    dset = pads.dataset(source, filesystem=filesystem, format=fmt)
     available = set(dset.schema.names)
     cols = (
         [c for c in columns if c in available]
