@@ -1224,6 +1224,20 @@ def t13_url_stats(spark, sf_dir):
     return url_stats(docs)
 
 
+def t15_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-20 against a fixed seed query — the lexical
+    retrieval baseline beside the embedding ANN entries. Scale shape:
+    one tiny corpus-stats agg, explode restricted to the query's terms
+    (non-matching tokens shed inside the scan), (doc, term) agg bounded
+    by docs x |terms|, broadcast idf join. avgdl is one exact long sum
+    divided once, so the oracle derives the identical double."""
+    from icedb_spark.operators import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), "fast table merge scan"
+    )
+
+
 def sm07_quality_filter(spark, sf_dir):
     """Corpus curation cut: keep the top 30% of documents by quality
     score via an EXACT quantile that never sorts the corpus — per-rounded-
@@ -2843,11 +2857,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # d08, ice12, ice16, m03, q02, q04, q17, q28, q29, q30, q31, q33,
     # s02, st03, st04, t02, t06), then the 25 r3-era ones (ice04-ice08,
     # ice10, ice13/14/15/18/20/27/28/29, sm01-04, st01, t05/07/08/09/12,
-    # s04 — ice27 doubling as the fallback-scan witness), then one
-    # witness per path that CHANGED this round: ice37 (commit-validation
-    # TOCTOU reorder), sm09 (salted two-level top-k), d11 (max_cell
-    # guard), ice01/ice21/ice33 (insert/CoW-DML/MOR over the projected
-    # _scan_paths + empty-list guard). Every entry below the boundary
+    # ice27 doubling as the fallback-scan witness; s04 yields its slot
+    # to the round's NEW entry t15 BM25 and rotates next round), then
+    # one witness per path that CHANGED this round: ice37
+    # (commit-validation TOCTOU reorder), sm09 (salted two-level
+    # top-k), d11 (max_cell guard), ice01/ice21/ice33 (insert/CoW-DML/
+    # MOR over the projected _scan_paths + empty-list guard). Every
+    # entry below the boundary
     # holds a fully-green driver row from r4/r5, and ALL keys stay under
     # the repo's own bit-exact gate replica (tests/test_entry_oracle.py
     # + tools/check_oracle.py) regardless.
@@ -2895,7 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "t15_bm25_search": t15_bm25_search,
         "ice37_cross_table_txn": ice37_cross_table_txn,
         "sm09_semantic_coverage": sm09_semantic_coverage,
         "d11_semdedup": d11_semdedup,
@@ -2905,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from r4/r5 —
         # this rotation only demotes proven entries.
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
@@ -3274,6 +3291,7 @@ from per_sess group by user_id
             text_expr=_LINE_DEDUP_DUCK_TEXT
         ),
         "t12_ngram_perplexity": oracles.ngram_perplexity_sql(),
+        "t15_bm25_search": oracles.bm25_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

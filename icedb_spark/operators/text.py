@@ -535,3 +535,92 @@ def url_stats(
         F.size(F.array_distinct(doms)).cast("long").alias("n_unique_domains"),
         F.try_element_at(doms, F.lit(1)).alias("first_domain"),
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against one query string —
+    the classic lexical ranking function, the retrieval baseline beside
+    the embedding ANN ops in :mod:`.similarity`, and the standard
+    curation move for selecting/weighting documents relevant to seed
+    topics (reference analog: none — its engines stop at SQL LIKE).
+
+    Math (Robertson–Spärck Jones "plus one" idf, always positive):
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
+    over the query's distinct whitespace tokens (same tokenizer as
+    :func:`token_stats`). ``avgdl`` is computed as one exact long sum
+    divided once, so both engines (and any oracle) derive the identical
+    double.
+
+    Scale shape: corpus stats (N, Σ|d|) are ONE tiny agg; the explode
+    keeps ONLY query-term occurrences (``F.filter`` before ``explode``
+    — a 100-TB corpus sheds every non-matching token inside the scan),
+    the (doc, term) aggregate is bounded by docs × |query terms|, df(t)
+    is an O(|terms|) agg over that, and the idf map joins back
+    broadcast. Output: ``top_k`` rows ``(id, bm25, n_terms_hit)``,
+    score desc / id asc, score rounded to 6 dp.
+    """
+    q_terms = sorted(
+        {t for t in (query or "").strip().lower().split() if t}
+    )
+    if not q_terms:
+        raise ValueError("bm25_score: query has no tokens")
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("tks")
+    ).withColumn("dl", F.size("tks").cast("long"))
+    n_docs, sum_dl = base.agg(
+        F.count("*"), F.sum("dl")
+    ).first()
+    if not n_docs:
+        raise ValueError("bm25_score: empty corpus")
+    avgdl = float(sum_dl) / float(n_docs)  # one exact-int division
+    qarr = F.array([F.lit(t) for t in q_terms])
+    matched = base.select(
+        "id",
+        "dl",
+        F.explode(
+            F.filter(F.col("tks"), lambda x: F.array_contains(qarr, x))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("id", "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = F.col("idf") * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("_c", contrib)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("_c"), 6).alias("bm25"),
+            F.count_distinct("term").cast("integer").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(top_k)
+        .select(F.col("id").alias(id_col), "bm25", "n_terms_hit")
+    )

@@ -1431,3 +1431,58 @@ select id_a, id_b,
   cast(bit_count(xor(pa, pb)) as integer) as hamming
 from cand where bit_count(xor(pa, pb)) <= {max_hamming}
 """
+
+
+def bm25_sql(
+    query: str = "fast table merge scan",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    table: str = "documents",
+) -> str:
+    """Okapi BM25 top-k, mirroring operators.text.bm25_score: same
+    tokenizer (TOKENS), same RSJ plus-one idf, same association order in
+    every float expression, and avgdl derived as one exact long sum
+    divided once — so both engines compute bit-identical doubles up to
+    the ln() libm ULP, absorbed by the 6 dp round."""
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    qlist = _sql_strlist(terms)
+    return f"""
+with base as (
+  select doc_id as id, {TOKENS} as tks,
+         cast(len({TOKENS}) as bigint) as dl
+  from {table}
+),
+stats as (
+  select count(*) as n, cast(sum(dl) as double) / count(*) as avgdl
+  from base
+),
+matched as (
+  select id, dl,
+         unnest(list_filter(tks, x -> list_contains({qlist}, x))) as term
+  from base
+),
+tf as (
+  select id, dl, term, count(*) as tf from matched group by 1, 2, 3
+),
+idf as (
+  select term,
+    ln(1.0 + ((select n from stats) - count(distinct id) + 0.5)
+             / (count(distinct id) + 0.5)) as idf
+  from tf group by term
+),
+contrib as (
+  select tf.id,
+    tf.term,
+    idf.idf * (tf.tf * ({k1} + 1.0))
+      / (tf.tf + {k1} * ((1.0 - {b})
+         + {b} * tf.dl / (select avgdl from stats))) as c
+  from tf join idf using (term)
+)
+select id as doc_id, round(sum(c), 6) as bm25,
+  cast(count(distinct term) as integer) as n_terms_hit
+from contrib
+group by id
+order by bm25 desc, doc_id asc
+limit {top_k}
+"""

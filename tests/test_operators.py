@@ -1432,3 +1432,67 @@ def test_semdedup_max_cell_caps_with_drop_accounting(spark, sf_dir):
     }
     assert sum(sizes.values()) == corpus.count()
     assert sizes == dict(Counter(r["cell"] for r in uncapped))
+
+
+def test_bm25_matches_bruteforce(spark):
+    """BM25 on a tiny hand-checkable corpus equals a pure-Python
+    recompute (same tokenizer, RSJ plus-one idf, exact-division avgdl),
+    ranks the obviously-relevant doc first, and validates inputs."""
+    import math
+
+    from icedb_spark.operators import bm25_score
+
+    texts = {
+        1: "spark merge table fast fast",
+        2: "slow scan of a big table",
+        3: "fast fast fast merge merge",
+        4: "nothing relevant here at all",
+        5: "table table table table scan",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = bm25_score(df, "fast table merge scan", top_k=10)
+    got = [(r["doc_id"], r["bm25"], r["n_terms_hit"]) for r in out.collect()]
+
+    # brute force
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    q = sorted(set("fast table merge scan".split()))
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    expect = []
+    for i, v in toks.items():
+        s, hits = 0.0, 0
+        for t in q:
+            tf = v.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(v) / avgdl)
+            )
+        if hits:
+            expect.append((i, round(s, 6), hits))
+    expect.sort(key=lambda r: (-r[1], r[0]))
+    assert got == expect
+    assert got[0][0] in (1, 3)  # the stacked-term docs lead
+    with pytest.raises(ValueError, match="query"):
+        bm25_score(df, "   ")
+
+
+def test_bm25_plans_broadcast_idf_no_cartesian(spark, sf_dir):
+    """The idf map must ride a broadcast join and the explode must be
+    restricted to query terms (filter before explode, so non-matching
+    tokens are shed in the scan stage)."""
+    from icedb_spark.operators import bm25_score
+    from icedb_spark.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_score(docs, "fast table merge scan")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # top-k, never a full sort
