@@ -30,7 +30,7 @@ Attribution features (all inside the same single JSON line):
   tier (``testdata.generate_sf``) runs the headline suite plus the
   BASELINE.md post-merge rate shapes — count-by-month and
   quantile+avg-by-month, each at 1x and at 4x amplification (file read
-  four times, floor-amortized marginal rate) — hot-median-of-3,
+  four times, floor-amortized marginal rate) — hot-median-of-5,
   per-core normalized. Emitted as THREE lines (``sf1_meta`` early,
   then ``sf1_queries`` + ``sf1_rates`` right before the headline) so
   the driver's 2000-char tail keeps the whole story; a final guard
@@ -232,7 +232,7 @@ def main():
                 "ice37_cross_table_txn",
                 "sm06_shuffle_shard", "sm07_quality_filter",
                 "s08_trained_clustered", "d11_semdedup",
-                "sm09_semantic_coverage",
+                "sm09_semantic_coverage", "t15_bm25_search",
             )
         },
     })
@@ -300,6 +300,16 @@ def main():
 
         yield slim_rows
         yield lambda: out.pop("ingest_vs_baseline", None)
+
+        def squeeze_sf1():
+            if sf1_lines:
+                q = sf1_lines[0].get("queries")
+                if q:
+                    sf1_lines[0]["queries"] = {
+                        k: round(v, 2) for k, v in q.items()
+                    }
+
+        yield squeeze_sf1
         if prev:
             yield lambda: out.pop(f"delta_total_vs_{prev[0]}", None)
         yield lambda: out.pop("rows", None)
@@ -413,16 +423,18 @@ def _sf1_block(run, cpus: str, spark):
 
         li = load_table(spark, sf1_dir, "lineitem")
 
-        def med3(df) -> float:
-            # hot-run median of 3, matching the baseline protocol
-            # (BASELINE.md header: ClickHouse numbers are hot runs) —
-            # the direct rate comparisons get the repeat budget
+        def med5(df) -> float:
+            # hot-run median of 5, matching the baseline protocol
+            # (BASELINE.md header: ClickHouse numbers are hot runs).
+            # 5, not 3, since r6: these four rates are the direct
+            # baseline comparison and the documented host-noise band
+            # swung a med3 by 2x between same-code runs
             samples = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
-            return round(sorted(samples)[1], 3)
+            return round(sorted(samples)[2], 3)
 
         def quantile_q(df):
             return df.groupBy(
@@ -446,14 +458,14 @@ def _sf1_block(run, cpus: str, spark):
         p4 = os.path.join(sf1_dir, "lineitem.parquet")
         li4 = spark.read.parquet(p4, p4, p4, p4)
         rate_timings = {
-            "quantile_avg_by_month": med3(quantile_q(li)),
-            "quantile_avg_by_month_x4": med3(quantile_q(li4)),
-            "count_by_month": med3(
+            "quantile_avg_by_month": med5(quantile_q(li)),
+            "quantile_avg_by_month_x4": med5(quantile_q(li4)),
+            "count_by_month": med5(
                 li.groupBy(
                     F.date_trunc("month", "l_shipdate").alias("m")
                 ).count()
             ),
-            "count_by_month_x4": med3(
+            "count_by_month_x4": med5(
                 li4.groupBy(
                     F.date_trunc("month", "l_shipdate").alias("m")
                 ).count()
