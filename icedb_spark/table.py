@@ -1860,12 +1860,12 @@ class IceTable:
         outs: list[DataFrame] = []
         if insert_paths:
             outs.append(
-                self.spark.read.schema(schema)
-                .parquet(
-                    *[
+                self._scan_paths(
+                    [
                         self.storage.absolute(p)
                         for p in sorted(set(insert_paths))
-                    ]
+                    ],
+                    schema,
                 )
                 .withColumn("_change_type", F.lit("insert"))
             )
@@ -1886,11 +1886,12 @@ class IceTable:
                 change_ts.add(ts)
         if change_ts:
             outs.append(
-                self.spark.read.schema(feed_schema).parquet(
-                    *[
+                self._scan_paths(
+                    [
                         self.storage.absolute(f"{self._CHANGES_PREFIX}/{t}")
                         for t in sorted(change_ts)
-                    ]
+                    ],
+                    feed_schema,
                 )
             )
         if not outs:
@@ -2867,9 +2868,52 @@ class IceTable:
             out = d if out is None else out.unionByName(d)
         if out is None:
             return
-        out.write.mode("overwrite").parquet(
-            self.storage.absolute(f"{self._CHANGES_PREFIX}/{ts}")
-        )
+        target = self.storage.absolute(f"{self._CHANGES_PREFIX}/{ts}")
+        scheme = target.split("://", 1)[0] if "://" in target else ""
+        if not scheme or self._jvm_reads_scheme(scheme):
+            out.write.mode("overwrite").parquet(target)
+            return
+        # pyarrow fallback WRITE (the mirror of _scan_paths' fallback
+        # read): no hadoop filesystem for the scheme, so each task
+        # writes its batches as one parquet file into the fresh
+        # per-commit directory through pyarrow.fs — same executor-side
+        # client and credential channel as the insert writer. The
+        # directory is named by a unique commit ts, so direct writes
+        # are safe: a crash leaves a change set no committed log names.
+        fs_opts = self.storage_options
+        compression = self.compression
+
+        def _write(batches):
+            import uuid as u
+
+            import pyarrow as pa
+            import pyarrow.fs as pafs
+            import pyarrow.parquet as pq
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            uri = target
+            if uri.startswith("s3a://"):
+                uri = "s3://" + uri[len("s3a://"):]
+            if fs_opts and uri.startswith("s3://"):
+                fs = pafs.S3FileSystem(**fs_opts)
+                base = uri.split("://", 1)[1]
+            else:
+                fs, base = pafs.FileSystem.from_uri(uri)
+            fs.create_dir(base, recursive=True)
+            full = f"{base.rstrip('/')}/part-{u.uuid4().hex}.parquet"
+            with fs.open_output_stream(full) as sink:
+                pq.write_table(
+                    pa.Table.from_batches(bl), sink,
+                    compression=compression,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([full])], names=["path"]
+            )
+
+        manifest = T.StructType([T.StructField("path", T.StringType())])
+        out.mapInArrow(_write, manifest).collect()
 
     def _feed_schema(self, schema: T.StructType) -> T.StructType:
         return T.StructType(
@@ -3191,13 +3235,10 @@ class IceTable:
         def commit(new_markers: list[FileMarker], replaced: list[FileMarker]):
             ts = None
             if capture_changes and replaced:
-                deleted_rows = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[self.storage.absolute(m.path) for m in replaced]
-                    )
-                    .where(dpred)
-                )
+                deleted_rows = self._scan_paths(
+                    [self.storage.absolute(m.path) for m in replaced],
+                    schema,
+                ).where(dpred)
                 ts = unique_ms()
                 self._write_change_set(
                     ts, [(deleted_rows, "delete")], schema
@@ -3332,13 +3373,10 @@ class IceTable:
         def commit(new_markers: list[FileMarker], replaced: list[FileMarker]):
             ts = None
             if capture_changes and replaced:
-                pre = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[self.storage.absolute(m.path) for m in replaced]
-                    )
-                    .where(upred)
-                )
+                pre = self._scan_paths(
+                    [self.storage.absolute(m.path) for m in replaced],
+                    schema,
+                ).where(upred)
                 ts = unique_ms()
                 self._write_change_set(
                     ts,

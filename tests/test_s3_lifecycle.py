@@ -413,3 +413,55 @@ def test_s3_read_projection_shrinks_bytes_fetched(spark, tmp_path):
         # the ~1.2 MB incompressible payload column dominates the file;
         # a projected scan that still fetched it would land near 1.0
         assert narrow_bytes < full_bytes * 0.5, (narrow_bytes, full_bytes)
+
+
+def test_s3_change_capture_and_feed_via_arrow_scans(spark, tmp_path):
+    """capture_changes DML and changes_feed over a real s3:// root on a
+    JVM without hadoop-aws: the pre/post-image capture scans and the
+    feed's insert-commit + change-set reads must route through the
+    pyarrow worker path (pre-r6 they called spark.read.parquet directly
+    and crashed on exactly this deployment)."""
+    import pyspark.sql.functions as F
+
+    from conftest import MINI_S3_PORT
+
+    with MiniS3Server(port=MINI_S3_PORT) as _srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{MINI_S3_PORT}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        pafs.S3FileSystem(**opts).create_dir("cdcbkt", recursive=True)
+        t = IceTable(
+            spark,
+            "s3://cdcbkt/tbl",
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"],
+            storage_options=opts,
+        )
+        t.insert(rows=[
+            {"id": i, "kind": "a" if i % 2 else "b", "v": float(i)}
+            for i in range(6)
+        ])
+        t.delete("id = 5", capture_changes=True)
+        t.update({"v": "v + 100.0"}, "id = 0", capture_changes=True)
+        feed = t.changes_feed(0)
+        by_type = {
+            r["_change_type"]: r["cnt"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert by_type == {
+            "insert": 6,
+            "delete": 1,
+            "update_preimage": 1,
+            "update_postimage": 1,
+        }
+        post = feed.where("_change_type = 'update_postimage'").collect()
+        assert [(r["id"], r["v"]) for r in post] == [(0, 100.0)]
