@@ -144,7 +144,13 @@ def main():
         samples.sort()
         return samples[len(samples) // 2]  # median
 
-    run("q01_pricing_summary")  # warmup (untimed)
+    # warmup (untimed): q01 primes JVM codegen; m01 + ice01 spawn the
+    # executor PYTHON worker pool (mapInPandas / applyInArrow) — without
+    # them the first worker-using timed entry pays the whole pool's
+    # fork+import cost, which is also the piece host noise inflates most
+    run("q01_pricing_summary", r=1)
+    run("m01_media_features", r=1)
+    run("ice01_insert_roundtrip", r=1)
 
     results: dict[str, float] = {}
     for name in HEADLINE:

@@ -1405,6 +1405,14 @@ class IceTable:
         the full predicate to every kept file's rows. Passing any explicit
         hint kwarg disables the auto-derivation.
 
+        ``auto_prune`` also PROJECTS the registered view to the columns
+        the query text can reference (:meth:`_query_columns` — matters on
+        the pyarrow fallback path, where Catalyst cannot column-prune
+        past the scan boundary). The temp view is re-registered on every
+        call, scoped to this query's needs: reuse the view name outside
+        ``sql()`` only for the same query shape, or register your own
+        via ``read().createOrReplaceTempView``.
+
         DML and maintenance statements route to the engine's own
         operators (the Delta-SQL surface): ``DELETE FROM <view> WHERE
         ...`` → :meth:`delete`, ``UPDATE <view> SET c = expr[, ...] WHERE
