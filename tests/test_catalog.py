@@ -228,3 +228,40 @@ def test_discover_then_remove(spark, tmp_path):
     assert cat.names() == ["solo"]
     cat.remove("solo")
     assert cat.names() == []
+
+
+def test_catalog_sql_projects_views_to_query_columns(spark, tmp_path):
+    """catalog.sql narrows each registered table's view to the columns
+    the query text can reference (fallback-path projection), with exact
+    results and full width preserved for starred queries."""
+    from icedb_spark import IceCatalog, IceTable, PartitionField, PartitionSpec
+
+    def mk(name):
+        return IceTable(
+            spark,
+            str(tmp_path / name),
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("b", "bucket")]
+            ),
+            sort_order=["k"],
+        )
+
+    facts, dims = mk("facts"), mk("dims")
+    cat = IceCatalog(spark).add("facts", facts).add("dims", dims)
+    facts.insert([{"bucket": "b", "k": i, "v": float(i)} for i in range(6)])
+    dims.insert([{"bucket": "b", "k": i, "name": f"n{i}"} for i in range(3)])
+    row = cat.sql(
+        "select sum(f.v) as s, count(*) as n "
+        "from facts f join dims d on f.k = d.k"
+    ).collect()[0]
+    assert (row["s"], row["n"]) == (0.0 + 1.0 + 2.0, 3)
+    # the registered views are the projected ones (identifier superset:
+    # 'name' from dims also matches nothing in facts' schema... it
+    # would if facts had a column so named — conservative over-keep)
+    assert set(spark.table("facts").columns) == {"k", "v"}
+    assert set(spark.table("dims").columns) == {"k"}
+    # a starred query re-registers full width
+    assert cat.sql("select * from facts").columns == spark.table(
+        "facts"
+    ).columns
+    assert set(spark.table("facts").columns) == {"bucket", "k", "v"}
