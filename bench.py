@@ -88,6 +88,12 @@ SCALING = [
     "t07_decontaminate",
     "t11_line_dedup",
     "t12_ngram_perplexity",
+    # round-6 additions with explicit sub-quadratic claims: semdedup's
+    # N^2/C in-cell candidates, the salted two-level coverage top-k,
+    # and BM25's query-term-bounded explode
+    "d11_semdedup",
+    "sm09_semantic_coverage",
+    "t15_bm25_search",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -102,6 +108,9 @@ _SCALING_TABLE = {
     "t07_decontaminate": "documents",
     "t11_line_dedup": "documents",
     "t12_ngram_perplexity": "documents",
+    "d11_semdedup": "embeddings",
+    "sm09_semantic_coverage": "embeddings",
+    "t15_bm25_search": "documents",
 }
 
 
