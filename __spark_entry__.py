@@ -729,8 +729,12 @@ def d11_semdedup(spark, sf_dir):
         .otherwise(plain)
         .alias("embedding"),
     )
+    # max_cell: generous cap (no sf's cells approach it, so results are
+    # oracle-identical) — puts the r6 bounded-worst-case path (ok-cell
+    # histogram + semi-join, VERDICT r5 #5) under the driver gate
     return semdedup(
-        corpus, dim=64, n_clusters=16, iters=2, threshold=0.95
+        corpus, dim=64, n_clusters=16, iters=2, threshold=0.95,
+        max_cell=1_000_000,
     )
 
 
@@ -741,8 +745,10 @@ def sm09_semantic_coverage(spark, sf_dir):
     budget per semantic region instead of the corpus's own density (raw
     and hash sampling oversample whatever dominates). SemDeDup's
     sibling: d11 removes redundancy, this caps per-region budget. Scale
-    shape: broadcast-codebook map-side assignment, one window over ~N/C
-    row cell partitions."""
+    shape: broadcast-codebook map-side assignment, then the r6 salted
+    two-level top-k (level-1 windows over (cell, salt) partitions,
+    level-2 over the bounded finalists) — bit-identical selection, no
+    single task ever sorts a dominant cell."""
     from icedb_spark.operators import semantic_coverage_sample
     from icedb_spark.testdata import load_clustered_embeddings
 
@@ -2431,6 +2437,63 @@ def st01_streaming_ingest(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st09_stream_dedup(spark, sf_dir):
+    """At-least-once source, exactly-once table: the feed delivers every
+    third event TWICE in a LATER file; maxFilesPerTrigger=1 forces the
+    replay into its own micro-batch, and ``stream_insert(dedup_keys=...)``
+    drops it via Spark's CROSS-BATCH dropDuplicatesWithinWatermark state
+    (not in-batch dedup) — the final snapshot equals the distinct
+    source, so st01's oracle applies unchanged. Scale shape: the dedup
+    state is keyed on event_id and expired by the watermark, so state
+    size is bounded by the replay horizon, never the stream's
+    lifetime."""
+    from icedb_spark.streaming import stream_insert
+
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("d", "date_format(ev_ts, 'yyyy-MM-dd')")]
+        ),
+        sort_order=["event_id"],
+    )
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.timestamp_micros(
+                (F.col("ts") / 1000).cast("long")
+            ).alias("ev_ts"),
+            "event_type",
+            "value",
+        )
+        ev.coalesce(1).write.parquet(src, mode="append")
+        ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_insert(
+            t,
+            stream,
+            ck,
+            trigger={"availableNow": True},
+            dedup_keys=["event_id"],
+            # the delay spans the data's whole event-time range: nothing
+            # genuinely new is ever dropped as late in this bounded feed
+            watermark=("ev_ts", "240000 hours"),
+        )
+        q.awaitTermination()
+        return _agg_by_type(t.read()).cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def _drain_to_memory(spark, src_df, build):
     """Stream src_df through build() with an availableNow trigger into a
     memory sink (append mode); returns the collected result."""
@@ -2857,8 +2920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # d08, ice12, ice16, m03, q02, q04, q17, q28, q29, q30, q31, q33,
     # s02, st03, st04, t02, t06), then the 25 r3-era ones (ice04-ice08,
     # ice10, ice13/14/15/18/20/27/28/29, sm01-04, st01, t05/07/08/09/12,
-    # ice27 doubling as the fallback-scan witness; s04 yields its slot
-    # to the round's NEW entry t15 BM25 and rotates next round), then
+    # ice27 doubling as the fallback-scan witness; s04 and t05 yield
+    # their slots to the round's NEW entries t15 BM25 and st09 streaming
+    # dedup, rotating next round), then
     # one witness per path that CHANGED this round: ice37
     # (commit-validation TOCTOU reorder), sm09 (salted two-level
     # top-k), d11 (max_cell guard), ice01/ice21/ice33 (insert/CoW-DML/
@@ -2906,7 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm03_split_assign": sm03_split_assign,
         "sm04_top_k_sample": sm04_top_k_sample,
         "st01_streaming_ingest": st01_streaming_ingest,
-        "t05_repetition": t05_repetition,
+        "st09_stream_dedup": st09_stream_dedup,
         "t07_decontaminate": t07_decontaminate,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
@@ -2922,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below holds a fully-green driver row from r4/r5 —
         # this rotation only demotes proven entries.
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "t05_repetition": t05_repetition,
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
@@ -3438,6 +3503,9 @@ from (
         ),
         "ice15_parallel_compaction": ev_agg.format(where=""),
         "st01_streaming_ingest": ev_agg.format(where=""),
+        # replayed rows are exact copies of existing event_ids: the
+        # deduped stream equals the distinct source
+        "st09_stream_dedup": ev_agg.format(where=""),
         # append-mode emission rule: a window/session is emitted iff the
         # final watermark (max event time - delay, floored to ms) passed its
         # end; the ms flooring below mirrors Spark's watermark tracker.
