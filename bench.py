@@ -325,9 +325,12 @@ def main():
                     }
 
         yield squeeze_sf1
+        # rows before delta: row counts are static across r2-r6 and
+        # recorded in every prior BENCH artifact (+ sf1_meta), while
+        # delta_total is this run's one self-reported comparison
+        yield lambda: out.pop("rows", None)
         if prev:
             yield lambda: out.pop(f"delta_total_vs_{prev[0]}", None)
-        yield lambda: out.pop("rows", None)
 
     for step in shed_steps():
         if tail_len() <= 1990:
