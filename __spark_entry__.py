@@ -2905,6 +2905,62 @@ def _cleanup_later(d: str) -> None:
     atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
 
 
+
+def _planted_span_corpus(spark, sf_dir):
+    """documents with deterministic exact-substring plants (mirrored
+    verbatim in oracles.substring_corpus_sql): docs ≡ 3 (mod 13) share
+    a 13-token phrase (cross-document repeats), docs ≡ 5 (mod 29)
+    carry a 10-token phrase twice (within-document repeat)."""
+    from icedb_spark.oracles import (
+        SPAN_BRIDGE,
+        SPAN_PHRASE_A,
+        SPAN_PHRASE_B,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 3, F.lit(" " + SPAN_PHRASE_A)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 29 == 5,
+                F.lit(
+                    " " + SPAN_PHRASE_B + " " + SPAN_BRIDGE
+                    + " " + SPAN_PHRASE_B
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def d12_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022, fixed-k variant —
+    VERDICT r6 #3): maximal duplicated token spans of >= 8 tokens with
+    keep-first removal semantics, aggregated to per-doc drop accounting.
+    Cross-document spans are invisible to doc-level MinHash (d02) and
+    line dedup (t11) — this is the missing dedup family. Scale shape:
+    one shingle-digest explode bounded by corpus token count, one
+    digest-keyed shuffle, per-doc island merges with window state
+    bounded by doc length; no suffix array needed at fixed k."""
+    from icedb_spark.operators import duplicated_spans
+
+    corpus = _planted_span_corpus(spark, sf_dir)
+    spans = duplicated_spans(corpus, k=8, exclude_first=True)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("integer").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.min("span_start").cast("integer").alias("first_start"),
+            F.max("span_end").cast("integer").alias("last_end"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -2979,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice37_cross_table_txn": ice37_cross_table_txn,
         "sm09_semantic_coverage": sm09_semantic_coverage,
         "d11_semdedup": d11_semdedup,
+        "d12_substring_dedup": d12_substring_dedup,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice21_delete": ice21_delete,
         "ice33_mor_delete": ice33_mor_delete,
@@ -3357,6 +3414,7 @@ from per_sess group by user_id
         ),
         "t12_ngram_perplexity": oracles.ngram_perplexity_sql(),
         "t15_bm25_search": oracles.bm25_sql(),
+        "d12_substring_dedup": oracles.substring_dedup_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

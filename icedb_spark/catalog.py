@@ -191,6 +191,13 @@ class IceCatalog:
         HOURS]``) — but only when ``at_ms`` is unset: mutating the
         present from a time-traveled session is a contradiction and
         raises.
+
+        Caveat (same as ``IceTable.sql``): each call RE-REGISTERS the
+        referenced tables' session-global temp views, narrowed to the
+        columns this query's text references. A caller that keeps using
+        those view names after ``sql()`` returns sees that reduced
+        schema — register your own full-width view
+        (``table.read().createOrReplaceTempView(...)``) for reuse.
         """
         if re.match(r"\s*(delete|update|optimize|vacuum)\b", query, re.I):
             # Route first, then enforce the at_ms contradiction only when a

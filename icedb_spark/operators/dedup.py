@@ -738,3 +738,227 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------- exact-substring dedup
+
+SPAN_SEED = 4_242
+
+
+def _span_positions(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    min_count: int,
+    min_docs: int,
+    exclude_first: bool,
+) -> DataFrame:
+    """(id, pos) of every k-token shingle whose digest repeats in the
+    corpus — the shared core of :func:`duplicated_spans` /
+    :func:`drop_duplicated_spans`. One explode bounded by the corpus
+    token count, one digest-keyed shuffle, one join back."""
+    toks = tokens(F.col(text_col))
+    digs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
+    )
+    pos = (
+        df.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(digs))
+        .select("id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig"))
+    )
+    if exclude_first:
+        # keep-first semantics (Lee et al. 2022 drop all-but-one copy):
+        # each digest's canonical occurrence — smallest (id, pos) — is
+        # NOT marked for removal. One window per digest, state bounded
+        # by the digest's occurrence count.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("dig").orderBy("id", "pos")
+        return (
+            pos.withColumn("rk", F.row_number().over(w))
+            .withColumn("c", F.count("*").over(Window.partitionBy("dig")))
+            .withColumn(
+                "nd",
+                F.size(F.collect_set("id").over(Window.partitionBy("dig"))),
+            )
+            .where(
+                (F.col("c") >= min_count)
+                & (F.col("nd") >= min_docs)
+                & (F.col("rk") > 1)
+            )
+            .select("id", "pos")
+        )
+    dup = (
+        pos.groupBy("dig")
+        .agg(
+            F.count("*").alias("c"),
+            F.count_distinct("id").alias("nd"),
+        )
+        .where((F.col("c") >= min_count) & (F.col("nd") >= min_docs))
+        .select("dig")
+    )
+    return pos.join(dup, "dig").select("id", "pos")
+
+
+def _merge_islands(matched: DataFrame, k: int) -> DataFrame:
+    """Maximal spans from matched shingle positions: positions whose gap
+    exceeds ``k`` start a new island (a gap ≤ k means the two k-token
+    windows overlap or touch). Per-doc windows — state bounded by the
+    doc's token count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        matched.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_shingles",
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_first: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    fixed-``k`` variant): maximal token spans covered by ``k``-token
+    shingles that occur at least ``min_count`` times across the corpus
+    (``min_docs`` ≥ 2 restricts to cross-document repeats). Invisible to
+    doc-level MinHash (d02) and whole-line dedup (t11): a 50-token span
+    shared between two otherwise-different documents is exactly what
+    this catches. Reference analog: none.
+
+    Scale shape (no suffix array needed for fixed k): one shingle-digest
+    explode bounded by the corpus token count, one digest-keyed
+    shuffle to find repeats, one join back, and per-doc island merges
+    whose window state is bounded by each doc's token count. Shingle
+    digests are :func:`hash60` (md5-derived) so any engine reproduces
+    the pipeline bit-exactly.
+
+    ``exclude_first=True`` switches to keep-first removal semantics:
+    each digest's canonical occurrence (smallest ``(id, pos)``) never
+    enters a span — the returned spans are precisely what
+    :func:`drop_duplicated_spans` removes.
+
+    Returns one row per maximal span: ``(doc_id, span_start, span_end,
+    span_tokens, n_shingles)``; positions are 1-based token indexes
+    over :func:`icedb_spark.operators.text.tokens`, ends inclusive.
+    """
+    matched = _span_positions(
+        df, k, text_col, id_col, min_count, min_docs, exclude_first
+    )
+    return _merge_islands(matched, k).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_shingles",
+    )
+
+
+def drop_duplicated_spans(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply exact-substring dedup with keep-first semantics: every doc
+    comes back with duplicated spans (beyond each shingle's canonical
+    first occurrence) removed from its normalized token stream, plus
+    per-doc accounting — ``dropped_spans``, ``dropped_tokens``,
+    ``kept_tokens`` — so the curation pipeline can audit exactly how
+    much text the operator shed (the drop-accounting contract the
+    engine's other capped operators follow).
+
+    ``clean_text`` is rebuilt from the LOWERCASED whitespace tokens
+    (the same normalization every text operator here uses); callers
+    needing original casing should treat the span rows from
+    :func:`duplicated_spans` as offsets into their own tokenization.
+    """
+    spans = (
+        _merge_islands(
+            _span_positions(
+                df, k, text_col, id_col, min_count, min_docs, True
+            ),
+            k,
+        )
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans"),
+            F.count("*").alias("dropped_spans"),
+            F.sum("span_tokens").alias("dropped_tokens"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    tok_structs = F.transform(
+        F.col("tks"),
+        lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p")),
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"), toks.alias("tks"))
+        .join(spans, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dropped_spans", F.lit(0)).alias("dropped_spans"),
+            F.coalesce("dropped_tokens", F.lit(0)).alias("dropped_tokens"),
+            F.when(F.col("spans").isNull(), tok_structs)
+            .otherwise(
+                # keep tokens outside every span: per-token exists()
+                # over the doc's span list (bounded by spans per doc)
+                F.filter(
+                    tok_structs,
+                    lambda s: ~F.exists(
+                        F.col("spans"),
+                        lambda sp: (s["p"] >= sp["span_start"])
+                        & (s["p"] <= sp["span_end"]),
+                    ),
+                ),
+            )
+            .alias("kept"),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "dropped_spans",
+        "dropped_tokens",
+        F.size("kept").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.col("kept"),
+                lambda e: e["t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -612,13 +612,29 @@ def bm25_score(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
+    # Per-doc contributions are summed in ASCENDING TERM ORDER via a
+    # sorted-array fold, not F.sum: float addition is order-sensitive,
+    # and Spark's partition-order accumulation could land a boundary
+    # score on the other side of the 6-dp round than the oracle's sum —
+    # both engines now add in the same deterministic order, bit-identical
+    # up to the ln() libm ULP (ADVICE r6). Terms are distinct per doc
+    # (grouped above), so the sorted order is total; the array is
+    # bounded by |query terms|.
+    per_doc = F.array_sort(F.collect_list(F.struct("term", "_c")))
     return (
         tf.join(F.broadcast(idf), "term")
         .withColumn("_c", contrib)
         .groupBy("id")
-        .agg(
-            F.round(F.sum("_c"), 6).alias("bm25"),
-            F.count_distinct("term").cast("integer").alias("n_terms_hit"),
+        .agg(per_doc.alias("_cs"))
+        .select(
+            "id",
+            F.round(
+                F.aggregate(
+                    "_cs", F.lit(0.0), lambda acc, x: acc + x["_c"]
+                ),
+                6,
+            ).alias("bm25"),
+            F.size("_cs").cast("integer").alias("n_terms_hit"),
         )
         .orderBy(F.desc("bm25"), F.asc("id"))
         .limit(top_k)

@@ -1442,9 +1442,11 @@ def bm25_sql(
 ) -> str:
     """Okapi BM25 top-k, mirroring operators.text.bm25_score: same
     tokenizer (TOKENS), same RSJ plus-one idf, same association order in
-    every float expression, and avgdl derived as one exact long sum
-    divided once — so both engines compute bit-identical doubles up to
-    the ln() libm ULP, absorbed by the 6 dp round."""
+    every float expression, avgdl derived as one exact long sum divided
+    once, and the per-doc sum taken in ASCENDING TERM ORDER on both
+    sides (``sum(c order by term)`` here, a sorted-array fold in Spark)
+    — so both engines compute bit-identical doubles up to the ln() libm
+    ULP, absorbed by the 6 dp round."""
     terms = sorted({t for t in query.strip().lower().split() if t})
     qlist = _sql_strlist(terms)
     return f"""
@@ -1479,10 +1481,96 @@ contrib as (
          + {b} * tf.dl / (select avgdl from stats))) as c
   from tf join idf using (term)
 )
-select id as doc_id, round(sum(c), 6) as bm25,
+select id as doc_id, round(sum(c order by term), 6) as bm25,
   cast(count(distinct term) as integer) as n_terms_hit
 from contrib
 group by id
 order by bm25 desc, doc_id asc
 limit {top_k}
+"""
+
+
+# planted exact-substring spans for the d12 gate entry: the synthetic
+# documents are word-soup with no natural >=8-token repeats, so the entry
+# splices these phrases in deterministically (mirrored verbatim between
+# the Spark entry and this oracle, same pattern as the PII injection)
+SPAN_PHRASE_A = (
+    "shared duplicated span alpha bravo charlie delta echo foxtrot "
+    "golf hotel india"
+)
+SPAN_PHRASE_B = "repeated block kilo lima mike november oscar papa quebec romeo"
+SPAN_BRIDGE = "bridge filler words between copies"
+
+
+def substring_corpus_sql(table: str = "documents") -> str:
+    """The planted-span corpus as a CTE body: docs ≡ 3 (mod 13) share
+    phrase A (cross-document repeats), docs ≡ 5 (mod 29) carry phrase B
+    twice (within-document repeat)."""
+    return f"""
+select doc_id,
+  text
+  || case when doc_id % 13 = 3 then ' ' || '{SPAN_PHRASE_A}' else '' end
+  || case when doc_id % 29 = 5
+       then ' ' || '{SPAN_PHRASE_B}' || ' ' || '{SPAN_BRIDGE}'
+            || ' ' || '{SPAN_PHRASE_B}'
+       else '' end as text
+from {table}
+"""
+
+
+def substring_dedup_sql(k: int = 8, table: str = "documents") -> str:
+    """Exact-substring dedup accounting, mirroring
+    operators.dedup.duplicated_spans(exclude_first=True) over the
+    planted corpus: same tokenizer, same hash60 shingle digests, same
+    keep-first exclusion (row_number over (id, pos) per digest), same
+    gap>k island merge — all integer/window logic, so both engines are
+    bit-exact."""
+    from .operators.dedup import SPAN_SEED
+
+    dig = hash60_sql(f"array_to_string(tks[pos:pos+{k - 1}], ' ')", SPAN_SEED)
+    return f"""
+with corpus as ({substring_corpus_sql(table)}),
+base as (
+  select doc_id as id, {TOKENS} as tks from corpus
+),
+pos as (
+  select id, pos, {dig} as dig
+  from (
+    select id, tks, unnest(generate_series(1, len(tks) - {k - 1})) as pos
+    from base where len(tks) >= {k}
+  )
+),
+ranked as (
+  select id, pos,
+    row_number() over (partition by dig order by id, pos) as rk,
+    count(*) over (partition by dig) as c
+  from pos
+),
+matched as (select id, pos from ranked where c >= 2 and rk > 1),
+islands as (
+  select id, pos,
+    case when lag(pos) over w is null or pos - lag(pos) over w > {k}
+         then 1 else 0 end as ni
+  from matched
+  window w as (partition by id order by pos)
+),
+numbered as (
+  select id, pos,
+    sum(ni) over (partition by id order by pos
+                  rows between unbounded preceding and current row)
+      as island
+  from islands
+),
+spans as (
+  select id, min(pos) as s, max(pos) + {k - 1} as e
+  from numbered group by id, island
+)
+select id as doc_id,
+  cast(count(*) as integer) as n_spans,
+  cast(sum(e - s + 1) as bigint) as dup_tokens,
+  cast(min(s) as integer) as first_start,
+  cast(max(e) as integer) as last_end
+from spans
+group by id
+order by doc_id
 """

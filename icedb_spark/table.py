@@ -1223,15 +1223,23 @@ class IceTable:
             df = self._mor_read(files, schema, sets)
             return df.select(*projected.names) if columns is not None else df
         paths = [self.storage.absolute(m.path) for m in files]
-        return self._scan_paths(paths, projected)
+        return self._scan_paths(
+            paths, projected, sizes=[m.file_bytes for m in files]
+        )
 
     def _scan_paths(
-        self, abs_paths: list[str], schema, file_col: Optional[str] = None
+        self,
+        abs_paths: list[str],
+        schema,
+        file_col: Optional[str] = None,
+        sizes: Optional[list[int]] = None,
     ) -> DataFrame:
         """One explicit-file-list scan: Spark's native parquet reader when
         the JVM has a filesystem for the scheme, else pyarrow on the
-        Python workers (``mapInArrow`` over the file list, one file per
-        task) — the same executor read path the DataSource uses. This is
+        Python workers (``mapInArrow`` over the file list; files larger
+        than ``spark.sql.files.maxPartitionBytes`` fan out as row-group
+        shards when ``sizes`` is supplied, else one file per task) — the
+        same executor read path the DataSource uses. This is
         what makes ``IceTable.read()`` (and every rewrite/DML scan) work
         against ``s3://`` roots on a pyspark build without hadoop-aws
         jars: planning stays log-metadata-only on the driver, and the
@@ -1256,12 +1264,24 @@ class IceTable:
             if file_col:
                 df = df.withColumn(file_col, _src_file_col())
             return df
-        from .datasource import _read_conformed
+        from .datasource import _file_shards, _read_conformed
 
         sc = self.spark.sparkContext
-        n = min(len(abs_paths), sc.defaultParallelism * 4)
+        split_bytes = _parse_bytes_conf(
+            self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        )
+        by_size = sizes if sizes is not None else [None] * len(abs_paths)
+        tasks = [
+            (p, -1 if shard is None else shard[0],
+             -1 if shard is None else shard[1])
+            for p, fb in zip(abs_paths, by_size)
+            for shard in _file_shards(fb, split_bytes)
+        ]
+        n = min(len(tasks), sc.defaultParallelism * 4)
         paths_df = self.spark.createDataFrame(
-            [(p,) for p in abs_paths], "path string"
+            tasks, "path string, shard_i int, shard_n int"
         ).repartition(n)
         out_schema = schema
         if file_col:
@@ -1273,9 +1293,14 @@ class IceTable:
             import pyarrow as _pa
 
             for b in batches:
-                for p in b.column("path").to_pylist():
+                for p, si, sn in zip(
+                    b.column("path").to_pylist(),
+                    b.column("shard_i").to_pylist(),
+                    b.column("shard_n").to_pylist(),
+                ):
                     norm = _strip_scheme(p)
-                    for rb in _read_conformed(p, schema):
+                    shard = None if sn < 0 else (si, sn)
+                    for rb in _read_conformed(p, schema, shard=shard):
                         if file_col:
                             rb = _pa.RecordBatch.from_arrays(
                                 rb.columns
@@ -3742,6 +3767,25 @@ class IceTable:
         )
         summary["files_written"] = len(new_markers)
         return summary
+
+
+def _parse_bytes_conf(v, default: int = 134217728) -> int:
+    """Spark byte-size conf strings come back as '134217728b', '128MB',
+    '1g', or a bare number depending on how they were set; fold them all
+    to bytes (fallback to ``default`` on anything unparseable)."""
+    try:
+        s = str(v).strip().lower()
+        for suffix, mult in (
+            ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+            ("mb", 1 << 20), ("kb", 1 << 10),
+            ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+            ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+        ):
+            if s.endswith(suffix):
+                return int(float(s[: -len(suffix)]) * mult)
+        return int(s)
+    except (TypeError, ValueError):
+        return default
 
 
 def _strip_scheme(p: str) -> str:

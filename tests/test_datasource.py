@@ -531,9 +531,9 @@ def test_read_conformed_projects_and_pushes_filters(tmp_path, monkeypatch):
     calls = []
     real = dsmod._read_projected
 
-    def spy(source, fs, columns, filters):
+    def spy(source, fs, columns, filters, shard=None):
         calls.append((columns, filters))
-        return real(source, fs, columns, filters)
+        return real(source, fs, columns, filters, shard)
 
     monkeypatch.setattr(dsmod, "_read_projected", spy)
     schema = StructType([StructField("a", LongType())])
@@ -643,3 +643,185 @@ def test_table_read_rejects_empty_projection(spark, tmp_path):
     t.insert(rows=[{"id": 1, "kind": "a"}])
     with _pytest.raises(ValueError, match="columns"):
         t.read(columns=[])
+
+
+# ------------------------------------------------- row-group shard scans
+
+
+def test_file_shards_planning():
+    """Shard plan from byte size alone: small/unknown files stay one
+    task; a file N× the split size fans out into ceil(N) shards, capped."""
+    from icedb_spark.datasource import _MAX_SHARDS_PER_FILE, _file_shards
+
+    assert _file_shards(None, 1024) == [None]
+    assert _file_shards(0, 1024) == [None]
+    assert _file_shards(1024, 1024) == [None]
+    assert _file_shards(1025, 1024) == [(0, 2), (1, 2)]
+    assert _file_shards(10 * 1024, 1024) == [(i, 10) for i in range(10)]
+    assert len(_file_shards(10**12, 1024)) == _MAX_SHARDS_PER_FILE
+
+
+def test_read_conformed_shards_partition_one_file(tmp_path):
+    """Shards of one multi-row-group file are disjoint, cover the file
+    exactly, and a shard index past the row-group count reads nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icedb_spark.datasource import _read_conformed
+
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"a": list(range(100))}), p, row_group_size=10
+    )
+    schema = StructType([StructField("a", LongType())])
+
+    def rows(shard):
+        return [
+            v
+            for b in _read_conformed(p, schema, shard=shard)
+            for v in b.column("a").to_pylist()
+        ]
+
+    got = []
+    for i in range(4):
+        part = rows((i, 4))
+        assert part == sorted(part)
+        got.extend(part)
+    assert got == list(range(100))  # disjoint cover, order preserved
+    # 10 row groups over 16 shards: the empty slices yield zero rows
+    got16 = [v for i in range(16) for v in rows((i, 16))]
+    assert got16 == list(range(100))
+    # shard-level reads still honor pushed filters on non-float columns
+    spec = {"ranges": {"a": (35, 44)}, "equals": {}, "in": {}}
+    filtered = [
+        v
+        for i in range(4)
+        for b in _read_conformed(p, schema, filters=spec, shard=(i, 4))
+        for v in b.column("a").to_pylist()
+    ]
+    assert filtered == list(range(35, 45))
+
+
+def test_scan_paths_shards_large_file(spark, tmp_path, monkeypatch):
+    """IceTable's pyarrow fallback scan fans one large file out across
+    >1 task when the marker's byte size exceeds maxPartitionBytes
+    (VERDICT r6 #5) — and still returns every row exactly once."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "sh"),
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+        row_group_size=50,
+    )
+    t.insert(rows=[{"id": i, "kind": "a"} for i in range(1000)])
+    # force the arrow fallback by presenting the file under a scheme the
+    # "JVM" refuses, and shrink the split size so the single ~kB file
+    # plans as multiple row-group shards
+    m = t.snapshot().alive_files()[0]
+    monkeypatch.setattr(
+        IceTable, "_jvm_reads_scheme", lambda self, scheme: False
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        from icedb_spark.datasource import _file_shards
+
+        shards = _file_shards(m.file_bytes, 1024)
+        assert len(shards) > 1  # the planning itself fans out
+        df = t._scan_paths(
+            ["file://" + t.storage.absolute(m.path)],
+            t.spark_schema(),
+            sizes=[m.file_bytes],
+        )
+        assert sorted(r["id"] for r in df.collect()) == list(range(1000))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+
+
+def test_float_filter_conjuncts_not_pushed(tmp_path):
+    """ADVICE r6: pyarrow IEEE NaN semantics differ from Spark's (NaN is
+    greater than every value, NaN=NaN), so pushed conjuncts on FLOAT
+    columns must be skipped at the pyarrow scan — NaN rows survive to
+    Spark's re-applied predicate. Non-float conjuncts still prune."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from icedb_spark.datasource import _read_conformed
+
+    p = str(tmp_path / "nan.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": [1, 2, 3, 4],
+                "x": [1.0, 2.0, float("nan"), 4.0],
+            }
+        ),
+        p,
+        row_group_size=1,
+    )
+    schema = StructType(
+        [StructField("a", LongType()), StructField("x", DoubleType())]
+    )
+    # a range conjunct on the float column is NOT applied: all rows come
+    # back, NaN included (Spark's x >= 2.0 would KEEP the NaN row)
+    spec = {"ranges": {"x": (2.0, None)}, "equals": {}, "in": {}}
+    vals = [
+        (va, vx)
+        for b in _read_conformed(p, schema, filters=spec)
+        for va, vx in zip(
+            b.column("a").to_pylist(), b.column("x").to_pylist()
+        )
+    ]
+    assert [v[0] for v in vals] == [1, 2, 3, 4]
+    assert any(vx is not None and math.isnan(vx) for _, vx in vals)
+    # ...while the same-shaped conjunct on the int column still prunes
+    spec2 = {"ranges": {"a": (2, None)}, "equals": {}, "in": {}}
+    vals2 = [
+        v
+        for b in _read_conformed(p, schema, filters=spec2)
+        for v in b.column("a").to_pylist()
+    ]
+    assert vals2 == [2, 3, 4]
+
+
+def test_datasource_scan_shards_by_split_bytes(spark, tmp_path):
+    """format('icedb') with a small split_bytes option plans more input
+    partitions than alive files, and the scan stays value-correct."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.datasource import _IceReader
+
+    try:
+        spark.dataSource.register(IceDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = str(tmp_path / "dsh")
+    t = IceTable(
+        spark,
+        root,
+        partition_spec=PartitionSpec(fields=[PartitionField("k", "kind")]),
+        sort_order=["id"],
+        row_group_size=50,
+    )
+    t.insert(rows=[{"id": i, "kind": "a"} for i in range(1000)])
+    reader = _IceReader(
+        t.spark_schema(), {"path": root, "split_bytes": "1024"}
+    )
+    parts = reader.partitions()
+    assert len(parts) > len(t.snapshot().alive_files())
+    df = (
+        spark.read.format("icedb")
+        .option("path", root)
+        .option("split_bytes", "1024")
+        .load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == list(range(1000))

@@ -1496,3 +1496,87 @@ def test_bm25_plans_broadcast_idf_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrdered" in plan  # top-k, never a full sort
+
+
+# ----------------------------------------------- exact-substring dedup
+
+
+def test_duplicated_spans_hand_values(spark):
+    """Cross-doc, within-doc, whole-doc, and no-repeat cases with
+    hand-computed maximal spans (k=8)."""
+    from icedb_spark.operators import duplicated_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one two"),
+        (2, "prefix words here alpha beta gamma delta epsilon zeta eta "
+            "theta and more"),
+        (3, "totally different text with no repeats at all whatsoever ok"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "self repeat block one two three four five six seven eight "
+            "middle self repeat block one two three four five six seven "
+            "eight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_shingles"])
+        for r in duplicated_spans(df, k=8).collect()
+    }
+    assert got == {
+        (1, 1, 8, 8, 1),    # shared 8-gram at doc start
+        (2, 4, 11, 8, 1),   # same 8-gram mid-doc
+        (4, 1, 8, 8, 1),    # the whole doc IS the span
+        (5, 1, 11, 11, 4),  # within-doc repeat: both copies, islands
+        (5, 13, 23, 11, 4),  # merged from 4 overlapping shingles each
+    }
+    # keep-first: each digest's smallest (id, pos) occurrence is exempt
+    kept_first = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, k=8, exclude_first=True).collect()
+    }
+    assert kept_first == {(2, 4, 11), (4, 1, 8), (5, 13, 23)}
+    # min_docs=2 restricts to cross-document repeats: doc 5's
+    # within-doc-only block disappears entirely
+    cross = {
+        (r["doc_id"], r["span_start"])
+        for r in duplicated_spans(df, k=8, min_docs=2).collect()
+    }
+    assert cross == {(1, 1), (2, 4), (4, 1)}
+
+
+def test_drop_duplicated_spans_accounting(spark):
+    """clean_text + per-doc accounting match keep-first span removal;
+    docs without spans pass through with zero accounting."""
+    from icedb_spark.operators import drop_duplicated_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta tail one"),
+        (2, "head words alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "no duplicate content in this document at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in drop_duplicated_spans(df, k=8).collect()}
+    assert got[1]["dropped_spans"] == 0
+    assert got[1]["clean_text"] == docs[0][1]
+    assert got[2]["dropped_spans"] == 1
+    assert got[2]["dropped_tokens"] == 8
+    assert got[2]["kept_tokens"] == 2
+    assert got[2]["clean_text"] == "head words"
+    assert got[3]["dropped_spans"] == 0
+    assert got[3]["kept_tokens"] == 9
+    # token conservation: kept + dropped == doc length
+    for _id, text in docs:
+        r = got[_id]
+        assert r["kept_tokens"] + r["dropped_tokens"] == len(text.split())
+
+
+def test_duplicated_spans_short_docs_excluded(spark):
+    """Docs shorter than k tokens contribute no shingles (and cannot
+    crash the sequence expression with a negative length)."""
+    from icedb_spark.operators import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also too short"), (3, "")],
+        "doc_id int, text string",
+    )
+    assert duplicated_spans(df, k=8).count() == 0
