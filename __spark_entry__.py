@@ -2961,6 +2961,63 @@ def d12_substring_dedup(spark, sf_dir):
     )
 
 
+
+def d13_dedup_against_index(spark, sf_dir):
+    """Incremental ingestion dedup against a PERSISTED signature index
+    (VERDICT r6 #4): the even-id half of the corpus is signed once with
+    minhash_index_rows and committed into an icedb table (partitioned
+    by band — a real engine roundtrip, not an in-memory frame); the
+    odd-id batch (with planted exact dups of indexed docs and of
+    smaller-id batch docs) is then deduped via ONE (band, bh) equi-join
+    against the index + its own band rows. The oracle recomputes the
+    whole pipeline corpus-wide on the union — its equality with this
+    result is the batch-vs-index ≡ full-recompute claim. Scale shape:
+    signatures are 16 longs/doc, the join ships band rows, never text;
+    no corpus re-signature per batch."""
+    from icedb_spark.operators import (
+        dedup_against_index,
+        minhash_index_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src1 = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_t1")
+    )
+    src2 = d.select(
+        (F.col("doc_id") + 2).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    batch = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(src1, "doc_id", "left")
+        .join(src2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 11 == 3) & F.col("_t1").isNotNull(),
+                F.col("_t1"),
+            )
+            .when(
+                (F.col("doc_id") % 23 == 7) & F.col("_t2").isNotNull(),
+                F.col("_t2"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    old = d.where(F.col("doc_id") % 2 == 0)
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
+        sort_order=["bh"],
+    )
+    try:
+        t.insert(df=minhash_index_rows(old))
+        out = dedup_against_index(batch, t.read()).orderBy("doc_id")
+        return out.cache()
+    finally:
+        _cleanup_later(tdir)
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3036,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm09_semantic_coverage": sm09_semantic_coverage,
         "d11_semdedup": d11_semdedup,
         "d12_substring_dedup": d12_substring_dedup,
+        "d13_dedup_against_index": d13_dedup_against_index,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice21_delete": ice21_delete,
         "ice33_mor_delete": ice33_mor_delete,
@@ -3415,6 +3473,7 @@ from per_sess group by user_id
         "t12_ngram_perplexity": oracles.ngram_perplexity_sql(),
         "t15_bm25_search": oracles.bm25_sql(),
         "d12_substring_dedup": oracles.substring_dedup_sql(),
+        "d13_dedup_against_index": oracles.dedup_against_index_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

@@ -962,3 +962,131 @@ def drop_duplicated_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------- dedup against an index
+
+def minhash_index_rows(
+    df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A corpus's MinHash signatures in the INDEX-TABLE layout: one row
+    per (doc, band) — ``(doc_id, band, bh, sig)`` with the full
+    ``num_perm``-long signature carried on every band row, so an
+    incoming batch's band join needs no second hop to fetch signatures.
+    Persist these into an icedb table (partitioned by ``band``) to make
+    corpus dedup INCREMENTAL: new batches join against the index
+    instead of recomputing corpus-wide (VERDICT r6 #4). Storage cost is
+    ``bands × num_perm`` longs per document — negligible next to text.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
+    sig = sig.withColumn(
+        "sig", F.array(*[F.col(f"mh{j}") for j in range(num_perm)])
+    )
+    return _band_hashes(sig.drop("sig"), num_perm, bands).join(
+        sig.select("id", "sig"), "id"
+    ).select(
+        F.col("id").alias(id_col), "band", "bh", "sig"
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index_rows: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: mark each batch document that is a
+    MinHash near-duplicate of (a) any already-indexed document or (b) a
+    smaller-id document in the same batch. ``index_rows`` is the
+    persisted signature table in :func:`minhash_index_rows` layout;
+    batch ids must be disjoint from indexed ids.
+
+    Duplicate rule (deterministic, order-free, so batch-vs-index equals
+    a full-corpus recompute over the union): d is a duplicate iff some
+    mate m — indexed, or in-batch with ``m.id < d.id`` — shares a band
+    bucket with d and the signature-estimated Jaccard (fraction of
+    equal minhash positions, the standard unbiased estimator) is ≥
+    ``threshold``. The mate rule uses ALL smaller-id docs, not just
+    kept ones, exactly because the index stores every ingested doc's
+    signature — that is what makes the incremental result equal the
+    batch-restricted full recompute.
+
+    Scale shape: the batch side is tiny next to the index; the one
+    expensive move is the equi-join on ``(band, bh)`` — a single
+    shuffle of index band rows (16+4·8 bytes/doc, not documents). No
+    corpus-wide re-signature, no all-pairs.
+
+    Returns one row per batch doc: ``(doc_id, is_dup, dup_of,
+    est_jaccard)`` — ``dup_of`` the smallest qualifying mate id and
+    ``est_jaccard`` its estimate (both null for kept docs). Append the
+    batch's own :func:`minhash_index_rows` to the index table after
+    the commit to keep the cycle going.
+    """
+    br = minhash_index_rows(
+        batch, num_perm, bands, shingle_k, text_col, id_col
+    ).select(
+        F.col(id_col).alias("id"), "band", "bh", "sig"
+    )
+    from pyspark import StorageLevel
+
+    br = br.persist(StorageLevel.MEMORY_AND_DISK)
+    mates = index_rows.select(
+        F.col(id_col).alias("mid"),
+        "band",
+        "bh",
+        F.col("sig").alias("msig"),
+        F.lit(True).alias("indexed"),
+    ).unionByName(
+        br.select(
+            F.col("id").alias("mid"),
+            "band",
+            "bh",
+            F.col("sig").alias("msig"),
+            F.lit(False).alias("indexed"),
+        )
+    )
+    cand = (
+        br.join(mates, ["band", "bh"])
+        .where(F.col("indexed") | (F.col("mid") < F.col("id")))
+        .select("id", "mid", "sig", "msig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig", "msig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    dups = (
+        cand.withColumn("est", est)
+        .where(F.col("est") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.min("mid").alias("dup_of"),
+            F.min_by("est", "mid").alias("est_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    )

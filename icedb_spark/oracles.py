@@ -1574,3 +1574,93 @@ from spans
 group by id
 order by doc_id
 """
+
+
+def dedup_against_index_sql(
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Full-corpus recompute of the incremental dedup
+    (operators.dedup.dedup_against_index): the odd-id batch (with its
+    planted duplicates) is deduped against the even-id indexed corpus
+    PLUS smaller-id batch mates, over signatures computed from scratch
+    on the union — the equality of this oracle with the Spark side's
+    index-join result IS the batch-vs-index ≡ full-recompute claim."""
+    from .operators.dedup import MINHASH_PRIME, minhash_perm_constants
+
+    rows = num_perm // bands
+    base = f"({hash60_sql('shingle', 0)} % {MINHASH_PRIME})"
+    mh_cols = ",\n    ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) as mh{j}"
+        for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rows + r}::varchar" for r in range(rows)
+        )
+        band_selects.append(
+            f"select doc_id, {b} as band, "
+            f"{hash60_sql(f'({concat})', 1000 + b)} as bh from sigs"
+        )
+    bands_sql = "\n  union all\n  ".join(band_selects)
+    est = " + ".join(
+        f"(case when sa.mh{j} = sb.mh{j} then 1 else 0 end)"
+        for j in range(num_perm)
+    )
+    return f"""
+with src as (select doc_id, text from {table}),
+batch as (
+  select b.doc_id,
+    case when b.doc_id % 11 = 3 and p1.text is not null then p1.text
+         when b.doc_id % 23 = 7 and p2.text is not null then p2.text
+         else b.text end as text
+  from src b
+  left join src p1 on p1.doc_id = b.doc_id - 1
+  left join src p2 on p2.doc_id = b.doc_id - 2
+  where b.doc_id % 2 = 1
+),
+corpus as (
+  select doc_id, text, true as indexed from src where doc_id % 2 = 0
+  union all
+  select doc_id, text, false as indexed from batch
+),
+toks as (select doc_id, indexed, {TOKENS} as tokens from corpus),
+sh as (select doc_id, indexed, {shingles_sql(shingle_k)} as shingles from toks),
+ex as (select doc_id, indexed, unnest(shingles) as shingle from sh),
+sigs as (
+  select doc_id, any_value(indexed) as indexed,
+    {mh_cols}
+  from ex group by doc_id
+),
+bands as (
+  {bands_sql}
+),
+cand as (
+  select distinct a.doc_id as id, b.doc_id as mid
+  from bands a
+  join sigs ia on ia.doc_id = a.doc_id and not ia.indexed
+  join bands b on a.band = b.band and a.bh = b.bh
+  join sigs ib on ib.doc_id = b.doc_id
+  where ib.indexed or b.doc_id < a.doc_id
+),
+est as (
+  select c.id, c.mid, ({est}) / {float(num_perm)} as e
+  from cand c
+  join sigs sa on sa.doc_id = c.id
+  join sigs sb on sb.doc_id = c.mid
+),
+dups as (
+  select id, min(mid) as dup_of, arg_min(e, mid) as est_j
+  from est where e >= {threshold} group by id
+)
+select b.doc_id,
+  d.dup_of is not null as is_dup,
+  d.dup_of,
+  round(d.est_j, 6) as est_jaccard
+from batch b left join dups d on d.id = b.doc_id
+order by b.doc_id
+"""

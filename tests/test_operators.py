@@ -1580,3 +1580,77 @@ def test_duplicated_spans_short_docs_excluded(spark):
         "doc_id int, text string",
     )
     assert duplicated_spans(df, k=8).count() == 0
+
+
+# ----------------------------------------------- dedup against an index
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_against_index_hand_values(spark):
+    from icedb_spark.operators import dedup_against_index, minhash_index_rows
+
+    old = _mk_docs(spark, [
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (4, "completely different content about spark dataframes shuffles"),
+    ])
+    batch = _mk_docs(spark, [
+        (11, "the quick brown fox jumps over the lazy dog near the river"),
+        (13, "fresh new batch document about parquet row groups footers"),
+        (15, "fresh new batch document about parquet row groups footers"),
+        (17, "totally novel text never seen before anywhere in corpus"),
+    ])
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"], r["est_jaccard"])
+        for r in dedup_against_index(batch, minhash_index_rows(old)).collect()
+    }
+    assert got[11] == (True, 2, 1.0)    # exact dup of an indexed doc
+    assert got[13] == (False, None, None)
+    assert got[15] == (True, 13, 1.0)   # dup of a smaller-id batch mate
+    assert got[17] == (False, None, None)
+
+
+def test_dedup_against_index_incremental_equals_oneshot(spark):
+    """The contract VERDICT r6 #4 names: splitting ingestion into two
+    batches (indexing the first before deduping the second) yields the
+    same verdicts as one combined batch — because the rule is
+    order-free (any smaller-id or indexed mate) and the index stores
+    EVERY seen signature, kept or dropped."""
+    from icedb_spark.operators import dedup_against_index, minhash_index_rows
+
+    old = _mk_docs(spark, [
+        (1, "indexed alpha document about rivers and mountains in spring"),
+        (2, "indexed beta document covering parquet metadata and footers"),
+    ])
+    batch_a = _mk_docs(spark, [
+        (10, "indexed alpha document about rivers and mountains in spring"),
+        (12, "novel gamma content unlike anything indexed before today"),
+    ])
+    batch_b = _mk_docs(spark, [
+        (20, "novel gamma content unlike anything indexed before today"),
+        (22, "indexed alpha document about rivers and mountains in spring"),
+        (24, "entirely fresh delta text with no mates anywhere at all"),
+    ])
+    idx0 = minhash_index_rows(old)
+    oneshot = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index(
+            batch_a.unionByName(batch_b), idx0
+        ).collect()
+    }
+    got_a = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index(batch_a, idx0).collect()
+    }
+    idx1 = idx0.unionByName(minhash_index_rows(batch_a))
+    got_b = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index(batch_b, idx1).collect()
+    }
+    assert {**got_a, **got_b} == oneshot
+    assert oneshot[10] == (True, 1)
+    assert oneshot[20] == (True, 12)   # mate was itself a kept batch doc
+    assert oneshot[22] == (True, 1)    # min qualifying mate wins
+    assert oneshot[24] == (False, None)
