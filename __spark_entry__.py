@@ -3018,6 +3018,26 @@ def d13_dedup_against_index(spark, sf_dir):
         _cleanup_later(tdir)
 
 
+
+def t16_bpe_vocab(spark, sf_dir):
+    """Deterministic BPE subword-vocab training (Sennrich et al. 2016;
+    VERDICT r6 #7): 12 merge rules learned from the documents corpus's
+    capped word-frequency table. Each round is one pair-count aggregate
+    over the bounded word table + one literal-replace rewrite; only the
+    per-round argmax row reaches the driver. The DuckDB oracle
+    re-derives the merge table layer by layer (materialized CTEs), so
+    training itself is under the value gate — apply_bpe replays the
+    same replaces for encoding (unit-tested)."""
+    from icedb_spark.operators import bpe_train
+
+    mdf, _ = bpe_train(
+        _t(spark, sf_dir, "documents"),
+        num_merges=12,
+        min_pair_count=1,
+    )
+    return mdf.orderBy("rank")
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3094,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_semdedup": d11_semdedup,
         "d12_substring_dedup": d12_substring_dedup,
         "d13_dedup_against_index": d13_dedup_against_index,
+        "t16_bpe_vocab": t16_bpe_vocab,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice21_delete": ice21_delete,
         "ice33_mor_delete": ice33_mor_delete,
@@ -3474,6 +3495,7 @@ from per_sess group by user_id
         "t15_bm25_search": oracles.bm25_sql(),
         "d12_substring_dedup": oracles.substring_dedup_sql(),
         "d13_dedup_against_index": oracles.dedup_against_index_sql(),
+        "t16_bpe_vocab": oracles.bpe_merges_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

@@ -101,6 +101,9 @@ SCALING = [
     # round-7: exact-substring dedup's token-count-bounded explode +
     # digest-keyed shuffle (Lee et al. fixed-k, no suffix array)
     "d12_substring_dedup",
+    # round-7: BPE training on the capped distinct-word table — cost
+    # tracks vocabulary growth (sublinear in corpus), not corpus size
+    "t16_bpe_vocab",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -119,6 +122,7 @@ _SCALING_TABLE = {
     "sm09_semantic_coverage": "embeddings",
     "t15_bm25_search": "documents",
     "d12_substring_dedup": "documents",
+    "t16_bpe_vocab": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of

@@ -1664,3 +1664,66 @@ select b.doc_id,
 from batch b left join dups d on d.id = b.doc_id
 order by b.doc_id
 """
+
+
+def bpe_merges_sql(
+    num_merges: int = 12,
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+    table: str = "documents",
+) -> str:
+    """Layer-by-layer recompute of operators.text.bpe_train's merge
+    table: same word-frequency cap (count desc, word asc), same
+    sentinel-LED string representation, same TRUE left-greedy fold
+    (DuckDB ``list_reduce`` over ``string_split`` — the leading ''
+    split cell seeds the accumulator, gluing a matched pair by
+    appending without a separator), same (count desc, left asc, right
+    asc) argmax tie-break. Every layer is MATERIALIZED so the chain
+    stays linear in ``num_merges`` despite the per-layer cross join of
+    the one-row argmax."""
+    S = "chr(31)"
+    parts = [f"""w0 as materialized (
+  select {S} || array_to_string(
+      list_transform(range(1, length(word) + 1),
+                     i -> substring(word, i, 1)), {S}) as seq,
+    cnt
+  from (
+    select word, count(*) as cnt
+    from (select unnest({TOKENS}) as word from {table})
+    where length(word) > 0 and length(word) <= {max_word_len}
+    group by word
+    order by cnt desc, word asc
+    limit {max_words}
+  )
+)"""]
+    for i in range(num_merges):
+        parts.append(f"""e{i} as (
+  select cnt, syms, unnest(generate_series(2, len(syms) - 1)) as j
+  from (select cnt, string_split(seq, {S}) as syms from w{i})
+  where len(syms) >= 3
+)""")
+        parts.append(
+            f"p{i} as (select syms[j] as l, syms[j+1] as r, "
+            f"sum(cnt) as c from e{i} group by 1, 2)"
+        )
+        parts.append(f"""b{i} as materialized (
+  select l, r, c from p{i} order by c desc, l asc, r asc limit 1
+)""")
+        if i + 1 < num_merges:
+            parts.append(f"""w{i + 1} as materialized (
+  select list_reduce(string_split(seq, {S}),
+      (acc, x) -> case when ends_with(acc, {S} || b.l) and x = b.r
+                       then acc || x
+                       else acc || {S} || x end) as seq,
+    cnt
+  from w{i}, b{i} b
+)""")
+    unions = "\n  union all\n  ".join(
+        f"select {i} as rank, l as \"left\", r as \"right\", "
+        f"cast(c as bigint) as pair_count from b{i}"
+        for i in range(num_merges)
+    )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect * from (\n  {unions}\n) order by rank\n"
+    )

@@ -1654,3 +1654,65 @@ def test_dedup_against_index_incremental_equals_oneshot(spark):
     assert oneshot[20] == (True, 12)   # mate was itself a kept batch doc
     assert oneshot[22] == (True, 1)    # min qualifying mate wins
     assert oneshot[24] == (False, None)
+
+
+# --------------------------------------------------------- BPE subword
+
+
+def test_bpe_train_textbook_merges(spark):
+    """The classic low/lower/newest corpus: first merges must be the
+    highest-count pairs with deterministic tie-breaks, and apply_bpe
+    must replay them to the expected subword counts."""
+    from icedb_spark.operators import apply_bpe, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low slow slower"),
+            (2, "new newer newest new knew news slow"),
+            (3, "low slow lower newer new knew lowest"),
+        ],
+        "doc_id int, text string",
+    )
+    mdf, merges = bpe_train(docs, num_merges=6, min_pair_count=1)
+    rows = [(r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in mdf.orderBy("rank").collect()]
+    assert rows[0] == (0, "l", "o", 12)   # 'lo' in every low/slow form
+    assert rows[1] == (1, "lo", "w", 12)
+    assert merges == [(r[1], r[2]) for r in rows]
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in apply_bpe(docs, merges).collect()
+    }
+    # doc 1: low=1 lower=3(low,e,r) lowest=4 low=1 low=1 slow=1 slower=3
+    assert enc[1] == (7, 12)
+
+
+def test_bpe_merge_is_left_greedy(spark):
+    """'aaaa' with pair (a,a) must become [aa, aa]; 'aaa' → [aa, a] —
+    the non-overlapping left-to-right semantics both engines share."""
+    from icedb_spark.operators import apply_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa"), (3, "a")], "doc_id int, text string"
+    )
+    enc = {
+        r["doc_id"]: r["n_subwords"]
+        for r in apply_bpe(docs, [("a", "a")]).collect()
+    }
+    assert enc == {1: 2, 2: 2, 3: 1}
+
+
+def test_bpe_word_cap_is_deterministic(spark):
+    """max_words cuts by (count desc, word asc): with a cap of 2 only
+    the two most frequent words train the vocabulary."""
+    from icedb_spark.operators import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "zz zz zz yy yy xx")], "doc_id int, text string"
+    )
+    _, merges = bpe_train(
+        docs, num_merges=2, min_pair_count=1, max_words=2
+    )
+    # only zz (3) and yy (2) survive the cap: first merge is (z, z)
+    assert merges[0] == ("z", "z")
+    assert ("x", "x") not in merges
