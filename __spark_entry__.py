@@ -3048,23 +3048,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-6 rotation (VERDICT r5 #6): the window leads with the 19
-    # entries whose last green driver row dated from round 2 (d01, d03,
-    # d08, ice12, ice16, m03, q02, q04, q17, q28, q29, q30, q31, q33,
-    # s02, st03, st04, t02, t06), then the 25 r3-era ones (ice04-ice08,
-    # ice10, ice13/14/15/18/20/27/28/29, sm01-04, st01, t05/07/08/09/12,
-    # ice27 doubling as the fallback-scan witness; s04 and t05 yield
-    # their slots to the round's NEW entries t15 BM25 and st09 streaming
-    # dedup, rotating next round), then
-    # one witness per path that CHANGED this round: ice37
-    # (commit-validation TOCTOU reorder), sm09 (salted two-level
-    # top-k), d11 (max_cell guard), ice01/ice21/ice33 (insert/CoW-DML/
-    # MOR over the projected _scan_paths + empty-list guard). Every
-    # entry below the boundary
-    # holds a fully-green driver row from r4/r5, and ALL keys stay under
-    # the repo's own bit-exact gate replica (tests/test_entry_oracle.py
-    # + tools/check_oracle.py) regardless.
+    # Round-7 rotation (VERDICT r6 #2): the window leads with the two
+    # r3-era survivors (s04, t05), then all 35 entries whose last green
+    # driver row dated from round 4 (d07/d09/d10, ice11/17/19/22-26/
+    # 30-32/34-36, m01/m04-06, mv01, q25, s03/s05/s06, sm05/07/08,
+    # st05/06/08, t10/13/14), then the round's three NEW entries (d12
+    # exact-substring dedup, d13 dedup-against-index, t16 BPE vocab),
+    # then one witness per code path that CHANGED this round: ice27
+    # (DataSource scan — NaN-safe float pushdown + row-group shard
+    # planning) and t15 (BM25 sorted-term sum fold). The last 8 slots
+    # start rotating the 44 r5-era rows, oldest machinery first (d02
+    # MinHash — now shared with d13 —, ice02/03/09 lifecycle, q01
+    # flagship, rest01, st02, mv02). Every entry below the boundary
+    # holds a fully-green driver row from r5/r6, and ALL keys stay
+    # under the repo's own bit-exact gate replica
+    # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "t05_repetition": t05_repetition,
+        "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
+        "d09_dedup_clusters": d09_dedup_clusters,
+        "d10_cluster_pick_best": d10_cluster_pick_best,
+        "ice11_partition_pruning": ice11_partition_pruning,
+        "ice17_stats_pruning": ice17_stats_pruning,
+        "ice19_auto_prune": ice19_auto_prune,
+        "ice22_update": ice22_update,
+        "ice23_merge_into": ice23_merge_into,
+        "ice24_rollback": ice24_rollback,
+        "ice25_change_feed": ice25_change_feed,
+        "ice26_in_pruning": ice26_in_pruning,
+        "ice30_partition_evolution": ice30_partition_evolution,
+        "ice31_transform_pruning": ice31_transform_pruning,
+        "ice32_datasource_write": ice32_datasource_write,
+        "ice34_sql_dml": ice34_sql_dml,
+        "ice35_wap": ice35_wap,
+        "ice36_zorder_pruning": ice36_zorder_pruning,
+        "m01_media_features": m01_media_features,
+        "m04_av_headers": m04_av_headers,
+        "m05_perceptual_hash": m05_perceptual_hash,
+        "m06_phash_pairs": m06_phash_pairs,
+        "mv01_materialized_view": mv01_materialized_view,
+        "q25_conditional_agg": q25_conditional_agg,
+        "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
+        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
+        "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
+        "sm05_mixture_sample": sm05_mixture_sample,
+        "sm07_quality_filter": sm07_quality_filter,
+        "sm08_alpha_sample": sm08_alpha_sample,
+        "st05_stream_upsert": st05_stream_upsert,
+        "st06_datasource_stream": st06_datasource_stream,
+        "st08_datasource_sink": st08_datasource_sink,
+        "t10_chunk_docs": t10_chunk_docs,
+        "t13_url_stats": t13_url_stats,
+        "t14_semantic_decontam": t14_semantic_decontam,
+        "d12_substring_dedup": d12_substring_dedup,
+        "d13_dedup_against_index": d13_dedup_against_index,
+        "t16_bpe_vocab": t16_bpe_vocab,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "t15_bm25_search": t15_bm25_search,
+        "d02_minhash_lsh": d02_minhash_lsh,
+        "ice02_merge_invariant": ice02_merge_invariant,
+        "ice03_time_travel": ice03_time_travel,
+        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
+        "q01_pricing_summary": q01_pricing_summary,
+        "rest01_ingest_query": rest01_ingest_query,
+        "st02_windowed_agg": st02_windowed_agg,
+        "mv02_incremental_mv": mv02_incremental_mv,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a fully-green driver row from r5/r6 —
+        # this rotation only demotes proven entries.
         "d01_exact_dedup": d01_exact_dedup,
         "d03_ngram_jaccard": d03_ngram_jaccard,
         "d08_simhash_band16": d08_simhash_band16,
@@ -3095,7 +3147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice15_parallel_compaction": ice15_parallel_compaction,
         "ice18_bloom_pruning": ice18_bloom_pruning,
         "ice20_incremental_read": ice20_incremental_read,
-        "ice27_datasource_scan": ice27_datasource_scan,
         "ice28_snapshot_tags": ice28_snapshot_tags,
         "ice29_constraints": ice29_constraints,
         "sm01_hash_sample": sm01_hash_sample,
@@ -3108,21 +3159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "t15_bm25_search": t15_bm25_search,
         "ice37_cross_table_txn": ice37_cross_table_txn,
         "sm09_semantic_coverage": sm09_semantic_coverage,
         "d11_semdedup": d11_semdedup,
-        "d12_substring_dedup": d12_substring_dedup,
-        "d13_dedup_against_index": d13_dedup_against_index,
-        "t16_bpe_vocab": t16_bpe_vocab,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice21_delete": ice21_delete,
         "ice33_mor_delete": ice33_mor_delete,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a fully-green driver row from r4/r5 —
-        # this rotation only demotes proven entries.
-        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
-        "t05_repetition": t05_repetition,
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
@@ -3157,51 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s08_trained_clustered": s08_trained_clustered,
         "s07_cosine_topk_trained": s07_cosine_topk_trained,
         "st07_cdc_stream": st07_cdc_stream,
-        "rest01_ingest_query": rest01_ingest_query,
-        "ice02_merge_invariant": ice02_merge_invariant,
-        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
-        "ice03_time_travel": ice03_time_travel,
-        "mv02_incremental_mv": mv02_incremental_mv,
-        "q01_pricing_summary": q01_pricing_summary,
-        "st02_windowed_agg": st02_windowed_agg,
-        "d02_minhash_lsh": d02_minhash_lsh,
         "t11_line_dedup": t11_line_dedup,
         "sm06_shuffle_shard": sm06_shuffle_shard,
-        "m01_media_features": m01_media_features,
-        "ice26_in_pruning": ice26_in_pruning,
-        "ice30_partition_evolution": ice30_partition_evolution,
-        "ice31_transform_pruning": ice31_transform_pruning,
-        "ice32_datasource_write": ice32_datasource_write,
-        "ice34_sql_dml": ice34_sql_dml,
-        "ice35_wap": ice35_wap,
-        "st06_datasource_stream": st06_datasource_stream,
-        "st08_datasource_sink": st08_datasource_sink,
-        "m04_av_headers": m04_av_headers,
-        "m05_perceptual_hash": m05_perceptual_hash,
-        "m06_phash_pairs": m06_phash_pairs,
-        "d10_cluster_pick_best": d10_cluster_pick_best,
-        "t10_chunk_docs": t10_chunk_docs,
-        "t13_url_stats": t13_url_stats,
-        "sm05_mixture_sample": sm05_mixture_sample,
-        "sm07_quality_filter": sm07_quality_filter,
-        "sm08_alpha_sample": sm08_alpha_sample,
-        "q25_conditional_agg": q25_conditional_agg,
-        "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
-        "ice24_rollback": ice24_rollback,
-        "ice11_partition_pruning": ice11_partition_pruning,
-        "ice17_stats_pruning": ice17_stats_pruning,
-        "ice19_auto_prune": ice19_auto_prune,
-        "ice22_update": ice22_update,
-        "ice23_merge_into": ice23_merge_into,
-        "ice25_change_feed": ice25_change_feed,
-        "st05_stream_upsert": st05_stream_upsert,
-        "mv01_materialized_view": mv01_materialized_view,
-        "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
-        "d09_dedup_clusters": d09_dedup_clusters,
-        "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
-        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
-        "ice36_zorder_pruning": ice36_zorder_pruning,
-        "t14_semantic_decontam": t14_semantic_decontam,
     }
 
 

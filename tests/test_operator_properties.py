@@ -115,3 +115,178 @@ def test_bm25_equals_bruteforce(spark, seed, n, qlen):
             expect.append((i, round(s, 6), hits))
     expect.sort(key=lambda r: (-r[1], r[0]))
     assert got == expect
+
+
+# ------------------------------------------- round-7 operator properties
+
+
+def _spans_bruteforce(docs: dict, k: int, exclude_first: bool):
+    """Pure-Python reference for duplicated_spans: shingle -> positions,
+    repeats, optional keep-first exemption, gap>k island merge."""
+    occ: dict = {}
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(1, len(ts) - k + 2):
+            sh = " ".join(ts[p - 1: p - 1 + k])
+            occ.setdefault(sh, []).append((i, p))
+    matched: dict = {}
+    for sh, locs in occ.items():
+        if len(locs) < 2:
+            continue
+        keep = locs[1:] if exclude_first else locs
+        for i, p in keep:
+            matched.setdefault(i, set()).add(p)
+    spans = set()
+    for i, ps in matched.items():
+        run = []
+        for p in sorted(ps):
+            if run and p - run[-1] <= k:
+                run.append(p)
+            else:
+                if run:
+                    spans.add((i, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+        if run:
+            spans.add((i, run[0], run[-1] + k - 1, len(run)))
+    return spans
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(0, 10**6),
+    n_docs=_st.integers(2, 8),
+    vocab=_st.integers(2, 5),
+    k=_st.integers(2, 4),
+    exclude_first=_st.booleans(),
+)
+def test_duplicated_spans_equals_bruteforce(
+    spark, seed, n_docs, vocab, k, exclude_first
+):
+    """Tiny vocab + short docs force heavy natural shingle collisions —
+    the adversarial regime for island merging and keep-first ranking."""
+    import random
+
+    from icedb_spark.operators import duplicated_spans
+
+    rnd = random.Random(seed)
+    words = [f"w{j}" for j in range(vocab)]
+    docs = {
+        i: " ".join(rnd.choice(words) for _ in range(rnd.randint(k, 14)))
+        for i in range(1, n_docs + 1)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id int, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in duplicated_spans(
+            df, k=k, exclude_first=exclude_first
+        ).collect()
+    }
+    assert got == _spans_bruteforce(docs, k, exclude_first)
+
+
+@_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(0, 10**6),
+    n_old=_st.integers(1, 6),
+    n_batch=_st.integers(2, 8),
+    split=_st.integers(1, 6),
+)
+def test_dedup_against_index_split_invariance(
+    spark, seed, n_old, n_batch, split
+):
+    """For arbitrary corpora (with planted copies) and an arbitrary
+    batch split point, two-step ingestion — index batch A's signatures
+    before deduping batch B — gives identical verdicts to the one-shot
+    run, and verdicts agree with a signature-level brute force."""
+    import random
+
+    from icedb_spark.operators import (
+        dedup_against_index,
+        minhash_index_rows,
+        minhash_signature,
+    )
+
+    rnd = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+
+    def text():
+        return " ".join(rnd.choice(words) for _ in range(rnd.randint(3, 9)))
+
+    old_rows = [(i, text()) for i in range(1, n_old + 1)]
+    batch_rows = []
+    for j in range(n_batch):
+        did = 100 + j
+        if old_rows and rnd.random() < 0.4:
+            batch_rows.append((did, rnd.choice(old_rows)[1]))  # copy
+        elif batch_rows and rnd.random() < 0.4:
+            batch_rows.append((did, rnd.choice(batch_rows)[1]))
+        else:
+            batch_rows.append((did, text()))
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    idx0 = minhash_index_rows(old)
+    oneshot = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index(batch, idx0).collect()
+    }
+    cut = min(split, n_batch)
+    a = spark.createDataFrame(batch_rows[:cut], schema)
+    b = spark.createDataFrame(batch_rows[cut:], schema)
+    two = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index(a, idx0).collect()
+    }
+    if batch_rows[cut:]:
+        idx1 = idx0.unionByName(minhash_index_rows(a))
+        two.update(
+            {
+                r["doc_id"]: (r["is_dup"], r["dup_of"])
+                for r in dedup_against_index(b, idx1).collect()
+            }
+        )
+    assert two == oneshot
+    # signature-level brute force over the union
+    sigs = {
+        r["id"]: tuple(r[f"mh{j}"] for j in range(16))
+        for r in minhash_signature(
+            old.unionByName(batch), "doc_id", "text"
+        ).collect()
+    }
+    old_ids = [i for i, _ in old_rows]
+    batch_ids = [i for i, _ in batch_rows]
+
+    def band_hit(x, y):
+        # candidate rule = some band of 4 consecutive positions fully
+        # matches (LSH recall is probabilistic by design: est >= 0.5
+        # does NOT imply a full band — 8 matches can spread 2-per-band)
+        return any(
+            all(sigs[x][b * 4 + r] == sigs[y][b * 4 + r] for r in range(4))
+            for b in range(4)
+        )
+
+    for d in batch_ids:
+        mates = [
+            m
+            for m in old_ids + [x for x in batch_ids if x < d]
+            if band_hit(d, m)
+            and sum(a == b for a, b in zip(sigs[d], sigs[m])) / 16.0 >= 0.5
+        ]
+        want = (True, min(mates)) if mates else (False, None)
+        assert oneshot[d] == want, (d, oneshot[d], want)
