@@ -771,23 +771,24 @@ def _span_positions(
     if exclude_first:
         # keep-first semantics (Lee et al. 2022 drop all-but-one copy):
         # each digest's canonical occurrence — smallest (id, pos) — is
-        # NOT marked for removal. One window per digest, state bounded
-        # by the digest's occurrence count.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("dig").orderBy("id", "pos")
+        # NOT marked for removal. Shaped as ONE partial-aggregatable
+        # groupBy (min-struct + counts) joined back, NOT a per-digest
+        # window: a boilerplate span repeated millions of times would
+        # otherwise funnel its whole occurrence list through a single
+        # window partition.
+        keep = (
+            pos.groupBy("dig")
+            .agg(
+                F.min(F.struct("id", "pos")).alias("first"),
+                F.count("*").alias("c"),
+                F.count_distinct("id").alias("nd"),
+            )
+            .where((F.col("c") >= min_count) & (F.col("nd") >= min_docs))
+            .select("dig", "first")
+        )
         return (
-            pos.withColumn("rk", F.row_number().over(w))
-            .withColumn("c", F.count("*").over(Window.partitionBy("dig")))
-            .withColumn(
-                "nd",
-                F.size(F.collect_set("id").over(Window.partitionBy("dig"))),
-            )
-            .where(
-                (F.col("c") >= min_count)
-                & (F.col("nd") >= min_docs)
-                & (F.col("rk") > 1)
-            )
+            pos.join(keep, "dig")
+            .where(F.struct("id", "pos") != F.col("first"))
             .select("id", "pos")
         )
     dup = (

@@ -2191,7 +2191,9 @@ class IceTable:
             df = self._mor_read(acc, schema, sets)
         else:
             paths = [self.storage.absolute(m.path) for m in acc]
-            df = self._scan_paths(paths, schema)
+            df = self._scan_paths(
+                paths, schema, sizes=[m.file_bytes for m in acc]
+            )
         # expose hive partition values as columns for the merge query
         # (reference reads with hive_partitioning=1, icedb/icedb.py:271-281)
         part_values = parse_partition(part)
@@ -3136,17 +3138,23 @@ class IceTable:
         half of every scan. Typically two groups (pre-delete files with
         the filter, post-delete files without), so the plan stays one scan
         per group with the NOT-predicate fused into it."""
-        groups: dict[tuple, list[str]] = {}
+        groups: dict[tuple, list[tuple[str, int]]] = {}
         for m in files:
             key = tuple(
                 i
                 for i, (ts, _p) in enumerate(sets)
                 if self._mor_applies(m, ts)
             )
-            groups.setdefault(key, []).append(self.storage.absolute(m.path))
+            groups.setdefault(key, []).append(
+                (self.storage.absolute(m.path), m.file_bytes)
+            )
         out: Optional[DataFrame] = None
-        for key, paths in sorted(groups.items()):
-            df = self._scan_paths(paths, schema)
+        for key, members in sorted(groups.items()):
+            df = self._scan_paths(
+                [p for p, _ in members],
+                schema,
+                sizes=[b for _, b in members],
+            )
             for i in key:
                 df = df.where(
                     ~F.coalesce(F.expr(sets[i][1]).cast("boolean"), F.lit(False))
