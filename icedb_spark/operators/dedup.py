@@ -987,14 +987,27 @@ def minhash_index_rows(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
-    sig = sig.withColumn(
-        "sig", F.array(*[F.col(f"mh{j}") for j in range(num_perm)])
-    )
-    return _band_hashes(sig.drop("sig"), num_perm, bands).join(
-        sig.select("id", "sig"), "id"
-    ).select(
-        F.col("id").alias(id_col), "band", "bh", "sig"
-    )
+    rows = num_perm // bands
+    band_structs = []
+    for b in range(bands):
+        concat = F.concat_ws(
+            ",",
+            *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+        )
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(concat, BAND_SEED + b).alias("bh"),
+            )
+        )
+    # bands and the signature ride ONE projection + explode — no self-join
+    # back to the signature table (zero shuffles end to end: the signature
+    # itself is the zero-shuffle array-min formulation)
+    return sig.select(
+        F.col("id").alias(id_col),
+        F.array(*[F.col(f"mh{j}") for j in range(num_perm)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"), "sig")
 
 
 def dedup_against_index(
