@@ -3038,6 +3038,81 @@ def t16_bpe_vocab(spark, sf_dir):
     return mdf.orderBy("rank")
 
 
+
+def st10_stream_near_dedup(spark, sf_dir):
+    """Streaming ingestion gated by a PERSISTED near-dup signature index
+    (the streaming face of d13, beside st09's exact-key gate): batch 1
+    (even ids) and batch 2 (odd ids with the d13 plants) arrive as
+    separate micro-batches (maxFilesPerTrigger=1); each batch's MinHash
+    signatures commit to an index IceTable first (replay-idempotent,
+    self-excluded on recompute), then the batch dedups against the
+    index + its own smaller ids and only survivors reach the corpus
+    table. The oracle recomputes the batch-ordered rule from scratch —
+    final table content IS the incremental-equals-full claim under the
+    streaming harness."""
+    from icedb_spark.streaming import stream_insert_near_dedup
+
+    t, d = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(doc_id % 4 as int)")]
+        ),
+        sort_order=["doc_id"],
+    )
+    ti, di = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
+        sort_order=["bh"],
+    )
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+    try:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        src1 = docs.select(
+            (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_t1")
+        )
+        src2 = docs.select(
+            (F.col("doc_id") + 2).alias("doc_id"), F.col("text").alias("_t2")
+        )
+        batch2 = (
+            docs.where(F.col("doc_id") % 2 == 1)
+            .join(src1, "doc_id", "left")
+            .join(src2, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 11 == 3) & F.col("_t1").isNotNull(),
+                    F.col("_t1"),
+                )
+                .when(
+                    (F.col("doc_id") % 23 == 7) & F.col("_t2").isNotNull(),
+                    F.col("_t2"),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        batch2.coalesce(1).write.parquet(src, mode="append")
+        stream = (
+            spark.readStream.schema(batch2.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_insert_near_dedup(
+            t, stream, ck, index_table=ti, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+        return t.read().select("doc_id").orderBy("doc_id").cache()
+    finally:
+        _cleanup_later(d)
+        _cleanup_later(di)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3059,7 +3134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # planning) and t15 (BM25 sorted-term sum fold). The last 8 slots
     # start rotating the 44 r5-era rows, oldest machinery first (d02
     # MinHash — now shared with d13 —, ice02/03/09 lifecycle, q01
-    # flagship, rest01, st02, mv02). Every entry below the boundary
+    # flagship, rest01, st02) plus the round's fourth new entry
+    # st10 (streaming near-dedup). Every entry below the boundary
     # holds a fully-green driver row from r5/r6, and ALL keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
@@ -3104,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_substring_dedup": d12_substring_dedup,
         "d13_dedup_against_index": d13_dedup_against_index,
         "t16_bpe_vocab": t16_bpe_vocab,
+        "st10_stream_near_dedup": st10_stream_near_dedup,
         "ice27_datasource_scan": ice27_datasource_scan,
         "t15_bm25_search": t15_bm25_search,
         "d02_minhash_lsh": d02_minhash_lsh,
@@ -3113,10 +3190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "rest01_ingest_query": rest01_ingest_query,
         "st02_windowed_agg": st02_windowed_agg,
-        "mv02_incremental_mv": mv02_incremental_mv,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from r5/r6 —
         # this rotation only demotes proven entries.
+        "mv02_incremental_mv": mv02_incremental_mv,
         "d01_exact_dedup": d01_exact_dedup,
         "d03_ngram_jaccard": d03_ngram_jaccard,
         "d08_simhash_band16": d08_simhash_band16,
@@ -3495,6 +3572,7 @@ from per_sess group by user_id
         "d12_substring_dedup": oracles.substring_dedup_sql(),
         "d13_dedup_against_index": oracles.dedup_against_index_sql(),
         "t16_bpe_vocab": oracles.bpe_merges_sql(),
+        "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

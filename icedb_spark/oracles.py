@@ -1727,3 +1727,89 @@ def bpe_merges_sql(
         "with " + ",\n".join(parts)
         + f"\nselect * from (\n  {unions}\n) order by rank\n"
     )
+
+
+def stream_near_dedup_sql(
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Oracle for the st10 streaming near-dedup gate: the final corpus
+    table equals a BATCH-ORDERED full recompute — doc d survives iff no
+    mate with smaller (batch, id) order shares a band bucket at
+    signature-estimated Jaccard >= threshold. Batch 1 = even ids
+    (plain), batch 2 = odd ids with the d13 plants; the index
+    accumulates every seen signature, so the rule needs no notion of
+    'kept' mates."""
+    from .operators.dedup import MINHASH_PRIME, minhash_perm_constants
+
+    rows = num_perm // bands
+    base = f"({hash60_sql('shingle', 0)} % {MINHASH_PRIME})"
+    mh_cols = ",\n    ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) as mh{j}"
+        for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rows + r}::varchar" for r in range(rows)
+        )
+        band_selects.append(
+            f"select doc_id, {b} as band, "
+            f"{hash60_sql(f'({concat})', 1000 + b)} as bh from sigs"
+        )
+    bands_sql = "\n  union all\n  ".join(band_selects)
+    est = " + ".join(
+        f"(case when sa.mh{j} = sb.mh{j} then 1 else 0 end)"
+        for j in range(num_perm)
+    )
+    return f"""
+with src as (select doc_id, text from {table}),
+batch2 as (
+  select b.doc_id,
+    case when b.doc_id % 11 = 3 and p1.text is not null then p1.text
+         when b.doc_id % 23 = 7 and p2.text is not null then p2.text
+         else b.text end as text
+  from src b
+  left join src p1 on p1.doc_id = b.doc_id - 1
+  left join src p2 on p2.doc_id = b.doc_id - 2
+  where b.doc_id % 2 = 1
+),
+corpus as (
+  select doc_id, text, 0 as bno from src where doc_id % 2 = 0
+  union all
+  select doc_id, text, 1 as bno from batch2
+),
+toks as (select doc_id, bno, {TOKENS} as tokens from corpus),
+sh as (select doc_id, bno, {shingles_sql(shingle_k)} as shingles from toks),
+ex as (select doc_id, bno, unnest(shingles) as shingle from sh),
+sigs as (
+  select doc_id, any_value(bno) as bno,
+    {mh_cols}
+  from ex group by doc_id
+),
+bands as (
+  {bands_sql}
+),
+cand as (
+  select distinct a.doc_id as id, b.doc_id as mid
+  from bands a
+  join sigs sa on sa.doc_id = a.doc_id
+  join bands b on a.band = b.band and a.bh = b.bh
+  join sigs sb on sb.doc_id = b.doc_id
+  where (sb.bno < sa.bno)
+     or (sb.bno = sa.bno and b.doc_id < a.doc_id)
+),
+dup as (
+  select distinct c.id
+  from cand c
+  join sigs sa on sa.doc_id = c.id
+  join sigs sb on sb.doc_id = c.mid
+  where ({est}) / {float(num_perm)} >= {threshold}
+)
+select doc_id from corpus
+where doc_id not in (select id from dup)
+order by doc_id
+"""

@@ -1,8 +1,14 @@
-from .ingest import stream_insert, stream_upsert, micro_batch_pipeline
+from .ingest import (
+    micro_batch_pipeline,
+    stream_insert,
+    stream_insert_near_dedup,
+    stream_upsert,
+)
 from .windows import session_agg, stateful_sessionize, windowed_agg
 
 __all__ = [
     "stream_insert",
+    "stream_insert_near_dedup",
     "stream_upsert",
     "micro_batch_pipeline",
     "session_agg",

@@ -261,3 +261,109 @@ def micro_batch_pipeline(
         table.spark.readStream.schema(schema).parquet(source_dir)
     )
     return stream_insert(table, stream, checkpoint_dir, **kwargs)
+
+
+def _has_commit_tag(table: IceTable, tag: str) -> bool:
+    """Is a stream batch tag already embedded in one of ``table``'s
+    committed log file names? One listing — used for the INDEX table's
+    replay idempotency inside :func:`stream_insert_near_dedup` (the
+    corpus table's replay check rides the shared harness cache)."""
+    for key, _size in table.log_io.get_current_log_files(table.log_storage):
+        if re.search(rf"-{re.escape(tag)}\.jsonl$", key):
+            return True
+    return False
+
+
+def stream_insert_near_dedup(
+    table: IceTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    index_table: IceTable,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: Optional[dict] = None,
+    merge_every: int = 0,
+    cleanup_every: int = 0,
+    cleanup_min_age_ms: int = 0,
+    dedup_on_replay: bool = True,
+    stream_id: Optional[str] = None,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+):
+    """Streaming ingestion with NEAR-duplicate gating against a persisted
+    MinHash signature index (the streaming face of
+    :func:`icedb_spark.operators.dedup.dedup_against_index` — st09's
+    ``dedup_keys`` catches exact-key replays; this catches content
+    near-dups of anything EVER ingested).
+
+    Per micro-batch: (1) the batch's signatures commit to
+    ``index_table`` (an ordinary IceTable, ideally partitioned by
+    ``band``) under the batch's replay tag, (2) the batch dedups against
+    the index MINUS its own ids (one ``(band, bh)`` equi-join; the
+    anti-join self-exclusion makes the signature commit safely
+    idempotent across crash-replays), (3) survivors commit to ``table``
+    under the same tag. Index-before-corpus ordering closes the crash
+    window: a replay after the corpus commit is skipped wholesale by the
+    harness; a replay after only the index commit recomputes verdicts
+    with its own rows excluded, so nothing self-marks as duplicate.
+
+    The index accumulates EVERY seen document's signature (kept or
+    dropped — near-dups of dropped docs must still be caught), so the
+    table's final content equals a batch-ordered full-corpus recompute:
+    doc d survives iff no mate with smaller (batch, id) order has
+    signature-estimated Jaccard ≥ ``threshold`` in a shared band bucket.
+
+    Contract: ``id_col`` values must be unique across the stream's
+    lifetime AND disjoint from everything already indexed — the
+    self-id exclusion exists for crash-replays of the SAME batch, so
+    re-sending an id under a new stream/batch would bypass its own
+    signature and re-insert (same contract as
+    ``dedup_against_index``).
+    """
+    from ..operators.dedup import dedup_against_index, minhash_index_rows
+    from pyspark.sql import functions as F
+
+    def apply(batch_df: DataFrame, tag: Optional[str]) -> None:
+        df = transform(batch_df) if transform else batch_df
+        df = df.persist()
+        try:
+            if index_table.snapshot().alive_files():
+                idx = index_table.read().join(
+                    F.broadcast(df.select(F.col(id_col))),
+                    id_col,
+                    "left_anti",
+                )
+            else:
+                idx = minhash_index_rows(
+                    df, num_perm, bands, shingle_k, text_col, id_col
+                ).limit(0)
+            # index commit FIRST (see docstring for the crash argument);
+            # skip when this batch's tag already landed in the index log
+            if not (tag and _has_commit_tag(index_table, tag)):
+                index_table.insert(
+                    df=minhash_index_rows(
+                        df, num_perm, bands, shingle_k, text_col, id_col
+                    ),
+                    commit_tag=tag,
+                )
+            verdicts = dedup_against_index(
+                df, idx, threshold, num_perm, bands, shingle_k,
+                text_col, id_col,
+            )
+            survivors = df.join(
+                verdicts.where(~F.col("is_dup")).select(F.col(id_col)),
+                id_col,
+            )
+            table.insert(df=survivors, commit_tag=tag)
+        finally:
+            df.unpersist()
+
+    return _stream_apply(
+        table, stream_df, checkpoint_dir, apply,
+        trigger=trigger, merge_every=merge_every,
+        cleanup_every=cleanup_every, cleanup_min_age_ms=cleanup_min_age_ms,
+        dedup_on_replay=dedup_on_replay, stream_id=stream_id,
+    )

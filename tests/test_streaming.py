@@ -239,3 +239,89 @@ def test_stream_upsert_delete_stream(spark, tmp_path):
     )
     _wait(q)
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+
+
+def test_stream_near_dedup_gates_batches(spark, tmp_path):
+    """Two micro-batches through the signature-index gate: batch-2 docs
+    that near-duplicate batch-1 (or smaller-id batch-2) content are
+    dropped; the index accumulates EVERY seen signature (kept or not)."""
+    from icedb_spark.operators import minhash_index_rows  # noqa: F401
+    from icedb_spark.streaming import stream_insert_near_dedup
+
+    t = IceTable(
+        spark,
+        str(tmp_path / "corpus"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(doc_id % 2 as int)")]
+        ),
+        sort_order=["doc_id"],
+    )
+    ti = IceTable(
+        spark,
+        str(tmp_path / "sigidx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
+        sort_order=["bh"],
+    )
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "completely different content about spark shuffles and joins"),
+        (3, "the quick brown fox jumps over the lazy dog by the river"),
+    ]
+    b2 = [
+        (11, "completely different content about spark shuffles and joins"),
+        (12, "fresh second-batch text with parquet row groups and footers"),
+        (13, "fresh second-batch text with parquet row groups and footers"),
+        (14, "novel text never seen before anywhere in this corpus today"),
+    ]
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_insert_near_dedup(
+        t, stream, str(tmp_path / "ck"), index_table=ti,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    got = sorted(r["doc_id"] for r in t.read().select("doc_id").collect())
+    # 3 dups 1 (in-batch), 11 dups 2 (cross-batch via index), 13 dups 12
+    assert got == [1, 2, 12, 14]
+    # index holds ALL 7 docs x 4 bands
+    assert ti.read().count() == 7 * 4
+    # a later stream with FRESH ids re-sending already-seen content is
+    # fully gated by the persisted index (near-dups of DROPPED docs
+    # included: 22's mate 3 never reached the corpus, its signature did)
+    b3 = [
+        (21, "the quick brown fox jumps over the lazy dog by the river"),
+        (22, "fresh second-batch text with parquet row groups and footers"),
+        (23, "genuinely new content in the third stream only right here"),
+    ]
+    src3 = str(tmp_path / "src3")
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(
+        src3, mode="append"
+    )
+    q2 = stream_insert_near_dedup(
+        t,
+        (
+            spark.readStream.schema(
+                spark.createDataFrame(b3, schema).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src3)
+        ),
+        str(tmp_path / "ck2"),
+        index_table=ti,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(300)
+    got2 = sorted(r["doc_id"] for r in t.read().select("doc_id").collect())
+    assert got2 == [1, 2, 12, 14, 23]
+    assert ti.read().count() == 10 * 4  # signatures of every seen doc
