@@ -290,3 +290,104 @@ def test_dedup_against_index_split_invariance(
         ]
         want = (True, min(mates)) if mates else (False, None)
         assert oneshot[d] == want, (d, oneshot[d], want)
+
+
+def _bpe_encode_py(word: str, merges: list) -> int:
+    """Reference BPE encoder: sequential left-greedy merge replay."""
+    syms = list(word)
+    for l, r in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if (
+                out
+                and out[-1] == l
+                and syms[i] == r
+            ):
+                out[-1] = l + r
+                i += 1
+            else:
+                out.append(syms[i])
+                i += 1
+        # NOTE: the above folds like the engine: out[-1] is the merged
+        # accumulator tail, so "aaaa" under (a,a) -> [aa, aa]
+        syms = out
+    return len(syms)
+
+
+def _bpe_train_py(words: dict, num_merges: int) -> list:
+    """Reference trainer over a word->count table (same tie-breaks)."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((l, r))
+        for w in seqs:
+            syms, out, i = seqs[w], [], 0
+            while i < len(syms):
+                if out and out[-1] == l and syms[i] == r:
+                    out[-1] = l + r
+                else:
+                    out.append(syms[i])
+                i += 1
+            seqs[w] = out
+    return merges
+
+
+@_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(0, 10**6),
+    n_docs=_st.integers(1, 5),
+    alpha=_st.integers(2, 4),
+    num_merges=_st.integers(1, 8),
+)
+def test_bpe_train_and_apply_equal_reference(
+    spark, seed, n_docs, alpha, num_merges
+):
+    """Training and encoding both equal a sequential pure-Python BPE on
+    tiny alphabets (the regime where runs and tie-breaks are constant
+    hazards)."""
+    import random
+
+    from icedb_spark.operators import apply_bpe, bpe_train
+
+    rnd = random.Random(seed)
+    letters = "abcd"[:alpha]
+
+    def word():
+        return "".join(
+            rnd.choice(letters) for _ in range(rnd.randint(1, 6))
+        )
+
+    docs = {
+        i: " ".join(word() for _ in range(rnd.randint(1, 8)))
+        for i in range(1, n_docs + 1)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id int, text string"
+    )
+    _, merges = bpe_train(df, num_merges=num_merges, min_pair_count=1)
+    counts: dict = {}
+    for t in docs.values():
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    assert merges == _bpe_train_py(counts, num_merges)
+    enc = {
+        r["doc_id"]: r["n_subwords"]
+        for r in apply_bpe(df, merges).collect()
+    }
+    for i, t in docs.items():
+        assert enc[i] == sum(
+            _bpe_encode_py(w, merges) for w in t.split()
+        ), (i, t, merges)

@@ -465,3 +465,70 @@ def test_s3_change_capture_and_feed_via_arrow_scans(spark, tmp_path):
         }
         post = feed.where("_change_type = 'update_postimage'").collect()
         assert [(r["id"], r["v"]) for r in post] == [(0, 100.0)]
+
+
+def test_s3_row_group_shards_over_the_wire(spark, tmp_path):
+    """Round-7 shard scans on the REAL S3 wire: one large multi-row-group
+    file, maxPartitionBytes shrunk below its size — the fallback scan
+    plans multiple row-group shards per file (zero driver I/O: executor
+    tasks open the footer themselves) and still returns every row
+    exactly once. Also exercises the format('icedb') split_bytes option
+    end to end."""
+    from conftest import MINI_S3_PORT
+
+    from icedb_spark.datasource import (
+        IceDataSource,
+        _IceReader,
+        _file_shards,
+    )
+
+    with MiniS3Server(port=MINI_S3_PORT) as _srv:
+        opts = {
+            "access_key": "test-key",
+            "secret_key": "test-secret",
+            "endpoint_override": f"127.0.0.1:{MINI_S3_PORT}",
+            "scheme": "http",
+            "region": "us-east-1",
+            "allow_bucket_creation": True,
+        }
+        pafs.S3FileSystem(**opts).create_dir("shardbkt", recursive=True)
+        t = IceTable(
+            spark,
+            "s3://shardbkt/tbl",
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"],
+            row_group_size=200,
+            storage_options=opts,
+        )
+        t.insert(rows=[{"id": i, "kind": "a"} for i in range(4000)])
+        m = t.snapshot().alive_files()[0]
+        assert len(_file_shards(m.file_bytes, 1024)) > 1
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        try:
+            got = sorted(r["id"] for r in t.read().collect())
+            assert got == list(range(4000))
+        finally:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        # DataSource path with explicit split_bytes: more input
+        # partitions than alive files, same rows over the wire
+        reader = _IceReader(
+            t.spark_schema(),
+            {"path": "s3://shardbkt/tbl", "split_bytes": "1024"},
+        )
+        assert len(reader.partitions()) > len(t.snapshot().alive_files())
+        try:
+            spark.dataSource.register(IceDataSource)
+        except Exception:
+            pass
+        df = (
+            spark.read.format("icedb")
+            .option("path", "s3://shardbkt/tbl")
+            .option("split_bytes", "1024")
+            .load()
+        )
+        assert df.count() == 4000
+        assert df.agg({"id": "sum"}).first()[0] == 4000 * 3999 // 2
