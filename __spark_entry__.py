@@ -3113,6 +3113,32 @@ def st10_stream_near_dedup(spark, sf_dir):
         _cleanup_later(ck)
 
 
+
+def t17_bpe_encode(spark, sf_dir):
+    """BPE ENCODING under the value gate (t16 gates training): train 12
+    merges, then apply_bpe re-tokenizes every document — per-doc
+    n_words / n_subwords / subwords_per_word, the real packing budget.
+    The oracle re-derives the merge table AND replays the rewrites over
+    the FULL vocabulary (training counts only the capped/len-filtered
+    word set; rewrites run over every word, mirroring apply_bpe
+    encoding words the trainer never counted), then joins the encoded
+    word table back to the docs."""
+    from icedb_spark.operators import apply_bpe, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs, num_merges=12, min_pair_count=1)
+    return (
+        apply_bpe(docs, merges)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("integer").alias("n_words"),
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            "subwords_per_word",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3134,8 +3160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # planning) and t15 (BM25 sorted-term sum fold). The last 8 slots
     # start rotating the 44 r5-era rows, oldest machinery first (d02
     # MinHash — now shared with d13 —, ice02/03/09 lifecycle, q01
-    # flagship, rest01, st02) plus the round's fourth new entry
-    # st10 (streaming near-dedup). Every entry below the boundary
+    # flagship, rest01) plus the round's other new entries st10
+    # (streaming near-dedup) and t17 (BPE encoding). Every entry below the boundary
     # holds a fully-green driver row from r5/r6, and ALL keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
@@ -3189,10 +3215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "q01_pricing_summary": q01_pricing_summary,
         "rest01_ingest_query": rest01_ingest_query,
-        "st02_windowed_agg": st02_windowed_agg,
+        "t17_bpe_encode": t17_bpe_encode,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from r5/r6 —
         # this rotation only demotes proven entries.
+        "st02_windowed_agg": st02_windowed_agg,
         "mv02_incremental_mv": mv02_incremental_mv,
         "d01_exact_dedup": d01_exact_dedup,
         "d03_ngram_jaccard": d03_ngram_jaccard,
@@ -3573,6 +3600,7 @@ from per_sess group by user_id
         "d13_dedup_against_index": oracles.dedup_against_index_sql(),
         "t16_bpe_vocab": oracles.bpe_merges_sql(),
         "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
+        "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

@@ -1666,6 +1666,67 @@ order by b.doc_id
 """
 
 
+def _bpe_layer_parts(
+    num_merges: int,
+    max_words: int,
+    max_word_len: int,
+    table: str,
+) -> list:
+    """Shared CTE layers for the BPE oracles: w0 holds EVERY distinct
+    word (with count and its sentinel-led char sequence) plus a
+    ``trainable`` flag for the capped/length-filtered training set —
+    pair counts sum only trainable rows, but every word's sequence is
+    rewritten each round, so the same layers serve both the merge-table
+    gate (t16) and the full-vocabulary encoding gate (t17). Rewrites
+    use the same list_reduce fold as the engine's F.aggregate."""
+    S = "chr(31)"
+    parts = [f"""w0 as materialized (
+  select word, cnt,
+    word in (
+      select word from (
+        select word, count(*) as cnt
+        from (select unnest({TOKENS}) as word from {table})
+        where length(word) > 0 and length(word) <= {max_word_len}
+        group by word
+        order by cnt desc, word asc
+        limit {max_words}
+      )
+    ) as trainable,
+    {S} || array_to_string(
+      list_transform(range(1, length(word) + 1),
+                     i -> substring(word, i, 1)), {S}) as seq
+  from (
+    select word, count(*) as cnt
+    from (select unnest({TOKENS}) as word from {table})
+    where length(word) > 0
+    group by word
+  )
+)"""]
+    for i in range(num_merges):
+        parts.append(f"""e{i} as (
+  select cnt, syms, unnest(generate_series(2, len(syms) - 1)) as j
+  from (select cnt, string_split(seq, {S}) as syms
+        from w{i} where trainable)
+  where len(syms) >= 3
+)""")
+        parts.append(
+            f"p{i} as (select syms[j] as l, syms[j+1] as r, "
+            f"sum(cnt) as c from e{i} group by 1, 2)"
+        )
+        parts.append(f"""b{i} as materialized (
+  select l, r, c from p{i} order by c desc, l asc, r asc limit 1
+)""")
+        parts.append(f"""w{i + 1} as materialized (
+  select word, cnt, trainable,
+    list_reduce(string_split(seq, {S}),
+      (acc, x) -> case when ends_with(acc, {S} || b.l) and x = b.r
+                       then acc || x
+                       else acc || {S} || x end) as seq
+  from w{i}, b{i} b
+)""")
+    return parts
+
+
 def bpe_merges_sql(
     num_merges: int = 12,
     max_words: int = 100_000,
@@ -1681,43 +1742,7 @@ def bpe_merges_sql(
     asc) argmax tie-break. Every layer is MATERIALIZED so the chain
     stays linear in ``num_merges`` despite the per-layer cross join of
     the one-row argmax."""
-    S = "chr(31)"
-    parts = [f"""w0 as materialized (
-  select {S} || array_to_string(
-      list_transform(range(1, length(word) + 1),
-                     i -> substring(word, i, 1)), {S}) as seq,
-    cnt
-  from (
-    select word, count(*) as cnt
-    from (select unnest({TOKENS}) as word from {table})
-    where length(word) > 0 and length(word) <= {max_word_len}
-    group by word
-    order by cnt desc, word asc
-    limit {max_words}
-  )
-)"""]
-    for i in range(num_merges):
-        parts.append(f"""e{i} as (
-  select cnt, syms, unnest(generate_series(2, len(syms) - 1)) as j
-  from (select cnt, string_split(seq, {S}) as syms from w{i})
-  where len(syms) >= 3
-)""")
-        parts.append(
-            f"p{i} as (select syms[j] as l, syms[j+1] as r, "
-            f"sum(cnt) as c from e{i} group by 1, 2)"
-        )
-        parts.append(f"""b{i} as materialized (
-  select l, r, c from p{i} order by c desc, l asc, r asc limit 1
-)""")
-        if i + 1 < num_merges:
-            parts.append(f"""w{i + 1} as materialized (
-  select list_reduce(string_split(seq, {S}),
-      (acc, x) -> case when ends_with(acc, {S} || b.l) and x = b.r
-                       then acc || x
-                       else acc || {S} || x end) as seq,
-    cnt
-  from w{i}, b{i} b
-)""")
+    parts = _bpe_layer_parts(num_merges, max_words, max_word_len, table)
     unions = "\n  union all\n  ".join(
         f"select {i} as rank, l as \"left\", r as \"right\", "
         f"cast(c as bigint) as pair_count from b{i}"
@@ -1726,6 +1751,43 @@ def bpe_merges_sql(
     return (
         "with " + ",\n".join(parts)
         + f"\nselect * from (\n  {unions}\n) order by rank\n"
+    )
+
+
+def bpe_encode_sql(
+    num_merges: int = 12,
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+    table: str = "documents",
+) -> str:
+    """Oracle for apply_bpe over the trained merges (t17): the final
+    rewritten word table w{M} holds every distinct word's fully-merged
+    sequence (training counted only the capped/filtered set; REWRITES
+    ran over the whole vocabulary, mirroring apply_bpe encoding words
+    the trainer never saw), so per-doc subword budgets are one
+    explode-join-aggregate."""
+    S = "chr(31)"
+    parts = _bpe_layer_parts(num_merges, max_words, max_word_len, table)
+    parts.append(f"""wenc as (
+  select word, len(string_split(seq, {S})) - 1 as n_sub
+  from w{num_merges}
+)""")
+    parts.append(f"""docwords as (
+  select doc_id, unnest({TOKENS}) as word from {table}
+)""")
+    return (
+        "with " + ",\n".join(parts)
+        + f"""
+select d.doc_id,
+  cast(count(*) as integer) as n_words,
+  cast(sum(coalesce(w.n_sub, 0)) as bigint) as n_subwords,
+  round(sum(coalesce(w.n_sub, 0)) * 1.0 / count(*), 6)
+    as subwords_per_word
+from docwords d
+left join wenc w on w.word = d.word
+group by d.doc_id
+order by d.doc_id
+"""
     )
 
 
