@@ -1019,6 +1019,7 @@ def dedup_against_index(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_band_rows: bool = True,
 ) -> DataFrame:
     """Incremental ingestion dedup: mark each batch document that is a
     MinHash near-duplicate of (a) any already-indexed document or (b) a
@@ -1052,9 +1053,16 @@ def dedup_against_index(
     ).select(
         F.col(id_col).alias("id"), "band", "bh", "sig"
     )
-    from pyspark import StorageLevel
+    if persist_band_rows:
+        # br is referenced twice (own-batch mates + the join's probe
+        # side). Pass False from per-batch loops that already persist
+        # the batch upstream — a long-lived stream would otherwise
+        # accumulate one registered cache per micro-batch (the module
+        # caching contract's clearCache escape hatch is too blunt for
+        # a stream sharing the session with other users).
+        from pyspark import StorageLevel
 
-    br = br.persist(StorageLevel.MEMORY_AND_DISK)
+        br = br.persist(StorageLevel.MEMORY_AND_DISK)
     mates = index_rows.select(
         F.col(id_col).alias("mid"),
         "band",

@@ -351,7 +351,7 @@ def stream_insert_near_dedup(
                 )
             verdicts = dedup_against_index(
                 df, idx, threshold, num_perm, bands, shingle_k,
-                text_col, id_col,
+                text_col, id_col, persist_band_rows=False,
             )
             survivors = df.join(
                 verdicts.where(~F.col("is_dup")).select(F.col(id_col)),
