@@ -1335,6 +1335,22 @@ _MONTH_SPEC = PartitionSpec(
 )
 
 
+def _stamp_new_files(src_dir: str, seen: set, epoch: float) -> None:
+    """Force the file stream's processing order to match WRITE order:
+    Spark's FileStreamSource sorts by modification time, and two
+    sequential parquet writes can land in the same millisecond — ties
+    would break on RANDOM part-file names, flipping which batch a
+    multi-batch entry sees first. Called between writes, it stamps the
+    files the previous write created (everything not yet ``seen``) to a
+    fixed epoch, so each write's files sort strictly before the next's."""
+    import os as _os
+
+    for f in _os.listdir(src_dir):
+        if f.endswith(".parquet") and f not in seen:
+            _os.utime(_os.path.join(src_dir, f), (epoch, epoch))
+            seen.add(f)
+
+
 def _scratch(spark, **kw) -> tuple[IceTable, str]:
     d = tempfile.mkdtemp(prefix="icetbl-")
     return (
@@ -2467,10 +2483,13 @@ def st09_stream_dedup(spark, sf_dir):
             "event_type",
             "value",
         )
+        stamped: set = set()
         ev.coalesce(1).write.parquet(src, mode="append")
+        _stamp_new_files(src, stamped, 1_000_000_000.0)
         ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
             src, mode="append"
         )
+        _stamp_new_files(src, stamped, 1_000_000_060.0)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3092,10 +3111,13 @@ def st10_stream_near_dedup(spark, sf_dir):
                 .alias("text"),
             )
         )
+        stamped: set = set()
         docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
             src, mode="append"
         )
+        _stamp_new_files(src, stamped, 1_000_000_000.0)
         batch2.coalesce(1).write.parquet(src, mode="append")
+        _stamp_new_files(src, stamped, 1_000_000_060.0)
         stream = (
             spark.readStream.schema(batch2.schema)
             .option("maxFilesPerTrigger", 1)

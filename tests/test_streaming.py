@@ -275,12 +275,17 @@ def test_stream_near_dedup_gates_batches(spark, tmp_path):
     ]
     src = str(tmp_path / "src")
     schema = "doc_id long, text string"
+    from __spark_entry__ import _stamp_new_files
+
+    stamped: set = set()
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
         src, mode="append"
     )
+    _stamp_new_files(src, stamped, 1_000_000_000.0)
     spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
         src, mode="append"
     )
+    _stamp_new_files(src, stamped, 1_000_000_060.0)
     stream = (
         spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
         .option("maxFilesPerTrigger", 1)
