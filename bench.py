@@ -104,6 +104,10 @@ SCALING = [
     # round-7: BPE training on the capped distinct-word table — cost
     # tracks vocabulary growth (sublinear in corpus), not corpus size
     "t16_bpe_vocab",
+    # round-7: incremental dedup (one band-keyed equi-join, signatures
+    # not text) and full-corpus BPE encoding (column-expression folds)
+    "d13_dedup_against_index",
+    "t17_bpe_encode",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -123,6 +127,8 @@ _SCALING_TABLE = {
     "t15_bm25_search": "documents",
     "d12_substring_dedup": "documents",
     "t16_bpe_vocab": "documents",
+    "d13_dedup_against_index": "documents",
+    "t17_bpe_encode": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
