@@ -3161,6 +3161,33 @@ def t17_bpe_encode(spark, sf_dir):
     )
 
 
+
+def t18_bpe_packing(spark, sf_dir):
+    """The composition the BPE work exists for: sequence packing whose
+    token budget is the TRAINED-BPE subword count (t08 packs whitespace
+    tokens — production packers budget subwords). apply_bpe's per-doc
+    n_subwords feeds pack_sequences(tokens_col=...); the oracle chains
+    the full-vocabulary encode layers into the t08 packing window. All
+    column expressions + one hash-shard window — no new shuffle beyond
+    t08's."""
+    from icedb_spark.operators import apply_bpe, bpe_train, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs, num_merges=12, min_pair_count=1)
+    budgets = apply_bpe(docs, merges).select(
+        "doc_id", F.col("n_subwords").alias("n_sub")
+    )
+    return (
+        pack_sequences(
+            docs.join(budgets, "doc_id"),
+            token_budget=256,
+            n_shards=4,
+            tokens_col="n_sub",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3240,7 +3267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_bpe_encode": t17_bpe_encode,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from r5/r6 —
-        # this rotation only demotes proven entries.
+        # this rotation only demotes proven entries. t18 (new, below the
+        # window) is proven by the repo's own gate replica this round
+        # and rotates up next round.
+        "t18_bpe_packing": t18_bpe_packing,
         "st02_windowed_agg": st02_windowed_agg,
         "mv02_incremental_mv": mv02_incremental_mv,
         "d01_exact_dedup": d01_exact_dedup,
@@ -3623,6 +3653,7 @@ from per_sess group by user_id
         "t16_bpe_vocab": oracles.bpe_merges_sql(),
         "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
         "t17_bpe_encode": oracles.bpe_encode_sql(),
+        "t18_bpe_packing": oracles.bpe_packing_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

@@ -1875,3 +1875,52 @@ select doc_id from corpus
 where doc_id not in (select id from dup)
 order by doc_id
 """
+
+
+def bpe_packing_sql(
+    num_merges: int = 12,
+    token_budget: int = 256,
+    n_shards: int = 4,
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+    table: str = "documents",
+) -> str:
+    """Oracle for the t18 composition gate: sequence packing whose token
+    budget is the REAL trained-BPE subword count (t08 packs whitespace
+    tokens; this is the production budget) — the bpe_encode layers feed
+    per-doc n_subwords into the t08 packing window."""
+    from .operators.packing import PACK_SEED
+
+    S = "chr(31)"
+    parts = _bpe_layer_parts(num_merges, max_words, max_word_len, table)
+    parts.append(f"""wenc as (
+  select word, len(string_split(seq, {S})) - 1 as n_sub
+  from w{num_merges}
+)""")
+    parts.append(f"""docsub as (
+  select d.doc_id, cast(sum(coalesce(w.n_sub, 0)) as bigint) as n_tokens
+  from (select doc_id, unnest({TOKENS}) as word from {table}) d
+  left join wenc w on w.word = d.word
+  group by d.doc_id
+)""")
+    shard = hash60_sql("doc_id", PACK_SEED)
+    order = hash60_sql("doc_id", PACK_SEED + 1)
+    parts.append(f"""base as (
+  select doc_id, n_tokens,
+    cast({shard} % {n_shards} as integer) as shard,
+    {order} as h
+  from docsub
+)""")
+    return (
+        "with " + ",\n".join(parts)
+        + f"""
+select doc_id, n_tokens, shard,
+  cast(floor((sum(n_tokens) over w - n_tokens) / {token_budget}) as bigint)
+    as seq_idx,
+  cast((sum(n_tokens) over w - n_tokens) % {token_budget} as bigint)
+    as seq_offset
+from base
+window w as (partition by shard order by h, doc_id
+             rows between unbounded preceding and current row)
+"""
+    )
