@@ -3188,6 +3188,50 @@ def t18_bpe_packing(spark, sf_dir):
     )
 
 
+
+def d14_substring_dedup_index(spark, sf_dir):
+    """Incremental exact-substring dedup against a PERSISTED digest
+    index — the d13 pattern applied to the d12 span family: even-id
+    docs' distinct 8-gram digests commit once into an icedb table
+    (8 bytes per distinct k-gram); the odd-id batch (with the planted
+    spans) marks positions whose digest exists in the index (keeper
+    ingested earlier) or repeats fresh within the batch (keep-first),
+    then merges islands to maximal spans. Equals duplicated_spans
+    (exclude_first) over the full corpus restricted to the batch — the
+    oracle recomputes exactly that from scratch."""
+    from icedb_spark.operators import (
+        duplicated_spans_against_index,
+        substring_index_rows,
+    )
+
+    corpus = _planted_span_corpus(spark, sf_dir)
+    old = corpus.where(F.col("doc_id") % 2 == 0)
+    batch = corpus.where(F.col("doc_id") % 2 == 1)
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(pmod(dig, 4) as int)")]
+        ),
+        sort_order=["dig"],
+    )
+    try:
+        t.insert(df=substring_index_rows(old, k=8))
+        spans = duplicated_spans_against_index(batch, t.read(), k=8)
+        return (
+            spans.groupBy("doc_id")
+            .agg(
+                F.count("*").cast("integer").alias("n_spans"),
+                F.sum("span_tokens").cast("long").alias("dup_tokens"),
+                F.min("span_start").cast("integer").alias("first_start"),
+                F.max("span_end").cast("integer").alias("last_end"),
+            )
+            .orderBy("doc_id")
+            .cache()
+        )
+    finally:
+        _cleanup_later(tdir)
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3271,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) is proven by the repo's own gate replica this round
         # and rotates up next round.
         "t18_bpe_packing": t18_bpe_packing,
+        "d14_substring_dedup_index": d14_substring_dedup_index,
         "st02_windowed_agg": st02_windowed_agg,
         "mv02_incremental_mv": mv02_incremental_mv,
         "d01_exact_dedup": d01_exact_dedup,
@@ -3654,6 +3699,7 @@ from per_sess group by user_id
         "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
         "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
+        "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

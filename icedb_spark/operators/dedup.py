@@ -1112,3 +1112,95 @@ def dedup_against_index(
             F.round("est_jaccard", 6).alias("est_jaccard"),
         )
     )
+
+
+def substring_index_rows(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A corpus's DISTINCT k-token shingle digests — the persistable
+    index for INCREMENTAL exact-substring dedup (one ``dig`` long per
+    distinct k-gram; the d13 pattern applied to the d12 family).
+    Presence is the whole signal: an incoming batch position whose
+    digest exists in the index has an earlier occurrence by the
+    ids-increase-across-batches contract, so it is marked for removal
+    under keep-first semantics without the index storing counts or
+    positions. Cross-batch re-inserts of the same digest are harmless
+    duplicates. One explode bounded by corpus token count, one
+    distinct."""
+    toks = tokens(F.col(text_col))
+    digs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
+    )
+    return (
+        df.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(F.explode(digs).alias("dig"))
+        .distinct()
+    )
+
+
+def duplicated_spans_against_index(
+    batch: DataFrame,
+    index_rows: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact-substring dedup: maximal spans of ``batch``
+    covered by k-token shingles that either (a) exist in the persisted
+    digest index — their keeper was ingested earlier — or (b) repeat
+    within the batch itself, keep-first (each new digest's smallest
+    ``(id, pos)`` batch occurrence is exempt). With the index holding
+    every previously seen digest and batch ids above indexed ids, the
+    result equals :func:`duplicated_spans` with ``exclude_first=True``
+    over the full corpus, restricted to batch documents — append
+    :func:`substring_index_rows` of the batch afterwards to continue
+    the cycle.
+
+    Scale shape: the batch side explodes its own token count; the one
+    expensive move is a semi-join against the digest index keyed on
+    ``dig`` (8 bytes/distinct k-gram, no text, no positions). Output
+    schema matches :func:`duplicated_spans`.
+    """
+    toks = tokens(F.col(text_col))
+    digs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
+    )
+    pos = (
+        batch.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(digs))
+        .select(
+            "id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig")
+        )
+    )
+    from pyspark import StorageLevel
+
+    pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    idx = index_rows.select(F.col("dig")).distinct()
+    hit_index = pos.join(idx, "dig", "left_semi").select("id", "pos")
+    # batch-internal keep-first, restricted to digests NOT in the index
+    # (an indexed digest already marks every batch occurrence above)
+    fresh = pos.join(idx, "dig", "left_anti")
+    keep = (
+        fresh.groupBy("dig")
+        .agg(F.min(F.struct("id", "pos")).alias("first"), F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("dig", "first")
+    )
+    hit_batch = (
+        fresh.join(keep, "dig")
+        .where(F.struct("id", "pos") != F.col("first"))
+        .select("id", "pos")
+    )
+    matched = hit_index.unionByName(hit_batch).distinct()
+    return _merge_islands(matched, k).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_shingles",
+    )

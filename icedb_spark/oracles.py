@@ -1924,3 +1924,77 @@ window w as (partition by shard order by h, doc_id
              rows between unbounded preceding and current row)
 """
     )
+
+
+def substring_index_dedup_sql(k: int = 8, table: str = "documents") -> str:
+    """Oracle for d14 (incremental exact-substring dedup): from-scratch
+    recompute over the planted corpus — an ODD-doc (batch) position is
+    marked iff its digest occurs among EVEN docs (the index side), or
+    it is a fresh digest repeating within the odds with a smaller
+    (id, pos) keeper. Equality with the Spark index-join result is the
+    incremental ≡ full claim for the span family."""
+    from .operators.dedup import SPAN_SEED
+
+    dig = hash60_sql(f"array_to_string(tks[pos:pos+{k - 1}], ' ')", SPAN_SEED)
+    return f"""
+with corpus as ({substring_corpus_sql(table)}),
+base as (
+  select doc_id as id, doc_id % 2 as odd, {TOKENS} as tks from corpus
+),
+pos as (
+  select id, odd, pos, {dig} as dig
+  from (
+    select id, odd, tks,
+      unnest(generate_series(1, len(tks) - {k - 1})) as pos
+    from base where len(tks) >= {k}
+  )
+),
+idx as (select distinct dig from pos where odd = 0),
+bpos as (select id, pos, dig from pos where odd = 1),
+hit_index as (
+  select id, pos from bpos where dig in (select dig from idx)
+),
+fresh as (
+  select id, pos, dig from bpos where dig not in (select dig from idx)
+),
+keepers as (
+  select dig, min(row(id, pos)) as first, count(*) as c
+  from fresh group by dig having count(*) >= 2
+),
+hit_batch as (
+  select f.id, f.pos
+  from fresh f join keepers x on f.dig = x.dig
+  where row(f.id, f.pos) <> x.first
+),
+matched as (
+  select distinct id, pos from (
+    select * from hit_index union all select * from hit_batch
+  )
+),
+islands as (
+  select id, pos,
+    case when lag(pos) over w is null or pos - lag(pos) over w > {k}
+         then 1 else 0 end as ni
+  from matched
+  window w as (partition by id order by pos)
+),
+numbered as (
+  select id, pos,
+    sum(ni) over (partition by id order by pos
+                  rows between unbounded preceding and current row)
+      as island
+  from islands
+),
+spans as (
+  select id, min(pos) as s, max(pos) + {k - 1} as e
+  from numbered group by id, island
+)
+select id as doc_id,
+  cast(count(*) as integer) as n_spans,
+  cast(sum(e - s + 1) as bigint) as dup_tokens,
+  cast(min(s) as integer) as first_start,
+  cast(max(e) as integer) as last_end
+from spans
+group by id
+order by doc_id
+"""

@@ -391,3 +391,53 @@ def test_bpe_train_and_apply_equal_reference(
         assert enc[i] == sum(
             _bpe_encode_py(w, merges) for w in t.split()
         ), (i, t, merges)
+
+
+@_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(0, 10**6),
+    n_docs=_st.integers(2, 8),
+    vocab=_st.integers(2, 4),
+    k=_st.integers(2, 3),
+    cut=_st.integers(1, 7),
+)
+def test_substring_index_equals_full_recompute(
+    spark, seed, n_docs, vocab, k, cut
+):
+    """For arbitrary collision-heavy corpora and an arbitrary old/batch
+    split, spans-against-the-digest-index equal the full-corpus
+    keep-first recompute restricted to batch docs."""
+    import random
+
+    from icedb_spark.operators import (
+        duplicated_spans,
+        duplicated_spans_against_index,
+        substring_index_rows,
+    )
+
+    rnd = random.Random(seed)
+    words = [f"w{j}" for j in range(vocab)]
+    rows = [
+        (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(k, 12))))
+        for i in range(1, n_docs + 1)
+    ]
+    c = min(cut, n_docs - 1)
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(rows[:c], schema)
+    batch = spark.createDataFrame(rows[c:], schema)
+    inc = {
+        tuple(r)
+        for r in duplicated_spans_against_index(
+            batch, substring_index_rows(old, k=k), k=k
+        ).collect()
+    }
+    batch_ids = {i for i, _ in rows[c:]}
+    full = duplicated_spans(
+        spark.createDataFrame(rows, schema), k=k, exclude_first=True
+    )
+    ref = {tuple(r) for r in full.collect() if r["doc_id"] in batch_ids}
+    assert inc == ref
