@@ -192,6 +192,28 @@ def main() -> None:
     )
     print("train chunks:", chunks.count())
 
+    # --- 4. real token budgets: BPE-train, encode, pack -------------------
+    # packing budgets in SUBWORDS, not whitespace tokens: train a small
+    # deterministic BPE vocab on the curated corpus, encode every doc,
+    # and hand the true n_subwords to the concat-then-chunk packer
+    from icedb_spark.operators import apply_bpe, bpe_train, pack_sequences
+
+    train_docs = curated.read().where("split = 'train'")
+    _, merges = bpe_train(train_docs, num_merges=16, min_pair_count=2)
+    budgets = apply_bpe(train_docs, merges).select(
+        "doc_id", F.col("n_subwords").alias("n_sub")
+    )
+    packed = pack_sequences(
+        train_docs.join(budgets, "doc_id"),
+        token_budget=2048,
+        n_shards=4,
+        tokens_col="n_sub",
+    )
+    packed.groupBy("shard").agg(
+        F.count("*").alias("docs"),
+        (F.max("seq_idx") + 1).alias("sequences"),
+    ).orderBy("shard").show()
+
 
 if __name__ == "__main__":
     main()

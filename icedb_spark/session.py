@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    if master.startswith("local"):
+        # local mode runs executors inside the driver JVM, whose 1g
+        # default heap OOMs under many-core shuffles; harmless if a JVM
+        # already exists (conf ignored) or on a real cluster (not local)
+        b = b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
