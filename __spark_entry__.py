@@ -3232,6 +3232,67 @@ def d14_substring_dedup_index(spark, sf_dir):
         _cleanup_later(tdir)
 
 
+
+def d15_embedding_dedup_index(spark, sf_dir):
+    """Incremental EMBEDDING near-dup against a persisted LSH index —
+    the third dedup family made incremental this round (d13 MinHash,
+    d14 exact-substring, this one semantic-vector): even-id vectors'
+    (bucket, vector, norm) rows commit once into an icedb table; the
+    odd-id batch (with planted exact copies of indexed and smaller-id
+    batch vectors) marks dups via ONE bucket equi-join + exact 6-dp
+    cosine. Order-free mate rule => equals the full-corpus LSH-pairs
+    recompute on the union, which is what the from-scratch oracle
+    computes."""
+    from icedb_spark.operators import (
+        embedding_dedup_against_index,
+        embedding_index_rows,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src1 = e.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("_v1")
+    )
+    src2 = e.select(
+        (F.col("vec_id") + 2).alias("vec_id"), F.col("embedding").alias("_v2")
+    )
+    batch = (
+        e.where(F.col("vec_id") % 2 == 1)
+        .join(src1, "vec_id", "left")
+        .join(src2, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") % 11 == 3) & F.col("_v1").isNotNull(),
+                F.col("_v1"),
+            )
+            .when(
+                (F.col("vec_id") % 23 == 7) & F.col("_v2").isNotNull(),
+                F.col("_v2"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    old = e.where(F.col("vec_id") % 2 == 0)
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(pmod(bucket, 4) as int)")]
+        ),
+        sort_order=["bucket"],
+    )
+    try:
+        t.insert(df=embedding_index_rows(old, dim=64, n_planes=6))
+        out = embedding_dedup_against_index(
+            batch, t.read(), dim=64, threshold=0.95, n_planes=6
+        ).orderBy("vec_id")
+        return out.cache()
+    finally:
+        _cleanup_later(tdir)
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -3316,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and rotates up next round.
         "t18_bpe_packing": t18_bpe_packing,
         "d14_substring_dedup_index": d14_substring_dedup_index,
+        "d15_embedding_dedup_index": d15_embedding_dedup_index,
         "st02_windowed_agg": st02_windowed_agg,
         "mv02_incremental_mv": mv02_incremental_mv,
         "d01_exact_dedup": d01_exact_dedup,
@@ -3700,6 +3762,7 @@ from per_sess group by user_id
         "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
         "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
+        "d15_embedding_dedup_index": oracles.embedding_dedup_index_sql(),
         "t13_url_stats": oracles.url_stats_sql(
             table="spliced", cte="""spliced as (
   select doc_id,

@@ -1204,3 +1204,100 @@ def duplicated_spans_against_index(
         "span_tokens",
         "n_shingles",
     )
+
+
+def embedding_index_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """An embedding corpus's rows in the INDEX-TABLE layout for
+    incremental near-dup gating (the d13 pattern for the embedding
+    family): ``(vec_id, bucket, v, n)`` — the md5-derived hyperplane
+    LSH bucket plus the double vector and its precomputed norm, so a
+    batch's bucket join verifies exact cosine without re-reading the
+    original corpus. Persist into an icedb table partitioned by
+    ``pmod(bucket, N)``."""
+    from .similarity import _as_double, _norm, lsh_bucket
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+
+def embedding_dedup_against_index(
+    batch: DataFrame,
+    index_rows: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup: mark each batch vector whose
+    exact cosine against some mate — indexed, or in-batch with a
+    smaller id — sharing its LSH bucket reaches ``threshold``
+    (6-dp-rounded, the family's cross-engine convention). Same
+    order-free mate rule as :func:`dedup_against_index`, so
+    batch-vs-index equals the full-corpus
+    :func:`embedding_dup_pairs_lsh` recompute on the union restricted
+    to batch ids; batch ids must be disjoint from indexed ids. Scale
+    shape: ONE bucket-keyed equi-join; candidate volume ~n·bucket
+    width, never all-pairs; no corpus re-hash per batch.
+
+    Returns ``(vec_id, is_dup, dup_of, cosine)`` — ``dup_of`` the
+    smallest qualifying mate, ``cosine`` its rounded similarity (null
+    for kept vectors). Append the batch's own
+    :func:`embedding_index_rows` to the index afterwards.
+    """
+    br = embedding_index_rows(batch, dim, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "bucket", "v", "n"
+    )
+    from pyspark import StorageLevel
+
+    br = br.persist(StorageLevel.MEMORY_AND_DISK)
+    mates = index_rows.select(
+        F.col(id_col).alias("mid"),
+        "bucket",
+        F.col("v").alias("mv"),
+        F.col("n").alias("mn"),
+        F.lit(True).alias("indexed"),
+    ).unionByName(
+        br.select(
+            F.col("id").alias("mid"),
+            "bucket",
+            F.col("v").alias("mv"),
+            F.col("n").alias("mn"),
+            F.lit(False).alias("indexed"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "mv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        br.join(mates, "bucket")
+        .where(F.col("indexed") | (F.col("mid") < F.col("id")))
+        .withColumn("cos", F.round(dot / (F.col("n") * F.col("mn")), 6))
+        .where(F.col("cos") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.min("mid").alias("dup_of"),
+            F.min_by("cos", "mid").alias("cosine"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "cosine",
+        )
+    )

@@ -1998,3 +1998,73 @@ from spans
 group by id
 order by doc_id
 """
+
+
+def embedding_dedup_index_sql(
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    table: str = "embeddings",
+) -> str:
+    """Full-corpus recompute of the incremental embedding near-dup
+    (operators.dedup.embedding_dedup_against_index): odd-id batch
+    (with planted exact vector copies) deduped against the even-id
+    indexed corpus plus smaller-id batch mates — same md5 hyperplane
+    buckets, same 6-dp rounded cosine, same order-free mate rule."""
+    from .operators.similarity import _hyperplane
+
+    def plane_dot(p: int) -> str:
+        lit = "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(dim, p)
+        ) + "]"
+        return (
+            f"list_reduce(list_prepend(cast(0.0 as double), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> dv[i] * ({lit}::double[])[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(case when {plane_dot(p)} >= 0 then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return f"""
+with src as (
+  select vec_id, cast(embedding as double[]) as dv from {table}
+),
+batch as (
+  select b.vec_id,
+    case when b.vec_id % 11 = 3 and p1.dv is not null then p1.dv
+         when b.vec_id % 23 = 7 and p2.dv is not null then p2.dv
+         else b.dv end as dv
+  from src b
+  left join src p1 on p1.vec_id = b.vec_id - 1
+  left join src p2 on p2.vec_id = b.vec_id - 2
+  where b.vec_id % 2 = 1
+),
+corpus as (
+  select vec_id, dv, true as indexed from src where vec_id % 2 = 0
+  union all
+  select vec_id, dv, false as indexed from batch
+),
+bk as (
+  select vec_id, dv, indexed, {bucket} as bucket from corpus
+),
+cand as (
+  select a.vec_id as id, b.vec_id as mid,
+    round(list_cosine_similarity(a.dv, b.dv), 6) as cos
+  from bk a
+  join bk b on a.bucket = b.bucket
+  where not a.indexed and (b.indexed or b.vec_id < a.vec_id)
+),
+dups as (
+  select id, min(mid) as dup_of, arg_min(cos, mid) as cosine
+  from cand where cos >= {threshold} group by id
+)
+select b.vec_id,
+  d.dup_of is not null as is_dup,
+  d.dup_of,
+  d.cosine
+from batch b left join dups d on d.id = b.vec_id
+order by b.vec_id
+"""

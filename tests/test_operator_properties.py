@@ -441,3 +441,93 @@ def test_substring_index_equals_full_recompute(
     )
     ref = {tuple(r) for r in full.collect() if r["doc_id"] in batch_ids}
     assert inc == ref
+
+
+@_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(0, 10**6),
+    n_old=_st.integers(1, 6),
+    n_batch=_st.integers(2, 8),
+    split=_st.integers(1, 6),
+)
+def test_embedding_index_split_invariance(
+    spark, seed, n_old, n_batch, split
+):
+    """Embedding dedup-against-index is split-invariant and equals the
+    full-corpus LSH-pairs recompute restricted to batch ids (buckets
+    and 6-dp cosines agree across paths)."""
+    import random
+
+    from icedb_spark.operators import (
+        embedding_dedup_against_index,
+        embedding_dup_pairs_lsh,
+        embedding_index_rows,
+    )
+
+    rnd = random.Random(seed)
+    dim = 8
+
+    def vec():
+        return [round(rnd.uniform(-1, 1), 3) or 0.001 for _ in range(dim)]
+
+    old_rows = [(i, vec()) for i in range(1, n_old + 1)]
+    batch_rows = []
+    for j in range(n_batch):
+        vid = 100 + j
+        if old_rows and rnd.random() < 0.4:
+            batch_rows.append((vid, rnd.choice(old_rows)[1]))
+        elif batch_rows and rnd.random() < 0.4:
+            batch_rows.append((vid, rnd.choice(batch_rows)[1]))
+        else:
+            batch_rows.append((vid, vec()))
+    schema = "vec_id long, embedding array<double>"
+    old = spark.createDataFrame(old_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    idx0 = embedding_index_rows(old, dim, n_planes=4)
+    oneshot = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in embedding_dedup_against_index(
+            batch, idx0, dim, n_planes=4
+        ).collect()
+    }
+    cut = min(split, n_batch)
+    a = spark.createDataFrame(batch_rows[:cut], schema)
+    b = spark.createDataFrame(batch_rows[cut:], schema)
+    two = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in embedding_dedup_against_index(
+            a, idx0, dim, n_planes=4
+        ).collect()
+    }
+    if batch_rows[cut:]:
+        idx1 = idx0.unionByName(embedding_index_rows(a, dim, n_planes=4))
+        two.update(
+            {
+                r["vec_id"]: (r["is_dup"], r["dup_of"])
+                for r in embedding_dedup_against_index(
+                    b, idx1, dim, n_planes=4
+                ).collect()
+            }
+        )
+    assert two == oneshot
+    # full-corpus LSH pairs restricted to batch: mate = indexed or
+    # smaller-id, so the dup set equals pairs with the batch id as the
+    # LARGER side (old ids < 100 <= batch ids)
+    pairs = embedding_dup_pairs_lsh(
+        old.unionByName(batch), dim, n_planes=4
+    ).collect()
+    batch_ids = [i for i, _ in batch_rows]
+    mates: dict = {}
+    for r in pairs:
+        hi, lo = max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])
+        if hi in set(batch_ids):
+            mates.setdefault(hi, []).append(lo)
+    for vid in batch_ids:
+        want = (
+            (True, min(mates[vid])) if vid in mates else (False, None)
+        )
+        assert oneshot[vid] == want, (vid, oneshot[vid], want)
