@@ -1,21 +1,25 @@
-"""Incremental corpus dedup: a persisted signature index + per-batch joins.
+"""Incremental corpus dedup: persisted indexes + per-batch joins.
 
 The 100 TB ingestion reality is "dedup this new batch against everything
 ever seen", not "re-dedup the whole corpus". This example wires the
-round-7 operators into that loop as executable documentation:
+round-7 operators into that loop as executable documentation — all
+THREE dedup families run incrementally against persisted icedb tables:
 
-1. A **signature index table** (an ordinary IceTable, partitioned by
-   MinHash band) accumulates ``minhash_index_rows`` for every ingested
-   document — kept or dropped, 16 longs per doc, so near-dups of
-   anything previously seen are always caught.
-2. Each incoming batch runs ``dedup_against_index`` — ONE (band, bh)
-   equi-join against the index plus the batch's own smaller-id rows;
-   verdicts equal a full-corpus recompute on the union (the d13 gate
-   proves this against a from-scratch DuckDB oracle).
-3. Survivors commit to the corpus table; the batch's signatures (all of
-   them) append to the index; repeat.
-4. A final ``duplicated_spans`` pass shows the exact-substring family:
-   cross-document 8-token spans invisible to doc-level MinHash.
+1. A **MinHash signature index** (partitioned by band) accumulates
+   ``minhash_index_rows`` for every ingested document — kept or
+   dropped, 16 longs per doc, so near-dups of anything previously seen
+   are always caught; each batch runs ``dedup_against_index`` (one
+   (band, bh) equi-join; verdicts equal a full-corpus recompute on the
+   union — the d13 gate proves this against a from-scratch oracle).
+2. A **k-gram digest index** gates exact-substring spans incrementally
+   (``substring_index_rows`` + ``duplicated_spans_against_index`` —
+   8 bytes per distinct k-gram, presence = an earlier keeper exists).
+3. An **embedding LSH index** would gate semantic near-dups the same
+   way (``embedding_index_rows`` + ``embedding_dedup_against_index``)
+   — same loop, bucket-keyed join; omitted here only because the toy
+   corpus has no embeddings.
+4. A final ``drop_duplicated_spans`` pass shows batch-global span
+   removal with per-doc accounting.
 
 Run: python examples/incremental_dedup.py
 """
@@ -33,7 +37,9 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import (
     dedup_against_index,
     drop_duplicated_spans,
+    duplicated_spans_against_index,
     minhash_index_rows,
+    substring_index_rows,
 )
 from icedb_spark.session import get_spark
 
@@ -92,5 +98,31 @@ print("exact-substring pass (8-token spans, keep-first removal):")
 drop_duplicated_spans(corpus.read(), k=8).orderBy("doc_id").show(
     truncate=False
 )
+
+# the span family runs incrementally too: persist the corpus's distinct
+# 8-gram digests, then gate a late batch that re-sends indexed content
+span_idx = IceTable(
+    spark,
+    f"{root}/span_index",
+    partition_spec=PartitionSpec(
+        fields=[PartitionField("b", "cast(pmod(dig, 4) as int)")]
+    ),
+    sort_order=["dig"],
+)
+span_idx.insert(df=substring_index_rows(corpus.read(), k=8))
+late = spark.createDataFrame(
+    [
+        (31, "intro words then the quick brown fox jumps over the lazy "
+             "dog by the river and an outro"),
+        (32, "wholly original closing text with no eight token overlap "
+             "at all anywhere"),
+    ],
+    "doc_id long, text string",
+)
+print("late batch vs the persisted span index (doc 31 contains an")
+print("11-token span already ingested; doc 32 is clean):")
+duplicated_spans_against_index(late, span_idx.read(), k=8).orderBy(
+    "doc_id"
+).show(truncate=False)
 
 spark.stop()
