@@ -906,20 +906,47 @@ def drop_duplicated_spans(
     needing original casing should treat the span rows from
     :func:`duplicated_spans` as offsets into their own tokenization.
     """
-    spans = (
-        _merge_islands(
-            _span_positions(
-                df, k, text_col, id_col, min_count, min_docs, True
-            ),
-            k,
+    spans = _merge_islands(
+        _span_positions(
+            df, k, text_col, id_col, min_count, min_docs, True
+        ),
+        k,
+    ).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_shingles",
+    )
+    return apply_span_removal(df, spans, text_col=text_col, id_col=id_col)
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove arbitrary token spans from each document and account for
+    the drops — the application half of the span family, shared by
+    batch-global :func:`drop_duplicated_spans` and usable directly on
+    :func:`duplicated_spans_against_index` output for INCREMENTAL
+    cleaning. ``spans`` carries ``(id_col, span_start, span_end)``
+    rows (1-based inclusive token indexes over the normalized
+    tokenization); overlapping spans are fine (a token inside any span
+    is dropped; ``dropped_tokens`` counts distinct dropped tokens).
+    Returns ``(id, dropped_spans, dropped_tokens, kept_tokens,
+    clean_text)`` with clean_text rebuilt from the LOWERCASED
+    whitespace tokens."""
+    per_doc = (
+        spans.select(
+            F.col(id_col).alias("id"),
+            F.struct("span_start", "span_end").alias("sp"),
         )
         .groupBy("id")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct("span_start", "span_end"))
-            ).alias("spans"),
+            F.sort_array(F.collect_list("sp")).alias("spans"),
             F.count("*").alias("dropped_spans"),
-            F.sum("span_tokens").alias("dropped_tokens"),
         )
     )
     toks = tokens(F.col(text_col))
@@ -929,11 +956,11 @@ def drop_duplicated_spans(
     )
     out = (
         df.select(F.col(id_col).alias("id"), toks.alias("tks"))
-        .join(spans, "id", "left")
+        .join(per_doc, "id", "left")
         .select(
             "id",
+            F.size("tks").alias("n_tokens"),
             F.coalesce("dropped_spans", F.lit(0)).alias("dropped_spans"),
-            F.coalesce("dropped_tokens", F.lit(0)).alias("dropped_tokens"),
             F.when(F.col("spans").isNull(), tok_structs)
             .otherwise(
                 # keep tokens outside every span: per-token exists()
@@ -953,7 +980,9 @@ def drop_duplicated_spans(
     return out.select(
         F.col("id").alias(id_col),
         "dropped_spans",
-        "dropped_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias(
+            "dropped_tokens"
+        ),
         F.size("kept").alias("kept_tokens"),
         F.array_join(
             F.transform(

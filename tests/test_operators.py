@@ -1716,3 +1716,50 @@ def test_bpe_word_cap_is_deterministic(spark):
     # only zz (3) and yy (2) survive the cap: first merge is (z, z)
     assert merges[0] == ("z", "z")
     assert ("x", "x") not in merges
+
+
+def test_apply_span_removal_incremental_and_overlaps(spark):
+    """apply_span_removal cleans text from arbitrary span sets —
+    including d14-style incremental spans and OVERLAPPING spans (a
+    token inside any span drops once)."""
+    from icedb_spark.operators import (
+        apply_span_removal,
+        duplicated_spans_against_index,
+        substring_index_rows,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "head alpha beta gamma delta epsilon zeta eta theta end"),
+            (12, "clean document with nothing repeated from the index"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans_against_index(
+        batch, substring_index_rows(old, k=8), k=8
+    )
+    got = {
+        r["doc_id"]: r
+        for r in apply_span_removal(batch, spans).collect()
+    }
+    assert got[11]["clean_text"] == "head end"
+    assert got[11]["dropped_tokens"] == 8
+    assert got[12]["dropped_spans"] == 0
+    assert got[12]["kept_tokens"] == 8
+    # overlapping hand-built spans: union coverage, not double-count
+    manual = spark.createDataFrame(
+        [(11, 1, 4, 0, 0), (11, 3, 6, 0, 0)],
+        "doc_id long, span_start int, span_end int, "
+        "span_tokens int, n_shingles int",
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in apply_span_removal(batch, manual).collect()
+    }
+    assert got2[11]["dropped_spans"] == 2
+    assert got2[11]["dropped_tokens"] == 6  # tokens 1..6 once
+    assert got2[11]["clean_text"] == "zeta eta theta end"
