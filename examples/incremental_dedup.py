@@ -80,7 +80,11 @@ for n, rows in enumerate(BATCHES, 1):
     if idx_rows is None:
         # first batch: dedup against an empty index (in-batch rule only)
         idx_rows = minhash_index_rows(batch).limit(0)
-    verdicts = dedup_against_index(batch, idx_rows)
+    # persist_band_rows=False in a batch loop: the default cache is for
+    # one-shot calls; a loop would accumulate one registered cache per
+    # batch for the session's lifetime (the sibling _against_index
+    # functions take the same opt-out)
+    verdicts = dedup_against_index(batch, idx_rows, persist_band_rows=False)
     kept = batch.join(
         verdicts.where(~F.col("is_dup")).select("doc_id"), "doc_id"
     )
@@ -121,8 +125,8 @@ late = spark.createDataFrame(
 )
 print("late batch vs the persisted span index (doc 31 contains an")
 print("11-token span already ingested; doc 32 is clean):")
-duplicated_spans_against_index(late, span_idx.read(), k=8).orderBy(
-    "doc_id"
-).show(truncate=False)
+duplicated_spans_against_index(
+    late, span_idx.read(), k=8, persist_positions=False
+).orderBy("doc_id").show(truncate=False)
 
 spark.stop()

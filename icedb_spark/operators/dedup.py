@@ -1177,6 +1177,7 @@ def duplicated_spans_against_index(
     k: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_positions: bool = True,
 ) -> DataFrame:
     """Incremental exact-substring dedup: maximal spans of ``batch``
     covered by k-token shingles that either (a) exist in the persisted
@@ -1193,6 +1194,15 @@ def duplicated_spans_against_index(
     expensive move is a semi-join against the digest index keyed on
     ``dig`` (8 bytes/distinct k-gram, no text, no positions). Output
     schema matches :func:`duplicated_spans`.
+
+    ``persist_positions``: the batch's position explode is referenced
+    twice (index semi-join + batch-internal keep-first) and is cached
+    by default. Pass ``False`` from per-batch loops in a long-lived
+    session — the cache is corpus-token-count-sized and Spark never
+    auto-evicts disk-backed blocks, so a stream that keeps the default
+    accumulates one registered cache per batch (same contract as
+    :func:`dedup_against_index`'s ``persist_band_rows``); recomputing
+    the explode twice is cheap at micro-batch sizes.
     """
     toks = tokens(F.col(text_col))
     digs = F.transform(
@@ -1206,9 +1216,10 @@ def duplicated_spans_against_index(
             "id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig")
         )
     )
-    from pyspark import StorageLevel
+    if persist_positions:
+        from pyspark import StorageLevel
 
-    pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
     idx = index_rows.select(F.col("dig")).distinct()
     hit_index = pos.join(idx, "dig", "left_semi").select("id", "pos")
     # batch-internal keep-first, restricted to digests NOT in the index
@@ -1266,6 +1277,7 @@ def embedding_dedup_against_index(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_batch_rows: bool = True,
 ) -> DataFrame:
     """Incremental embedding near-dup: mark each batch vector whose
     exact cosine against some mate — indexed, or in-batch with a
@@ -1282,13 +1294,21 @@ def embedding_dedup_against_index(
     smallest qualifying mate, ``cosine`` its rounded similarity (null
     for kept vectors). Append the batch's own
     :func:`embedding_index_rows` to the index afterwards.
+
+    ``persist_batch_rows``: the batch's bucketed rows are referenced
+    twice (own-batch mates + the join's probe side) and cached by
+    default; pass ``False`` from per-batch loops in a long-lived
+    session to avoid accumulating one never-evicted cache per batch
+    (same contract as :func:`dedup_against_index`'s
+    ``persist_band_rows``).
     """
     br = embedding_index_rows(batch, dim, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("id"), "bucket", "v", "n"
     )
-    from pyspark import StorageLevel
+    if persist_batch_rows:
+        from pyspark import StorageLevel
 
-    br = br.persist(StorageLevel.MEMORY_AND_DISK)
+        br = br.persist(StorageLevel.MEMORY_AND_DISK)
     mates = index_rows.select(
         F.col(id_col).alias("mid"),
         "bucket",
