@@ -3189,6 +3189,32 @@ def t18_bpe_packing(spark, sf_dir):
 
 
 
+def t19_bpe_encode_scaled(spark, sf_dir):
+    """BPE encoding at a PRODUCTION-SCALE merge count (VERDICT r7 #3):
+    1296 fixed single-char merges (every ordered pair of [a-z0-9] in
+    lexicographic rank order — deterministically constructible on both
+    engines, so no thousand-layer training recompute in SQL) push
+    apply_bpe onto its greedy mapInPandas strategy, the shape that
+    survives a real tokenizer's 30–100 k merge table: tokenization
+    stays in Spark, each Arrow batch encodes through a per-task
+    distinct-word cache with a symbol-presence skip. t17 keeps the
+    12-merge fold path under its trained-vocabulary oracle; this gate
+    proves the scale path's VALUES, not just its plumbing."""
+    from icedb_spark.operators import apply_bpe, bpe_alphabet_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        apply_bpe(docs, bpe_alphabet_merges())
+        .select(
+            "doc_id",
+            F.col("n_words").cast("integer").alias("n_words"),
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            "subwords_per_word",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def d14_substring_dedup_index(spark, sf_dir):
     """Incremental exact-substring dedup against a PERSISTED digest
     index — the d13 pattern applied to the d12 span family: even-id
@@ -3376,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window) is proven by the repo's own gate replica this round
         # and rotates up next round.
         "t18_bpe_packing": t18_bpe_packing,
+        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
         "d14_substring_dedup_index": d14_substring_dedup_index,
         "d15_embedding_dedup_index": d15_embedding_dedup_index,
         "st02_windowed_agg": st02_windowed_agg,
@@ -3760,6 +3787,7 @@ from per_sess group by user_id
         "t16_bpe_vocab": oracles.bpe_merges_sql(),
         "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
         "t17_bpe_encode": oracles.bpe_encode_sql(),
+        "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
         "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
         "d15_embedding_dedup_index": oracles.embedding_dedup_index_sql(),

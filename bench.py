@@ -108,6 +108,10 @@ SCALING = [
     # not text) and full-corpus BPE encoding (column-expression folds)
     "d13_dedup_against_index",
     "t17_bpe_encode",
+    # round-8: the greedy mapInPandas encoder at a production-scale
+    # merge table (1296 fixed merges) — per-task distinct-word cache +
+    # symbol-presence skip, cost tracks distinct words not corpus rows
+    "t19_bpe_encode_scaled",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -129,6 +133,7 @@ _SCALING_TABLE = {
     "t16_bpe_vocab": "documents",
     "d13_dedup_against_index": "documents",
     "t17_bpe_encode": "documents",
+    "t19_bpe_encode_scaled": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of

@@ -837,6 +837,20 @@ def bpe_train(
     return merges_df, [(l, r) for _, l, r, _ in merges]
 
 
+def bpe_alphabet_merges(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+) -> list:
+    """A FIXED production-scale merge table: every ordered single-char
+    pair of ``alphabet`` in lexicographic (code-point) rank order —
+    len(alphabet)² merges, 1296 for the default. Deterministically
+    constructible on any engine with no training pass, which is what
+    lets the t19 gate value-check the greedy encoder at a merge count
+    three orders of magnitude past the fold path's ceiling (the DuckDB
+    side rebuilds the same table in
+    :func:`icedb_spark.oracles.bpe_encode_fixed_sql`)."""
+    return sorted((l, r) for l in alphabet for r in alphabet)
+
+
 def _bpe_encode_len(word: str, merge_rules: list) -> int:
     """Subword count of one word under a merge list replayed in rank
     order, each rank one left-greedy pass (:func:`_bpe_merge_pass`

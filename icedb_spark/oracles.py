@@ -1791,6 +1791,81 @@ order by d.doc_id
     )
 
 
+def bpe_encode_fixed_sql(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+    table: str = "documents",
+) -> str:
+    """Oracle for apply_bpe at a PRODUCTION-SCALE merge count (t19):
+    the fixed vocabulary is every ordered single-char pair of
+    ``alphabet`` in lexicographic rank order (len² merges — 1296 for
+    the default 36-char alphabet), constructed identically on both
+    engines, so the gate exercises the greedy mapInPandas encoder far
+    beyond the fold path's expression-tree ceiling without needing a
+    thousand training layers in SQL. Encoding is ONE nested fold per
+    distinct word: the outer ``list_reduce`` walks the merge list
+    (each merge packed as ``l || chr(30) || r``; the word's sentinel
+    sequence is prepended as the fold seed), the inner one is the same
+    left-greedy symbol fold every BPE oracle here uses. A ``contains``
+    guard skips merges whose (l, r) adjacency cannot occur in the
+    current sequence — sound because the sentinel only ever marks
+    symbol boundaries, so pattern absence proves the fold is identity
+    — which keeps the oracle linear in (distinct words × merges)
+    string scans instead of folds."""
+    S = "chr(31)"
+    M = "chr(30)"
+    a = f"'{alphabet}'"
+    return f"""
+with alpha as (
+  select unnest(list_transform(
+    range(1, length({a}) + 1), i -> substring({a}, i, 1))) as ch
+),
+mlist as (
+  select list(a.ch || {M} || b.ch order by a.ch asc, b.ch asc) as ms
+  from alpha a, alpha b
+),
+w0 as materialized (
+  select word,
+    {S} || array_to_string(
+      list_transform(range(1, length(word) + 1),
+                     i -> substring(word, i, 1)), {S}) as seq
+  from (select distinct unnest({TOKENS}) as word from {table})
+  where length(word) > 0
+),
+wenc as materialized (
+  select word,
+    len(string_split(
+      list_reduce(
+        list_prepend(seq, ms),
+        (acc, m) -> case
+          when not contains(acc,
+                 {S} || split_part(m, {M}, 1)
+                     || {S} || split_part(m, {M}, 2))
+          then acc
+          else list_reduce(string_split(acc, {S}),
+            (a2, x) -> case
+              when ends_with(a2, {S} || split_part(m, {M}, 1))
+                   and x = split_part(m, {M}, 2)
+              then a2 || x
+              else a2 || {S} || x end)
+        end),
+      {S})) - 1 as n_sub
+  from w0, mlist
+),
+docwords as (
+  select doc_id, unnest({TOKENS}) as word from {table}
+)
+select d.doc_id,
+  cast(count(*) as integer) as n_words,
+  cast(sum(coalesce(w.n_sub, 0)) as bigint) as n_subwords,
+  round(sum(coalesce(w.n_sub, 0)) * 1.0 / count(*), 6)
+    as subwords_per_word
+from docwords d
+left join wenc w on w.word = d.word
+group by d.doc_id
+order by d.doc_id
+"""
+
+
 def stream_near_dedup_sql(
     num_perm: int = 16,
     bands: int = 4,
