@@ -3082,6 +3082,10 @@ def st10_stream_near_dedup(spark, sf_dir):
         spark,
         partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
         sort_order=["bh"],
+        # per-file Bloom filters on bh: each micro-batch's index scan
+        # prunes to files that may hold the BATCH's own buckets, so
+        # per-batch index I/O tracks batch size, not index size
+        bloom_columns=["bh"],
     )
     src = tempfile.mkdtemp(prefix="icestream-src-")
     ck = tempfile.mkdtemp(prefix="icestream-ck-")

@@ -284,6 +284,7 @@ def main():
             )
         },
     })
+    emit({"detail": "index_prune", **_index_prune_block(spark, sf_dir)})
     sf1 = _sf1_block(run, cpus, spark) if sf >= 0.1 else None
     ingest = _ingest_block(spark)
     emit({"detail": "ingest", **ingest})
@@ -417,6 +418,89 @@ def main():
     for o in sf1_lines:
         emit(o)
     print(json.dumps(out), flush=True)
+
+
+def _index_prune_block(spark, sf_dir: str):
+    """Evidence for the round-8 pruned dedup-index scan (VERDICT r7 #4):
+    a persisted MinHash signature index built in 8 commits (32 files:
+    4 band partitions x 8, per-file bh Bloom filters), then one small
+    batch deduped against it twice — full index read vs the
+    column_in={"bh": ...} pruned read. Reports the file counts (the
+    pruning claim) and both walls, plus a 4x batch to show per-batch
+    cost tracks BATCH size: at a fixed index, a bigger batch keeps more
+    files, a smaller one fewer — index size no longer sets the floor."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import dedup_against_index, minhash_index_rows
+    from icedb_spark.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bench_idxprune_")
+    try:
+        idx_t = IceTable(
+            spark,
+            root,
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("band", "band")]
+            ),
+            sort_order=["bh"],
+            bloom_columns=["bh"],
+        )
+        for s in range(8):
+            idx_t.insert(
+                df=minhash_index_rows(docs.where(F.col("doc_id") % 8 == s))
+            )
+        files_total = len(idx_t.files_for())
+
+        def probe(n_batch: int, slice_mod: int) -> dict:
+            # near-dups of ONE index slice: the batch's buckets live in
+            # that slice's files only, so the other slices' files must
+            # prune (a batch near-duplicating uniformly-sampled docs
+            # would legitimately touch every file — the win comes from
+            # batches whose content clusters, the common ingest shape)
+            batch = (
+                docs.where(F.col("doc_id") % 8 == slice_mod)
+                .orderBy("doc_id")
+                .limit(n_batch)
+                .select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                )
+            )
+            bhs = sorted(
+                r["bh"]
+                for r in minhash_index_rows(batch)
+                .select("bh")
+                .distinct()
+                .collect()
+            )
+            kept = len(idx_t.files_for(column_in={"bh": bhs}))
+
+            def wall(idx_rows) -> float:
+                t0 = time.time()
+                dedup_against_index(
+                    batch, idx_rows, persist_band_rows=False
+                ).write.format("noop").mode("overwrite").save()
+                return round(time.time() - t0, 3)
+
+            return {
+                "batch_docs": n_batch,
+                "files_kept": kept,
+                "sec_full": wall(idx_t.read()),
+                "sec_pruned": wall(idx_t.read(column_in={"bh": bhs})),
+            }
+
+        return {
+            "files_total": files_total,
+            "batches": [probe(32, 0), probe(128, 3)],
+        }
+    except Exception as e:  # informational block — never fail the bench
+        return {"error": str(e)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _ingest_block(spark):

@@ -57,6 +57,10 @@ index = IceTable(
     f"{root}/sig_index",
     partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
     sort_order=["bh"],
+    # Bloom filters on bh make the per-batch index read prunable: a
+    # batch only collides with rows in ITS OWN buckets, so the read
+    # below passes the batch's bh set and skips unrelated index files
+    bloom_columns=["bh"],
 )
 
 BATCHES = [
@@ -76,8 +80,16 @@ for n, rows in enumerate(BATCHES, 1):
     batch = spark.createDataFrame(
         rows, "doc_id long, text string"
     ).withColumn("source", F.lit(f"batch{n}"))
-    idx_rows = index.read() if index.snapshot().alive_files() else None
-    if idx_rows is None:
+    if index.snapshot().alive_files():
+        # pruned index read: only files that may hold one of the
+        # BATCH's band buckets are scanned (Bloom/zone-map hints;
+        # the (band, bh) join afterwards is exact, so pruning is safe)
+        bhs = sorted(
+            r["bh"]
+            for r in minhash_index_rows(batch).select("bh").distinct().collect()
+        )
+        idx_rows = index.read(column_in={"bh": bhs})
+    else:
         # first batch: dedup against an empty index (in-batch rule only)
         idx_rows = minhash_index_rows(batch).limit(0)
     # persist_band_rows=False in a batch loop: the default cache is for

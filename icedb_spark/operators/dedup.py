@@ -1069,7 +1069,16 @@ def dedup_against_index(
     Scale shape: the batch side is tiny next to the index; the one
     expensive move is the equi-join on ``(band, bh)`` — a single
     shuffle of index band rows (16+4·8 bytes/doc, not documents). No
-    corpus-wide re-signature, no all-pairs.
+    corpus-wide re-signature, no all-pairs. When ``index_rows`` comes
+    from a persisted IceTable, DON'T pass ``table.read()`` whole: the
+    batch can only collide with rows sharing its own buckets, so
+    collect the batch's distinct ``bh`` set (bounded by batch_docs ×
+    bands) and pass ``table.read(column_in={"bh": bhs})`` — with
+    ``bloom_columns=["bh"]`` on the index table the scan then touches
+    only files that may hold a batch bucket instead of the whole
+    index. Sound because pruning is hint-not-filter and this join is
+    exact on (band, bh); :func:`icedb_spark.streaming.ingest.
+    stream_insert_near_dedup` does this per micro-batch.
 
     Returns one row per batch doc: ``(doc_id, is_dup, dup_of,
     est_jaccard)`` — ``dup_of`` the smallest qualifying mate id and

@@ -292,6 +292,7 @@ def stream_insert_near_dedup(
     dedup_on_replay: bool = True,
     stream_id: Optional[str] = None,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    max_pruning_keys: int = 20_000,
 ):
     """Streaming ingestion with NEAR-duplicate gating against a persisted
     MinHash signature index (the streaming face of
@@ -322,6 +323,21 @@ def stream_insert_near_dedup(
     re-sending an id under a new stream/batch would bypass its own
     signature and re-insert (same contract as
     ``dedup_against_index``).
+
+    Index-scan pruning (VERDICT r7 #4): a batch can only collide with
+    index rows sharing one of ITS OWN band buckets, and the batch's
+    distinct ``bh`` set is bounded by batch_docs × bands — tiny next
+    to the index — so each micro-batch collects that set and pushes it
+    through ``read(column_in={"bh": ...})`` Bloom/zone-map file
+    skipping: per-batch index I/O then tracks the BATCH's bucket
+    spread, not the index's total size. Sound because pruning is
+    hint-not-filter (kept files are joined exactly on (band, bh)
+    afterwards; skipped files provably contain no batch bucket).
+    Create the index table with ``bloom_columns=["bh"]`` (and ideally
+    ``sort_order=["bh"]`` + band partitioning) or every file keeps a
+    full-domain zone map and nothing prunes. Batches with more than
+    ``max_pruning_keys`` distinct buckets fall back to the full scan
+    (the driver-side metadata test is per-file × per-value).
     """
     from ..operators.dedup import dedup_against_index, minhash_index_rows
     from pyspark.sql import functions as F
@@ -330,25 +346,31 @@ def stream_insert_near_dedup(
         df = transform(batch_df) if transform else batch_df
         df = df.persist()
         try:
+            sig_rows = minhash_index_rows(
+                df, num_perm, bands, shingle_k, text_col, id_col
+            )
             if index_table.snapshot().alive_files():
-                idx = index_table.read().join(
+                bhs = sorted(
+                    {
+                        r["bh"]
+                        for r in sig_rows.select("bh").distinct().collect()
+                    }
+                )
+                if 0 < len(bhs) <= max_pruning_keys:
+                    idx = index_table.read(column_in={"bh": bhs})
+                else:
+                    idx = index_table.read()
+                idx = idx.join(
                     F.broadcast(df.select(F.col(id_col))),
                     id_col,
                     "left_anti",
                 )
             else:
-                idx = minhash_index_rows(
-                    df, num_perm, bands, shingle_k, text_col, id_col
-                ).limit(0)
+                idx = sig_rows.limit(0)
             # index commit FIRST (see docstring for the crash argument);
             # skip when this batch's tag already landed in the index log
             if not (tag and _has_commit_tag(index_table, tag)):
-                index_table.insert(
-                    df=minhash_index_rows(
-                        df, num_perm, bands, shingle_k, text_col, id_col
-                    ),
-                    commit_tag=tag,
-                )
+                index_table.insert(df=sig_rows, commit_tag=tag)
             verdicts = dedup_against_index(
                 df, idx, threshold, num_perm, bands, shingle_k,
                 text_col, id_col, persist_band_rows=False,
