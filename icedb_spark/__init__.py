@@ -34,7 +34,7 @@ from .session import get_spark
 from .catalog import IceCatalog
 from .txn import CatalogTransaction, TxnVisibility
 from .datasource import IceDataSource
-from .locks import file_lock_provider
+from .locks import file_lock_provider, s3_lock_provider
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
@@ -69,6 +69,8 @@ __all__ = [
     "now_ms",
     "parse_partition",
     "partition_from_path",
+    "file_lock_provider",
+    "s3_lock_provider",
 ]
 
 __version__ = "0.1.0"

@@ -10,17 +10,31 @@ returned context for the whole maintenance operation (reentrantly, so
 ``optimize -> merge_all -> merge`` acquires once).
 
 ``file_lock_provider`` below covers shared-POSIX-filesystem deployments
-(NFS caveat: flock over NFS needs a lock-supporting mount). For object
-stores, plug a DynamoDB conditional-put lease, a ZooKeeper/etcd lock, or
-a Postgres advisory lock — anything exposing ``__enter__``/``__exit__``
-with exclusive semantics has the right shape.
+(NFS caveat: flock over NFS needs a lock-supporting mount).
+``s3_lock_provider`` covers PURE object-store deployments with no shared
+filesystem and no extra service: an S3 conditional-write lease (PUT
+``If-None-Match: *`` to create, PUT ``If-Match: <etag>`` to renew/steal
+— both public S3 API since 2024) with TTL expiry and a monotonic
+fencing token. Anything else exposing ``__enter__``/``__exit__`` with
+exclusive semantics (DynamoDB lease, ZooKeeper/etcd, Postgres advisory
+lock) has the right shape too.
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac
+import json
 import os
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
 from contextlib import contextmanager
-from typing import Callable, ContextManager
+from datetime import datetime, timezone
+from typing import Callable, ContextManager, Optional
+from urllib.parse import quote
 
 
 def file_lock_provider(
@@ -68,3 +82,263 @@ def _flock_with_timeout(f, fcntl, timeout_s: float, op: str) -> None:
                     f"within {timeout_s}s (held by another process?)"
                 )
             time.sleep(0.05)
+
+
+# --------------------------------------------------------------- S3 lease
+
+
+class _SigV4S3:
+    """Tiny stdlib S3 client speaking exactly the four verbs the lease
+    needs (GET/PUT/DELETE + conditional headers), with real AWS
+    Signature Version 4 signing (the public algorithm: HMAC key
+    derivation date/region/service/aws4_request over a canonical
+    request) so the provider works against real S3/MinIO, not just the
+    test server. Path-style addressing; payloads are tiny JSON so the
+    content hash is the real SHA-256, never UNSIGNED-PAYLOAD."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        access_key: str,
+        secret_key: str,
+        region: str = "us-east-1",
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.bucket = bucket
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.host = self.endpoint.split("://", 1)[1]
+
+    def _sign(self, method: str, key: str, body: bytes, extra: dict) -> dict:
+        now = datetime.now(timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(body).hexdigest()
+        canonical_uri = quote(f"/{self.bucket}/{key}")
+        headers = {
+            "host": self.host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+        }
+        signed_names = ";".join(sorted(headers))
+        canonical_headers = "".join(
+            f"{k}:{headers[k]}\n" for k in sorted(headers)
+        )
+        canonical_request = "\n".join(
+            [method, canonical_uri, "", canonical_headers, signed_names,
+             payload_hash]
+        )
+        scope = f"{datestamp}/{self.region}/s3/aws4_request"
+        string_to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                hashlib.sha256(canonical_request.encode()).hexdigest(),
+            ]
+        )
+
+        def _hmac(k: bytes, msg: str) -> bytes:
+            return hmac.new(k, msg.encode(), hashlib.sha256).digest()
+
+        k = _hmac(f"AWS4{self.secret_key}".encode(), datestamp)
+        k = _hmac(k, self.region)
+        k = _hmac(k, "s3")
+        k = _hmac(k, "aws4_request")
+        signature = hmac.new(
+            k, string_to_sign.encode(), hashlib.sha256
+        ).hexdigest()
+        out = {
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+            "Authorization": (
+                f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+                f"SignedHeaders={signed_names}, Signature={signature}"
+            ),
+        }
+        out.update(extra)
+        return out
+
+    def request(
+        self, method: str, key: str, body: bytes = b"", extra: Optional[dict] = None
+    ) -> tuple:
+        """-> (status, etag, body). 404/412 return as statuses (the lease
+        protocol branches on them); other HTTP errors raise."""
+        url = f"{self.endpoint}/{self.bucket}/{quote(key)}"
+        req = urllib.request.Request(
+            url, data=body if method == "PUT" else None, method=method
+        )
+        for k, v in self._sign(method, key, body, extra or {}).items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return (
+                    resp.status,
+                    (resp.headers.get("ETag") or "").strip('"'),
+                    resp.read(),
+                )
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 412):
+                return e.code, "", b""
+            raise
+
+
+def s3_lock_provider(
+    bucket: str,
+    key: str,
+    *,
+    endpoint_override: Optional[str] = None,
+    access_key: Optional[str] = None,
+    secret_key: Optional[str] = None,
+    region: str = "us-east-1",
+    ttl_s: float = 300.0,
+    timeout_s: float = 600.0,
+    poll_s: float = 0.25,
+    holder: Optional[str] = None,
+) -> Callable[[str], ContextManager]:
+    """An exclusive-lock provider leased on ONE S3 object — the
+    object-store-native answer to the reference's multi-node merge
+    contract (/root/reference/ARCHITECTURE.md:115-117: merge /
+    tombstone_cleanup need an external exclusive lock) for deployments
+    with no shared filesystem and no lock service.
+
+    Protocol (every mutation is an atomic conditional write — S3's
+    compare-and-swap, public API since 2024):
+
+    * ACQUIRE: ``PUT If-None-Match: *`` of a JSON lease
+      ``{holder, op, token, expires_at}`` — succeeds only when no lock
+      object exists. On 412, read the current lease; if its
+      ``expires_at`` has passed, STEAL with ``PUT If-Match: <etag>``
+      (only one of N racing stealers can win the CAS; a renewed or
+      re-acquired lease changes the etag and fails the rest). Otherwise
+      poll until ``timeout_s``, then raise ``TimeoutError``.
+    * RENEW: a daemon thread re-PUTs the lease (``If-Match`` on our own
+      etag) every ``ttl_s / 3``, so a live holder keeps the lock for
+      operations longer than the TTL while a CRASHED holder's lease
+      expires and gets stolen — the flock-dies-with-its-holder analog.
+    * RELEASE: DELETE only while our etag is still current (checked via
+      GET; S3 has no conditional DELETE). The check-then-delete window
+      is benign: it only matters after our lease already expired AND a
+      stealer won, in which case the TTL contract was already broken
+      and the stealer's next renewal re-creates its lease.
+    * FENCING: each acquisition writes ``token = prior token + 1``
+      (monotonic across holders, persisted in the lease body and in a
+      sibling ``<key>.token`` object on release so expiry/steal cycles
+      never reuse a token). Downstream systems that act on the holder's
+      behalf can reject stale holders by token — the standard guard
+      against a paused-then-resumed process acting on a lost lock.
+
+    Credential naming matches the engine's pyarrow ``storage_options``
+    (``access_key``, ``secret_key``, ``endpoint_override``, ``region``);
+    unset values fall back to ``AWS_ACCESS_KEY_ID`` /
+    ``AWS_SECRET_ACCESS_KEY`` / ``AWS_ENDPOINT_URL`` env vars. Clock
+    caveat: expiry is judged by the STEALER's clock, so keep ``ttl_s``
+    well above worst-case clock skew plus renewal jitter.
+    """
+    endpoint = endpoint_override or os.environ.get("AWS_ENDPOINT_URL") or (
+        f"https://s3.{region}.amazonaws.com"
+    )
+    client = _SigV4S3(
+        endpoint,
+        bucket,
+        access_key or os.environ.get("AWS_ACCESS_KEY_ID", ""),
+        secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
+        region,
+    )
+    who = holder or f"{socket.gethostname()}-{os.getpid()}"
+
+    def _lease_body(op: str, token: int) -> bytes:
+        return json.dumps(
+            {
+                "holder": who,
+                "op": op,
+                "token": token,
+                "expires_at": time.time() + ttl_s,
+            }
+        ).encode()
+
+    def _next_token() -> int:
+        # highest token ever observed: the live lease, else the release
+        # marker (so release->reacquire cycles stay monotonic)
+        best = 0
+        for k in (key, key + ".token"):
+            st, _e, body = client.request("GET", k)
+            if st == 200:
+                try:
+                    best = max(best, int(json.loads(body)["token"]))
+                except (ValueError, KeyError, json.JSONDecodeError):
+                    pass
+        return best + 1
+
+    @contextmanager
+    def acquire(op: str):
+        deadline = time.monotonic() + timeout_s
+        etag: Optional[str] = None
+        token = 0
+        while etag is None:
+            st, cur_etag, body = client.request("GET", key)
+            if st == 404:
+                token = _next_token()
+                st2, e2, _ = client.request(
+                    "PUT", key, _lease_body(op, token),
+                    {"If-None-Match": "*"},
+                )
+                if st2 == 200:
+                    etag = e2
+                    continue
+            elif st == 200:
+                try:
+                    cur = json.loads(body)
+                except json.JSONDecodeError:
+                    cur = {"expires_at": 0, "token": 0}
+                if float(cur.get("expires_at", 0)) <= time.time():
+                    token = int(cur.get("token", 0)) + 1
+                    st2, e2, _ = client.request(
+                        "PUT", key, _lease_body(op, token),
+                        {"If-Match": cur_etag},
+                    )
+                    if st2 == 200:
+                        etag = e2
+                        continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"could not acquire s3 lease s3://{bucket}/{key} for "
+                    f"{op!r} within {timeout_s}s (held by another process?)"
+                )
+            time.sleep(poll_s)
+
+        stop = threading.Event()
+        state = {"etag": etag, "lost": False}
+
+        def renew_loop():
+            while not stop.wait(max(ttl_s / 3.0, 0.05)):
+                st2, e2, _ = client.request(
+                    "PUT", key, _lease_body(op, token),
+                    {"If-Match": state["etag"]},
+                )
+                if st2 == 200:
+                    state["etag"] = e2
+                else:  # lease stolen/expired under us — stop renewing
+                    state["lost"] = True
+                    return
+
+        thr = threading.Thread(target=renew_loop, daemon=True)
+        thr.start()
+        try:
+            yield token
+        finally:
+            stop.set()
+            thr.join(timeout=5)
+            # persist the token high-water mark, then delete our lease
+            # only if it is still ours
+            client.request(
+                "PUT", key + ".token", json.dumps({"token": token}).encode()
+            )
+            if not state["lost"]:
+                st2, cur_etag, _ = client.request("GET", key)
+                if st2 == 200 and cur_etag == state["etag"]:
+                    client.request("DELETE", key)
+
+    return acquire

@@ -17,6 +17,12 @@ object-CRUD subset the engine exercises:
   ``?partNumber&uploadId``, POST ``?uploadId`` (complete), DELETE
   ``?uploadId`` (abort) — pyarrow's output streams always write
   multipart
+* conditional writes (public S3 API since 2024): PUT with
+  ``If-None-Match: *`` fails 412 when the key exists; PUT with
+  ``If-Match: <etag>`` fails 412 on etag mismatch and 404 when the
+  key is absent — the CAS primitives ``s3_lock_provider`` leases on.
+  Simple PUTs get real md5 etags (multipart keeps the "0" stub, like
+  S3's multipart etags aren't plain md5 either)
 
 Signatures are accepted without verification (the point is the wire
 protocol and object semantics, not IAM). Storage is an in-memory dict;
@@ -35,11 +41,12 @@ from urllib.parse import parse_qs, unquote, urlsplit
 
 
 class _Obj:
-    __slots__ = ("data", "mtime")
+    __slots__ = ("data", "mtime", "etag")
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, etag: str = "0"):
         self.data = data
         self.mtime = time.time()
+        self.etag = etag
 
 
 class MiniS3Server:
@@ -119,8 +126,22 @@ class MiniS3Server:
                         etag = hashlib.md5(data).hexdigest()
                         self._send(200, headers=[("ETag", f'"{etag}"')])
                         return
-                    outer.buckets[bucket][key] = _Obj(data)
-                    self._send(200, headers=[("ETag", '"0"')])
+                    existing = outer.buckets[bucket].get(key)
+                    if self.headers.get("If-None-Match") == "*":
+                        if existing is not None:
+                            self._xml_error(412, "PreconditionFailed")
+                            return
+                    want = self.headers.get("If-Match")
+                    if want is not None:
+                        if existing is None:
+                            self._xml_error(404, "NoSuchKey")
+                            return
+                        if want.strip('"') != existing.etag:
+                            self._xml_error(412, "PreconditionFailed")
+                            return
+                    etag = hashlib.md5(data).hexdigest()
+                    outer.buckets[bucket][key] = _Obj(data, etag)
+                    self._send(200, headers=[("ETag", f'"{etag}"')])
 
             # ---- POST: multipart initiate / complete
             def do_POST(self):
@@ -176,7 +197,7 @@ class MiniS3Server:
                     headers = [
                         ("Content-Type", "application/octet-stream"),
                         ("Last-Modified", _http_date(o.mtime)),
-                        ("ETag", '"0"'),
+                        ("ETag", f'"{o.etag}"'),
                         ("Accept-Ranges", "bytes"),
                     ]
                     if rng and rng.startswith("bytes="):
@@ -288,7 +309,7 @@ class MiniS3Server:
                         self.send_header(
                             "Content-Type", "application/octet-stream"
                         )
-                        self.send_header("ETag", '"0"')
+                        self.send_header("ETag", f'"{o.etag}"')
                     else:
                         self.send_header("Content-Length", "0")
                     self.end_headers()

@@ -169,6 +169,75 @@ def test_two_mergers_race_with_file_lock(spark, tmp_path):
         assert os.path.exists(t.storage.absolute(m.path)), m.path
 
 
+S3_LOCKED_MERGER = _COMMON % "s3lockmerge" + """
+from icedb_spark import s3_lock_provider
+endpoint = sys.argv[3]
+t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"],
+             lock_provider=s3_lock_provider(
+                 "locks", "tbl/.maintenance.lock",
+                 endpoint_override=endpoint,
+                 access_key="test", secret_key="test",
+                 ttl_s=30.0, timeout_s=120.0, poll_s=0.1))
+passes = int(sys.argv[2])
+merged = 0
+for _ in range(passes):
+    while t.merge(max_file_size=1 << 40, max_file_count=100) is not None:
+        merged += 1
+    time.sleep(0.25)
+print("merged", merged, flush=True)
+"""
+
+
+def test_two_mergers_race_with_s3_lock(spark, tmp_path):
+    """The object-store-native variant of the two-merger race: the
+    exclusive lock is an S3 conditional-write lease (PUT If-None-Match/
+    If-Match CAS over the mini-S3 wire) instead of flock — the shape a
+    pure-S3 deployment with no shared filesystem runs. Same invariant:
+    two merger processes + one inserter, no lost rows, no duplicated
+    rows, every alive file on disk."""
+    from tests.mini_s3 import MiniS3Server
+
+    path = str(tmp_path / "tbl")
+    env = dict(os.environ)
+
+    def run(script, tag, *args):
+        f = tmp_path / f"script_{tag}.py"
+        f.write_text(script)
+        return subprocess.Popen(
+            [sys.executable, str(f), path, *map(str, args)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+
+    with MiniS3Server() as s3:
+        from icedb_spark.locks import _SigV4S3
+
+        _SigV4S3(s3.endpoint, "locks", "k", "s").request("PUT", "")
+        n_each = 8
+        procs = [
+            run(INSERTER, "ins", 0, n_each),
+            run(S3_LOCKED_MERGER, "m1", 5, s3.endpoint),
+            run(S3_LOCKED_MERGER, "m2", 5, s3.endpoint),
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out.decode(), err.decode()[-800:]))
+        assert all(rc == 0 for rc, _o, _e in outs), outs
+        # both mergers' leases released; the fencing high-water survives
+        keys = s3.keys("locks")
+        assert "tbl/.maintenance.lock" not in keys
+        assert "tbl/.maintenance.lock.token" in keys
+
+    spec = PartitionSpec(fields=[
+        PartitionField("d", "date_format(timestamp_millis(ts), 'yyyy-MM-dd')")
+    ])
+    t = IceTable(spark, path, partition_spec=spec, sort_order=["ts"])
+    got = sorted(r["k"] for r in t.read().select("k").collect())
+    assert got == list(range(n_each))  # no loss, no duplication
+    for m in t.snapshot().alive_files():
+        assert os.path.exists(t.storage.absolute(m.path)), m.path
+
+
 TXN_DELETER = """
 import sys, time, os
 sys.path.insert(0, "/root/repo")
