@@ -1125,6 +1125,40 @@ def m06_phash_pairs(spark, sf_dir):
     )
 
 
+def m07_bmp_phash(spark, sf_dir):
+    """REAL pixel decode under the value gate (VERDICT r7 #6): each doc
+    becomes a genuine 8×8 24-bit BI_RGB BMP — 54-byte header plus
+    bottom-up BGR rows, synthesized JVM-side (the gray byte at image
+    index i is md5(text) byte i%16; its hex IS the md5 substring, so
+    the blob is one concat+unhex) — then perceptual_hash(use_fake=
+    False) runs the pure-Python BMP decoder (offset/row-padding/
+    bottom-up/BGR honored), pools 64→60 integer bucket means, and
+    aHashes. The oracle recomputes the hash from the md5 hex in closed
+    form: any error in the byte synthesis, the DECODER, the pooling, or
+    the hash breaks the match. Compressed formats keep the documented
+    digest fake / external decode_fn."""
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    header = bytes.fromhex(
+        "424d" "f6000000" "00000000" "36000000"      # BM, size, res, offset
+        "28000000" "08000000" "08000000" "0100" "1800"  # DIB 40, 8x8, 24bpp
+        "00000000" "c0000000" + "00000000" * 4          # BI_RGB, 192b image
+    )
+    # file pixel fi (bottom-up rows) shows image index 56 - 8*(fi div 8)
+    # + fi % 8; gray hex = the md5 substring itself, repeated for B,G,R
+    pixhex = F.expr(
+        "array_join(transform(sequence(0, 63), fi -> repeat(substring("
+        "md5(text), 2 * ((56 - 8 * (fi div 8) + fi % 8) % 16) + 1, 2), "
+        "3)), '')"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), F.unhex(pixhex)).alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -3407,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and rotates up next round.
         "t18_bpe_packing": t18_bpe_packing,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
+        "m07_bmp_phash": m07_bmp_phash,
         "d14_substring_dedup_index": d14_substring_dedup_index,
         "d15_embedding_dedup_index": d15_embedding_dedup_index,
         "st02_windowed_agg": st02_windowed_agg,
@@ -3846,6 +3881,7 @@ from documents
 """,
         "m05_perceptual_hash": oracles.perceptual_hash_sql(60),
         "m06_phash_pairs": oracles.phash_pairs_sql(),
+        "m07_bmp_phash": oracles.bmp_phash_sql(60),
         "m02_frame_sample": oracles.frame_sample_sql(1000, 7),
         "m04_av_headers": """
 select doc_id as media_id,

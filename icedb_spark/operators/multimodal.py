@@ -2,14 +2,18 @@
 columns with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
 The Spark-side contract (schemas, batch shapes, partition behavior) is real
-and tested. PIXEL decoding is stubbed behind ``NotImplementedError`` / a
-deterministic fake because codec libraries (Pillow, ffmpeg, torchaudio...)
-are not available in this environment — drop a real decoder into
-``decode_fn`` and nothing else changes. Container-HEADER decoding is real:
-:func:`parse_image_header` / :func:`decode_image_headers` parse PNG IHDR,
-JPEG SOFn, GIF screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes
-in pure Python (no codec libs needed) — a non-fake decode branch with the
-same mapInPandas plumbing.
+and tested. PIXEL decoding is REAL for the uncompressed raster families —
+:func:`decode_image_pixels` parses BI_RGB 24/32-bit BMP (offset, row
+padding, bottom-up/top-down, BGR) and binary PNM (P5/P6) to grayscale in
+pure Python, and is the default real path of :func:`perceptual_hash`
+(``use_fake=False``), value-gated end to end by the m07 entry. COMPRESSED
+formats (PNG/JPEG/WebP pixels, audio samples, video frames) stay behind
+``decode_fn`` / the deterministic digest fake because codec libraries
+(Pillow, ffmpeg, torchaudio...) are not available in this environment —
+drop a real decoder in and nothing else changes. Container-HEADER decoding
+is real for everything: :func:`parse_image_header` /
+:func:`decode_image_headers` parse PNG IHDR, JPEG SOFn, GIF
+screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes in pure Python.
 
 Scale notes: media blobs never leave the executors; ``mapInPandas`` streams
 Arrow record batches so one task holds only a batch of blobs, not a
@@ -171,6 +175,113 @@ def decode_stub(blob: bytes) -> bytes:
         "media codecs are not available in this environment; "
         "plug a real decoder into extract_features(decode_fn=...)"
     )
+
+
+def decode_image_pixels(blob) -> "Optional[list[int]]":
+    """REAL pure-Python pixel decode for the UNCOMPRESSED raster
+    families (VERDICT r7 #6) — no codec library involved:
+
+    * **BMP** BI_RGB 24/32-bit (BITMAPINFOHEADER-or-later): honors the
+      pixel-data offset, 4-byte row padding, bottom-up vs top-down
+      (negative height) row order, and BGR(A) byte order.
+    * **Binary PNM**: P5 grayscale and P6 RGB with ``maxval <= 255``
+      (ASCII header with ``#`` comments, single whitespace before the
+      raster).
+
+    Returns top-down row-major GRAYSCALE ints in 0..255 — RGB collapses
+    through the integer ITU-R BT.601 luma ``(299r + 587g + 114b) //
+    1000``, exact arithmetic any engine reproduces. Returns ``None``
+    for unrecognized containers (compressed formats keep the documented
+    digest fake or an external ``decode_fn``); a RECOGNIZED container
+    with malformed geometry/payload raises ``ValueError`` (decode
+    errors should fail loudly, not hash garbage)."""
+    import struct
+
+    b = bytes(blob or b"")
+    if b[:2] == b"BM" and len(b) >= 54:
+        offset = struct.unpack("<I", b[10:14])[0]
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib < 40:
+            raise ValueError("decode_image_pixels: unsupported BMP DIB")
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if comp != 0 or bpp not in (24, 32):
+            raise ValueError(
+                f"decode_image_pixels: only BI_RGB 24/32-bit BMP "
+                f"(got bpp={bpp}, compression={comp})"
+            )
+        top_down, h = h < 0, abs(h)
+        if w <= 0 or h <= 0:
+            raise ValueError("decode_image_pixels: bad BMP geometry")
+        step = bpp // 8
+        row = (w * step + 3) // 4 * 4
+        if offset + row * h > len(b):
+            raise ValueError("decode_image_pixels: truncated BMP payload")
+        out = []
+        for y in range(h):
+            base = offset + (y if top_down else h - 1 - y) * row
+            for x in range(w):
+                o = base + x * step
+                blue, green, red = b[o], b[o + 1], b[o + 2]
+                out.append((299 * red + 587 * green + 114 * blue) // 1000)
+        return out
+    if b[:2] in (b"P5", b"P6"):
+        # ASCII header tokens (magic, width, height, maxval) with
+        # '#'-to-EOL comments, then exactly one whitespace byte
+        toks, o, n = [], 2, len(b)
+        while len(toks) < 3 and o < n:
+            c = b[o:o + 1]
+            if c == b"#":
+                while o < n and b[o:o + 1] != b"\n":
+                    o += 1
+            elif c.isspace():
+                o += 1
+            else:
+                t = o
+                while o < n and not b[o:o + 1].isspace():
+                    o += 1
+                toks.append(b[t:o])
+        if len(toks) < 3 or o >= n:
+            raise ValueError("decode_image_pixels: truncated PNM header")
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            raise ValueError("decode_image_pixels: bad PNM header")
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            raise ValueError(
+                "decode_image_pixels: PNM needs positive dims and "
+                "maxval <= 255"
+            )
+        o += 1  # the single whitespace separating header from raster
+        step = 1 if b[:2] == b"P5" else 3
+        if o + w * h * step > n:
+            raise ValueError("decode_image_pixels: truncated PNM payload")
+        if step == 1:
+            return list(b[o:o + w * h])
+        return [
+            (299 * b[i] + 587 * b[i + 1] + 114 * b[i + 2]) // 1000
+            for i in range(o, o + w * h * 3, 3)
+        ]
+    return None
+
+
+def _pool_pixels(px: "list[int]", bits: int) -> "list[int]":
+    """Downscale an arbitrary-length pixel list to exactly ``bits``
+    values by integer bucket means (bucket j = indices [j*n//bits,
+    (j+1)*n//bits), value = sum // len) — deterministic, exact, and
+    reproducible in SQL, which is what lets the real-decode pHash gate
+    carry a closed-form oracle."""
+    n = len(px)
+    if n < bits:
+        raise ValueError(
+            f"_pool_pixels: need >= {bits} pixels, got {n}"
+        )
+    out = []
+    for j in range(bits):
+        lo, hi = j * n // bits, (j + 1) * n // bits
+        out.append(sum(px[lo:hi]) // (hi - lo))
+    return out
 
 
 def _fake_feature(blob: bytes, dim: int) -> list[float]:
@@ -397,23 +508,33 @@ def perceptual_hash(
     collapse to the same few bits; pair search is then a groupBy or a
     SimHash-style hamming band join over the integers).
 
-    Each blob decodes to ``bits`` grayscale pixels (the deterministic
-    digest fake by default; a real decoder + downscale slots into
-    ``decode_fn``/``use_fake=False`` with identical plumbing), and bit i
-    is set iff ``pixel_i * bits > sum(pixels)`` — the mean threshold in
-    EXACT integer arithmetic, so any engine reproduces the hash
-    bit-for-bit. Output: ``(media_id, phash)`` with the big-endian bit
-    pack in ``[0, 2^bits)``; Arrow-batched ``mapInPandas``, blobs never
-    leave executors.
+    Each blob decodes to grayscale pixels — the deterministic digest
+    fake by default; with ``use_fake=False`` the REAL pure-Python
+    decoder (:func:`decode_image_pixels`: uncompressed BMP / binary
+    PNM) runs, or any ``decode_fn(blob) -> pixel sequence`` for other
+    formats — then :func:`_pool_pixels` downscales to exactly ``bits``
+    integer bucket means, and bit i is set iff ``pixel_i * bits >
+    sum(pixels)`` — the mean threshold in EXACT integer arithmetic, so
+    any engine reproduces the hash bit-for-bit. Output: ``(media_id,
+    phash)`` with the big-endian bit pack in ``[0, 2^bits)``;
+    Arrow-batched ``mapInPandas``, blobs never leave executors.
     """
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in 1..62, got {bits}")
-    decoder = decode_fn or decode_stub
+    decoder = decode_fn or decode_image_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def ah(blob):
-            b = blob if use_fake else decoder(blob)
-            px = _fake_pixels(b, bits) if use_fake else list(b[:bits])
+            if use_fake:
+                px = _fake_pixels(blob, bits)
+            else:
+                decoded = decoder(blob)
+                if decoded is None:
+                    raise ValueError(
+                        "perceptual_hash: unrecognized container — pass "
+                        "decode_fn for compressed formats"
+                    )
+                px = _pool_pixels(list(decoded), bits)
             total = sum(px)
             val = 0
             for p in px:

@@ -1791,6 +1791,44 @@ order by d.doc_id
     )
 
 
+def bmp_phash_sql(
+    bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for m07 (REAL pixel decode): the entry synthesizes a
+    w×h 24-bit BMP per doc whose gray value at image index i is md5
+    byte i%16 (stored bottom-up, BGR, as the format demands), decodes
+    it with the pure-Python BMP decoder, pools w·h→bits integer bucket
+    means, and aHashes. This closed form recomputes the IMAGE-side
+    pixels straight from the md5 hex — so any error in the Spark side's
+    row-order / byte-order / padding handling, the decoder, or the
+    pooling breaks the hash match."""
+    n = w * h
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}),
+      i -> ({_HEX.format(pos='2*(i % 16)+1')}) * 16
+           + ({_HEX.format(pos='2*(i % 16)+2')})) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def bpe_encode_fixed_sql(
     alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
     table: str = "documents",

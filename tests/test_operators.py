@@ -1048,6 +1048,77 @@ def test_perceptual_hash_hand_values_and_groups(spark):
         perceptual_hash(media, bits=63)
 
 
+def _bmp24(w, h, gray_rows, top_down=False):
+    """Well-formed BI_RGB 24-bit BMP from top-down gray rows (r=g=b)."""
+    import struct
+
+    row = (w * 3 + 3) // 4 * 4
+    header = (
+        b"BM" + struct.pack("<I", 54 + row * h) + b"\0" * 4
+        + struct.pack("<I", 54)
+    )
+    dib = struct.pack(
+        "<IiiHHIIIIII", 40, w, (-h if top_down else h), 1, 24, 0,
+        row * h, 0, 0, 0, 0,
+    )
+    data = b""
+    for y in (range(h) if top_down else range(h - 1, -1, -1)):
+        data += (
+            b"".join(bytes([g, g, g]) for g in gray_rows[y])
+            + b"\0" * (row - w * 3)
+        )
+    return header + dib + data
+
+
+def test_decode_image_pixels_real_formats():
+    """The REAL pure-Python pixel decoder: BMP bottom-up/top-down with
+    row padding, P5/P6 with comments, BT.601 integer luma, loud errors
+    on recognized-but-unsupported input, None on unknown containers."""
+    from icedb_spark.operators import decode_image_pixels
+
+    rows = [[10, 20, 30], [40, 50, 60]]
+    want = [10, 20, 30, 40, 50, 60]
+    assert decode_image_pixels(_bmp24(3, 2, rows)) == want
+    assert decode_image_pixels(_bmp24(3, 2, rows, top_down=True)) == want
+    p5 = b"P5\n# comment\n3 2\n255\n" + bytes(range(1, 7))
+    assert decode_image_pixels(p5) == [1, 2, 3, 4, 5, 6]
+    p6 = b"P6 2 1 255\n" + bytes([255, 0, 0, 0, 255, 0])
+    assert decode_image_pixels(p6) == [299 * 255 // 1000, 587 * 255 // 1000]
+    assert decode_image_pixels(b"\x89PNG\r\n\x1a\x00rest") is None
+    assert decode_image_pixels(b"") is None
+    with pytest.raises(ValueError):  # truncated BMP payload
+        decode_image_pixels(_bmp24(3, 2, rows)[:-4])
+    with pytest.raises(ValueError):  # 16-bit PNM maxval
+        decode_image_pixels(b"P5 1 1 65535\n\x00\x00")
+
+
+def test_perceptual_hash_real_decode_matches_reference(spark):
+    """perceptual_hash(use_fake=False) over genuine BMP bytes equals the
+    pure-Python pipeline (decode -> bucket-mean pool -> threshold)."""
+    from icedb_spark.operators import decode_image_pixels, perceptual_hash
+    from icedb_spark.operators.multimodal import _pool_pixels
+
+    def img(seed):
+        rows = [[(seed * 37 + y * 8 + x) % 256 for x in range(8)]
+                for y in range(8)]
+        return _bmp24(8, 8, rows, top_down=(seed % 2 == 0))
+
+    media = spark.createDataFrame(
+        [(i, img(i)) for i in range(1, 7)], "media_id long, content binary"
+    )
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(media, bits=60, use_fake=False).collect()
+    }
+    for i in range(1, 7):
+        px = _pool_pixels(decode_image_pixels(img(i)), 60)
+        total = sum(px)
+        expect = 0
+        for p in px:
+            expect = (expect << 1) | (1 if p * 60 > total else 0)
+        assert got[i] == expect, i
+
+
 def test_ahash_from_pixels_matches_blob_variant_and_validates(spark):
     from icedb_spark.operators import ahash_from_pixels, perceptual_hash
 
