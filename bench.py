@@ -27,7 +27,9 @@ Attribution features (all inside the same single JSON line):
   entries report the per-query MEDIAN of N timed runs; the ``repeat``
   key on the headline line keeps rounds interpretable.
 * ``sf1`` tier (round 5; split + amplified round 6): a cached 6 M-row
-  tier (``testdata.generate_sf``) runs the headline suite plus the
+  tier (``testdata.generate_sf``) runs the headline suite (per-query
+  MIN-of-3 with a ``queries_med`` companion since round 8 — the former
+  single shot swung 4x across same-code runs) plus the
   BASELINE.md post-merge rate shapes — count-by-month and
   quantile+avg-by-month, each at 1x and at 4x amplification (file read
   four times, floor-amortized marginal rate) — hot MIN-of-9 with
@@ -176,7 +178,7 @@ def main():
     # `repeat` rides on the headline line so rounds stay interpretable
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
 
-    def run(name: str, d: str = sf_dir, r: int = 0) -> float:
+    def run_samples(name: str, d: str = sf_dir, r: int = 0) -> list:
         samples = []
         for _ in range(r or repeat):
             t0 = time.time()
@@ -184,6 +186,10 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         samples.sort()
+        return samples
+
+    def run(name: str, d: str = sf_dir, r: int = 0) -> float:
+        samples = run_samples(name, d, r)
         return samples[len(samples) // 2]  # median
 
     # warmup (untimed): q01 primes JVM codegen; m01 + ice01 spawn the
@@ -285,7 +291,7 @@ def main():
         },
     })
     emit({"detail": "index_prune", **_index_prune_block(spark, sf_dir)})
-    sf1 = _sf1_block(run, cpus, spark) if sf >= 0.1 else None
+    sf1 = _sf1_block(run_samples, cpus, spark) if sf >= 0.1 else None
     ingest = _ingest_block(spark)
     emit({"detail": "ingest", **ingest})
     out["ingest_rows_per_sec"] = ingest["rows_per_sec"]
@@ -316,11 +322,13 @@ def main():
             "detail": "sf1_rates_full",
             "calibration": _copy.deepcopy(sf1["calibration"]),
             "rates": _copy.deepcopy(sf1["rates"]),
+            "queries_med": dict(sf1["queries_med"]),
         })
         sf1_lines = [
             {
                 "detail": "sf1_queries",
                 "queries": sf1["queries"],
+                "queries_med": sf1["queries_med"],
                 "rate_queries": sf1["rate_queries"],
                 "total": sf1["total"],
             },
@@ -347,6 +355,7 @@ def main():
         # in sf1_rates; the full rows block also rides BENCH_r02-r05 and
         # only the driving tables attribute deltas
         if sf1_lines:
+            yield lambda: sf1_lines[0].pop("queries_med", None)
             yield lambda: sf1_lines[0].pop("rate_queries", None)
 
         def drop_rate_key(key):
@@ -403,6 +412,7 @@ def main():
                 }
 
         yield slim_calibration
+        yield drop_rate_key("per_core_vs_baseline_med")
         yield drop_rate_key("sec_med")
         # rows before delta: row counts are static across r2-r6 and
         # recorded in every prior BENCH artifact (+ sf1_meta), while
@@ -571,12 +581,15 @@ def _ingest_block(spark):
     }
 
 
-def _sf1_block(run, cpus: str, spark):
+def _sf1_block(run_samples, cpus: str, spark):
     """The bigger bench tier VERDICT r4 #2 asked for: generate sf1 once
     (cached under .bench_sf1/, ~12 s cold, 183 MB — 6 M-row lineitem,
     1 M events, 50 k documents per /root/testdata conventions), run the
-    headline suite there (repeat=1: these jobs are big enough that the
-    host-noise band matters less), and report the two rates BASELINE.md
+    headline suite there — MIN-of-3 per entry since round 8 (VERDICT r7
+    #2: the former single-shot numbers swung 4x across same-code quiet
+    runs and fabricated phantom regressions; the min is the statistic a
+    rerun reproduces, the med rides along so a reader can split host
+    from code) — and report the two rates BASELINE.md
     publishes post-merge numbers for — count-by-month (ClickHouse
     0.807 s over 209.5 M rows = 260 M rows/s on 128 vCPU) and
     quantile+avg-by-group (36.3 M rows/s). `per_core_vs_baseline`
@@ -595,7 +608,11 @@ def _sf1_block(run, cpus: str, spark):
     except Exception as e:  # never fail the whole bench on the new tier
         return {"error": f"sf1 generation failed: {e}"}
     try:
-        results = {name: round(run(name, sf1_dir, r=1), 3) for name in HEADLINE}
+        results, results_med = {}, {}
+        for name in HEADLINE:
+            qs_samples = run_samples(name, sf1_dir, r=3)
+            results[name] = round(qs_samples[0], 3)
+            results_med[name] = round(qs_samples[1], 3)
         # the quantile rate uses the PRODUCTION shape (approx quantile +
         # avg by month — BASELINE.md's "quantile+avg by month" query is
         # ClickHouse's t-digest quantile()): the gate entries q07/q33
@@ -706,6 +723,7 @@ def _sf1_block(run, cpus: str, spark):
         st = rate_stats[key]
         sec = st["min"]
         rps = rows_n / sec if sec > 0 else float("inf")
+        rps_med = rows_n / st["med"] if st["med"] > 0 else float("inf")
         out = {
             "sec": sec,
             "sec_med": st["med"],
@@ -713,6 +731,13 @@ def _sf1_block(run, cpus: str, spark):
             "rows_per_sec": int(rps),
             "per_core_vs_baseline": round(
                 (rps / cores) / (baseline_rps / 128), 3
+            ),
+            # protocol-matched companion (ADVICE r7): the baseline's
+            # published rates are hot-run medians, so the med-derived
+            # ratio is the apples-to-apples figure; the min-derived one
+            # above stays as the noise-robustness cue
+            "per_core_vs_baseline_med": round(
+                (rps_med / cores) / (baseline_rps / 128), 3
             ),
         }
         if base_key is not None:  # x4 shape: floor-amortized estimate
@@ -727,6 +752,7 @@ def _sf1_block(run, cpus: str, spark):
         "gen_seconds": gen_s,
         "rows": rows,
         "queries": results,
+        "queries_med": results_med,
         "rate_queries": t,
         "total": round(sum(results.values()) + sum(t.values()), 3),
         "cores": cores,
