@@ -3367,23 +3367,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-7 rotation (VERDICT r6 #2): the window leads with the two
-    # r3-era survivors (s04, t05), then all 35 entries whose last green
-    # driver row dated from round 4 (d07/d09/d10, ice11/17/19/22-26/
-    # 30-32/34-36, m01/m04-06, mv01, q25, s03/s05/s06, sm05/07/08,
-    # st05/06/08, t10/13/14), then the round's three NEW entries (d12
-    # exact-substring dedup, d13 dedup-against-index, t16 BPE vocab),
-    # then one witness per code path that CHANGED this round: ice27
-    # (DataSource scan — NaN-safe float pushdown + row-group shard
-    # planning) and t15 (BM25 sorted-term sum fold). The last 8 slots
-    # start rotating the 44 r5-era rows, oldest machinery first (d02
-    # MinHash — now shared with d13 —, ice02/03/09 lifecycle, q01
-    # flagship, rest01) plus the round's other new entries st10
-    # (streaming near-dedup) and t17 (BPE encoding). Every entry below the boundary
-    # holds a fully-green driver row from r5/r6, and ALL keys stay
-    # under the repo's own bit-exact gate replica
+    # Round-8 rotation (VERDICT r7 #1): the window leads with the five
+    # entries that have NEVER held a driver row — d14/d15 (index-dedup
+    # siblings, new r7 below-window), t18 (BPE packing, ditto), and the
+    # round's two NEW entries t19 (production-scale BPE encode via the
+    # greedy mapInPandas strategy) and m07 (REAL BMP pixel decode) —
+    # then one witness per code path that CHANGED this round: t16
+    # (bpe_train driver fast path), t17 (apply_bpe strategy switch +
+    # empty-doc filter), st10 (pruned per-batch index scan +
+    # bloom_columns on the index table), m05 (perceptual_hash real-path
+    # rework; its fake path is what the gate runs). The remaining 41
+    # slots drain the r5-era backlog oldest-machinery-first: the full
+    # engine lifecycle (ice01/04-08/10/12-16/18/20/21/28/29/33/37),
+    # streaming (st01/03/04/07/09), multimodal (m02/m03), dedup
+    # (d01/03/08/11), ANN (s01/02/07/08), sampling (sm01-04/06/09), and
+    # q33. Still below the window from that backlog: the q02-q32 SQL
+    # surface and t01-t12 text operators — they rotate up in r9; ALL
+    # keys stay under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
+        "d14_substring_dedup_index": d14_substring_dedup_index,
+        "d15_embedding_dedup_index": d15_embedding_dedup_index,
+        "t18_bpe_packing": t18_bpe_packing,
+        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
+        "m07_bmp_phash": m07_bmp_phash,
+        "t16_bpe_vocab": t16_bpe_vocab,
+        "t17_bpe_encode": t17_bpe_encode,
+        "st10_stream_near_dedup": st10_stream_near_dedup,
+        "m05_perceptual_hash": m05_perceptual_hash,
+        "ice01_insert_roundtrip": ice01_insert_roundtrip,
+        "ice04_rewrite": ice04_rewrite,
+        "ice05_agg_on_merge": ice05_agg_on_merge,
+        "ice06_remove_partitions": ice06_remove_partitions,
+        "ice07_replace_on_merge": ice07_replace_on_merge,
+        "ice08_dedup_on_merge": ice08_dedup_on_merge,
+        "ice10_schema_evolution": ice10_schema_evolution,
+        "ice12_path_derived": ice12_path_derived,
+        "ice13_partition_fn_paths": ice13_partition_fn_paths,
+        "ice14_json_flatten_insert": ice14_json_flatten_insert,
+        "ice15_parallel_compaction": ice15_parallel_compaction,
+        "ice16_format_row": ice16_format_row,
+        "ice18_bloom_pruning": ice18_bloom_pruning,
+        "ice20_incremental_read": ice20_incremental_read,
+        "ice21_delete": ice21_delete,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
+        "ice33_mor_delete": ice33_mor_delete,
+        "ice37_cross_table_txn": ice37_cross_table_txn,
+        "st01_streaming_ingest": st01_streaming_ingest,
+        "st03_stateful_sessions": st03_stateful_sessions,
+        "st04_session_window": st04_session_window,
+        "st07_cdc_stream": st07_cdc_stream,
+        "st09_stream_dedup": st09_stream_dedup,
+        "m02_frame_sample": m02_frame_sample,
+        "m03_image_headers": m03_image_headers,
+        "d01_exact_dedup": d01_exact_dedup,
+        "d03_ngram_jaccard": d03_ngram_jaccard,
+        "d08_simhash_band16": d08_simhash_band16,
+        "d11_semdedup": d11_semdedup,
+        "s01_cosine_topk": s01_cosine_topk,
+        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
+        "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "s08_trained_clustered": s08_trained_clustered,
+        "sm01_hash_sample": sm01_hash_sample,
+        "sm02_stratified_sample": sm02_stratified_sample,
+        "sm03_split_assign": sm03_split_assign,
+        "sm04_top_k_sample": sm04_top_k_sample,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
+        "sm09_semantic_coverage": sm09_semantic_coverage,
+        "q33_percentile_approx": q33_percentile_approx,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a fully-green driver row from r5-r7 —
+        # this rotation only demotes proven entries (the r7 window's 50
+        # green rows lead the demoted set).
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3405,7 +3461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice36_zorder_pruning": ice36_zorder_pruning,
         "m01_media_features": m01_media_features,
         "m04_av_headers": m04_av_headers,
-        "m05_perceptual_hash": m05_perceptual_hash,
         "m06_phash_pairs": m06_phash_pairs,
         "mv01_materialized_view": mv01_materialized_view,
         "q25_conditional_agg": q25_conditional_agg,
@@ -3423,8 +3478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_semantic_decontam": t14_semantic_decontam,
         "d12_substring_dedup": d12_substring_dedup,
         "d13_dedup_against_index": d13_dedup_against_index,
-        "t16_bpe_vocab": t16_bpe_vocab,
-        "st10_stream_near_dedup": st10_stream_near_dedup,
         "ice27_datasource_scan": ice27_datasource_scan,
         "t15_bm25_search": t15_bm25_search,
         "d02_minhash_lsh": d02_minhash_lsh,
@@ -3433,25 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "q01_pricing_summary": q01_pricing_summary,
         "rest01_ingest_query": rest01_ingest_query,
-        "t17_bpe_encode": t17_bpe_encode,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a fully-green driver row from r5/r6 —
-        # this rotation only demotes proven entries. t18 (new, below the
-        # window) is proven by the repo's own gate replica this round
-        # and rotates up next round.
-        "t18_bpe_packing": t18_bpe_packing,
-        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
-        "m07_bmp_phash": m07_bmp_phash,
-        "d14_substring_dedup_index": d14_substring_dedup_index,
-        "d15_embedding_dedup_index": d15_embedding_dedup_index,
         "st02_windowed_agg": st02_windowed_agg,
         "mv02_incremental_mv": mv02_incremental_mv,
-        "d01_exact_dedup": d01_exact_dedup,
-        "d03_ngram_jaccard": d03_ngram_jaccard,
-        "d08_simhash_band16": d08_simhash_band16,
-        "ice12_path_derived": ice12_path_derived,
-        "ice16_format_row": ice16_format_row,
-        "m03_image_headers": m03_image_headers,
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
@@ -3459,41 +3495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
         "q31_salted_agg": q31_salted_agg,
-        "q33_percentile_approx": q33_percentile_approx,
-        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
-        "st03_stateful_sessions": st03_stateful_sessions,
-        "st04_session_window": st04_session_window,
         "t02_text_quality": t02_text_quality,
         "t06_pii_detect": t06_pii_detect,
-        "ice04_rewrite": ice04_rewrite,
-        "ice05_agg_on_merge": ice05_agg_on_merge,
-        "ice06_remove_partitions": ice06_remove_partitions,
-        "ice07_replace_on_merge": ice07_replace_on_merge,
-        "ice08_dedup_on_merge": ice08_dedup_on_merge,
-        "ice10_schema_evolution": ice10_schema_evolution,
-        "ice13_partition_fn_paths": ice13_partition_fn_paths,
-        "ice14_json_flatten_insert": ice14_json_flatten_insert,
-        "ice15_parallel_compaction": ice15_parallel_compaction,
-        "ice18_bloom_pruning": ice18_bloom_pruning,
-        "ice20_incremental_read": ice20_incremental_read,
-        "ice28_snapshot_tags": ice28_snapshot_tags,
-        "ice29_constraints": ice29_constraints,
-        "sm01_hash_sample": sm01_hash_sample,
-        "sm02_stratified_sample": sm02_stratified_sample,
-        "sm03_split_assign": sm03_split_assign,
-        "sm04_top_k_sample": sm04_top_k_sample,
-        "st01_streaming_ingest": st01_streaming_ingest,
-        "st09_stream_dedup": st09_stream_dedup,
         "t07_decontaminate": t07_decontaminate,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "ice37_cross_table_txn": ice37_cross_table_txn,
-        "sm09_semantic_coverage": sm09_semantic_coverage,
-        "d11_semdedup": d11_semdedup,
-        "ice01_insert_roundtrip": ice01_insert_roundtrip,
-        "ice21_delete": ice21_delete,
-        "ice33_mor_delete": ice33_mor_delete,
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
@@ -3520,16 +3527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": d04_simhash,
         "d05_embedding_dups": d05_embedding_dups,
         "d06_simhash_pairs": d06_simhash_pairs,
-        "s01_cosine_topk": s01_cosine_topk,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
-        "m02_frame_sample": m02_frame_sample,
-        "s08_trained_clustered": s08_trained_clustered,
-        "s07_cosine_topk_trained": s07_cosine_topk_trained,
-        "st07_cdc_stream": st07_cdc_stream,
         "t11_line_dedup": t11_line_dedup,
-        "sm06_shuffle_shard": sm06_shuffle_shard,
     }
 
 
