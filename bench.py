@@ -331,6 +331,7 @@ def main():
                 "queries_med": sf1["queries_med"],
                 "rate_queries": sf1["rate_queries"],
                 "total": sf1["total"],
+                "total_med": sf1["total_med"],
             },
             {
                 "detail": "sf1_rates",
@@ -412,6 +413,11 @@ def main():
                 }
 
         yield slim_calibration
+        # rows_per_sec and the marginal estimate reconstruct from sec +
+        # the sf1_meta row counts — shed them before any measured med
+        # field so min AND med stay first-class in the protected tail
+        yield drop_rate_key("marginal_rows_per_sec")
+        yield drop_rate_key("rows_per_sec")
         yield drop_rate_key("per_core_vs_baseline_med")
         yield drop_rate_key("sec_med")
         # rows before delta: row counts are static across r2-r6 and
@@ -753,6 +759,7 @@ def _sf1_block(run_samples, cpus: str, spark):
         "rows": rows,
         "queries": results,
         "queries_med": results_med,
+        "total_med": round(sum(results_med.values()), 3),
         "rate_queries": t,
         "total": round(sum(results.values()) + sum(t.values()), 3),
         "cores": cores,
