@@ -465,6 +465,12 @@ def _index_prune_block(spark, sf_dir: str):
             ),
             sort_order=["bh"],
             bloom_columns=["bh"],
+            # IN-list pruning probes hundreds of values per file, so the
+            # per-value FP rate must be far below the point-lookup 1%:
+            # ~200 bits per distinct bh per file here (625 values/file
+            # at sf0.1) puts per-value FP ~1e-7 and the 256-probe
+            # survival of a should-skip file near zero
+            bloom_bits=131072,
         )
         for s in range(8):
             idx_t.insert(
@@ -472,18 +478,26 @@ def _index_prune_block(spark, sf_dir: str):
             )
         files_total = len(idx_t.files_for())
 
-        def probe(n_batch: int, slice_mod: int) -> dict:
+        def probe(n_batch: int, slice_mod: int, novel: bool = False) -> dict:
             # near-dups of ONE index slice: the batch's buckets live in
             # that slice's files only, so the other slices' files must
             # prune (a batch near-duplicating uniformly-sampled docs
             # would legitimately touch every file — the win comes from
-            # batches whose content clusters, the common ingest shape)
+            # batches whose content clusters, the common ingest shape).
+            # novel=True rewrites every token (vowel substitution), so
+            # no bucket exists in the index and pruning approaches total
+            # — the floor a genuinely-new batch pays.
+            text = (
+                F.translate("text", "aeiou", "01234") if novel
+                else F.col("text")
+            )
             batch = (
                 docs.where(F.col("doc_id") % 8 == slice_mod)
                 .orderBy("doc_id")
                 .limit(n_batch)
                 .select(
-                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    text.alias("text"),
                 )
             )
             bhs = sorted(
@@ -511,7 +525,11 @@ def _index_prune_block(spark, sf_dir: str):
 
         return {
             "files_total": files_total,
-            "batches": [probe(32, 0), probe(128, 3)],
+            "batches": [
+                probe(32, 0),
+                probe(128, 3),
+                probe(64, 5, novel=True),
+            ],
         }
     except Exception as e:  # informational block — never fail the bench
         return {"error": str(e)}

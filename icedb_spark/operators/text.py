@@ -920,13 +920,17 @@ def apply_bpe(
         merge_rules = [(l, r) for l, r in merges]
 
         def encode_batches(batches):
+            # per-task distinct-word cache; capped so a pathological
+            # all-unique-words partition cannot grow it unboundedly
+            # (past the cap, words encode uncached — same result)
             cache: dict = {}
 
             def enc(w: str) -> int:
                 n = cache.get(w)
                 if n is None:
                     n = _bpe_encode_len(w, merge_rules)
-                    cache[w] = n
+                    if len(cache) < 1_000_000:
+                        cache[w] = n
                 return n
 
             for pdf in batches:

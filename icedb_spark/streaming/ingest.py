@@ -335,9 +335,16 @@ def stream_insert_near_dedup(
     afterwards; skipped files provably contain no batch bucket).
     Create the index table with ``bloom_columns=["bh"]`` (and ideally
     ``sort_order=["bh"]`` + band partitioning) or every file keeps a
-    full-domain zone map and nothing prunes. Batches with more than
-    ``max_pruning_keys`` distinct buckets fall back to the full scan
-    (the driver-side metadata test is per-file × per-value).
+    full-domain zone map and nothing prunes. SIZE THE BLOOMS FOR
+    IN-LIST PROBING, not point lookups: a should-skip file survives
+    when ANY of the batch's ~batch_docs × bands values false-positives,
+    so per-value FP must be ≪ 1/(probe count) — budget ~100+
+    ``bloom_bits`` per distinct ``bh`` per file (the default 8192 suits
+    only small files; the bench's ``index_prune`` block demonstrates
+    131072 bits driving a novel batch's scan to zero files). Batches
+    with more than ``max_pruning_keys`` distinct buckets fall back to
+    the full scan (the driver-side metadata test is per-file ×
+    per-value).
     """
     from ..operators.dedup import dedup_against_index, minhash_index_rows
     from pyspark.sql import functions as F
@@ -356,7 +363,9 @@ def stream_insert_near_dedup(
                         for r in sig_rows.select("bh").distinct().collect()
                     }
                 )
-                if 0 < len(bhs) <= max_pruning_keys:
+                if not bhs:  # empty micro-batch: nothing to collide with
+                    idx = sig_rows.limit(0)
+                elif len(bhs) <= max_pruning_keys:
                     idx = index_table.read(column_in={"bh": bhs})
                 else:
                     idx = index_table.read()
