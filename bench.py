@@ -114,6 +114,9 @@ SCALING = [
     # merge table (1296 fixed merges) — per-task distinct-word cache +
     # symbol-presence skip, cost tracks distinct words not corpus rows
     "t19_bpe_encode_scaled",
+    # round-8: real BMP pixel decode -> pooled aHash, Arrow-batched —
+    # per-doc work is constant (one 8x8 image), cost tracks corpus rows
+    "m07_bmp_phash",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -136,6 +139,7 @@ _SCALING_TABLE = {
     "d13_dedup_against_index": "documents",
     "t17_bpe_encode": "documents",
     "t19_bpe_encode_scaled": "documents",
+    "m07_bmp_phash": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
