@@ -3253,6 +3253,24 @@ def t19_bpe_encode_scaled(spark, sf_dir):
     )
 
 
+def t20_bpe_tokenize(spark, sf_dir):
+    """The actual TOKENIZATION output under the value gate (t17/t19
+    gate the budgets; this gates the TOKENS): every tenth document's
+    full subword sequence under the t19 fixed 1296-merge vocabulary —
+    one row per subword, ``(doc_id, pos, subword)`` — the shape a
+    training pipeline feeds to a vocab lookup before packing. Spark
+    side: the greedy rank-order replay in Arrow batches (per-task word
+    cache). Oracle: the same nested-fold encode keeping the folded
+    sequence, token/symbol order via generate_series subscripts — a
+    single transposed subword breaks the hash."""
+    from icedb_spark.operators import bpe_alphabet_merges, bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    return bpe_tokenize(docs, bpe_alphabet_merges()).orderBy(
+        "doc_id", "pos"
+    )
+
+
 def d14_substring_dedup_index(spark, sf_dir):
     """Incremental exact-substring dedup against a PERSISTED digest
     index — the d13 pattern applied to the d12 span family: even-id
@@ -3380,9 +3398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots drain the r5-era backlog oldest-machinery-first: the full
     # engine lifecycle (ice01/04-08/10/12-16/18/20/21/28/29/33/37),
     # streaming (st01/03/04/07/09), multimodal (m02/m03), dedup
-    # (d01/03/08/11), ANN (s01/02/07/08), sampling (sm01-04/06/09), and
-    # q33. Still below the window from that backlog: the q02-q32 SQL
-    # surface and t01-t12 text operators — they rotate up in r9; ALL
+    # (d01/03/08/11), ANN (s01/02/07/08), sampling (sm01-04/06/09).
+    # Still below the window from that backlog: q02-q33 and t01-t12 —
+    # they rotate up in r9 (q33 yielded its slot to t20, the round's
+    # late tokenization gate); ALL
     # keys stay under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
@@ -3391,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_bpe_packing": t18_bpe_packing,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
         "m07_bmp_phash": m07_bmp_phash,
+        "t20_bpe_tokenize": t20_bpe_tokenize,
         "t16_bpe_vocab": t16_bpe_vocab,
         "t17_bpe_encode": t17_bpe_encode,
         "st10_stream_near_dedup": st10_stream_near_dedup,
@@ -3435,11 +3455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm04_top_k_sample": sm04_top_k_sample,
         "sm06_shuffle_shard": sm06_shuffle_shard,
         "sm09_semantic_coverage": sm09_semantic_coverage,
-        "q33_percentile_approx": q33_percentile_approx,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a fully-green driver row from r5-r7 —
         # this rotation only demotes proven entries (the r7 window's 50
-        # green rows lead the demoted set).
+        # green rows lead the demoted set). q33 yielded its slot to the
+        # round's late t20 addition and rejoins the r9 rotation.
+        "q33_percentile_approx": q33_percentile_approx,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3828,6 +3849,7 @@ from per_sess group by user_id
         "st10_stream_near_dedup": oracles.stream_near_dedup_sql(),
         "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
+        "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
         "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
         "d15_embedding_dedup_index": oracles.embedding_dedup_index_sql(),

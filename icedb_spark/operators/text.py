@@ -851,16 +851,13 @@ def bpe_alphabet_merges(
     return sorted((l, r) for l in alphabet for r in alphabet)
 
 
-def _bpe_encode_len(word: str, merge_rules: list) -> int:
-    """Subword count of one word under a merge list replayed in rank
-    order, each rank one left-greedy pass (:func:`_bpe_merge_pass`
-    semantics, bit-exact with the fold encoder). A symbol-presence set
-    skips ranks that cannot apply — at a production-sized merge table
-    almost every rank misses almost every word, so the effective cost
-    per word is O(applicable merges · len), not O(all merges · len)."""
+def _bpe_encode_syms(word: str, merge_rules: list) -> list:
+    """Subword SYMBOLS of one word under a merge list replayed in rank
+    order (same single-pass-per-rank semantics as the fold encoder and
+    :func:`_bpe_encode_len`, which is just ``len`` of this)."""
     syms = list(word)
     if len(syms) < 2:
-        return len(syms)
+        return syms
     present = set(syms)
     for l, r in merge_rules:
         if l not in present or r not in present:
@@ -871,7 +868,17 @@ def _bpe_encode_len(word: str, merge_rules: list) -> int:
             if len(syms) < 2:
                 break
             present = set(syms)
-    return len(syms)
+    return syms
+
+
+def _bpe_encode_len(word: str, merge_rules: list) -> int:
+    """Subword count of one word under a merge list replayed in rank
+    order, each rank one left-greedy pass (:func:`_bpe_merge_pass`
+    semantics, bit-exact with the fold encoder). A symbol-presence set
+    skips ranks that cannot apply — at a production-sized merge table
+    almost every rank misses almost every word, so the effective cost
+    per word is O(applicable merges · len), not O(all merges · len)."""
+    return len(_bpe_encode_syms(word, merge_rules))
 
 
 def apply_bpe(
@@ -983,5 +990,73 @@ def apply_bpe(
         .withColumn(
             "subwords_per_word",
             F.round(F.col("n_subwords") / F.col("n_words"), 6),
+        )
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actual TOKENIZATION step (apply_bpe emits the budgets; this
+    emits the tokens): one output row per subword, ``(id, pos,
+    subword)`` with ``pos`` the 1-based position within the document —
+    the shape a training pipeline feeds to a vocab lookup / id mapping
+    before packing. Uses the same greedy rank-order replay as
+    apply_bpe's scale strategy (one left-greedy pass per merge rank,
+    bit-exact with the fold/training semantics), Arrow-batched with a
+    per-task distinct-word cache; tokenization stays in Spark so the
+    words are byte-identical to every other BPE operator's.
+
+    Zero-subword words (the empty token a whitespace-only text yields)
+    emit no rows, and documents with empty/null token arrays emit
+    nothing — consistent with the SQL oracles' per-word ``unnest``.
+    Scale shape: output is one shuffle-free explode bounded by the
+    corpus's subword count; each distinct word encodes once per task.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    merge_rules = [(l, r) for l, r in merges]
+    toks = tokens(F.col(text_col))
+
+    def tokenize_batches(batches):
+        cache: dict = {}
+
+        def enc(w: str) -> tuple:
+            t = cache.get(w)
+            if t is None:
+                t = tuple(_bpe_encode_syms(w, merge_rules))
+                if len(cache) < 1_000_000:
+                    cache[w] = t
+            return t
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            ids, positions, subs = [], [], []
+            for i, ws in zip(pdf[id_col], pdf["_toks"]):
+                pos = 0
+                for w in ws:
+                    for sub in enc(w):
+                        pos += 1
+                        ids.append(i)
+                        positions.append(pos)
+                        subs.append(sub)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "pos": pd.Series(positions, dtype="int32"),
+                    "subword": pd.Series(subs, dtype="object"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .mapInPandas(
+            tokenize_batches,
+            schema=f"{id_col} {id_type}, pos int, subword string",
         )
     )

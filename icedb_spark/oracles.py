@@ -1904,6 +1904,84 @@ order by d.doc_id
 """
 
 
+def bpe_tokenize_fixed_sql(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+    mod: int = 10,
+    rem: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle for bpe_tokenize (t20): per-doc SUBWORD SEQUENCES under
+    the t19 fixed merge table — the actual tokenization output, one row
+    per subword with its 1-based document position. Same nested-fold
+    encode as :func:`bpe_encode_fixed_sql` but keeping the folded
+    sequence; token and symbol order reconstruct via generate_series
+    subscripts and a row_number over (word position, symbol position).
+    Restricted to ``doc_id % mod = rem`` so the gate stays row-bounded
+    (it is per-subword output)."""
+    S = "chr(31)"
+    M = "chr(30)"
+    a = f"'{alphabet}'"
+    return f"""
+with alpha as (
+  select unnest(list_transform(
+    range(1, length({a}) + 1), i -> substring({a}, i, 1))) as ch
+),
+mlist as (
+  select list(a.ch || {M} || b.ch order by a.ch asc, b.ch asc) as ms
+  from alpha a, alpha b
+),
+src as (
+  select doc_id, {TOKENS} as tks from {table} where doc_id % {mod} = {rem}
+),
+w0 as materialized (
+  select word,
+    {S} || array_to_string(
+      list_transform(range(1, length(word) + 1),
+                     i -> substring(word, i, 1)), {S}) as seq
+  from (select distinct unnest(tks) as word from src)
+  where length(word) > 0
+),
+wseq as materialized (
+  select word,
+    list_filter(string_split(
+      list_reduce(
+        list_prepend(seq, ms),
+        (acc, m) -> case
+          when not contains(acc,
+                 {S} || split_part(m, {M}, 1)
+                     || {S} || split_part(m, {M}, 2))
+          then acc
+          else list_reduce(string_split(acc, {S}),
+            (a2, x) -> case
+              when ends_with(a2, {S} || split_part(m, {M}, 1))
+                   and x = split_part(m, {M}, 2)
+              then a2 || x
+              else a2 || {S} || x end)
+        end),
+      {S}), x -> length(x) > 0) as syms
+  from w0, mlist
+),
+doctoks as (
+  select doc_id, tks, unnest(generate_series(1, len(tks))) as ord from src
+),
+dw as (select doc_id, ord, tks[ord] as word from doctoks),
+persub as (
+  select doc_id, word_ord, syms,
+    unnest(generate_series(1, len(syms))) as sord
+  from (
+    select d.doc_id, d.ord as word_ord, w.syms
+    from dw d join wseq w on w.word = d.word
+  )
+)
+select doc_id,
+  cast(row_number() over (partition by doc_id order by word_ord, sord)
+       as int) as pos,
+  syms[sord] as subword
+from persub
+order by doc_id, pos
+"""
+
+
 def stream_near_dedup_sql(
     num_perm: int = 16,
     bands: int = 4,

@@ -489,6 +489,57 @@ def test_bpe_greedy_encoder_equals_fold(
     assert fold == greedy
 
 
+def test_bpe_tokenize_matches_sequential_reference(spark):
+    """bpe_tokenize's (pos, subword) stream equals the sequential
+    pure-Python replay word by word, and its per-doc counts equal
+    apply_bpe's budgets — trained merges, run-heavy tiny alphabet."""
+    import random
+
+    from icedb_spark.operators import apply_bpe, bpe_tokenize, bpe_train
+
+    rnd = random.Random(11)
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+                for _ in range(rnd.randint(1, 8))
+            ),
+        )
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    _, merges = bpe_train(df, num_merges=6, min_pair_count=1)
+
+    def encode_syms(word):
+        syms = list(word)
+        for l, r in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + x
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    got: dict = {}
+    for r in bpe_tokenize(df, merges).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["subword"]))
+    budgets = {
+        r["doc_id"]: r["n_subwords"]
+        for r in apply_bpe(df, merges).collect()
+    }
+    for i, t in docs:
+        want = [s for w in t.split() for s in encode_syms(w)]
+        seq = [s for _, s in sorted(got.get(i, []))]
+        assert seq == want, (i, seq, want)
+        assert [p for p, _ in sorted(got.get(i, []))] == list(
+            range(1, len(want) + 1)
+        )
+        assert budgets[i] == len(want)
+
+
 def test_bpe_greedy_encoder_at_hundreds_of_merges(spark):
     """At merge counts the fold encoder cannot reach (expression-tree
     ceiling), the greedy encoder still equals the sequential
