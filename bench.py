@@ -117,6 +117,9 @@ SCALING = [
     # round-8: real BMP pixel decode -> pooled aHash, Arrow-batched —
     # per-doc work is constant (one 8x8 image), cost tracks corpus rows
     "m07_bmp_phash",
+    # round-8: tokenization output (one row per subword) — explode is
+    # bounded by corpus subword count, encode cost by distinct words
+    "t20_bpe_tokenize",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -140,6 +143,7 @@ _SCALING_TABLE = {
     "t17_bpe_encode": "documents",
     "t19_bpe_encode_scaled": "documents",
     "m07_bmp_phash": "documents",
+    "t20_bpe_tokenize": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
