@@ -272,3 +272,34 @@ def test_zorder_split_assignment_is_column_expression(spark, tmp_path):
     plan = _physical(manifest)
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_greedy_encoder_single_arrow_stage(spark, sf_dir):
+    """The production-merge BPE encoder (and tokenizer) must cross into
+    Python exactly ONCE, Arrow-batched: tokenization stays JVM-side, so
+    the plan shows one MapInPandas and no row-at-a-time BatchEvalPython;
+    the per-doc ratio math stays a JVM projection above it."""
+    from icedb_spark.operators import (
+        apply_bpe,
+        bpe_alphabet_merges,
+        bpe_tokenize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_alphabet_merges()
+    for df in (apply_bpe(docs, merges), bpe_tokenize(docs, merges)):
+        plan = _physical(df)
+        assert plan.count("MapInPandas") == 1, plan[:800]
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # encode is embarrassingly parallel
+
+
+def test_bmp_phash_blob_synthesis_stays_jvm(spark, sf_dir):
+    """m07's real-decode pHash: blob synthesis is pure JVM expressions
+    (one md5, concat+unhex) and the decode crosses to Python once via
+    mapInPandas — no per-row Python, no shuffle before the sort."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.m07_bmp_phash(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
