@@ -3271,6 +3271,29 @@ def t20_bpe_tokenize(spark, sf_dir):
     )
 
 
+def t21_bpe_token_ids(spark, sf_dir):
+    """Token IDS — the last step before sequences feed a model: t20's
+    subword stream broadcast-joined to the dense vocabulary the merge
+    table induces (alphabet chars 0.., then merge products in rank
+    order, first occurrence wins; OOV → -1). Pure JVM after the one
+    tokenize stage: a broadcast hash join, no shuffle of the token
+    stream. Oracle rebuilds the identical vocab (min(ord) + dense
+    row_number = Python dict-insertion semantics) over the t20 oracle."""
+    from icedb_spark.operators import (
+        bpe_alphabet_merges,
+        bpe_tokenize,
+        subword_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    merges = bpe_alphabet_merges()
+    return (
+        subword_ids(bpe_tokenize(docs, merges), merges)
+        .select("doc_id", "pos", "token_id")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def d14_substring_dedup_index(spark, sf_dir):
     """Incremental exact-substring dedup against a PERSISTED digest
     index — the d13 pattern applied to the d12 span family: even-id
@@ -3459,8 +3482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below holds a fully-green driver row from r5-r7 —
         # this rotation only demotes proven entries (the r7 window's 50
         # green rows lead the demoted set). q33 yielded its slot to the
-        # round's late t20 addition and rejoins the r9 rotation.
+        # round's late t20 addition and rejoins the r9 rotation; t21
+        # (token ids, later still) is replica-proven at three scales
+        # and rotates up with it.
         "q33_percentile_approx": q33_percentile_approx,
+        "t21_bpe_token_ids": t21_bpe_token_ids,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3850,6 +3876,7 @@ from per_sess group by user_id
         "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
+        "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
         "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
         "d15_embedding_dedup_index": oracles.embedding_dedup_index_sql(),

@@ -1060,3 +1060,47 @@ def bpe_tokenize(
             schema=f"{id_col} {id_type}, pos int, subword string",
         )
     )
+
+
+def bpe_vocab(
+    merges: list,
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+) -> list:
+    """The DENSE id vocabulary a merge table induces: base alphabet
+    characters first (ids 0..len(alphabet)-1, in alphabet order), then
+    each merge's product ``l+r`` in rank order, first occurrence wins
+    when two merges produce the same string (e.g. (a,ab) and (aa,b)
+    both yield "aab"). Returns ``[(subword, id), ...]`` — the mapping
+    :func:`subword_ids` broadcasts; identical construction on any
+    engine, so the id assignment is oracle-checkable."""
+    vocab: dict = {}
+    for ch in alphabet:
+        vocab.setdefault(ch, len(vocab))
+    for l, r in merges:
+        vocab.setdefault(l + r, len(vocab))
+    return list(vocab.items())
+
+
+def subword_ids(
+    tokens_df: DataFrame,
+    merges: list,
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+    subword_col: str = "subword",
+) -> DataFrame:
+    """Map :func:`bpe_tokenize` output to integer token ids — the last
+    step before sequences feed a model: broadcast the
+    :func:`bpe_vocab` table (len(alphabet) + num_merges rows at most)
+    and equi-join on the subword string; out-of-vocabulary subwords
+    (characters outside the alphabet that no merge produced) get id -1,
+    the UNK convention. Pure JVM: one broadcast hash join, no shuffle
+    of the token stream."""
+    spark = tokens_df.sparkSession
+    vocab_df = spark.createDataFrame(
+        bpe_vocab(merges, alphabet), f"{subword_col} string, token_id int"
+    )
+    return (
+        tokens_df.join(F.broadcast(vocab_df), subword_col, "left")
+        .withColumn(
+            "token_id", F.coalesce(F.col("token_id"), F.lit(-1))
+        )
+    )

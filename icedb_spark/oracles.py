@@ -1982,6 +1982,50 @@ order by doc_id, pos
 """
 
 
+def bpe_token_ids_fixed_sql(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+    mod: int = 10,
+    rem: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle for subword_ids over bpe_tokenize (t21): the dense id
+    vocabulary a merge table induces — alphabet chars first (ids 0..),
+    then merge products in rank order, first occurrence wins on
+    collisions (min(ord) + a dense row_number renumber reproduces
+    Python dict-insertion semantics exactly) — left-joined onto the
+    t20 token stream, OOV → -1."""
+    S = "chr(31)"  # noqa: F841 — symmetry with the sibling builders
+    a = f"'{alphabet}'"
+    inner = bpe_tokenize_fixed_sql(alphabet, mod, rem, table)
+    return f"""
+with toks as ({inner}),
+valpha as (
+  select substring({a}, i, 1) as subword, i as ord
+  from (select unnest(range(1, length({a}) + 1)) as i)
+),
+vprod as (
+  select a.subword || b.subword as subword,
+         1000000 + row_number()
+           over (order by a.subword asc, b.subword asc) as ord
+  from valpha a, valpha b
+),
+vocab as (
+  select subword,
+    cast(row_number() over (order by ord) - 1 as int) as token_id
+  from (
+    select subword, min(ord) as ord
+    from (select subword, ord from valpha
+          union all select subword, ord from vprod)
+    group by subword
+  )
+)
+select t.doc_id, t.pos, coalesce(v.token_id, -1) as token_id
+from toks t
+left join vocab v using (subword)
+order by doc_id, pos
+"""
+
+
 def stream_near_dedup_sql(
     num_perm: int = 16,
     bands: int = 4,

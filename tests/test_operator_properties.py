@@ -540,6 +540,36 @@ def test_bpe_tokenize_matches_sequential_reference(spark):
         assert budgets[i] == len(want)
 
 
+def test_bpe_vocab_and_subword_ids(spark):
+    """The dense id vocabulary: alphabet chars first, merge products in
+    rank order with first-occurrence-wins dedup; subword_ids maps the
+    token stream through it with OOV -> -1."""
+    from icedb_spark.operators import (
+        bpe_tokenize,
+        bpe_vocab,
+        subword_ids,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("a", "b")]  # dup product 'ab'
+    vocab = dict(bpe_vocab(merges, alphabet="abc"))
+    assert vocab == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+    df = spark.createDataFrame(
+        [(1, "abc ab zq")], "doc_id int, text string"
+    )
+    toks = bpe_tokenize(df, merges[:2])
+    got = {
+        (r["pos"], r["subword"]): r["token_id"]
+        for r in subword_ids(toks, merges[:2], alphabet="abc").collect()
+    }
+    # 'abc' -> [abc], 'ab' -> [ab], 'zq' -> [z, q] (OOV chars)
+    assert got == {
+        (1, "abc"): 4,
+        (2, "ab"): 3,
+        (3, "z"): -1,
+        (4, "q"): -1,
+    }, got
+
+
 def test_bpe_greedy_encoder_at_hundreds_of_merges(spark):
     """At merge counts the fold encoder cannot reach (expression-tree
     ceiling), the greedy encoder still equals the sequential
