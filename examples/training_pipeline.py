@@ -214,6 +214,16 @@ def main() -> None:
         (F.max("seq_idx") + 1).alias("sequences"),
     ).orderBy("shard").show()
 
+    # --- 5. the actual token stream: tokenize + id mapping -----------------
+    # what a trainer consumes: one row per subword with its document
+    # position, mapped to dense integer ids through the vocab the merge
+    # table induces (broadcast join; OOV chars -> -1)
+    from icedb_spark.operators import bpe_tokenize, subword_ids
+
+    ids = subword_ids(bpe_tokenize(train_docs, merges), merges)
+    print("token stream sample (doc_id, pos, subword, token_id):")
+    ids.orderBy("doc_id", "pos").show(8, truncate=False)
+
 
 if __name__ == "__main__":
     main()
