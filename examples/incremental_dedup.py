@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import (
-    dedup_against_index,
+    dedup_against_index_table,
     drop_duplicated_spans,
     duplicated_spans_against_index,
     minhash_index_rows,
@@ -80,23 +80,17 @@ for n, rows in enumerate(BATCHES, 1):
     batch = spark.createDataFrame(
         rows, "doc_id long, text string"
     ).withColumn("source", F.lit(f"batch{n}"))
-    if index.snapshot().alive_files():
-        # pruned index read: only files that may hold one of the
-        # BATCH's band buckets are scanned (Bloom/zone-map hints;
-        # the (band, bh) join afterwards is exact, so pruning is safe)
-        bhs = sorted(
-            r["bh"]
-            for r in minhash_index_rows(batch).select("bh").distinct().collect()
-        )
-        idx_rows = index.read(column_in={"bh": bhs})
-    else:
-        # first batch: dedup against an empty index (in-batch rule only)
-        idx_rows = minhash_index_rows(batch).limit(0)
+    # dedup_against_index_table = the pruned index read built in: only
+    # files that may hold one of the BATCH's band buckets are scanned
+    # (Bloom/zone-map hints; the (band, bh) join afterwards is exact),
+    # and an empty index short-circuits to the in-batch rule.
     # persist_band_rows=False in a batch loop: the default cache is for
     # one-shot calls; a loop would accumulate one registered cache per
     # batch for the session's lifetime (the sibling _against_index
     # functions take the same opt-out)
-    verdicts = dedup_against_index(batch, idx_rows, persist_band_rows=False)
+    verdicts = dedup_against_index_table(
+        batch, index, persist_band_rows=False
+    )
     kept = batch.join(
         verdicts.where(~F.col("is_dup")).select("doc_id"), "doc_id"
     )

@@ -1152,6 +1152,50 @@ def dedup_against_index(
     )
 
 
+def dedup_against_index_table(
+    batch: DataFrame,
+    index_table,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pruning_keys: int = 20_000,
+    persist_band_rows: bool = True,
+) -> DataFrame:
+    """:func:`dedup_against_index` with the PRUNED index read built in —
+    the easy path does the right thing: collect the batch's distinct
+    ``bh`` set (bounded by batch_docs × bands) and read the persisted
+    signature IceTable through ``column_in={"bh": ...}`` Bloom/zone-map
+    file skipping, falling back to a full scan past
+    ``max_pruning_keys``. Create the index table with
+    ``bloom_columns=["bh"]`` sized for IN-list probing (see
+    :func:`icedb_spark.streaming.ingest.stream_insert_near_dedup`) or
+    nothing prunes. An empty or never-written index short-circuits to
+    the in-batch rule. Verdict semantics identical to passing
+    ``index_table.read()`` whole."""
+    br = minhash_index_rows(
+        batch, num_perm, bands, shingle_k, text_col, id_col
+    )
+    if index_table.snapshot().alive_files():
+        bhs = sorted(
+            {r["bh"] for r in br.select("bh").distinct().collect()}
+        )
+        if not bhs:
+            idx = br.limit(0)
+        elif len(bhs) <= max_pruning_keys:
+            idx = index_table.read(column_in={"bh": bhs})
+        else:
+            idx = index_table.read()
+    else:
+        idx = br.limit(0)
+    return dedup_against_index(
+        batch, idx, threshold, num_perm, bands, shingle_k,
+        text_col, id_col, persist_band_rows,
+    )
+
+
 def substring_index_rows(
     df: DataFrame,
     k: int = 50,

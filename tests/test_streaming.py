@@ -397,3 +397,28 @@ def test_near_dedup_index_scan_prunes_files(spark, tmp_path):
     assert pruned == full
     assert pruned[101] == (True, 9)
     assert pruned[102] == (False, None)
+
+    # the convenience wrapper (pruned read built in) agrees too, and
+    # short-circuits against a never-written index
+    from icedb_spark.operators import dedup_against_index_table
+
+    wrapped = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_against_index_table(
+            batch, idx_t, persist_band_rows=False
+        ).collect()
+    }
+    assert wrapped == full
+    empty_t = IceTable(
+        spark,
+        str(tmp_path / "emptyidx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("band", "band")]),
+        sort_order=["bh"],
+    )
+    solo = {
+        r["doc_id"]: r["is_dup"]
+        for r in dedup_against_index_table(
+            batch, empty_t, persist_band_rows=False
+        ).collect()
+    }
+    assert solo == {101: False, 102: False}  # in-batch rule only
