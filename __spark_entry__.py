@@ -3294,6 +3294,53 @@ def t21_bpe_token_ids(spark, sf_dir):
     )
 
 
+def t22_packed_token_stream(spark, sf_dir):
+    """The LITERAL trainer input, gate-checked: every token id with its
+    (shard, sequence, position-in-sequence) placement — t21's id stream
+    joined to t18's concat-then-chunk packing window (budgets from the
+    same fixed vocabulary), global offset ``g = seq_idx·budget +
+    seq_offset + pos − 1`` cut every 256 tokens. One broadcast-free
+    equi-join on doc_id beyond the pieces' own plans; documents
+    straddling a cut land in consecutive sequences exactly as the
+    arithmetic says, and the oracle recomputes the whole composition
+    from scratch."""
+    from icedb_spark.operators import (
+        apply_bpe,
+        bpe_alphabet_merges,
+        bpe_tokenize,
+        pack_sequences,
+        subword_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    merges = bpe_alphabet_merges()
+    budgets = apply_bpe(docs, merges).select(
+        "doc_id", F.col("n_subwords").alias("n_sub")
+    )
+    placed = pack_sequences(
+        docs.join(budgets, "doc_id"),
+        token_budget=256,
+        n_shards=4,
+        tokens_col="n_sub",
+    )
+    ids = subword_ids(bpe_tokenize(docs, merges), merges).select(
+        "doc_id", "pos", "token_id"
+    )
+    g = F.col("seq_idx") * 256 + F.col("seq_offset") + F.col("pos") - 1
+    return (
+        placed.join(ids, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            "shard",
+            F.floor(g / 256).cast("long").alias("seq"),
+            F.pmod(g, F.lit(256)).cast("long").alias("seq_pos"),
+            "token_id",
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def d14_substring_dedup_index(spark, sf_dir):
     """Incremental exact-substring dedup against a PERSISTED digest
     index — the d13 pattern applied to the d12 span family: even-id
@@ -3483,10 +3530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this rotation only demotes proven entries (the r7 window's 50
         # green rows lead the demoted set). q33 yielded its slot to the
         # round's late t20 addition and rejoins the r9 rotation; t21
-        # (token ids, later still) is replica-proven at three scales
-        # and rotates up with it.
+        # (token ids) and t22 (packed token stream — the literal
+        # trainer input), later still, are replica-proven at three
+        # scales and rotate up with it.
         "q33_percentile_approx": q33_percentile_approx,
         "t21_bpe_token_ids": t21_bpe_token_ids,
+        "t22_packed_token_stream": t22_packed_token_stream,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3877,6 +3926,7 @@ from per_sess group by user_id
         "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
+        "t22_packed_token_stream": oracles.packed_token_stream_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
         "d14_substring_dedup_index": oracles.substring_index_dedup_sql(),
         "d15_embedding_dedup_index": oracles.embedding_dedup_index_sql(),

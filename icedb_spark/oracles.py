@@ -2026,6 +2026,58 @@ order by doc_id, pos
 """
 
 
+def packed_token_stream_sql(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
+    token_budget: int = 256,
+    n_shards: int = 4,
+    mod: int = 10,
+    rem: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle for t22 — the literal trainer input: every token id with
+    its (shard, sequence, position-in-sequence) placement under
+    concat-then-chunk packing. Composes the t21 id stream with the t18
+    packing window (per-doc n_tokens = the id stream's own per-doc
+    count; zero-token docs shift no cumulative sums, so their absence
+    from the window is placement-neutral) and the global-offset
+    arithmetic ``g = seq_idx·budget + seq_offset + pos − 1``."""
+    from .operators.packing import PACK_SEED
+
+    ids_sql = bpe_token_ids_fixed_sql(alphabet, mod, rem, table)
+    shard = hash60_sql("doc_id", PACK_SEED)
+    order = hash60_sql("doc_id", PACK_SEED + 1)
+    g = f"(p.seq_idx * {token_budget} + p.seq_offset + i.pos - 1)"
+    return f"""
+with ids as ({ids_sql}),
+docsub as (
+  select doc_id, cast(count(*) as bigint) as n_tokens
+  from ids group by doc_id
+),
+base as (
+  select doc_id, n_tokens,
+    cast({shard} % {n_shards} as integer) as shard,
+    {order} as h
+  from docsub
+),
+placed as (
+  select doc_id, shard,
+    cast(floor((sum(n_tokens) over w - n_tokens) / {token_budget})
+         as bigint) as seq_idx,
+    cast((sum(n_tokens) over w - n_tokens) % {token_budget}
+         as bigint) as seq_offset
+  from base
+  window w as (partition by shard order by h, doc_id
+               rows between unbounded preceding and current row)
+)
+select i.doc_id, i.pos, p.shard,
+  cast(floor({g} / {token_budget}) as bigint) as seq,
+  cast({g} % {token_budget} as bigint) as seq_pos,
+  i.token_id
+from ids i join placed p using (doc_id)
+order by doc_id, pos
+"""
+
+
 def stream_near_dedup_sql(
     num_perm: int = 16,
     bands: int = 4,
