@@ -1092,6 +1092,57 @@ def test_decode_image_pixels_real_formats():
         decode_image_pixels(b"P5 1 1 65535\n\x00\x00")
 
 
+def test_decode_image_pixels_roundtrip_property():
+    """Hypothesis round-trip: arbitrary small BMPs (both row orders,
+    padded and unpadded widths, 24- and 32-bit) and P5/P6 rasters
+    decode back to exactly the gray values they encode."""
+    import struct
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def bmp32(w, h, gray_rows, top_down=False):
+        row = w * 4
+        header = (
+            b"BM" + struct.pack("<I", 54 + row * h) + b"\0" * 4
+            + struct.pack("<I", 54)
+        )
+        dib = struct.pack(
+            "<IiiHHIIIIII", 40, w, (-h if top_down else h), 1, 32, 0,
+            row * h, 0, 0, 0, 0,
+        )
+        data = b""
+        for y in (range(h) if top_down else range(h - 1, -1, -1)):
+            data += b"".join(
+                bytes([g, g, g, 255]) for g in gray_rows[y]
+            )
+        return header + dib + data
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        top_down=st.booleans(),
+        bpp32=st.booleans(),
+        seed=st.integers(0, 10**6),
+    )
+    def roundtrip(w, h, top_down, bpp32, seed):
+        import random
+
+        rnd = random.Random(seed)
+        rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        flat = [g for r in rows for g in r]
+        enc = bmp32 if bpp32 else _bmp24
+        assert decode_image_pixels(enc(w, h, rows, top_down)) == flat
+        p5 = f"P5 {w} {h} 255\n".encode() + bytes(flat)
+        assert decode_image_pixels(p5) == flat
+
+    roundtrip()
+
+
 def test_perceptual_hash_real_decode_matches_reference(spark):
     """perceptual_hash(use_fake=False) over genuine BMP bytes equals the
     pure-Python pipeline (decode -> bucket-mean pool -> threshold)."""

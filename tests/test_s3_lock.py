@@ -130,6 +130,39 @@ def test_renewal_outlives_ttl(s3):
                 pass
 
 
+def test_steal_cas_admits_exactly_one_winner(s3):
+    """The property the whole protocol leans on: N racers PUT
+    ``If-Match`` on the SAME stale etag — the store must admit exactly
+    one (the others 412), no matter the interleaving."""
+    c = _SigV4S3(s3.endpoint, "locks", "k", "s")
+    stale = json.dumps(
+        {"holder": "dead", "op": "merge", "token": 3,
+         "expires_at": time.time() - 5}
+    ).encode()
+    st, etag, _ = c.request(
+        "PUT", "race.lock", stale, {"If-None-Match": "*"}
+    )
+    assert st == 200
+    results = []
+
+    def steal(n):
+        body = json.dumps({"holder": f"w{n}", "token": 4,
+                           "expires_at": time.time() + 60}).encode()
+        st2, _, _ = _SigV4S3(s3.endpoint, "locks", "k", "s").request(
+            "PUT", "race.lock", body, {"If-Match": etag}
+        )
+        results.append(st2)
+
+    threads = [
+        threading.Thread(target=steal, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(10)
+    assert sorted(results) == [200, 412, 412, 412], results
+
+
 def test_fencing_tokens_monotonic_across_release(s3):
     """Tokens never repeat across clean release/re-acquire cycles (the
     high-water marker object carries them past lease deletion)."""
