@@ -1299,6 +1299,79 @@ def duplicated_spans_against_index(
     )
 
 
+def duplicated_spans_against_index_table(
+    batch: DataFrame,
+    index_table,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pruning_keys: int = 20_000,
+    persist_positions: bool = True,
+) -> DataFrame:
+    """:func:`duplicated_spans_against_index` with the pruned index
+    read built in. The batch's distinct k-gram digests are its probe
+    set — but unlike the MinHash family's band buckets they number
+    ~one per batch TOKEN, so only small batches fit an IN-list:
+    below ``max_pruning_keys`` distinct digests the digest-index scan
+    prunes through ``column_in={"dig": ...}`` (give the index table
+    ``bloom_columns=["dig"]`` sized for IN-list probing); above it the
+    full scan is the honest plan — hashed digests spread uniformly, so
+    a big batch legitimately touches the whole digest space. An empty
+    or never-written index short-circuits to the in-batch keep-first
+    rule."""
+    if index_table.snapshot().alive_files():
+        digs = [
+            r["dig"]
+            for r in substring_index_rows(batch, k, text_col, id_col)
+            .limit(max_pruning_keys + 1)
+            .collect()
+        ]
+        if digs and len(digs) <= max_pruning_keys:
+            idx = index_table.read(column_in={"dig": sorted(digs)})
+        else:
+            idx = index_table.read()
+    else:
+        idx = substring_index_rows(batch, k, text_col, id_col).limit(0)
+    return duplicated_spans_against_index(
+        batch, idx, k, text_col, id_col, persist_positions
+    )
+
+
+def embedding_dedup_against_index_table(
+    batch: DataFrame,
+    index_table,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_pruning_keys: int = 20_000,
+    persist_batch_rows: bool = True,
+) -> DataFrame:
+    """:func:`embedding_dedup_against_index` with the pruned index read
+    built in: the batch's distinct LSH buckets (at most one per batch
+    vector) prune the index scan through ``column_in={"bucket": ...}``
+    — give the index table ``sort_order=["bucket"]`` +
+    ``bloom_columns=["bucket"]`` so zone maps and Blooms have
+    something to skip on. Same hint-not-filter soundness as the
+    MinHash family: the bucket equi-join afterwards is exact."""
+    br = embedding_index_rows(batch, dim, n_planes, id_col, vec_col)
+    if index_table.snapshot().alive_files():
+        buckets = sorted(
+            {r["bucket"] for r in br.select("bucket").distinct().collect()}
+        )
+        if buckets and len(buckets) <= max_pruning_keys:
+            idx = index_table.read(column_in={"bucket": buckets})
+        else:
+            idx = index_table.read()
+    else:
+        idx = br.limit(0)
+    return embedding_dedup_against_index(
+        batch, idx, dim, threshold, n_planes, id_col, vec_col,
+        persist_batch_rows,
+    )
+
+
 def embedding_index_rows(
     df: DataFrame,
     dim: int,

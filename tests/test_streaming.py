@@ -422,3 +422,84 @@ def test_near_dedup_index_scan_prunes_files(spark, tmp_path):
         ).collect()
     }
     assert solo == {101: False, 102: False}  # in-batch rule only
+
+
+def test_span_and_embedding_index_table_wrappers(spark, tmp_path):
+    """The pruned-read wrappers for the other two dedup families agree
+    with full-index reads and prune where the probe set allows it."""
+    from icedb_spark.operators import (
+        duplicated_spans_against_index,
+        duplicated_spans_against_index_table,
+        embedding_dedup_against_index,
+        embedding_dedup_against_index_table,
+        embedding_index_rows,
+        substring_index_rows,
+    )
+
+    # --- span family: digest index with blooms
+    span_t = IceTable(
+        spark,
+        str(tmp_path / "spanidx"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(pmod(dig, 2) as int)")]
+        ),
+        sort_order=["dig"],
+        bloom_columns=["dig"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    span_t.insert(df=substring_index_rows(corpus, k=4))
+    late = spark.createDataFrame(
+        [(31, "zz one two three four five yy"),
+         (32, "wholly new words with no overlap here at all")],
+        "doc_id long, text string",
+    )
+    full = {
+        tuple(r)
+        for r in duplicated_spans_against_index(
+            late, span_t.read(), k=4, persist_positions=False
+        ).collect()
+    }
+    wrapped = {
+        tuple(r)
+        for r in duplicated_spans_against_index_table(
+            late, span_t, k=4, persist_positions=False
+        ).collect()
+    }
+    assert wrapped == full and any(r[0] == 31 for r in wrapped)
+
+    # --- embedding family: bucket index
+    emb_t = IceTable(
+        spark,
+        str(tmp_path / "embidx"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(pmod(bucket, 2) as int)")]
+        ),
+        sort_order=["bucket"],
+        bloom_columns=["bucket"],
+    )
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    emb_t.insert(df=embedding_index_rows(old, dim=4))
+    newb = spark.createDataFrame(
+        [(11, [1.0, 0.0, 0.0, 0.0]), (12, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    e_full = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in embedding_dedup_against_index(
+            newb, emb_t.read(), dim=4, persist_batch_rows=False
+        ).collect()
+    }
+    e_wrapped = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in embedding_dedup_against_index_table(
+            newb, emb_t, dim=4, persist_batch_rows=False
+        ).collect()
+    }
+    assert e_wrapped == e_full
+    assert e_wrapped[11] == (True, 1) and e_wrapped[12] == (False, None)
