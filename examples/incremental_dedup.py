@@ -37,7 +37,7 @@ from icedb_spark import IceTable, PartitionField, PartitionSpec
 from icedb_spark.operators import (
     dedup_against_index_table,
     drop_duplicated_spans,
-    duplicated_spans_against_index,
+    duplicated_spans_against_index_table,
     minhash_index_rows,
     substring_index_rows,
 )
@@ -118,6 +118,7 @@ span_idx = IceTable(
         fields=[PartitionField("b", "cast(pmod(dig, 4) as int)")]
     ),
     sort_order=["dig"],
+    bloom_columns=["dig"],
 )
 span_idx.insert(df=substring_index_rows(corpus.read(), k=8))
 late = spark.createDataFrame(
@@ -131,8 +132,8 @@ late = spark.createDataFrame(
 )
 print("late batch vs the persisted span index (doc 31 contains an")
 print("11-token span already ingested; doc 32 is clean):")
-duplicated_spans_against_index(
-    late, span_idx.read(), k=8, persist_positions=False
+duplicated_spans_against_index_table(
+    late, span_idx, k=8, persist_positions=False
 ).orderBy("doc_id").show(truncate=False)
 
 spark.stop()
