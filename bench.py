@@ -364,8 +364,12 @@ def main():
         # in sf1_rates; the full rows block also rides BENCH_r02-r05 and
         # only the driving tables attribute deltas
         if sf1_lines:
-            yield lambda: sf1_lines[0].pop("queries_med", None)
+            # rate_queries goes FIRST (VERDICT r8 #1): its secs also ride
+            # sf1_rates, while queries_med is the per-entry noise-vs-code
+            # separator and must survive the driver's tail capture as
+            # long as anything optional does
             yield lambda: sf1_lines[0].pop("rate_queries", None)
+            yield lambda: sf1_lines[0].pop("queries_med", None)
 
         def drop_rate_key(key):
             # sec (the min) and per_core_vs_baseline are the

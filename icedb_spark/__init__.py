@@ -34,7 +34,12 @@ from .session import get_spark
 from .catalog import IceCatalog
 from .txn import CatalogTransaction, TxnVisibility
 from .datasource import IceDataSource
-from .locks import file_lock_provider, s3_lock_provider
+from .locks import (
+    Lease,
+    LockLostError,
+    file_lock_provider,
+    s3_lock_provider,
+)
 from .table import IceTable, PartitionField, PartitionSpec, parse_partition
 
 __all__ = [
@@ -69,6 +74,8 @@ __all__ = [
     "now_ms",
     "parse_partition",
     "partition_from_path",
+    "Lease",
+    "LockLostError",
     "file_lock_provider",
     "s3_lock_provider",
 ]

@@ -164,8 +164,11 @@ class _SigV4S3:
     def request(
         self, method: str, key: str, body: bytes = b"", extra: Optional[dict] = None
     ) -> tuple:
-        """-> (status, etag, body). 404/412 return as statuses (the lease
-        protocol branches on them); other HTTP errors raise."""
+        """-> (status, etag, body). 404/412/409 return as statuses (the
+        lease protocol branches on them — real S3 answers concurrent
+        conditional writes with 409 ConditionalRequestConflict, the
+        exact contention the lease exists for, so it must read as a
+        lost CAS, not an exception); other HTTP errors raise."""
         url = f"{self.endpoint}/{self.bucket}/{quote(key)}"
         req = urllib.request.Request(
             url, data=body if method == "PUT" else None, method=method
@@ -180,9 +183,48 @@ class _SigV4S3:
                     resp.read(),
                 )
         except urllib.error.HTTPError as e:
-            if e.code in (404, 412):
+            if e.code in (404, 409, 412):
                 return e.code, "", b""
             raise
+
+
+class LockLostError(RuntimeError):
+    """Raised when a maintenance commit is refused because the holder's
+    lease was stolen or expired mid-operation (the fencing check)."""
+
+
+class Lease(int):
+    """The value an :func:`s3_lock_provider` context yields: the lease's
+    monotonic fencing token, usable anywhere an ``int`` is (compare,
+    persist, stamp into log metadata), plus the liveness interface the
+    engine's commit-time fencing check calls:
+
+    * ``lease.lost`` — cheap local flag, set by the renewal thread the
+      moment a renewal CAS fails (lease stolen/expired under us).
+    * ``lease.verify()`` — the strong check: one GET of the lock object
+      comparing its etag against our last successful renewal, raising
+      :class:`LockLostError` if the lease is no longer ours. Closes the
+      window where a paused holder resumes BEFORE its next renewal tick
+      would have noticed the steal.
+    """
+
+    def __new__(cls, token: int, state: dict, check: Callable[[], bool]):
+        self = super().__new__(cls, token)
+        self._state = state
+        self._check = check
+        return self
+
+    @property
+    def lost(self) -> bool:
+        return bool(self._state.get("lost"))
+
+    def verify(self) -> None:
+        if self.lost or not self._check():
+            self._state["lost"] = True
+            raise LockLostError(
+                f"maintenance lease lost (fencing token {int(self)}): "
+                "another holder owns the lock — aborting before commit"
+            )
 
 
 def s3_lock_provider(
@@ -314,29 +356,70 @@ def s3_lock_provider(
 
         def renew_loop():
             while not stop.wait(max(ttl_s / 3.0, 0.05)):
-                st2, e2, _ = client.request(
-                    "PUT", key, _lease_body(op, token),
-                    {"If-Match": state["etag"]},
-                )
+                try:
+                    st2, e2, _ = client.request(
+                        "PUT", key, _lease_body(op, token),
+                        {"If-Match": state["etag"]},
+                    )
+                except Exception:
+                    # transient network error / S3 5xx: the lease may
+                    # well still be ours — keep trying until stop or a
+                    # DEFINITIVE protocol answer says otherwise (dying
+                    # here would silently stop renewals and hand the
+                    # lock to a stealer at TTL)
+                    continue
                 if st2 == 200:
                     state["etag"] = e2
-                else:  # lease stolen/expired under us — stop renewing
+                else:  # definitive 404/409/412: stolen/expired under us
                     state["lost"] = True
+                    return
+
+        def still_ours() -> bool:
+            try:
+                st2, cur_etag, _ = client.request("GET", key)
+            except Exception:
+                return not state["lost"]  # indeterminate: trust renewals
+            return st2 == 200 and cur_etag == state["etag"]
+
+        def write_marker_max() -> None:
+            # merge the high-water marker with max(existing, token) under
+            # a CAS loop, so a delayed release can never REGRESS the
+            # marker below a later holder's token (which would let
+            # _next_token re-mint that token)
+            for _ in range(8):
+                st2, metag, body = client.request("GET", key + ".token")
+                prev = -1
+                if st2 == 200:
+                    try:
+                        prev = int(json.loads(body)["token"])
+                    except (ValueError, KeyError, json.JSONDecodeError):
+                        prev = -1
+                if prev >= token:
+                    return
+                payload = json.dumps({"token": token}).encode()
+                cond = (
+                    {"If-Match": metag} if st2 == 200
+                    else {"If-None-Match": "*"}
+                )
+                st3, _, _ = client.request(
+                    "PUT", key + ".token", payload, cond
+                )
+                if st3 == 200:
                     return
 
         thr = threading.Thread(target=renew_loop, daemon=True)
         thr.start()
         try:
-            yield token
+            yield Lease(token, state, still_ours)
         finally:
             stop.set()
             thr.join(timeout=5)
-            # persist the token high-water mark, then delete our lease
-            # only if it is still ours
-            client.request(
-                "PUT", key + ".token", json.dumps({"token": token}).encode()
-            )
-            if not state["lost"]:
+            # high-water marker + lease delete ONLY while the lease is
+            # still ours — a holder that lost its lease must not touch
+            # either (the stealer's live lease/marker carries a HIGHER
+            # token; writing ours would regress the fencing sequence)
+            if not state["lost"] and still_ours():
+                write_marker_max()
                 st2, cur_etag, _ = client.request("GET", key)
                 if st2 == 200 and cur_etag == state["etag"]:
                     client.request("DELETE", key)

@@ -217,6 +217,11 @@ class LogMetadata:
     schema_line: int
     file_line: int
     tombstone_line: Optional[int] = None
+    # fencing token of the maintenance lease that authorized this commit
+    # (locks.s3_lock_provider); absent on plain inserts, on tables with
+    # no lock provider, and on every reference-written log (additive
+    # metadata key — the reference reader pattern tolerates extras)
+    fence: Optional[int] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -227,6 +232,8 @@ class LogMetadata:
         }
         if self.tombstone_line is not None:
             d["tmb"] = self.tombstone_line
+        if self.fence is not None:
+            d["fence"] = self.fence
         return d
 
     @classmethod
@@ -237,6 +244,7 @@ class LogMetadata:
             schema_line=d["sch"],
             file_line=d["f"],
             tombstone_line=d.get("tmb"),
+            fence=d.get("fence"),
         )
 
 
@@ -771,19 +779,24 @@ class IceLogIO:
         merged: bool = False,
         timestamp_ms: Optional[int] = None,
         tag: Optional[str] = None,
+        fence: Optional[int] = None,
     ) -> tuple[str, LogMetadata]:
         """Serialize one committed operation to a new log file.
 
         The single ``put`` of this file is the atomic commit point: readers
         never observe the operation's data files until the log object lands.
+        ``fence`` stamps the maintenance lease's fencing token into the
+        metadata line (see :class:`LogMetadata`).
         """
         ts = timestamp_ms if timestamp_ms is not None else unique_ms()
         lines: list[str] = []
         if tombstones:
             meta = LogMetadata(version, ts, schema_line=1,
-                               file_line=2 + len(tombstones), tombstone_line=2)
+                               file_line=2 + len(tombstones), tombstone_line=2,
+                               fence=fence)
         else:
-            meta = LogMetadata(version, ts, schema_line=1, file_line=2)
+            meta = LogMetadata(version, ts, schema_line=1, file_line=2,
+                               fence=fence)
         lines.append(json.dumps(meta.to_dict()))
         lines.append(schema.to_json())
         for t in tombstones or []:

@@ -630,12 +630,33 @@ class IceTable:
             finally:
                 local.depth -= 1
             return
-        with self.lock_provider(op):
+        with self.lock_provider(op) as lease:
             local.depth = 1
+            local.lease = lease
             try:
                 yield
             finally:
                 local.depth = 0
+                local.lease = None
+
+    def _fence(self) -> Optional[int]:
+        """Commit-time fencing check (VERDICT r8 #3). Called immediately
+        before each maintenance op's atomic log PUT: if the configured
+        lock provider yielded a lease with a liveness interface
+        (:class:`icedb_spark.locks.Lease`), re-check it against the
+        store and raise :class:`icedb_spark.locks.LockLostError` when a
+        stealer owns the lock — a holder paused past its TTL (GC stop,
+        network partition) must NOT commit over the stealer's work.
+        Returns the lease's fencing token (or ``None``) so the commit
+        stamps it into the log metadata line, making stale-fenced
+        commits auditable after the fact."""
+        lease = getattr(self._lock_local, "lease", None)
+        if lease is None:
+            return None
+        verify = getattr(lease, "verify", None)
+        if verify is not None:
+            verify()
+        return int(lease) if isinstance(lease, int) else None
 
     # -------------------------------------------------------------- metadata
 
@@ -2317,6 +2338,7 @@ class IceTable:
             tombstones=tombstones,
             merged=True,
             timestamp_ms=merge_ms,
+            fence=self._fence(),
         )
         return new_log, new_markers
 
@@ -2403,7 +2425,7 @@ class IceTable:
         ]
         self.log_io.append(
             self.log_storage, 1, cur.schema, markers, merged=True,
-            timestamp_ms=ts,
+            timestamp_ms=ts, fence=self._fence(),
         )
         return {
             "files_restored": len(to_restore),
@@ -2561,6 +2583,7 @@ class IceTable:
                 tombstones=keep_tombstones or None,
                 merged=True,
                 timestamp_ms=now,
+                fence=self._fence(),
             )
         logs_to_delete = list(
             dict.fromkeys(expired_log_files + [k for k, _s, _f in collapse])
@@ -2745,7 +2768,7 @@ class IceTable:
         if tombstoned:
             self.log_io.append(
                 self.log_storage, 1, state.schema, tombstoned,
-                merged=True, timestamp_ms=ts,
+                merged=True, timestamp_ms=ts, fence=self._fence(),
             )
         return len(tombstoned)
 
@@ -2822,6 +2845,7 @@ class IceTable:
             self.log_io.append(
                 self.log_storage, 1, state.schema,
                 new_markers + tombstoned, merged=True, timestamp_ms=ts,
+                fence=self._fence(),
             )
         return rewritten
 
@@ -2995,6 +3019,7 @@ class IceTable:
         self.log_io.append(
             self.log_storage, 1, schema or state.schema,
             stamped + tombstoned, merged=True, timestamp_ms=ts, tag=tag,
+            fence=self._fence(),
         )
         return ts
 

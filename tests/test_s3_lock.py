@@ -172,3 +172,105 @@ def test_fencing_tokens_monotonic_across_release(s3):
         with provider("merge") as token:
             seen.append(token)
     assert seen == sorted(seen) and len(set(seen)) == 3
+
+
+LOCK_KEY = "tbl/.maintenance.lock"
+
+
+def test_verify_raises_after_steal(s3):
+    """The commit-time fencing check (VERDICT r8 #3): a holder whose
+    lease was stolen under it — BEFORE its next renewal tick could
+    notice — gets LockLostError from lease.verify(), not a silent
+    go-ahead."""
+    from icedb_spark.locks import LockLostError
+
+    provider = _provider(s3, ttl_s=60.0)  # renewal tick 20 s: never fires
+    c = _SigV4S3(s3.endpoint, "locks", "k", "s")
+    with provider("merge") as lease:
+        assert int(lease) == 1 and not lease.lost
+        lease.verify()  # healthy lease passes
+        stolen = json.dumps(
+            {"holder": "stealer", "op": "merge", "token": int(lease) + 1,
+             "expires_at": time.time() + 60}
+        ).encode()
+        st, _, _ = c.request("PUT", LOCK_KEY, stolen)
+        assert st == 200
+        with pytest.raises(LockLostError):
+            lease.verify()
+        assert lease.lost  # verify latches the flag for later checks
+
+
+def test_release_after_loss_never_regresses_marker(s3):
+    """The ADVICE r8 scenario: paused holder (token 1) releases AFTER a
+    stealer (token 2) already finished and released. The loser must not
+    write its marker or delete anything — the next acquirer's token must
+    be 3, not a reused 2."""
+    c = _SigV4S3(s3.endpoint, "locks", "k", "s")
+    provider = _provider(s3, ttl_s=60.0)
+    with provider("merge") as lease:
+        assert int(lease) == 1
+        # steal (as-if TTL had expired), then the stealer finishes a full
+        # clean cycle: marker high-water = 2, lease deleted
+        stolen = json.dumps(
+            {"holder": "stealer", "op": "merge", "token": 2,
+             "expires_at": time.time() + 60}
+        ).encode()
+        assert c.request("PUT", LOCK_KEY, stolen)[0] == 200
+        assert c.request(
+            "PUT", LOCK_KEY + ".token", json.dumps({"token": 2}).encode()
+        )[0] == 200
+        assert c.request("DELETE", LOCK_KEY)[0] in (200, 204)
+    # the paused holder's release must have skipped marker + delete
+    st, _, body = c.request("GET", LOCK_KEY + ".token")
+    assert st == 200 and json.loads(body)["token"] == 2
+    with provider("merge") as lease2:
+        assert int(lease2) == 3  # never re-mints the stealer's token
+
+
+def test_renew_loop_survives_transient_errors(s3, monkeypatch):
+    """One transient network error in a renewal PUT must not kill the
+    renewal thread (ADVICE r8): the lease keeps renewing afterwards, so
+    a contender still cannot steal long past the TTL."""
+    import urllib.error
+    import urllib.request as _ur
+
+    provider = _provider(s3, ttl_s=0.6)
+    fast = _provider(s3, ttl_s=0.6, timeout_s=0.4)
+    with provider("merge") as lease:
+        real = _ur.urlopen
+
+        def flaky(req, timeout=None):
+            if req.get_method() == "PUT" and LOCK_KEY in req.full_url:
+                raise urllib.error.URLError("transient")
+            return real(req, timeout=timeout)
+
+        monkeypatch.setattr(_ur, "urlopen", flaky)
+        time.sleep(0.9)  # > TTL: every renewal in this window errors
+        monkeypatch.setattr(_ur, "urlopen", real)
+        time.sleep(0.5)  # a healthy renewal tick lands again
+        assert not lease.lost
+        lease.verify()  # lease is still ours on the wire
+        with pytest.raises(TimeoutError):  # and a contender cannot steal
+            with fast("merge"):
+                pass
+
+
+def test_409_reads_as_lost_cas(s3, monkeypatch):
+    """Real S3 answers concurrent conditional writes with 409
+    ConditionalRequestConflict; the client must surface it as a status
+    (a lost CAS) rather than raising and aborting maintenance."""
+    import io
+    import urllib.error
+    import urllib.request as _ur
+
+    c = _SigV4S3(s3.endpoint, "locks", "k", "s")
+
+    def conflict(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 409, "ConditionalRequestConflict", {},
+            io.BytesIO(b""),
+        )
+
+    monkeypatch.setattr(_ur, "urlopen", conflict)
+    st, etag, _ = c.request("PUT", "obj", b"v", {"If-None-Match": "*"})
+    assert st == 409 and etag == ""

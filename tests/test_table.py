@@ -971,6 +971,88 @@ def test_lock_provider_acquired_once_per_compound_op(spark, tmp_path):
     assert acquired == ["tombstone_cleanup"]
 
 
+def test_fencing_token_enforced_at_commit(spark, tmp_path):
+    """VERDICT r8 #3 end to end: a maintenance holder whose S3 lease was
+    stolen mid-operation (GC pause past TTL, network partition) must NOT
+    commit its log — LockLostError fires at the fence check BEFORE the
+    log PUT, so the stealer's view stays authoritative. A healthy holder
+    commits normally and stamps its fencing token into the merged log's
+    metadata line for after-the-fact audits."""
+    import json as _json
+    from contextlib import contextmanager
+
+    from icedb_spark import (
+        IceTable, LockLostError, PartitionField, PartitionSpec,
+        s3_lock_provider,
+    )
+    from icedb_spark.locks import _SigV4S3
+    from tests.mini_s3 import MiniS3Server
+
+    with MiniS3Server() as server:
+        c = _SigV4S3(server.endpoint, "locks", "k", "s")
+        c.request("PUT", "")  # create bucket
+        real = s3_lock_provider(
+            "locks", "tbl/.maintenance.lock",
+            endpoint_override=server.endpoint,
+            access_key="test", secret_key="test",
+            ttl_s=60.0, timeout_s=10.0, poll_s=0.05,
+        )
+        steal_next = {"on": False}
+
+        @contextmanager
+        def pausing_provider(op):
+            # acquire the REAL lease, then (when armed) simulate the
+            # holder pausing past its TTL while a stealer takes over:
+            # the lock object is overwritten before the op's body runs
+            with real(op) as lease:
+                if steal_next["on"]:
+                    c.request(
+                        "PUT", "tbl/.maintenance.lock",
+                        _json.dumps({
+                            "holder": "stealer", "op": op,
+                            "token": int(lease) + 1,
+                            "expires_at": time.time() + 60,
+                        }).encode(),
+                    )
+                yield lease
+
+        t = IceTable(
+            spark, str(tmp_path / "fenced"),
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("k", "kind")]
+            ),
+            sort_order=["id"], lock_provider=pausing_provider,
+        )
+        t.insert(rows=[{"id": 1, "kind": "a"}])
+        t.insert(rows=[{"id": 2, "kind": "a"}])
+
+        # healthy holder: merge commits and stamps fence=1
+        assert t.merge(max_file_size=1 << 40, max_file_count=100)
+        logs = sorted(
+            k for k, _s in t.log_io.get_current_log_files(t.log_storage)
+        )
+        merged_meta = _json.loads(
+            t.log_storage.get(logs[-1]).decode().splitlines()[0]
+        )
+        assert merged_meta["fence"] == 1
+        pre = set(logs)
+
+        # stolen lease: the commit is REFUSED and no log file appears
+        t.insert(rows=[{"id": 3, "kind": "a"}])
+        t.insert(rows=[{"id": 4, "kind": "a"}])
+        steal_next["on"] = True
+        with pytest.raises(LockLostError):
+            t.merge(max_file_size=1 << 40, max_file_count=100)
+        post = {
+            k for k, _s in t.log_io.get_current_log_files(t.log_storage)
+        }
+        # exactly the two insert commits landed since; no merged log
+        from icedb_spark.log import get_log_file_info
+
+        assert len(post - pre) == 2
+        assert not any(get_log_file_info(k)[1] for k in post - pre)
+
+
 def test_history_and_file_manifest_metadata_tables(spark, tmp_path):
     """history_df() derives one row per commit with file/byte deltas;
     file_manifest() lists alive files with partition + stats — both are
