@@ -31,6 +31,8 @@ corpora should materialize the result and then
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -745,6 +747,27 @@ def semdedup(
 SPAN_SEED = 4_242
 
 
+def _batch_span_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per k-token shingle position of ``df``: ``(id, pos,
+    dig)`` with ``pos`` 1-based — the shared explode behind the
+    substring-dedup family's batch side (docs shorter than k tokens
+    contribute nothing)."""
+    toks = tokens(F.col(text_col))
+    digs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
+    )
+    return (
+        df.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(digs))
+        .select(
+            "id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig")
+        )
+    )
+
+
 def _span_positions(
     df: DataFrame,
     k: int,
@@ -758,16 +781,7 @@ def _span_positions(
     corpus — the shared core of :func:`duplicated_spans` /
     :func:`drop_duplicated_spans`. One explode bounded by the corpus
     token count, one digest-keyed shuffle, one join back."""
-    toks = tokens(F.col(text_col))
-    digs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
-    )
-    pos = (
-        df.where(F.size(tokens(F.col(text_col))) >= k)
-        .select(F.col(id_col).alias("id"), F.posexplode(digs))
-        .select("id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig"))
-    )
+    pos = _batch_span_positions(df, k, text_col, id_col)
     if exclude_first:
         # keep-first semantics (Lee et al. 2022 drop all-but-one copy):
         # each digest's canonical occurrence — smallest (id, pos) — is
@@ -1049,12 +1063,19 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_band_rows: bool = True,
+    _band_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: mark each batch document that is a
     MinHash near-duplicate of (a) any already-indexed document or (b) a
     smaller-id document in the same batch. ``index_rows`` is the
     persisted signature table in :func:`minhash_index_rows` layout;
     batch ids must be disjoint from indexed ids.
+
+    ``_band_rows``: the batch's own :func:`minhash_index_rows` output,
+    when the caller already computed it (the ``*_table`` wrapper and the
+    streaming ingest gate both need it for their pruning probe set) —
+    passing it through means the batch signatures run ONCE per call
+    instead of twice, and the caller owns its persistence.
 
     Duplicate rule (deterministic, order-free, so batch-vs-index equals
     a full-corpus recompute over the union): d is a duplicate iff some
@@ -1086,12 +1107,14 @@ def dedup_against_index(
     batch's own :func:`minhash_index_rows` to the index table after
     the commit to keep the cycle going.
     """
-    br = minhash_index_rows(
-        batch, num_perm, bands, shingle_k, text_col, id_col
-    ).select(
-        F.col(id_col).alias("id"), "band", "bh", "sig"
-    )
-    if persist_band_rows:
+    br = (
+        _band_rows
+        if _band_rows is not None
+        else minhash_index_rows(
+            batch, num_perm, bands, shingle_k, text_col, id_col
+        )
+    ).select(F.col(id_col).alias("id"), "band", "bh", "sig")
+    if persist_band_rows and _band_rows is None:
         # br is referenced twice (own-batch mates + the join's probe
         # side). Pass False from per-batch loops that already persist
         # the batch upstream — a long-lived stream would otherwise
@@ -1178,9 +1201,20 @@ def dedup_against_index_table(
     br = minhash_index_rows(
         batch, num_perm, bands, shingle_k, text_col, id_col
     )
+    if persist_band_rows:
+        # ONE batch-signature computation per call: the probe-set collect
+        # below and the wrapped dedup both read this cached plan (the
+        # passthrough hands ownership of the cache to this wrapper)
+        from pyspark import StorageLevel
+
+        br = br.persist(StorageLevel.MEMORY_AND_DISK)
     if index_table.snapshot().alive_files():
         bhs = sorted(
-            {r["bh"] for r in br.select("bh").distinct().collect()}
+            r["bh"]
+            for r in br.select("bh")
+            .distinct()
+            .limit(max_pruning_keys + 1)
+            .collect()
         )
         if not bhs:
             idx = br.limit(0)
@@ -1192,7 +1226,7 @@ def dedup_against_index_table(
         idx = br.limit(0)
     return dedup_against_index(
         batch, idx, threshold, num_perm, bands, shingle_k,
-        text_col, id_col, persist_band_rows,
+        text_col, id_col, persist_band_rows, _band_rows=br,
     )
 
 
@@ -1231,6 +1265,7 @@ def duplicated_spans_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_positions: bool = True,
+    _positions: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental exact-substring dedup: maximal spans of ``batch``
     covered by k-token shingles that either (a) exist in the persisted
@@ -1256,20 +1291,18 @@ def duplicated_spans_against_index(
     accumulates one registered cache per batch (same contract as
     :func:`dedup_against_index`'s ``persist_band_rows``); recomputing
     the explode twice is cheap at micro-batch sizes.
+
+    ``_positions``: the batch's :func:`_batch_span_positions` explode when
+    the caller already built it (the ``*_table`` wrapper derives its
+    pruning probe set from the same plan) — passed through so the
+    explode is computed/cached once per call, owned by the caller.
     """
-    toks = tokens(F.col(text_col))
-    digs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)), SPAN_SEED),
-    )
     pos = (
-        batch.where(F.size(tokens(F.col(text_col))) >= k)
-        .select(F.col(id_col).alias("id"), F.posexplode(digs))
-        .select(
-            "id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("dig")
-        )
+        _positions
+        if _positions is not None
+        else _batch_span_positions(batch, k, text_col, id_col)
     )
-    if persist_positions:
+    if persist_positions and _positions is None:
         from pyspark import StorageLevel
 
         pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1318,22 +1351,35 @@ def duplicated_spans_against_index_table(
     full scan is the honest plan — hashed digests spread uniformly, so
     a big batch legitimately touches the whole digest space. An empty
     or never-written index short-circuits to the in-batch keep-first
-    rule."""
+    rule. A batch with NO k-token shingles (every doc shorter than k)
+    can match nothing and short-circuits to the empty index — never a
+    full scan."""
+    pos = _batch_span_positions(batch, k, text_col, id_col)
+    if persist_positions:
+        # one explode per call: probe-set collect + wrapped dedup share
+        # this cached plan (passthrough hands cache ownership here)
+        from pyspark import StorageLevel
+
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    empty = pos.select("dig").limit(0)
     if index_table.snapshot().alive_files():
         digs = [
             r["dig"]
-            for r in substring_index_rows(batch, k, text_col, id_col)
+            for r in pos.select("dig")
+            .distinct()
             .limit(max_pruning_keys + 1)
             .collect()
         ]
-        if digs and len(digs) <= max_pruning_keys:
+        if not digs:
+            idx = empty
+        elif len(digs) <= max_pruning_keys:
             idx = index_table.read(column_in={"dig": sorted(digs)})
         else:
             idx = index_table.read()
     else:
-        idx = substring_index_rows(batch, k, text_col, id_col).limit(0)
+        idx = empty
     return duplicated_spans_against_index(
-        batch, idx, k, text_col, id_col, persist_positions
+        batch, idx, k, text_col, id_col, persist_positions, _positions=pos
     )
 
 
@@ -1354,13 +1400,26 @@ def embedding_dedup_against_index_table(
     — give the index table ``sort_order=["bucket"]`` +
     ``bloom_columns=["bucket"]`` so zone maps and Blooms have
     something to skip on. Same hint-not-filter soundness as the
-    MinHash family: the bucket equi-join afterwards is exact."""
+    MinHash family: the bucket equi-join afterwards is exact. An empty
+    batch short-circuits to the empty index; the batch's bucketed rows
+    compute ONCE per call (probe-set collect + wrapped dedup share the
+    cached plan via passthrough)."""
     br = embedding_index_rows(batch, dim, n_planes, id_col, vec_col)
+    if persist_batch_rows:
+        from pyspark import StorageLevel
+
+        br = br.persist(StorageLevel.MEMORY_AND_DISK)
     if index_table.snapshot().alive_files():
         buckets = sorted(
-            {r["bucket"] for r in br.select("bucket").distinct().collect()}
+            r["bucket"]
+            for r in br.select("bucket")
+            .distinct()
+            .limit(max_pruning_keys + 1)
+            .collect()
         )
-        if buckets and len(buckets) <= max_pruning_keys:
+        if not buckets:
+            idx = br.limit(0)
+        elif len(buckets) <= max_pruning_keys:
             idx = index_table.read(column_in={"bucket": buckets})
         else:
             idx = index_table.read()
@@ -1368,7 +1427,7 @@ def embedding_dedup_against_index_table(
         idx = br.limit(0)
     return embedding_dedup_against_index(
         batch, idx, dim, threshold, n_planes, id_col, vec_col,
-        persist_batch_rows,
+        persist_batch_rows, _batch_rows=br,
     )
 
 
@@ -1404,6 +1463,7 @@ def embedding_dedup_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_batch_rows: bool = True,
+    _batch_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental embedding near-dup: mark each batch vector whose
     exact cosine against some mate — indexed, or in-batch with a
@@ -1426,12 +1486,16 @@ def embedding_dedup_against_index(
     default; pass ``False`` from per-batch loops in a long-lived
     session to avoid accumulating one never-evicted cache per batch
     (same contract as :func:`dedup_against_index`'s
-    ``persist_band_rows``).
+    ``persist_band_rows``). ``_batch_rows`` passes a precomputed
+    :func:`embedding_index_rows` through (the ``*_table`` wrapper's
+    probe set) so the batch side runs once per call, caller-owned.
     """
-    br = embedding_index_rows(batch, dim, n_planes, id_col, vec_col).select(
-        F.col(id_col).alias("id"), "bucket", "v", "n"
-    )
-    if persist_batch_rows:
+    br = (
+        _batch_rows
+        if _batch_rows is not None
+        else embedding_index_rows(batch, dim, n_planes, id_col, vec_col)
+    ).select(F.col(id_col).alias("id"), "bucket", "v", "n")
+    if persist_batch_rows and _batch_rows is None:
         from pyspark import StorageLevel
 
         br = br.persist(StorageLevel.MEMORY_AND_DISK)

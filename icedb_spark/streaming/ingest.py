@@ -380,9 +380,13 @@ def stream_insert_near_dedup(
             # skip when this batch's tag already landed in the index log
             if not (tag and _has_commit_tag(index_table, tag)):
                 index_table.insert(df=sig_rows, commit_tag=tag)
+            # sig_rows passes through so the batch signatures compute
+            # once per micro-batch (index commit + probe collect +
+            # verdict join all share the plan over the persisted df)
             verdicts = dedup_against_index(
                 df, idx, threshold, num_perm, bands, shingle_k,
                 text_col, id_col, persist_band_rows=False,
+                _band_rows=sig_rows,
             )
             survivors = df.join(
                 verdicts.where(~F.col("is_dup")).select(F.col(id_col)),

@@ -503,3 +503,47 @@ def test_span_and_embedding_index_table_wrappers(spark, tmp_path):
     }
     assert e_wrapped == e_full
     assert e_wrapped[11] == (True, 1) and e_wrapped[12] == (False, None)
+
+
+def test_span_wrapper_short_circuits_empty_digest_batch(spark, tmp_path):
+    """ADVICE r8: a batch where every doc is shorter than k tokens has
+    NO shingle digests — nothing can match, so the wrapper must not
+    touch the (live) index at all, let alone full-scan it."""
+    from icedb_spark.operators import (
+        duplicated_spans_against_index_table,
+        substring_index_rows,
+    )
+
+    span_t = IceTable(
+        spark,
+        str(tmp_path / "spanidx2"),
+        partition_spec=PartitionSpec(
+            fields=[PartitionField("b", "cast(pmod(dig, 2) as int)")]
+        ),
+        sort_order=["dig"],
+        bloom_columns=["dig"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    span_t.insert(df=substring_index_rows(corpus, k=4))
+    assert span_t.snapshot().alive_files()  # the index IS live
+
+    reads = []
+    real_read = span_t.read
+
+    def spying_read(*a, **kw):
+        reads.append(kw)
+        return real_read(*a, **kw)
+
+    span_t.read = spying_read
+    short = spark.createDataFrame(
+        [(41, "too short"), (42, "three tokens only")],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans_against_index_table(
+        short, span_t, k=4, persist_positions=False
+    ).collect()
+    assert out == []  # no spans possible
+    assert reads == []  # and the index scan never ran
