@@ -120,6 +120,10 @@ SCALING = [
     # round-8: tokenization output (one row per subword) — explode is
     # bounded by corpus subword count, encode cost by distinct words
     "t20_bpe_tokenize",
+    # round-9: the pair-indexed encoder at a REAL production vocab
+    # (47 952 merges) — per-word cost is merge-count independent, so
+    # the exponent here should match t19's despite the 37x rule table
+    "t23_bpe_encode_fixed3",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -144,6 +148,7 @@ _SCALING_TABLE = {
     "t19_bpe_encode_scaled": "documents",
     "m07_bmp_phash": "documents",
     "t20_bpe_tokenize": "documents",
+    "t23_bpe_encode_fixed3": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
@@ -299,6 +304,7 @@ def main():
         },
     })
     emit({"detail": "index_prune", **_index_prune_block(spark, sf_dir)})
+    emit({"detail": "bpe_flat", **_bpe_flat_block(spark, sf_dir)})
     sf1 = _sf1_block(run_samples, cpus, spark) if sf >= 0.1 else None
     ingest = _ingest_block(spark)
     emit({"detail": "ingest", **ingest})
@@ -547,6 +553,45 @@ def _index_prune_block(spark, sf_dir: str):
         return {"error": str(e)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _bpe_flat_block(spark, sf_dir: str):
+    """Merge-count flatness evidence (VERDICT r8 #2): the same corpus
+    encoded under the 1296-rule (t19) and 47 952-rule (t23) fixed
+    tables through the pair-indexed greedy encoder. Per-word cost is
+    table-size independent, so the big-table wall should track only
+    the extra merging it actually performs (layer-2 rules firing) —
+    near 1x — where the linear rank replay this encoder replaced
+    scaled roughly with the 37x rule count."""
+    from icedb_spark.operators import (
+        apply_bpe,
+        bpe_alphabet_merges,
+        bpe_alphabet_merges3,
+    )
+    from icedb_spark.testdata import load_table
+
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+
+        def wall(merges) -> float:
+            t0 = time.time()
+            apply_bpe(docs, merges, strategy="greedy").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return round(time.time() - t0, 3)
+
+        wall(bpe_alphabet_merges())  # warm the scan + python workers
+        s1 = wall(bpe_alphabet_merges())
+        s2 = wall(bpe_alphabet_merges3())
+        return {
+            "merges_1296_sec": s1,
+            "merges_47952_sec": s2,
+            "wall_ratio_for_37x_rules": round(s2 / max(s1, 1e-9), 2),
+        }
+    except Exception as e:  # informational block — never fail the bench
+        return {"error": str(e)}
 
 
 def _ingest_block(spark):

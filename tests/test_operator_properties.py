@@ -393,6 +393,66 @@ def test_bpe_train_and_apply_equal_reference(
         ), (i, t, merges)
 
 
+@_settings(max_examples=200, deadline=None)
+@_given(seed=_st.integers(0, 10**9))
+def test_bpe_indexed_encoder_equals_linear_replay(seed):
+    """The merge-count-independent pair-indexed encoder (VERDICT r8 #2)
+    is bit-equal to the linear rank replay on ARBITRARY merge tables —
+    multi-char symbols, duplicate pairs (a pair can recur at several
+    ranks in a trained table), rules that never apply — not just on
+    tables with the trained-closure property."""
+    import random
+
+    from icedb_spark.operators.text import (
+        _bpe_encode_syms,
+        _bpe_encode_syms_indexed,
+        _bpe_pair_index,
+    )
+
+    rnd = random.Random(seed)
+    letters = "abc"
+    rules = [
+        (
+            "".join(rnd.choice(letters) for _ in range(rnd.randint(1, 3))),
+            "".join(rnd.choice(letters) for _ in range(rnd.randint(1, 3))),
+        )
+        for _ in range(rnd.randint(0, 14))
+    ]
+    pair_ranks = _bpe_pair_index(rules)
+    for _ in range(5):
+        w = "".join(rnd.choice(letters) for _ in range(rnd.randint(0, 12)))
+        assert _bpe_encode_syms(w, rules) == _bpe_encode_syms_indexed(
+            w, rules, pair_ranks
+        ), (w, rules)
+
+
+def test_bpe_indexed_encoder_at_production_table():
+    """At the 47 952-merge fixed table (t23's), the indexed encoder
+    equals the linear replay word-for-word, and layer-2 rules really
+    fire (3-char products appear)."""
+    from icedb_spark.operators.text import (
+        _bpe_encode_syms,
+        _bpe_encode_syms_indexed,
+        _bpe_pair_index,
+        bpe_alphabet_merges3,
+    )
+
+    m3 = bpe_alphabet_merges3()
+    assert len(m3) == 36 * 36 + 36 * 36 * 36
+    pr = _bpe_pair_index(m3)
+    words = [
+        "internationalization", "hello", "aaaabbbb", "x1y2z3", "a",
+        "zq", "the-quick", "0123456789abcdef", "",
+    ]
+    for w in words:
+        assert _bpe_encode_syms(w, m3) == _bpe_encode_syms_indexed(
+            w, m3, pr
+        ), w
+    assert _bpe_encode_syms_indexed("internationalization", m3, pr) == [
+        "int", "ern", "at", "ion", "al", "iz", "at", "ion",
+    ]
+
+
 @_settings(
     max_examples=5,
     deadline=None,
