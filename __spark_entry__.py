@@ -1159,6 +1159,93 @@ def m07_bmp_phash(spark, sf_dir):
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
 
 
+def m08_png_phash(spark, sf_dir):
+    """REAL PNG decode under the value gate (VERDICT r8 #4): each doc
+    becomes a genuine 8×8 8-bit RGB PNG — signature, IHDR/IDAT/IEND
+    chunks with real CRC32s (Spark's crc32), a real zlib stream (one
+    stored deflate block + the adler32 the inflater checks, both
+    computed COLUMN-SIDE), rows filtered with a None/Sub/Up cycle so
+    the decoder's unfilter recurrences are load-bearing. Pixel i's RGB
+    bytes are md5(text) bytes (3i, 3i+1, 3i+2) mod 16; the decoder
+    inflates with stdlib zlib, unfilters, collapses to BT.601 integer
+    luma, pools 64→60 bucket means and aHashes. The oracle recomputes
+    the luma straight from the md5 hex in closed form — a wrong filter
+    byte, channel order, adler/CRC, or pooling breaks the match. JPEG
+    and other transform codecs stay digest-fake / external decode_fn
+    (documented)."""
+    import struct
+    import zlib as _zlib
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)  # 8x8 RGB
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", _zlib.crc32(b"IEND")
+    )
+    # zlib header + final STORED deflate block, LEN=200 (8 rows x
+    # (1 filter byte + 24 RGB bytes)), NLEN = ~LEN
+    zpre = bytes([0x78, 0x01, 0x01, 200, 0, 255 - 200, 255])
+    # md5 byte value at hex position (e % 16)
+    V = (
+        "cast(conv(substring(md5(text), 2 * (({e}) % 16) + 1, 2), 16, 10)"
+        " as int)"
+    )
+
+    def v(e: str) -> str:
+        return V.format(e=e)
+
+    # the 200 raw-deflate payload bytes as INTS: j div 25 = row y,
+    # j % 25 = 0 the filter byte (y % 3: None/Sub/Up), else byte x-1 of
+    # the FILTERED scanline; image byte index i = 24y + (j%25) - 1, so
+    # Sub subtracts the byte 3 back (one RGB pixel), Up the byte 24 back
+    vals_sql = f"""transform(sequence(0, 199), j -> cast(case
+      when j % 25 = 0 then (j div 25) % 3
+      when (j div 25) % 3 = 0 or ((j div 25) % 3 = 1 and j % 25 <= 3)
+        then {v('24 * (j div 25) + j % 25 - 1')}
+      when (j div 25) % 3 = 1
+        then ({v('24 * (j div 25) + j % 25 - 1')}
+              - {v('24 * (j div 25) + j % 25 - 4')} + 256) % 256
+      else ({v('24 * (j div 25) + j % 25 - 1')}
+            - {v('24 * (j div 25) + j % 25 - 25')} + 256) % 256
+    end as int))"""
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"), F.expr(vals_sql).alias("vals")
+    )
+    payload = F.expr(
+        "unhex(array_join(transform(vals, x -> lpad(hex(x), 2, '0')), ''))"
+    )
+    s1 = F.expr("(1 + aggregate(vals, 0, (a, x) -> a + x)) % 65521")
+    s2 = F.expr(
+        "(200 + aggregate(zip_with(vals, sequence(200, 1, -1),"
+        " (x, w) -> x * w), 0, (a, x) -> a + x)) % 65521"
+    )
+    zstream = F.concat(
+        F.lit(zpre),
+        payload,
+        F.unhex(
+            F.concat(F.lpad(F.hex(s2), 4, "0"), F.lpad(F.hex(s1), 4, "0"))
+        ),
+    )
+    media = staged.select(
+        "media_id",
+        F.concat(
+            F.lit(sig + ihdr + struct.pack(">I", 211) + b"IDAT"),
+            zstream,
+            F.unhex(
+                F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), zstream))), 8, "0")
+            ),
+            F.lit(iend),
+        ).alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -3565,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
+        "m08_png_phash": m08_png_phash,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3954,6 +4042,7 @@ from per_sess group by user_id
         "t17_bpe_encode": oracles.bpe_encode_sql(),
         "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
         "t23_bpe_encode_fixed3": oracles.bpe_encode_fixed3_sql(),
+        "m08_png_phash": oracles.png_phash_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t22_packed_token_stream": oracles.packed_token_stream_sql(),

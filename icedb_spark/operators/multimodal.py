@@ -178,26 +178,36 @@ def decode_stub(blob: bytes) -> bytes:
 
 
 def decode_image_pixels(blob) -> "Optional[list[int]]":
-    """REAL pure-Python pixel decode for the UNCOMPRESSED raster
-    families (VERDICT r7 #6) — no codec library involved:
+    """REAL pure-Python pixel decode, no codec library involved:
 
     * **BMP** BI_RGB 24/32-bit (BITMAPINFOHEADER-or-later): honors the
       pixel-data offset, 4-byte row padding, bottom-up vs top-down
-      (negative height) row order, and BGR(A) byte order.
+      (negative height) row order, and BGR(A) byte order (VERDICT r7
+      #6).
     * **Binary PNM**: P5 grayscale and P6 RGB with ``maxval <= 255``
       (ASCII header with ``#`` comments, single whitespace before the
       raster).
+    * **PNG** (VERDICT r8 #4) — the dominant real-corpus lossless
+      format, decoded with stdlib ``zlib`` only: chunk walk (multiple
+      IDATs concatenate per spec), zlib inflate, and full per-row
+      unfiltering (None/Sub/Up/Average/Paeth, the spec's §9 recurrences
+      in exact integer arithmetic) for 8-bit grayscale, gray+alpha,
+      RGB, and RGBA, non-interlaced. Palette, 16-bit, and interlaced
+      PNGs raise (recognized container, unsupported profile).
 
-    Returns top-down row-major GRAYSCALE ints in 0..255 — RGB collapses
-    through the integer ITU-R BT.601 luma ``(299r + 587g + 114b) //
-    1000``, exact arithmetic any engine reproduces. Returns ``None``
-    for unrecognized containers (compressed formats keep the documented
-    digest fake or an external ``decode_fn``); a RECOGNIZED container
-    with malformed geometry/payload raises ``ValueError`` (decode
-    errors should fail loudly, not hash garbage)."""
+    Returns top-down row-major GRAYSCALE ints in 0..255 — RGB(A)
+    collapses through the integer ITU-R BT.601 luma ``(299r + 587g +
+    114b) // 1000`` (alpha ignored), exact arithmetic any engine
+    reproduces. Returns ``None`` for unrecognized containers (JPEG and
+    other transform codecs keep the documented digest fake or an
+    external ``decode_fn``); a RECOGNIZED container with malformed
+    geometry/payload raises ``ValueError`` (decode errors should fail
+    loudly, not hash garbage)."""
     import struct
 
     b = bytes(blob or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
         dib = struct.unpack("<I", b[14:18])[0]
@@ -264,6 +274,102 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
             for i in range(o, o + w * h * 3, 3)
         ]
     return None
+
+
+def _decode_png(b: bytes) -> "list[int]":
+    """The PNG arm of :func:`decode_image_pixels` (b already carries the
+    8-byte signature). Pure stdlib: struct for the chunk walk, zlib for
+    the one real compression stage, then the spec's per-row unfilter
+    recurrences — where the bugs live (filter byte PER ROW, left/up
+    neighbors measured in whole pixels, Paeth's tie-break order)."""
+    import struct
+    import zlib
+
+    o, n = 8, len(b)
+    w = h = None
+    bitdepth = colortype = interlace = None
+    idat = bytearray()
+    while o + 8 <= n:
+        (clen,) = struct.unpack(">I", b[o : o + 4])
+        ctype = b[o + 4 : o + 8]
+        data = b[o + 8 : o + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("decode_image_pixels: truncated PNG chunk")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("decode_image_pixels: bad PNG IHDR")
+            w, h, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        o += 12 + clen  # len + type + data + crc
+    if w is None:
+        raise ValueError("decode_image_pixels: PNG without IHDR")
+    if w <= 0 or h <= 0:
+        raise ValueError("decode_image_pixels: bad PNG geometry")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if bitdepth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            "decode_image_pixels: only 8-bit non-interlaced gray/RGB(A) "
+            f"PNG (got depth={bitdepth}, color={colortype}, "
+            f"interlace={interlace})"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"decode_image_pixels: bad PNG zlib stream: {e}")
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decode_image_pixels: PNG pixel payload size")
+    out: list[int] = []
+    prev = bytes(stride)  # the spec's all-zero row above row 0
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub: left neighbor, one whole pixel back
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: floor((left + up) / 2)
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor, spec tie-break left/up/ul
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i]
+                d = prev[i - channels] if i >= channels else 0
+                p = a + c - d
+                pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = c
+                else:
+                    pred = d
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(
+                f"decode_image_pixels: unknown PNG filter {ftype}"
+            )
+        prev = bytes(line)
+        if channels == 1:
+            out.extend(line)
+        elif channels == 2:  # gray + alpha: gray channel
+            out.extend(line[0::2])
+        else:  # RGB / RGBA -> BT.601 integer luma
+            for x in range(0, stride, channels):
+                out.append(
+                    (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2])
+                    // 1000
+                )
+    return out
 
 
 def _pool_pixels(px: "list[int]", bits: int) -> "list[int]":

@@ -1982,6 +1982,54 @@ order by doc_id, pos
 """
 
 
+def png_phash_sql(
+    bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for m08 (REAL PNG decode, VERDICT r8 #4): the entry
+    synthesizes a w×h 8-bit RGB PNG per doc — real zlib stream (stored
+    deflate block + adler32), real per-row filters cycling
+    None/Sub/Up — whose RGB bytes at pixel index i are md5 bytes
+    (3i, 3i+1, 3i+2) mod 16. The Spark side walks chunks, inflates,
+    unfilters, takes the BT.601 integer luma, pools w·h→bits bucket
+    means and aHashes; this closed form recomputes the LUMA straight
+    from the md5 hex, so any error in the chunk walk, the zlib
+    plumbing, the unfilter recurrences, the channel order, or the
+    pooling breaks the hash match."""
+    n = w * h
+
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    luma = (
+        f"(299 * {V('3*i')} + 587 * {V('3*i+1')} + 114 * {V('3*i+2')})"
+        " // 1000"
+    )
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i -> {luma}) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def bpe_encode_fixed3_sql(
     alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
     table: str = "documents",

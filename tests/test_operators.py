@@ -1143,6 +1143,143 @@ def test_decode_image_pixels_roundtrip_property():
     roundtrip()
 
 
+def _png(w, h, rows, colortype, filters, split_idat=False):
+    """Well-formed PNG from top-down pixel rows (tuples per channel),
+    with an INDEPENDENT encode-side implementation of the spec's filter
+    formulas (forward direction) and real zlib compression — so a
+    shared misreading of a recurrence cannot cancel out silently."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, row in enumerate(rows):
+        line = bytearray()
+        for px in row:
+            line.extend(px if isinstance(px, (tuple, list)) else (px,))
+        f = filters[y % len(filters)]
+        enc = bytearray()
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        raw.append(f)
+        raw.extend(enc)
+        prev = bytes(line)
+    z = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if split_idat:
+        mid = len(z) // 2
+        out += chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+    else:
+        out += chunk(b"IDAT", z)
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_roundtrip_property():
+    """Hypothesis round-trip for the PNG arm (VERDICT r8 #4): arbitrary
+    small images across all four supported color types, all five filter
+    types, and split IDAT chunks decode back to the exact BT.601 grays
+    the encoded pixels imply."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_image_pixels
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        colortype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 10**6),
+    )
+    def roundtrip(w, h, colortype, seed):
+        import random
+
+        rnd = random.Random(seed)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        rows = [
+            [tuple(rnd.randrange(256) for _ in range(ch)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        filters = [rnd.randint(0, 4) for _ in range(h)]
+        blob = _png(w, h, rows, colortype, filters, split_idat=(seed % 2 == 0))
+        want = []
+        for row in rows:
+            for px in row:
+                if colortype in (0, 4):
+                    want.append(px[0])
+                else:
+                    want.append(
+                        (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+                    )
+        assert decode_image_pixels(blob) == want
+
+    roundtrip()
+
+
+def test_decode_png_unsupported_profiles_raise():
+    """Recognized PNG container with an unsupported profile fails loudly
+    (palette / 16-bit / interlaced / bad zlib / size mismatch), while
+    JPEG-style unknowns still return None."""
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    good = _png(2, 2, [[(1,), (2,)], [(3,), (4,)]], 0, [0])
+    assert decode_image_pixels(good) == [1, 2, 3, 4]
+    # 16-bit depth
+    bad = good.replace(
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0), 1)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bad)
+    # palette color type
+    bad = good.replace(
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), 1)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bad)
+    # interlaced
+    bad = good.replace(
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), 1)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bad)
+    # geometry lies about the payload: height says 3, data carries 2 rows
+    bad = good.replace(
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 3, 8, 0, 0, 0, 0), 1)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bad)
+    # corrupt zlib stream
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_image_pixels(bytes(bad))
+
+
 def test_perceptual_hash_real_decode_matches_reference(spark):
     """perceptual_hash(use_fake=False) over genuine BMP bytes equals the
     pure-Python pipeline (decode -> bucket-mean pool -> threshold)."""
