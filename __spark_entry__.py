@@ -3570,35 +3570,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-8 rotation (VERDICT r7 #1): the window leads with the five
-    # entries that have NEVER held a driver row — d14/d15 (index-dedup
-    # siblings, new r7 below-window), t18 (BPE packing, ditto), and the
-    # round's two NEW entries t19 (production-scale BPE encode via the
-    # greedy mapInPandas strategy) and m07 (REAL BMP pixel decode) —
-    # then one witness per code path that CHANGED this round: t16
-    # (bpe_train driver fast path), t17 (apply_bpe strategy switch +
-    # empty-doc filter), st10 (pruned per-batch index scan +
-    # bloom_columns on the index table), m05 (perceptual_hash real-path
-    # rework; its fake path is what the gate runs). The remaining 41
-    # slots drain the r5-era backlog oldest-machinery-first: the full
-    # engine lifecycle (ice01/04-08/10/12-16/18/20/21/28/29/33/37),
-    # streaming (st01/03/04/07/09), multimodal (m02/m03), dedup
-    # (d01/03/08/11), ANN (s01/02/07/08), sampling (sm01-04/06/09).
-    # Still below the window from that backlog: q02-q33 and t01-t12 —
-    # they rotate up in r9 (q33 yielded its slot to t20, the round's
-    # late tokenization gate); ALL
-    # keys stay under the repo's own bit-exact gate replica
+    # Round-9 rotation (VERDICT r8 #1): the window leads with the two NEW
+    # entries (t23 production-vocab BPE encode at 47 952 merges, m08 real
+    # PNG pixel decode) and the two entries that had NEVER held a driver
+    # row (t21 token ids, t22 packed token stream — added below the r8
+    # window); then one witness per code path that CHANGED this round:
+    # t19/t20 (the pair-indexed encoder now behind apply_bpe greedy and
+    # bpe_tokenize), st10 (streaming gate passes its sig_rows through),
+    # d13/d14/d15 (the three dedup-index inner functions grew probe-row
+    # passthrough params). The remaining 40 slots drain the staleness
+    # backlog oldest-first: ALL 32 entries last driver-checked in r5
+    # (the core SQL surface q03-q32 — joins, windows, rollup/cube, set
+    # ops, JSON, scalar/date/string/array fns — plus d04-d06, st02,
+    # t01/t03/t04/t11, mv02) and the 8 oldest r6 rows (q02/q04/q17/
+    # q28-q31/q33). Still below the window: the r6-era t02/t06-t09/t12
+    # (rotate up in r10) and everything green in r7-r8; ALL keys stay
+    # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
+        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
+        "m08_png_phash": m08_png_phash,
+        "t21_bpe_token_ids": t21_bpe_token_ids,
+        "t22_packed_token_stream": t22_packed_token_stream,
+        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
+        "t20_bpe_tokenize": t20_bpe_tokenize,
+        "st10_stream_near_dedup": st10_stream_near_dedup,
+        "d13_dedup_against_index": d13_dedup_against_index,
         "d14_substring_dedup_index": d14_substring_dedup_index,
         "d15_embedding_dedup_index": d15_embedding_dedup_index,
+        "d04_simhash": d04_simhash,
+        "d05_embedding_dups": d05_embedding_dups,
+        "d06_simhash_pairs": d06_simhash_pairs,
+        "mv02_incremental_mv": mv02_incremental_mv,
+        "q03_json_extract": q03_json_extract,
+        "q05_topk": q05_topk,
+        "q06_month_rollup": q06_month_rollup,
+        "q07_percentile": q07_percentile,
+        "q08_latest_by_user": q08_latest_by_user,
+        "q09_union_seed": q09_union_seed,
+        "q10_range_filter": q10_range_filter,
+        "q11_dedup_pickone": q11_dedup_pickone,
+        "q12_join_broadcast": q12_join_broadcast,
+        "q13_join_threeway": q13_join_threeway,
+        "q14_window_rank": q14_window_rank,
+        "q15_scalar_funcs": q15_scalar_funcs,
+        "q16_date_parts": q16_date_parts,
+        "q18_rollup": q18_rollup,
+        "q19_setops": q19_setops,
+        "q20_semi_anti": q20_semi_anti,
+        "q21_having": q21_having,
+        "q22_string_funcs": q22_string_funcs,
+        "q23_array_funcs": q23_array_funcs,
+        "q24_salted_join": q24_salted_join,
+        "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
+        "q32_asof_left_join": q32_asof_left_join,
+        "st02_windowed_agg": st02_windowed_agg,
+        "t01_token_stats": t01_token_stats,
+        "t03_language_id": t03_language_id,
+        "t04_fingerprint": t04_fingerprint,
+        "t11_line_dedup": t11_line_dedup,
+        "q02_count_by_user": q02_count_by_user,
+        "q04_distinct": q04_distinct,
+        "q17_approx_distinct": q17_approx_distinct,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        "q30_sessionize": q30_sessionize,
+        "q31_salted_agg": q31_salted_agg,
+        "q33_percentile_approx": q33_percentile_approx,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a green driver row from r6-r8; this
+        # rotation only demotes proven entries.
         "t18_bpe_packing": t18_bpe_packing,
-        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
         "m07_bmp_phash": m07_bmp_phash,
-        "t20_bpe_tokenize": t20_bpe_tokenize,
         "t16_bpe_vocab": t16_bpe_vocab,
         "t17_bpe_encode": t17_bpe_encode,
-        "st10_stream_near_dedup": st10_stream_near_dedup,
         "m05_perceptual_hash": m05_perceptual_hash,
         "ice01_insert_roundtrip": ice01_insert_roundtrip,
         "ice04_rewrite": ice04_rewrite,
@@ -3640,19 +3686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm04_top_k_sample": sm04_top_k_sample,
         "sm06_shuffle_shard": sm06_shuffle_shard,
         "sm09_semantic_coverage": sm09_semantic_coverage,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a fully-green driver row from r5-r7 —
-        # this rotation only demotes proven entries (the r7 window's 50
-        # green rows lead the demoted set). q33 yielded its slot to the
-        # round's late t20 addition and rejoins the r9 rotation; t21
-        # (token ids) and t22 (packed token stream — the literal
-        # trainer input), later still, are replica-proven at three
-        # scales and rotate up with it.
-        "q33_percentile_approx": q33_percentile_approx,
-        "t21_bpe_token_ids": t21_bpe_token_ids,
-        "t22_packed_token_stream": t22_packed_token_stream,
-        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
-        "m08_png_phash": m08_png_phash,
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "t05_repetition": t05_repetition,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
@@ -3690,7 +3723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_url_stats": t13_url_stats,
         "t14_semantic_decontam": t14_semantic_decontam,
         "d12_substring_dedup": d12_substring_dedup,
-        "d13_dedup_against_index": d13_dedup_against_index,
         "ice27_datasource_scan": ice27_datasource_scan,
         "t15_bm25_search": t15_bm25_search,
         "d02_minhash_lsh": d02_minhash_lsh,
@@ -3699,51 +3731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "q01_pricing_summary": q01_pricing_summary,
         "rest01_ingest_query": rest01_ingest_query,
-        "st02_windowed_agg": st02_windowed_agg,
-        "mv02_incremental_mv": mv02_incremental_mv,
-        "q02_count_by_user": q02_count_by_user,
-        "q04_distinct": q04_distinct,
-        "q17_approx_distinct": q17_approx_distinct,
-        "q28_asof_join": q28_asof_join,
-        "q29_range_join": q29_range_join,
-        "q30_sessionize": q30_sessionize,
-        "q31_salted_agg": q31_salted_agg,
         "t02_text_quality": t02_text_quality,
         "t06_pii_detect": t06_pii_detect,
         "t07_decontaminate": t07_decontaminate,
         "t08_pack_sequences": t08_pack_sequences,
         "t09_vocab": t09_vocab,
         "t12_ngram_perplexity": t12_ngram_perplexity,
-        "q03_json_extract": q03_json_extract,
-        "q05_topk": q05_topk,
-        "q06_month_rollup": q06_month_rollup,
-        "q07_percentile": q07_percentile,
-        "q08_latest_by_user": q08_latest_by_user,
-        "q09_union_seed": q09_union_seed,
-        "q10_range_filter": q10_range_filter,
-        "q11_dedup_pickone": q11_dedup_pickone,
-        "q12_join_broadcast": q12_join_broadcast,
-        "q13_join_threeway": q13_join_threeway,
-        "q14_window_rank": q14_window_rank,
-        "q15_scalar_funcs": q15_scalar_funcs,
-        "q16_date_parts": q16_date_parts,
-        "q18_rollup": q18_rollup,
-        "q19_setops": q19_setops,
-        "q20_semi_anti": q20_semi_anti,
-        "q21_having": q21_having,
-        "q22_string_funcs": q22_string_funcs,
-        "q23_array_funcs": q23_array_funcs,
-        "q24_salted_join": q24_salted_join,
-        "q26_scalar_subquery": q26_scalar_subquery,
-        "q27_cube": q27_cube,
-        "q32_asof_left_join": q32_asof_left_join,
-        "d04_simhash": d04_simhash,
-        "d05_embedding_dups": d05_embedding_dups,
-        "d06_simhash_pairs": d06_simhash_pairs,
-        "t01_token_stats": t01_token_stats,
-        "t03_language_id": t03_language_id,
-        "t04_fingerprint": t04_fingerprint,
-        "t11_line_dedup": t11_line_dedup,
     }
 
 

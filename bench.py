@@ -541,7 +541,7 @@ def _index_prune_block(spark, sf_dir: str):
                 "sec_pruned": wall(idx_t.read(column_in={"bh": bhs})),
             }
 
-        return {
+        out = {
             "files_total": files_total,
             "batches": [
                 probe(32, 0),
@@ -549,6 +549,34 @@ def _index_prune_block(spark, sf_dir: str):
                 probe(64, 5, novel=True),
             ],
         }
+        # ---- compaction interaction (VERDICT r8 #6): a stream accrues
+        # one file per micro-batch per band partition; show how per-batch
+        # pruned cost behaves as the index grows, and what a merge pass
+        # does to it (fewer, bigger files -> each file's Bloom holds more
+        # distinct values, so per-value FP rises at fixed bloom_bits —
+        # the measurement behind the bloom-sizing guidance in
+        # streaming/ingest.py)
+        for i in range(16):
+            idx_t.insert(
+                df=minhash_index_rows(
+                    docs.where(F.col("doc_id") % 32 == i).select(
+                        (F.col("doc_id") + 20_000_000 * (i + 1)).alias(
+                            "doc_id"
+                        ),
+                        "text",
+                    )
+                )
+            )
+        out["after_growth"] = {
+            "files_total": len(idx_t.files_for()),
+            "batches": [probe(32, 0), probe(64, 5, novel=True)],
+        }
+        idx_t.optimize(max_file_size=1 << 40, max_file_count=10_000)
+        out["after_merge"] = {
+            "files_total": len(idx_t.files_for()),
+            "batches": [probe(32, 0), probe(64, 5, novel=True)],
+        }
+        return out
     except Exception as e:  # informational block — never fail the bench
         return {"error": str(e)}
     finally:

@@ -260,17 +260,25 @@ def s3_lock_provider(
       etag) every ``ttl_s / 3``, so a live holder keeps the lock for
       operations longer than the TTL while a CRASHED holder's lease
       expires and gets stolen — the flock-dies-with-its-holder analog.
-    * RELEASE: DELETE only while our etag is still current (checked via
-      GET; S3 has no conditional DELETE). The check-then-delete window
-      is benign: it only matters after our lease already expired AND a
-      stealer won, in which case the TTL contract was already broken
-      and the stealer's next renewal re-creates its lease.
+    * RELEASE: marker write + DELETE only while our etag is still
+      current (checked via GET; S3 has no conditional DELETE) — a
+      holder that lost its lease touches NOTHING on release (the
+      stealer's live lease/marker carries a higher token). The
+      check-then-delete window is benign: it only matters after our
+      lease already expired AND a stealer won, in which case the TTL
+      contract was already broken and the stealer's next renewal
+      re-creates its lease.
     * FENCING: each acquisition writes ``token = prior token + 1``
       (monotonic across holders, persisted in the lease body and in a
-      sibling ``<key>.token`` object on release so expiry/steal cycles
-      never reuse a token). Downstream systems that act on the holder's
-      behalf can reject stale holders by token — the standard guard
-      against a paused-then-resumed process acting on a lost lock.
+      sibling ``<key>.token`` high-water object merged with
+      ``max(existing, token)`` under an If-Match CAS on release, so
+      expiry/steal cycles never reuse a token even against delayed
+      releases). The context YIELDS a :class:`Lease` (an ``int``
+      token with ``lost`` / ``verify()``) and the engine ENFORCES it:
+      every maintenance commit calls ``verify()`` immediately before
+      its atomic log PUT and aborts with :class:`LockLostError` when
+      the lease is no longer ours — the standard guard against a
+      paused-then-resumed process acting on a lost lock.
 
     Credential naming matches the engine's pyarrow ``storage_options``
     (``access_key``, ``secret_key``, ``endpoint_override``, ``region``);
