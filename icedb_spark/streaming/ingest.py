@@ -345,6 +345,24 @@ def stream_insert_near_dedup(
     with more than ``max_pruning_keys`` distinct buckets fall back to
     the full scan (the driver-side metadata test is per-file ×
     per-value).
+
+    Compaction interaction (``merge_every``), measured in the bench's
+    ``index_prune`` block at sf0.1 with 131072-bit blooms: the index
+    accrues one file per micro-batch per band partition, and per-batch
+    pruned cost stays FLAT as it grows (32 files → 96 files: clustered
+    batch keeps 19/32 then 39/96 — tracking its own bucket spread, not
+    index size — novel batch 0/32 then 0/96, walls unchanged), so
+    merging is NOT needed to keep per-batch reads cheap; it trades the
+    file-count floor (metadata/listing cost) against Bloom saturation.
+    After one merge pass (96 → 4 files) each file holds ~24× more
+    distinct ``bh`` at the same ``bloom_bits`` — ~9 bits/value — and a
+    novel batch that previously pruned to ZERO files kept 1/4 (walls
+    still flat). So: size ``bloom_bits`` for the file size compaction
+    PRODUCES, not the micro-batch size ingestion writes (keep ~100
+    bits per distinct value per merged file), or cap the merge's
+    ``max_file_size`` for index tables so post-merge files stay
+    Bloom-effective; a modest ``merge_every`` (tens of batches) bounds
+    the listing cost long before saturation matters.
     """
     from ..operators.dedup import dedup_against_index, minhash_index_rows
     from pyspark.sql import functions as F
