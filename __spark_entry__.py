@@ -1246,6 +1246,77 @@ def m08_png_phash(spark, sf_dir):
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
 
 
+def m09_gif_phash(spark, sf_dir):
+    """REAL GIF decode under the value gate: each doc becomes a genuine
+    GIF89a — logical screen descriptor, 256-entry global color table
+    (palette[i] = ((3i+7)%256, (5i+11)%256, (7i+13)%256), so the
+    palette lookup is load-bearing, not identity), a graphic-control
+    extension the decoder must skip, and a VALID LZW stream built
+    column-side: [CLEAR, 64 literal pixel codes, END] at a fixed 9-bit
+    width (dictionary tops out at 321 < 512, so no width growth — the
+    growth/deferred-clear paths are hypothesis-tested against an
+    independent encoder with real compression in tests). Pixel i's
+    palette index is md5(text) byte i%16; the decoder runs the real
+    variable-width LSB-first LZW, maps through the palette to BT.601
+    luma, and the aHash pipeline pools 64→60. The oracle recomputes the
+    luma closed-form from the md5 hex — a wrong bit order, palette
+    offset, or code boundary breaks every hash."""
+    import struct
+    import zlib as _z  # noqa: F401  (symmetry with m08; unused here)
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    palette = b"".join(
+        bytes(((3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256))
+        for i in range(256)
+    )
+    header = (
+        b"GIF89a" + struct.pack("<HH", 8, 8) + bytes([0xF7, 0, 0])
+        + palette
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE the decoder skips
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8) + b"\x00"
+        + bytes([8])   # LZW min code size
+        + bytes([75])  # one 75-byte data sub-block follows
+    )
+    trailer = b"\x00\x3b"
+    # 66 nine-bit codes LSB-first: CLEAR(256), 64 pixel indices, END(257)
+    v = (
+        "cast(conv(substring(md5(text), 2 * (({e}) % 16) + 1, 2), 16, 10)"
+        " as int)"
+    )
+    codes = (
+        # trailing 0 pads the last byte's bits past the END code (the
+        # decoder stops at END; padding bits are zeros)
+        "concat(array(256), transform(sequence(0, 63), i -> "
+        + v.format(e="i") + "), array(257, 0))"
+    )
+    bytes_sql = f"""transform(sequence(0, 74), k ->
+      aggregate(sequence(0, 7), 0, (a, j) ->
+        a + shiftleft(
+              shiftright(element_at(cds,
+                           cast((8 * k + j) div 9 + 1 as int)),
+                         cast((8 * k + j) % 9 as int)) & 1,
+              j)))"""
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"), F.expr(codes).alias("cds")
+        )
+        .select(
+            "media_id",
+            F.concat(
+                F.lit(header),
+                F.expr(
+                    "unhex(array_join(transform(" + bytes_sql
+                    + ", x -> lpad(hex(x), 2, '0')), ''))"
+                ),
+                F.lit(trailer),
+            ).alias("content"),
+        )
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -3570,11 +3641,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 rotation (VERDICT r8 #1): the window leads with the two NEW
-    # entries (t23 production-vocab BPE encode at 47 952 merges, m08 real
-    # PNG pixel decode) and the two entries that had NEVER held a driver
-    # row (t21 token ids, t22 packed token stream — added below the r8
-    # window); then one witness per code path that CHANGED this round:
+    # Round-9 rotation (VERDICT r8 #1): the window leads with the three
+    # NEW entries (t23 production-vocab BPE encode at 47 952 merges, m08
+    # real PNG pixel decode, m09 real GIF/LZW decode) and the two entries
+    # that had NEVER held a driver row (t21 token ids, t22 packed token
+    # stream — added below the r8 window); then one witness per code path that CHANGED this round:
     # t19/t20 (the pair-indexed encoder now behind apply_bpe greedy and
     # bpe_tokenize), st10 (streaming gate passes its sig_rows through),
     # d13/d14/d15 (the three dedup-index inner functions grew probe-row
@@ -3590,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
         "m08_png_phash": m08_png_phash,
+        "m09_gif_phash": m09_gif_phash,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
@@ -3636,11 +3708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_asof_join": q28_asof_join,
         "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
-        "q31_salted_agg": q31_salted_agg,
         "q33_percentile_approx": q33_percentile_approx,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries.
+        "q31_salted_agg": q31_salted_agg,
         "t18_bpe_packing": t18_bpe_packing,
         "m07_bmp_phash": m07_bmp_phash,
         "t16_bpe_vocab": t16_bpe_vocab,
@@ -4036,6 +4108,7 @@ from per_sess group by user_id
         "t19_bpe_encode_scaled": oracles.bpe_encode_fixed_sql(),
         "t23_bpe_encode_fixed3": oracles.bpe_encode_fixed3_sql(),
         "m08_png_phash": oracles.png_phash_sql(),
+        "m09_gif_phash": oracles.gif_phash_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t22_packed_token_stream": oracles.packed_token_stream_sql(),

@@ -194,6 +194,10 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       in exact integer arithmetic) for 8-bit grayscale, gray+alpha,
       RGB, and RGBA, non-interlaced. Palette, 16-bit, and interlaced
       PNGs raise (recognized container, unsupported profile).
+    * **GIF** 87a/89a, first frame: global/local color tables,
+      interlaced row order, and a real variable-width LSB-first LZW
+      decoder (clear/end codes, dictionary growth to 12 bits, GIF's
+      deferred-clear behavior) — pure Python, no codec lib.
 
     Returns top-down row-major GRAYSCALE ints in 0..255 — RGB(A)
     collapses through the integer ITU-R BT.601 luma ``(299r + 587g +
@@ -208,6 +212,8 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
     b = bytes(blob or b"")
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
         dib = struct.unpack("<I", b[14:18])[0]
@@ -369,6 +375,152 @@ def _decode_png(b: bytes) -> "list[int]":
                     (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2])
                     // 1000
                 )
+    return out
+
+
+def _decode_gif(b: bytes) -> "list[int]":
+    """The GIF arm of :func:`decode_image_pixels`: GIF87a/89a, first
+    image frame, global or local 8-bit-index color table, interlaced or
+    not, real variable-width LSB-first LZW (clear/end codes, dictionary
+    growth to 12 bits with GIF's deferred-clear behavior). Pure stdlib.
+    Frames smaller than the logical screen decode as the frame itself
+    (the hashing contract wants the image's own pixels); animated GIFs
+    decode their FIRST frame."""
+    import struct
+
+    if len(b) < 13:
+        raise ValueError("decode_image_pixels: truncated GIF header")
+    packed = b[10]
+    o = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[13 : 13 + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("decode_image_pixels: truncated GIF GCT")
+        o = 13 + 3 * n
+    while o < len(b):
+        block = b[o]
+        if block == 0x21:  # extension: label + data sub-blocks
+            o += 2
+            while o < len(b) and b[o] != 0:
+                o += 1 + b[o]
+            o += 1
+        elif block == 0x2C:  # image descriptor
+            if o + 10 > len(b):
+                raise ValueError("decode_image_pixels: truncated GIF frame")
+            _l, _t, w, h = struct.unpack("<HHHH", b[o + 1 : o + 9])
+            ipacked = b[o + 9]
+            o += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = b[o : o + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError(
+                        "decode_image_pixels: truncated GIF LCT"
+                    )
+                o += 3 * n
+            if table is None:
+                raise ValueError("decode_image_pixels: GIF without a "
+                                 "color table")
+            if w <= 0 or h <= 0:
+                raise ValueError("decode_image_pixels: bad GIF geometry")
+            min_code = b[o]
+            o += 1
+            data = bytearray()
+            while o < len(b) and b[o] != 0:
+                size = b[o]
+                data.extend(b[o + 1 : o + 1 + size])
+                o += 1 + size
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            if len(indices) < w * h:
+                raise ValueError(
+                    "decode_image_pixels: GIF pixel data underrun"
+                )
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                rows = [indices[i * w : (i + 1) * w] for i in range(h)]
+                remap = [None] * h
+                for src, dst in enumerate(order):
+                    remap[dst] = rows[src]
+                indices = [px for row in remap for px in row]
+            out = []
+            nt = len(table) // 3
+            for idx in indices[: w * h]:
+                if idx >= nt:
+                    raise ValueError(
+                        "decode_image_pixels: GIF index out of palette"
+                    )
+                r, g, bl = table[3 * idx : 3 * idx + 3]
+                out.append((299 * r + 587 * g + 114 * bl) // 1000)
+            return out
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(
+                f"decode_image_pixels: unknown GIF block 0x{block:02x}"
+            )
+    raise ValueError("decode_image_pixels: GIF without an image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> "list[int]":
+    """GIF-flavor LZW: LSB-first variable-width codes, clear =
+    2^min_code, end = clear+1, width grows when the NEXT code would not
+    fit (dict size reaches 2^width), capped at 12 bits with deferred
+    clear (a full dictionary stays until an explicit clear code)."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"decode_image_pixels: bad LZW min code {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code + 1
+    acc = nbits = pos = 0
+    prev = None
+    out: list = []
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended early; caller checks length
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            next_code = end + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("decode_image_pixels: bad first LZW code")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("decode_image_pixels: LZW code out of range")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
     return out
 
 

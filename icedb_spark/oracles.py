@@ -2030,6 +2030,52 @@ order by media_id
 """
 
 
+def gif_phash_sql(
+    bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for m09 (REAL GIF decode): the entry synthesizes a w×h
+    GIF89a whose palette index at pixel i is md5 byte i%16 and whose
+    256-entry palette maps index v to ((3v+7)%256, (5v+11)%256,
+    (7v+13)%256) — so this closed form recomputes the post-palette
+    BT.601 luma straight from the md5 hex. Any error in the LZW bit
+    unpacking, the clear/end handling, the palette offsets, or the
+    pooling breaks the hash match."""
+    n = w * h
+
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    luma = (
+        f"(299 * ((3 * {V('i')} + 7) % 256)"
+        f" + 587 * ((5 * {V('i')} + 11) % 256)"
+        f" + 114 * ((7 * {V('i')} + 13) % 256)) // 1000"
+    )
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i -> {luma}) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def bpe_encode_fixed3_sql(
     alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789",
     table: str = "documents",

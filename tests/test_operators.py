@@ -1280,6 +1280,167 @@ def test_decode_png_unsupported_profiles_raise():
         decode_image_pixels(bytes(bad))
 
 
+def _gif_lzw_encode(indices, min_code, clears_seed=None):
+    """Independent GIF-LZW encoder (the spec's compress direction, with
+    real dictionary growth and optional mid-stream clear codes) — so a
+    shared misreading of the width-growth boundary cannot cancel out."""
+    import random
+
+    rnd = random.Random(clears_seed) if clears_seed is not None else None
+    clear = 1 << min_code
+    end = clear + 1
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = reset()
+    out_codes = [(clear, width)]
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if rnd is not None and rnd.random() < 0.05:
+            out_codes.append((clear, width))
+            table, next_code, width = reset()
+        buf = (px,)
+    if buf:
+        out_codes.append((table[buf], width))
+    out_codes.append((end, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif(w, h, indices, palette, interlace=False, use_lct=False,
+         clears_seed=None):
+    """Well-formed GIF89a (one frame, GCE extension, global or local
+    color table, optional interlace) around a really-compressed LZW
+    stream."""
+    import struct
+
+    min_code = max(2, (len(palette) - 1).bit_length())
+    size_field = max(0, min_code - 1)
+    table = b"".join(bytes(c) for c in palette) + b"\x00" * (
+        3 * ((2 << size_field) - len(palette))
+    )
+    hdr = b"GIF89a" + struct.pack("<HH", w, h)
+    hdr += (bytes([0, 0, 0]) if use_lct
+            else bytes([0x80 | size_field, 0, 0]) + table)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x40 if interlace else 0) | (
+        (0x80 | size_field) if use_lct else 0
+    )
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    if use_lct:
+        desc += table
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [indices[y * w : (y + 1) * w] for y in range(h)]
+        stream = [px for y in order for px in rows[y]]
+    else:
+        stream = list(indices)
+    data = _gif_lzw_encode(stream, min_code, clears_seed)
+    blocks = b""
+    for i in range(0, len(data), 200):
+        chunk = data[i : i + 200]
+        blocks += bytes([len(chunk)]) + chunk
+    return hdr + gce + desc + bytes([min_code]) + blocks + b"\x00\x3b"
+
+
+def test_decode_gif_roundtrip_property():
+    """Hypothesis round-trip for the GIF arm: arbitrary small images
+    across palette sizes, interlace, local-vs-global tables, and
+    mid-stream clear codes decode to the exact post-palette BT.601
+    grays — against an independently implemented compressor with real
+    dictionary growth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_image_pixels
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 14),
+        h=st.integers(1, 14),
+        ncolors=st.sampled_from([4, 16, 64, 256]),
+        interlace=st.booleans(),
+        use_lct=st.booleans(),
+        seed=st.integers(0, 10**6),
+    )
+    def roundtrip(w, h, ncolors, interlace, use_lct, seed):
+        import random
+
+        rnd = random.Random(seed)
+        palette = [tuple(rnd.randrange(256) for _ in range(3))
+                   for _ in range(ncolors)]
+        indices = []
+        while len(indices) < w * h:  # runs -> real dictionary hits
+            indices.extend([rnd.randrange(ncolors)] * rnd.randint(1, 6))
+        indices = indices[: w * h]
+        blob = _gif(w, h, indices, palette, interlace, use_lct,
+                    clears_seed=(seed if seed % 3 == 0 else None))
+        want = [
+            (299 * palette[i][0] + 587 * palette[i][1]
+             + 114 * palette[i][2]) // 1000
+            for i in indices
+        ]
+        assert decode_image_pixels(blob) == want
+
+    roundtrip()
+
+
+def test_decode_gif_width_growth_and_errors():
+    """A big frame pushes the LZW dictionary through several width
+    bumps; malformed GIFs fail loudly."""
+    import random
+
+    from icedb_spark.operators import decode_image_pixels
+
+    rnd = random.Random(5)
+    w, h = 64, 48
+    palette = [(i, 255 - i, (3 * i) % 256) for i in range(256)]
+    indices = []
+    while len(indices) < w * h:
+        indices.extend([rnd.randrange(256)] * rnd.randint(1, 10))
+    indices = indices[: w * h]
+    blob = _gif(w, h, indices, palette)
+    want = [
+        (299 * palette[i][0] + 587 * palette[i][1]
+         + 114 * palette[i][2]) // 1000
+        for i in indices
+    ]
+    assert decode_image_pixels(blob) == want
+    with pytest.raises(ValueError):  # no color table anywhere
+        decode_image_pixels(_gif(2, 2, [0, 1, 2, 3], palette,
+                                 use_lct=True)[:32] + b"\x2c" + b"\x00" * 9
+                            + b"\x02\x00\x00\x3b")
+    with pytest.raises(ValueError):  # truncated pixel data
+        good = _gif(4, 4, list(range(16)), palette)
+        decode_image_pixels(good[:40] + b"\x00\x3b")
+    with pytest.raises(ValueError):  # truncated header
+        decode_image_pixels(b"GIF89a")
+    with pytest.raises(ValueError):
+        decode_image_pixels(b"GIF89a\x08\x00")
+
+
 def test_perceptual_hash_real_decode_matches_reference(spark):
     """perceptual_hash(use_fake=False) over genuine BMP bytes equals the
     pure-Python pipeline (decode -> bucket-mean pool -> threshold)."""
