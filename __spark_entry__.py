@@ -602,6 +602,66 @@ def q33_percentile_approx(spark, sf_dir):
     )
 
 
+def q34_stats_agg(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/correlation/covariance) per
+    group — one partial-aggregable pass, numerically-stable co-moment
+    merge JVM-side (Catalyst's ImperativeAggregate), so the plan is the
+    same map-side-combine shape as any sum/count at 100 TB. Absent in
+    the reference (reference surface stops at quantile/avg —
+    perf_tests/chicago_taxis/query.sql); rounded to 4 decimals so both
+    engines' stable summation agrees bit-for-bit after the hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("covar_qp"),
+    )
+
+
+def q35_window_dist(spark, sf_dir):
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist over (priority, price) — one hash-partitioned sort per
+    window partition, no global sort. ntile is row-order dependent, so
+    the ORDER BY carries the unique o_orderkey tiebreak; percent_rank /
+    cume_dist are peer-group rationals both engines derive from the
+    same exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q36_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the generalization rollup/cube (q18/q27)
+    specialize: per-returnflag totals, per-linestatus totals, and the
+    grand total in ONE pass (Catalyst expands to a single Expand +
+    hash-aggregate, not three scans). Group keys are coalesced to a
+    sentinel so the null-extended rows compare engine-neutrally."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q36_lineitem")
+    return spark.sql(
+        """
+        select coalesce(l_returnflag, 'ALL') as rf,
+               coalesce(l_linestatus, 'ALL') as ls,
+               count(*) as cnt,
+               round(sum(l_extendedprice), 2) as sum_price
+        from q36_lineitem
+        group by grouping sets ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -1315,6 +1375,108 @@ def m09_gif_phash(spark, sf_dir):
         )
     )
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
+def m10_wav_features(spark, sf_dir):
+    """REAL WAV PCM decode under the value gate: each doc becomes a
+    genuine RIFF/WAVE file with a VARIABLE frame count (n = 8 + doc_id
+    % 9, so the chunk-size fields — RIFF size and data size — are
+    load-bearing, not constants): canonical 16-bit mono 8 kHz PCM
+    header synthesized column-side, sample i's little-endian bytes
+    being md5(text) bytes (i % 16, (i+7) % 16). audio_features(
+    use_fake=False) runs the pure-Python PCM decoder (chunk walk,
+    signed LE16) and emits EXACT integer features (duration floor-div,
+    peak |s|, energy sum s², sign-change count). The oracle recomputes
+    every feature straight from the md5 hex in closed form — a wrong
+    byte order, sign convention, or chunk-size parse breaks the match.
+    Compressed codecs (MP3/AAC/Opus) stay behind decode_fn,
+    documented."""
+    import struct
+
+    from icedb_spark.operators import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    # WAVE + fmt chunk (PCM, mono, 8 kHz, 16-bit) + 'data' tag; the two
+    # length fields around it are per-doc
+    const_mid = (
+        b"WAVEfmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"data"
+    )
+    n = "(8 + doc_id % 9)"
+    le32 = "concat(lpad(hex({v}), 2, '0'), '000000')"  # values < 256 here
+    payload = (
+        "array_join(transform(sequence(0, " + n + " - 1), i -> concat("
+        "substring(md5(text), 2 * (i % 16) + 1, 2), "
+        "substring(md5(text), 2 * ((i + 7) % 16) + 1, 2))), '')"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"RIFF"),
+            F.unhex(F.expr(le32.format(v=f"36 + 2 * {n}"))),
+            F.lit(const_mid),
+            F.unhex(F.expr(le32.format(v=f"2 * {n}"))),
+            F.unhex(F.expr(payload)),
+        ).alias("content"),
+    )
+    return audio_features(media, use_fake=False).orderBy("media_id")
+
+
+def m11_jpeg_exif(spark, sf_dir):
+    """REAL EXIF decode under the value gate: each doc becomes a genuine
+    JPEG metadata shell — SOI, a JFIF APP0 the walker must skip, an
+    APP1/Exif TIFF whose BYTE ORDER alternates per doc (II even ids, MM
+    odd — both serializations built column-side, so endian handling is
+    load-bearing), and EOI. IFD0 carries three entries: ImageDescription
+    (ASCII, 3 md5-hex chars INLINE in the value field), Make (ASCII, 8
+    md5-hex chars stored at the OFFSET indirection the spec requires
+    past 4 bytes), and Orientation (SHORT, md5 byte 0 mod 8 + 1). The
+    oracle recomputes all three from the md5 hex in closed form — a
+    wrong endian branch, offset base, or NUL-strip breaks the match.
+    JPEG PIXEL decode stays out of scope (entropy codec), documented;
+    EXIF is the metadata layer pipelines stratify on without it."""
+    from icedb_spark.operators import decode_exif
+
+    docs = _t(spark, sf_dir, "documents")
+    # ASCII-hex of md5-hex chars: description chars 1-3 (+NUL), make 5-12
+    desc = (
+        "array_join(transform(sequence(1, 3), k -> "
+        "lpad(hex(ascii(substring(md5(text), k, 1))), 2, '0')), '')"
+    )
+    make = (
+        "array_join(transform(sequence(5, 12), k -> "
+        "lpad(hex(ascii(substring(md5(text), k, 1))), 2, '0')), '')"
+    )
+    ori = "lpad(hex(conv(substring(md5(text), 1, 2), 16, 10) % 8 + 1), 2, '0')"
+    # TIFF body: header(8) + count(2) + 3 entries(36) + next-IFD(4) = 50,
+    # so the offset-stored Make bytes land at offset 50 (0x32)
+    tiff_ii = F.expr(
+        "concat('49492a0008000000', '0300',"
+        f" '0e010200', '04000000', {desc}, '00',"
+        " '0f010200', '09000000', '32000000',"
+        f" '12010300', '01000000', {ori}, '000000',"
+        f" '00000000', {make}, '00')"
+    )
+    tiff_mm = F.expr(
+        "concat('4d4d002a00000008', '0003',"
+        f" '010e0002', '00000004', {desc}, '00',"
+        " '010f0002', '00000009', '00000032',"
+        f" '01120003', '00000001', '00', {ori}, '0000',"
+        f" '00000000', {make}, '00')"
+    )
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    # APP1 length: 2(len) + 6(Exif\0\0) + 59(TIFF) = 67 = 0x0043
+    pre = b"\xff\xd8" + app0 + b"\xff\xe1\x00\x43Exif\x00\x00"
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(pre),
+            F.unhex(F.when(F.col("doc_id") % 2 == 0, tiff_ii)
+                     .otherwise(tiff_mm)),
+            F.lit(b"\xff\xd9"),
+        ).alias("content"),
+    )
+    return decode_exif(media).orderBy("media_id")
 
 
 def m02_frame_sample(spark, sf_dir):
@@ -3662,6 +3824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
         "m08_png_phash": m08_png_phash,
         "m09_gif_phash": m09_gif_phash,
+        "m10_wav_features": m10_wav_features,
+        "m11_jpeg_exif": m11_jpeg_exif,
+        "q34_stats_agg": q34_stats_agg,
+        "q35_window_dist": q35_window_dist,
+        "q36_grouping_sets": q36_grouping_sets,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
@@ -3702,16 +3869,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "t11_line_dedup": t11_line_dedup,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a green driver row from r6-r8; this
+        # rotation only demotes proven entries. q30/q33 and q02/q04/q17
+        # (all r6-era, replica-green today) yielded their slots to the
+        # round's five NEW entries (m10/m11 real decode, q34-q36 SQL
+        # surface) — new entries outrank backlog — and rotate up in r10
+        # with the rest of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
-        "q28_asof_join": q28_asof_join,
-        "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
         "q33_percentile_approx": q33_percentile_approx,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a green driver row from r6-r8; this
-        # rotation only demotes proven entries.
         "q31_salted_agg": q31_salted_agg,
         "t18_bpe_packing": t18_bpe_packing,
         "m07_bmp_phash": m07_bmp_phash,
@@ -3940,6 +4111,31 @@ select l_returnflag,
     and quantile_cont(l_extendedprice, 0.55) as in_band
 from lineitem group by l_returnflag
 """,
+        "q34_stats_agg": """
+select l_returnflag, count(*) as cnt,
+  round(stddev_samp(l_quantity), 4) as sd_qty,
+  round(var_samp(l_quantity), 4) as var_qty,
+  round(corr(l_quantity, l_extendedprice), 4) as corr_qp,
+  round(covar_samp(l_quantity, l_extendedprice), 4) as covar_qp
+from lineitem group by l_returnflag
+""",
+        "q35_window_dist": """
+select o_orderkey, o_orderpriority,
+  cast(ntile(4) over w as integer) as quartile,
+  round(percent_rank() over w, 6) as pct_rank,
+  round(cume_dist() over w, 6) as cume
+from orders
+window w as (partition by o_orderpriority
+             order by o_totalprice desc, o_orderkey asc)
+""",
+        "q36_grouping_sets": """
+select coalesce(l_returnflag, 'ALL') as rf,
+       coalesce(l_linestatus, 'ALL') as ls,
+       count(*) as cnt,
+       round(sum(l_extendedprice), 2) as sum_price
+from lineitem
+group by grouping sets ((l_returnflag), (l_linestatus), ())
+""",
         "q18_rollup": (
             "select l_returnflag, l_linestatus, count(*) as cnt, "
             "round(sum(l_quantity), 2) as sum_qty from lineitem "
@@ -4109,6 +4305,8 @@ from per_sess group by user_id
         "t23_bpe_encode_fixed3": oracles.bpe_encode_fixed3_sql(),
         "m08_png_phash": oracles.png_phash_sql(),
         "m09_gif_phash": oracles.gif_phash_sql(),
+        "m10_wav_features": oracles.wav_features_sql(),
+        "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t22_packed_token_stream": oracles.packed_token_stream_sql(),

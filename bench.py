@@ -124,6 +124,9 @@ SCALING = [
     # (47 952 merges) — per-word cost is merge-count independent, so
     # the exponent here should match t19's despite the 37x rule table
     "t23_bpe_encode_fixed3",
+    # round-9: real WAV PCM decode -> exact waveform features — per-doc
+    # work is constant (8-16 samples), cost tracks corpus rows like m07
+    "m10_wav_features",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -149,6 +152,7 @@ _SCALING_TABLE = {
     "m07_bmp_phash": "documents",
     "t20_bpe_tokenize": "documents",
     "t23_bpe_encode_fixed3": "documents",
+    "m10_wav_features": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of

@@ -6,14 +6,19 @@ and tested. PIXEL decoding is REAL for the uncompressed raster families —
 :func:`decode_image_pixels` parses BI_RGB 24/32-bit BMP (offset, row
 padding, bottom-up/top-down, BGR) and binary PNM (P5/P6) to grayscale in
 pure Python, and is the default real path of :func:`perceptual_hash`
-(``use_fake=False``), value-gated end to end by the m07 entry. COMPRESSED
-formats (PNG/JPEG/WebP pixels, audio samples, video frames) stay behind
-``decode_fn`` / the deterministic digest fake because codec libraries
-(Pillow, ffmpeg, torchaudio...) are not available in this environment —
-drop a real decoder in and nothing else changes. Container-HEADER decoding
-is real for everything: :func:`parse_image_header` /
-:func:`decode_image_headers` parse PNG IHDR, JPEG SOFn, GIF
-screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes in pure Python.
+(``use_fake=False``), value-gated end to end by the m07 entry — plus PNG
+(stdlib zlib inflate + per-row unfilter, m08) and GIF (variable-width LZW,
+m09). AUDIO sample decode is real for WAV integer PCM
+(:func:`decode_wav_samples` → :func:`audio_features`, m10), and EXIF
+metadata decode is real for JPEG APP1/TIFF (:func:`parse_exif`, m11) —
+no entropy codec needed. Transform codecs (JPEG/WebP pixels, MP3/AAC
+samples, video frames) stay behind ``decode_fn`` / the deterministic
+digest fake because codec libraries (Pillow, ffmpeg, torchaudio...) are
+not available in this environment — drop a real decoder in and nothing
+else changes. Container-HEADER decoding is real for everything:
+:func:`parse_image_header` / :func:`decode_image_headers` parse PNG IHDR,
+JPEG SOFn, GIF screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes
+in pure Python.
 
 Scale notes: media blobs never leave the executors; ``mapInPandas`` streams
 Arrow record batches so one task holds only a batch of blobs, not a
@@ -865,3 +870,288 @@ def ahash_from_pixels(
         )))
         .alias("phash"),
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
+    """REAL pure-Python WAV PCM sample decode: ``(sample_rate, samples)``
+    for RIFF/WAVE blobs carrying uncompressed integer PCM (the only audio
+    family that needs no codec library — the audio analog of the BMP/PNM
+    arm of :func:`decode_image_pixels`).
+
+    Walks the word-aligned chunk list (same traversal contract as
+    :func:`parse_av_header`); ``fmt `` must declare ``audio_format == 1``
+    (PCM) with 8 or 16 bits per sample. 16-bit samples are signed
+    little-endian, 8-bit samples are unsigned and re-centered to
+    ``value - 128`` (both exactly as the format stores them). Multi-channel
+    audio yields channel 0 (stride ``block_align``) — feature extraction
+    wants one waveform, and channel selection keeps the output length
+    ``data_size // block_align`` deterministic. Returns ``None`` for
+    non-WAV containers (caller decides fake/`decode_fn`/raise); malformed
+    WAV (PCM claimed but bad sizes, unsupported bit depth) raises — a
+    recognized container that fails to decode should fail loudly, not
+    hash garbage.
+    """
+    import struct
+
+    b = bytes(blob or b"")
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    o = 12
+    while o + 8 <= len(b):
+        cid = b[o:o + 4]
+        (csize,) = struct.unpack("<I", b[o + 4:o + 8])
+        body = b[o + 8:o + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        o += 8 + csize + (csize & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("decode_wav_samples: missing/short fmt or data chunk")
+    audio_format, channels = struct.unpack("<HH", fmt[0:4])
+    (sample_rate,) = struct.unpack("<I", fmt[4:8])
+    block_align, bits = struct.unpack("<HH", fmt[12:16])
+    if audio_format != 1:
+        raise ValueError(
+            f"decode_wav_samples: non-PCM audio_format {audio_format} — "
+            "pass decode_fn for compressed codecs"
+        )
+    if bits not in (8, 16) or channels < 1 or block_align < 1:
+        raise ValueError(
+            f"decode_wav_samples: unsupported PCM layout bits={bits} "
+            f"channels={channels} block_align={block_align}"
+        )
+    n_frames = len(data) // block_align
+    out = []
+    if bits == 16:
+        for i in range(n_frames):
+            (s,) = struct.unpack_from("<h", data, i * block_align)
+            out.append(s)
+    else:
+        for i in range(n_frames):
+            out.append(data[i * block_align] - 128)
+    return sample_rate, out
+
+
+def _fake_samples(blob: bytes, n: int = 16) -> "tuple[int, list[int]]":
+    """Deterministic stand-in waveform (digest byte pairs as signed int16,
+    fixed 8 kHz) — the same real-plumbing/fake-decode contract as
+    :func:`_fake_pixels`, for compressed codecs with no library here."""
+    import hashlib
+
+    h = hashlib.md5(blob or b"").digest()
+    samples = []
+    for i in range(n):
+        u = (h[(2 * i) % 16] << 8) | h[(2 * i + 1) % 16]
+        samples.append(u - 65536 if u >= 32768 else u)
+    return 8000, samples
+
+
+def audio_features(
+    df: DataFrame,
+    decode_fn: "Optional[Callable[[bytes], tuple[int, list[int]]]]" = None,
+    use_fake: bool = True,
+) -> DataFrame:
+    """Per-blob waveform features — the audio-corpus quality/dedup
+    primitive (silence and constant-tone clips surface as ``sum_sq``/
+    ``zero_crossings`` outliers; exact-duplicate audio collapses on the
+    full feature tuple).
+
+    Each blob decodes to ``(sample_rate, samples)`` — the deterministic
+    digest fake by default; with ``use_fake=False`` the REAL pure-Python
+    PCM decoder (:func:`decode_wav_samples`) runs, or any
+    ``decode_fn(blob) -> (rate, samples)`` for compressed codecs. Features
+    are EXACT integers so any engine reproduces them bit-for-bit:
+
+    - ``n_samples``, ``sample_rate``
+    - ``duration_ms = n_samples * 1000 // sample_rate``
+    - ``peak = max(abs(s))`` (0 for empty audio)
+    - ``sum_sq = sum(s * s)`` (energy; exact, no float RMS rounding)
+    - ``zero_crossings``: count of adjacent pairs whose sign bit differs
+      (``s < 0`` vs ``s >= 0``)
+
+    Arrow-batched ``mapInPandas``; blobs never leave executors. Output:
+    ``AUDIO_FEATURE_SCHEMA``.
+    """
+    decoder = decode_fn or decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(blob):
+            if use_fake:
+                rate, ss = _fake_samples(blob)
+            else:
+                decoded = decoder(blob)
+                if decoded is None:
+                    raise ValueError(
+                        "audio_features: unrecognized container — pass "
+                        "decode_fn for compressed codecs"
+                    )
+                rate, ss = decoded
+            n = len(ss)
+            zc = sum(
+                1 for i in range(1, n) if (ss[i - 1] < 0) != (ss[i] < 0)
+            )
+            return (
+                n,
+                rate,
+                n * 1000 // rate if rate else None,
+                max((abs(s) for s in ss), default=0),
+                sum(s * s for s in ss),
+                zc,
+            )
+
+        for pdf in batches:
+            parsed = pdf["content"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": parsed.map(lambda t: t[0]),
+                    "sample_rate": parsed.map(lambda t: t[1]),
+                    "duration_ms": parsed.map(lambda t: t[2]),
+                    "peak": parsed.map(lambda t: t[3]),
+                    "sum_sq": parsed.map(lambda t: t[4]),
+                    "zero_crossings": parsed.map(lambda t: t[5]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_order", T.StringType(), True),
+        T.StructField("orientation", T.LongType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("make", T.StringType(), True),
+    ]
+)
+
+
+def parse_exif(blob) -> tuple:
+    """REAL pure-Python EXIF metadata decode from a JPEG blob:
+    ``(byte_order, orientation, description, make)``.
+
+    Walks the JPEG marker stream from SOI (skipping APP0/JFIF and any
+    other segments) to the first APP1 segment whose payload starts with
+    ``Exif\\x00\\x00``, then parses the embedded TIFF structure: byte
+    order (``II`` little / ``MM`` big — BOTH are honored throughout),
+    magic 42, IFD0 offset, and the 12-byte IFD0 entries. Extracted tags:
+
+    - 0x0112 Orientation (SHORT, inline value)
+    - 0x010E ImageDescription (ASCII — inline when ``count <= 4``, else
+      at the entry's value OFFSET into the TIFF body; trailing NUL
+      stripped, as the spec stores it)
+    - 0x010F Make (ASCII, same inline/offset rule)
+
+    Non-JPEG input or a JPEG without an EXIF APP1 yields all NULLs;
+    a recognized EXIF header with a truncated TIFF body raises. EXIF is
+    the metadata layer a training-data pipeline filters and stratifies
+    on (camera provenance, rotation normalization) WITHOUT entropy-
+    decoding the image — no codec library needed, so this is fully real
+    here, unlike JPEG pixel decode (documented out of scope).
+    """
+    import struct
+
+    b = bytes(blob or b"")
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None, None, None, None
+    o = 2
+    tiff = None
+    while o + 4 <= len(b):
+        if b[o] != 0xFF:
+            break
+        marker = b[o + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            o += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[o + 2:o + 4])
+        payload = b[o + 4:o + 2 + seglen]
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            tiff = payload[6:]
+            break
+        if marker == 0xDA:  # start of scan — no EXIF before image data
+            break
+        o += 2 + seglen
+    if tiff is None:
+        return None, None, None, None
+    if len(tiff) < 8:
+        raise ValueError("parse_exif: truncated TIFF header")
+    order = tiff[0:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"parse_exif: bad byte order {order!r}")
+    (magic,) = struct.unpack(e + "H", tiff[2:4])
+    if magic != 42:
+        raise ValueError(f"parse_exif: bad TIFF magic {magic}")
+    (ifd0,) = struct.unpack(e + "I", tiff[4:8])
+    if ifd0 + 2 > len(tiff):
+        raise ValueError("parse_exif: IFD0 offset past TIFF body")
+    (n_entries,) = struct.unpack(e + "H", tiff[ifd0:ifd0 + 2])
+
+    def ascii_value(count: int, valfield: bytes, tiff: bytes) -> str:
+        if count <= 4:
+            raw = valfield[:count]
+        else:
+            (off,) = struct.unpack(e + "I", valfield)
+            if off + count > len(tiff):
+                raise ValueError("parse_exif: ASCII value past TIFF body")
+            raw = tiff[off:off + count]
+        return raw.split(b"\x00", 1)[0].decode("ascii", errors="replace")
+
+    orientation = description = make = None
+    for k in range(n_entries):
+        eo = ifd0 + 2 + 12 * k
+        if eo + 12 > len(tiff):
+            raise ValueError("parse_exif: truncated IFD0 entry")
+        tag, typ = struct.unpack(e + "HH", tiff[eo:eo + 4])
+        (count,) = struct.unpack(e + "I", tiff[eo + 4:eo + 8])
+        valfield = tiff[eo + 8:eo + 12]
+        if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+            (orientation,) = struct.unpack(e + "H", valfield[:2])
+        elif tag == 0x010E and typ == 2:  # ImageDescription, ASCII
+            description = ascii_value(count, valfield, tiff)
+        elif tag == 0x010F and typ == 2:  # Make, ASCII
+            make = ascii_value(count, valfield, tiff)
+    return order.decode("ascii"), orientation, description, make
+
+
+def decode_exif(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """EXIF sibling of :func:`decode_image_headers`: parse the JPEG/TIFF
+    metadata layer executor-side over Arrow batches. Output:
+    ``EXIF_SCHEMA``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[content_col].map(parse_exif)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "byte_order": parsed.map(lambda t: t[0]),
+                    "orientation": parsed.map(lambda t: t[1]),
+                    "description": parsed.map(lambda t: t[2]),
+                    "make": parsed.map(lambda t: t[3]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=EXIF_SCHEMA)

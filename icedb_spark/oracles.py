@@ -2544,3 +2544,62 @@ select b.vec_id,
 from batch b left join dups d on d.id = b.vec_id
 order by b.vec_id
 """
+
+
+def wav_features_sql(table: str = "documents") -> str:
+    """Oracle for m10 (REAL WAV PCM decode): the entry synthesizes a
+    16-bit mono 8 kHz WAV per doc with n = 8 + doc_id % 9 frames whose
+    sample i's little-endian bytes are md5 bytes (i % 16, (i+7) % 16),
+    decodes it with the pure-Python PCM decoder, and emits exact
+    integer waveform features. This closed form recomputes the SIGNED
+    samples straight from the md5 hex — any error in the Spark side's
+    chunk-size fields, byte order, sign convention, or the feature
+    arithmetic breaks the match."""
+    u = (
+        f"(({_HEX.format(pos='2*((i+7)%16)+1')}) * 16"
+        f" + ({_HEX.format(pos='2*((i+7)%16)+2')})) * 256"
+        f" + ({_HEX.format(pos='2*(i%16)+1')}) * 16"
+        f" + ({_HEX.format(pos='2*(i%16)+2')})"
+    )
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, 8 + doc_id % 9), i ->
+      case when {u} >= 32768 then {u} - 65536 else {u} end) as ss
+  from {table}
+)
+select media_id,
+  cast(len(ss) as bigint) as n_samples,
+  cast(8000 as bigint) as sample_rate,
+  cast(len(ss) * 1000 // 8000 as bigint) as duration_ms,
+  cast(coalesce(list_max(list_transform(ss, s -> abs(s))), 0) as bigint)
+    as peak,
+  cast(coalesce(list_sum(list_transform(ss, s -> s * s)), 0) as bigint)
+    as sum_sq,
+  cast(coalesce(list_sum(list_transform(range(1, len(ss)), i ->
+    case when (ss[i] < 0) != (ss[i+1] < 0) then 1 else 0 end)), 0) as bigint)
+    as zero_crossings
+from base
+order by media_id
+"""
+
+
+def jpeg_exif_sql(table: str = "documents") -> str:
+    """Oracle for m11 (REAL EXIF decode): the entry synthesizes a JPEG
+    APP1/Exif TIFF per doc — byte order by doc parity, Orientation =
+    md5 byte 0 mod 8 + 1, ImageDescription = md5 hex chars 1-3 stored
+    inline, Make = md5 hex chars 5-12 stored through the >4-byte OFFSET
+    indirection — and parses it with the pure-Python EXIF walker. The
+    closed form recomputes all three tag values from the md5 hex; a
+    wrong endian branch, IFD layout, offset base, or NUL handling on
+    the Spark side breaks the match."""
+    b0 = f"({_HEX.format(pos='1')}) * 16 + ({_HEX.format(pos='2')})"
+    return f"""
+select doc_id as media_id,
+  case when doc_id % 2 = 0 then 'II' else 'MM' end as byte_order,
+  cast(({b0}) % 8 + 1 as bigint) as orientation,
+  substring(md5(text), 1, 3) as description,
+  substring(md5(text), 5, 8) as make
+from {table}
+order by media_id
+"""

@@ -2183,3 +2183,233 @@ def test_apply_span_removal_incremental_and_overlaps(spark):
     assert got2[11]["dropped_spans"] == 2
     assert got2[11]["dropped_tokens"] == 6  # tokens 1..6 once
     assert got2[11]["clean_text"] == "zeta eta theta end"
+
+
+def _wav(sr, channels, bits, frames, pre_chunk=False):
+    """Independent WAV encoder (test-side; not the library's code path):
+    interleaved frames -> RIFF/WAVE with optional odd-sized chunk first."""
+    import struct
+
+    block = channels * bits // 8
+    data = b""
+    for frame in frames:
+        for s in frame:
+            if bits == 16:
+                data += struct.pack("<h", s)
+            else:
+                data += struct.pack("<B", s + 128)
+    body = b"WAVE"
+    if pre_chunk:
+        body += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body += (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_samples_real():
+    """REAL WAV PCM decode: 16-bit signed LE, 8-bit unsigned recentered,
+    stereo -> channel 0, word-aligned chunk walk, loud errors on
+    recognized-but-undecodable input, None on unknown containers."""
+    from icedb_spark.operators import decode_wav_samples
+
+    assert decode_wav_samples(
+        _wav(8000, 1, 16, [(-32768,), (0,), (32767,), (-1,)])
+    ) == (8000, [-32768, 0, 32767, -1])
+    assert decode_wav_samples(
+        _wav(44100, 2, 16, [(5, -5), (-7, 7)])
+    ) == (44100, [5, -7])
+    assert decode_wav_samples(
+        _wav(8000, 1, 8, [(-128,), (0,), (127,)])
+    ) == (8000, [-128, 0, 127])
+    assert decode_wav_samples(
+        _wav(8000, 1, 16, [(9,)], pre_chunk=True)
+    ) == (8000, [9])
+    assert decode_wav_samples(b"") is None
+    assert decode_wav_samples(b"\x89PNG\r\n\x1a\n") is None
+    with pytest.raises(ValueError):  # non-PCM format code
+        import struct as _s
+        bad = _wav(8000, 1, 16, [(1,)])
+        decode_wav_samples(bad.replace(
+            b"fmt " + _s.pack("<I", 16) + _s.pack("<H", 1),
+            b"fmt " + _s.pack("<I", 16) + _s.pack("<H", 3), 1))
+    with pytest.raises(ValueError):  # fmt present, data missing
+        decode_wav_samples(
+            b"RIFF" + b"\x28\x00\x00\x00" + b"WAVE" + b"fmt "
+            + b"\x10\x00\x00\x00" + b"\x01\x00\x01\x00" + b"\x40\x1f\x00\x00"
+            + b"\x80\x3e\x00\x00" + b"\x02\x00\x10\x00"
+        )
+
+
+def test_decode_wav_samples_roundtrip_property():
+    """Hypothesis round-trip: arbitrary PCM frames (1-3 channels, 8/16
+    bit, with and without a preceding odd-sized chunk) decode back to
+    exactly channel 0 of what the independent encoder wrote."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_wav_samples
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        channels=st.integers(1, 3),
+        bits=st.sampled_from([8, 16]),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        pre=st.booleans(),
+        seed=st.integers(0, 10**6),
+        n=st.integers(0, 12),
+    )
+    def check(channels, bits, sr, pre, seed, n):
+        import random
+
+        rng = random.Random(seed)
+        lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+        frames = [
+            tuple(rng.randint(lo, hi) for _ in range(channels))
+            for _ in range(n)
+        ]
+        got = decode_wav_samples(_wav(sr, channels, bits, frames, pre))
+        assert got == (sr, [f[0] for f in frames])
+
+    check()
+
+
+def _exif_jpeg(order, orientation, description, make=None, app0=True):
+    """Independent EXIF/JPEG encoder (test-side): SOI + optional APP0 +
+    APP1(Exif/TIFF IFD0) + EOI. ASCII values longer than 4 bytes go
+    through the offset indirection, as the spec stores them."""
+    import struct
+
+    e = "<" if order == b"II" else ">"
+    entries = []
+    tail = b""
+    desc = description.encode() + b"\x00"
+    ents = [(0x010E, 2, desc),
+            (0x010F, 2, make.encode() + b"\x00" if make is not None else None),
+            (0x0112, 3, orientation)]
+    n = sum(1 for _, _, v in ents if v is not None)
+    ifd0 = 8
+    tail_off = ifd0 + 2 + 12 * n + 4
+    for tag, typ, val in ents:
+        if val is None:
+            continue
+        if typ == 3:
+            field = struct.pack(e + "HH", val, 0)
+            count = 1
+        else:
+            count = len(val)
+            if count <= 4:
+                field = val + b"\x00" * (4 - count)
+            else:
+                field = struct.pack(e + "I", tail_off + len(tail))
+                tail += val
+        entries.append(struct.pack(e + "HHI", tag, typ, count) + field)
+    tiff = (
+        order + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd0)
+        + struct.pack(e + "H", n) + b"".join(entries)
+        + struct.pack(e + "I", 0) + tail
+    )
+    payload = b"Exif\x00\x00" + tiff
+    out = b"\xff\xd8"
+    if app0:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    out += b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return out + b"\xff\xd9"
+
+
+def test_parse_exif_real():
+    """REAL EXIF decode: both byte orders, inline and offset-stored
+    ASCII, APP0 skipping, NULLs for non-EXIF input, loud errors on a
+    recognized-but-corrupt TIFF body."""
+    from icedb_spark.operators import parse_exif
+
+    blob = _exif_jpeg(b"II", 6, "abc")
+    assert parse_exif(blob) == ("II", 6, "abc", None)
+    blob = _exif_jpeg(b"MM", 3, "hello world", make="ACME Cam 9000")
+    assert parse_exif(blob) == ("MM", 3, "hello world", "ACME Cam 9000")
+    blob = _exif_jpeg(b"II", 1, "long description here", app0=False)
+    assert parse_exif(blob) == ("II", 1, "long description here", None)
+    assert parse_exif(b"") == (None, None, None, None)
+    assert parse_exif(b"\xff\xd8\xff\xd9") == (None, None, None, None)
+    # APP1 that is XMP, not EXIF: walked past, yields NULLs
+    import struct as _s
+    xmp = b"\xff\xd8\xff\xe1" + _s.pack(">H", 12) + b"http://ns.x" + b"\xff\xd9"
+    assert parse_exif(xmp) == (None, None, None, None)
+    with pytest.raises(ValueError):  # bad TIFF magic
+        good = _exif_jpeg(b"II", 1, "x")
+        parse_exif(good.replace(b"II" + _s.pack("<H", 42), b"II" + _s.pack("<H", 43)))
+    with pytest.raises(ValueError):  # truncated TIFF body
+        parse_exif(_exif_jpeg(b"MM", 2, "abcdefgh")[:-12])
+
+
+def test_parse_exif_roundtrip_property():
+    """Hypothesis round-trip: arbitrary orientation / ASCII lengths /
+    byte orders survive encode->parse, covering the inline<->offset
+    boundary at count == 4."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import parse_exif
+
+    ascii_text = st.text(
+        st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=12
+    )
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        order=st.sampled_from([b"II", b"MM"]),
+        orientation=st.integers(1, 8),
+        desc=ascii_text,
+        make=st.one_of(st.none(), ascii_text),
+        app0=st.booleans(),
+    )
+    def check(order, orientation, desc, make, app0):
+        got = parse_exif(_exif_jpeg(order, orientation, desc, make, app0))
+        assert got == (order.decode(), orientation, desc, make)
+
+    check()
+
+
+def test_audio_features_and_decode_exif_spark(spark):
+    """Spark-side plumbing: audio_features(use_fake=False) over real WAV
+    blobs and decode_exif over real JPEG blobs, Arrow-batched."""
+    from icedb_spark.operators import audio_features, decode_exif
+
+    wavs = [
+        (0, _wav(8000, 1, 16, [(100,), (-200,), (300,), (0,)])),
+        (1, _wav(4000, 1, 8, [(-128,), (127,)])),
+    ]
+    df = spark.createDataFrame(wavs, "media_id long, content binary")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in audio_features(df, use_fake=False).collect()
+    }
+    assert got[0] == {
+        "media_id": 0, "n_samples": 4, "sample_rate": 8000,
+        "duration_ms": 0, "peak": 300,
+        "sum_sq": 100**2 + 200**2 + 300**2, "zero_crossings": 2,
+    }
+    assert got[1] == {
+        "media_id": 1, "n_samples": 2, "sample_rate": 4000,
+        "duration_ms": 0, "peak": 128, "sum_sq": 128**2 + 127**2,
+        "zero_crossings": 1,
+    }
+    # fake path: schema-stable on arbitrary bytes
+    fake = audio_features(df).collect()
+    assert all(r["n_samples"] == 16 and r["sample_rate"] == 8000 for r in fake)
+
+    jp = [
+        (0, _exif_jpeg(b"II", 6, "cat")),
+        (1, _exif_jpeg(b"MM", 1, "dog photo", make="ACME")),
+        (2, b"not a jpeg"),
+    ]
+    df2 = spark.createDataFrame(jp, "media_id long, content binary")
+    got2 = {r["media_id"]: r for r in decode_exif(df2).collect()}
+    assert (got2[0]["byte_order"], got2[0]["orientation"],
+            got2[0]["description"]) == ("II", 6, "cat")
+    assert (got2[1]["byte_order"], got2[1]["make"]) == ("MM", "ACME")
+    assert got2[2]["byte_order"] is None and got2[2]["orientation"] is None
