@@ -662,6 +662,30 @@ def q36_grouping_sets(spark, sf_dir):
     )
 
 
+def q37_rolling_window(spark, sf_dir):
+    """Time-RANGE rolling window — per-priority 30-day trailing count and
+    revenue, frame bounds by ORDER-KEY VALUE (peers included), not row
+    offsets, so ties need no tiebreak and the result is deterministic.
+    One hash-partitioned sort per window partition, no global sort;
+    Catalyst's WindowExec streams the sliding frame in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q37_orders")
+    return spark.sql(
+        """
+        select o_orderkey,
+               o_orderpriority,
+               cast(count(*) over w as bigint) as cnt_30d,
+               round(sum(o_totalprice) over w, 2) as rev_30d
+        from q37_orders
+        window w as (
+          partition by o_orderpriority
+          order by cast(o_orderdate as timestamp)
+          range between interval 30 days preceding and current row
+        )
+        """
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -2918,6 +2942,36 @@ def st02_windowed_agg(spark, sf_dir):
     )
 
 
+def st11_sliding_window(spark, sf_dir):
+    """Event-time SLIDING window aggregation (2-day windows every 1 day),
+    actually streamed (file source → availableNow → append sink): each
+    event lands in exactly two overlapping windows, state is bounded by
+    the watermark, and append mode emits a window iff the final
+    watermark passed its end. The oracle replicates the overlap by
+    cross-joining each event with its two window offsets and applies
+    the same emission rule — a wrong slide alignment or emission
+    boundary breaks the match. Exercises windowed_agg's slide path
+    (tumbling is st02)."""
+    from icedb_spark.streaming import windowed_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.expr(f"{_TS}").alias("ets")
+    )
+    return _drain_to_memory(
+        spark,
+        ev,
+        lambda s: windowed_agg(
+            s,
+            "ets",
+            "2 days",
+            {"cnt": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+            keys=("event_type",),
+            slide="1 day",
+            watermark="10 minutes",
+        ),
+    )
+
+
 def st03_stateful_sessions(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     sessionization with a 30-min gap, sessions closed either by later data
@@ -3591,6 +3645,56 @@ def t20_bpe_tokenize(spark, sf_dir):
     )
 
 
+def t24_wordpiece_encode(spark, sf_dir):
+    """WordPiece tokenization under the value gate — the BERT-family
+    tokenizer beside the BPE family (t16-t23): every tenth document's
+    full piece sequence, ``(doc_id, pos, piece)``, under a vocabulary
+    BOTH engines derive deterministically from the corpus itself —
+    every corpus character (head and ``##`` continuation forms, so
+    segmentation never UNKs and the walk always terminates) plus the
+    2- and 3-char combinations whose md5-prefix hash selects them
+    (head and continuation selected INDEPENDENTLY, so the longest-
+    match tiers and the continuation lookup are both load-bearing).
+    Spark side: greedy longest-match-first over Arrow batches with a
+    per-task word cache (:func:`wordpiece_match`). Oracle: a join-built
+    longest-match table walked by a recursive CTE — a wrong match
+    tier, continuation form, or walk step breaks every position."""
+    import hashlib
+
+    from icedb_spark.operators import tokens as _tokens, wordpiece_encode
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    chs = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where("length(w) > 0")
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    charset = sorted(r["c"] for r in chs)
+
+    def sel(p: str, m: int) -> bool:
+        return int(hashlib.md5(p.encode()).hexdigest()[:4], 16) % m == 0
+
+    vocab = []
+    for c in charset:
+        vocab += [c, "##" + c]
+    for c1 in charset:
+        for c2 in charset:
+            p2 = c1 + c2
+            if sel(p2, 3):
+                vocab.append(p2)
+            if sel("##" + p2, 3):
+                vocab.append("##" + p2)
+            for c3 in charset:
+                p3 = p2 + c3
+                if sel(p3, 7):
+                    vocab.append(p3)
+                if sel("##" + p3, 7):
+                    vocab.append("##" + p3)
+    return wordpiece_encode(docs, vocab).orderBy("doc_id", "pos")
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -3829,6 +3933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
+        "q37_rolling_window": q37_rolling_window,
+        "st11_sliding_window": st11_sliding_window,
+        "t24_wordpiece_encode": t24_wordpiece_encode,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
@@ -3861,7 +3968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_string_funcs": q22_string_funcs,
         "q23_array_funcs": q23_array_funcs,
         "q24_salted_join": q24_salted_join,
-        "q26_scalar_subquery": q26_scalar_subquery,
         "q27_cube": q27_cube,
         "q32_asof_left_join": q32_asof_left_join,
         "st02_windowed_agg": st02_windowed_agg,
@@ -3869,18 +3975,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "t11_line_dedup": t11_line_dedup,
-        "q28_asof_join": q28_asof_join,
-        "q29_range_join": q29_range_join,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
-        # rotation only demotes proven entries. q30/q33 and q02/q04/q17
-        # (all r6-era, replica-green today) yielded their slots to the
-        # round's five NEW entries (m10/m11 real decode, q34-q36 SQL
-        # surface) — new entries outrank backlog — and rotate up in r10
-        # with the rest of the r6 cohort.
+        # rotation only demotes proven entries. The r6-era
+        # q02/q04/q17/q28/q29/q30/q33 (all replica-green today) yielded
+        # their slots to the round's seven NEW entries (m10/m11 real
+        # decode, q34-q37 SQL surface, st11 sliding windows) — new
+        # entries outrank backlog — and rotate up in r10 with the rest
+        # of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
+        "q26_scalar_subquery": q26_scalar_subquery,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
         "q33_percentile_approx": q33_percentile_approx,
         "q31_salted_agg": q31_salted_agg,
@@ -4136,6 +4244,18 @@ select coalesce(l_returnflag, 'ALL') as rf,
 from lineitem
 group by grouping sets ((l_returnflag), (l_linestatus), ())
 """,
+        "q37_rolling_window": """
+select o_orderkey,
+       o_orderpriority,
+       cast(count(*) over w as bigint) as cnt_30d,
+       round(sum(o_totalprice) over w, 2) as rev_30d
+from orders
+window w as (
+  partition by o_orderpriority
+  order by cast(o_orderdate as timestamp)
+  range between interval 30 days preceding and current row
+)
+""",
         "q18_rollup": (
             "select l_returnflag, l_linestatus, count(*) as cnt, "
             "round(sum(l_quantity), 2) as sum_qty from lineitem "
@@ -4308,6 +4428,7 @@ from per_sess group by user_id
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
+        "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t22_packed_token_stream": oracles.packed_token_stream_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),
@@ -4474,6 +4595,23 @@ select epoch_us(date_trunc('day', ts)) as win_start_us,
   epoch_us(date_trunc('day', ts)) + 86400000000 as win_end_us,
   event_type, count(*) as cnt, round(sum(value), 2) as sum_value
 from events
+group by 1, 2, 3
+having win_end_us <= (select wm_us from wm)
+""",
+        "st11_sliding_window": """
+with wm as (
+  select (epoch_us(max(ts)) - 600000000) // 1000 * 1000 as wm_us from events
+),
+ex as (
+  select epoch_us(date_trunc('day', ts)) - k.off as win_start_us,
+         event_type, value
+  from events, (values (cast(0 as bigint)),
+                       (cast(86400000000 as bigint))) k(off)
+)
+select win_start_us,
+  win_start_us + 172800000000 as win_end_us,
+  event_type, count(*) as cnt, round(sum(value), 2) as sum_value
+from ex
 group by 1, 2, 3
 having win_end_us <= (select wm_us from wm)
 """,

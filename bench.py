@@ -127,6 +127,10 @@ SCALING = [
     # round-9: real WAV PCM decode -> exact waveform features — per-doc
     # work is constant (8-16 samples), cost tracks corpus rows like m07
     "m10_wav_features",
+    # round-9: WordPiece tokenization — greedy longest-match costs
+    # O(len * max_piece_len) set probes per DISTINCT word (vocab-size
+    # independent), output explode bounded by corpus piece count
+    "t24_wordpiece_encode",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -153,6 +157,7 @@ _SCALING_TABLE = {
     "t20_bpe_tokenize": "documents",
     "t23_bpe_encode_fixed3": "documents",
     "m10_wav_features": "documents",
+    "t24_wordpiece_encode": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of

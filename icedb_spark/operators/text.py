@@ -1208,3 +1208,105 @@ def subword_ids(
             "token_id", F.coalesce(F.col("token_id"), F.lit(-1))
         )
     )
+
+
+def wordpiece_match(word: str, vocab: "set[str]", unk: str, max_len: int) -> list:
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (the BERT-family tokenizer rule): at each position try the longest
+    vocabulary piece first, continuation positions look up the
+    ``##``-prefixed form, and a position with NO match collapses the
+    WHOLE word to ``unk`` — word-level failure, not char-level, exactly
+    as BERT's WordpieceTokenizer does. Pure function so the Spark
+    operator and tests share one implementation."""
+    pieces = []
+    n = len(word)
+    i = 0
+    while i < n:
+        found = None
+        for L in range(min(max_len, n - i), 0, -1):
+            cand = word[i:i + L]
+            piece = cand if i == 0 else "##" + cand
+            if piece in vocab:
+                found = piece
+                break
+        if found is None:
+            return [unk]
+        pieces.append(found)
+        # at i > 0 the matched piece is always the ##-prefixed form, so
+        # the characters consumed exclude the two marker chars
+        i += len(found) - 2 if i > 0 else len(found)
+    return pieces
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab,
+    unk: str = "[UNK]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WordPiece tokenization — the BERT-family sibling of
+    :func:`bpe_tokenize`: one output row per piece, ``(id, pos,
+    piece)`` with ``pos`` the 1-based position within the document.
+    ``vocab`` is an iterable of pieces where a leading ``##`` marks a
+    continuation (non-word-initial) piece; segmentation is greedy
+    longest-match-first per word with whole-word ``unk`` fallback
+    (:func:`wordpiece_match`).
+
+    Scale shape: the vocabulary broadcasts once per task as a hash set
+    (30-100 k pieces is a few MB — executor-cache territory, never a
+    shuffle side); each DISTINCT word segments once per task behind the
+    same bounded cache as the BPE encoders, and matching costs
+    O(len · max_piece_len) set probes per distinct word — independent
+    of vocabulary SIZE, the property the r8/r9 BPE work established for
+    the merge-table path. Output is one shuffle-free explode bounded by
+    the corpus's piece count. Zero-token docs emit nothing, matching
+    the SQL oracles' per-word ``unnest``.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vocab_set = frozenset(vocab)
+    max_len = max(
+        (len(p) - 2 if p.startswith("##") else len(p))
+        for p in vocab_set
+    ) if vocab_set else 0
+    toks = tokens(F.col(text_col))
+
+    def run(batches):
+        cache: dict = {}
+
+        def seg(w: str) -> tuple:
+            t = cache.get(w)
+            if t is None:
+                t = tuple(wordpiece_match(w, vocab_set, unk, max_len))
+                if len(cache) < 1_000_000:
+                    cache[w] = t
+            return t
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            ids, positions, pieces = [], [], []
+            for i, ws in zip(pdf[id_col], pdf["_toks"]):
+                pos = 0
+                for w in ws:
+                    if not w:
+                        continue
+                    for p in seg(w):
+                        pos += 1
+                        ids.append(i)
+                        positions.append(pos)
+                        pieces.append(p)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "pos": pd.Series(positions, dtype="int32"),
+                    "piece": pd.Series(pieces, dtype="object"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .mapInPandas(run, schema=f"{id_col} {id_type}, pos int, piece string")
+    )

@@ -2603,3 +2603,107 @@ select doc_id as media_id,
 from {table}
 order by media_id
 """
+
+
+def wordpiece_fixed_sql(
+    mod: int = 10, rem: int = 3, table: str = "documents"
+) -> str:
+    """Oracle for t24 (WordPiece tokenization): rebuilds the SAME
+    corpus-derived vocabulary the entry builds — all corpus characters
+    (head + ``##`` continuation) plus the 2-/3-char combinations whose
+    md5-prefix hash (first 4 hex digits, mod 3 / mod 7) selects them,
+    head and continuation selected independently — then segments every
+    distinct word with a join-built longest-match table walked by a
+    recursive CTE (greedy longest-match-first, the BERT rule), and
+    reconstructs per-document piece positions exactly like the BPE
+    tokenize oracle. Single-char coverage makes the walk total (no
+    UNK), so the recursive CTE is bounded by corpus characters."""
+
+    def h4(e: str) -> str:
+        d = (
+            "(strpos('0123456789abcdef', substring(md5({e}), {k}, 1)) - 1)"
+        )
+        return (
+            "(" + d.format(e=e, k=1) + " * 4096 + "
+            + d.format(e=e, k=2) + " * 256 + "
+            + d.format(e=e, k=3) + " * 16 + "
+            + d.format(e=e, k=4) + ")"
+        )
+
+    return f"""
+with recursive src as (
+  select doc_id, {TOKENS} as tks from {table} where doc_id % {mod} = {rem}
+),
+wnz as materialized (
+  select distinct unnest(tks) as word from src
+),
+words as (select word from wnz where length(word) > 0),
+chars as materialized (
+  select distinct unnest(list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1))) as c
+  from words
+),
+v2h as materialized (
+  select a.c || b.c as p from chars a, chars b
+  where {h4('a.c || b.c')} % 3 = 0
+),
+v2c as materialized (
+  select a.c || b.c as p from chars a, chars b
+  where {h4("'##' || a.c || b.c")} % 3 = 0
+),
+v3h as materialized (
+  select a.c || b.c || d.c as p from chars a, chars b, chars d
+  where {h4('a.c || b.c || d.c')} % 7 = 0
+),
+v3c as materialized (
+  select a.c || b.c || d.c as p from chars a, chars b, chars d
+  where {h4("'##' || a.c || b.c || d.c")} % 7 = 0
+),
+pos as (
+  select word, unnest(generate_series(1, length(word))) as i from words
+),
+cand as (
+  select word, i, 3 as L from pos
+  where i + 2 <= length(word) and (
+    (i = 1 and substring(word, i, 3) in (select p from v3h)) or
+    (i > 1 and substring(word, i, 3) in (select p from v3c)))
+  union all
+  select word, i, 2 as L from pos
+  where i + 1 <= length(word) and (
+    (i = 1 and substring(word, i, 2) in (select p from v2h)) or
+    (i > 1 and substring(word, i, 2) in (select p from v2c)))
+  union all
+  select word, i, 1 as L from pos
+),
+lmax as materialized (
+  select word, i, max(L) as L from cand group by word, i
+),
+walk(word, i, ord) as (
+  select word, 1, 1 from words
+  union all
+  select w.word, w.i + l.L, w.ord + 1
+  from walk w join lmax l on l.word = w.word and l.i = w.i
+  where w.i + l.L <= length(w.word)
+),
+wpieces as materialized (
+  select w.word, w.ord,
+    case when w.i = 1 then substring(w.word, w.i, l.L)
+         else '##' || substring(w.word, w.i, l.L) end as piece
+  from walk w join lmax l on l.word = w.word and l.i = w.i
+),
+doctoks as (
+  select doc_id, tks, unnest(generate_series(1, len(tks))) as word_ord
+  from src
+),
+dw as (select doc_id, word_ord, tks[word_ord] as word from doctoks),
+persub as (
+  select d.doc_id, d.word_ord, p.ord as sord, p.piece
+  from dw d join wpieces p on p.word = d.word
+)
+select doc_id,
+  cast(row_number() over (partition by doc_id order by word_ord, sord)
+       as int) as pos,
+  piece
+from persub
+order by doc_id, pos
+"""

@@ -2413,3 +2413,94 @@ def test_audio_features_and_decode_exif_spark(spark):
             got2[0]["description"]) == ("II", 6, "cat")
     assert (got2[1]["byte_order"], got2[1]["make"]) == ("MM", "ACME")
     assert got2[2]["byte_order"] is None and got2[2]["orientation"] is None
+
+
+def test_wordpiece_match_rules():
+    """Greedy longest-match-first, ## continuations, whole-word UNK on
+    any unmatched position — the BERT WordpieceTokenizer contract."""
+    from icedb_spark.operators import wordpiece_match
+
+    V = {"un", "##able", "##a", "##b", "##l", "##e", "a", "b", "l", "e",
+         "unab", "##le"}
+    # longest head first: "unab" beats "un"
+    assert wordpiece_match("unable", V, "[UNK]", 5) == ["unab", "##le"]
+    # continuation longest-first: after "a", "##b" wins then "##le"
+    assert wordpiece_match("able", V, "[UNK]", 5) == ["a", "##b", "##le"]
+    # mid-word dead end -> whole word UNK (word-level failure)
+    assert wordpiece_match("unax", V, "[UNK]", 5) == ["[UNK]"]
+    # no head match at position 0
+    assert wordpiece_match("zoo", V, "[UNK]", 5) == ["[UNK]"]
+    assert wordpiece_match("", V, "[UNK]", 5) == []
+    # single-char word
+    assert wordpiece_match("a", V, "[UNK]", 5) == ["a"]
+
+
+def test_wordpiece_match_roundtrip_property():
+    """Hypothesis: whenever segmentation succeeds (no UNK), stripping
+    the ## markers and concatenating reconstructs the word exactly, and
+    every piece is in the vocabulary with the correct continuation
+    form."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import wordpiece_match
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        word=st.text(st.sampled_from("abcd"), min_size=1, max_size=12),
+        seed=st.integers(0, 10**6),
+    )
+    def check(word, seed):
+        import random
+
+        rng = random.Random(seed)
+        chars = "abcd"
+        vocab = set()
+        for c in chars:  # full single-char coverage: never UNK
+            vocab.add(c)
+            vocab.add("##" + c)
+        for c1 in chars:
+            for c2 in chars:
+                if rng.random() < 0.4:
+                    vocab.add(c1 + c2)
+                if rng.random() < 0.4:
+                    vocab.add("##" + c1 + c2)
+                for c3 in chars:
+                    if rng.random() < 0.15:
+                        vocab.add(c1 + c2 + c3)
+                    if rng.random() < 0.15:
+                        vocab.add("##" + c1 + c2 + c3)
+        got = wordpiece_match(word, vocab, "[UNK]", 3)
+        assert got, "non-empty word must yield pieces"
+        assert all(p in vocab for p in got)
+        rebuilt = got[0] + "".join(p[2:] for p in got[1:])
+        assert rebuilt == word
+        assert not any(p.startswith("##") for p in got[:1])
+        assert all(p.startswith("##") for p in got[1:])
+        # greedy invariant: no STRICTLY LONGER head piece matches
+        for L in range(min(3, len(word)), len(got[0]), -1):
+            assert word[:L] not in vocab
+
+    check()
+
+
+def test_wordpiece_encode_spark(spark):
+    """Spark-side plumbing: per-doc (pos, piece) stream, zero-token docs
+    emit nothing, UNK words contribute one row."""
+    from icedb_spark.operators import wordpiece_encode
+
+    docs = spark.createDataFrame(
+        [(1, "unable able"), (2, "zoo"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    V = ["un", "##able", "a", "##b", "##l", "##e", "b", "l", "e"]
+    got = [
+        (r["doc_id"], r["pos"], r["piece"])
+        for r in wordpiece_encode(docs, V).orderBy("doc_id", "pos").collect()
+    ]
+    assert got == [
+        (1, 1, "un"), (1, 2, "##able"),
+        (1, 3, "a"), (1, 4, "##b"), (1, 5, "##l"), (1, 6, "##e"),
+        (2, 1, "[UNK]"),
+    ]
