@@ -2972,6 +2972,48 @@ def st11_sliding_window(spark, sf_dir):
     )
 
 
+def st12_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM interval join, actually streamed: clicks and
+    purchases (two filtered views of one file stream — a self-join,
+    which Spark plans as two stateful sides) match on user within a
+    1-hour attribution window. Both sides carry watermarks, so join
+    state is bounded by rate × window — the property that makes this
+    run forever at 100 TB/day, and the reason Spark REQUIRES the time
+    bound for outer variants. The drain processes every file in one
+    availableNow batch (watermark still -inf), so all inner matches
+    emit deterministically; the oracle is the equivalent batch interval
+    join with µs-exact lag arithmetic."""
+    from icedb_spark.streaming import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr(f"{_TS}").alias("ets")
+    )
+
+    def build(s):
+        clicks = s.where("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ets").alias("c_ts"),
+        )
+        buys = s.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ets").alias("p_ts"),
+        )
+        j = stream_interval_join(
+            clicks, buys, ("user_id",), "c_ts", "p_ts",
+            lower="0 seconds", upper="1 hour",
+        )
+        return j.select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr("unix_micros(p_ts) - unix_micros(c_ts)").alias("lag_us"),
+        )
+
+    return _drain_to_memory(spark, ev, build)
+
+
 def st03_stateful_sessions(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     sessionization with a 30-min gap, sessions closed either by later data
@@ -3935,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_grouping_sets": q36_grouping_sets,
         "q37_rolling_window": q37_rolling_window,
         "st11_sliding_window": st11_sliding_window,
+        "st12_stream_stream_join": st12_stream_stream_join,
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
@@ -3968,7 +4011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_string_funcs": q22_string_funcs,
         "q23_array_funcs": q23_array_funcs,
         "q24_salted_join": q24_salted_join,
-        "q27_cube": q27_cube,
         "q32_asof_left_join": q32_asof_left_join,
         "st02_windowed_agg": st02_windowed_agg,
         "t01_token_stats": t01_token_stats,
@@ -3978,15 +4020,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33 (all replica-green today) yielded
-        # their slots to the round's seven NEW entries (m10/m11 real
-        # decode, q34-q37 SQL surface, st11 sliding windows) — new
-        # entries outrank backlog — and rotate up in r10 with the rest
-        # of the r6 cohort.
+        # q02/q04/q17/q28/q29/q30/q33 and r5-era q26/q27 (all
+        # replica-green today at sf0.01) yielded their slots to the
+        # round's TEN NEW entries (m10/m11 real decode, q34-q37 SQL
+        # surface, st11/st12 streaming, t24 WordPiece) — never-checked
+        # entries outrank stale-but-proven backlog — and rotate up in
+        # r10 with the rest of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
         "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
         "q28_asof_join": q28_asof_join,
         "q29_range_join": q29_range_join,
         "q30_sessionize": q30_sessionize,
@@ -4597,6 +4641,14 @@ select epoch_us(date_trunc('day', ts)) as win_start_us,
 from events
 group by 1, 2, 3
 having win_end_us <= (select wm_us from wm)
+""",
+        "st12_stream_stream_join": """
+select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+  epoch_us(p.ts) - epoch_us(c.ts) as lag_us
+from events c
+join events p on c.user_id = p.user_id
+where c.event_type = 'click' and p.event_type = 'purchase'
+  and p.ts >= c.ts and p.ts <= c.ts + interval 1 hour
 """,
         "st11_sliding_window": """
 with wm as (

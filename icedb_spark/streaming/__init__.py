@@ -4,7 +4,12 @@ from .ingest import (
     stream_insert_near_dedup,
     stream_upsert,
 )
-from .windows import session_agg, stateful_sessionize, windowed_agg
+from .windows import (
+    session_agg,
+    stateful_sessionize,
+    stream_interval_join,
+    windowed_agg,
+)
 
 __all__ = [
     "stream_insert",
@@ -13,5 +18,6 @@ __all__ = [
     "micro_batch_pipeline",
     "session_agg",
     "stateful_sessionize",
+    "stream_interval_join",
     "windowed_agg",
 ]

@@ -38,7 +38,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["windowed_agg", "session_agg", "stateful_sessionize"]
+__all__ = [
+    "windowed_agg",
+    "session_agg",
+    "stateful_sessionize",
+    "stream_interval_join",
+]
 
 
 def windowed_agg(
@@ -202,3 +207,64 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: "tuple[str, ...]",
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time INTERVAL condition:
+    match right rows whose timestamp falls in ``[left_ts + lower,
+    left_ts + upper]`` for the same key — the attribution-window shape
+    (click → purchase within an hour, impression → install, request →
+    error). Works identically on batch DataFrames, which is how the
+    oracle gate pins its values.
+
+    On streams BOTH sides get the watermark — together with the time
+    constraint this is exactly what lets Spark bound the join state: a
+    buffered left row is dropped once the right watermark passes
+    ``left_ts + upper``, and vice versa, so state is
+    O(rate × window), never O(stream). Inner matches emit as they are
+    found (append mode); outer variants additionally emit NULL-padded
+    rows only after the watermark proves no match can arrive — pass
+    ``join_type="leftOuter"``/``"rightOuter"`` for those (Spark
+    requires the time bound for them, which this signature always
+    supplies).
+
+    Column naming: output carries every left column, then right
+    columns renamed with a ``r_`` prefix where they collide (keys are
+    emitted once, from the left side).
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    # disambiguate overlapping column names before the join: every
+    # right-side collision (join keys included) gets an r_ prefix; key
+    # duplicates drop after the join so keys emit once, from the left
+    left_cols = set(left.columns)
+    renames = {c: f"r_{c}" for c in right.columns if c in left_cols}
+    for old, new in renames.items():
+        rw = rw.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
+
+    def rk(k: str) -> str:
+        return renames.get(k, k)
+
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[rk(k)]
+        cond = c if cond is None else cond & c
+    time_lo = rw[r_ts] >= lw[left_ts] + F.expr(f"interval {lower}")
+    time_hi = rw[r_ts] <= lw[left_ts] + F.expr(f"interval {upper}")
+    cond = cond & time_lo & time_hi
+    return lw.join(rw, cond, join_type).drop(*[rw[rk(k)] for k in keys])

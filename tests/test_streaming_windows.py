@@ -223,3 +223,43 @@ def test_stateful_sessionize_resume_merges_state(spark, tmp_path):
     assert len(closed) == 1
     assert closed[0]["session_start_us"] == base
     assert closed[0]["session_end_us"] == base + 2_000_000
+
+
+def test_stream_interval_join_batch_semantics(spark):
+    """Batch-mode contract of stream_interval_join: inclusive interval
+    bounds, key emitted once from the left, right-side collisions
+    renamed with r_, and leftOuter NULL-pads unmatched left rows."""
+    from icedb_spark.streaming import stream_interval_join
+
+    L = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 10:30:00")],
+        "event_id long, user_id string, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    R = spark.createDataFrame(
+        [(10, "u1", "2024-01-01 10:59:59"),   # inside for click 1
+         (11, "u1", "2024-01-01 11:00:00"),   # exactly +1h: inclusive
+         (12, "u1", "2024-01-01 09:59:59"),   # before: excluded
+         (13, "u2", "2024-01-01 11:31:00")],  # 61 min after: excluded
+        "event_id long, user_id string, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    j = stream_interval_join(
+        L, R, ("user_id",), "ts", "ts", lower="0 seconds", upper="1 hour"
+    )
+    assert j.columns.count("user_id") == 1
+    assert "r_ts" in j.columns and "r_event_id" in j.columns
+    got = sorted(
+        (r["event_id"], r["r_event_id"]) for r in j.collect()
+    )
+    assert got == [(1, 10), (1, 11)]
+
+    lo = stream_interval_join(
+        L, R, ("user_id",), "ts", "ts",
+        lower="0 seconds", upper="1 hour", join_type="leftOuter",
+    )
+    outer = sorted(
+        (r["event_id"], r["r_event_id"]) for r in lo.collect()
+    )
+    assert outer == [(1, 10), (1, 11), (2, None), (3, None)]
