@@ -3014,6 +3014,92 @@ def st12_stream_stream_join(spark, sf_dir):
     return _drain_to_memory(spark, ev, build)
 
 
+def st13_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the semantics inner
+    joins (st12) can't show: a click with NO purchase inside its 1-hour
+    window must STILL emit (NULL-padded), but only once the watermark
+    PROVES no match can arrive. That emission happens on state
+    eviction, which Spark performs in a SUBSEQUENT micro-batch — so
+    the gate drives two availableNow runs over one checkpoint: run 1
+    ingests all events (inner matches emit), run 2 ingests a single
+    far-future sentinel row that matches nothing, during which every
+    unmatched click whose window closed before run 1's watermark is
+    evicted and NULL-pads. The global watermark is the MIN of the two
+    sides' trackers — each ``withWatermark`` sees only its own
+    FILTERED stream, so it is min(max click ts, max purchase ts) −
+    10 min, ms-floored, NOT the all-events max (the gate caught
+    exactly this). The oracle replays that rule: matched pairs ∪
+    unmatched clicks with ``click_ts + 1 h < watermark₁``."""
+    from icedb_spark.streaming import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr(f"{_TS}").alias("ets")
+    )
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+
+    def build(s):
+        clicks = s.where("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ets").alias("c_ts"),
+        )
+        buys = s.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ets").alias("p_ts"),
+        )
+        j = stream_interval_join(
+            clicks, buys, ("user_id",), "c_ts", "p_ts",
+            lower="0 seconds", upper="1 hour", join_type="leftOuter",
+        )
+        return j.select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr("unix_micros(p_ts) - unix_micros(c_ts)").alias("lag_us"),
+        )
+
+    got: list = []
+
+    def run_once():
+        # memory sinks refuse checkpoint recovery; foreachBatch supports
+        # it, and the second run is exactly a recovery
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: got.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.repartition(3).write.mode("append").parquet(src)
+        run_once()
+        # run 2: one sentinel row (matches nothing — event_type 'view',
+        # ts far past everything) forces the eviction batch
+        mx = ev.agg(F.max("ets").alias("m")).collect()[0]["m"]
+        spark.createDataFrame(
+            [(-1, -1, "view", mx)], schema=ev.schema
+        ).withColumn(
+            "ets", F.col("ets") + F.expr("interval 30 days")
+        ).repartition(1).write.mode("append").parquet(src)
+        run_once()
+        return spark.createDataFrame(
+            got,
+            schema="click_id long, purchase_id long, user_id long, "
+                   "lag_us long",
+        )
+    finally:
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def st03_stateful_sessions(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     sessionization with a 30-min gap, sessions closed either by later data
@@ -3978,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_rolling_window": q37_rolling_window,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
+        "st13_stream_outer_join": st13_stream_outer_join,
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
@@ -4002,7 +4089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_join_broadcast": q12_join_broadcast,
         "q13_join_threeway": q13_join_threeway,
         "q14_window_rank": q14_window_rank,
-        "q15_scalar_funcs": q15_scalar_funcs,
         "q16_date_parts": q16_date_parts,
         "q18_rollup": q18_rollup,
         "q19_setops": q19_setops,
@@ -4029,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
+        "q15_scalar_funcs": q15_scalar_funcs,
         "q26_scalar_subquery": q26_scalar_subquery,
         "q27_cube": q27_cube,
         "q28_asof_join": q28_asof_join,
@@ -4641,6 +4728,32 @@ select epoch_us(date_trunc('day', ts)) as win_start_us,
 from events
 group by 1, 2, 3
 having win_end_us <= (select wm_us from wm)
+""",
+        "st13_stream_outer_join": """
+-- the global watermark is the MIN of the two sides' trackers (each
+-- sees only its own filtered stream), not the all-events max
+with wm as (
+  select (least(
+    (select max(epoch_us(ts)) from events where event_type = 'click'),
+    (select max(epoch_us(ts)) from events where event_type = 'purchase'))
+    - 600000000) // 1000 * 1000 as wm_us
+),
+c as (select event_id, user_id, ts from events where event_type = 'click'),
+p as (select event_id, user_id, ts from events where event_type = 'purchase'),
+m as (
+  select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+    epoch_us(p.ts) - epoch_us(c.ts) as lag_us
+  from c join p on c.user_id = p.user_id
+    and p.ts >= c.ts and p.ts <= c.ts + interval 1 hour
+)
+select * from m
+union all
+select c.event_id as click_id, cast(null as bigint) as purchase_id,
+  c.user_id, cast(null as bigint) as lag_us
+from c
+where not exists (select 1 from p where p.user_id = c.user_id
+                  and p.ts >= c.ts and p.ts <= c.ts + interval 1 hour)
+  and epoch_us(c.ts) + 3600000000 < (select wm_us from wm)
 """,
         "st12_stream_stream_join": """
 select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
