@@ -686,6 +686,25 @@ def q37_rolling_window(spark, sf_dir):
     )
 
 
+def q38_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — wide measure columns to (metric, value) rows via
+    the native ``DataFrame.unpivot`` (Catalyst's Expand node: one scan,
+    no join, no shuffle before the aggregate), then a tiny per-metric
+    rollup so the gate compares aggregates, not 4× the fact table. The
+    oracle states the same thing as engine-neutral UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.unpivot(
+        ids=[], values=measures, variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -1501,6 +1520,50 @@ def m11_jpeg_exif(spark, sf_dir):
         ).alias("content"),
     )
     return decode_exif(media).orderBy("media_id")
+
+
+def m12_mp3_meta(spark, sf_dir):
+    """REAL MP3 metadata decode under the value gate: each doc becomes a
+    genuine ID3v2.3-tagged MP3 shell — tag header with a syncsafe size
+    that VARIES per doc (title length 4-8 chars, so the 7-bit size
+    parse and the frame walk are load-bearing), TIT2/TPE1 latin-1 text
+    frames carrying md5-hex substrings, then a valid MPEG1 Layer III
+    frame header (128 kbps / 44.1 kHz via the published index tables)
+    and a variable-length payload so the CBR duration estimate is
+    per-doc. The oracle recomputes title/artist/duration closed-form
+    from the md5 hex and doc_id — a wrong syncsafe shift, frame-size
+    field, encoding byte, or bitrate table breaks the match. The
+    transform-coded SAMPLES stay behind decode_fn, documented (same
+    boundary as JPEG pixels)."""
+    from icedb_spark.operators import decode_mp3_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    lt = "(4 + doc_id % 5)"
+    n = "(100 + doc_id % 50)"
+    title_hex = (
+        f"array_join(transform(sequence(1, {lt}), k -> "
+        "lpad(hex(ascii(substring(md5(text), k, 1))), 2, '0')), '')"
+    )
+    artist_hex = (
+        "array_join(transform(sequence(7, 12), k -> "
+        "lpad(hex(ascii(substring(md5(text), k, 1))), 2, '0')), '')"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"ID3\x03\x00\x00\x00\x00\x00"),
+            F.unhex(F.expr(f"lpad(hex(28 + {lt}), 2, '0')")),  # syncsafe size
+            F.lit(b"TIT2\x00\x00\x00"),
+            F.unhex(F.expr(f"lpad(hex(1 + {lt}), 2, '0')")),
+            F.lit(b"\x00\x00\x00"),  # flags + latin-1 encoding byte
+            F.unhex(F.expr(title_hex)),
+            F.lit(b"TPE1\x00\x00\x00\x07\x00\x00\x00"),
+            F.unhex(F.expr(artist_hex)),
+            F.lit(b"\xff\xfb\x90\x00"),  # MPEG1 L3, 128 kbps, 44.1 kHz
+            F.unhex(F.expr(f"repeat('00', {n})")),
+        ).alias("content"),
+    )
+    return decode_mp3_meta(media).orderBy("media_id")
 
 
 def m02_frame_sample(spark, sf_dir):
@@ -4058,10 +4121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m09_gif_phash": m09_gif_phash,
         "m10_wav_features": m10_wav_features,
         "m11_jpeg_exif": m11_jpeg_exif,
+        "m12_mp3_meta": m12_mp3_meta,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
         "q37_rolling_window": q37_rolling_window,
+        "q38_unpivot": q38_unpivot,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
@@ -4101,21 +4166,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st02_windowed_agg": st02_windowed_agg,
         "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
-        "t04_fingerprint": t04_fingerprint,
-        "t11_line_dedup": t11_line_dedup,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33 and r5-era q26/q27 (all
+        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t11 (all
         # replica-green today at sf0.01) yielded their slots to the
-        # round's TEN NEW entries (m10/m11 real decode, q34-q37 SQL
-        # surface, st11/st12 streaming, t24 WordPiece) — never-checked
-        # entries outrank stale-but-proven backlog — and rotate up in
-        # r10 with the rest of the r6 cohort.
+        # round's TWELVE NEW entries (m10/m11 real decode, q34-q38 SQL
+        # surface, st11/st12/st13 streaming, t24 WordPiece) —
+        # never-checked entries outrank stale-but-proven backlog — and
+        # rotate up in r10 with the rest of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
+        "t04_fingerprint": t04_fingerprint,
         "q15_scalar_funcs": q15_scalar_funcs,
+        "t11_line_dedup": t11_line_dedup,
         "q26_scalar_subquery": q26_scalar_subquery,
         "q27_cube": q27_cube,
         "q28_asof_join": q28_asof_join,
@@ -4375,6 +4440,18 @@ select coalesce(l_returnflag, 'ALL') as rf,
 from lineitem
 group by grouping sets ((l_returnflag), (l_linestatus), ())
 """,
+        "q38_unpivot": """
+with m as (
+  select 'l_quantity' as metric, l_quantity as val from lineitem
+  union all select 'l_extendedprice', l_extendedprice from lineitem
+  union all select 'l_discount', l_discount from lineitem
+  union all select 'l_tax', l_tax from lineitem
+)
+select metric, count(*) as cnt,
+  round(sum(val), 2) as sum_val,
+  round(avg(val), 4) as avg_val
+from m group by metric
+""",
         "q37_rolling_window": """
 select o_orderkey,
        o_orderpriority,
@@ -4558,6 +4635,7 @@ from per_sess group by user_id
         "m09_gif_phash": oracles.gif_phash_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
+        "m12_mp3_meta": oracles.mp3_meta_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),

@@ -10,12 +10,13 @@ pure Python, and is the default real path of :func:`perceptual_hash`
 (stdlib zlib inflate + per-row unfilter, m08) and GIF (variable-width LZW,
 m09). AUDIO sample decode is real for WAV integer PCM
 (:func:`decode_wav_samples` → :func:`audio_features`, m10), and EXIF
-metadata decode is real for JPEG APP1/TIFF (:func:`parse_exif`, m11) —
-no entropy codec needed. Transform codecs (JPEG/WebP pixels, MP3/AAC
-samples, video frames) stay behind ``decode_fn`` / the deterministic
-digest fake because codec libraries (Pillow, ffmpeg, torchaudio...) are
-not available in this environment — drop a real decoder in and nothing
-else changes. Container-HEADER decoding is real for everything:
+metadata decode is real for JPEG APP1/TIFF (:func:`parse_exif`, m11)
+and MP3 ID3v2 + MPEG frame headers (:func:`parse_mp3_meta`, m12) — no
+entropy codec needed. Transform-coded SAMPLES (JPEG/WebP pixels,
+MP3/AAC audio, video frames) stay behind ``decode_fn`` / the
+deterministic digest fake because codec libraries (Pillow, ffmpeg,
+torchaudio...) are not available in this environment — drop a real
+decoder in and nothing else changes. Container-HEADER decoding is real for everything:
 :func:`parse_image_header` / :func:`decode_image_headers` parse PNG IHDR,
 JPEG SOFn, GIF screen-descriptor, BMP DIB and WebP (VP8/VP8L/VP8X) bytes
 in pure Python.
@@ -1155,3 +1156,131 @@ def decode_exif(
             )
 
     return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("bitrate_kbps", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("est_duration_ms", T.LongType(), True),
+    ]
+)
+
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables, indexed by the
+# 4-/2-bit header fields (index 0 = "free", 15 = invalid)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 0]
+_MP3_RATES = [44100, 48000, 32000, 0]
+
+
+def parse_mp3_meta(blob) -> tuple:
+    """REAL pure-Python MP3 metadata decode: ``(title, artist,
+    bitrate_kbps, sample_rate, est_duration_ms)`` from the ID3v2 tag
+    and the first MPEG audio frame header — the metadata layer an
+    audio-corpus pipeline filters and dedups on WITHOUT an entropy
+    decoder (the transform-coded samples stay behind ``decode_fn``,
+    like JPEG pixels).
+
+    ID3v2: header ``ID3 vv f ssss`` with a SYNCSAFE (7-bit) total size;
+    frames walked inside the tag — v2.4 frame sizes are syncsafe, v2.3
+    plain big-endian (both honored); text frames carry an encoding byte
+    (0 latin-1, 3 utf-8 — both decoded); TIT2 → title, TPE1 → artist.
+    MPEG frame: the first 0xFFE sync after the tag; MPEG1 Layer III
+    bitrate/sample-rate indices resolve through the published tables,
+    and ``est_duration_ms = audio_bytes * 8 // bitrate_kbps`` (the
+    CBR estimate). Returns all-NULLs for unrecognized input; a
+    recognized ID3/sync with a corrupt layout raises.
+    """
+    import struct
+
+    b = bytes(blob or b"")
+    title = artist = None
+    o = 0
+    if len(b) >= 10 and b[0:3] == b"ID3":
+        ver = b[3]
+        if any(x & 0x80 for x in b[6:10]):
+            raise ValueError("parse_mp3_meta: non-syncsafe ID3 size")
+        tag_size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        end = 10 + tag_size
+        if end > len(b):
+            raise ValueError("parse_mp3_meta: ID3 size past blob")
+        fo = 10
+        while fo + 10 <= end:
+            fid = b[fo:fo + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break  # padding
+            raw = b[fo + 4:fo + 8]
+            if ver >= 4:
+                if any(x & 0x80 for x in raw):
+                    raise ValueError("parse_mp3_meta: bad syncsafe frame")
+                fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+            else:
+                (fsize,) = struct.unpack(">I", raw)
+            payload = b[fo + 10:fo + 10 + fsize]
+            if fid in (b"TIT2", b"TPE1") and payload:
+                enc = payload[0]
+                text = payload[1:]
+                if enc == 0:
+                    s = text.decode("latin-1")
+                elif enc == 3:
+                    s = text.decode("utf-8")
+                else:
+                    raise ValueError(
+                        f"parse_mp3_meta: unsupported text encoding {enc}"
+                    )
+                s = s.split("\x00", 1)[0]
+                if fid == b"TIT2":
+                    title = s
+                else:
+                    artist = s
+            fo += 10 + fsize
+        o = end
+    # first MPEG frame header after the tag
+    bitrate = rate = dur = None
+    while o + 4 <= len(b):
+        if b[o] == 0xFF and (b[o + 1] & 0xE0) == 0xE0:
+            ver_bits = (b[o + 1] >> 3) & 0x3
+            layer_bits = (b[o + 1] >> 1) & 0x3
+            if ver_bits != 3 or layer_bits != 1:
+                raise ValueError(
+                    "parse_mp3_meta: only MPEG1 Layer III headers supported"
+                )
+            br_idx = (b[o + 2] >> 4) & 0xF
+            sr_idx = (b[o + 2] >> 2) & 0x3
+            bitrate = _MP3_BITRATES[br_idx]
+            rate = _MP3_RATES[sr_idx]
+            if bitrate == 0 or rate == 0:
+                raise ValueError("parse_mp3_meta: free/invalid bitrate or rate")
+            dur = (len(b) - o) * 8 // bitrate
+            break
+        o += 1
+    if title is None and artist is None and bitrate is None:
+        return None, None, None, None, None
+    return title, artist, bitrate, rate, dur
+
+
+def decode_mp3_meta(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """MP3 sibling of :func:`decode_av_headers`: ID3v2 text frames +
+    first MPEG frame header, executor-side over Arrow batches. Output:
+    ``MP3_META_SCHEMA``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[content_col].map(parse_mp3_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "title": parsed.map(lambda t: t[0]),
+                    "artist": parsed.map(lambda t: t[1]),
+                    "bitrate_kbps": parsed.map(lambda t: t[2]),
+                    "sample_rate": parsed.map(lambda t: t[3]),
+                    "est_duration_ms": parsed.map(lambda t: t[4]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MP3_META_SCHEMA)

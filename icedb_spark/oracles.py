@@ -2707,3 +2707,23 @@ select doc_id,
 from persub
 order by doc_id, pos
 """
+
+
+def mp3_meta_sql(table: str = "documents") -> str:
+    """Oracle for m12 (REAL MP3 metadata decode): the entry synthesizes
+    an ID3v2.3-tagged MPEG1 Layer III shell per doc — title = md5 hex
+    chars 1..(4 + doc_id % 5), artist = chars 7..12, 128 kbps CBR with
+    a (104 + doc_id % 50)-byte audio section — and parses it with the
+    pure-Python ID3/frame-header walker. This closed form recomputes
+    all five fields; a wrong syncsafe shift, frame walk, text encoding,
+    bitrate table, or the CBR estimate breaks the match."""
+    return f"""
+select doc_id as media_id,
+  substring(md5(text), 1, 4 + doc_id % 5) as title,
+  substring(md5(text), 7, 6) as artist,
+  cast(128 as bigint) as bitrate_kbps,
+  cast(44100 as bigint) as sample_rate,
+  cast((104 + doc_id % 50) * 8 // 128 as bigint) as est_duration_ms
+from {table}
+order by media_id
+"""

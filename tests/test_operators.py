@@ -2504,3 +2504,72 @@ def test_wordpiece_encode_spark(spark):
         (1, 3, "a"), (1, 4, "##b"), (1, 5, "##l"), (1, 6, "##e"),
         (2, 1, "[UNK]"),
     ]
+
+
+def _mp3(order_ver, frames, audio=b"\xff\xfb\x90\x00" + b"\x00" * 96,
+         pad=0):
+    """Independent ID3v2 encoder (test-side): frames = [(id, text, enc)];
+    v2.4 uses syncsafe frame sizes, v2.3 plain big-endian."""
+    import struct
+
+    body = b""
+    for fid, text, enc in frames:
+        payload = bytes([enc]) + (
+            text.encode("utf-8") if enc == 3 else text.encode("latin-1")
+        )
+        if order_ver >= 4:
+            sz = len(payload)
+            raw = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            raw = struct.pack(">I", len(payload))
+        body += fid + raw + b"\x00\x00" + payload
+    body += b"\x00" * pad
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([order_ver, 0, 0]) + ss + body + audio
+
+
+def test_parse_mp3_meta_real():
+    """REAL MP3 metadata decode: v2.3 and v2.4 frame sizes, latin-1 and
+    utf-8 text, padding stop, tag-less frame-only blobs, NULLs for
+    unknown input, loud errors on corrupt layouts."""
+    from icedb_spark.operators import parse_mp3_meta
+
+    b3 = _mp3(3, [(b"TIT2", "Hello", 0), (b"TPE1", "Wörld", 3)])
+    t, a, br, sr, dur = parse_mp3_meta(b3)
+    assert (t, a, br, sr) == ("Hello", "Wörld", 128, 44100)
+    assert dur == len(b"\xff\xfb\x90\x00" + b"\x00" * 96) * 8 // 128
+
+    b4 = _mp3(4, [(b"TIT2", "x" * 130, 0)], pad=8)  # >127 forces syncsafe
+    t4 = parse_mp3_meta(b4)
+    assert t4[0] == "x" * 130 and t4[2] == 128
+
+    # frame-only (no ID3 tag): metadata NULL, audio fields real
+    only = b"\xff\xfb\x90\x00" + b"\x00" * 60
+    assert parse_mp3_meta(only) == (None, None, 128, 44100, 64 * 8 // 128)
+
+    assert parse_mp3_meta(b"garbage") == (None,) * 5
+    assert parse_mp3_meta(b"") == (None,) * 5
+
+    with pytest.raises(ValueError):  # unsupported text encoding
+        parse_mp3_meta(_mp3(3, [(b"TIT2", "a", 0)]).replace(
+            b"\x00\x00\x00a", b"\x00\x00\x01a", 1))
+    with pytest.raises(ValueError):  # ID3 size past blob
+        parse_mp3_meta(b"ID3\x03\x00\x00\x00\x00\x01\x00")
+    with pytest.raises(ValueError):  # free bitrate index
+        parse_mp3_meta(b"\xff\xfb\x00\x00" + b"\x00" * 10)
+
+
+def test_decode_mp3_meta_spark(spark):
+    from icedb_spark.operators import decode_mp3_meta
+
+    rows = [(0, _mp3(3, [(b"TIT2", "t0", 0)])),
+            (1, _mp3(4, [(b"TPE1", "a1", 3)])),
+            (2, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_mp3_meta(df).collect()}
+    assert got[0]["title"] == "t0" and got[0]["bitrate_kbps"] == 128
+    assert got[1]["artist"] == "a1" and got[1]["sample_rate"] == 44100
+    assert got[2]["title"] is None and got[2]["bitrate_kbps"] is None
