@@ -1566,6 +1566,67 @@ def m12_mp3_meta(spark, sf_dir):
     return decode_mp3_meta(media).orderBy("media_id")
 
 
+def m13_mp4_keyframes(spark, sf_dir):
+    """REAL MP4 sample-table decode under the value gate: each doc
+    becomes a genuine ISO-BMFF shell — ftyp, then moov → trak → mdia →
+    { mdhd (timescale 1000), minf → stbl → { stts, stss } } with EVERY
+    enclosing box size computed per doc (the stts run counts, the first
+    delta, and the stss keyframe count all vary with doc_id, so the
+    nested size arithmetic and the run-length expansion are
+    load-bearing). sample_keyframes walks the box tree and explodes one
+    row per sync sample with its start time in ms — the keyframe index
+    a video pipeline samples at WITHOUT a decoder. The oracle
+    recomputes every keyframe time closed-form from doc_id; a wrong box
+    offset, run-length sum, or timescale conversion breaks every row.
+    Transform-coded frames stay behind decode_fn, documented."""
+    from icedb_spark.operators import sample_keyframes
+
+    docs = _t(spark, sf_dir, "documents")
+    a = "(3 + doc_id % 3)"            # first stts run length (3..5)
+    d1 = "(40 + 20 * (doc_id % 4))"   # first run delta, ticks = ms
+    kfn = f"(({a} + 5) div 2)"        # keyframes: odd samples of n=a+4
+    u = "lpad(hex({v}), 8, '0')"
+
+    def U(v: str) -> str:
+        return u.format(v=v)
+
+    stss_sz = f"(16 + 4 * {kfn})"
+    stbl_sz = f"(8 + 32 + {stss_sz})"
+    minf_sz = f"(8 + {stbl_sz})"
+    mdia_sz = f"(8 + 32 + {minf_sz})"
+    trak_sz = f"(8 + {mdia_sz})"
+    moov_sz = f"(8 + {trak_sz})"
+    dur = f"({a} * {d1} + 4 * 200)"
+    kf_list = (
+        f"array_join(transform(sequence(1, {kfn}), i -> "
+        + U("2 * i - 1") + "), '')"
+    )
+    hexpr = (
+        "concat("
+        "'000000106674797069736f6d00000000',"            # ftyp isom
+        f"{U(moov_sz)}, '6d6f6f76',"                      # moov
+        f"{U(trak_sz)}, '7472616b',"                      # trak
+        f"{U(mdia_sz)}, '6d646961',"                      # mdia
+        # mdhd v0: ver/flags, ctime, mtime, timescale=1000, duration,
+        # language + pre_defined
+        f"'000000206d646864', '0000000000000000', '00000000',"
+        f"'000003e8', {U(dur)}, '00000000',"
+        f"{U(minf_sz)}, '6d696e66',"                      # minf
+        f"{U(stbl_sz)}, '7374626c',"                      # stbl
+        # stts: 2 runs — (a, d1) and (4, 200)
+        f"'0000002073747473', '00000000', '00000002',"
+        f"{U(a)}, {U(d1)}, '00000004', '000000c8',"
+        # stss: kfn odd sample numbers
+        f"{U(stss_sz)}, '73747373', '00000000', {U(kfn)}, {kf_list}"
+        ")"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.expr(hexpr)).alias("content"),
+    )
+    return sample_keyframes(media).orderBy("media_id", "kf_sample")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -4122,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_wav_features": m10_wav_features,
         "m11_jpeg_exif": m11_jpeg_exif,
         "m12_mp3_meta": m12_mp3_meta,
+        "m13_mp4_keyframes": m13_mp4_keyframes,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -4165,19 +4227,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_asof_left_join": q32_asof_left_join,
         "st02_windowed_agg": st02_windowed_agg,
         "t01_token_stats": t01_token_stats,
-        "t03_language_id": t03_language_id,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t11 (all
-        # replica-green today at sf0.01) yielded their slots to the
-        # round's TWELVE NEW entries (m10/m11 real decode, q34-q38 SQL
-        # surface, st11/st12/st13 streaming, t24 WordPiece) —
-        # never-checked entries outrank stale-but-proven backlog — and
-        # rotate up in r10 with the rest of the r6 cohort.
+        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t03/t04/
+        # t11 (all replica-green today at sf0.01) yielded their slots
+        # to the round's FIFTEEN NEW entries (m10-m13 real decode,
+        # q34-q38 SQL surface, st11/st12/st13 streaming, t24
+        # WordPiece) — never-checked entries outrank stale-but-proven
+        # backlog — and rotate up in r10 with the rest of the r6
+        # cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
+        "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "q15_scalar_funcs": q15_scalar_funcs,
         "t11_line_dedup": t11_line_dedup,
@@ -4636,6 +4699,7 @@ from per_sess group by user_id
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),
+        "m13_mp4_keyframes": oracles.mp4_keyframes_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),

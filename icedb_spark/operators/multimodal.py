@@ -1284,3 +1284,160 @@ def decode_mp3_meta(
             )
 
     return df.mapInPandas(run, schema=MP3_META_SCHEMA)
+
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kf_sample", T.IntegerType(), True),   # 1-based
+        T.StructField("kf_time_ms", T.LongType(), True),
+    ]
+)
+
+
+def parse_mp4_keyframes(blob) -> "Optional[list[tuple[int, int]]]":
+    """REAL pure-Python MP4 sample-table decode: the ``(sample_number,
+    start_time_ms)`` of every SYNC SAMPLE (keyframe) in the first video
+    track — the information a frame-sampling pipeline needs to pick
+    decodable frames WITHOUT running a video decoder (seeking to a
+    non-keyframe requires decoding from the previous one; the stss box
+    exists precisely so players and samplers don't).
+
+    Walks the ISO-BMFF box tree ``moov → trak → mdia → { mdhd, minf →
+    stbl → { stts, stss } }``: ``mdhd`` yields the media timescale
+    (v0 and v1 layouts), ``stts`` the run-length (sample_count,
+    sample_delta) table, ``stss`` the 1-based sync-sample numbers.
+    Sample start time = sum of deltas before it, converted to ms by the
+    timescale. A file with no ``stss`` means every sample is a sync
+    sample (the spec's default) — all samples are returned. Returns
+    ``None`` for non-BMFF input; a recognized ``moov`` with a truncated
+    table raises. The transform-coded FRAMES stay behind ``decode_fn``.
+    """
+    import struct
+
+    b = bytes(blob or b"")
+
+    def boxes(start, end):
+        o = start
+        while o + 8 <= end:
+            (size,) = struct.unpack(">I", b[o:o + 4])
+            typ = b[o + 4:o + 8]
+            if size < 8 or o + size > end:
+                return
+            yield typ, o + 8, o + size
+            o += size
+
+    if len(b) < 8 or b[4:8] not in (b"ftyp", b"moov", b"mdat", b"free"):
+        return None
+    timescale = None
+    stts = None
+    stss = None
+    found_track = False
+    for typ, s, e in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(s, e):
+            if t2 != b"trak" or found_track:
+                continue
+            found_track = True
+            for t3, s3, e3 in boxes(s2, e2):
+                if t3 != b"mdia":
+                    continue
+                for t4, s4, e4 in boxes(s3, e3):
+                    if t4 == b"mdhd":
+                        ver = b[s4]
+                        off = s4 + (20 if ver == 1 else 12)
+                        if off + 4 > e4:
+                            raise ValueError(
+                                "parse_mp4_keyframes: truncated mdhd"
+                            )
+                        (timescale,) = struct.unpack(">I", b[off:off + 4])
+                    elif t4 == b"minf":
+                        for t5, s5, e5 in boxes(s4, e4):
+                            if t5 != b"stbl":
+                                continue
+                            for t6, s6, e6 in boxes(s5, e5):
+                                if t6 == b"stts":
+                                    (n,) = struct.unpack(
+                                        ">I", b[s6 + 4:s6 + 8]
+                                    )
+                                    if s6 + 8 + 8 * n > e6:
+                                        raise ValueError(
+                                            "parse_mp4_keyframes: "
+                                            "truncated stts"
+                                        )
+                                    stts = [
+                                        struct.unpack(
+                                            ">II",
+                                            b[s6 + 8 + 8 * i:
+                                              s6 + 16 + 8 * i],
+                                        )
+                                        for i in range(n)
+                                    ]
+                                elif t6 == b"stss":
+                                    (n,) = struct.unpack(
+                                        ">I", b[s6 + 4:s6 + 8]
+                                    )
+                                    if s6 + 8 + 4 * n > e6:
+                                        raise ValueError(
+                                            "parse_mp4_keyframes: "
+                                            "truncated stss"
+                                        )
+                                    stss = [
+                                        struct.unpack(
+                                            ">I",
+                                            b[s6 + 8 + 4 * i:
+                                              s6 + 12 + 4 * i],
+                                        )[0]
+                                        for i in range(n)
+                                    ]
+    if stts is None or not timescale:
+        return None
+    # start tick of each sample (1-based), from the run-length deltas
+    starts = []
+    t = 0
+    for count, delta in stts:
+        for _ in range(count):
+            starts.append(t)
+            t += delta
+    n_samples = len(starts)
+    sync = stss if stss is not None else list(range(1, n_samples + 1))
+    out = []
+    for sno in sync:
+        if not 1 <= sno <= n_samples:
+            raise ValueError(
+                f"parse_mp4_keyframes: stss sample {sno} out of range"
+            )
+        out.append((sno, starts[sno - 1] * 1000 // timescale))
+    return out
+
+
+def sample_keyframes(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Keyframe-index explode over Arrow batches: one output row per
+    sync sample, ``(media_id, kf_sample, kf_time_ms)`` — the
+    container-derived sibling of :func:`sample_frames` (which samples
+    at a fixed cadence from metadata). Feed the timestamps to a
+    ``decode_fn``-backed frame extractor downstream; the blobs never
+    leave the executors and the explode is bounded by the corpus's
+    keyframe count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, snos, times = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                kfs = parse_mp4_keyframes(blob)
+                for sno, ms in kfs or []:
+                    ids.append(i)
+                    snos.append(sno)
+                    times.append(ms)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kf_sample": pd.Series(snos, dtype="int32"),
+                    "kf_time_ms": pd.Series(times, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=KEYFRAME_SCHEMA)

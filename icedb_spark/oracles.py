@@ -2727,3 +2727,33 @@ select doc_id as media_id,
 from {table}
 order by media_id
 """
+
+
+def mp4_keyframes_sql(table: str = "documents") -> str:
+    """Oracle for m13 (REAL MP4 sample-table decode): the entry
+    synthesizes an ISO-BMFF shell per doc whose stts holds two runs —
+    (a = 3 + doc_id % 3 samples of delta d1 = 40 + 20·(doc_id % 4),
+    then 4 samples of delta 200, timescale 1000) — and whose stss marks
+    every odd sample of the n = a + 4 total as a keyframe. This closed
+    form recomputes each keyframe's start time (sum of deltas before
+    it); any error in the Spark side's box-size arithmetic, the
+    run-length expansion, or the ms conversion breaks every row."""
+    return f"""
+with p as (
+  select doc_id as media_id,
+    3 + doc_id % 3 as a,
+    40 + 20 * (doc_id % 4) as d1
+  from {table}
+),
+kf as (
+  select media_id, a, d1,
+    unnest(generate_series(1, (a + 5) // 2)) as i
+  from p
+)
+select media_id,
+  cast(2 * i - 1 as int) as kf_sample,
+  cast(case when 2 * i - 1 <= a then (2 * i - 2) * d1
+            else a * d1 + (2 * i - 2 - a) * 200 end as bigint) as kf_time_ms
+from kf
+order by media_id, kf_sample
+"""

@@ -2573,3 +2573,102 @@ def test_decode_mp3_meta_spark(spark):
     assert got[0]["title"] == "t0" and got[0]["bitrate_kbps"] == 128
     assert got[1]["artist"] == "a1" and got[1]["sample_rate"] == 44100
     assert got[2]["title"] is None and got[2]["bitrate_kbps"] is None
+
+
+def _mp4_kf(timescale, runs, stss=None, mdhd_v1=False):
+    """Independent ISO-BMFF encoder (test-side): moov/trak/mdia with an
+    stts of (count, delta) runs and an optional stss sync table."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    if mdhd_v1:
+        mdhd = box(b"mdhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + struct.pack(">I", timescale) + struct.pack(">Q", 0)
+                   + b"\x00" * 4)
+    else:
+        mdhd = box(b"mdhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                   + struct.pack(">II", timescale, 0) + b"\x00" * 4)
+    stts = box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", len(runs))
+               + b"".join(struct.pack(">II", c, d) for c, d in runs))
+    tables = stts
+    if stss is not None:
+        tables += box(b"stss", b"\x00\x00\x00\x00"
+                      + struct.pack(">I", len(stss))
+                      + b"".join(struct.pack(">I", s) for s in stss))
+    stbl = box(b"stbl", tables)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return box(b"ftyp", b"isom\x00\x00\x00\x00") + moov
+
+
+def test_parse_mp4_keyframes_real():
+    """REAL sample-table decode: run-length stts expansion, stss sync
+    selection, the no-stss all-sync default, v1 mdhd, ms conversion,
+    loud errors on corrupt tables, None for non-BMFF input."""
+    from icedb_spark.operators import parse_mp4_keyframes
+
+    b = _mp4_kf(1000, [(3, 100), (2, 250)], stss=[1, 4])
+    assert parse_mp4_keyframes(b) == [(1, 0), (4, 300)]
+    # no stss: every sample is sync (spec default)
+    b2 = _mp4_kf(1000, [(2, 500)])
+    assert parse_mp4_keyframes(b2) == [(1, 0), (2, 500)]
+    # timescale conversion: 90 kHz ticks
+    b3 = _mp4_kf(90000, [(2, 45000)], stss=[2], mdhd_v1=True)
+    assert parse_mp4_keyframes(b3) == [(2, 500)]
+    assert parse_mp4_keyframes(b"random") is None
+    assert parse_mp4_keyframes(b"") is None
+    with pytest.raises(ValueError):  # stss sample out of range
+        parse_mp4_keyframes(_mp4_kf(1000, [(1, 10)], stss=[5]))
+    with pytest.raises(ValueError):  # truncated stts claims 99 entries
+        import struct as _s
+        bad = _mp4_kf(1000, [(1, 10)])
+        parse_mp4_keyframes(bad.replace(
+            b"stts\x00\x00\x00\x00" + _s.pack(">I", 1),
+            b"stts\x00\x00\x00\x00" + _s.pack(">I", 99), 1))
+
+
+def test_parse_mp4_keyframes_roundtrip_property():
+    """Hypothesis: arbitrary run tables + sync subsets decode to exactly
+    the cumulative-delta times the independent encoder implies."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import parse_mp4_keyframes
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        runs=st.lists(
+            st.tuples(st.integers(1, 4), st.integers(1, 10**6)),
+            min_size=1, max_size=4,
+        ),
+        timescale=st.sampled_from([600, 1000, 90000]),
+        seed=st.integers(0, 10**6),
+        use_stss=st.booleans(),
+    )
+    def check(runs, timescale, seed, use_stss):
+        import random
+
+        rng = random.Random(seed)
+        n = sum(c for c, _ in runs)
+        starts = []
+        t = 0
+        for c, d in runs:
+            for _ in range(c):
+                starts.append(t)
+                t += d
+        if use_stss:
+            sync = sorted(rng.sample(range(1, n + 1), rng.randint(1, n)))
+        else:
+            sync = list(range(1, n + 1))
+        got = parse_mp4_keyframes(
+            _mp4_kf(timescale, runs, stss=sync if use_stss else None)
+        )
+        want = [(s, starts[s - 1] * 1000 // timescale) for s in sync]
+        assert got == want
+
+    check()
