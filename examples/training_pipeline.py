@@ -224,6 +224,25 @@ def main() -> None:
     print("token stream sample (doc_id, pos, subword, token_id):")
     ids.orderBy("doc_id", "pos").show(8, truncate=False)
 
+    # --- 6. the other tokenizer family: WordPiece --------------------------
+    # BERT-style greedy longest-match with ## continuations; the vocab
+    # broadcasts as a hash set, so a 30-100k-piece production vocabulary
+    # costs the same plan — here a toy one derived from the corpus chars
+    from icedb_spark.operators import wordpiece_encode
+
+    chars = sorted(
+        r["c"]
+        for r in train_docs.select(
+            F.explode(F.split(F.lower("text"), "")).alias("c")
+        ).where("c rlike '[a-z0-9]'").distinct().collect()
+    )
+    wp_vocab = [p for c in chars for p in (c, "##" + c)] + [
+        c1 + c2 for c1 in chars[:8] for c2 in chars[:8]
+    ]
+    wp = wordpiece_encode(train_docs, wp_vocab)
+    print("wordpiece stream sample (doc_id, pos, piece):")
+    wp.orderBy("doc_id", "pos").show(8, truncate=False)
+
 
 if __name__ == "__main__":
     main()
