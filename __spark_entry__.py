@@ -4231,12 +4231,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
         # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t03/t04/
-        # t11 (all replica-green today at sf0.01) yielded their slots
-        # to the round's FIFTEEN NEW entries (m10-m13 real decode,
-        # q34-q38 SQL surface, st11/st12/st13 streaming, t24
-        # WordPiece) — never-checked entries outrank stale-but-proven
-        # backlog — and rotate up in r10 with the rest of the r6
-        # cohort.
+        # t11 (all replica-green today at sf0.01) yielded their 13
+        # slots to the round's THIRTEEN later NEW entries (m10-m13
+        # real decode, q34-q38 SQL surface, st11/st12/st13 streaming,
+        # t24 WordPiece; t23/m08/m09 entered in the earlier r9
+        # rotation, making 16 new entries in-window total) —
+        # never-checked entries outrank stale-but-proven backlog —
+        # and everything displaced rotates up in r10 with the rest of
+        # the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,

@@ -938,6 +938,17 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
             f"channels={channels} block_align={block_align}"
         )
     n_frames = len(data) // block_align
+    if bits == 16 and block_align == 2:
+        # bulk path for the common mono-16 layout: one array decode
+        # instead of a per-frame unpack loop (matters for minutes-long
+        # clips — millions of samples per blob)
+        import array
+        import sys as _sys
+
+        arr = array.array("h", data[: n_frames * 2])
+        if _sys.byteorder != "little":
+            arr.byteswap()
+        return sample_rate, arr.tolist()
     out = []
     if bits == 16:
         for i in range(n_frames):
