@@ -1306,7 +1306,9 @@ KEYFRAME_SCHEMA = T.StructType(
 )
 
 
-def parse_mp4_keyframes(blob) -> "Optional[list[tuple[int, int]]]":
+def parse_mp4_keyframes(
+    blob, max_samples: int = 10_000_000
+) -> "Optional[list[tuple[int, int]]]":
     """REAL pure-Python MP4 sample-table decode: the ``(sample_number,
     start_time_ms)`` of every SYNC SAMPLE (keyframe) in the first video
     track — the information a frame-sampling pipeline needs to pick
@@ -1323,6 +1325,13 @@ def parse_mp4_keyframes(blob) -> "Optional[list[tuple[int, int]]]":
     sample (the spec's default) — all samples are returned. Returns
     ``None`` for non-BMFF input; a recognized ``moov`` with a truncated
     table raises. The transform-coded FRAMES stay behind ``decode_fn``.
+
+    ``max_samples`` bounds the stts run-length EXPANSION, not the box
+    parse: a malformed 8-byte stts entry can claim a count of 2³¹ that
+    no byte-bound check catches (the run is stored compressed), so the
+    expansion raises past the cap instead of exhausting executor
+    memory. 10 M samples ≈ a 46-hour 60 fps track — raise it for
+    genuinely longer media.
     """
     import struct
 
@@ -1405,6 +1414,11 @@ def parse_mp4_keyframes(blob) -> "Optional[list[tuple[int, int]]]":
     if stts is None or not timescale:
         return None
     # start tick of each sample (1-based), from the run-length deltas
+    if sum(c for c, _ in stts) > max_samples:
+        raise ValueError(
+            f"parse_mp4_keyframes: stts claims more than {max_samples} "
+            "samples — raise max_samples for genuinely long media"
+        )
     starts = []
     t = 0
     for count, delta in stts:

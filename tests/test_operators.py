@@ -2672,3 +2672,18 @@ def test_parse_mp4_keyframes_roundtrip_property():
         assert got == want
 
     check()
+
+
+def test_parse_mp4_keyframes_expansion_cap():
+    """A malformed stts run can claim 2^31 samples in 8 bytes — the
+    expansion must raise past max_samples, not exhaust memory."""
+    from icedb_spark.operators import parse_mp4_keyframes
+
+    big = _mp4_kf(1000, [(2**31 - 1, 10)])
+    with pytest.raises(ValueError, match="max_samples"):
+        parse_mp4_keyframes(big)
+    # a legitimate long track clears a raised cap
+    ok = _mp4_kf(1000, [(1000, 10)])
+    assert len(parse_mp4_keyframes(ok, max_samples=1000)) == 1000
+    with pytest.raises(ValueError, match="max_samples"):
+        parse_mp4_keyframes(ok, max_samples=999)
