@@ -329,12 +329,21 @@ def _decode_png(b: bytes) -> "list[int]":
             f"PNG (got depth={bitdepth}, color={colortype}, "
             f"interlace={interlace})"
         )
+    if w * h > 64_000_000:
+        # hostile-geometry guard: the IHDR claim, not the blob size,
+        # drives every allocation below
+        raise ValueError("decode_image_pixels: PNG geometry over 64M px")
+    stride = w * channels
+    want = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a kilobyte IDAT can claim gigabytes (zip
+        # bomb); never produce more than the geometry's worth + 1
+        # sentinel byte to detect oversized streams
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), want + 1)
     except zlib.error as e:
         raise ValueError(f"decode_image_pixels: bad PNG zlib stream: {e}")
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != want or d.unconsumed_tail:
         raise ValueError("decode_image_pixels: PNG pixel payload size")
     out: list[int] = []
     prev = bytes(stride)  # the spec's all-zero row above row 0
@@ -432,6 +441,13 @@ def _decode_gif(b: bytes) -> "list[int]":
                                  "color table")
             if w <= 0 or h <= 0:
                 raise ValueError("decode_image_pixels: bad GIF geometry")
+            if w * h > 64_000_000:
+                # hostile-geometry guard: LZW expands ~quadratically in
+                # the compressed size, so a small blob can legally fill
+                # any claimed w*h — bound by the claim, same cap as PNG
+                raise ValueError(
+                    "decode_image_pixels: GIF geometry over 64M px"
+                )
             min_code = b[o]
             o += 1
             data = bytearray()

@@ -2687,3 +2687,35 @@ def test_parse_mp4_keyframes_expansion_cap():
     assert len(parse_mp4_keyframes(ok, max_samples=1000)) == 1000
     with pytest.raises(ValueError, match="max_samples"):
         parse_mp4_keyframes(ok, max_samples=999)
+
+
+def test_decode_png_zip_bomb_guard():
+    """A kilobyte IDAT claiming gigabytes must fail fast: hostile IHDR
+    geometry raises before inflate, and an overlong stream for a sane
+    geometry fails the bounded-inflate size check."""
+    import struct
+    import zlib
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def png(w, h, raw):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        ihdr = (struct.pack(">I", 13) + b"IHDR" + ihdr_data
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data)))
+        z = zlib.compress(raw)
+        idat = (struct.pack(">I", len(z)) + b"IDAT" + z
+                + struct.pack(">I", zlib.crc32(b"IDAT" + z)))
+        iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND"))
+        return sig + ihdr + idat + iend
+
+    # hostile geometry: tiny blob, 2^16 x 2^16 claim
+    with pytest.raises(ValueError, match="64M px"):
+        decode_image_pixels(png(65536, 65536, b"\x00"))
+    # sane geometry, stream inflates far past it (the bomb shape)
+    with pytest.raises(ValueError, match="payload size"):
+        decode_image_pixels(png(2, 2, b"\x00" * 10_000_000))
+    # well-formed control
+    raw = b"".join(b"\x00" + bytes([10 * i, 10 * i + 1]) for i in range(2))
+    assert decode_image_pixels(png(2, 2, raw)) == [0, 1, 10, 11]
