@@ -705,6 +705,45 @@ def q38_unpivot(spark, sf_dir):
     )
 
 
+def q39_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier revenue by nation) — the six-table join
+    showcase: region→nation are BROADCAST (5 and 25 rows — the filter
+    on r_name prunes to one region before the broadcast), supplier and
+    customer broadcast too at gate scale, and the only shuffles left
+    are the two fact-side equi-joins plus the final nation rollup. The
+    c_nationkey = s_nationkey "local supplier" predicate is the join
+    that makes Q5 a plan-quality test rather than a chain of lookups.
+    Dates are half-open on o_orderdate, exactly as the spec frames it."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -4189,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_grouping_sets": q36_grouping_sets,
         "q37_rolling_window": q37_rolling_window,
         "q38_unpivot": q38_unpivot,
+        "q39_tpch_q5": q39_tpch_q5,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
@@ -4226,22 +4266,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_salted_join": q24_salted_join,
         "q32_asof_left_join": q32_asof_left_join,
         "st02_windowed_agg": st02_windowed_agg,
-        "t01_token_stats": t01_token_stats,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t03/t04/
-        # t11 (all replica-green today at sf0.01) yielded their 13
-        # slots to the round's THIRTEEN later NEW entries (m10-m13
-        # real decode, q34-q38 SQL surface, st11/st12/st13 streaming,
-        # t24 WordPiece; t23/m08/m09 entered in the earlier r9
-        # rotation, making 16 new entries in-window total) —
-        # never-checked entries outrank stale-but-proven backlog —
-        # and everything displaced rotates up in r10 with the rest of
-        # the r6 cohort.
+        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t01/t03/
+        # t04/t11 (all replica-green today at sf0.01) yielded their 14
+        # slots to the round's FOURTEEN later NEW entries (m10-m13
+        # real decode, q34-q39 SQL surface incl. TPC-H Q5,
+        # st11/st12/st13 streaming, t24 WordPiece; t23/m08/m09 entered
+        # in the earlier r9 rotation, making 17 new entries in-window
+        # total) — never-checked entries outrank stale-but-proven
+        # backlog — and everything displaced rotates up in r10 with
+        # the rest of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
+        "t01_token_stats": t01_token_stats,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "q15_scalar_funcs": q15_scalar_funcs,
@@ -4504,6 +4544,21 @@ select coalesce(l_returnflag, 'ALL') as rf,
        round(sum(l_extendedprice), 2) as sum_price
 from lineitem
 group by grouping sets ((l_returnflag), (l_linestatus), ())
+""",
+        "q39_tpch_q5": """
+select n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+  count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate < timestamp '1998-01-01 00:00:00'
+group by n_name
 """,
         "q38_unpivot": """
 with m as (
