@@ -3263,6 +3263,30 @@ def st13_stream_outer_join(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st14_stream_static_join(spark, sf_dir):
+    """Stream-STATIC enrichment join — the most common streaming shape
+    of all (fact stream ⋈ dimension table): events stream through the
+    availableNow drain broadcast-joined to the static customer
+    dimension executor-side, NO state store involved (the dim is a
+    broadcast hash relation rebuilt per batch, so dim updates between
+    batches are picked up — unlike stream-stream joins there is
+    nothing to watermark). The gate aggregates the enriched sink by
+    segment; the oracle is the equivalent batch join + rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def build(s):
+        return s.join(
+            F.broadcast(cust), s.user_id == cust.c_custkey
+        ).select("event_id", "c_mktsegment", "value")
+
+    enriched = _drain_to_memory(spark, ev, build)
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def st03_stateful_sessions(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     sessionization with a 30-min gap, sessions closed either by later data
@@ -4232,10 +4256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
+        "st14_stream_static_join": st14_stream_static_join,
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
-        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
         "t20_bpe_tokenize": t20_bpe_tokenize,
         "st10_stream_near_dedup": st10_stream_near_dedup,
         "d13_dedup_against_index": d13_dedup_against_index,
@@ -4269,19 +4293,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33 and r5-era q15/q26/q27/t01/t03/
-        # t04/t11 (all replica-green today at sf0.01) yielded their 14
-        # slots to the round's FOURTEEN later NEW entries (m10-m13
-        # real decode, q34-q39 SQL surface incl. TPC-H Q5,
-        # st11/st12/st13 streaming, t24 WordPiece; t23/m08/m09 entered
-        # in the earlier r9 rotation, making 17 new entries in-window
-        # total) — never-checked entries outrank stale-but-proven
-        # backlog — and everything displaced rotates up in r10 with
-        # the rest of the r6 cohort.
+        # q02/q04/q17/q28/q29/q30/q33, r5-era q15/q26/q27/t01/t03/
+        # t04/t11 (all replica-green today at sf0.01), and the t19
+        # change-witness (its pair-indexed-encoder path stays
+        # witnessed in-window by t23 at 37x the rules and t20's
+        # tokenize) yielded their 15 slots to the round's FIFTEEN
+        # later NEW entries (m10-m13 real decode, q34-q39 SQL surface
+        # incl. TPC-H Q5, st11-st14 streaming, t24 WordPiece;
+        # t23/m08/m09 entered in the earlier r9 rotation, making 18
+        # new entries in-window total) — never-checked entries outrank
+        # stale-but-proven backlog — and everything displaced rotates
+        # up in r10 with the rest of the r6 cohort.
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
         "t01_token_stats": t01_token_stats,
+        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
         "t03_language_id": t03_language_id,
         "t04_fingerprint": t04_fingerprint,
         "q15_scalar_funcs": q15_scalar_funcs,
@@ -4927,6 +4954,11 @@ select epoch_us(date_trunc('day', ts)) as win_start_us,
 from events
 group by 1, 2, 3
 having win_end_us <= (select wm_us from wm)
+""",
+        "st14_stream_static_join": """
+select c_mktsegment, count(*) as cnt, round(sum(value), 2) as sum_value
+from events join customer on user_id = c_custkey
+group by c_mktsegment
 """,
         "st13_stream_outer_join": """
 -- the global watermark is the MIN of the two sides' trackers (each
