@@ -1019,7 +1019,11 @@ def apply_bpe(
         import pandas as pd
 
         id_type = df.schema[id_col].dataType.simpleString()
-        merge_rules = [(l, r) for l, r in merges]
+        # a production table is 30-100k rules (~MBs pickled): broadcast
+        # ships it once per EXECUTOR, not inside every task's closure
+        bc_rules = df.sparkSession.sparkContext.broadcast(
+            [(l, r) for l, r in merges]
+        )
 
         def encode_batches(batches):
             # per-task distinct-word cache; capped so a pathological
@@ -1028,6 +1032,7 @@ def apply_bpe(
             # The pair index builds once per task: after it, per-word
             # cost no longer depends on the merge-table size.
             cache: dict = {}
+            merge_rules = bc_rules.value
             pair_ranks = _bpe_pair_index(merge_rules)
 
             def enc(w: str) -> int:
@@ -1120,11 +1125,15 @@ def bpe_tokenize(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    merge_rules = [(l, r) for l, r in merges]
+    # broadcast: the rule table ships once per executor, not per task
+    bc_rules = df.sparkSession.sparkContext.broadcast(
+        [(l, r) for l, r in merges]
+    )
     toks = tokens(F.col(text_col))
 
     def tokenize_batches(batches):
         cache: dict = {}
+        merge_rules = bc_rules.value
         pair_ranks = _bpe_pair_index(merge_rules)
 
         def enc(w: str) -> tuple:
@@ -1271,15 +1280,19 @@ def wordpiece_encode(
         (len(p) - 2 if p.startswith("##") else len(p))
         for p in vocab_set
     ) if vocab_set else 0
+    # broadcast: a 30-100k-piece vocabulary ships once per executor,
+    # not inside every task's pickled closure
+    bc_vocab = df.sparkSession.sparkContext.broadcast(vocab_set)
     toks = tokens(F.col(text_col))
 
     def run(batches):
         cache: dict = {}
+        vset = bc_vocab.value
 
         def seg(w: str) -> tuple:
             t = cache.get(w)
             if t is None:
-                t = tuple(wordpiece_match(w, vocab_set, unk, max_len))
+                t = tuple(wordpiece_match(w, vset, unk, max_len))
                 if len(cache) < 1_000_000:
                     cache[w] = t
             return t
