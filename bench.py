@@ -437,6 +437,11 @@ def main():
                 "sm06_shuffle_shard", "sm07_quality_filter",
                 "s08_trained_clustered", "d11_semdedup",
                 "sm09_semantic_coverage", "t15_bm25_search",
+                # round-9: decode stack, SQL surface, streaming joins
+                "m11_jpeg_exif", "m12_mp3_meta", "m13_mp4_keyframes",
+                "q34_stats_agg", "q36_grouping_sets",
+                "q37_rolling_window", "q38_unpivot", "q39_tpch_q5",
+                "st12_stream_stream_join", "st14_stream_static_join",
             )
         },
     })
