@@ -4010,6 +4010,44 @@ def t24_wordpiece_encode(spark, sf_dir):
     return wordpiece_encode(docs, vocab).orderBy("doc_id", "pos")
 
 
+def t25_tokenizer_roundtrip(spark, sf_dir):
+    """Tokenizer ROUND-TRIP under the value gate — the property every
+    tokenizer must ship: decode(encode(x)) == normalize(x). The stream
+    now carries word ordinals (bpe_tokenize(with_word_ord=True) —
+    without them a bare (pos, subword) BPE stream is NOT decodable,
+    there being no boundary marker in the vocabulary), and
+    bpe_detokenize rebuilds each document JVM-side (two
+    partial-aggregable groupBys keyed on the id). The entry compares
+    the rebuilt text to the normalized original per doc; the oracle
+    asserts equality holds for every non-empty doc and pins the
+    normalized length. A dropped subword, transposed position, or
+    word-boundary error flips roundtrip_ok and breaks the hash."""
+    from icedb_spark.operators import (
+        bpe_alphabet_merges,
+        bpe_detokenize,
+        bpe_tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    stream = bpe_tokenize(docs, bpe_alphabet_merges(), with_word_ord=True)
+    rebuilt = bpe_detokenize(stream)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower("text")), r"\s+", " "
+        ).alias("norm"),
+    )
+    return (
+        rebuilt.join(norm, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("text") == F.col("norm")).alias("roundtrip_ok"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -4258,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st13_stream_outer_join": st13_stream_outer_join,
         "st14_stream_static_join": st14_stream_static_join,
         "t24_wordpiece_encode": t24_wordpiece_encode,
+        "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t20_bpe_tokenize": t20_bpe_tokenize,
@@ -4289,21 +4328,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_array_funcs": q23_array_funcs,
         "q24_salted_join": q24_salted_join,
         "q32_asof_left_join": q32_asof_left_join,
-        "st02_windowed_agg": st02_windowed_agg,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r6-r8; this
         # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33, r5-era q15/q26/q27/t01/t03/
-        # t04/t11 (all replica-green today at sf0.01), and the t19
+        # q02/q04/q17/q28/q29/q30/q33, r5-era q15/q26/q27/st02/t01/
+        # t03/t04/t11 (all replica-green today at sf0.01), and the t19
         # change-witness (its pair-indexed-encoder path stays
         # witnessed in-window by t23 at 37x the rules and t20's
-        # tokenize) yielded their 15 slots to the round's FIFTEEN
-        # later NEW entries (m10-m13 real decode, q34-q39 SQL surface
-        # incl. TPC-H Q5, st11-st14 streaming, t24 WordPiece;
-        # t23/m08/m09 entered in the earlier r9 rotation, making 18
-        # new entries in-window total) — never-checked entries outrank
-        # stale-but-proven backlog — and everything displaced rotates
-        # up in r10 with the rest of the r6 cohort.
+        # tokenize; st02's windowed_agg path by st11's sliding gate)
+        # yielded their 16 slots to the round's SIXTEEN later NEW
+        # entries (m10-m13 real decode, q34-q39 SQL surface incl.
+        # TPC-H Q5, st11-st14 streaming, t24 WordPiece, t25 round-trip
+        # detokenization; t23/m08/m09 entered in the earlier r9
+        # rotation, making 19 new entries in-window total) —
+        # never-checked entries outrank stale-but-proven backlog — and
+        # everything displaced rotates up in r10 with the rest of the
+        # r6 cohort.
+        "st02_windowed_agg": st02_windowed_agg,
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
         "q17_approx_distinct": q17_approx_distinct,
@@ -4786,6 +4827,15 @@ from per_sess group by user_id
         "m13_mp4_keyframes": oracles.mp4_keyframes_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
+        "t25_tokenizer_roundtrip": r"""
+select doc_id,
+  true as roundtrip_ok,
+  cast(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+       as bigint) as n_chars
+from documents
+where doc_id % 10 = 3 and text is not null and trim(text) <> ''
+order by doc_id
+""",
         "t21_bpe_token_ids": oracles.bpe_token_ids_fixed_sql(),
         "t22_packed_token_stream": oracles.packed_token_stream_sql(),
         "t18_bpe_packing": oracles.bpe_packing_sql(),

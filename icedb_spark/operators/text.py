@@ -1104,6 +1104,7 @@ def bpe_tokenize(
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_word_ord: bool = False,
 ) -> DataFrame:
     """The actual TOKENIZATION step (apply_bpe emits the budgets; this
     emits the tokens): one output row per subword, ``(id, pos,
@@ -1148,29 +1149,36 @@ def bpe_tokenize(
 
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
-            ids, positions, subs = [], [], []
+            ids, positions, words, subs = [], [], [], []
             for i, ws in zip(pdf[id_col], pdf["_toks"]):
                 pos = 0
+                word_ord = 0
                 for w in ws:
+                    if not enc(w):
+                        continue
+                    word_ord += 1
                     for sub in enc(w):
                         pos += 1
                         ids.append(i)
                         positions.append(pos)
+                        words.append(word_ord)
                         subs.append(sub)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                    "pos": pd.Series(positions, dtype="int32"),
-                    "subword": pd.Series(subs, dtype="object"),
-                }
-            )
+            cols = {
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "pos": pd.Series(positions, dtype="int32"),
+            }
+            if with_word_ord:
+                cols["word_ord"] = pd.Series(words, dtype="int32")
+            cols["subword"] = pd.Series(subs, dtype="object")
+            yield pd.DataFrame(cols)
 
+    mid = "word_ord int, " if with_word_ord else ""
     return (
         df.select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") > 0)
         .mapInPandas(
             tokenize_batches,
-            schema=f"{id_col} {id_type}, pos int, subword string",
+            schema=f"{id_col} {id_type}, pos int, {mid}subword string",
         )
     )
 
@@ -1322,4 +1330,58 @@ def wordpiece_encode(
         df.select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") > 0)
         .mapInPandas(run, schema=f"{id_col} {id_type}, pos int, piece string")
+    )
+
+
+def bpe_detokenize(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    subword_col: str = "subword",
+) -> DataFrame:
+    """Decode a subword stream back to text — the inverse of
+    :func:`bpe_tokenize` and the property every tokenizer must ship
+    (``decode(encode(x)) == normalize(x)``): subwords of a word
+    concatenate with NO separator, words join with a single space.
+
+    Requires the ``word_ord`` column (``bpe_tokenize(...,
+    with_word_ord=True)``): a bare ``(pos, subword)`` stream is NOT
+    decodable — BPE subwords carry no word-boundary marker here, so
+    without word ordinals ``["ab", "c"]`` could be ``"ab c"`` or
+    ``"abc"``. This is why real tokenizers burn boundaries into the
+    vocabulary (GPT-2's leading-space 'Ġ', WordPiece's ``##``); this
+    engine keeps the stream clean and carries the boundary as a column.
+
+    Pure JVM aggregation — two partial-aggregable groupBys (word, then
+    document), each collecting only that document's own subwords, so
+    the shuffle key is the id and no driver-side assembly happens.
+    Output: ``(id, text)`` with ``text`` the normalized reconstruction
+    (lowercased, single-spaced — exactly what :func:`tokens` sees).
+    """
+    if "word_ord" not in tokens_df.columns:
+        raise ValueError(
+            "bpe_detokenize needs word_ord — call "
+            "bpe_tokenize(..., with_word_ord=True)"
+        )
+    words = tokens_df.groupBy(id_col, "word_ord").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col(subword_col)))
+                ),
+                lambda s: s[subword_col],
+            ),
+            "",
+        ).alias("_word"),
+        F.min("pos").alias("_first_pos"),
+    )
+    return words.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_first_pos", "_word"))
+                ),
+                lambda s: s["_word"],
+            ),
+            " ",
+        ).alias("text")
     )

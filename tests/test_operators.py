@@ -2719,3 +2719,28 @@ def test_decode_png_zip_bomb_guard():
     # well-formed control
     raw = b"".join(b"\x00" + bytes([10 * i, 10 * i + 1]) for i in range(2))
     assert decode_image_pixels(png(2, 2, raw)) == [0, 1, 10, 11]
+
+
+def test_bpe_detokenize_roundtrip(spark):
+    """decode(encode(x)) == normalize(x): word ordinals make the stream
+    decodable; a bare (pos, subword) stream is refused as ambiguous."""
+    from icedb_spark.operators import (
+        bpe_alphabet_merges,
+        bpe_detokenize,
+        bpe_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "  Hello   BPE world "), (2, "one"), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    merges = bpe_alphabet_merges()
+    stream = bpe_tokenize(docs, merges, with_word_ord=True)
+    assert stream.columns == ["doc_id", "pos", "word_ord", "subword"]
+    got = {r["doc_id"]: r["text"] for r in bpe_detokenize(stream).collect()}
+    assert got == {1: "hello bpe world", 2: "one", 3: "a b a b"}
+
+    bare = bpe_tokenize(docs, merges)
+    assert bare.columns == ["doc_id", "pos", "subword"]
+    with pytest.raises(ValueError, match="word_ord"):
+        bpe_detokenize(bare)
