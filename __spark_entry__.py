@@ -714,7 +714,10 @@ def q39_tpch_q5(spark, sf_dir):
     c_nationkey = s_nationkey "local supplier" predicate is the join
     that makes Q5 a plan-quality test rather than a chain of lookups.
     Dates are half-open on o_orderdate, exactly as the spec frames it."""
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # filter by key, not name: TPC-H data calls key 2 'ASIA', the repo's
+    # own generator 'region_2' — the key exists in both, so the entry can
+    # never go vacuously green on an empty region match
+    r = _t(spark, sf_dir, "region").where(F.col("r_regionkey") == 2)
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
@@ -4623,7 +4626,7 @@ join supplier on l_suppkey = s_suppkey
 join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
 join nation on s_nationkey = n_nationkey
 join region on n_regionkey = r_regionkey
-where r_name = 'ASIA'
+where r_regionkey = 2
   and o_orderdate >= timestamp '1996-01-01 00:00:00'
   and o_orderdate < timestamp '1998-01-01 00:00:00'
 group by n_name

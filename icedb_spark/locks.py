@@ -361,33 +361,44 @@ def s3_lock_provider(
 
         stop = threading.Event()
         state = {"etag": etag, "lost": False}
+        # serializes each renewal's PUT + etag assignment against
+        # still_ours()'s GET + compare: without it, a verify() landing
+        # between the server installing the renewal's new etag and the
+        # thread recording it would see new != recorded and latch a
+        # SPURIOUS LockLostError on a perfectly healthy lease (aborting
+        # the commit AND skipping release's marker/DELETE)
+        mu = threading.Lock()
 
         def renew_loop():
             while not stop.wait(max(ttl_s / 3.0, 0.05)):
-                try:
-                    st2, e2, _ = client.request(
-                        "PUT", key, _lease_body(op, token),
-                        {"If-Match": state["etag"]},
-                    )
-                except Exception:
-                    # transient network error / S3 5xx: the lease may
-                    # well still be ours — keep trying until stop or a
-                    # DEFINITIVE protocol answer says otherwise (dying
-                    # here would silently stop renewals and hand the
-                    # lock to a stealer at TTL)
-                    continue
-                if st2 == 200:
-                    state["etag"] = e2
-                else:  # definitive 404/409/412: stolen/expired under us
-                    state["lost"] = True
-                    return
+                with mu:
+                    try:
+                        st2, e2, _ = client.request(
+                            "PUT", key, _lease_body(op, token),
+                            {"If-Match": state["etag"]},
+                        )
+                    except Exception:
+                        # transient network error / S3 5xx: the lease
+                        # may well still be ours — keep trying until
+                        # stop or a DEFINITIVE protocol answer says
+                        # otherwise (dying here would silently stop
+                        # renewals and hand the lock to a stealer at
+                        # TTL)
+                        continue
+                    if st2 == 200:
+                        state["etag"] = e2
+                    else:  # definitive 404/409/412: stolen/expired
+                        state["lost"] = True
+                        return
 
         def still_ours() -> bool:
-            try:
-                st2, cur_etag, _ = client.request("GET", key)
-            except Exception:
-                return not state["lost"]  # indeterminate: trust renewals
-            return st2 == 200 and cur_etag == state["etag"]
+            with mu:
+                try:
+                    st2, cur_etag, _ = client.request("GET", key)
+                except Exception:
+                    # indeterminate: trust renewals
+                    return not state["lost"]
+                return st2 == 200 and cur_etag == state["etag"]
 
         def write_marker_max() -> None:
             # merge the high-water marker with max(existing, token) under

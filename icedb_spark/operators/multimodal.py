@@ -1212,14 +1212,21 @@ def parse_mp3_meta(blob) -> tuple:
     like JPEG pixels).
 
     ID3v2: header ``ID3 vv f ssss`` with a SYNCSAFE (7-bit) total size;
-    frames walked inside the tag — v2.4 frame sizes are syncsafe, v2.3
-    plain big-endian (both honored); text frames carry an encoding byte
-    (0 latin-1, 3 utf-8 — both decoded); TIT2 → title, TPE1 → artist.
-    MPEG frame: the first 0xFFE sync after the tag; MPEG1 Layer III
-    bitrate/sample-rate indices resolve through the published tables,
-    and ``est_duration_ms = audio_bytes * 8 // bitrate_kbps`` (the
-    CBR estimate). Returns all-NULLs for unrecognized input; a
-    recognized ID3/sync with a corrupt layout raises.
+    frames walked inside the tag — v2.2's 6-byte frame headers (3-byte
+    ids ``TT2``/``TP1``, 3-byte sizes), v2.3's plain big-endian u32 and
+    v2.4's syncsafe sizes are all honored; text frames carry an
+    encoding byte (0 latin-1, 3 utf-8 — both decoded); TIT2/TT2 →
+    title, TPE1/TP1 → artist. MPEG frame: the first 0xFFE sync after
+    the tag whose header decodes as MPEG1 Layer III — syncs with other
+    version/layer bits (MPEG2/2.5 audio, or stray 0xFF bytes in
+    padding) are SKIPPED, not fatal, so one exotic blob in an untrusted
+    corpus cannot fail the whole task; such files still yield their tag
+    metadata with NULL audio fields. Bitrate/sample-rate indices
+    resolve through the published tables and ``est_duration_ms =
+    audio_bytes * 8 // bitrate_kbps`` (the CBR estimate). Returns
+    all-NULLs for unrecognized input; a recognized ID3 tag with a
+    corrupt LAYOUT (size past blob, bad syncsafe bytes, reserved text
+    encoding) still raises — structural corruption should be loud.
     """
     import struct
 
@@ -1234,20 +1241,34 @@ def parse_mp3_meta(blob) -> tuple:
         end = 10 + tag_size
         if end > len(b):
             raise ValueError("parse_mp3_meta: ID3 size past blob")
+        # frame-header geometry by tag version: v2.2 = 3-byte id +
+        # 3-byte size (no flags), v2.3/2.4 = 4-byte id + 4-byte size +
+        # 2 flag bytes
+        hdr_len = 6 if ver == 2 else 10
+        title_id = b"TT2" if ver == 2 else b"TIT2"
+        artist_id = b"TP1" if ver == 2 else b"TPE1"
         fo = 10
-        while fo + 10 <= end:
-            fid = b[fo:fo + 4]
-            if fid == b"\x00\x00\x00\x00":
+        while fo + hdr_len <= end:
+            fid = b[fo:fo + (3 if ver == 2 else 4)]
+            if not fid.strip(b"\x00"):
                 break  # padding
-            raw = b[fo + 4:fo + 8]
-            if ver >= 4:
-                if any(x & 0x80 for x in raw):
-                    raise ValueError("parse_mp3_meta: bad syncsafe frame")
-                fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+            if ver == 2:
+                fsize = int.from_bytes(b[fo + 3:fo + 6], "big")
             else:
-                (fsize,) = struct.unpack(">I", raw)
-            payload = b[fo + 10:fo + 10 + fsize]
-            if fid in (b"TIT2", b"TPE1") and payload:
+                raw = b[fo + 4:fo + 8]
+                if ver >= 4:
+                    if any(x & 0x80 for x in raw):
+                        raise ValueError(
+                            "parse_mp3_meta: bad syncsafe frame"
+                        )
+                    fsize = (
+                        (raw[0] << 21) | (raw[1] << 14)
+                        | (raw[2] << 7) | raw[3]
+                    )
+                else:
+                    (fsize,) = struct.unpack(">I", raw)
+            payload = b[fo + hdr_len:fo + hdr_len + fsize]
+            if fid in (title_id, artist_id) and payload:
                 enc = payload[0]
                 text = payload[1:]
                 if enc == 0:
@@ -1259,30 +1280,31 @@ def parse_mp3_meta(blob) -> tuple:
                         f"parse_mp3_meta: unsupported text encoding {enc}"
                     )
                 s = s.split("\x00", 1)[0]
-                if fid == b"TIT2":
+                if fid == title_id:
                     title = s
                 else:
                     artist = s
-            fo += 10 + fsize
+            fo += hdr_len + fsize
         o = end
-    # first MPEG frame header after the tag
+    # first sync after the tag that decodes as a VALID MPEG1-L3 header;
+    # anything else (MPEG2/2.5 audio, free/invalid indices, stray 0xFF
+    # bytes in padding) is skipped, not fatal — an exotic-but-legal blob
+    # in an untrusted corpus must not fail the whole task
     bitrate = rate = dur = None
     while o + 4 <= len(b):
         if b[o] == 0xFF and (b[o + 1] & 0xE0) == 0xE0:
             ver_bits = (b[o + 1] >> 3) & 0x3
             layer_bits = (b[o + 1] >> 1) & 0x3
-            if ver_bits != 3 or layer_bits != 1:
-                raise ValueError(
-                    "parse_mp3_meta: only MPEG1 Layer III headers supported"
-                )
             br_idx = (b[o + 2] >> 4) & 0xF
             sr_idx = (b[o + 2] >> 2) & 0x3
-            bitrate = _MP3_BITRATES[br_idx]
-            rate = _MP3_RATES[sr_idx]
-            if bitrate == 0 or rate == 0:
-                raise ValueError("parse_mp3_meta: free/invalid bitrate or rate")
-            dur = (len(b) - o) * 8 // bitrate
-            break
+            if (
+                ver_bits == 3 and layer_bits == 1
+                and _MP3_BITRATES[br_idx] and _MP3_RATES[sr_idx]
+            ):
+                bitrate = _MP3_BITRATES[br_idx]
+                rate = _MP3_RATES[sr_idx]
+                dur = (len(b) - o) * 8 // bitrate
+                break
         o += 1
     if title is None and artist is None and bitrate is None:
         return None, None, None, None, None
@@ -1358,75 +1380,107 @@ def parse_mp4_keyframes(
         while o + 8 <= end:
             (size,) = struct.unpack(">I", b[o:o + 4])
             typ = b[o + 4:o + 8]
-            if size < 8 or o + size > end:
+            body = o + 8
+            if size == 0:
+                # spec: box extends to the end of the enclosing space
+                size = end - o
+            elif size == 1:
+                # 64-bit largesize (any >4 GB mdat uses this)
+                if o + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", b[o + 8:o + 16])
+                body = o + 16
+            if size < body - o or o + size > end:
                 return
-            yield typ, o + 8, o + size
+            yield typ, body, o + size
             o += size
 
     if len(b) < 8 or b[4:8] not in (b"ftyp", b"moov", b"mdat", b"free"):
         return None
-    timescale = None
-    stts = None
-    stss = None
-    found_track = False
+
+    def parse_trak(s2, e2):
+        """(handler, timescale, stts, stss) of one trak box."""
+        handler = timescale = stts = stss = None
+        for t3, s3, e3 in boxes(s2, e2):
+            if t3 != b"mdia":
+                continue
+            for t4, s4, e4 in boxes(s3, e3):
+                if t4 == b"mdhd":
+                    ver = b[s4]
+                    off = s4 + (20 if ver == 1 else 12)
+                    if off + 4 > e4:
+                        raise ValueError(
+                            "parse_mp4_keyframes: truncated mdhd"
+                        )
+                    (timescale,) = struct.unpack(">I", b[off:off + 4])
+                elif t4 == b"hdlr" and s4 + 12 <= e4:
+                    handler = b[s4 + 8:s4 + 12]
+                elif t4 == b"minf":
+                    for t5, s5, e5 in boxes(s4, e4):
+                        if t5 != b"stbl":
+                            continue
+                        for t6, s6, e6 in boxes(s5, e5):
+                            if t6 == b"stts":
+                                (n,) = struct.unpack(
+                                    ">I", b[s6 + 4:s6 + 8]
+                                )
+                                if s6 + 8 + 8 * n > e6:
+                                    raise ValueError(
+                                        "parse_mp4_keyframes: "
+                                        "truncated stts"
+                                    )
+                                stts = [
+                                    struct.unpack(
+                                        ">II",
+                                        b[s6 + 8 + 8 * i:
+                                          s6 + 16 + 8 * i],
+                                    )
+                                    for i in range(n)
+                                ]
+                            elif t6 == b"stss":
+                                (n,) = struct.unpack(
+                                    ">I", b[s6 + 4:s6 + 8]
+                                )
+                                if s6 + 8 + 4 * n > e6:
+                                    raise ValueError(
+                                        "parse_mp4_keyframes: "
+                                        "truncated stss"
+                                    )
+                                stss = [
+                                    struct.unpack(
+                                        ">I",
+                                        b[s6 + 8 + 4 * i:
+                                          s6 + 12 + 4 * i],
+                                    )[0]
+                                    for i in range(n)
+                                ]
+        return handler, timescale, stts, stss
+
+    # walk EVERY trak and pick the VIDEO one (hdlr == 'vide'): real
+    # muxers often put the audio track first, and keyframes of the
+    # audio stbl (no stss -> every sample "sync") would explode one
+    # bogus row per audio sample. Tracks without an hdlr fall back to
+    # first-with-sample-table (covers minimal synthesized shells).
+    timescale = stts = stss = None
+    fallback = None
     for typ, s, e in boxes(0, len(b)):
         if typ != b"moov":
             continue
         for t2, s2, e2 in boxes(s, e):
-            if t2 != b"trak" or found_track:
+            if t2 != b"trak":
                 continue
-            found_track = True
-            for t3, s3, e3 in boxes(s2, e2):
-                if t3 != b"mdia":
-                    continue
-                for t4, s4, e4 in boxes(s3, e3):
-                    if t4 == b"mdhd":
-                        ver = b[s4]
-                        off = s4 + (20 if ver == 1 else 12)
-                        if off + 4 > e4:
-                            raise ValueError(
-                                "parse_mp4_keyframes: truncated mdhd"
-                            )
-                        (timescale,) = struct.unpack(">I", b[off:off + 4])
-                    elif t4 == b"minf":
-                        for t5, s5, e5 in boxes(s4, e4):
-                            if t5 != b"stbl":
-                                continue
-                            for t6, s6, e6 in boxes(s5, e5):
-                                if t6 == b"stts":
-                                    (n,) = struct.unpack(
-                                        ">I", b[s6 + 4:s6 + 8]
-                                    )
-                                    if s6 + 8 + 8 * n > e6:
-                                        raise ValueError(
-                                            "parse_mp4_keyframes: "
-                                            "truncated stts"
-                                        )
-                                    stts = [
-                                        struct.unpack(
-                                            ">II",
-                                            b[s6 + 8 + 8 * i:
-                                              s6 + 16 + 8 * i],
-                                        )
-                                        for i in range(n)
-                                    ]
-                                elif t6 == b"stss":
-                                    (n,) = struct.unpack(
-                                        ">I", b[s6 + 4:s6 + 8]
-                                    )
-                                    if s6 + 8 + 4 * n > e6:
-                                        raise ValueError(
-                                            "parse_mp4_keyframes: "
-                                            "truncated stss"
-                                        )
-                                    stss = [
-                                        struct.unpack(
-                                            ">I",
-                                            b[s6 + 8 + 4 * i:
-                                              s6 + 12 + 4 * i],
-                                        )[0]
-                                        for i in range(n)
-                                    ]
+            handler, ts_, stts_, stss_ = parse_trak(s2, e2)
+            if stts_ is None or not ts_:
+                continue
+            if handler == b"vide":
+                timescale, stts, stss = ts_, stts_, stss_
+                break
+            if handler is None and fallback is None:
+                fallback = (ts_, stts_, stss_)
+        if stts is not None:
+            break
+    if stts is None and fallback is not None:
+        timescale, stts, stss = fallback
     if stts is None or not timescale:
         return None
     # start tick of each sample (1-based), from the run-length deltas

@@ -911,6 +911,33 @@ def _bpe_encode_len(word: str, merge_rules: list) -> int:
     return len(_bpe_encode_syms(word, merge_rules))
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def _broadcast_cached(df: DataFrame, value, key: tuple):
+    """Per-session cached ``SparkContext.broadcast`` keyed by the table's
+    CONTENT: repeated calls with the same merge table / vocabulary (a
+    per-micro-batch streaming loop encodes with one tokenizer forever)
+    reuse one executor-resident copy instead of leaking a new broadcast
+    per call. Bounded at 4 live tables per session — evicted entries are
+    destroyed so their executor memory is reclaimed; a fifth concurrent
+    tokenizer just pays a re-broadcast."""
+    sc = df.sparkSession.sparkContext
+    full_key = (id(sc), key)
+    bc = _BROADCAST_CACHE.get(full_key)
+    if bc is None:
+        bc = sc.broadcast(value)
+        same_sc = [k for k in _BROADCAST_CACHE if k[0] == id(sc)]
+        if len(same_sc) >= 4:
+            old = same_sc[0]
+            try:
+                _BROADCAST_CACHE.pop(old).destroy()
+            except Exception:
+                pass
+        _BROADCAST_CACHE[full_key] = bc
+    return bc
+
+
 _PAIR_INDEX_CACHE: dict = {}
 
 
@@ -1020,10 +1047,10 @@ def apply_bpe(
 
         id_type = df.schema[id_col].dataType.simpleString()
         # a production table is 30-100k rules (~MBs pickled): broadcast
-        # ships it once per EXECUTOR, not inside every task's closure
-        bc_rules = df.sparkSession.sparkContext.broadcast(
-            [(l, r) for l, r in merges]
-        )
+        # ships it once per EXECUTOR, not inside every task's closure —
+        # and the cache reuses one copy across per-batch re-invocations
+        rules = [(l, r) for l, r in merges]
+        bc_rules = _broadcast_cached(df, rules, ("bpe", tuple(rules)))
 
         def encode_batches(batches):
             # per-task distinct-word cache; capped so a pathological
@@ -1126,10 +1153,10 @@ def bpe_tokenize(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    # broadcast: the rule table ships once per executor, not per task
-    bc_rules = df.sparkSession.sparkContext.broadcast(
-        [(l, r) for l, r in merges]
-    )
+    # broadcast: the rule table ships once per executor, not per task,
+    # cached across calls so per-batch loops don't leak broadcasts
+    rules = [(l, r) for l, r in merges]
+    bc_rules = _broadcast_cached(df, rules, ("bpe", tuple(rules)))
     toks = tokens(F.col(text_col))
 
     def tokenize_batches(batches):
@@ -1289,8 +1316,11 @@ def wordpiece_encode(
         for p in vocab_set
     ) if vocab_set else 0
     # broadcast: a 30-100k-piece vocabulary ships once per executor,
-    # not inside every task's pickled closure
-    bc_vocab = df.sparkSession.sparkContext.broadcast(vocab_set)
+    # not inside every task's pickled closure; cached across calls so
+    # per-batch loops don't leak broadcasts
+    bc_vocab = _broadcast_cached(
+        df, vocab_set, ("wp", tuple(sorted(vocab_set)))
+    )
     toks = tokens(F.col(text_col))
 
     def run(batches):

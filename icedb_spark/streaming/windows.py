@@ -267,4 +267,11 @@ def stream_interval_join(
     time_lo = rw[r_ts] >= lw[left_ts] + F.expr(f"interval {lower}")
     time_hi = rw[r_ts] <= lw[left_ts] + F.expr(f"interval {upper}")
     cond = cond & time_lo & time_hi
-    return lw.join(rw, cond, join_type).drop(*[rw[rk(k)] for k in keys])
+    joined = lw.join(rw, cond, join_type)
+    # one key column out, NULL-safe for BOTH outer directions: a
+    # rightOuter's unmatched right rows NULL-pad the left side, so the
+    # emitted key must coalesce across sides (equal whenever both are
+    # present, by the join condition)
+    for k in keys:
+        joined = joined.withColumn(k, F.coalesce(lw[k], rw[rk(k)]))
+    return joined.drop(*[rw[rk(k)] for k in keys])

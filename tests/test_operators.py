@@ -2558,8 +2558,23 @@ def test_parse_mp3_meta_real():
             b"\x00\x00\x00a", b"\x00\x00\x01a", 1))
     with pytest.raises(ValueError):  # ID3 size past blob
         parse_mp3_meta(b"ID3\x03\x00\x00\x00\x00\x01\x00")
-    with pytest.raises(ValueError):  # free bitrate index
-        parse_mp3_meta(b"\xff\xfb\x00\x00" + b"\x00" * 10)
+    # non-MPEG1-L3 syncs and free/invalid indices are SKIPPED, not
+    # fatal: exotic-but-legal blobs must not fail an untrusted-corpus
+    # task (MPEG2 ver_bits=2; free bitrate idx 0)
+    assert parse_mp3_meta(b"\xff\xfb\x00\x00" + b"\x00" * 10) == (None,) * 5
+    assert parse_mp3_meta(b"\xff\xf3\x90\x00" + b"\x00" * 10) == (None,) * 5
+    # a v2.2 tag (3-byte ids TT2/TP1, 3-byte sizes) parses correctly
+    def v22_frame(fid, text):
+        payload = b"\x00" + text.encode("latin-1")
+        return fid + len(payload).to_bytes(3, "big") + payload
+    body = v22_frame(b"TT2", "old title") + v22_frame(b"TP1", "old artist")
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    v22 = (b"ID3\x02\x00\x00" + ss + body
+           + b"\xff\xfb\x90\x00" + b"\x00" * 60)
+    t22p = parse_mp3_meta(v22)
+    assert t22p[:2] == ("old title", "old artist") and t22p[2] == 128
 
 
 def test_decode_mp3_meta_spark(spark):
@@ -2744,3 +2759,44 @@ def test_bpe_detokenize_roundtrip(spark):
     assert bare.columns == ["doc_id", "pos", "subword"]
     with pytest.raises(ValueError, match="word_ord"):
         bpe_detokenize(bare)
+
+
+def test_parse_mp4_keyframes_video_track_selection():
+    """Real muxers often put the audio trak first: the parser must pick
+    the trak whose hdlr is 'vide' (an audio trak with no stss would
+    otherwise explode one bogus keyframe per audio sample), and must
+    walk past a 64-bit largesize mdat to find moov."""
+    import struct
+
+    from icedb_spark.operators import parse_mp4_keyframes
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def trak(handler, timescale, runs, stss=None):
+        mdhd = box(b"mdhd", b"\x00" * 12
+                   + struct.pack(">II", timescale, 0) + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        stts = box(b"stts", b"\x00" * 4 + struct.pack(">I", len(runs))
+                   + b"".join(struct.pack(">II", c, d) for c, d in runs))
+        tables = stts
+        if stss is not None:
+            tables += box(b"stss", b"\x00" * 4
+                          + struct.pack(">I", len(stss))
+                          + b"".join(struct.pack(">I", x) for x in stss))
+        return box(b"trak", box(b"mdia",
+                                mdhd + hdlr + box(b"minf", box(b"stbl", tables))))
+
+    # audio first (44.1k samples/s shape, no stss), video second
+    audio = trak(b"soun", 44100, [(8, 1024)])
+    video = trak(b"vide", 1000, [(4, 250)], stss=[1, 3])
+    moov = box(b"moov", audio + video)
+    blob = box(b"ftyp", b"isom\x00\x00\x00\x00") + moov
+    assert parse_mp4_keyframes(blob) == [(1, 0), (3, 500)]
+
+    # a largesize (size==1, 64-bit) mdat before moov must not hide it
+    mdat_payload = b"\x00" * 24
+    large_mdat = (struct.pack(">I", 1) + b"mdat"
+                  + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload)
+    blob2 = box(b"ftyp", b"isom\x00\x00\x00\x00") + large_mdat + moov
+    assert parse_mp4_keyframes(blob2) == [(1, 0), (3, 500)]

@@ -274,3 +274,20 @@ def test_409_reads_as_lost_cas(s3, monkeypatch):
     monkeypatch.setattr(_ur, "urlopen", conflict)
     st, etag, _ = c.request("PUT", "obj", b"v", {"If-None-Match": "*"})
     assert st == 409 and etag == ""
+
+
+def test_verify_never_spurious_during_renewals(s3):
+    """verify() racing the renewal thread must NEVER raise on a healthy
+    lease: the renewal PUT installs a new etag server-side before the
+    thread records it, and an unserialized GET landing in that window
+    would compare new-vs-old and latch a spurious loss. A tiny TTL
+    forces many renewals while verify() hammers concurrently."""
+    provider = _provider(s3, ttl_s=0.15)
+    with provider("merge") as lease:
+        deadline = time.monotonic() + 2.0
+        n = 0
+        while time.monotonic() < deadline:
+            lease.verify()  # must not raise — nobody is stealing
+            n += 1
+        assert n > 50  # the loop really ran against live renewals
+        assert not lease.lost

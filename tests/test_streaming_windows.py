@@ -263,3 +263,28 @@ def test_stream_interval_join_batch_semantics(spark):
         (r["event_id"], r["r_event_id"]) for r in lo.collect()
     )
     assert outer == [(1, 10), (1, 11), (2, None), (3, None)]
+
+
+def test_stream_interval_join_right_outer_keys(spark):
+    """rightOuter must emit the join key for unmatched RIGHT rows (the
+    left side is the NULL-padded one there)."""
+    from icedb_spark.streaming import stream_interval_join
+
+    L = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00")],
+        "event_id long, user_id string, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    R = spark.createDataFrame(
+        [(10, "u1", "2024-01-01 10:30:00"),   # matches
+         (11, "u9", "2024-01-01 10:30:00")],  # no left row for u9
+        "event_id long, user_id string, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    ro = stream_interval_join(
+        L, R, ("user_id",), "ts", "ts",
+        lower="0 seconds", upper="1 hour", join_type="rightOuter",
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], r["r_event_id"]) for r in ro.collect()
+    )
+    assert got == [("u1", 1, 10), ("u9", None, 11)]
