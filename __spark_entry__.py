@@ -747,6 +747,73 @@ def q39_tpch_q5(spark, sf_dir):
     )
 
 
+def q40_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) — the classic top-k-over-join shape:
+    both date filters PUSH into their scans (half the orders and half
+    the lineitems never leave the parquet reader), the segment-filtered
+    customer side joins in before any aggregation, and the final top-10
+    is TakeOrderedAndProject — a per-partition bounded heap plus one
+    10-row driver merge, NEVER a global sort. At 100 TB the two fact
+    joins shuffle on their keys (customer is a scaling dimension, so no
+    broadcast hint — AQE flips it to broadcast when a filter makes it
+    small); revenue ties break on (o_orderdate, l_orderkey) so the
+    limit is deterministic on both engines."""
+    pivot = F.lit("1998-06-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < pivot)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > pivot)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q41_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue) — the CORRELATED-scalar-
+    subquery showcase, decorrelated the way Catalyst itself would: the
+    per-part threshold ``l_quantity < 0.2 * avg(l_quantity)`` becomes
+    one partial-aggregable groupBy over the BRAND-PRUNED lineitem slice
+    (the broadcast semi-join against the filtered part list lands
+    before the aggregate, so the threshold pass never scans the other
+    brands) and a broadcast join back — two passes over ~1/25 of
+    lineitem, zero passes over the rest. The comparison is multiplied
+    through to ``5·qty·cnt < sum(qty)``: l_quantity is integral, so
+    both sides are EXACT in doubles and the gate cannot wobble on a
+    float-threshold boundary the way ``0.2*avg`` (whose value depends
+    on summation order) could."""
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    thr = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_sq"), F.count("*").alias("_c")
+    )
+    return (
+        li.join(F.broadcast(thr), "l_partkey")
+        .where(F.col("l_quantity") * 5 * F.col("_c") < F.col("_sq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -901,6 +968,25 @@ def sm09_semantic_coverage(spark, sf_dir):
     return semantic_coverage_sample(
         emb, dim=64, per_cell=5, n_clusters=16, iters=2
     )
+
+
+def sm10_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirtakis
+    exponential race) under the value gate: 200 documents drawn with
+    probability proportional to LENGTH (n_chars) — the "sample docs
+    proportional to quality x size" mixing primitive a plain rate
+    filter can't express. Priority = -ln((hash60(key)+1)/2^60)/w; u is
+    a bigint over an exact power of two so both engines see bit-equal
+    u, and the k-smallest plan is TakeOrderedAndProject (per-partition
+    bounded heap + one 200-row reduce — no global sort, no shuffle).
+    A wrong hash, offset, weight guard, or tie order shifts the
+    selected set and breaks the match."""
+    from icedb_spark.operators import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, 200, weight_col="n_chars", key_col="doc_id", seed=11
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
 def d10_cluster_pick_best(spark, sf_dir):
@@ -4294,6 +4380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_rolling_window": q37_rolling_window,
         "q38_unpivot": q38_unpivot,
         "q39_tpch_q5": q39_tpch_q5,
+        "q40_tpch_q3": q40_tpch_q3,
+        "q41_tpch_q17": q41_tpch_q17,
+        "sm10_weighted_sample": sm10_weighted_sample,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
@@ -4631,6 +4720,36 @@ where r_regionkey = 2
   and o_orderdate < timestamp '1998-01-01 00:00:00'
 group by n_name
 """,
+        "q40_tpch_q3": """
+select l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1998-06-01 00:00:00'
+  and l_shipdate > timestamp '1998-06-01 00:00:00'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, o_orderdate, l_orderkey
+limit 10
+""",
+        # same integer-exact decorrelation as the entry: 5*qty*cnt < sum
+        # is the multiplied-through form of qty < 0.2*avg (qty integral)
+        "q41_tpch_q17": """
+with li as (
+  select l_partkey, l_quantity, l_extendedprice
+  from lineitem join part on l_partkey = p_partkey
+  where p_brand = 'Brand#13'
+),
+t as (
+  select l_partkey, sum(l_quantity) as sq, count(*) as c
+  from li group by l_partkey
+)
+select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
+  count(*) as n_items
+from li join t using (l_partkey)
+where l_quantity * 5 * c < sq
+""",
         "q38_unpivot": """
 with m as (
   select 'l_quantity' as metric, l_quantity as val from lineitem
@@ -4877,6 +4996,9 @@ order by doc_id
         ),
         "sm09_semantic_coverage": oracles.semantic_coverage_sample_sql(
             per_cell=5, n_clusters=16, iters=2
+        ),
+        "sm10_weighted_sample": oracles.weighted_sample_sql(
+            k=200, seed=11
         ),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         # rest01 round-trips region through POST /insert + /flush and

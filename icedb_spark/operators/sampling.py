@@ -150,6 +150,73 @@ def top_k_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirtakis
+    exponential-race (A-ES): every row draws the deterministic uniform
+    ``u = (hash60(key)+1) / 2^60`` in (0, 1] and a priority
+    ``-ln(u) / w``; the k SMALLEST priorities are exactly a weighted
+    sample without replacement (each row's priority is an Exp(w) order
+    statistic, so inclusion probability follows the weights). This is
+    the primitive behind quality-weighted corpus selection ("sample 1M
+    docs proportional to quality x length") that a plain rate filter
+    can't express.
+
+    Deterministic and engine-independent like every sampler here: the
+    same key + seed wins on every run, machine, and engine, so re-runs
+    reproduce the exact subset and an oracle can verify it. Plans as
+    per-partition partial top-k + a k-row reduce
+    (TakeOrderedAndProject) — no global sort, no shuffle of the corpus;
+    at 100 TB each executor forwards only k candidate rows.
+
+    Rows with NULL or non-positive weight can never be sampled and are
+    filtered out (a zero weight is "never pick me"; A-ES needs w > 0).
+    Ties on the float priority (astronomically unlikely with distinct
+    keys) break on the key itself, keeping the result total-order
+    stable. The u+1 offset keeps u strictly positive so ``ln`` is
+    total.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (hash60(F.col(key_col), seed) + 1) / F.lit(float(_HSPACE))
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__ws_pri", pri)
+        .orderBy(F.col("__ws_pri"), F.col(key_col))
+        .limit(k)
+        .drop("__ws_pri")
+    )
+
+
+def weighted_sample_sql(
+    k: int,
+    weight_expr: str,
+    key_expr: str,
+    seed: int = 0,
+    table: str = "documents",
+    cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample` — the identical
+    exponential-race priority over the identical hash. u is a bigint
+    divided by an exact power of two, so both engines see bit-equal u;
+    ``ln`` may differ in the last ulp, which can only reorder
+    astronomically-near priority ties."""
+    h = hash60_sql(key_expr, seed)
+    return (
+        f"select {cols} from {table} "
+        f"where {weight_expr} > 0 "
+        f"order by -ln(({h} + 1) / {float(_HSPACE)!r})"
+        f" / cast({weight_expr} as double), {key_expr} "
+        f"limit {k}"
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -978,6 +978,25 @@ from {table} group by 1
 """
 
 
+def weighted_sample_sql(
+    k: int = 200, seed: int = 11, table: str = "documents",
+) -> str:
+    """Mirror of operators.sampling.weighted_sample over the documents
+    table, weighted by n_chars: the identical Efraimidis–Spirtakis
+    exponential-race priority over the identical hash60 — see
+    sampling.weighted_sample_sql for the float-determinism argument."""
+    from .operators.sampling import weighted_sample_sql as _ws
+
+    return _ws(
+        k,
+        "n_chars",
+        "cast(doc_id as varchar)",
+        seed=seed,
+        table=table,
+        cols="doc_id, lang, n_chars",
+    )
+
+
 def top_k_sample_sql(
     k: int, seed: int = 0, table: str = "documents",
     key_expr: str = "cast(doc_id as varchar)",

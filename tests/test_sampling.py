@@ -225,3 +225,74 @@ def test_alpha_sample_rebalances_toward_uniform(spark):
 
     with _pt.raises(ValueError):
         alpha_sample(df, 1.5, "lang", "doc_id")
+
+
+def test_weighted_sample_matches_duckdb_exactly(docs):
+    from icedb_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(docs, 50, "n_chars", "doc_id", seed=11)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            weighted_sample_sql(
+                50,
+                "n_chars",
+                "cast(doc_id as varchar)",
+                seed=11,
+                table=(
+                    "read_parquet("
+                    "'/root/testdata/sf0.001/documents.parquet')"
+                ),
+                cols="doc_id",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_sample_follows_weights(spark):
+    from icedb_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=50): a 200-row A-ES
+    # draw must be dominated by the heavy group
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, 200, "w", "doc_id").collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["doc_id"] >= 1000)
+    assert heavy > 160  # E[heavy] ≈ 196; far from uniform's 100
+
+
+def test_weighted_sample_guards_weights_and_k(spark):
+    from icedb_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "w", "doc_id").collect()}
+    assert got == {1, 5}  # zero/negative/NULL weights can never win
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample(df, 0, "w", "doc_id")
+
+
+def test_weighted_sample_plans_as_take_ordered(docs):
+    from icedb_spark.operators.sampling import weighted_sample
+
+    plan = (
+        weighted_sample(docs, 10, "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
