@@ -4137,6 +4137,58 @@ def t25_tokenizer_roundtrip(spark, sf_dir):
     )
 
 
+def t26_unigram_encode(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenization under the value
+    gate — the THIRD tokenizer family beside BPE (t16-t23, merge
+    replay) and WordPiece (t24, greedy longest-match): exact VITERBI
+    segmentation maximizing the total piece score, where a locally
+    attractive long piece loses if the rest of the word segments badly
+    behind it — a global optimum no greedy walk computes. Vocabulary
+    and scores derive deterministically from the corpus on BOTH
+    engines: every corpus character, plus the 2-/3-char combinations
+    md5-selected at 1/3 and 1/7, each scored ``-8 + ((h4>>4) % 7)`` —
+    negative integers like log-probs, so fewer pieces usually (but not
+    always) win, and integer totals keep the optimum engine-exact.
+    Spark side: the O(len · max_piece_len) suffix DP per distinct word
+    behind the shared per-task cache (:func:`unigram_viterbi`). Oracle:
+    a recursive CTE enumerates every reachable (position, score) state,
+    max() per position recovers the DP table, and a forward walk takes
+    the longest locally-optimal piece — the entry's documented
+    tie-break. Any DP or scoring error shifts a segmentation and breaks
+    every downstream position."""
+    import hashlib
+
+    from icedb_spark.operators import tokens as _tokens, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    chs = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where("length(w) > 0")
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    charset = sorted(r["c"] for r in chs)
+
+    def h4(p: str) -> int:
+        return int(hashlib.md5(("u:" + p).encode()).hexdigest()[:4], 16)
+
+    def score(p: str) -> int:
+        return -8 + ((h4(p) >> 4) % 7)
+
+    scores = {c: score(c) for c in charset}
+    for c1 in charset:
+        for c2 in charset:
+            p2 = c1 + c2
+            if h4(p2) % 3 == 0:
+                scores[p2] = score(p2)
+            for c3 in charset:
+                p3 = p2 + c3
+                if h4(p3) % 7 == 0:
+                    scores[p3] = score(p3)
+    return unigram_encode(docs, scores).orderBy("doc_id", "pos")
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -4389,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st14_stream_static_join": st14_stream_static_join,
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
+        "t26_unigram_encode": t26_unigram_encode,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t20_bpe_tokenize": t20_bpe_tokenize,
@@ -4949,6 +5002,7 @@ from per_sess group by user_id
         "m13_mp4_keyframes": oracles.mp4_keyframes_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
+        "t26_unigram_encode": oracles.unigram_fixed_sql(),
         "t25_tokenizer_roundtrip": r"""
 select doc_id,
   true as roundtrip_ok,

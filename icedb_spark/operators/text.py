@@ -1363,6 +1363,142 @@ def wordpiece_encode(
     )
 
 
+def unigram_viterbi(
+    word: str, scores: "dict[str, float]", max_len: int, unk: str
+) -> list:
+    """Viterbi (maximum-total-score) segmentation of one word over a
+    scored piece vocabulary — the Unigram-LM / SentencePiece tokenizer
+    rule (Kudo 2018): among ALL segmentations of the word into
+    vocabulary pieces, return the one maximizing the sum of piece
+    scores (log-probabilities in a trained model). Unlike the greedy
+    families (BPE replays merges, WordPiece takes the local longest
+    match), Unigram optimizes globally — a locally attractive long
+    piece loses when the rest of the word segments badly behind it.
+
+    Exact DP, O(len · max_len) dict probes per word: ``g[i]`` = best
+    score of segmenting the suffix ``word[i:]`` (None when
+    unreachable), then a forward walk re-derives the argmax. Ties
+    (two segmentations with the same total) break toward the LONGEST
+    piece at the earliest position — deterministic and reproducible
+    in SQL, where the same rule is one ``max(L)`` per position. A
+    word with no segmentation at all (a character outside the
+    vocabulary) collapses to ``unk`` whole, mirroring
+    :func:`wordpiece_match`'s word-level failure mode. Pure function
+    so the Spark operator, the oracle reasoning, and tests share one
+    implementation."""
+    n = len(word)
+    g: list = [None] * (n + 1)
+    g[n] = 0
+    for i in range(n - 1, -1, -1):
+        best = None
+        for L in range(1, min(max_len, n - i) + 1):
+            if g[i + L] is None:
+                continue
+            s = scores.get(word[i:i + L])
+            if s is None:
+                continue
+            tot = s + g[i + L]
+            if best is None or tot > best:
+                best = tot
+        g[i] = best
+    if g[0] is None:
+        return [unk]
+    pieces = []
+    i = 0
+    while i < n:
+        # longest piece consistent with the optimum at i (ties on the
+        # TOTAL break toward longer pieces; same-length candidates are
+        # the same substring, so the choice is unique)
+        for L in range(min(max_len, n - i), 0, -1):
+            if g[i + L] is None:
+                continue
+            s = scores.get(word[i:i + L])
+            if s is not None and s + g[i + L] == g[i]:
+                pieces.append(word[i:i + L])
+                i += L
+                break
+        else:  # pragma: no cover — g[0] reachable implies a step exists
+            return [unk]
+    return pieces
+
+
+def unigram_encode(
+    df: DataFrame,
+    scores: "dict[str, float]",
+    unk: str = "[UNK]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization — the third
+    tokenizer family beside BPE (:func:`bpe_tokenize`) and WordPiece
+    (:func:`wordpiece_encode`): one output row per piece, ``(id, pos,
+    piece)``, segmentation by exact Viterbi over the piece scores
+    (:func:`unigram_viterbi`). ``scores`` maps piece → score (a trained
+    model passes log-probabilities; any total order works — higher is
+    better).
+
+    Scale shape matches the sibling encoders: the score table
+    broadcasts once per executor (content-keyed, cached across calls so
+    per-batch loops don't leak broadcasts), each DISTINCT word encodes
+    once per task behind the same bounded cache, and the DP costs
+    O(len · max_piece_len) dict probes per distinct word — independent
+    of vocabulary size from day one. Output is one shuffle-free
+    mapInPandas explode bounded by the corpus's piece count; zero-token
+    docs emit nothing, matching the SQL oracles' per-word ``unnest``.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    score_map = dict(scores)
+    if not score_map:
+        raise ValueError("unigram_encode needs a non-empty score table")
+    max_len = max(len(p) for p in score_map)
+    bc = _broadcast_cached(
+        df, (score_map, max_len),
+        ("unigram", tuple(sorted(score_map.items()))),
+    )
+    toks = tokens(F.col(text_col))
+
+    def run(batches):
+        cache: dict = {}
+        smap, mlen = bc.value
+
+        def seg(w: str) -> tuple:
+            t = cache.get(w)
+            if t is None:
+                t = tuple(unigram_viterbi(w, smap, mlen, unk))
+                if len(cache) < 1_000_000:
+                    cache[w] = t
+            return t
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            ids, positions, pieces = [], [], []
+            for i, ws in zip(pdf[id_col], pdf["_toks"]):
+                pos = 0
+                for w in ws:
+                    if not w:
+                        continue
+                    for p in seg(w):
+                        pos += 1
+                        ids.append(i)
+                        positions.append(pos)
+                        pieces.append(p)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "pos": pd.Series(positions, dtype="int32"),
+                    "piece": pd.Series(pieces, dtype="object"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .mapInPandas(run, schema=f"{id_col} {id_type}, pos int, piece string")
+    )
+
+
 def bpe_detokenize(
     tokens_df: DataFrame,
     id_col: str = "doc_id",

@@ -2728,6 +2728,128 @@ order by doc_id, pos
 """
 
 
+def unigram_fixed_sql(
+    mod: int = 10, rem: int = 3, table: str = "documents"
+) -> str:
+    """Oracle for t26 (Unigram-LM / SentencePiece tokenization): rebuilds
+    the SAME corpus-derived scored vocabulary the entry builds — every
+    corpus character plus the 2-/3-char combinations whose md5-prefix
+    hash (``'u:' || piece``, first 4 hex digits, mod 3 / mod 7) selects
+    them, each piece scored ``-8 + (first-3-hex-digits % 7)`` (negative
+    integers, like log-probs, so FEWER pieces usually but not always
+    win) — then segments every distinct word by EXACT Viterbi, not a
+    greedy walk: a recursive CTE enumerates every reachable
+    (suffix-position, total-score) state (bounded: scores are small
+    integers over words the corpus keeps short), ``max`` per position
+    recovers the DP table g, and a second recursive walk follows the
+    locally-optimal edges forward choosing the LONGEST piece per
+    position — the entry's documented tie-break. Integer scores make
+    the optimum engine-exact; a wrong DP transition, score, selection,
+    or tie order shifts some word's segmentation and breaks the hash."""
+
+    def h4(e: str) -> str:
+        d = (
+            "(strpos('0123456789abcdef', substring(md5({e}), {k}, 1)) - 1)"
+        )
+        return (
+            "(" + d.format(e=e, k=1) + " * 4096 + "
+            + d.format(e=e, k=2) + " * 256 + "
+            + d.format(e=e, k=3) + " * 16 + "
+            + d.format(e=e, k=4) + ")"
+        )
+
+    def h4d3(e: str) -> str:  # the first THREE hex digits (h4 >> 4)
+        d = (
+            "(strpos('0123456789abcdef', substring(md5({e}), {k}, 1)) - 1)"
+        )
+        return (
+            "(" + d.format(e=e, k=1) + " * 256 + "
+            + d.format(e=e, k=2) + " * 16 + "
+            + d.format(e=e, k=3) + ")"
+        )
+
+    return f"""
+with recursive src as (
+  select doc_id, {TOKENS} as tks from {table} where doc_id % {mod} = {rem}
+),
+wnz as materialized (
+  select distinct unnest(tks) as word from src
+),
+words as (select word from wnz where length(word) > 0),
+chars as materialized (
+  select distinct unnest(list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1))) as c
+  from words
+),
+vp as (
+  select c as p from chars
+  union all
+  select a.c || b.c from chars a, chars b
+  where {h4("'u:' || a.c || b.c")} % 3 = 0
+  union all
+  select a.c || b.c || d.c from chars a, chars b, chars d
+  where {h4("'u:' || a.c || b.c || d.c")} % 7 = 0
+),
+vocab as materialized (
+  select p, -8 + ({h4d3("'u:' || p")} % 7) as s from vp
+),
+pos as (
+  select word, unnest(generate_series(1, length(word))) as i from words
+),
+cand as materialized (
+  select c.word, c.i, c.L, v.s
+  from (
+    select word, i, L, substring(word, i, L) as sub
+    from pos, (values (1), (2), (3)) ls(L)
+    where i + L - 1 <= length(word)
+  ) c join vocab v on v.p = c.sub
+),
+rst(word, i, s) as (
+  select word, length(word) + 1, 0 from words
+  union
+  select c.word, c.i, c.s + r.s
+  from rst r join cand c on c.word = r.word and c.i + c.L = r.i
+),
+g as materialized (
+  select word, i, max(s) as g from rst group by word, i
+),
+opt as materialized (
+  select c.word, c.i, max(c.L) as L
+  from cand c
+  join g gc on gc.word = c.word and gc.i = c.i
+  join g gn on gn.word = c.word and gn.i = c.i + c.L
+  where c.s + gn.g = gc.g
+  group by c.word, c.i
+),
+walk(word, i, ord) as (
+  select word, 1, 1 from words
+  union all
+  select w.word, w.i + o.L, w.ord + 1
+  from walk w join opt o on o.word = w.word and o.i = w.i
+  where w.i + o.L <= length(w.word)
+),
+upieces as materialized (
+  select w.word, w.ord, substring(w.word, w.i, o.L) as piece
+  from walk w join opt o on o.word = w.word and o.i = w.i
+),
+doctoks as (
+  select doc_id, tks, unnest(generate_series(1, len(tks))) as word_ord
+  from src
+),
+dw as (select doc_id, word_ord, tks[word_ord] as word from doctoks),
+persub as (
+  select d.doc_id, d.word_ord, p.ord as sord, p.piece
+  from dw d join upieces p on p.word = d.word
+)
+select doc_id,
+  cast(row_number() over (partition by doc_id order by word_ord, sord)
+       as int) as pos,
+  piece
+from persub
+order by doc_id, pos
+"""
+
+
 def mp3_meta_sql(table: str = "documents") -> str:
     """Oracle for m12 (REAL MP3 metadata decode): the entry synthesizes
     an ID3v2.3-tagged MPEG1 Layer III shell per doc — title = md5 hex

@@ -2506,6 +2506,103 @@ def test_wordpiece_encode_spark(spark):
     ]
 
 
+def test_unigram_viterbi_rules():
+    """Exact global optimum (where greedy longest-match is WRONG),
+    longest-piece tie-break, whole-word UNK, empty word."""
+    from icedb_spark.operators import unigram_viterbi
+
+    # greedy longest-first would take 'abc' (-10); Viterbi finds
+    # 'ab'+'c' (-2) — the case that separates Unigram from WordPiece
+    S = {"abc": -10, "ab": -1, "c": -1, "a": -5, "b": -5}
+    assert unigram_viterbi("abc", S, 3, "[UNK]") == ["ab", "c"]
+    # tie: 'ab'+'c' == 'a'+'bc' == -4 -> longest piece at the earliest
+    # position wins
+    T = {"ab": -2, "c": -2, "a": -2, "bc": -2, "b": -9}
+    assert unigram_viterbi("abc", T, 2, "[UNK]") == ["ab", "c"]
+    # unreachable character -> whole-word UNK (word-level failure)
+    assert unigram_viterbi("axb", {"a": -1, "b": -1}, 2, "[UNK]") == ["[UNK]"]
+    assert unigram_viterbi("", {"a": -1}, 1, "[UNK]") == []
+    # positive scores work too (any total order): more pieces can win
+    P = {"ab": 1, "a": 3, "b": 3}
+    assert unigram_viterbi("ab", P, 2, "[UNK]") == ["a", "b"]
+
+
+def test_unigram_viterbi_optimality_property():
+    """Hypothesis vs brute force: the chosen segmentation reconstructs
+    the word, its total equals the enumerated maximum, and among all
+    optima it is the lexicographically-greatest by piece-length
+    sequence (the forward longest-piece tie-break the oracle mirrors)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import unigram_viterbi
+
+    def all_segs(word, scores, max_len):
+        if not word:
+            return [([], 0)]
+        out = []
+        for L in range(1, min(max_len, len(word)) + 1):
+            p = word[:L]
+            if p in scores:
+                for rest, s in all_segs(word[L:], scores, max_len):
+                    out.append(([p] + rest, scores[p] + s))
+        return out
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        word=st.text(st.sampled_from("abc"), min_size=1, max_size=9),
+        seed=st.integers(0, 10**6),
+    )
+    def check(word, seed):
+        import random
+
+        rng = random.Random(seed)
+        chars = "abc"
+        scores = {c: -rng.randint(1, 8) for c in chars}
+        for c1 in chars:
+            for c2 in chars:
+                if rng.random() < 0.5:
+                    scores[c1 + c2] = -rng.randint(1, 8)
+                for c3 in chars:
+                    if rng.random() < 0.25:
+                        scores[c1 + c2 + c3] = -rng.randint(1, 8)
+        got = unigram_viterbi(word, scores, 3, "[UNK]")
+        segs = all_segs(word, scores, 3)
+        assert segs, "full char coverage means some segmentation exists"
+        best = max(s for _, s in segs)
+        assert "".join(got) == word
+        assert sum(scores[p] for p in got) == best
+        optima = [tuple(len(p) for p in ps) for ps, s in segs if s == best]
+        assert tuple(len(p) for p in got) == max(optima)
+
+    check()
+
+
+def test_unigram_encode_spark(spark):
+    """Spark-side plumbing: per-doc (pos, piece) stream matches the pure
+    function per word; zero-token docs emit nothing; empty table raises."""
+    import pytest as _pt
+
+    from icedb_spark.operators import unigram_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab"), (2, "   "), (3, "axb")],
+        "doc_id long, text string",
+    )
+    S = {"abc": -10, "ab": -1, "c": -1, "a": -5, "b": -5}
+    got = [
+        (r["doc_id"], r["pos"], r["piece"])
+        for r in unigram_encode(docs, S).orderBy("doc_id", "pos").collect()
+    ]
+    assert got == [
+        (1, 1, "ab"), (1, 2, "c"), (1, 3, "ab"),
+        (3, 1, "[UNK]"),
+    ]
+    with _pt.raises(ValueError):
+        unigram_encode(docs, {})
+
+
 def _mp3(order_ver, frames, audio=b"\xff\xfb\x90\x00" + b"\x00" * 96,
          pad=0):
     """Independent ID3v2 encoder (test-side): frames = [(id, text, enc)];
