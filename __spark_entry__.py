@@ -1755,6 +1755,87 @@ def m13_mp4_keyframes(spark, sf_dir):
     return sample_keyframes(media).orderBy("media_id", "kf_sample")
 
 
+def m14_tiff_phash(spark, sf_dir):
+    """REAL TIFF decode under the value gate — the archival/scan format
+    beside PNG (m08), GIF (m09) and BMP (m07): each doc becomes a
+    genuine 8×8 8-bit RGB baseline TIFF whose byte order ALTERNATES
+    II/MM by doc parity (every header integer re-encodes, so the
+    endianness switch is load-bearing for the whole IFD walk) and whose
+    four 2-row strips are stored PHYSICALLY PERMUTED [2,0,3,1] with
+    5-byte junk gaps between them — the StripOffsets array is the only
+    correct read path, and the per-row skew in the pixel formula (RGB
+    byte at raster index j = md5 byte ((j + row) % 16)) makes every
+    strip's bytes distinct, so reading strips in file order or through
+    the gaps changes pixels. decode_image_pixels walks the IFD
+    (inline-vs-offset values, SHORT and LONG types), gathers the
+    strips, collapses to BT.601 luma, and the aHash pipeline pools
+    64→60. The oracle recomputes the luma closed-form from the md5
+    hex. Compressed TIFF profiles (LZW/PackBits) raise — documented,
+    like palette PNG."""
+    import struct
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def hdr(fmt: str) -> bytes:
+        def u16(v):
+            return struct.pack(fmt + "H", v)
+
+        def u32(v):
+            return struct.pack(fmt + "I", v)
+
+        ents = [
+            (256, 3, 1, u16(8) + b"\x00\x00"),   # width
+            (257, 3, 1, u16(8) + b"\x00\x00"),   # height
+            (258, 3, 3, u32(122)),               # bits/sample -> offset
+            (259, 3, 1, u16(1) + b"\x00\x00"),   # uncompressed
+            (262, 3, 1, u16(2) + b"\x00\x00"),   # RGB
+            (273, 4, 4, u32(128)),               # strip offsets -> offset
+            (277, 3, 1, u16(3) + b"\x00\x00"),   # samples/pixel
+            (278, 3, 1, u16(2) + b"\x00\x00"),   # rows/strip
+            (279, 4, 4, u32(144)),               # strip counts -> offset
+        ]
+        body = b"".join(
+            u16(t) + u16(ty) + u32(c) + v for t, ty, c, v in ents
+        )
+        return (
+            (b"II" if fmt == "<" else b"MM") + u16(42) + u32(8)
+            + u16(9) + body + u32(0)
+            + u16(8) * 3
+            # strips 0..3 live at physical slots 1,3,0,2 (53 = 48+5 gap)
+            + b"".join(u32(o) for o in (213, 319, 160, 266))
+            + b"".join(u32(48) for _ in range(4))
+        )
+
+    ii, mm = hdr("<"), hdr(">")
+    gap = b"\xab" * 5
+
+    def seg(strip: int):
+        # 48 raster bytes of strip `strip` (rows 2s,2s+1): byte at
+        # raster index j has md5-hex value at position (j + j div 24) % 16
+        base = 48 * strip
+        return F.unhex(
+            F.expr(
+                "array_join(transform(sequence(0, 47), jj -> substring("
+                f"md5(text), 2 * ((({base} + jj) + ({base} + jj) div 24)"
+                " % 16) + 1, 2)), '')"
+            )
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(ii)).otherwise(F.lit(mm)),
+            seg(2), F.lit(gap),
+            seg(0), F.lit(gap),
+            seg(3), F.lit(gap),
+            seg(1),
+        ).alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -4426,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m11_jpeg_exif": m11_jpeg_exif,
         "m12_mp3_meta": m12_mp3_meta,
         "m13_mp4_keyframes": m13_mp4_keyframes,
+        "m14_tiff_phash": m14_tiff_phash,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -4996,6 +5078,7 @@ from per_sess group by user_id
         "t23_bpe_encode_fixed3": oracles.bpe_encode_fixed3_sql(),
         "m08_png_phash": oracles.png_phash_sql(),
         "m09_gif_phash": oracles.gif_phash_sql(),
+        "m14_tiff_phash": oracles.tiff_phash_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),

@@ -285,7 +285,116 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
             (299 * b[i] + 587 * b[i + 1] + 114 * b[i + 2]) // 1000
             for i in range(o, o + w * h * 3, 3)
         ]
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(b)
     return None
+
+
+def _decode_tiff(b: bytes) -> "list[int]":
+    """The TIFF arm of :func:`decode_image_pixels` — baseline
+    UNCOMPRESSED TIFF 6.0, the archival/scan format real corpora still
+    carry: both byte orders (II little- / MM big-endian — the header
+    magic decides every subsequent integer), first-IFD walk with
+    inline-vs-offset field values (a value whose total size fits in 4
+    bytes lives INSIDE the entry, left-justified at the entry's value
+    field; larger values live at a file offset — the classic TIFF
+    gotcha, same rule :func:`parse_exif` honors), SHORT and LONG field
+    types, and MULTI-STRIP rasters whose strips may sit anywhere in the
+    file in any physical order (StripOffsets/StripByteCounts are the
+    source of truth, never contiguity). Supports 8-bit samples,
+    PhotometricInterpretation 0 (WhiteIsZero — inverted grayscale,
+    common in fax/scan output), 1 (BlackIsZero) and 2 (RGB);
+    compressed profiles (LZW/PackBits/JPEG-in-TIFF) raise — recognized
+    container, unsupported profile, exactly like palette PNG. Geometry
+    is capped before allocation (untrusted corpus bytes must not claim
+    a 2^31-pixel image into RAM)."""
+    import struct
+
+    if len(b) < 8:
+        raise ValueError("decode_image_pixels: truncated TIFF header")
+    fmt = "<" if b[:2] == b"II" else ">"
+
+    def u16(o: int) -> int:
+        return struct.unpack_from(fmt + "H", b, o)[0]
+
+    def u32(o: int) -> int:
+        return struct.unpack_from(fmt + "I", b, o)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(b):
+        raise ValueError("decode_image_pixels: TIFF IFD out of bounds")
+    n_entries = u16(ifd)
+    if ifd + 2 + 12 * n_entries + 4 > len(b):
+        raise ValueError("decode_image_pixels: truncated TIFF IFD")
+    entries = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        entries[u16(e)] = (u16(e + 2), u32(e + 4), e + 8)
+
+    def values(tag: int, default=None):
+        if tag not in entries:
+            if default is None:
+                raise ValueError(
+                    f"decode_image_pixels: TIFF missing required tag {tag}"
+                )
+            return default
+        typ, cnt, vfield = entries[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None or cnt == 0 or cnt > 1 << 20:
+            raise ValueError(
+                f"decode_image_pixels: unsupported TIFF field (tag {tag},"
+                f" type {typ}, count {cnt})"
+            )
+        off = vfield if size * cnt <= 4 else u32(vfield)
+        if off + size * cnt > len(b):
+            raise ValueError(
+                f"decode_image_pixels: TIFF tag {tag} values out of bounds"
+            )
+        rd = u16 if typ == 3 else u32
+        return [rd(off + size * i) for i in range(cnt)]
+
+    w, h = values(256)[0], values(257)[0]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("decode_image_pixels: bad TIFF geometry")
+    comp = values(259, [1])[0]
+    if comp != 1:
+        raise ValueError(
+            f"decode_image_pixels: only uncompressed TIFF (compression="
+            f"{comp})"
+        )
+    photo = values(262)[0]
+    spp = values(277, [1])[0]
+    if (photo, spp) not in ((0, 1), (1, 1), (2, 3)):
+        raise ValueError(
+            f"decode_image_pixels: unsupported TIFF profile (photometric="
+            f"{photo}, samples={spp})"
+        )
+    if any(v != 8 for v in values(258, [8] * spp)):
+        raise ValueError("decode_image_pixels: only 8-bit TIFF samples")
+    offs, cnts = values(273), values(279)
+    if len(offs) != len(cnts):
+        raise ValueError(
+            "decode_image_pixels: TIFF strip offset/count length mismatch"
+        )
+    parts = []
+    for o, c in zip(offs, cnts):
+        if o + c > len(b):
+            raise ValueError("decode_image_pixels: truncated TIFF strip")
+        parts.append(b[o:o + c])
+    data = b"".join(parts)
+    if len(data) != w * h * spp:
+        raise ValueError(
+            f"decode_image_pixels: TIFF strips carry {len(data)} bytes,"
+            f" raster needs {w * h * spp}"
+        )
+    if spp == 3:
+        return [
+            (299 * data[i] + 587 * data[i + 1] + 114 * data[i + 2]) // 1000
+            for i in range(0, len(data), 3)
+        ]
+    if photo == 0:  # WhiteIsZero: 0 is white, max is black — invert
+        return [255 - v for v in data]
+    return list(data)
 
 
 def _decode_png(b: bytes) -> "list[int]":

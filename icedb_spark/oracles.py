@@ -2049,6 +2049,55 @@ order by media_id
 """
 
 
+def tiff_phash_sql(
+    bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for m14 (REAL TIFF decode): the entry synthesizes a w×h
+    8-bit RGB baseline TIFF per doc — byte order ALTERNATING II/MM by
+    doc parity, four 2-row strips stored PHYSICALLY PERMUTED with junk
+    padding between them (so the StripOffsets table, not contiguity,
+    is the only correct read path) — whose RGB byte at raster index j
+    is md5 byte ((j + row) % 16), i.e. channel c of pixel i is md5
+    byte ((3i + c + i//w) % 16); the per-row skew makes every strip's
+    bytes DISTINCT, so a permutation or offset error changes pixels.
+    This closed form recomputes the BT.601 luma straight from the md5
+    hex — byte-order, IFD-walk, inline-vs-offset, strip-gather, and
+    pooling errors all break the hash match."""
+    n = w * h
+
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    luma = (
+        f"(299 * {V(f'3*i + i//{w}')} + 587 * {V(f'3*i+1 + i//{w}')}"
+        f" + 114 * {V(f'3*i+2 + i//{w}')}) // 1000"
+    )
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i -> {luma}) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def gif_phash_sql(
     bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
 ) -> str:

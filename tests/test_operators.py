@@ -1441,6 +1441,152 @@ def test_decode_gif_width_growth_and_errors():
         decode_image_pixels(b"GIF89a\x08\x00")
 
 
+def _tiff(w, h, spp, photo, pixels, fmt, rps, seg_perm=None, pad=0):
+    """Independent test-side baseline-TIFF encoder: both byte orders,
+    multi-strip with an arbitrary PHYSICAL strip order and junk padding
+    between segments — the layouts whose only correct read path is the
+    StripOffsets array."""
+    import struct
+
+    def u16(v):
+        return struct.pack(fmt + "H", v)
+
+    def u32(v):
+        return struct.pack(fmt + "I", v)
+
+    nstrips = (h + rps - 1) // rps
+    strips = [
+        pixels[s * rps * w * spp: min((s + 1) * rps, h) * w * spp]
+        for s in range(nstrips)
+    ]
+    extra_off = 8 + 2 + 12 * 9 + 4
+    ex = b""
+    ents = []
+
+    def inline16(v):
+        return u16(v) + b"\x00\x00"
+
+    ents.append((256, 3, 1, inline16(w)))
+    ents.append((257, 3, 1, inline16(h)))
+    if spp == 3:
+        ents.append((258, 3, 3, u32(extra_off + len(ex))))
+        ex += u16(8) * 3
+    else:
+        ents.append((258, 3, 1, inline16(8)))
+    ents.append((259, 3, 1, inline16(1)))
+    ents.append((262, 3, 1, inline16(photo)))
+    so_pos = len(ex)
+    ex += b"\x00" * 4 * nstrips
+    ents.append(
+        (273, 4, nstrips, u32(extra_off + so_pos) if nstrips > 1 else None)
+    )
+    ents.append((277, 3, 1, inline16(spp)))
+    ents.append((278, 3, 1, inline16(rps)))
+    ents.append(
+        (279, 4, nstrips, u32(extra_off + len(ex)) if nstrips > 1 else None)
+    )
+    ex += b"".join(u32(len(s)) for s in strips)
+    data_start = extra_off + len(ex)
+    perm = seg_perm or list(range(nstrips))
+    offsets = [0] * nstrips
+    pos = data_start
+    blob = b""
+    for p in range(nstrips):
+        s = perm[p]
+        offsets[s] = pos
+        blob += strips[s] + b"\xab" * pad
+        pos += len(strips[s]) + pad
+    ex = (
+        ex[:so_pos]
+        + b"".join(u32(o) for o in offsets)
+        + ex[so_pos + 4 * nstrips:]
+    )
+    body = b""
+    for tag, typ, cnt, vb in sorted(ents):
+        if vb is None:  # single strip: inline LONG
+            vb = u32(offsets[0]) if tag == 273 else u32(len(strips[0]))
+        body += u16(tag) + u16(typ) + u32(cnt) + vb
+    return (
+        (b"II" if fmt == "<" else b"MM") + u16(42) + u32(8)
+        + u16(len(ents)) + body + u32(0) + ex + blob
+    )
+
+
+def test_decode_tiff_roundtrip_property():
+    """Hypothesis round-trip for the TIFF arm: both byte orders, gray
+    (both photometric polarities) and RGB, arbitrary strip heights,
+    PERMUTED physical strip order and junk gaps — decode returns the
+    exact BT.601 grays the encoded raster implies."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_image_pixels
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 8),
+        fmt=st.sampled_from(["<", ">"]),
+        mode=st.sampled_from([(3, 2), (1, 1), (1, 0)]),
+        rps=st.integers(1, 8),
+        pad=st.integers(0, 5),
+        seed=st.integers(0, 10**6),
+    )
+    def roundtrip(w, h, fmt, mode, rps, pad, seed):
+        import random
+
+        rnd = random.Random(seed)
+        spp, photo = mode
+        px = bytes(rnd.randrange(256) for _ in range(w * h * spp))
+        perm = list(range((h + rps - 1) // rps))
+        rnd.shuffle(perm)
+        blob = _tiff(w, h, spp, photo, px, fmt, rps, perm, pad)
+        if spp == 3:
+            want = [
+                (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+                for i in range(0, len(px), 3)
+            ]
+        elif photo == 1:
+            want = list(px)
+        else:  # WhiteIsZero inverts
+            want = [255 - v for v in px]
+        assert decode_image_pixels(blob) == want
+
+    roundtrip()
+
+
+def test_decode_tiff_unsupported_profiles_raise():
+    """Recognized TIFF container with an unsupported or hostile profile
+    fails loudly: compression, non-8-bit samples, claimed-huge geometry
+    (capped BEFORE allocation), truncated IFD/strips, missing required
+    tags; unknown containers still return None."""
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    good = _tiff(4, 4, 1, 1, bytes(range(16)), "<", 2, [1, 0], 3)
+    assert decode_image_pixels(good) == list(range(16))
+
+    # compression != 1 (entry 259 is 4th in sorted order; value at +8)
+    bad = bytearray(good)
+    off = 8 + 2 + 12 * 3 + 8
+    assert struct.unpack_from("<H", bad, off - 8 + 0)[0] == 259
+    struct.pack_into("<H", bad, off, 5)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bytes(bad))
+    # geometry cap fires before any strip allocation
+    with pytest.raises(ValueError):
+        decode_image_pixels(_tiff(65535, 65535, 1, 1, b"", "<", 65535))
+    with pytest.raises(ValueError):  # truncated IFD
+        decode_image_pixels(good[:40])
+    with pytest.raises(ValueError):  # truncated strip payload
+        decode_image_pixels(good[:-6])
+    with pytest.raises(ValueError):  # header too short
+        decode_image_pixels(b"II*\x00\x08\x00")
+    # wrong magic -> unrecognized container, not an error
+    assert decode_image_pixels(b"II+\x00" + good[4:]) is None
+
+
 def test_perceptual_hash_real_decode_matches_reference(spark):
     """perceptual_hash(use_fake=False) over genuine BMP bytes equals the
     pure-Python pipeline (decode -> bucket-mean pool -> threshold)."""
