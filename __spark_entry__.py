@@ -989,6 +989,31 @@ def sm10_weighted_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def sm11_token_budget(spark, sf_dir):
+    """Per-source TOKEN-budget mixing under the value gate — the unit a
+    training mix is specified in ("200B web tokens, 30B code"), which
+    doc-count quotas can't hit under length skew: within each language,
+    documents rank by the deterministic key hash and the greedy prefix
+    fills the stratum's character budget (strict pre-total cut, so
+    overshoot is bounded by one document and every funded stratum keeps
+    at least one). One shuffle on the stratum key + a running sum with
+    an explicit ROWS frame; at sf0.001 several budgets exceed the
+    stratum total, exercising the keep-all edge. A wrong hash, frame,
+    tie order, or budget CASE shifts the cut line and breaks the match."""
+    from icedb_spark.operators import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    budgets = {"en": 20_000, "de": 8_000, "es": 8_000, "fr": 8_000}
+    return (
+        token_budget_sample(
+            docs, budgets, strata_col="lang", token_col="n_chars",
+            key_col="doc_id", default_budget=5_000, seed=3,
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def d10_cluster_pick_best(spark, sf_dir):
     """Quality-aware keep-one dedup: d09's transitive clusters, but the
     survivor of each cluster is its highest-``quality_score`` member (ties
@@ -4517,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_tpch_q3": q40_tpch_q3,
         "q41_tpch_q17": q41_tpch_q17,
         "sm10_weighted_sample": sm10_weighted_sample,
+        "sm11_token_budget": sm11_token_budget,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
@@ -5137,6 +5163,7 @@ order by doc_id
         "sm10_weighted_sample": oracles.weighted_sample_sql(
             k=200, seed=11
         ),
+        "sm11_token_budget": oracles.token_budget_sql(),
         "s05_cosine_topk_ivfpq": oracles.cosine_topk_ivfpq_sql(64, rerank=30),
         # rest01 round-trips region through POST /insert + /flush and
         # reads the committed table back — the durable content must be

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash60, hash60_sql
@@ -215,6 +215,87 @@ def weighted_sample_sql(
         f" / cast({weight_expr} as double), {key_expr} "
         f"limit {k}"
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: "dict[str, int]",
+    strata_col: str,
+    token_col: str,
+    key_col: str,
+    default_budget: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget — the unit a training mix is
+    actually specified in ("200B tokens of web, 30B of code"), which
+    rate- and count-based samplers can't hit: documents vary in length,
+    so a doc-count quota over- or under-shoots the token target by the
+    length skew. Within each stratum, documents are ranked by the
+    deterministic key hash (an unbiased, reproducible order) and the
+    greedy prefix is kept while the running token total BEFORE the
+    document is strictly under the stratum's budget — so every stratum
+    with a positive budget keeps at least one document, the overshoot
+    is bounded by one document, and a bigger budget always yields a
+    SUPERSET (nested samples, same hash order). Unlisted and NULL
+    strata use ``default_budget`` (0 = drop).
+
+    Scale shape: one shuffle on the stratum key, then a running sum
+    inside each partition — the sort per stratum is inherent to ANY
+    budget cut (some total order must decide who's in); the hash order
+    makes it reproducible rather than arbitrary. Strata are typically
+    few and fat, so skew is the sort's problem, not the shuffle's; for
+    a pathologically dominant stratum, pre-filter with
+    :func:`hash_sample` at an estimated rate and budget-cut the
+    remainder.
+    """
+    for s, t in budgets.items():
+        if t < 0:
+            raise ValueError(f"budget for stratum {s!r} must be >= 0, got {t}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    budget = F.lit(int(default_budget))
+    for s, t in budgets.items():
+        budget = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(budget)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(hash60(F.col(key_col), seed), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col)
+    return (
+        df.withColumn("__tb_run", run)
+        .where(F.col("__tb_run") < budget)
+        .drop("__tb_run")
+    )
+
+
+def token_budget_sample_sql(
+    budgets: "dict[str, int]",
+    strata_expr: str,
+    token_expr: str,
+    key_expr: str,
+    default_budget: int = 0,
+    seed: int = 0,
+    table: str = "documents",
+    cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`token_budget_sample`: the identical hash
+    order, explicit ROWS frame, and strict pre-total cut."""
+    h = hash60_sql(key_expr, seed)
+    case = "case " + " ".join(
+        f"when {strata_expr} = '{s}' then {int(t)}" for s, t in budgets.items()
+    ) + f" else {int(default_budget)} end"
+    return f"""
+select {cols} from (
+  select *,
+    sum(cast({token_expr} as bigint)) over (
+      partition by {strata_expr} order by {h}, {key_expr}
+      rows between unbounded preceding and current row
+    ) - {token_expr} as __tb_run,
+    {case} as __tb_budget
+  from {table}
+) where __tb_run < __tb_budget
+"""
 
 
 def mixture_sample(

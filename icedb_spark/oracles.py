@@ -997,6 +997,24 @@ def weighted_sample_sql(
     )
 
 
+def token_budget_sql(table: str = "documents") -> str:
+    """Mirror of operators.sampling.token_budget_sample for sm11: the
+    identical hash order, ROWS frame, strict pre-total cut, and budget
+    CASE over the language strata."""
+    from .operators.sampling import token_budget_sample_sql as _tb
+
+    return _tb(
+        {"en": 20_000, "de": 8_000, "es": 8_000, "fr": 8_000},
+        strata_expr="lang",
+        token_expr="n_chars",
+        key_expr="cast(doc_id as varchar)",
+        default_budget=5_000,
+        seed=3,
+        table=table,
+        cols="doc_id, lang, n_chars",
+    )
+
+
 def top_k_sample_sql(
     k: int, seed: int = 0, table: str = "documents",
     key_expr: str = "cast(doc_id as varchar)",

@@ -296,3 +296,81 @@ def test_weighted_sample_plans_as_take_ordered(docs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_sample_fills_budgets(spark):
+    from icedb_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i % 3 else "b", 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks int")
+    out = token_budget_sample(
+        df, {"a": 500, "b": 120}, "src", "toks", "doc_id"
+    )
+    got = out.groupBy("src").agg(
+        F.sum("toks").alias("t"), F.max("toks").alias("m"),
+        F.count("*").alias("c"),
+    ).collect()
+    by = {r["src"]: r for r in got}
+    # greedy fill: total before the last doc is under budget, so the
+    # kept total overshoots by at most one document
+    assert 500 <= by["a"]["t"] < 500 + by["a"]["m"] or by["a"]["t"] < 500
+    assert by["b"]["t"] < 120 + by["b"]["m"]
+    assert by["a"]["c"] >= 1 and by["b"]["c"] >= 1
+    # nested: a bigger budget keeps a superset (same hash order)
+    small = {r["doc_id"] for r in out.collect()}
+    big = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, {"a": 900, "b": 300}, "src", "toks", "doc_id"
+        ).collect()
+    }
+    assert small < big
+    # budget exceeding the stratum total keeps everything
+    all_a = token_budget_sample(df, {"a": 10**9}, "src", "toks", "doc_id")
+    assert all_a.where("src = 'a'").count() == df.where("src = 'a'").count()
+
+
+def test_token_budget_sample_default_and_nulls(spark):
+    import pytest as _pt
+
+    from icedb_spark.operators.sampling import token_budget_sample
+
+    rows = [(1, "x", 50), (2, "x", 50), (3, None, 40), (4, None, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks int")
+    # default 0: unlisted and NULL strata are dropped entirely
+    assert token_budget_sample(df, {}, "src", "toks", "doc_id").count() == 0
+    # a positive default funds NULL strata too (grouped together)
+    got = token_budget_sample(
+        df, {}, "src", "toks", "doc_id", default_budget=60
+    )
+    assert got.where("src is null").count() >= 1
+    with _pt.raises(ValueError):
+        token_budget_sample(df, {"x": -1}, "src", "toks", "doc_id")
+
+
+def test_token_budget_sample_matches_duckdb(docs):
+    from icedb_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_sample_sql,
+    )
+
+    budgets = {"en": 3000, "de": 1000}
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, budgets, "lang", "n_chars", "doc_id",
+            default_budget=500, seed=3,
+        ).select("doc_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            token_budget_sample_sql(
+                budgets, "lang", "n_chars", "cast(doc_id as varchar)",
+                default_budget=500, seed=3,
+                table="read_parquet('/root/testdata/sf0.001/documents.parquet')",
+                cols="doc_id",
+            )
+        ).fetchall()
+    )
+    assert got == want
