@@ -814,6 +814,61 @@ def q41_tpch_q17(spark, sf_dir):
     )
 
 
+def q42_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped (suppliers who kept waiting) — the hardest
+    correlation pattern in the suite: an EXISTS and a NOT EXISTS, both
+    correlated on the outer row's order AND anti-correlated on its
+    supplier (``l2.l_suppkey <> l1.l_suppkey``), become one LEFT SEMI
+    and one LEFT ANTI self-join of lineitem — equi on l_orderkey with
+    the supplier inequality riding as a residual join predicate, which
+    is exactly how a decorrelator lowers them. "Late" is the row-local
+    ship-date cut (this schema carries no receipt/commit dates). At
+    100 TB the two self-joins shuffle lineitem on l_orderkey — one
+    co-partitioning reused by both joins and the orders join; supplier
+    and nation broadcast. Oracle keeps the textbook EXISTS/NOT EXISTS
+    form, so the gate proves the lowering preserves semantics."""
+    cut = F.lit("1999-06-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 8)
+    l1 = li.where(F.col("l_shipdate") > cut).join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    l3 = li.where(F.col("l_shipdate") > cut).select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_suppkey") != F.col("r_sk")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("a_ok"))
+            & (F.col("l_suppkey") != F.col("a_sk")),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------- pipeline operators
 
 
@@ -1856,6 +1911,101 @@ def m14_tiff_phash(spark, sf_dir):
             seg(0), F.lit(gap),
             seg(3), F.lit(gap),
             seg(1),
+        ).alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
+def m15_palette_png_phash(spark, sf_dir):
+    """REAL PALETTE-PNG decode under the value gate — the indexed-color
+    web asset shape (color type 3), closing the PNG profile beside
+    m08's truecolor gate: each doc becomes a genuine 8×8 palette PNG —
+    IHDR(color=3), a 256-entry PLTE (the m09 palette, non-identity so
+    the lookup is load-bearing), and a real zlib stream whose
+    one-byte-per-pixel INDEX rows cycle None/Sub/Up filters (filters
+    run on index bytes with a one-byte left neighbor — a channels=3
+    assumption anywhere in the unfilter breaks every Sub row). Pixel
+    i's palette index is md5 byte i%16; the decoder inflates,
+    unfilters, maps indices through PLTE to BT.601 luma, and the aHash
+    pipeline pools 64→60. The oracle is the SAME closed form as m09 BY
+    CONSTRUCTION (same index derivation, same palette) — two container
+    formats, one pixel contract, so a mismatch isolates the container
+    arm at fault."""
+    import struct
+    import zlib as _zlib
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", 8, 8, 8, 3, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    palette = b"".join(
+        bytes(((3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256))
+        for i in range(256)
+    )
+    plte = (
+        struct.pack(">I", 768) + b"PLTE" + palette
+        + struct.pack(">I", _zlib.crc32(b"PLTE" + palette))
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", _zlib.crc32(b"IEND")
+    )
+    # zlib header + final STORED deflate block, LEN=72 (8 rows x
+    # (1 filter byte + 8 index bytes)), NLEN = ~LEN
+    zpre = bytes([0x78, 0x01, 0x01, 72, 0, 255 - 72, 255])
+    V = (
+        "cast(conv(substring(md5(text), 2 * (({e}) % 16) + 1, 2), 16, 10)"
+        " as int)"
+    )
+
+    def v(e: str) -> str:
+        return V.format(e=e)
+
+    # 72 raw-deflate payload bytes: j div 9 = row y, j % 9 = 0 the
+    # filter byte (y % 3: None/Sub/Up), else INDEX x-1 of the filtered
+    # scanline; raster index i = 8y + (j%9) - 1; Sub's left neighbor is
+    # ONE byte back (one index per pixel), Up's is 8 back
+    vals_sql = f"""transform(sequence(0, 71), j -> cast(case
+      when j % 9 = 0 then (j div 9) % 3
+      when (j div 9) % 3 = 0 or ((j div 9) % 3 = 1 and j % 9 = 1)
+        then {v('8 * (j div 9) + j % 9 - 1')}
+      when (j div 9) % 3 = 1
+        then ({v('8 * (j div 9) + j % 9 - 1')}
+              - {v('8 * (j div 9) + j % 9 - 2')} + 256) % 256
+      else ({v('8 * (j div 9) + j % 9 - 1')}
+            - {v('8 * (j div 9) + j % 9 - 9')} + 256) % 256
+    end as int))"""
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"), F.expr(vals_sql).alias("vals")
+    )
+    payload = F.expr(
+        "unhex(array_join(transform(vals, x -> lpad(hex(x), 2, '0')), ''))"
+    )
+    s1 = F.expr("(1 + aggregate(vals, 0, (a, x) -> a + x)) % 65521")
+    s2 = F.expr(
+        "(72 + aggregate(zip_with(vals, sequence(72, 1, -1),"
+        " (x, w) -> x * w), 0, (a, x) -> a + x)) % 65521"
+    )
+    zstream = F.concat(
+        F.lit(zpre),
+        payload,
+        F.unhex(
+            F.concat(F.lpad(F.hex(s2), 4, "0"), F.lpad(F.hex(s1), 4, "0"))
+        ),
+    )
+    media = staged.select(
+        "media_id",
+        F.concat(
+            F.lit(sig + ihdr + plte + struct.pack(">I", 83) + b"IDAT"),
+            zstream,
+            F.unhex(
+                F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), zstream))), 8, "0")
+            ),
+            F.lit(iend),
         ).alias("content"),
     )
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
@@ -4533,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m12_mp3_meta": m12_mp3_meta,
         "m13_mp4_keyframes": m13_mp4_keyframes,
         "m14_tiff_phash": m14_tiff_phash,
+        "m15_palette_png_phash": m15_palette_png_phash,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -4541,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_tpch_q5": q39_tpch_q5,
         "q40_tpch_q3": q40_tpch_q3,
         "q41_tpch_q17": q41_tpch_q17,
+        "q42_tpch_q21": q42_tpch_q21,
         "sm10_weighted_sample": sm10_weighted_sample,
         "sm11_token_budget": sm11_token_budget,
         "st11_sliding_window": st11_sliding_window,
@@ -4911,6 +5063,30 @@ select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
 from li join t using (l_partkey)
 where l_quantity * 5 * c < sq
 """,
+        # the textbook correlated EXISTS / NOT EXISTS form — the entry's
+        # semi/anti lowering must preserve exactly these semantics
+        "q42_tpch_q21": """
+select s_name, count(*) as numwait
+from lineitem l1
+join orders on o_orderkey = l1.l_orderkey and o_orderstatus = 'F'
+join supplier on s_suppkey = l1.l_suppkey
+join nation on n_nationkey = s_nationkey and n_nationkey < 8
+where l1.l_shipdate > timestamp '1999-06-01 00:00:00'
+  and exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey
+      and l2.l_suppkey <> l1.l_suppkey
+  )
+  and not exists (
+    select 1 from lineitem l3
+    where l3.l_orderkey = l1.l_orderkey
+      and l3.l_suppkey <> l1.l_suppkey
+      and l3.l_shipdate > timestamp '1999-06-01 00:00:00'
+  )
+group by s_name
+order by numwait desc, s_name
+limit 100
+""",
         "q38_unpivot": """
 with m as (
   select 'l_quantity' as metric, l_quantity as val from lineitem
@@ -5105,6 +5281,10 @@ from per_sess group by user_id
         "m08_png_phash": oracles.png_phash_sql(),
         "m09_gif_phash": oracles.gif_phash_sql(),
         "m14_tiff_phash": oracles.tiff_phash_sql(),
+        # SAME closed form as m09 by construction: identical index
+        # derivation (md5 byte i%16) and identical 256-entry palette —
+        # one pixel contract across two container formats
+        "m15_palette_png_phash": oracles.gif_phash_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),

@@ -198,8 +198,9 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       IDATs concatenate per spec), zlib inflate, and full per-row
       unfiltering (None/Sub/Up/Average/Paeth, the spec's §9 recurrences
       in exact integer arithmetic) for 8-bit grayscale, gray+alpha,
-      RGB, and RGBA, non-interlaced. Palette, 16-bit, and interlaced
-      PNGs raise (recognized container, unsupported profile).
+      RGB, RGBA, and PALETTE (indexed through PLTE, the indexed-color
+      web asset shape), non-interlaced. 16-bit and interlaced PNGs
+      raise (recognized container, unsupported profile).
     * **GIF** 87a/89a, first frame: global/local color tables,
       interlaced row order, and a real variable-width LSB-first LZW
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
@@ -410,6 +411,7 @@ def _decode_png(b: bytes) -> "list[int]":
     w = h = None
     bitdepth = colortype = interlace = None
     idat = bytearray()
+    plte = None
     while o + 8 <= n:
         (clen,) = struct.unpack(">I", b[o : o + 4])
         ctype = b[o + 4 : o + 8]
@@ -422,6 +424,10 @@ def _decode_png(b: bytes) -> "list[int]":
             w, h, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif ctype == b"PLTE":
+            if clen == 0 or clen % 3 or clen > 768:
+                raise ValueError("decode_image_pixels: bad PNG PLTE")
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -431,13 +437,15 @@ def _decode_png(b: bytes) -> "list[int]":
         raise ValueError("decode_image_pixels: PNG without IHDR")
     if w <= 0 or h <= 0:
         raise ValueError("decode_image_pixels: bad PNG geometry")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if bitdepth != 8 or channels is None or interlace != 0:
         raise ValueError(
-            "decode_image_pixels: only 8-bit non-interlaced gray/RGB(A) "
-            f"PNG (got depth={bitdepth}, color={colortype}, "
-            f"interlace={interlace})"
+            "decode_image_pixels: only 8-bit non-interlaced "
+            f"gray/RGB(A)/palette PNG (got depth={bitdepth}, "
+            f"color={colortype}, interlace={interlace})"
         )
+    if colortype == 3 and plte is None:
+        raise ValueError("decode_image_pixels: palette PNG without PLTE")
     if w * h > 64_000_000:
         # hostile-geometry guard: the IHDR claim, not the blob size,
         # drives every allocation below
@@ -489,7 +497,17 @@ def _decode_png(b: bytes) -> "list[int]":
                 f"decode_image_pixels: unknown PNG filter {ftype}"
             )
         prev = bytes(line)
-        if channels == 1:
+        if colortype == 3:  # indices through PLTE -> BT.601 luma
+            for v in line:
+                if 3 * v + 2 >= len(plte):
+                    raise ValueError(
+                        "decode_image_pixels: PNG palette index out of range"
+                    )
+                out.append(
+                    (299 * plte[3 * v] + 587 * plte[3 * v + 1]
+                     + 114 * plte[3 * v + 2]) // 1000
+                )
+        elif channels == 1:
             out.extend(line)
         elif channels == 2:  # gray + alpha: gray channel
             out.extend(line[0::2])
