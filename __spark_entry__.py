@@ -814,6 +814,39 @@ def q41_tpch_q17(spark, sf_dir):
     )
 
 
+def q43_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) — the IN-over-aggregated-
+    subquery shape, lowered the way the re-aggregation-free plan
+    should: the HAVING subquery's per-order quantity total is computed
+    ONCE (one partial-aggregable groupBy over two lineitem columns),
+    filtered, and joined back — the textbook form re-joins lineitem
+    and aggregates a second time; this plan never touches lineitem
+    again. l_quantity is integral so the HAVING cut is exact in both
+    engines. At 100 TB: one map-side-combined aggregate shuffling
+    (orderkey, partial sum) pairs, one equi-join to orders on the
+    (tiny) qualifying set, customer joined without a hint (a scaling
+    dimension — AQE decides), top-100 via TakeOrderedAndProject."""
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
 def q42_tpch_q21(spark, sf_dir):
     """TPC-H Q21-shaped (suppliers who kept waiting) — the hardest
     correlation pattern in the suite: an EXISTS and a NOT EXISTS, both
@@ -898,6 +931,41 @@ def d02_minhash_lsh(spark, sf_dir):
 def d03_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
+def d16_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC (containment) near-dup under the value gate — the
+    quote/excerpt detector Jaccard structurally misses: every third
+    document of the slice re-enters the corpus as its own 60 %-prefix
+    EXCERPT under a shifted id; C(excerpt→original) ≈ 1 while the
+    Jaccard of the same pair is far below any useful cut. The operator
+    runs the rarest-first prefix filter adapted to the asymmetric bound
+    (A blocks on |A|−⌈t|A|⌉+1 prefix shingles, B posts all — lossless,
+    no length filter because B may be arbitrarily long) and verifies
+    exact |A∩B|/|A| on candidates only. Oracle: the naive
+    shared-shingle blocker + exact containment over the identical
+    shingle sets — the prefix filter must be invisible in the output.
+    Excerpt construction is the same closed form on both engines
+    (greatest(3, ceil(0.6·n)) leading tokens), so a float-ceil or
+    slicing discrepancy surfaces as a planted-pair mismatch."""
+    from icedb_spark.operators import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+    )
+    ntake = F.greatest(
+        F.lit(3), F.ceil(F.size(words) * 0.6)
+    ).cast("int")
+    planted = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, F.lit(1), ntake), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return (
+        containment_pairs(corpus, shingle_k=3, threshold=0.9)
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -4657,21 +4725,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 rotation (VERDICT r8 #1): the window leads with the three
-    # NEW entries (t23 production-vocab BPE encode at 47 952 merges, m08
-    # real PNG pixel decode, m09 real GIF/LZW decode) and the two entries
-    # that had NEVER held a driver row (t21 token ids, t22 packed token
-    # stream — added below the r8 window); then one witness per code path that CHANGED this round:
-    # t19/t20 (the pair-indexed encoder now behind apply_bpe greedy and
-    # bpe_tokenize), st10 (streaming gate passes its sig_rows through),
-    # d13/d14/d15 (the three dedup-index inner functions grew probe-row
-    # passthrough params). The remaining 40 slots drain the staleness
-    # backlog oldest-first: ALL 32 entries last driver-checked in r5
-    # (the core SQL surface q03-q32 — joins, windows, rollup/cube, set
-    # ops, JSON, scalar/date/string/array fns — plus d04-d06, st02,
-    # t01/t03/t04/t11, mv02) and the 8 oldest r6 rows (q02/q04/q17/
-    # q28-q31/q33). Still below the window: the r6-era t02/t06-t09/t12
-    # (rotate up in r10) and everything green in r7-r8; ALL keys stay
+    # Round-9 final composition: the window leads with ALL 27 entries
+    # that have NEVER held a driver row — the round's 25 new gates (t23
+    # production-vocab BPE, m08/m09/m14/m15 real PNG/GIF/TIFF/palette
+    # pixel decode, m10-m13 WAV/EXIF/MP3/MP4 metadata decode, q34-q42
+    # SQL surface incl. TPC-H Q3/Q5/Q17/Q21, st11-st14 streaming
+    # windows+joins, t24 WordPiece, t25 round-trip, t26 Unigram-LM
+    # Viterbi, sm10 weighted sampling, sm11 token-budget mixing) plus
+    # t21/t22 (added below the r8 window) — then one witness per code
+    # path that CHANGED this round: t20 (pair-indexed encoder behind
+    # bpe_tokenize), st10 (sig_rows passthrough), d13/d14/d15 (probe-row
+    # params). The remaining slots drain the r5-era staleness backlog
+    # oldest-first (d04-d06, mv02, q03-q16). Below the window for r10:
+    # the rest of the r5/r6 backlog (q17-q33, t01-t12, st02) — all
+    # replica-green today — then the r7-r8 cohorts; ALL 171 keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
@@ -4693,6 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_tpch_q3": q40_tpch_q3,
         "q41_tpch_q17": q41_tpch_q17,
         "q42_tpch_q21": q42_tpch_q21,
+        "q43_tpch_q18": q43_tpch_q18,
+        "d16_containment_pairs": d16_containment_pairs,
         "sm10_weighted_sample": sm10_weighted_sample,
         "sm11_token_budget": sm11_token_budget,
         "st11_sliding_window": st11_sliding_window,
@@ -4725,6 +4794,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_join_threeway": q13_join_threeway,
         "q14_window_rank": q14_window_rank,
         "q16_date_parts": q16_date_parts,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a green driver row from r5-r8 or is
+        # replica-green backlog; this rotation only demotes proven
+        # entries. The round's 27 never-checked gates claimed the head
+        # of the window (never-checked outranks stale-but-proven), and
+        # each demoted path keeps an in-window witness: t19's
+        # pair-indexed encoder is witnessed by t23 at 37x the rules and
+        # t20's tokenize; st02's windowed_agg by st11's sliding gate;
+        # q18/q27's rollup/cube Expand by q36's grouping sets; q20's
+        # semi/anti by q42's Q21 lowering; q24/q31's salted paths stay
+        # covered by the skew suite's unit tests. Everything displaced
+        # (q17-q33, t01-t12, st02 and the r7-r8 cohorts) rotates up
+        # in r10.
         "q18_rollup": q18_rollup,
         "q19_setops": q19_setops,
         "q20_semi_anti": q20_semi_anti,
@@ -4733,22 +4815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_array_funcs": q23_array_funcs,
         "q24_salted_join": q24_salted_join,
         "q32_asof_left_join": q32_asof_left_join,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a green driver row from r6-r8; this
-        # rotation only demotes proven entries. The r6-era
-        # q02/q04/q17/q28/q29/q30/q33, r5-era q15/q26/q27/st02/t01/
-        # t03/t04/t11 (all replica-green today at sf0.01), and the t19
-        # change-witness (its pair-indexed-encoder path stays
-        # witnessed in-window by t23 at 37x the rules and t20's
-        # tokenize; st02's windowed_agg path by st11's sliding gate)
-        # yielded their 16 slots to the round's SIXTEEN later NEW
-        # entries (m10-m13 real decode, q34-q39 SQL surface incl.
-        # TPC-H Q5, st11-st14 streaming, t24 WordPiece, t25 round-trip
-        # detokenization; t23/m08/m09 entered in the earlier r9
-        # rotation, making 19 new entries in-window total) —
-        # never-checked entries outrank stale-but-proven backlog — and
-        # everything displaced rotates up in r10 with the rest of the
-        # r6 cohort.
         "st02_windowed_agg": st02_windowed_agg,
         "q02_count_by_user": q02_count_by_user,
         "q04_distinct": q04_distinct,
@@ -5063,6 +5129,21 @@ select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
 from li join t using (l_partkey)
 where l_quantity * 5 * c < sq
 """,
+        # the textbook IN + HAVING form — the entry's aggregate-once
+        # lowering must preserve exactly these semantics
+        "q43_tpch_q18": """
+select c_name, c_custkey, o_orderkey, o_orderdate,
+  round(o_totalprice, 2) as o_totalprice,
+  (select sum(l_quantity) from lineitem where l_orderkey = o_orderkey)
+    as total_qty
+from customer join orders on c_custkey = o_custkey
+where o_orderkey in (
+  select l_orderkey from lineitem
+  group by l_orderkey having sum(l_quantity) > 180
+)
+order by o_totalprice desc, o_orderdate, o_orderkey
+limit 100
+""",
         # the textbook correlated EXISTS / NOT EXISTS form — the entry's
         # semi/anti lowering must preserve exactly these semantics
         "q42_tpch_q21": """
@@ -5255,6 +5336,7 @@ from per_sess group by user_id
         "d01_exact_dedup": oracles.exact_dup_groups_sql(),
         "d02_minhash_lsh": oracles.minhash_pairs_sql(16, 4, 3, 0.5),
         "d03_ngram_jaccard": oracles.ngram_jaccard_pairs_sql(3, 0.5),
+        "d16_containment_pairs": oracles.containment_pairs_sql(3, 0.9),
         "d04_simhash": oracles.simhash_sql(32),
         "d05_embedding_dups": oracles.embedding_dups_sql(0.4),
         "d06_simhash_pairs": oracles.simhash_pairs_sql(32, 3),

@@ -442,6 +442,12 @@ def main():
                 "q34_stats_agg", "q36_grouping_sets",
                 "q37_rolling_window", "q38_unpivot", "q39_tpch_q5",
                 "st12_stream_stream_join", "st14_stream_static_join",
+                # round-9 late additions: TPC-H Q3/Q17/Q21, samplers,
+                # the Unigram tokenizer, TIFF + palette-PNG decode
+                "q40_tpch_q3", "q41_tpch_q17", "q42_tpch_q21",
+                "sm10_weighted_sample", "sm11_token_budget",
+                "t26_unigram_encode", "m14_tiff_phash",
+                "m15_palette_png_phash",
             )
         },
     })

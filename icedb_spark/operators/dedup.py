@@ -333,6 +333,108 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-duplicates — the ASYMMETRIC measure
+    ``C(A→B) = |A∩B| / |A|``: a short document quoted or excerpted
+    inside a long one scores near 1 even though its Jaccard is tiny
+    (the union is dominated by B), so containment catches
+    quote/subset/boilerplate-wrapper duplication that
+    :func:`ngram_jaccard_pairs` structurally cannot. Output is DIRECTED
+    ``(id_a, id_b, containment)`` — "id_a is contained in id_b";
+    mutually-equal documents appear in both directions, by definition.
+
+    Same lossless prefix-filter shape as the Jaccard join, adapted to
+    the asymmetric bound: if ``|A∩B| >= ceil(t·|A|)`` then A's
+    RAREST-FIRST prefix of length ``|A| − ceil(t·|A|) + 1`` must
+    intersect B (fewer shared shingles than the bound would otherwise
+    fit outside the prefix) — so only A-prefix shingles become blocking
+    keys, while the B side posts all of its shingles. There is no
+    length filter (B may be arbitrarily long — that's the point), so
+    the candidate width on a shingle is ``prefix_count × df``;
+    rarest-first ordering keeps stop-shingles out of every prefix,
+    which is what bounds the join at corpus scale. Exact containment is
+    then verified on the candidates only (semi-join-pruned shingle
+    re-derivation, O(candidates) not O(corpus)).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("ds", F.count("*").over(Window.partitionBy("id")))
+    )
+    # -1e-9: an over-ceil would shrink the prefix and break losslessness
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("ds") - F.ceil(F.lit(threshold) * F.col("ds") - 1e-9) + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            ex.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") != F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
+    )
+    return (
+        cand.join(
+            sets.withColumnRenamed("id", "id_a")
+            .withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sets.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_a"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

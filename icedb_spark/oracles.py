@@ -99,6 +99,51 @@ where round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
 """
 
 
+def containment_pairs_sql(
+    shingle_k: int = 3, threshold: float = 0.9, mod: int = 10, rem: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle for d16 (asymmetric containment near-dup): rebuilds the
+    SAME corpus the entry builds — the doc_id slice plus each third
+    document's 60 %-prefix excerpt under a shifted id (identical
+    greatest(3, ceil(0.6·n)) closed form) — then computes exact
+    |A∩B|/|A| over the NAIVE shared-shingle blocker, so the entry's
+    lossless prefix filter must be invisible in the output."""
+    return f"""
+with base as (
+  select doc_id, text from {table} where doc_id % {mod} = {rem}
+),
+corpus as (
+  select doc_id, text from base
+  union all
+  select doc_id + 2000000,
+    array_to_string(
+      list_slice({TOKENS}, 1,
+        cast(greatest(3, ceil(0.6 * len({TOKENS}))) as int)), ' ')
+  from base where doc_id % 3 = 0
+),
+toks as (
+  select doc_id, {TOKENS} as tokens from corpus
+), sh as (
+  select doc_id, {shingles_sql(shingle_k)} as shingles from toks
+), ex as (
+  select doc_id, unnest(shingles) as shingle from sh
+), cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from ex a join ex b on a.shingle = b.shingle and a.doc_id != b.doc_id
+)
+select c.id_a, c.id_b,
+  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(sa.shingles), 6) as containment
+from cand c
+join sh sa on sa.doc_id = c.id_a
+join sh sb on sb.doc_id = c.id_b
+where round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(sa.shingles), 6) >= {threshold}
+order by id_a, id_b
+"""
+
+
 def simhash_sql(bits: int = 32, seed: int = 777, table: str = "documents") -> str:
     bit_sums = ",\n    ".join(
         f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"

@@ -123,6 +123,81 @@ def test_ngram_jaccard_symmetric_subset_of_truth(spark):
     assert abs(pairs[(1, 2)] - round(6 / 7, 6)) < 1e-9
 
 
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    """The asymmetric measure's reason to exist: a short excerpt inside
+    a long document scores containment ~1 while its Jaccard is tiny;
+    the output is DIRECTED (excerpt -> original only, at a high cut)."""
+    import pytest as _pt
+
+    from icedb_spark.operators import containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": long},
+        {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(10))},  # prefix
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(40))},
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert out[(2, 1)] == 1.0       # excerpt fully contained
+    assert (1, 2) not in out        # NOT symmetric: 40-doc in 10-doc fails
+    assert (2, 3) not in out and (3, 2) not in out
+    # the same pair under Jaccard is far below any useful cut
+    j = ngram_jaccard_pairs(df, threshold=0.05).collect()
+    jp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j}
+    assert jp[(1, 2)] < 0.25
+    # equal documents contain each other — both directions emitted
+    dup = spark.createDataFrame(
+        [{"doc_id": 1, "text": long}, {"doc_id": 2, "text": long}]
+    )
+    both = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(dup, threshold=0.9).collect()
+    }
+    assert both == {(1, 2), (2, 1)}
+    with _pt.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The prefix-filtered operator must equal the naive all-shared-
+    shingle blocker exactly (the lemma's promise), on a corpus dense
+    enough that prefixes actually prune."""
+    import random
+
+    from icedb_spark.operators import containment_pairs
+    from icedb_spark.operators.dedup import shingles as _sh
+
+    rnd = random.Random(5)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rnd.choice(vocab) for _ in range(18))}
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(df, threshold=0.7).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", _sh(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa:
+                c = round(len(sa & sb) / len(sa), 6)
+                if c >= 0.7:
+                    want.add((a, b, c))
+    assert got == want
+
+
 def test_simhash_near_dup(spark):
     base = " ".join(f"tok{i}" for i in range(50))
     rows = [
