@@ -847,6 +847,56 @@ def q43_tpch_q18(spark, sf_dir):
     )
 
 
+def q44_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) — correlated EXISTS over the
+    fact table, lowered to a LEFT SEMI join: orders in a date window
+    with at least one "late" lineitem (ship date after the window
+    midpoint here — this schema carries no commit/receipt dates),
+    counted by priority. The semi join shuffles only (orderkey) pairs
+    and short-circuits per key; the date filters push into both scans.
+    Oracle keeps the correlated EXISTS form."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q45_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped (supplier relationship counting) — the NOT IN
+    subquery + COUNT DISTINCT shape: how many DISTINCT suppliers serve
+    each (brand, size-bucket), excluding a supplier denylist derived
+    from a subquery (negative account balance stands in for Q16's
+    complaint scan; the key set is non-NULL so NOT IN lowers to a LEFT
+    ANTI join — with possible NULLs it would need the three-valued
+    NOT-IN plan, which is why engines hate this shape). One anti join
+    against a broadcast denylist, then a two-column distinct aggregate
+    (partial distinct map-side). Oracle keeps the textbook NOT IN."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.col("p_size") % 5).alias("size_bucket")
+    )
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "size_bucket")
+    )
+
+
 def q42_tpch_q21(spark, sf_dir):
     """TPC-H Q21-shaped (suppliers who kept waiting) — the hardest
     correlation pattern in the suite: an EXISTS and a NOT EXISTS, both
@@ -3676,6 +3726,61 @@ def st13_stream_outer_join(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st15_budget_admission(spark, sf_dir):
+    """Stateful streaming ADMISSION CONTROL under the value gate — the
+    streaming twin of sm11: per-language token quotas enforced on a
+    LIVE stream, with the consumed-budget state carried ACROSS
+    micro-batch runs over one checkpoint (the property that makes it a
+    quota and not a batch filter). The gate drives two availableNow
+    runs: run 1 ingests the even-doc_id half (admission eats into each
+    language's budget), run 2 the odd half — its admissions must start
+    from run 1's surviving state, so a state loss or double-count
+    breaks the cut line. Within a batch, rows admit in doc_id order
+    (the deterministic stand-in for arrival order); the oracle replays
+    the whole two-run history as one window: per-language running
+    total over (parity, doc_id) order, strict pre-total cut."""
+    from icedb_spark.streaming import budget_admission
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    budgets = {"en": 20_000, "de": 8_000, "es": 8_000, "fr": 8_000}
+    src = tempfile.mkdtemp(prefix="icestream-src-")
+    ck = tempfile.mkdtemp(prefix="icestream-ck-")
+    got: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            budget_admission(
+                stream, budgets, strata_col="lang", token_col="n_chars",
+                order_col="doc_id", default_budget=5_000,
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: got.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        docs.where(F.col("doc_id") % 2 == 0).repartition(3).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        docs.where(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        return spark.createDataFrame(
+            got, schema="lang string, doc_id long, toks long, run long"
+        ).orderBy("doc_id")
+    finally:
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def st14_stream_static_join(spark, sf_dir):
     """Stream-STATIC enrichment join — the most common streaming shape
     of all (fact stream ⋈ dimension table): events stream through the
@@ -4761,6 +4866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_tpch_q17": q41_tpch_q17,
         "q42_tpch_q21": q42_tpch_q21,
         "q43_tpch_q18": q43_tpch_q18,
+        "q44_tpch_q4": q44_tpch_q4,
+        "q45_tpch_q16": q45_tpch_q16,
         "d16_containment_pairs": d16_containment_pairs,
         "sm10_weighted_sample": sm10_weighted_sample,
         "sm11_token_budget": sm11_token_budget,
@@ -4768,6 +4875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
         "st14_stream_static_join": st14_stream_static_join,
+        "st15_budget_admission": st15_budget_admission,
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
         "t26_unigram_encode": t26_unigram_encode,
@@ -5128,6 +5236,32 @@ select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
   count(*) as n_items
 from li join t using (l_partkey)
 where l_quantity * 5 * c < sq
+""",
+        # textbook correlated EXISTS — the entry's semi-join must match
+        "q44_tpch_q4": """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1997-01-01 00:00:00'
+  and o_orderdate < timestamp '1998-01-01 00:00:00'
+  and exists (
+    select 1 from lineitem
+    where l_orderkey = o_orderkey
+      and l_shipdate > timestamp '1997-07-01 00:00:00'
+  )
+group by o_orderpriority
+order by o_orderpriority
+""",
+        # textbook NOT IN + count(distinct) — the entry's anti-join
+        # lowering is valid because the denylist key set is non-NULL
+        "q45_tpch_q16": """
+select p_brand, p_size % 5 as size_bucket,
+  count(distinct l_suppkey) as supplier_cnt
+from lineitem join part on l_partkey = p_partkey
+where l_suppkey not in (
+  select s_suppkey from supplier where s_acctbal < 0
+)
+group by p_brand, size_bucket
+order by supplier_cnt desc, p_brand, size_bucket
 """,
         # the textbook IN + HAVING form — the entry's aggregate-once
         # lowering must preserve exactly these semantics
@@ -5555,6 +5689,23 @@ select epoch_us(date_trunc('day', ts)) as win_start_us,
 from events
 group by 1, 2, 3
 having win_end_us <= (select wm_us from wm)
+""",
+        # the two-run admission history replayed as one window: run 1
+        # ingested the even half, run 2 the odd — so global admission
+        # order per language is (parity, doc_id); strict pre-total cut
+        "st15_budget_admission": """
+select lang, doc_id, cast(n_chars as bigint) as toks, run from (
+  select lang, doc_id, n_chars,
+    cast(sum(cast(n_chars as bigint)) over (
+      partition by lang order by doc_id % 2, doc_id
+      rows between unbounded preceding and current row
+    ) - n_chars as bigint) as run,
+    case lang when 'en' then 20000 when 'de' then 8000
+              when 'es' then 8000 when 'fr' then 8000
+              else 5000 end as budget
+  from documents
+) where run < budget
+order by doc_id
 """,
         "st14_stream_static_join": """
 select c_mktsegment, count(*) as cnt, round(sum(value), 2) as sum_value

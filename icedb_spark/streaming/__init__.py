@@ -5,6 +5,7 @@ from .ingest import (
     stream_upsert,
 )
 from .windows import (
+    budget_admission,
     session_agg,
     stateful_sessionize,
     stream_interval_join,
@@ -16,6 +17,7 @@ __all__ = [
     "stream_insert_near_dedup",
     "stream_upsert",
     "micro_batch_pipeline",
+    "budget_admission",
     "session_agg",
     "stateful_sessionize",
     "stream_interval_join",

@@ -43,6 +43,7 @@ __all__ = [
     "session_agg",
     "stateful_sessionize",
     "stream_interval_join",
+    "budget_admission",
 ]
 
 
@@ -206,6 +207,90 @@ def stateful_sessionize(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def budget_admission(
+    df: DataFrame,
+    budgets: "Mapping[str, int]",
+    strata_col: str,
+    token_col: str,
+    order_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Stateful streaming ADMISSION CONTROL — the streaming twin of
+    :func:`icedb_spark.operators.sampling.token_budget_sample`: admit
+    documents from a live stream until each stratum's running token
+    total reaches its budget, then reject the rest forever. This is the
+    shape of a collection quota ("stop ingesting source X after N
+    tokens") that batch sampling can't provide — by the time a batch
+    job runs, the corpus is already stored.
+
+    Per-stratum state is ONE long (tokens admitted so far), carried
+    across micro-batches by ``applyInPandasWithState``; admission uses
+    the same strict pre-total rule as the batch sampler (admit while
+    the total BEFORE the document is under budget — overshoot bounded
+    by one document, at least one document per funded stratum). Within
+    a micro-batch, rows of a stratum are processed in ``order_col``
+    order — the deterministic stand-in for arrival order that lets an
+    oracle replay admission exactly; across batches, arrival order IS
+    the admission order, as in any real quota. Output: one row per
+    ADMITTED document, ``(stratum, order, toks, run)`` with ``run`` the
+    pre-admission running total.
+
+    Scale shape: one shuffle on the stratum key per micro-batch; state
+    size is #strata longs — no timeout needed, a quota never expires.
+    Strata are typically few (sources, languages), so per-key fan-in is
+    the micro-batch's own size, never history.
+    """
+    bmap = {str(k): int(v) for k, v in budgets.items()}
+    dflt = int(default_budget)
+    if any(v < 0 for v in bmap.values()) or dflt < 0:
+        raise ValueError("budgets must be >= 0")
+
+    def fn(key, pdfs: Iterator, state):  # pragma: no cover - runs in worker
+        import pandas as pd
+
+        stratum = key[0]
+        budget = bmap.get(stratum, dflt) if stratum is not None else dflt
+        spent = state.get[0] if state.exists else 0
+        orders, toks = [], []
+        for pdf in pdfs:
+            orders.extend(pdf[order_col].tolist())
+            toks.extend(pdf[token_col].tolist())
+        out_o, out_t, out_r = [], [], []
+        for o, t in sorted(zip(orders, toks)):
+            if spent < budget:
+                out_o.append(o)
+                out_t.append(t)
+                out_r.append(spent)
+                spent += t
+        state.update((spent,))
+        yield pd.DataFrame(
+            {
+                strata_col: pd.Series([stratum] * len(out_o), dtype="object"),
+                order_col: pd.Series(out_o, dtype="int64"),
+                "toks": pd.Series(out_t, dtype="int64"),
+                "run": pd.Series(out_r, dtype="int64"),
+            }
+        )
+
+    out_schema = StructType(
+        [
+            df.schema[strata_col],
+            StructField(order_col, LongType()),
+            StructField("toks", LongType()),
+            StructField("run", LongType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(strata_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=StructType([StructField("spent", LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -288,3 +288,65 @@ def test_stream_interval_join_right_outer_keys(spark):
         (r["user_id"], r["event_id"], r["r_event_id"]) for r in ro.collect()
     )
     assert got == [("u1", 1, 10), ("u9", None, 11)]
+
+
+def test_budget_admission_quota_survives_runs(spark, tmp_path):
+    """The quota property itself: per-stratum admission stops at the
+    budget (strict pre-total rule), state persists across availableNow
+    runs over one checkpoint (run 2 cannot re-spend run 1's tokens),
+    unlisted strata use the default, and zero-budget strata admit
+    nothing."""
+    from icedb_spark.streaming import budget_admission
+
+    src = str(tmp_path / "ba-src")
+    ck = str(tmp_path / "ba-ck")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, src string, toks long")
+
+    def run():
+        got: list = []
+        stream = spark.readStream.schema(
+            "doc_id long, src string, toks long"
+        ).parquet(src)
+        q = (
+            budget_admission(
+                stream, {"a": 25, "zero": 0}, strata_col="src",
+                token_col="toks", order_col="doc_id", default_budget=10,
+            )
+            .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # run 1: 'a' admits 1,2,3 (pre-totals 0,10,20 < 25; then 30 stops);
+    # 'zero' admits nothing; 'other' admits its first (default 10)
+    mk([
+        (1, "a", 10), (2, "a", 10), (3, "a", 10), (4, "a", 10),
+        (5, "zero", 1), (6, "other", 99),
+    ]).write.mode("append").parquet(src)
+    first = run()
+    by = {(r["src"], r["doc_id"]): r["run"] for r in first}
+    assert set(by) == {("a", 1), ("a", 2), ("a", 3), ("other", 6)}
+    assert by[("a", 3)] == 20
+
+    # run 2: 'a' is exhausted (spent=30 >= 25) — even a tiny doc is
+    # rejected; 'other' spent 99 >= 10 likewise
+    mk([(7, "a", 1), (8, "other", 1), (9, "b", 4)]).write.mode(
+        "append"
+    ).parquet(src)
+    second = run()
+    assert {(r["src"], r["doc_id"]) for r in second} == {("b", 9)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        budget_admission(
+            mk([]), {"a": -1}, strata_col="src",
+            token_col="toks", order_col="doc_id",
+        )
