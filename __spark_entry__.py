@@ -847,6 +847,41 @@ def q43_tpch_q18(spark, sf_dir):
     )
 
 
+def q46_pivot(spark, sf_dir):
+    """PIVOT — the inverse of q38's UNPIVOT and its own plan shape:
+    ``groupBy(month).pivot(priority, [explicit values])`` compiles to
+    ONE pass of conditional aggregates (a CASE per cell column inside
+    a single partial→final HashAggregate — never one scan per pivot
+    value), because the value list is given explicitly; omitting it
+    would cost a driver-side distinct scan first, the classic pivot
+    footgun. Counts per cell, urgent-revenue beside them. The oracle
+    is the engine-neutral conditional-aggregation form."""
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    piv = (
+        o.groupBy("month")
+        .pivot("o_orderpriority", pr)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{i + 1}_cnt" for i, p in enumerate(pr)}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("urgent_revenue"))
+    )
+    return (
+        piv.join(urgent, "month", "left")
+        .na.fill({f"p{i}_cnt": 0 for i in range(1, 6)})
+        .orderBy("month")
+    )
+
+
 def q44_tpch_q4(spark, sf_dir):
     """TPC-H Q4 (order-priority checking) — correlated EXISTS over the
     fact table, lowered to a LEFT SEMI join: orders in a date window
@@ -4867,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_tpch_q21": q42_tpch_q21,
         "q43_tpch_q18": q43_tpch_q18,
         "q44_tpch_q4": q44_tpch_q4,
+        "q46_pivot": q46_pivot,
         "q45_tpch_q16": q45_tpch_q16,
         "d16_containment_pairs": d16_containment_pairs,
         "sm10_weighted_sample": sm10_weighted_sample,
@@ -5236,6 +5272,21 @@ select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
   count(*) as n_items
 from li join t using (l_partkey)
 where l_quantity * 5 * c < sq
+""",
+        # engine-neutral conditional-aggregation form of the pivot
+        "q46_pivot": """
+select strftime(o_orderdate, '%Y-%m') as month,
+  count(case when o_orderpriority = '1-URGENT' then 1 end) as p1_cnt,
+  count(case when o_orderpriority = '2-HIGH' then 1 end) as p2_cnt,
+  count(case when o_orderpriority = '3-MEDIUM' then 1 end) as p3_cnt,
+  count(case when o_orderpriority = '4-NOT SPECIFIED' then 1 end)
+    as p4_cnt,
+  count(case when o_orderpriority = '5-LOW' then 1 end) as p5_cnt,
+  round(sum(case when o_orderpriority = '1-URGENT' then o_totalprice end),
+        2) as urgent_revenue
+from orders
+group by month
+order by month
 """,
         # textbook correlated EXISTS — the entry's semi-join must match
         "q44_tpch_q4": """

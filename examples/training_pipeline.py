@@ -243,6 +243,41 @@ def main() -> None:
     print("wordpiece stream sample (doc_id, pos, piece):")
     wp.orderBy("doc_id", "pos").show(8, truncate=False)
 
+    # --- 7. the third tokenizer family: Unigram-LM (SentencePiece) --------
+    # exact Viterbi over scored pieces — the global optimum greedy walks
+    # miss; scores are log-prob-like (negative, longer pieces cheaper)
+    from icedb_spark.operators import unigram_encode
+
+    uni_scores = {c: -4 for c in chars}
+    uni_scores.update(
+        {c1 + c2: -5 for c1 in chars[:8] for c2 in chars[:8]}
+    )
+    uni = unigram_encode(train_docs, uni_scores)
+    print("unigram stream sample (doc_id, pos, piece):")
+    uni.orderBy("doc_id", "pos").show(8, truncate=False)
+
+    # --- 8. assembling the MIX: budgets in tokens, draws by weight --------
+    # the mix spec is in TOKENS per source; fill each language's budget
+    # deterministically, then draw a quality-weighted extra slice —
+    # both reproducible on any engine (hash-derived randomness)
+    from icedb_spark.operators import token_budget_sample, weighted_sample
+
+    mix = token_budget_sample(
+        curated.read(),
+        {"en": 4_000, "de": 1_500, "zh": 1_500},
+        strata_col="lang_pred",
+        token_col="n_tokens",
+        key_col="doc_id",
+        default_budget=800,
+    )
+    mix.groupBy("lang_pred").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("lang_pred").show()
+    extra = weighted_sample(
+        curated.read(), 50, weight_col="n_tokens", key_col="doc_id"
+    )
+    print("length-weighted extra slice:", extra.count(), "docs")
+
 
 if __name__ == "__main__":
     main()
