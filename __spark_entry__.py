@@ -2164,6 +2164,99 @@ def m15_palette_png_phash(spark, sf_dir):
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
 
 
+def m16_interlaced_png_phash(spark, sf_dir):
+    """REAL Adam7-INTERLACED PNG decode under the value gate — the last
+    common PNG profile (progressive web images): each doc becomes a
+    genuine 8×8 8-bit GRAYSCALE PNG with interlace=1, its 64 samples
+    split across the seven Adam7 passes (1+1+2+4+8+16+32 pixels), each
+    pass filtered as a STANDALONE reduced image — first pass row None,
+    later rows Up, whose "up" neighbor is dy image-rows away, so a
+    decoder that unfilters across pass boundaries or misplaces a pass
+    origin scrambles pixels. Pixel at raster index i is md5 byte i%16;
+    the pass layout and filter bytes are a compile-time constant map
+    (the zlib stream is the stored-block + column-side adler32 shape of
+    m08/m15). The oracle is the pooled aHash over the md5 bytes in
+    closed form."""
+    import struct
+    import zlib as _zlib
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)  # gray, Adam7
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", _zlib.crc32(b"IEND")
+    )
+    # the 79-byte raw stream layout: per Adam7 pass, one filter byte per
+    # reduced row then that row's samples; idx = raster index of each
+    # sample byte, up = its Up neighbor (dy rows above, same pass) or -1
+    idx: list = []
+    up: list = []
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw, ph = (8 - x0 + dx - 1) // dx, (8 - y0 + dy - 1) // dy
+        for ry in range(ph):
+            idx.append(-1 if ry == 0 else -2)  # filter None / Up
+            up.append(-1)
+            for rx in range(pw):
+                i = (y0 + ry * dy) * 8 + x0 + rx * dx
+                idx.append(i)
+                up.append(-1 if ry == 0 else i - 8 * dy)
+    assert len(idx) == 79
+    zpre = bytes([0x78, 0x01, 0x01, 79, 0, 255 - 79, 255])
+    V = (
+        "cast(conv(substring(md5(text), 2 * (({e}) % 16) + 1, 2), 16, 10)"
+        " as int)"
+    )
+    idx_sql = "array(" + ",".join(str(v) for v in idx) + ")"
+    up_sql = "array(" + ",".join(str(v) for v in up) + ")"
+    vals_sql = f"""transform(sequence(0, 78), j -> cast(case
+      when element_at({idx_sql}, j + 1) = -1 then 0
+      when element_at({idx_sql}, j + 1) = -2 then 2
+      when element_at({up_sql}, j + 1) = -1
+        then {V.format(e=f'element_at({idx_sql}, j + 1)')}
+      else ({V.format(e=f'element_at({idx_sql}, j + 1)')}
+            - {V.format(e=f'element_at({up_sql}, j + 1)')} + 256) % 256
+    end as int))"""
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"), F.expr(vals_sql).alias("vals")
+    )
+    payload = F.expr(
+        "unhex(array_join(transform(vals, x -> lpad(hex(x), 2, '0')), ''))"
+    )
+    s1 = F.expr("(1 + aggregate(vals, 0, (a, x) -> a + x)) % 65521")
+    s2 = F.expr(
+        "(79 + aggregate(zip_with(vals, sequence(79, 1, -1),"
+        " (x, w) -> x * w), 0, (a, x) -> a + x)) % 65521"
+    )
+    zstream = F.concat(
+        F.lit(zpre),
+        payload,
+        F.unhex(
+            F.concat(F.lpad(F.hex(s2), 4, "0"), F.lpad(F.hex(s1), 4, "0"))
+        ),
+    )
+    media = staged.select(
+        "media_id",
+        F.concat(
+            F.lit(sig + ihdr + struct.pack(">I", 90) + b"IDAT"),
+            zstream,
+            F.unhex(
+                F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), zstream))), 8, "0")
+            ),
+            F.lit(iend),
+        ).alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -4891,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m13_mp4_keyframes": m13_mp4_keyframes,
         "m14_tiff_phash": m14_tiff_phash,
         "m15_palette_png_phash": m15_palette_png_phash,
+        "m16_interlaced_png_phash": m16_interlaced_png_phash,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -5552,6 +5646,7 @@ from per_sess group by user_id
         # derivation (md5 byte i%16) and identical 256-entry palette —
         # one pixel contract across two container formats
         "m15_palette_png_phash": oracles.gif_phash_sql(),
+        "m16_interlaced_png_phash": oracles.gray_md5_phash_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),

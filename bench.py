@@ -445,9 +445,11 @@ def main():
                 # round-9 late additions: TPC-H Q3/Q17/Q21, samplers,
                 # the Unigram tokenizer, TIFF + palette-PNG decode
                 "q40_tpch_q3", "q41_tpch_q17", "q42_tpch_q21",
-                "sm10_weighted_sample", "sm11_token_budget",
+                "q43_tpch_q18", "q44_tpch_q4", "q45_tpch_q16",
+                "q46_pivot", "sm10_weighted_sample", "sm11_token_budget",
                 "t26_unigram_encode", "m14_tiff_phash",
-                "m15_palette_png_phash",
+                "m15_palette_png_phash", "m16_interlaced_png_phash",
+                "d16_containment_pairs", "st15_budget_admission",
             )
         },
     })

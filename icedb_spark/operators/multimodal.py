@@ -438,11 +438,11 @@ def _decode_png(b: bytes) -> "list[int]":
     if w <= 0 or h <= 0:
         raise ValueError("decode_image_pixels: bad PNG geometry")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
-    if bitdepth != 8 or channels is None or interlace != 0:
+    if bitdepth != 8 or channels is None or interlace not in (0, 1):
         raise ValueError(
-            "decode_image_pixels: only 8-bit non-interlaced "
-            f"gray/RGB(A)/palette PNG (got depth={bitdepth}, "
-            f"color={colortype}, interlace={interlace})"
+            "decode_image_pixels: only 8-bit gray/RGB(A)/palette PNG "
+            f"(got depth={bitdepth}, color={colortype}, "
+            f"interlace={interlace})"
         )
     if colortype == 3 and plte is None:
         raise ValueError("decode_image_pixels: palette PNG without PLTE")
@@ -451,7 +451,23 @@ def _decode_png(b: bytes) -> "list[int]":
         # drives every allocation below
         raise ValueError("decode_image_pixels: PNG geometry over 64M px")
     stride = w * channels
-    want = h * (stride + 1)
+    if interlace == 0:
+        pass_dims = [(0, 0, 1, 1, w, h)]
+    else:
+        # Adam7: per-pass (x0, y0, dx, dy) and the reduced-image size;
+        # empty passes (small images) contribute NO scanlines, per spec
+        pass_dims = [
+            (x0, y0, dx, dy,
+             (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+        ]
+    want = sum(
+        ph * (pw * channels + 1) for _, _, _, _, pw, ph in pass_dims
+        if pw > 0 and ph > 0
+    )
     try:
         # bounded inflate: a kilobyte IDAT can claim gigabytes (zip
         # bomb); never produce more than the geometry's worth + 1
@@ -462,10 +478,62 @@ def _decode_png(b: bytes) -> "list[int]":
         raise ValueError(f"decode_image_pixels: bad PNG zlib stream: {e}")
     if len(raw) != want or d.unconsumed_tail:
         raise ValueError("decode_image_pixels: PNG pixel payload size")
+    # unfilter each (sub-)image independently — interlaced passes are
+    # filtered as standalone reduced images (left/up neighbors live
+    # INSIDE the pass, the classic Adam7 bug) — then place pixels
+    raster = bytearray(w * h * channels)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in pass_dims:
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = _png_unfilter(raw, off, pw, ph, channels)
+        off += ph * (pw * channels + 1)
+        if interlace == 0:
+            raster[:] = sub
+            break
+        for ry in range(ph):
+            for rx in range(pw):
+                di = ((y0 + ry * dy) * w + (x0 + rx * dx)) * channels
+                si = (ry * pw + rx) * channels
+                raster[di:di + channels] = sub[si:si + channels]
     out: list[int] = []
+    if colortype == 3:  # indices through PLTE -> BT.601 luma
+        for v in raster:
+            if 3 * v + 2 >= len(plte):
+                raise ValueError(
+                    "decode_image_pixels: PNG palette index out of range"
+                )
+            out.append(
+                (299 * plte[3 * v] + 587 * plte[3 * v + 1]
+                 + 114 * plte[3 * v + 2]) // 1000
+            )
+    elif channels == 1:
+        out.extend(raster)
+    elif channels == 2:  # gray + alpha: gray channel
+        out.extend(raster[0::2])
+    else:  # RGB / RGBA -> BT.601 integer luma
+        for x in range(0, len(raster), channels):
+            out.append(
+                (299 * raster[x] + 587 * raster[x + 1]
+                 + 114 * raster[x + 2]) // 1000
+            )
+    return out
+
+
+def _png_unfilter(raw: bytes, off: int, w_px: int, h_rows: int,
+                  channels: int) -> bytearray:
+    """Unfilter one PNG (sub-)image: ``h_rows`` scanlines of ``w_px``
+    pixels starting at byte ``off`` of the inflated stream, each
+    prefixed by its filter byte — the spec's five recurrences in exact
+    integer arithmetic (filter byte PER ROW, left/up neighbors measured
+    in whole pixels, Paeth's left/up/upper-left tie-break order).
+    Sequential images are one call; each Adam7 pass is its own call,
+    because filtering never crosses pass boundaries."""
+    stride = w_px * channels
+    out = bytearray()
     prev = bytes(stride)  # the spec's all-zero row above row 0
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(h_rows):
+        base = off + y * (stride + 1)
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub: left neighbor, one whole pixel back
@@ -497,26 +565,7 @@ def _decode_png(b: bytes) -> "list[int]":
                 f"decode_image_pixels: unknown PNG filter {ftype}"
             )
         prev = bytes(line)
-        if colortype == 3:  # indices through PLTE -> BT.601 luma
-            for v in line:
-                if 3 * v + 2 >= len(plte):
-                    raise ValueError(
-                        "decode_image_pixels: PNG palette index out of range"
-                    )
-                out.append(
-                    (299 * plte[3 * v] + 587 * plte[3 * v + 1]
-                     + 114 * plte[3 * v + 2]) // 1000
-                )
-        elif channels == 1:
-            out.extend(line)
-        elif channels == 2:  # gray + alpha: gray channel
-            out.extend(line[0::2])
-        else:  # RGB / RGBA -> BT.601 integer luma
-            for x in range(0, stride, channels):
-                out.append(
-                    (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2])
-                    // 1000
-                )
+        out.extend(line)
     return out
 
 

@@ -2161,6 +2161,48 @@ order by media_id
 """
 
 
+def gray_md5_phash_sql(
+    bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for m16 (REAL Adam7-interlaced PNG decode): the entry
+    synthesizes a w×h 8-bit GRAYSCALE interlaced PNG whose pixel at
+    raster index i is md5 byte i%16, scanlines split across the seven
+    Adam7 passes with Up filters inside multi-row passes — so the
+    deinterlace placement AND the per-pass unfilter recurrence are both
+    load-bearing. Grayscale luma IS the sample byte, so this closed
+    form is the pooled aHash over md5 bytes directly; a pass-boundary,
+    placement, or filter error scrambles pixels and breaks the hash."""
+    n = w * h
+
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i -> {V('i')}) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def gif_phash_sql(
     bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
 ) -> str:

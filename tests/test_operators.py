@@ -1336,7 +1336,8 @@ def test_decode_png_unsupported_profiles_raise():
         struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), 1)
     with pytest.raises(ValueError):
         decode_image_pixels(bad)
-    # interlaced
+    # interlace flag flipped on sequential-layout data: the Adam7 pass
+    # sizes imply a different payload length, so it fails loudly
     bad = good.replace(
         struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
         struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), 1)
@@ -1431,6 +1432,99 @@ def test_decode_png_palette_roundtrip_property():
     with pytest.raises(ValueError):
         decode_image_pixels(blob2)
     assert decode_image_pixels(bytes(bad)) == [0]
+
+
+def test_decode_png_interlaced_roundtrip_property():
+    """Hypothesis round-trip for ADAM7-interlaced PNGs: arbitrary sizes
+    and color types, every pass filtered as a standalone reduced image
+    with random filters — the deinterlace placement and the per-pass
+    unfilter neighbors (inside the pass, never across) must both be
+    exact."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators import decode_image_pixels
+
+    PASSES = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    def filt_rows(rows, ch, rnd):
+        out = bytearray()
+        w = len(rows[0]) if rows else 0
+        prev = [0] * (w * ch)
+        for row in rows:
+            flat = [c for px in row for c in px]
+            f = rnd.randint(0, 4)
+            out.append(f)
+            for i, v in enumerate(flat):
+                a = flat[i - ch] if i >= ch else 0
+                c = prev[i]
+                d = prev[i - ch] if i >= ch else 0
+                pred = [0, a, c, (a + c) >> 1, None][f]
+                if pred is None:
+                    p = a + c - d
+                    pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        c if pb <= pc else d
+                    )
+                out.append((v - pred) & 0xFF)
+            prev = flat
+        return out
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12), h=st.integers(1, 11),
+        colortype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 10**6),
+    )
+    def roundtrip(w, h, colortype, seed):
+        import random
+
+        rnd = random.Random(seed)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        pix = [
+            [tuple(rnd.randrange(256) for _ in range(ch)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        raw = bytearray()
+        for x0, y0, dx, dy in PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = [
+                [pix[y0 + ry * dy][x0 + rx * dx] for rx in range(pw)]
+                for ry in range(ph)
+            ]
+            raw.extend(filt_rows(rows, ch, rnd))
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        want = []
+        for row in pix:
+            for px in row:
+                if colortype in (0, 4):
+                    want.append(px[0])
+                else:
+                    want.append(
+                        (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+                    )
+        assert decode_image_pixels(blob) == want
+
+    roundtrip()
 
 
 def _gif_lzw_encode(indices, min_code, clears_seed=None):
