@@ -4958,20 +4958,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 final composition: the window leads with ALL 27 entries
-    # that have NEVER held a driver row — the round's 25 new gates (t23
-    # production-vocab BPE, m08/m09/m14/m15 real PNG/GIF/TIFF/palette
-    # pixel decode, m10-m13 WAV/EXIF/MP3/MP4 metadata decode, q34-q42
-    # SQL surface incl. TPC-H Q3/Q5/Q17/Q21, st11-st14 streaming
-    # windows+joins, t24 WordPiece, t25 round-trip, t26 Unigram-LM
-    # Viterbi, sm10 weighted sampling, sm11 token-budget mixing) plus
-    # t21/t22 (added below the r8 window) — then one witness per code
-    # path that CHANGED this round: t20 (pair-indexed encoder behind
+    # Round-9 final composition: the window leads with ALL 34 entries
+    # that have NEVER held a driver row — the round's 32 new gates (t23
+    # production-vocab BPE; m08/m09/m14/m15/m16 real pixel decode for
+    # PNG, GIF, TIFF, palette-PNG and Adam7-interlaced PNG; m10-m13
+    # WAV/EXIF/MP3/MP4 metadata decode; q34-q46 SQL surface incl.
+    # TPC-H Q3/Q4/Q5/Q16/Q17/Q18/Q21 + PIVOT; st11-st15 streaming
+    # windows, joins and budget admission; t24 WordPiece, t25
+    # round-trip, t26 Unigram-LM Viterbi; sm10 weighted sampling, sm11
+    # token-budget mixing; d16 containment dedup) plus t21/t22 (added
+    # below the r8 window) — then one witness per code path that
+    # CHANGED this round: t20 (pair-indexed encoder behind
     # bpe_tokenize), st10 (sig_rows passthrough), d13/d14/d15 (probe-row
     # params). The remaining slots drain the r5-era staleness backlog
-    # oldest-first (d04-d06, mv02, q03-q16). Below the window for r10:
-    # the rest of the r5/r6 backlog (q17-q33, t01-t12, st02) — all
-    # replica-green today — then the r7-r8 cohorts; ALL 171 keys stay
+    # oldest-first (d04-d06, mv02, q03-q08). Below the window for r10:
+    # the rest of the r5/r6 backlog (q09-q33, t01-t12, st02) — all
+    # replica-green today — then the r7-r8 cohorts; ALL 178 keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
@@ -5025,6 +5027,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_month_rollup": q06_month_rollup,
         "q07_percentile": q07_percentile,
         "q08_latest_by_user": q08_latest_by_user,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a green driver row from r5-r8 or is
+        # replica-green backlog; this rotation only demotes proven
+        # entries. The round's 34 never-checked gates claimed the head
+        # of the window (never-checked outranks stale-but-proven), and
+        # each demoted path keeps an in-window witness: t19's
+        # pair-indexed encoder is witnessed by t23 at 37x the rules and
+        # t20's tokenize; st02's windowed_agg by st11's sliding gate;
+        # q18/q27's rollup/cube Expand by q36's grouping sets; q20's
+        # semi/anti by q42/q44/q45's lowerings; q09's union by q38's
+        # UNION-ALL-shaped unpivot oracle pairing; q24/q31's salted
+        # paths stay covered by the skew suite's unit tests. Everything
+        # displaced (q09-q33, t01-t12, st02 and the r7-r8 cohorts)
+        # rotates up in r10.
         "q09_union_seed": q09_union_seed,
         "q10_range_filter": q10_range_filter,
         "q11_dedup_pickone": q11_dedup_pickone,
@@ -5032,19 +5048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_join_threeway": q13_join_threeway,
         "q14_window_rank": q14_window_rank,
         "q16_date_parts": q16_date_parts,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a green driver row from r5-r8 or is
-        # replica-green backlog; this rotation only demotes proven
-        # entries. The round's 27 never-checked gates claimed the head
-        # of the window (never-checked outranks stale-but-proven), and
-        # each demoted path keeps an in-window witness: t19's
-        # pair-indexed encoder is witnessed by t23 at 37x the rules and
-        # t20's tokenize; st02's windowed_agg by st11's sliding gate;
-        # q18/q27's rollup/cube Expand by q36's grouping sets; q20's
-        # semi/anti by q42's Q21 lowering; q24/q31's salted paths stay
-        # covered by the skew suite's unit tests. Everything displaced
-        # (q17-q33, t01-t12, st02 and the r7-r8 cohorts) rotates up
-        # in r10.
         "q18_rollup": q18_rollup,
         "q19_setops": q19_setops,
         "q20_semi_anti": q20_semi_anti,
