@@ -4746,6 +4746,71 @@ def t26_unigram_encode(spark, sf_dir):
     return unigram_encode(docs, scores).orderBy("doc_id", "pos")
 
 
+def t27_wordpiece_roundtrip(spark, sf_dir):
+    """WordPiece ROUND-TRIP under the value gate — the structural
+    contrast t25 documented, now proven in code: a BARE (pos, piece)
+    WordPiece stream IS decodable because ``##`` burns word boundaries
+    into the vocabulary (BPE needed an explicit word_ord column for
+    the same property). Encodes with t24's corpus-derived vocabulary
+    (full single-char coverage, so no word ever UNKs), reassembles via
+    one JVM fold (continuations glue, heads prefix a space), and
+    compares per doc against the normalized original. A wrong
+    continuation strip, sort, or boundary rule flips roundtrip_ok; the
+    oracle asserts the property must hold for every non-empty doc and
+    pins the normalized length."""
+    import hashlib
+
+    from icedb_spark.operators import (
+        tokens as _tokens,
+        wordpiece_detokenize,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    chs = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where("length(w) > 0")
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    charset = sorted(r["c"] for r in chs)
+
+    def sel(p: str, m: int) -> bool:
+        return int(hashlib.md5(p.encode()).hexdigest()[:4], 16) % m == 0
+
+    vocab = []
+    for c in charset:
+        vocab += [c, "##" + c]
+    for c1 in charset:
+        for c2 in charset:
+            p2 = c1 + c2
+            if sel(p2, 3):
+                vocab.append(p2)
+            if sel("##" + p2, 3):
+                vocab.append("##" + p2)
+            for c3 in charset:
+                p3 = p2 + c3
+                if sel(p3, 7):
+                    vocab.append(p3)
+                if sel("##" + p3, 7):
+                    vocab.append("##" + p3)
+    rebuilt = wordpiece_detokenize(wordpiece_encode(docs, vocab))
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("norm"),
+    )
+    return (
+        rebuilt.join(norm, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("text") == F.col("norm")).alias("roundtrip_ok"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -4958,22 +5023,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 final composition: the window leads with ALL 34 entries
-    # that have NEVER held a driver row — the round's 32 new gates (t23
+    # Round-9 final composition: the window leads with ALL 35 entries
+    # that have NEVER held a driver row — the round's 33 new gates (t23
     # production-vocab BPE; m08/m09/m14/m15/m16 real pixel decode for
     # PNG, GIF, TIFF, palette-PNG and Adam7-interlaced PNG; m10-m13
     # WAV/EXIF/MP3/MP4 metadata decode; q34-q46 SQL surface incl.
     # TPC-H Q3/Q4/Q5/Q16/Q17/Q18/Q21 + PIVOT; st11-st15 streaming
     # windows, joins and budget admission; t24 WordPiece, t25
-    # round-trip, t26 Unigram-LM Viterbi; sm10 weighted sampling, sm11
-    # token-budget mixing; d16 containment dedup) plus t21/t22 (added
+    # round-trip, t26 Unigram-LM Viterbi, t27 WordPiece round-trip;
+    # sm10 weighted sampling, sm11 token-budget mixing; d16 containment
+    # dedup) plus t21/t22 (added
     # below the r8 window) — then one witness per code path that
     # CHANGED this round: t20 (pair-indexed encoder behind
     # bpe_tokenize), st10 (sig_rows passthrough), d13/d14/d15 (probe-row
     # params). The remaining slots drain the r5-era staleness backlog
-    # oldest-first (d04-d06, mv02, q03-q08). Below the window for r10:
-    # the rest of the r5/r6 backlog (q09-q33, t01-t12, st02) — all
-    # replica-green today — then the r7-r8 cohorts; ALL 178 keys stay
+    # oldest-first (d04-d06, mv02, q03-q07). Below the window for r10:
+    # the rest of the r5/r6 backlog (q08-q33, t01-t12, st02) — all
+    # replica-green today — then the r7-r8 cohorts; ALL 179 keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
@@ -5011,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_wordpiece_encode": t24_wordpiece_encode,
         "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
         "t26_unigram_encode": t26_unigram_encode,
+        "t27_wordpiece_roundtrip": t27_wordpiece_roundtrip,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t20_bpe_tokenize": t20_bpe_tokenize,
@@ -5026,7 +5093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
         "q07_percentile": q07_percentile,
-        "q08_latest_by_user": q08_latest_by_user,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r5-r8 or is
         # replica-green backlog; this rotation only demotes proven
@@ -5039,8 +5105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi/anti by q42/q44/q45's lowerings; q09's union by q38's
         # UNION-ALL-shaped unpivot oracle pairing; q24/q31's salted
         # paths stay covered by the skew suite's unit tests. Everything
-        # displaced (q09-q33, t01-t12, st02 and the r7-r8 cohorts)
-        # rotates up in r10.
+        # displaced (q08-q33, t01-t12, st02 and the r7-r8 cohorts)
+        # rotates up in r10. q08's latest-row window pattern stays
+        # witnessed in-window by q35's distribution windows.
+        "q08_latest_by_user": q08_latest_by_user,
         "q09_union_seed": q09_union_seed,
         "q10_range_filter": q10_range_filter,
         "q11_dedup_pickone": q11_dedup_pickone,
@@ -5658,6 +5726,17 @@ from per_sess group by user_id
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
         "t26_unigram_encode": oracles.unigram_fixed_sql(),
         "t25_tokenizer_roundtrip": r"""
+select doc_id,
+  true as roundtrip_ok,
+  cast(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+       as bigint) as n_chars
+from documents
+where doc_id % 10 = 3 and text is not null and trim(text) <> ''
+order by doc_id
+""",
+        # same property oracle as t25: the vocabulary fully covers the
+        # corpus chars, so reassembly must equal the normalized text
+        "t27_wordpiece_roundtrip": r"""
 select doc_id,
   true as roundtrip_ok,
   cast(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

@@ -447,7 +447,8 @@ def main():
                 "q40_tpch_q3", "q41_tpch_q17", "q42_tpch_q21",
                 "q43_tpch_q18", "q44_tpch_q4", "q45_tpch_q16",
                 "q46_pivot", "sm10_weighted_sample", "sm11_token_budget",
-                "t26_unigram_encode", "m14_tiff_phash",
+                "t26_unigram_encode", "t27_wordpiece_roundtrip",
+                "m14_tiff_phash",
                 "m15_palette_png_phash", "m16_interlaced_png_phash",
                 "d16_containment_pairs", "st15_budget_admission",
             )

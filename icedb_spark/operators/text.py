@@ -1499,6 +1499,44 @@ def unigram_encode(
     )
 
 
+def wordpiece_detokenize(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    piece_col: str = "piece",
+) -> DataFrame:
+    """Decode a WordPiece stream back to text — and the structural
+    contrast with :func:`bpe_detokenize`: a BARE ``(pos, piece)``
+    WordPiece stream IS decodable, because the ``##`` continuation
+    marker burns word boundaries into the vocabulary itself (a
+    continuation glues to the previous piece, anything else starts a
+    new word). BPE needed an explicit ``word_ord`` column for the same
+    property — this pair of decoders is the two boundary designs real
+    tokenizers choose between, in code.
+
+    Pure JVM: one partial-aggregable groupBy per document collecting
+    the position-sorted pieces, then a single fold that appends
+    ``##``-stripped continuations directly and prefixes a space
+    otherwise. ``[UNK]`` pieces reassemble as the literal unk token (a
+    lossy word stays lossy — decode(encode(x)) == normalize(x) holds
+    exactly on corpora the vocabulary covers)."""
+    return (
+        tokens_df.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col(piece_col)))
+            ).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.expr(
+                "ltrim(aggregate(_ps, '', (acc, s) -> acc || "
+                "case when s.piece like '##%' then substring(s.piece, 3) "
+                "else ' ' || s.piece end))"
+            ).alias("text"),
+        )
+    )
+
+
 def bpe_detokenize(
     tokens_df: DataFrame,
     id_col: str = "doc_id",

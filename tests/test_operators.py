@@ -2899,6 +2899,29 @@ def test_wordpiece_encode_spark(spark):
     ]
 
 
+def test_wordpiece_detokenize_bare_stream(spark):
+    """The boundary-design contrast with BPE: a bare (pos, piece)
+    WordPiece stream decodes without word ordinals because ## marks
+    continuations; UNK words reassemble as the literal token."""
+    from icedb_spark.operators import (
+        wordpiece_detokenize,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "unable able"), (2, "zoo able"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    V = ["un", "##able", "a", "##b", "##l", "##e"]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in wordpiece_detokenize(wordpiece_encode(docs, V)).collect()
+    }
+    assert out[1] == "unable able"
+    assert out[2] == "[UNK] able"  # lossy word stays lossy, boundary kept
+    assert 3 not in out  # zero-token docs emit nothing to decode
+
+
 def test_unigram_viterbi_rules():
     """Exact global optimum (where greedy longest-match is WRONG),
     longest-piece tie-break, whole-word UNK, empty word."""
