@@ -932,6 +932,37 @@ def q45_tpch_q16(spark, sf_dir):
     )
 
 
+def q47_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-shaped (minimum-cost supplier) — the ARGMIN-PER-GROUP
+    correlation flavor, the last of the classic decorrelation family
+    (Q17 = threshold-vs-avg, Q18 = IN+HAVING, Q21 = EXISTS/NOT EXISTS,
+    Q4 = EXISTS, Q16 = NOT IN): for each part, the supplier offering
+    the lowest average price, ties broken on the supplier key. The
+    textbook form is a correlated ``= (select min(...) where same
+    part)``; the lowered plan is ONE aggregate over (part, supplier)
+    and a row_number window per part — no second pass, no join back to
+    the aggregate (this schema has no partsupp table; lineitem's
+    per-(part,supplier) average price stands in for ps_supplycost).
+    Price averages are floats, so the cost is rounded to 4 decimals
+    BEFORE the argmin on both engines — the tie-break then works on
+    identical values and the pick is engine-exact. Top 100 parts by
+    key keeps the output bounded."""
+    w = Window.partitionBy("l_partkey").orderBy("avg_cost", "l_suppkey")
+    cost = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_cost"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("l_partkey") <= 100))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_name", "avg_cost")
+        .orderBy("l_partkey")
+    )
+
+
 def q42_tpch_q21(spark, sf_dir):
     """TPC-H Q21-shaped (suppliers who kept waiting) — the hardest
     correlation pattern in the suite: an EXISTS and a NOT EXISTS, both
@@ -5023,12 +5054,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 final composition: the window leads with ALL 35 entries
-    # that have NEVER held a driver row — the round's 33 new gates (t23
+    # Round-9 final composition: the window leads with ALL 36 entries
+    # that have NEVER held a driver row — the round's 34 new gates (t23
     # production-vocab BPE; m08/m09/m14/m15/m16 real pixel decode for
     # PNG, GIF, TIFF, palette-PNG and Adam7-interlaced PNG; m10-m13
-    # WAV/EXIF/MP3/MP4 metadata decode; q34-q46 SQL surface incl.
-    # TPC-H Q3/Q4/Q5/Q16/Q17/Q18/Q21 + PIVOT; st11-st15 streaming
+    # WAV/EXIF/MP3/MP4 metadata decode; q34-q47 SQL surface incl.
+    # TPC-H Q2/Q3/Q4/Q5/Q16/Q17/Q18/Q21 + PIVOT; st11-st15 streaming
     # windows, joins and budget admission; t24 WordPiece, t25
     # round-trip, t26 Unigram-LM Viterbi, t27 WordPiece round-trip;
     # sm10 weighted sampling, sm11 token-budget mixing; d16 containment
@@ -5037,9 +5068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CHANGED this round: t20 (pair-indexed encoder behind
     # bpe_tokenize), st10 (sig_rows passthrough), d13/d14/d15 (probe-row
     # params). The remaining slots drain the r5-era staleness backlog
-    # oldest-first (d04-d06, mv02, q03-q07). Below the window for r10:
-    # the rest of the r5/r6 backlog (q08-q33, t01-t12, st02) — all
-    # replica-green today — then the r7-r8 cohorts; ALL 179 keys stay
+    # oldest-first (d04-d06, mv02, q03-q06). Below the window for r10:
+    # the rest of the r5/r6 backlog (q07-q33, t01-t12, st02) — all
+    # replica-green today — then the r7-r8 cohorts; ALL 180 keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
@@ -5066,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_tpch_q4": q44_tpch_q4,
         "q46_pivot": q46_pivot,
         "q45_tpch_q16": q45_tpch_q16,
+        "q47_tpch_q2": q47_tpch_q2,
         "d16_containment_pairs": d16_containment_pairs,
         "sm10_weighted_sample": sm10_weighted_sample,
         "sm11_token_budget": sm11_token_budget,
@@ -5092,7 +5124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
-        "q07_percentile": q07_percentile,
         # ==================== driver window boundary (50) ====================
         # Everything below holds a green driver row from r5-r8 or is
         # replica-green backlog; this rotation only demotes proven
@@ -5105,9 +5136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi/anti by q42/q44/q45's lowerings; q09's union by q38's
         # UNION-ALL-shaped unpivot oracle pairing; q24/q31's salted
         # paths stay covered by the skew suite's unit tests. Everything
-        # displaced (q08-q33, t01-t12, st02 and the r7-r8 cohorts)
+        # displaced (q07-q33, t01-t12, st02 and the r7-r8 cohorts)
         # rotates up in r10. q08's latest-row window pattern stays
-        # witnessed in-window by q35's distribution windows.
+        # witnessed in-window by q35's distribution windows and q47's
+        # argmin; q07's exact percentile by q34's stats aggregates.
+        "q07_percentile": q07_percentile,
         "q08_latest_by_user": q08_latest_by_user,
         "q09_union_seed": q09_union_seed,
         "q10_range_filter": q10_range_filter,
@@ -5437,6 +5470,29 @@ select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
   count(*) as n_items
 from li join t using (l_partkey)
 where l_quantity * 5 * c < sq
+""",
+        # the textbook correlated argmin form — the entry's window
+        # lowering must preserve exactly these semantics; ties on the
+        # rounded cost break to the smallest supplier key
+        "q47_tpch_q2": """
+with cost as (
+  select l_partkey, l_suppkey,
+    round(avg(l_extendedprice), 4) as avg_cost
+  from lineitem group by l_partkey, l_suppkey
+)
+select c.l_partkey, s_name, c.avg_cost
+from cost c join supplier on c.l_suppkey = s_suppkey
+where c.l_partkey <= 100
+  and c.avg_cost = (
+    select min(c2.avg_cost) from cost c2
+    where c2.l_partkey = c.l_partkey
+  )
+  and c.l_suppkey = (
+    select min(c3.l_suppkey) from cost c3
+    where c3.l_partkey = c.l_partkey
+      and c3.avg_cost = c.avg_cost
+  )
+order by c.l_partkey
 """,
         # engine-neutral conditional-aggregation form of the pivot
         "q46_pivot": """

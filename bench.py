@@ -446,7 +446,8 @@ def main():
                 # the Unigram tokenizer, TIFF + palette-PNG decode
                 "q40_tpch_q3", "q41_tpch_q17", "q42_tpch_q21",
                 "q43_tpch_q18", "q44_tpch_q4", "q45_tpch_q16",
-                "q46_pivot", "sm10_weighted_sample", "sm11_token_budget",
+                "q46_pivot", "q47_tpch_q2",
+                "sm10_weighted_sample", "sm11_token_budget",
                 "t26_unigram_encode", "t27_wordpiece_roundtrip",
                 "m14_tiff_phash",
                 "m15_palette_png_phash", "m16_interlaced_png_phash",
