@@ -131,6 +131,12 @@ SCALING = [
     # O(len * max_piece_len) set probes per DISTINCT word (vocab-size
     # independent), output explode bounded by corpus piece count
     "t24_wordpiece_encode",
+    # round-9 second wave: asymmetric containment's lossless prefix
+    # filter (candidates bounded by prefix membership x df, never
+    # all-pairs) and Unigram Viterbi (O(len x max_piece_len) per
+    # DISTINCT word behind the shared cache, like t24)
+    "d16_containment_pairs",
+    "t26_unigram_encode",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -158,6 +164,8 @@ _SCALING_TABLE = {
     "t23_bpe_encode_fixed3": "documents",
     "m10_wav_features": "documents",
     "t24_wordpiece_encode": "documents",
+    "d16_containment_pairs": "documents",
+    "t26_unigram_encode": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
