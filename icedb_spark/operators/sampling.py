@@ -179,7 +179,10 @@ def weighted_sample(
     Ties on the float priority (astronomically unlikely with distinct
     keys) break on the key itself, keeping the result total-order
     stable. The u+1 offset keeps u strictly positive so ``ln`` is
-    total.
+    total. ``key_col`` should be unique per row: duplicate keys share
+    one priority, so which of them fills the final slots at the k
+    boundary is engine-defined (the same caveat as
+    :func:`top_k_sample`).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -246,7 +249,9 @@ def token_budget_sample(
     few and fat, so skew is the sort's problem, not the shuffle's; for
     a pathologically dominant stratum, pre-filter with
     :func:`hash_sample` at an estimated rate and budget-cut the
-    remainder.
+    remainder. ``key_col`` should be unique per row: duplicate keys tie
+    in the admission order, so which duplicate crosses the cut line is
+    engine-defined.
     """
     for s, t in budgets.items():
         if t < 0:
