@@ -101,6 +101,20 @@ def main() -> None:
     print(f"after MinHash near-dedup (best-of-cluster kept): "
           f"{kept.count()} docs")
 
+    # containment screen: the ASYMMETRIC measure — a short doc quoted
+    # inside a long one scores ~1 here while its Jaccard stays tiny, so
+    # this catches excerpt/boilerplate-wrapper duplication MinHash
+    # passes; drop the contained (shorter) side
+    from icedb_spark.operators import containment_pairs
+
+    contained = (
+        containment_pairs(kept, threshold=0.95)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(contained, "doc_id", "left_anti")
+    print(f"after containment (excerpt) dedup: {kept.count()} docs")
+
     # perplexity screen: a corpus-fit trigram LM flags encoding noise /
     # non-text (high ppl); the model is alphabet-bounded -> broadcastable
     from icedb_spark.operators import ngram_perplexity
