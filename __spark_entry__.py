@@ -3897,7 +3897,11 @@ def st15_budget_admission(spark, sf_dir):
     breaks the cut line. Within a batch, rows admit in doc_id order
     (the deterministic stand-in for arrival order); the oracle replays
     the whole two-run history as one window: per-language running
-    total over (parity, doc_id) order, strict pre-total cut."""
+    total over (parity, doc_id) order, strict pre-total cut. That
+    replay assumes each run drains as ONE micro-batch (see the
+    determinism caveat on budget_admission) — the gate asserts it, so
+    a source that ever split a run would fail loudly here instead of
+    silently diverging from the oracle."""
     from icedb_spark.streaming import budget_admission
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -3905,23 +3909,33 @@ def st15_budget_admission(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="icestream-src-")
     ck = tempfile.mkdtemp(prefix="icestream-ck-")
     got: list = []
+    batches_per_run: list = []
 
     def run_once():
+        n_before = len(batches_per_run)
+
+        def sink(bdf, bid):
+            got.extend(bdf.collect())
+            batches_per_run.append(bid)
+
         stream = spark.readStream.schema(docs.schema).parquet(src)
         q = (
             budget_admission(
                 stream, budgets, strata_col="lang", token_col="n_chars",
                 order_col="doc_id", default_budget=5_000,
             )
-            .writeStream.foreachBatch(
-                lambda bdf, bid: got.extend(bdf.collect())
-            )
+            .writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        if len(batches_per_run) - n_before != 1:
+            raise AssertionError(
+                "st15 oracle requires one micro-batch per run, got "
+                f"{len(batches_per_run) - n_before}"
+            )
 
     try:
         docs.where(F.col("doc_id") % 2 == 0).repartition(3).write.mode(
@@ -4788,7 +4802,10 @@ def t27_wordpiece_roundtrip(spark, sf_dir):
     compares per doc against the normalized original. A wrong
     continuation strip, sort, or boundary rule flips roundtrip_ok; the
     oracle asserts the property must hold for every non-empty doc and
-    pins the normalized length."""
+    pins the normalized length. Precondition (the decoder's documented
+    '##'-overload limitation): no corpus word may start with '#', or a
+    head piece could masquerade as a continuation — guarded here so a
+    corpus drift fails loudly instead of silently flipping the gate."""
     import hashlib
 
     from icedb_spark.operators import (
@@ -4806,6 +4823,11 @@ def t27_wordpiece_roundtrip(spark, sf_dir):
         .collect()
     )
     charset = sorted(r["c"] for r in chs)
+    if "#" in charset:
+        raise AssertionError(
+            "t27 corpus contains '#' — wordpiece_detokenize's ## "
+            "continuation marker would be ambiguous (see its docstring)"
+        )
 
     def sel(p: str, m: int) -> bool:
         return int(hashlib.md5(p.encode()).hexdigest()[:4], 16) % m == 0

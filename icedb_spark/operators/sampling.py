@@ -287,8 +287,13 @@ def token_budget_sample_sql(
     """DuckDB mirror of :func:`token_budget_sample`: the identical hash
     order, explicit ROWS frame, and strict pre-total cut."""
     h = hash60_sql(key_expr, seed)
+    # stratum values are emitted as SQL string literals: escape embedded
+    # quotes so a value like "it's" yields valid (and non-injectable) SQL
     case = "case " + " ".join(
-        f"when {strata_expr} = '{s}' then {int(t)}" for s, t in budgets.items()
+        "when {e} = '{s}' then {t}".format(
+            e=strata_expr, s=str(s).replace("'", "''"), t=int(t)
+        )
+        for s, t in budgets.items()
     ) + f" else {int(default_budget)} end"
     return f"""
 select {cols} from (

@@ -1518,7 +1518,17 @@ def wordpiece_detokenize(
     ``##``-stripped continuations directly and prefixes a space
     otherwise. ``[UNK]`` pieces reassemble as the literal unk token (a
     lossy word stays lossy — decode(encode(x)) == normalize(x) holds
-    exactly on corpora the vocabulary covers)."""
+    exactly on corpora the vocabulary covers).
+
+    Known limitation (shared with every tokenizer that overloads a
+    string prefix as the continuation marker, BERT included): a HEAD
+    piece that literally begins with ``##`` — possible only when a
+    corpus word itself starts with '#' characters — is indistinguishable
+    from a continuation and would be glued to the previous word with its
+    marker stripped, breaking the round-trip. Corpora containing
+    '#'-leading words need an out-of-band boundary (BPE's ``word_ord``
+    column) or a vocabulary whose head pieces are escaped; the t27 gate
+    asserts its corpus is '#'-free before trusting this decoder."""
     return (
         tokens_df.groupBy(id_col)
         .agg(

@@ -242,6 +242,15 @@ def budget_admission(
     size is #strata longs — no timeout needed, a quota never expires.
     Strata are typically few (sources, languages), so per-key fan-in is
     the micro-batch's own size, never history.
+
+    Determinism caveat: ``order_col`` orders rows only WITHIN one
+    micro-batch. If a single logical ingest is split across several
+    batches (``maxFilesPerTrigger`` set, or the source's own batching),
+    the effective admission order is (batch, order_col) — correct quota
+    semantics either way (arrival order IS the admission order), but an
+    oracle replaying one global ``order_col`` sort only matches when
+    each ingest drains as a single batch (the st15 gate asserts exactly
+    that).
     """
     bmap = {str(k): int(v) for k, v in budgets.items()}
     dflt = int(default_budget)
