@@ -2288,6 +2288,108 @@ def m16_interlaced_png_phash(spark, sf_dir):
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
 
 
+def m17_png16_phash(spark, sf_dir):
+    """REAL 16-BIT PNG decode under the value gate (VERDICT r9 #7) with
+    PER-DOC BIT-DEPTH VARIATION: docs with doc_id % 3 == 0 become 8×8
+    8-bit grayscale PNGs, the rest 8×8 16-BIT grayscale PNGs — one
+    corpus, both depth arms live, so the depth dispatch itself is under
+    the gate. Raster byte j of each arm is md5 byte ((j + j//R) % 16)
+    (R = bytes per row: 8 or 16 — the row skew keeps Up filters
+    non-trivial), rows filtered with the m08 None/Sub/Up cycle; the
+    16-bit arm's Sub subtracts TWO bytes back (the spec's bpp filter
+    distance at 2 bytes/sample) and its big-endian sample pairs
+    depth-scale ``v*255 // 65535`` to the 0..255 contract. The zlib
+    stream is the stored-block + column-side adler32 shape of m08. The
+    oracle recomputes both arms' grays closed-form from the md5 hex —
+    a wrong filter distance, byte order, or scaling breaks the hash.
+    Hostile-geometry caps (zip-bomb inflate bound, 64M px IHDR cap)
+    hold for 16-bit exactly as for 8-bit (unit-tested)."""
+    import struct
+    import zlib as _zlib
+
+    from icedb_spark.operators import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = b"\x89PNG\r\n\x1a\n"
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", _zlib.crc32(b"IEND")
+    )
+    V = (
+        "cast(conv(substring(md5(text), 2 * (({e}) % 16) + 1, 2), 16, 10)"
+        " as int)"
+    )
+
+    def gray_vals_sql(depth: int) -> str:
+        # stored-deflate payload of one gray arm as an int array:
+        # 8 rows x (1 filter byte + R raster bytes), filters y%3
+        # None/Sub/Up; raster byte value B(i) = md5 byte ((i+i//R)%16)
+        sb = depth // 8          # sample bytes == bpp (grayscale)
+        R = 8 * sb               # raster bytes per row
+        rowlen = R + 1
+        L = 8 * rowlen
+
+        def B(e: str) -> str:
+            return V.format(e=f"({e}) + ({e}) div {R}")
+
+        i = f"({R} * (j div {rowlen}) + j % {rowlen} - 1)"
+        return f"""transform(sequence(0, {L - 1}), j -> cast(case
+          when j % {rowlen} = 0 then (j div {rowlen}) % 3
+          when (j div {rowlen}) % 3 = 0
+               or ((j div {rowlen}) % 3 = 1 and j % {rowlen} <= {sb})
+            then {B(i)}
+          when (j div {rowlen}) % 3 = 1
+            then ({B(i)} - {B(f"{i} - {sb}")} + 256) % 256
+          else ({B(i)} - {B(f"{i} - {R}")} + 256) % 256
+        end as int))"""
+
+    def gray_png(depth: int, vals: str):
+        # full PNG bytes of one arm from its staged vals column
+        L = 8 * (8 * (depth // 8) + 1)
+        ihdr_data = struct.pack(">IIBBBBB", 8, 8, depth, 0, 0, 0, 0)
+        ihdr = (
+            struct.pack(">I", 13) + b"IHDR" + ihdr_data
+            + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data))
+        )
+        zpre = bytes([0x78, 0x01, 0x01, L, 0, 255 - L, 255])
+        payload = F.expr(
+            f"unhex(array_join(transform({vals},"
+            " x -> lpad(hex(x), 2, '0')), ''))"
+        )
+        s1 = F.expr(f"(1 + aggregate({vals}, 0, (a, x) -> a + x)) % 65521")
+        s2 = F.expr(
+            f"({L} + aggregate(zip_with({vals}, sequence({L}, 1, -1),"
+            " (x, w) -> x * w), 0, (a, x) -> a + x)) % 65521"
+        )
+        zstream = F.concat(
+            F.lit(zpre),
+            payload,
+            F.unhex(
+                F.concat(F.lpad(F.hex(s2), 4, "0"), F.lpad(F.hex(s1), 4, "0"))
+            ),
+        )
+        return F.concat(
+            F.lit(sig + ihdr + struct.pack(">I", L + 11) + b"IDAT"),
+            zstream,
+            F.unhex(
+                F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), zstream))), 8, "0")
+            ),
+            F.lit(iend),
+        )
+
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(gray_vals_sql(8)).alias("v8"),
+        F.expr(gray_vals_sql(16)).alias("v16"),
+    )
+    media = staged.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, gray_png(8, "v8"))
+        .otherwise(gray_png(16, "v16"))
+        .alias("content"),
+    )
+    return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
 def m02_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: one row per sampled timestamp via
     explode(sequence(...)) — pure Spark, no shuffle; the per-frame decode
@@ -5106,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m14_tiff_phash": m14_tiff_phash,
         "m15_palette_png_phash": m15_palette_png_phash,
         "m16_interlaced_png_phash": m16_interlaced_png_phash,
+        "m17_png16_phash": m17_png16_phash,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -5796,6 +5899,7 @@ from per_sess group by user_id
         # one pixel contract across two container formats
         "m15_palette_png_phash": oracles.gif_phash_sql(),
         "m16_interlaced_png_phash": oracles.gray_md5_phash_sql(),
+        "m17_png16_phash": oracles.png16_phash_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),

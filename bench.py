@@ -460,6 +460,8 @@ def main():
                 "m14_tiff_phash",
                 "m15_palette_png_phash", "m16_interlaced_png_phash",
                 "d16_containment_pairs", "st15_budget_admission",
+                # round-10 additions
+                "m17_png16_phash",
             )
         },
     })

@@ -197,10 +197,16 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       format, decoded with stdlib ``zlib`` only: chunk walk (multiple
       IDATs concatenate per spec), zlib inflate, and full per-row
       unfiltering (None/Sub/Up/Average/Paeth, the spec's §9 recurrences
-      in exact integer arithmetic) for 8-bit grayscale, gray+alpha,
-      RGB, RGBA, and PALETTE (indexed through PLTE, the indexed-color
-      web asset shape), non-interlaced. 16-bit and interlaced PNGs
-      raise (recognized container, unsupported profile).
+      in exact integer arithmetic) for grayscale, gray+alpha, RGB and
+      RGBA at 8 AND 16 bits per sample (16-bit samples are big-endian
+      pairs, filtered 2 bytes/sample back and depth-scaled
+      ``v*255 // 65535`` to the 0..255 contract), plus 8-bit PALETTE
+      (indexed through PLTE, the indexed-color web asset shape) —
+      sequential or Adam7-INTERLACED (each pass unfiltered as its own
+      reduced image, then deinterlace placement). The only PNG profiles
+      that raise are sub-8-bit depths (1/2/4) and 16-bit palette (which
+      the spec itself forbids) — recognized container, unsupported
+      profile.
     * **GIF** 87a/89a, first frame: global/local color tables,
       interlaced row order, and a real variable-width LSB-first LZW
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
@@ -438,10 +444,15 @@ def _decode_png(b: bytes) -> "list[int]":
     if w <= 0 or h <= 0:
         raise ValueError("decode_image_pixels: bad PNG geometry")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
-    if bitdepth != 8 or channels is None or interlace not in (0, 1):
+    if (
+        channels is None
+        or interlace not in (0, 1)
+        or bitdepth not in (8, 16)
+        or (bitdepth == 16 and colortype == 3)  # spec: palette is 1-8 bit
+    ):
         raise ValueError(
-            "decode_image_pixels: only 8-bit gray/RGB(A)/palette PNG "
-            f"(got depth={bitdepth}, color={colortype}, "
+            "decode_image_pixels: only 8/16-bit gray/RGB(A) or 8-bit "
+            f"palette PNG (got depth={bitdepth}, color={colortype}, "
             f"interlace={interlace})"
         )
     if colortype == 3 and plte is None:
@@ -450,7 +461,8 @@ def _decode_png(b: bytes) -> "list[int]":
         # hostile-geometry guard: the IHDR claim, not the blob size,
         # drives every allocation below
         raise ValueError("decode_image_pixels: PNG geometry over 64M px")
-    stride = w * channels
+    sampbytes = bitdepth // 8
+    bpp = channels * sampbytes  # filter distance AND placement unit: BYTES
     if interlace == 0:
         pass_dims = [(0, 0, 1, 1, w, h)]
     else:
@@ -465,7 +477,7 @@ def _decode_png(b: bytes) -> "list[int]":
             )
         ]
     want = sum(
-        ph * (pw * channels + 1) for _, _, _, _, pw, ph in pass_dims
+        ph * (pw * bpp + 1) for _, _, _, _, pw, ph in pass_dims
         if pw > 0 and ph > 0
     )
     try:
@@ -481,24 +493,34 @@ def _decode_png(b: bytes) -> "list[int]":
     # unfilter each (sub-)image independently — interlaced passes are
     # filtered as standalone reduced images (left/up neighbors live
     # INSIDE the pass, the classic Adam7 bug) — then place pixels
-    raster = bytearray(w * h * channels)
+    raster = bytearray(w * h * bpp)
     off = 0
     for x0, y0, dx, dy, pw, ph in pass_dims:
         if pw <= 0 or ph <= 0:
             continue
-        sub = _png_unfilter(raw, off, pw, ph, channels)
-        off += ph * (pw * channels + 1)
+        sub = _png_unfilter(raw, off, pw, ph, bpp)
+        off += ph * (pw * bpp + 1)
         if interlace == 0:
             raster[:] = sub
             break
         for ry in range(ph):
             for rx in range(pw):
-                di = ((y0 + ry * dy) * w + (x0 + rx * dx)) * channels
-                si = (ry * pw + rx) * channels
-                raster[di:di + channels] = sub[si:si + channels]
+                di = ((y0 + ry * dy) * w + (x0 + rx * dx)) * bpp
+                si = (ry * pw + rx) * bpp
+                raster[di:di + bpp] = sub[si:si + bpp]
+    if sampbytes == 2:
+        # 16-bit samples are big-endian pairs; rescale to the 0..255
+        # output contract with the spec's exact-integer depth scaling
+        # floor(v16 * 255 / 65535) — no float anywhere
+        samples = [
+            ((raster[i] << 8) | raster[i + 1]) * 255 // 65535
+            for i in range(0, len(raster), 2)
+        ]
+    else:
+        samples = raster
     out: list[int] = []
     if colortype == 3:  # indices through PLTE -> BT.601 luma
-        for v in raster:
+        for v in samples:
             if 3 * v + 2 >= len(plte):
                 raise ValueError(
                     "decode_image_pixels: PNG palette index out of range"
@@ -508,28 +530,31 @@ def _decode_png(b: bytes) -> "list[int]":
                  + 114 * plte[3 * v + 2]) // 1000
             )
     elif channels == 1:
-        out.extend(raster)
+        out.extend(samples)
     elif channels == 2:  # gray + alpha: gray channel
-        out.extend(raster[0::2])
+        out.extend(samples[0::2])
     else:  # RGB / RGBA -> BT.601 integer luma
-        for x in range(0, len(raster), channels):
+        for x in range(0, len(samples), channels):
             out.append(
-                (299 * raster[x] + 587 * raster[x + 1]
-                 + 114 * raster[x + 2]) // 1000
+                (299 * samples[x] + 587 * samples[x + 1]
+                 + 114 * samples[x + 2]) // 1000
             )
     return out
 
 
 def _png_unfilter(raw: bytes, off: int, w_px: int, h_rows: int,
-                  channels: int) -> bytearray:
+                  bpp: int) -> bytearray:
     """Unfilter one PNG (sub-)image: ``h_rows`` scanlines of ``w_px``
     pixels starting at byte ``off`` of the inflated stream, each
     prefixed by its filter byte — the spec's five recurrences in exact
     integer arithmetic (filter byte PER ROW, left/up neighbors measured
     in whole pixels, Paeth's left/up/upper-left tie-break order).
-    Sequential images are one call; each Adam7 pass is its own call,
-    because filtering never crosses pass boundaries."""
-    stride = w_px * channels
+    ``bpp`` is the spec's filter distance — BYTES per pixel
+    (channels × sample bytes), so 16-bit images filter with the same
+    recurrences two bytes back per channel. Sequential images are one
+    call; each Adam7 pass is its own call, because filtering never
+    crosses pass boundaries."""
+    stride = w_px * bpp
     out = bytearray()
     prev = bytes(stride)  # the spec's all-zero row above row 0
     for y in range(h_rows):
@@ -537,20 +562,20 @@ def _png_unfilter(raw: bytes, off: int, w_px: int, h_rows: int,
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub: left neighbor, one whole pixel back
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average: floor((left + up) / 2)
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth predictor, spec tie-break left/up/ul
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 c = prev[i]
-                d = prev[i - channels] if i >= channels else 0
+                d = prev[i - bpp] if i >= bpp else 0
                 p = a + c - d
                 pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
                 if pa <= pb and pa <= pc:

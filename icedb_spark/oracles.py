@@ -2203,6 +2203,55 @@ order by media_id
 """
 
 
+def png16_phash_sql(bits: int = 60, table: str = "documents") -> str:
+    """Oracle for m17 (REAL 16-bit PNG decode with per-doc bit-depth
+    variation): the entry synthesizes 8×8 GRAYSCALE PNGs — 8-bit for
+    doc_id % 3 == 0, 16-BIT otherwise — whose raster byte j is md5
+    byte ((j + j//R) % 16) with R the row's byte width (8 or 16). For
+    the 8-bit arm pixel i's gray IS raster byte i (= md5 byte
+    ((i + i//8) % 16)); for the 16-bit arm pixel i's big-endian pair
+    sits at raster bytes 2i and 2i+1 (both rows of 16 bytes, so the
+    skew term is i//8 for both) and depth-scales
+    ``(256*hi + lo) * 255 // 65535``. A wrong filter distance (Sub at
+    1 byte instead of 2), a little-endian sample read, or a float
+    rescale breaks the hash; the pooling is the shared 64→bits aHash."""
+    n = 64
+
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    gray8 = V("i + i//8")
+    gray16 = (
+        f"(({V('2*i + i//8')}) * 256 + ({V('2*i + 1 + i//8')}))"
+        " * 255 // 65535"
+    )
+    return f"""
+with base as (
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i ->
+      case when doc_id % 3 = 0 then {gray8} else {gray16} end) as ps
+  from {table}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*{n})//{bits} + 1 : ((j+1)*{n})//{bits}])
+      // (((j+1)*{n})//{bits} - (j*{n})//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def gif_phash_sql(
     bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
 ) -> str:
