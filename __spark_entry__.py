@@ -1378,6 +1378,52 @@ def s08_trained_clustered(spark, sf_dir):
     )
 
 
+def s09_ann_index_table(spark, sf_dir):
+    """PERSISTED ANN index under the value gate (VERDICT r9 #2 — the
+    d13 incremental pattern applied to similarity search): the IVF
+    codebook commits to a tiny quantizer IceTable and the corpus's
+    (vec_id, cell, v, n) inverted-list rows commit to an index
+    IceTable PARTITIONED BY CELL with a cell Bloom — a real engine
+    roundtrip, not an in-memory frame. Queries then rank probe cells
+    against the codebook read BACK from its table and search through
+    cosine_topk_against_index_table's pruned read
+    (column_in={"cell": probed}), so per-query file I/O tracks nprobe,
+    not index size (benched in bench.py's ann_index_prune block). The
+    oracle is the plain IVF closed form — its equality with this
+    result is the persisted-index ≡ recompute-everything claim, double
+    round-trips through parquet being exact."""
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        ct.insert(df=ivf_codebook_rows(emb, n_centroids=16))
+        codebook = ct.read()
+        t.insert(df=ivf_index_rows(emb, codebook))
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        out = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        ).orderBy("query_id", "rank")
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(tdir)
+
+
 def s06_cosine_topk_tuned(spark, sf_dir):
     """The production-recall IVF preset: 64 cells, nprobe=44. Measured
     recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
@@ -5209,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m15_palette_png_phash": m15_palette_png_phash,
         "m16_interlaced_png_phash": m16_interlaced_png_phash,
         "m17_png16_phash": m17_png16_phash,
+        "s09_ann_index_table": s09_ann_index_table,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -5953,6 +6000,10 @@ order by doc_id
         "s02_cosine_topk_lsh": oracles.cosine_topk_lsh_sql(5, 50, 64, 6),
         "s04_cosine_topk_multiprobe": oracles.cosine_topk_multiprobe_sql(5, 50, 64, 6, 4),
         "s03_cosine_topk_ivf": oracles.cosine_topk_ivf_sql(5, 50, 16, 4),
+        # s09's persisted-index search must equal the plain IVF closed
+        # form at its own (query_mod, nprobe) point — the equality IS
+        # the index-roundtrip claim
+        "s09_ann_index_table": oracles.cosine_topk_ivf_sql(5, 25, 16, 3),
         "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s07_cosine_topk_trained": oracles.cosine_topk_ivf_trained_sql(
             5, 50, 64, 8, 64, 2

@@ -955,6 +955,55 @@ def test_ivfpq_shape_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_ivf_index_table_equals_recompute(spark, tmp_path):
+    """The s09 contract: a persisted (codebook, index-rows) pair
+    searched through cosine_topk_against_index_table's pruned read
+    equals cosine_topk_ivf recomputed from the corpus; the never-written
+    index short-circuits to zero rows; the full-scan fallback agrees;
+    and the cell IN-list really skips files."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        cosine_topk_ivf,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    df = _clustered_vectors(spark)
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    code = ivf_codebook_rows(df, n_centroids=4)
+    t = IceTable(
+        spark,
+        str(tmp_path / "ividx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    assert (
+        cosine_topk_against_index_table(
+            qs, t, code, nprobe=2, k=3, persist_probe_rows=False
+        ).count()
+        == 0
+    )
+    for s in range(2):
+        t.insert(df=ivf_index_rows(df.where(F.col("vec_id") % 2 == s), code))
+    want = sorted(
+        map(tuple, cosine_topk_ivf(df, qs, n_centroids=4, nprobe=2, k=3).collect())
+    )
+    got = cosine_topk_against_index_table(
+        qs, t, code, nprobe=2, k=3, persist_probe_rows=False
+    )
+    assert sorted(map(tuple, got.collect())) == want
+    full = cosine_topk_against_index_table(
+        qs, t, code, nprobe=2, k=3, max_pruning_keys=0,
+        persist_probe_rows=False,
+    )
+    assert sorted(map(tuple, full.collect())) == want
+    total = len(t.files_for())
+    one_cell = t.read().select("cell").first()["cell"]
+    assert 0 < len(t.files_for(column_in={"cell": [one_cell]})) < total
+
+
 def test_ivfpq_rerank_recovers_exact_ordering(spark):
     from icedb_spark.operators import cosine_topk, cosine_topk_ivfpq
 
