@@ -5012,6 +5012,54 @@ def t27_wordpiece_roundtrip(spark, sf_dir):
     )
 
 
+def t28_wordpiece_train_encode(spark, sf_dir):
+    """In-engine WordPiece TRAINING under the value gate (VERDICT r9
+    #3): unlike t24, whose vocabulary was hash-SELECTED, both engines
+    here derive the vocabulary FROM CORPUS FREQUENCIES — every corpus
+    character in head and ``##`` continuation form (full coverage: no
+    training word can UNK, property-tested) plus the 200 most frequent
+    multi-char substring candidates (word-count-weighted positional
+    occurrences, head/continuation marked by position, ties broken
+    piece-ascending) — then encode every tenth document with it. The
+    training aggregate, the selection cut line, AND the greedy
+    longest-match encode are all under one hash: a mis-weighted
+    candidate, an off-by-one at rank 200, or a wrong match tier breaks
+    the stream. Scale shape: one shuffle for the capped word table,
+    one explode+groupBy for candidates (bounded by corpus chars ×
+    max_piece_len), one TakeOrdered — no sequential rounds.
+    Preconditions asserted so training filters are provably vacuous
+    and the oracle needs no UNK arm: no '#'-bearing word, none past
+    32 chars, distinct words under the trainer's cap (corpus drift
+    fails loudly, never silently)."""
+    from icedb_spark.operators import (
+        tokens as _tokens,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    stats = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where("length(w) > 0")
+        .agg(
+            F.max(F.length("w")).alias("max_len"),
+            F.count_distinct("w").alias("n_distinct"),
+            F.max(F.col("w").contains("#").cast("int")).alias("has_hash"),
+        )
+        .first()
+    )
+    if (
+        (stats["max_len"] or 0) > 32
+        or stats["n_distinct"] > 100_000
+        or stats["has_hash"]
+    ):
+        raise AssertionError(
+            f"t28 corpus violates trainer preconditions: {dict(stats.asDict())}"
+        )
+    _, vocab = wordpiece_train(docs, num_pieces=200, max_piece_len=3)
+    return wordpiece_encode(docs, vocab).orderBy("doc_id", "pos")
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -5256,6 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m16_interlaced_png_phash": m16_interlaced_png_phash,
         "m17_png16_phash": m17_png16_phash,
         "s09_ann_index_table": s09_ann_index_table,
+        "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -5953,6 +6002,7 @@ from per_sess group by user_id
         "m13_mp4_keyframes": oracles.mp4_keyframes_sql(),
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
+        "t28_wordpiece_train_encode": oracles.wordpiece_trained_sql(),
         "t26_unigram_encode": oracles.unigram_fixed_sql(),
         "t25_tokenizer_roundtrip": r"""
 select doc_id,

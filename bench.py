@@ -137,6 +137,10 @@ SCALING = [
     # DISTINCT word behind the shared cache, like t24)
     "d16_containment_pairs",
     "t26_unigram_encode",
+    # round-10: WordPiece TRAINING — one candidate explode bounded by
+    # capped-table chars x max_piece_len + one partial-agg groupBy, so
+    # cost tracks corpus size linearly (no sequential rounds at all)
+    "t28_wordpiece_train_encode",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -166,6 +170,7 @@ _SCALING_TABLE = {
     "t24_wordpiece_encode": "documents",
     "d16_containment_pairs": "documents",
     "t26_unigram_encode": "documents",
+    "t28_wordpiece_train_encode": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
@@ -461,7 +466,8 @@ def main():
                 "m15_palette_png_phash", "m16_interlaced_png_phash",
                 "d16_containment_pairs", "st15_budget_admission",
                 # round-10 additions
-                "m17_png16_phash",
+                "m17_png16_phash", "s09_ann_index_table",
+                "t28_wordpiece_train_encode",
             )
         },
     })

@@ -2931,6 +2931,120 @@ order by doc_id, pos
 """
 
 
+def wordpiece_trained_sql(
+    mod: int = 10,
+    rem: int = 3,
+    num_pieces: int = 200,
+    max_piece_len: int = 3,
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+    table: str = "documents",
+) -> str:
+    """Oracle for t28 (in-engine WordPiece TRAINING + encode): re-derives
+    ``operators.text.wordpiece_train``'s vocabulary from corpus
+    frequencies — the capped (count desc, word asc) distinct-word
+    table, every substring candidate up to ``max_piece_len`` chars
+    marked head (position 1) or ``##`` continuation (later positions)
+    and weighted by word count per occurrence, ALL single-char pieces
+    kept (coverage), the top ``num_pieces`` multi-char pieces by
+    (freq desc, piece asc) — then segments every distinct word with
+    the same greedy longest-match walk as the t24 oracle, membership
+    now coming from the TRAINED vocab table. A mis-weighted candidate,
+    a wrong cap ordering, or an off-by-one at the selection cut moves
+    some piece across the rank-``num_pieces`` line and shifts
+    segmentations, breaking the hash.
+
+    Segmentation walks the SAME filtered word table training saw — the
+    t28 entry asserts the corpus makes every training filter vacuous
+    (no '#' words, none past ``max_word_len``, distinct words under
+    the cap), so that table IS the corpus vocabulary and full
+    single-char coverage keeps the greedy walk total (no UNK arm
+    needed here)."""
+    ls = ", ".join(f"({L})" for L in range(2, max_piece_len + 1))
+    mark = (
+        "case when i = 1 then substring(word, i, L)"
+        " else '##' || substring(word, i, L) end"
+    )
+    return f"""
+with recursive src as (
+  select doc_id, {TOKENS} as tks from {table} where doc_id % {mod} = {rem}
+),
+words as materialized (
+  select word, cnt from (
+    select word, count(*) as cnt from (
+      select unnest(tks) as word from src
+    ) where length(word) > 0 and length(word) <= {max_word_len}
+      and word not like '%#%'
+    group by word
+  ) order by cnt desc, word asc limit {max_words}
+),
+allpos as (
+  select word, cnt, unnest(generate_series(1, length(word))) as i
+  from words
+),
+cand as materialized (
+  select {mark} as piece, sum(cnt) as freq
+  from allpos, (values (1), {ls}) ls(L)
+  where i + L - 1 <= length(word)
+  group by piece
+),
+vocab as materialized (
+  select piece from cand
+  where (piece not like '##%' and length(piece) = 1)
+     or (piece like '##%' and length(piece) = 3)
+  union all
+  select piece from (
+    select piece from cand
+    where not ((piece not like '##%' and length(piece) = 1)
+               or (piece like '##%' and length(piece) = 3))
+    order by freq desc, piece asc limit {num_pieces}
+  )
+),
+pos as (
+  select word, unnest(generate_series(1, length(word))) as i
+  from (select word from words)
+),
+candm as (
+  select word, i, L from pos, (values {ls}) ls(L)
+  where i + L - 1 <= length(word)
+    and ({mark}) in (select piece from vocab)
+  union all
+  select word, i, 1 as L from pos
+),
+lmax as materialized (
+  select word, i, max(L) as L from candm group by word, i
+),
+walk(word, i, ord) as (
+  select word, 1, 1 from (select word from words)
+  union all
+  select w.word, w.i + l.L, w.ord + 1
+  from walk w join lmax l on l.word = w.word and l.i = w.i
+  where w.i + l.L <= length(w.word)
+),
+wpieces as materialized (
+  select w.word, w.ord,
+    case when w.i = 1 then substring(w.word, w.i, l.L)
+         else '##' || substring(w.word, w.i, l.L) end as piece
+  from walk w join lmax l on l.word = w.word and l.i = w.i
+),
+doctoks as (
+  select doc_id, tks, unnest(generate_series(1, len(tks))) as word_ord
+  from src
+),
+dw as (select doc_id, word_ord, tks[word_ord] as word from doctoks),
+persub as (
+  select d.doc_id, d.word_ord, p.ord as sord, p.piece
+  from dw d join wpieces p on p.word = d.word
+)
+select doc_id,
+  cast(row_number() over (partition by doc_id order by word_ord, sord)
+       as int) as pos,
+  piece
+from persub
+order by doc_id, pos
+"""
+
+
 def unigram_fixed_sql(
     mod: int = 10, rem: int = 3, table: str = "documents"
 ) -> str:

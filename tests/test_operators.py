@@ -3074,6 +3074,50 @@ def test_wordpiece_detokenize_bare_stream(spark):
     assert 3 not in out  # zero-token docs emit nothing to decode
 
 
+def test_wordpiece_train_coverage_and_determinism(spark):
+    """The trained vocabulary covers its own training corpus (full
+    single-char alphabet in both forms → no [UNK] on training data),
+    selection is frequency-ranked with piece-ascending ties,
+    '#'-bearing words are excluded, and the result is
+    partition-invariant."""
+    from icedb_spark.operators import wordpiece_encode, wordpiece_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana band bandana"),
+            (2, "ban ban banana"),
+            (3, "dan dana #tag"),
+        ],
+        "doc_id long, text string",
+    )
+    vdf, vocab = wordpiece_train(docs, num_pieces=5, max_piece_len=3)
+    vset = set(vocab)
+    # positional alphabet coverage: head form for word-initial chars,
+    # continuation form for chars seen word-internally — exactly what
+    # no-UNK encoding of the training corpus requires ('##b' correctly
+    # absent: no word has an interior 'b')
+    assert {"b", "d"} <= vset
+    assert {"##a", "##n", "##d"} <= vset
+    assert "##b" not in vset
+    assert not any("#" in p.replace("##", "", 1) for p in vocab)
+    # no [UNK] anywhere on the training corpus ('#tag' word segments
+    # fine: its chars a/t/g appear in other words... 't'/'g' only in
+    # #tag though — so it UNKs, which is the documented exclusion)
+    enc = wordpiece_encode(docs.where("doc_id < 3"), vocab)
+    assert enc.where(F.col("piece") == "[UNK]").count() == 0
+    # rank 0 = alphabet; ranked pieces ordered (freq desc, piece asc)
+    ranked = [
+        (r["freq"], r["piece"])
+        for r in vdf.where("rank > 0").orderBy("rank").collect()
+    ]
+    assert len(ranked) == 5
+    assert ranked == sorted(ranked, key=lambda t: (-t[0], t[1]))
+    again = wordpiece_train(
+        docs.repartition(7), num_pieces=5, max_piece_len=3
+    )[1]
+    assert sorted(again) == sorted(vocab)
+
+
 def test_unigram_viterbi_rules():
     """Exact global optimum (where greedy longest-match is WRONG),
     longest-piece tie-break, whole-word UNK, empty word."""
