@@ -5060,6 +5060,48 @@ def t28_wordpiece_train_encode(spark, sf_dir):
     return wordpiece_encode(docs, vocab).orderBy("doc_id", "pos")
 
 
+def t29_unigram_train_encode(spark, sf_dir):
+    """In-engine Unigram-LM EM TRAINING under the value gate (VERDICT
+    r9 #4) — with t28 this completes the three-family trainer story:
+    the vocabulary is substring-SEEDED from corpus frequencies, then
+    TWO full Viterbi E-steps re-estimate word-count-weighted piece
+    usages and prune the multi-char inventory 240 → 160 → 120 (usage
+    desc, piece asc; the corpus alphabet survives every round at a
+    usage floor of 1, so segmentation stays total), and every tenth
+    document encodes under the final scores. Scoring is the exact
+    integer ilog2(usage) − 64, so the DP optimum, every tie, every
+    prune cut, and every usage count replay bit-exactly in the oracle
+    — which re-runs the ENTIRE EM history in SQL (one recursive-CTE
+    Viterbi per E-step plus the final encode). A wrong re-estimation
+    weight, alphabet floor, prune boundary, or tie order shifts some
+    round's vocabulary and breaks the stream. Same vacuous-filter
+    preconditions as t28 (asserted)."""
+    from icedb_spark.operators import (
+        tokens as _tokens,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    stats = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where("length(w) > 0")
+        .agg(
+            F.max(F.length("w")).alias("max_len"),
+            F.count_distinct("w").alias("n_distinct"),
+        )
+        .first()
+    )
+    if (stats["max_len"] or 0) > 32 or stats["n_distinct"] > 100_000:
+        raise AssertionError(
+            f"t29 corpus violates trainer preconditions: {dict(stats.asDict())}"
+        )
+    _, scores = unigram_train(
+        docs, seed_pieces=240, keep_per_iter=(160, 120), max_piece_len=3
+    )
+    return unigram_encode(docs, scores).orderBy("doc_id", "pos")
+
+
 def t21_bpe_token_ids(spark, sf_dir):
     """Token IDS — the last step before sequences feed a model: t20's
     subword stream broadcast-joined to the dense vocabulary the merge
@@ -5305,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m17_png16_phash": m17_png16_phash,
         "s09_ann_index_table": s09_ann_index_table,
         "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
+        "t29_unigram_train_encode": t29_unigram_train_encode,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -6003,6 +6046,7 @@ from per_sess group by user_id
         "t20_bpe_tokenize": oracles.bpe_tokenize_fixed_sql(),
         "t24_wordpiece_encode": oracles.wordpiece_fixed_sql(),
         "t28_wordpiece_train_encode": oracles.wordpiece_trained_sql(),
+        "t29_unigram_train_encode": oracles.unigram_trained_sql(),
         "t26_unigram_encode": oracles.unigram_fixed_sql(),
         "t25_tokenizer_roundtrip": r"""
 select doc_id,

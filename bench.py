@@ -141,6 +141,10 @@ SCALING = [
     # capped-table chars x max_piece_len + one partial-agg groupBy, so
     # cost tracks corpus size linearly (no sequential rounds at all)
     "t28_wordpiece_train_encode",
+    # round-10: Unigram EM training — capped word-table collect + a
+    # fixed number of per-distinct-word E-steps, cost tracks the word
+    # table (sublinear in corpus rows), like t16's BPE trainer
+    "t29_unigram_train_encode",
 ]
 # which table's row count drives each scaling entry
 _SCALING_TABLE = {
@@ -171,6 +175,7 @@ _SCALING_TABLE = {
     "d16_containment_pairs": "documents",
     "t26_unigram_encode": "documents",
     "t28_wordpiece_train_encode": "documents",
+    "t29_unigram_train_encode": "documents",
 }
 
 # quiet-host cost of the calibration probe (min-of-5 of
@@ -467,7 +472,7 @@ def main():
                 "d16_containment_pairs", "st15_budget_admission",
                 # round-10 additions
                 "m17_png16_phash", "s09_ann_index_table",
-                "t28_wordpiece_train_encode",
+                "t28_wordpiece_train_encode", "t29_unigram_train_encode",
             )
         },
     })

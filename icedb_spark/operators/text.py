@@ -1513,6 +1513,108 @@ def unigram_viterbi(
     return pieces
 
 
+def _unigram_em_local(
+    word_counts: list,
+    seed_pieces: int,
+    keep_per_iter: "tuple[int, ...]",
+    max_piece_len: int,
+    shift: int = 64,
+):
+    """The EM loop of :func:`unigram_train` run locally over the
+    collected (word, count) table — deliberately INTEGER-ONLY so any
+    engine replays it bit-exactly: a piece's score is
+    ``ilog2(usage) - shift`` (``ilog2`` = bit_length - 1, the exact
+    integer floor of log2), so Viterbi maximizes
+    ``-shift·(#pieces) + Σ ilog2(usage)`` — fewer pieces first (the
+    log-probability shape: every piece costs, frequent pieces cost
+    less), usage-frequency second, :func:`unigram_viterbi`'s
+    longest-at-earliest rule third. Each round: E-step segments every
+    distinct word under the current scores and counts
+    word-count-weighted piece usages; M-step re-scores and PRUNES the
+    multi-char inventory to ``keep_per_iter[i]`` by (usage desc,
+    piece asc), usage-0 pieces dropped. The corpus ALPHABET (every
+    char of every word) survives every round with a usage floor of 1,
+    so segmentation stays total — no UNK on training data, ever.
+    Returns ``(vocab_usage: dict, scores: dict)``."""
+    alphabet = sorted({c for w, _ in word_counts for c in w})
+
+    def select(usage: dict, keep_n: int) -> dict:
+        out = {c: max(usage.get(c, 0), 1) for c in alphabet}
+        multi = sorted(
+            ((u, p) for p, u in usage.items() if len(p) > 1 and u > 0),
+            key=lambda t: (-t[0], t[1]),
+        )[:keep_n]
+        out.update({p: u for u, p in multi})
+        return out
+
+    usage: dict = {}
+    for w, c in word_counts:
+        for i in range(len(w)):
+            for L in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + L]
+                usage[p] = usage.get(p, 0) + c
+    vocab = select(usage, seed_pieces)
+    for keep_n in keep_per_iter:
+        scores = {p: (u.bit_length() - 1) - shift for p, u in vocab.items()}
+        mlen = max((len(p) for p in scores), default=1)
+        new_usage: dict = {}
+        for w, c in word_counts:
+            for p in unigram_viterbi(w, scores, mlen, "\x00unk"):
+                new_usage[p] = new_usage.get(p, 0) + c
+        vocab = select(new_usage, keep_n)
+    scores = {p: (u.bit_length() - 1) - shift for p, u in vocab.items()}
+    return vocab, scores
+
+
+def unigram_train(
+    df: DataFrame,
+    seed_pieces: int = 240,
+    keep_per_iter: "tuple[int, ...]" = (160, 120),
+    max_piece_len: int = 3,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+):
+    """Deterministic Unigram-LM vocabulary trainer (VERDICT r9 #4) —
+    the SentencePiece recipe's shape (Kudo 2018: seed with substrings,
+    alternate Viterbi E-steps with usage re-estimation, prune the
+    inventory down) made cross-engine-exact by integer scoring (see
+    :func:`_unigram_em_local`): with this trainer, all THREE tokenizer
+    families train in-engine, not just encode (BPE
+    :func:`bpe_train`, WordPiece :func:`wordpiece_train`).
+
+    Scale shape: ONE distributed shuffle builds the capped
+    distinct-word table (count desc, word asc — :func:`bpe_train`'s
+    cap, the standard trainer move: tokenizers train on frequency
+    tables, not corpora); the EM loop is sequential ACROSS iterations
+    and runs locally over the collected driver-sized table, exactly
+    like :func:`bpe_train`'s default path — each E-step is the same
+    per-distinct-word Viterbi :func:`unigram_encode` distributes, so
+    an uncapped deployment would distribute the E-step through that
+    machinery and aggregate usages with one groupBy per round.
+
+    Returns ``(vocab_df, scores)``: ``(piece, usage, score)`` rows and
+    the piece→score dict :func:`unigram_encode` consumes."""
+    spark = df.sparkSession
+    capped = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where((F.length("word") > 0) & (F.length("word") <= max_word_len))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_words)
+    )
+    word_counts = [(r["word"], r["cnt"]) for r in capped.collect()]
+    vocab, scores = _unigram_em_local(
+        word_counts, seed_pieces, tuple(keep_per_iter), max_piece_len
+    )
+    vocab_df = spark.createDataFrame(
+        sorted((p, int(u), int(scores[p])) for p, u in vocab.items()),
+        "piece string, usage long, score int",
+    )
+    return vocab_df, scores
+
+
 def unigram_encode(
     df: DataFrame,
     scores: "dict[str, float]",

@@ -3167,6 +3167,163 @@ order by doc_id, pos
 """
 
 
+def unigram_trained_sql(
+    mod: int = 10,
+    rem: int = 3,
+    seed_pieces: int = 240,
+    keep_per_iter: "tuple[int, ...]" = (160, 120),
+    max_piece_len: int = 3,
+    max_words: int = 100_000,
+    max_word_len: int = 32,
+    shift: int = 64,
+    table: str = "documents",
+) -> str:
+    """Oracle for t29 (in-engine Unigram-LM EM TRAINING + encode):
+    replays ``operators.text._unigram_em_local`` end to end in SQL —
+    the substring-seeded vocabulary, then one full Viterbi E-step per
+    ``keep_per_iter`` entry (the t26 recursive-CTE DP machinery,
+    instantiated once per iteration) with word-count-weighted usage
+    re-estimation and a prune to the top ``keep_per_iter[k]``
+    multi-char pieces by (usage desc, piece asc), the corpus alphabet
+    surviving every round at a usage floor of 1 — and finally encodes
+    every document under the last iteration's scores. Scores are the
+    exact integer ``length(bin(usage)) - 1 - shift`` (= bit_length-1,
+    floor-log2), so every DP optimum, tie, cut line, and usage count
+    is engine-exact; a wrong E-step transition, re-estimation weight,
+    floor, or prune boundary shifts some round's vocabulary and breaks
+    the hash. The t29 entry asserts the corpus keeps the word cap and
+    length filter vacuous (same contract as t28)."""
+    ls = ", ".join(f"({L})" for L in range(1, max_piece_len + 1))
+
+    def viterbi_block(k: str, sc: str, words_src: str) -> str:
+        """One Viterbi DP over every word of ``words_src`` under score
+        table ``sc`` (piece, s): cand/rst/g/opt/walk CTEs suffixed k."""
+        return f"""
+cand{k} as materialized (
+  select c.word, c.i, c.L, v.s
+  from (
+    select word, i, L, substring(word, i, L) as sub
+    from pos, (values {ls}) ls{k}(L)
+    where i + L - 1 <= length(word)
+  ) c join {sc} v on v.piece = c.sub
+),
+rst{k}(word, i, s) as (
+  select word, length(word) + 1, 0 from {words_src}
+  union
+  select c.word, c.i, c.s + r.s
+  from rst{k} r join cand{k} c on c.word = r.word and c.i + c.L = r.i
+),
+g{k} as materialized (
+  select word, i, max(s) as g from rst{k} group by word, i
+),
+opt{k} as materialized (
+  select c.word, c.i, max(c.L) as L
+  from cand{k} c
+  join g{k} gc on gc.word = c.word and gc.i = c.i
+  join g{k} gn on gn.word = c.word and gn.i = c.i + c.L
+  where c.s + gn.g = gc.g
+  group by c.word, c.i
+),
+walk{k}(word, i, ord) as (
+  select word, 1, 1 from {words_src}
+  union all
+  select w.word, w.i + o.L, w.ord + 1
+  from walk{k} w join opt{k} o on o.word = w.word and o.i = w.i
+  where w.i + o.L <= length(w.word)
+)"""
+
+    blocks = []
+    prev_sc = "sc0"
+    for n, keep_n in enumerate(keep_per_iter, start=1):
+        blocks.append(viterbi_block(f"e{n}", prev_sc, "wordsonly"))
+        blocks.append(f"""
+usage{n} as materialized (
+  select substring(w.word, w.i, o.L) as piece, sum(wc.cnt) as u
+  from walke{n} w
+  join opte{n} o on o.word = w.word and o.i = w.i
+  join words wc on wc.word = w.word
+  group by piece
+),
+vocab{n} as materialized (
+  select c as piece, greatest(coalesce(u.u, 0), 1) as u
+  from chars left join usage{n} u on u.piece = c
+  union all
+  select piece, u from (
+    select piece, u from usage{n} where length(piece) > 1 and u > 0
+    order by u desc, piece asc limit {keep_n}
+  )
+),
+sc{n} as materialized (
+  select piece, length(bin(u)) - 1 - {shift} as s from vocab{n}
+)""")
+        prev_sc = f"sc{n}"
+    blocks.append(viterbi_block("f", prev_sc, "wordsonly"))
+    iter_sql = ",".join(blocks)
+    return f"""
+with recursive src as (
+  select doc_id, {TOKENS} as tks from {table} where doc_id % {mod} = {rem}
+),
+words as materialized (
+  select word, cnt from (
+    select word, count(*) as cnt from (
+      select unnest(tks) as word from src
+    ) where length(word) > 0 and length(word) <= {max_word_len}
+    group by word
+  ) order by cnt desc, word asc limit {max_words}
+),
+wordsonly as (select word from words),
+chars as materialized (
+  select distinct unnest(list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1))) as c
+  from wordsonly
+),
+pos as (
+  select word, unnest(generate_series(1, length(word))) as i
+  from wordsonly
+),
+seedu as materialized (
+  select substring(word, i, L) as piece, sum(cnt) as u
+  from (
+    select word, cnt, unnest(generate_series(1, length(word))) as i
+    from words
+  ), (values {ls}) ls0(L)
+  where i + L - 1 <= length(word)
+  group by piece
+),
+vocab0 as materialized (
+  select c as piece, greatest(coalesce(s.u, 0), 1) as u
+  from chars left join seedu s on s.piece = c and length(s.piece) = 1
+  union all
+  select piece, u from (
+    select piece, u from seedu where length(piece) > 1 and u > 0
+    order by u desc, piece asc limit {seed_pieces}
+  )
+),
+sc0 as materialized (
+  select piece, length(bin(u)) - 1 - {shift} as s from vocab0
+),{iter_sql},
+upieces as materialized (
+  select w.word, w.ord, substring(w.word, w.i, o.L) as piece
+  from walkf w join optf o on o.word = w.word and o.i = w.i
+),
+doctoks as (
+  select doc_id, tks, unnest(generate_series(1, len(tks))) as word_ord
+  from src
+),
+dw as (select doc_id, word_ord, tks[word_ord] as word from doctoks),
+persub as (
+  select d.doc_id, d.word_ord, p.ord as sord, p.piece
+  from dw d join upieces p on p.word = d.word
+)
+select doc_id,
+  cast(row_number() over (partition by doc_id order by word_ord, sord)
+       as int) as pos,
+  piece
+from persub
+order by doc_id, pos
+"""
+
+
 def mp3_meta_sql(table: str = "documents") -> str:
     """Oracle for m12 (REAL MP3 metadata decode): the entry synthesizes
     an ID3v2.3-tagged MPEG1 Layer III shell per doc — title = md5 hex

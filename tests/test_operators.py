@@ -3191,6 +3191,117 @@ def test_unigram_viterbi_optimality_property():
     check()
 
 
+def test_unigram_train_em_vs_bruteforce_property():
+    """Hypothesis vs an INDEPENDENT EM implementation: the trainer's
+    whole loop (substring seed, alphabet floor, ilog2 scoring, Viterbi
+    E-step with the longest-at-earliest tie rule, usage-weighted
+    re-estimation, (usage desc, piece asc) prune) is replayed here
+    with brute-force segmentation ENUMERATION instead of the DP —
+    final vocabularies and scores must be identical on arbitrary tiny
+    corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark.operators.text import _unigram_em_local
+
+    def all_segs(word, scores, max_len):
+        if not word:
+            return [([], 0)]
+        out = []
+        for L in range(1, min(max_len, len(word)) + 1):
+            p = word[:L]
+            if p in scores:
+                for rest, s in all_segs(word[L:], scores, max_len):
+                    out.append(([p] + rest, scores[p] + s))
+        return out
+
+    def brute_em(word_counts, seed_pieces, keep_per_iter, max_len):
+        alphabet = sorted({c for w, _ in word_counts for c in w})
+
+        def select(usage, keep_n):
+            out = {c: max(usage.get(c, 0), 1) for c in alphabet}
+            multi = sorted(
+                ((u, p) for p, u in usage.items() if len(p) > 1 and u > 0),
+                key=lambda t: (-t[0], t[1]),
+            )[:keep_n]
+            out.update({p: u for u, p in multi})
+            return out
+
+        usage = {}
+        for w, c in word_counts:
+            for i in range(len(w)):
+                for L in range(1, min(max_len, len(w) - i) + 1):
+                    usage[w[i:i + L]] = usage.get(w[i:i + L], 0) + c
+        vocab = select(usage, seed_pieces)
+        for keep_n in keep_per_iter:
+            scores = {p: (u.bit_length() - 1) - 64 for p, u in vocab.items()}
+            new_usage = {}
+            for w, c in word_counts:
+                segs = all_segs(w, scores, max_len)
+                best = max(s for _, s in segs)
+                # among optima: longest piece at earliest position
+                pick = max(
+                    (ps for ps, s in segs if s == best),
+                    key=lambda ps: tuple(len(p) for p in ps),
+                )
+                for p in pick:
+                    new_usage[p] = new_usage.get(p, 0) + c
+            vocab = select(new_usage, keep_n)
+        scores = {p: (u.bit_length() - 1) - 64 for p, u in vocab.items()}
+        return vocab, scores
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        words=st.lists(
+            st.text(st.sampled_from("abcd"), min_size=1, max_size=7),
+            min_size=1, max_size=6,
+        ),
+        counts=st.lists(st.integers(1, 9), min_size=6, max_size=6),
+        seed_pieces=st.integers(2, 12),
+        keep1=st.integers(1, 10),
+        keep2=st.integers(1, 8),
+    )
+    def check(words, counts, seed_pieces, keep1, keep2):
+        wc = sorted(
+            {w: c for w, c in zip(sorted(set(words)), counts)}.items()
+        )
+        got = _unigram_em_local(wc, seed_pieces, (keep1, keep2), 3)
+        want = brute_em(wc, seed_pieces, (keep1, keep2), 3)
+        assert got == want
+
+    check()
+
+
+def test_unigram_train_spark_coverage(spark):
+    """Spark surface: trained scores cover the training corpus (no
+    [UNK] anywhere), the prune bound holds, the alphabet survives
+    with its floor, and training is partition-invariant."""
+    from icedb_spark.operators import unigram_encode, unigram_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana band bandana"), (2, "ban ban banana dan dana")],
+        "doc_id long, text string",
+    )
+    vdf, scores = unigram_train(
+        docs, seed_pieces=8, keep_per_iter=(5, 3), max_piece_len=3
+    )
+    multi = [p for p in scores if len(p) > 1]
+    assert len(multi) <= 3
+    for c in "band":
+        assert c in scores
+    enc = unigram_encode(docs, scores)
+    assert enc.where(F.col("piece") == "[UNK]").count() == 0
+    rows = {r["piece"]: (r["usage"], r["score"]) for r in vdf.collect()}
+    assert all(u >= 1 for u, _ in rows.values())
+    assert all(s == (u.bit_length() - 1) - 64 for u, s in rows.values())
+    _, again = unigram_train(
+        docs.repartition(5), seed_pieces=8, keep_per_iter=(5, 3),
+        max_piece_len=3,
+    )
+    assert again == scores
+
+
 def test_unigram_encode_spark(spark):
     """Spark-side plumbing: per-doc (pos, piece) stream matches the pure
     function per word; zero-token docs emit nothing; empty table raises."""
