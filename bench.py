@@ -478,6 +478,7 @@ def main():
     })
     emit({"detail": "index_prune", **_index_prune_block(spark, sf_dir)})
     emit({"detail": "ann_index_prune", **_ann_index_prune_block(spark, sf_dir)})
+    emit({"detail": "pipeline", **_pipeline_block(spark, sf_dir)})
     emit({"detail": "bpe_flat", **_bpe_flat_block(spark, sf_dir)})
     sf1 = _sf1_block(run_samples, cpus, spark) if sf >= 0.1 else None
     ingest = _ingest_block(spark)
@@ -827,6 +828,170 @@ def _bpe_flat_block(spark, sf_dir: str):
         }
     except Exception as e:  # informational block — never fail the bench
         return {"error": str(e)}
+
+
+def _pipeline_block(spark, sf_dir: str):
+    """Composed-pipeline wall time (VERDICT r9 #8): the per-operator
+    rows above can't see cache/persist interactions BETWEEN stages, so
+    this times one end-to-end curation run — lakehouse ingest (with
+    planted dups), quality/language screens, exact + MinHash
+    (best-of-cluster) + containment dedup, mixture rebalance + split
+    assignment committed to a curated table, then BPE train → tokenize
+    → id-map → pack — with the documented caching contract exercised
+    under measurement: the surviving `kept` frame persists across the
+    dedup stages and is explicitly unpersisted when superseded (the
+    examples/training_pipeline.py flow, structured for timing)."""
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        apply_bpe,
+        assign_splits,
+        bpe_tokenize,
+        bpe_train,
+        containment_pairs,
+        exact_duplicates,
+        language_id,
+        minhash_lsh_pairs,
+        mixture_sample,
+        pack_sequences,
+        pick_canonical,
+        subword_ids,
+        text_quality,
+        token_stats,
+    )
+    from icedb_spark.testdata import load_table
+
+    raw_dir = tempfile.mkdtemp(prefix="bench_pipe_raw_")
+    cur_dir = tempfile.mkdtemp(prefix="bench_pipe_cur_")
+    stages: dict[str, float] = {}
+    t_start = time.time()
+
+    def stage(name: str, t0: float) -> None:
+        stages[name] = round(time.time() - t0, 3)
+
+    try:
+        # ---- ingest: documents + planted dups land in a lakehouse table
+        t0 = time.time()
+        raw = IceTable(
+            spark, raw_dir,
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("b", "cast(doc_id % 8 as int)")]
+            ),
+            sort_order=["doc_id"],
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        dups = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        raw.insert(df=docs.unionByName(dups))
+        corpus = raw.read()
+        docs_in = corpus.count()
+        stage("ingest", t0)
+
+        # ---- curate: quality/language screens + exact dedup
+        t0 = time.time()
+        scored = (
+            corpus.join(text_quality(corpus).select(
+                "doc_id", "quality_score"), "doc_id")
+            .join(language_id(corpus).select("doc_id", "lang_pred"), "doc_id")
+            .join(token_stats(corpus).select("doc_id", "n_tokens"), "doc_id")
+        )
+        kept = scored.where(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("lang_pred") != "und")
+        )
+        groups = exact_duplicates(kept, id_col="doc_id", cols=["text"])
+        losers = groups.select(
+            F.explode("member_ids").alias("doc_id"), "keeper_id"
+        ).where(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+        kept = kept.join(losers, "doc_id", "left_anti")
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        kept.count()
+        stage("curate_exact_dedup", t0)
+
+        # ---- near dedup: MinHash best-of-cluster + containment screen
+        t0 = time.time()
+        near = minhash_lsh_pairs(kept, threshold=0.8)
+        canon = pick_canonical(
+            near, kept.select("doc_id", "quality_score")
+        )
+        kept2 = kept.join(
+            canon.where(~F.col("is_keeper")).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+        contained = (
+            containment_pairs(kept2, threshold=0.95)
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+        )
+        kept2 = kept2.join(contained, "doc_id", "left_anti")
+        kept2 = kept2.persist(StorageLevel.MEMORY_AND_DISK)
+        kept2.count()
+        kept.unpersist()
+        stage("near_containment_dedup", t0)
+
+        # ---- mix + splits, committed to the curated lakehouse table
+        t0 = time.time()
+        mixed = mixture_sample(
+            kept2,
+            {"en": 3.0, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 1.0},
+            strata_col="lang_pred", key_col="doc_id",
+        )
+        mixed = assign_splits(
+            mixed, {"train": 0.9, "val": 0.05, "test": 0.05},
+            key_col="doc_id",
+        )
+        curated = IceTable(
+            spark, cur_dir,
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("lang", "lang_pred")]
+            ),
+            sort_order=["quality_score"],
+        )
+        curated.insert(df=mixed.select(
+            "doc_id", "text", "lang_pred", "quality_score",
+            "n_tokens", "split",
+        ))
+        kept2.unpersist()
+        docs_out = curated.read().count()
+        stage("mix_splits_commit", t0)
+
+        # ---- tokenize + pack: BPE train, subword budgets, id stream
+        t0 = time.time()
+        train_docs = curated.read().where("split = 'train'")
+        train_docs = train_docs.persist(StorageLevel.MEMORY_AND_DISK)
+        _, merges = bpe_train(train_docs, num_merges=16, min_pair_count=2)
+        budgets = apply_bpe(train_docs, merges).select(
+            "doc_id", F.col("n_subwords").alias("n_sub")
+        )
+        packed = pack_sequences(
+            train_docs.join(budgets, "doc_id"),
+            token_budget=2048, n_shards=4, tokens_col="n_sub",
+        )
+        n_seqs = packed.agg(F.count(F.lit(1)).alias("docs")).collect()[0][0]
+        ids = subword_ids(bpe_tokenize(train_docs, merges), merges)
+        ids.write.format("noop").mode("overwrite").save()
+        train_docs.unpersist()
+        stage("tokenize_pack", t0)
+
+        return {
+            "stages": stages,
+            "total": round(time.time() - t_start, 3),
+            "docs_in": docs_in,
+            "docs_out": docs_out,
+            "packed_docs": int(n_seqs or 0),
+        }
+    except Exception as e:  # informational block — never fail the bench
+        return {"error": str(e), "stages": stages}
+    finally:
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        shutil.rmtree(cur_dir, ignore_errors=True)
 
 
 def _ingest_block(spark):
