@@ -5314,28 +5314,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-9 final composition: the window leads with ALL 36 entries
-    # that have NEVER held a driver row — the round's 34 new gates (t23
-    # production-vocab BPE; m08/m09/m14/m15/m16 real pixel decode for
-    # PNG, GIF, TIFF, palette-PNG and Adam7-interlaced PNG; m10-m13
-    # WAV/EXIF/MP3/MP4 metadata decode; q34-q47 SQL surface incl.
-    # TPC-H Q2/Q3/Q4/Q5/Q16/Q17/Q18/Q21 + PIVOT; st11-st15 streaming
-    # windows, joins and budget admission; t24 WordPiece, t25
-    # round-trip, t26 Unigram-LM Viterbi, t27 WordPiece round-trip;
-    # sm10 weighted sampling, sm11 token-budget mixing; d16 containment
-    # dedup) plus t21/t22 (added
-    # below the r8 window) — then one witness per code path that
-    # CHANGED this round: t20 (pair-indexed encoder behind
-    # bpe_tokenize), st10 (sig_rows passthrough), d13/d14/d15 (probe-row
-    # params). The remaining slots drain the r5-era staleness backlog
-    # oldest-first (d04-d06, mv02, q03-q06). Below the window for r10:
-    # the rest of the r5/r6 backlog (q07-q33, t01-t12, st02) — all
-    # replica-green today — then the r7-r8 cohorts; ALL 180 keys stay
+    # Round-10 composition (VERDICT r9 #1): the window leads with the
+    # FOUR entries that have never held a driver row (this round's new
+    # gates: m17 16-bit PNG, s09 persisted ANN index, t28 WordPiece
+    # trainer, t29 Unigram EM trainer), then drains the ENTIRE r5/r6
+    # staleness backlog in one pass — the 39 rows whose last driver
+    # evidence was four rounds old (q07-q27/q29-q33 core SQL, q02/q04/
+    # q17/q28, t01-t12, st02 — the oldest rows in the union of
+    # CORRECTNESS_r01-r09) — and closes with one witness per code path
+    # CHANGED this round: t24/t26 (the wordpiece/unigram encoders the
+    # new trainers feed), t27 (decoder guard added), sm11 (stratum-
+    # literal escaping in token_budget_sample_sql), st15 (single-batch
+    # assertion), m08 + m16 (the PNG unfilter/placement refactor to
+    # byte-distance bpp touches the sequential AND interlaced 8-bit
+    # paths). similarity.py took only ADDITIONS (s09 exercises them);
+    # no other path changed. Below the window: the r7-r9 cohorts,
+    # newest evidence last-checked r9 at the bottom; ALL 184 keys stay
     # under the repo's own bit-exact gate replica
     # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
     return {
-        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
+        "m17_png16_phash": m17_png16_phash,
+        "s09_ann_index_table": s09_ann_index_table,
+        "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
+        "t29_unigram_train_encode": t29_unigram_train_encode,
+        "q07_percentile": q07_percentile,
+        "q08_latest_by_user": q08_latest_by_user,
+        "q09_union_seed": q09_union_seed,
+        "q10_range_filter": q10_range_filter,
+        "q11_dedup_pickone": q11_dedup_pickone,
+        "q12_join_broadcast": q12_join_broadcast,
+        "q13_join_threeway": q13_join_threeway,
+        "q14_window_rank": q14_window_rank,
+        "q15_scalar_funcs": q15_scalar_funcs,
+        "q16_date_parts": q16_date_parts,
+        "q18_rollup": q18_rollup,
+        "q19_setops": q19_setops,
+        "q20_semi_anti": q20_semi_anti,
+        "q21_having": q21_having,
+        "q22_string_funcs": q22_string_funcs,
+        "q23_array_funcs": q23_array_funcs,
+        "q24_salted_join": q24_salted_join,
+        "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
+        "q32_asof_left_join": q32_asof_left_join,
+        "st02_windowed_agg": st02_windowed_agg,
+        "t01_token_stats": t01_token_stats,
+        "t03_language_id": t03_language_id,
+        "t04_fingerprint": t04_fingerprint,
+        "t11_line_dedup": t11_line_dedup,
+        "q02_count_by_user": q02_count_by_user,
+        "q04_distinct": q04_distinct,
+        "q17_approx_distinct": q17_approx_distinct,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        "q30_sessionize": q30_sessionize,
+        "q31_salted_agg": q31_salted_agg,
+        "q33_percentile_approx": q33_percentile_approx,
+        "t02_text_quality": t02_text_quality,
+        "t06_pii_detect": t06_pii_detect,
+        "t07_decontaminate": t07_decontaminate,
+        "t08_pack_sequences": t08_pack_sequences,
+        "t09_vocab": t09_vocab,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
+        "t24_wordpiece_encode": t24_wordpiece_encode,
+        "t26_unigram_encode": t26_unigram_encode,
+        "t27_wordpiece_roundtrip": t27_wordpiece_roundtrip,
+        "sm11_token_budget": sm11_token_budget,
+        "st15_budget_admission": st15_budget_admission,
         "m08_png_phash": m08_png_phash,
+        "m16_interlaced_png_phash": m16_interlaced_png_phash,
+        # ==================== driver window boundary (50) ====================
+        # Everything below holds a green driver row from r7-r9 —
+        # this rotation demotes only last-checked-r9 (or r7/r8)
+        # entries whose evidence is at most three rounds old; the
+        # oldest remaining cohort (r7) is first in line for r11.
+        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
         "m09_gif_phash": m09_gif_phash,
         "m10_wav_features": m10_wav_features,
         "m11_jpeg_exif": m11_jpeg_exif,
@@ -5343,11 +5396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m13_mp4_keyframes": m13_mp4_keyframes,
         "m14_tiff_phash": m14_tiff_phash,
         "m15_palette_png_phash": m15_palette_png_phash,
-        "m16_interlaced_png_phash": m16_interlaced_png_phash,
-        "m17_png16_phash": m17_png16_phash,
-        "s09_ann_index_table": s09_ann_index_table,
-        "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
-        "t29_unigram_train_encode": t29_unigram_train_encode,
         "q34_stats_agg": q34_stats_agg,
         "q35_window_dist": q35_window_dist,
         "q36_grouping_sets": q36_grouping_sets,
@@ -5364,16 +5412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_tpch_q2": q47_tpch_q2,
         "d16_containment_pairs": d16_containment_pairs,
         "sm10_weighted_sample": sm10_weighted_sample,
-        "sm11_token_budget": sm11_token_budget,
         "st11_sliding_window": st11_sliding_window,
         "st12_stream_stream_join": st12_stream_stream_join,
         "st13_stream_outer_join": st13_stream_outer_join,
         "st14_stream_static_join": st14_stream_static_join,
-        "st15_budget_admission": st15_budget_admission,
-        "t24_wordpiece_encode": t24_wordpiece_encode,
         "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
-        "t26_unigram_encode": t26_unigram_encode,
-        "t27_wordpiece_roundtrip": t27_wordpiece_roundtrip,
         "t21_bpe_token_ids": t21_bpe_token_ids,
         "t22_packed_token_stream": t22_packed_token_stream,
         "t20_bpe_tokenize": t20_bpe_tokenize,
@@ -5388,56 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_json_extract": q03_json_extract,
         "q05_topk": q05_topk,
         "q06_month_rollup": q06_month_rollup,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a green driver row from r5-r8 or is
-        # replica-green backlog; this rotation only demotes proven
-        # entries. The round's 34 never-checked gates claimed the head
-        # of the window (never-checked outranks stale-but-proven), and
-        # each demoted path keeps an in-window witness: t19's
-        # pair-indexed encoder is witnessed by t23 at 37x the rules and
-        # t20's tokenize; st02's windowed_agg by st11's sliding gate;
-        # q18/q27's rollup/cube Expand by q36's grouping sets; q20's
-        # semi/anti by q42/q44/q45's lowerings; q09's union by q38's
-        # UNION-ALL-shaped unpivot oracle pairing; q24/q31's salted
-        # paths stay covered by the skew suite's unit tests. Everything
-        # displaced (q07-q33, t01-t12, st02 and the r7-r8 cohorts)
-        # rotates up in r10. q08's latest-row window pattern stays
-        # witnessed in-window by q35's distribution windows and q47's
-        # argmin; q07's exact percentile by q34's stats aggregates.
-        "q07_percentile": q07_percentile,
-        "q08_latest_by_user": q08_latest_by_user,
-        "q09_union_seed": q09_union_seed,
-        "q10_range_filter": q10_range_filter,
-        "q11_dedup_pickone": q11_dedup_pickone,
-        "q12_join_broadcast": q12_join_broadcast,
-        "q13_join_threeway": q13_join_threeway,
-        "q14_window_rank": q14_window_rank,
-        "q16_date_parts": q16_date_parts,
-        "q18_rollup": q18_rollup,
-        "q19_setops": q19_setops,
-        "q20_semi_anti": q20_semi_anti,
-        "q21_having": q21_having,
-        "q22_string_funcs": q22_string_funcs,
-        "q23_array_funcs": q23_array_funcs,
-        "q24_salted_join": q24_salted_join,
-        "q32_asof_left_join": q32_asof_left_join,
-        "st02_windowed_agg": st02_windowed_agg,
-        "q02_count_by_user": q02_count_by_user,
-        "q04_distinct": q04_distinct,
-        "q17_approx_distinct": q17_approx_distinct,
-        "t01_token_stats": t01_token_stats,
         "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
-        "t03_language_id": t03_language_id,
-        "t04_fingerprint": t04_fingerprint,
-        "q15_scalar_funcs": q15_scalar_funcs,
-        "t11_line_dedup": t11_line_dedup,
-        "q26_scalar_subquery": q26_scalar_subquery,
-        "q27_cube": q27_cube,
-        "q28_asof_join": q28_asof_join,
-        "q29_range_join": q29_range_join,
-        "q30_sessionize": q30_sessionize,
-        "q33_percentile_approx": q33_percentile_approx,
-        "q31_salted_agg": q31_salted_agg,
         "t18_bpe_packing": t18_bpe_packing,
         "m07_bmp_phash": m07_bmp_phash,
         "t16_bpe_vocab": t16_bpe_vocab,
@@ -5528,12 +5522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
         "q01_pricing_summary": q01_pricing_summary,
         "rest01_ingest_query": rest01_ingest_query,
-        "t02_text_quality": t02_text_quality,
-        "t06_pii_detect": t06_pii_detect,
-        "t07_decontaminate": t07_decontaminate,
-        "t08_pack_sequences": t08_pack_sequences,
-        "t09_vocab": t09_vocab,
-        "t12_ngram_perplexity": t12_ngram_perplexity,
     }
 
 
