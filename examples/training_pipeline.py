@@ -239,32 +239,27 @@ def main() -> None:
     ids.orderBy("doc_id", "pos").show(8, truncate=False)
 
     # --- 6. the other tokenizer family: WordPiece --------------------------
-    # BERT-style greedy longest-match with ## continuations; the vocab
-    # broadcasts as a hash set, so a 30-100k-piece production vocabulary
-    # costs the same plan — here a toy one derived from the corpus chars
-    from icedb_spark.operators import wordpiece_encode
+    # BERT-style greedy longest-match with ## continuations, now with an
+    # IN-ENGINE TRAINED vocabulary (frequency recipe: full char coverage
+    # + the top-scoring heads/continuations); the vocab broadcasts as a
+    # hash set, so a 30-100k-piece production vocabulary costs the same
+    # plan as this corpus-sized one
+    from icedb_spark.operators import wordpiece_encode, wordpiece_train
 
-    chars = sorted(
-        r["c"]
-        for r in train_docs.select(
-            F.explode(F.split(F.lower("text"), "")).alias("c")
-        ).where("c rlike '[a-z0-9]'").distinct().collect()
-    )
-    wp_vocab = [p for c in chars for p in (c, "##" + c)] + [
-        c1 + c2 for c1 in chars[:8] for c2 in chars[:8]
-    ]
+    _, wp_vocab = wordpiece_train(train_docs, num_pieces=64, max_piece_len=3)
     wp = wordpiece_encode(train_docs, wp_vocab)
     print("wordpiece stream sample (doc_id, pos, piece):")
     wp.orderBy("doc_id", "pos").show(8, truncate=False)
 
     # --- 7. the third tokenizer family: Unigram-LM (SentencePiece) --------
     # exact Viterbi over scored pieces — the global optimum greedy walks
-    # miss; scores are log-prob-like (negative, longer pieces cheaper)
-    from icedb_spark.operators import unigram_encode
+    # miss; the scores come from the IN-ENGINE EM TRAINER (substring
+    # seed, Viterbi E-steps with usage re-estimation, inventory pruning;
+    # integer log2-frequency scores, so runs reproduce bit-exactly)
+    from icedb_spark.operators import unigram_encode, unigram_train
 
-    uni_scores = {c: -4 for c in chars}
-    uni_scores.update(
-        {c1 + c2: -5 for c1 in chars[:8] for c2 in chars[:8]}
+    _, uni_scores = unigram_train(
+        train_docs, seed_pieces=96, keep_per_iter=(64, 48), max_piece_len=3
     )
     uni = unigram_encode(train_docs, uni_scores)
     print("unigram stream sample (doc_id, pos, piece):")
