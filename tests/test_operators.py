@@ -1004,6 +1004,41 @@ def test_ivf_index_table_equals_recompute(spark, tmp_path):
     assert 0 < len(t.files_for(column_in={"cell": [one_cell]})) < total
 
 
+def test_ivf_index_table_empty_query_set(spark, tmp_path):
+    """Zero queries → zero probed cells → the empty-probe short circuit:
+    no index read happens and the result is empty with the right
+    schema."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    df = _clustered_vectors(spark)
+    code = ivf_codebook_rows(df, n_centroids=4)
+    t = IceTable(
+        spark,
+        str(tmp_path / "ividx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    t.insert(df=ivf_index_rows(df, code))
+    out = cosine_topk_against_index_table(
+        df.limit(0), t, code, nprobe=2, k=3, persist_probe_rows=False
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_wordpiece_train_validates_piece_len():
+    from icedb_spark.operators import wordpiece_train
+
+    with pytest.raises(ValueError):
+        wordpiece_train(None, max_piece_len=1)
+
+
 def test_ivfpq_rerank_recovers_exact_ordering(spark):
     from icedb_spark.operators import cosine_topk, cosine_topk_ivfpq
 
