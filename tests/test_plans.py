@@ -223,6 +223,38 @@ def test_trained_ivf_plans_broadcast_codebook(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2
 
 
+def test_persisted_ivf_search_plans_broadcast_cell_join(spark, sf_dir, tmp_path):
+    """s09: the persisted-index search's ONLY data-path join is the
+    broadcast cell equi-join (probes broadcast into the index read);
+    the codebook crossJoins are broadcast nested loops over a C-row
+    relation, and nothing sort-merges or goes cartesian."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = ivf_codebook_rows(emb, n_centroids=8)
+    t = IceTable(
+        spark,
+        str(tmp_path / "ividx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    t.insert(df=ivf_index_rows(emb, code))
+    df = cosine_topk_against_index_table(
+        emb.where(F.col("vec_id") % 50 == 0), t, code, nprobe=2, k=3,
+        persist_probe_rows=False,
+    )
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # index ⋈ broadcast probes on cell
+
+
 def test_semantic_decontam_plans_broadcast_nlj_partial_max(spark, sf_dir):
     """t14 exact mode: the corpus x benchmark cosine fold must be a
     BroadcastNestedLoopJoin (tiny benchmark broadcast, zero corpus
