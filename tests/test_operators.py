@@ -1032,6 +1032,76 @@ def test_ivf_index_table_empty_query_set(spark, tmp_path):
     assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
 
 
+def test_ivf_index_table_matches_recompute_property(spark, tmp_path):
+    """Hypothesis over random vector corpora and (C, nprobe, k): the
+    persisted-index pruned search equals cosine_topk_ivf recomputed
+    from the corpus — the s09 equality claim under parameter and data
+    variation, including multi-commit indexes."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        cosine_topk_ivf,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        seed=st.integers(0, 10**6),
+        n_centroids=st.integers(2, 6),
+        nprobe=st.integers(1, 4),
+        k=st.integers(1, 4),
+        n_commits=st.integers(1, 3),
+    )
+    def check(seed, n_centroids, nprobe, k, n_commits):
+        rnd = random.Random(seed)
+        dim = rnd.choice((4, 6))
+        n = rnd.randint(n_centroids + 2, 24)
+        rows = [
+            (i, [round(rnd.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        qs = df.where(F.col("vec_id") % 5 == 0)
+        code = ivf_codebook_rows(df, n_centroids=n_centroids)
+        counter[0] += 1
+        t = IceTable(
+            spark,
+            str(tmp_path / f"ividx{counter[0]}"),
+            partition_spec=PartitionSpec(
+                fields=[PartitionField("cell", "cell")]
+            ),
+            sort_order=["vec_id"],
+            bloom_columns=["cell"],
+        )
+        for s in range(n_commits):
+            t.insert(
+                df=ivf_index_rows(
+                    df.where(F.col("vec_id") % n_commits == s), code
+                )
+            )
+        got = sorted(map(tuple, cosine_topk_against_index_table(
+            qs, t, code, nprobe=nprobe, k=k, persist_probe_rows=False
+        ).collect()))
+        want = sorted(map(tuple, cosine_topk_ivf(
+            df, qs, n_centroids=n_centroids, nprobe=nprobe, k=k
+        ).collect()))
+        assert got == want
+
+    check()
+
+
 def test_wordpiece_train_validates_piece_len():
     from icedb_spark.operators import wordpiece_train
 
