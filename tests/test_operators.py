@@ -1102,6 +1102,55 @@ def test_ivf_index_table_matches_recompute_property(spark, tmp_path):
     check()
 
 
+def test_ivf_index_table_accepts_trained_codebook(spark, tmp_path):
+    """The persisted-index API is codebook-agnostic: a k-means-TRAINED
+    codebook (the s07 machinery) drops in for the seed policy with
+    identical downstream shapes — index rows assign against it, the
+    search probes it, and the persisted roundtrip still equals the
+    direct computation with the same codebook."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_index_rows,
+    )
+    from icedb_spark.operators.similarity import (
+        _train_codebook,
+        _training_view,
+    )
+
+    df = _clustered_vectors(spark)
+    code = _train_codebook(
+        _training_view(df, "vec_id", "embedding"), dim=8, n_centroids=4,
+        iters=1,
+    )
+    t = IceTable(
+        spark,
+        str(tmp_path / "ividx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    t.insert(df=ivf_index_rows(df, code))
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_against_index_table(
+        qs, t, code, nprobe=2, k=3, persist_probe_rows=False
+    )
+    rows = out.collect()
+    assert rows, "trained-codebook search returns neighbors"
+    # direct recompute with the SAME codebook: assign + probe + score
+    # through the non-persisted rows must agree with the table read
+    direct_idx = ivf_index_rows(df, code)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the persisted cells equal the freshly assigned cells
+    got_cells = sorted(map(tuple, t.read().select("vec_id", "cell").collect()))
+    want_cells = sorted(map(tuple, direct_idx.select("vec_id", "cell").collect()))
+    assert got_cells == want_cells
+
+
 def test_wordpiece_train_validates_piece_len():
     from icedb_spark.operators import wordpiece_train
 
