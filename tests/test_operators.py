@@ -1151,6 +1151,43 @@ def test_ivf_index_table_accepts_trained_codebook(spark, tmp_path):
     assert got_cells == want_cells
 
 
+def test_ivf_index_table_invariant_under_compaction(spark, tmp_path):
+    """The ice02 merge-invariance claim applied to the ANN index:
+    search results are identical before and after a compaction pass
+    collapses the multi-commit index to one file per cell (fewer files
+    kept, same rows)."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    df = _clustered_vectors(spark)
+    code = ivf_codebook_rows(df, n_centroids=4)
+    t = IceTable(
+        spark,
+        str(tmp_path / "ividx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    for s in range(3):
+        t.insert(df=ivf_index_rows(df.where(F.col("vec_id") % 3 == s), code))
+    qs = df.where(F.col("vec_id") % 10 == 0)
+
+    def search():
+        return sorted(map(tuple, cosine_topk_against_index_table(
+            qs, t, code, nprobe=2, k=3, persist_probe_rows=False
+        ).collect()))
+
+    before = search()
+    files_before = len(t.files_for())
+    t.optimize(max_file_size=1 << 40, max_file_count=10_000)
+    assert len(t.files_for()) < files_before
+    assert search() == before
+
+
 def test_wordpiece_train_validates_piece_len():
     from icedb_spark.operators import wordpiece_train
 
