@@ -457,12 +457,14 @@ def _decode_png(b: bytes) -> "list[int]":
         )
     if colortype == 3 and plte is None:
         raise ValueError("decode_image_pixels: palette PNG without PLTE")
-    if w * h > 64_000_000:
-        # hostile-geometry guard: the IHDR claim, not the blob size,
-        # drives every allocation below
-        raise ValueError("decode_image_pixels: PNG geometry over 64M px")
     sampbytes = bitdepth // 8
     bpp = channels * sampbytes  # filter distance AND placement unit: BYTES
+    if w * h * bpp > 64_000_000:
+        # hostile-geometry guard scaled by bytes-per-pixel: the IHDR
+        # claim, not the blob size, drives every allocation below, and a
+        # 16-bit RGBA raster costs 8x a gray one — cap the RASTER BYTES
+        # (64 MB) so the worst-case allocation is depth/channel-invariant
+        raise ValueError("decode_image_pixels: PNG raster over 64MB")
     if interlace == 0:
         pass_dims = [(0, 0, 1, 1, w, h)]
     else:

@@ -226,7 +226,8 @@ def cosine_topk_against_index_table(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     max_pruning_keys: int = 4096,
-    persist_probe_rows: bool = True,
+    persist_probe_rows: bool = False,
+    probe_cache_out: list | None = None,
 ) -> DataFrame:
     """IVF cosine top-k against a PERSISTED index table with the PRUNED
     read built in — the query half of the :func:`ivf_index_rows`
@@ -248,9 +249,17 @@ def cosine_topk_against_index_table(
     same tiebreaks, same self-exclusion (the s09 gate's claim).
 
     ``persist_probe_rows``: the probe ranking is referenced twice
-    (cell-set collect + the scoring join) and is cached by default;
-    pass ``False`` from per-batch loops in a long-lived session (the
-    same contract as the dedup family's ``persist_band_rows``)."""
+    (cell-set collect + the scoring join). The default ``False``
+    re-derives it from lineage at the scoring join — one broadcast
+    cross join against a C-row codebook, trivially cheap — so a
+    serving loop calling this per query batch NEVER accumulates cache
+    registrations (ADVICE r10: the prior persist-by-default leaked one
+    registered cache per call). Pass ``True`` only when the *queries
+    lineage itself* is expensive to evaluate twice, and own the
+    release: the persisted frame is appended to ``probe_cache_out``
+    (pass a list), and the caller unpersists it after materializing
+    the result — Spark's laziness makes an in-function unpersist
+    impossible without forfeiting the cache for the scoring join."""
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -274,6 +283,8 @@ def cosine_topk_against_index_table(
         from pyspark import StorageLevel
 
         probes = probes.persist(StorageLevel.MEMORY_AND_DISK)
+        if probe_cache_out is not None:
+            probe_cache_out.append(probes)
     empty = ivf_index_rows(
         queries.limit(0), codebook, id_col=query_id_col, vec_col=vec_col
     )

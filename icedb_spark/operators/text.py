@@ -1375,9 +1375,10 @@ def wordpiece_train(
     missing third of the three-family tokenizer story: BPE trains
     in-engine (:func:`bpe_train`); this builds the vocabulary
     :func:`wordpiece_encode` consumes, from the corpus, the BERT
-    frequency recipe: every corpus character in BOTH its head and
-    ``##``-continuation form (full coverage — no training word can ever
-    UNK), plus the ``num_pieces`` highest-frequency multi-char
+    frequency recipe: every corpus character in each positional form it
+    occurs in — head and/or ``##`` continuation (full coverage — no
+    training word can ever UNK; a char never seen mid-word keeps no
+    dead ``##`` form), plus the ``num_pieces`` highest-frequency multi-char
     candidates, where a candidate is every substring of every word up
     to ``max_piece_len`` chars, marked head (word-initial position) or
     continuation (``##`` + substring, any later position), and its
@@ -1405,7 +1406,6 @@ def wordpiece_train(
     """
     if max_piece_len < 2:
         raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
-    spark = df.sparkSession
     capped = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .where(

@@ -3736,9 +3736,29 @@ def test_decode_png_zip_bomb_guard():
             ">I", zlib.crc32(b"IEND"))
         return sig + ihdr + idat + iend
 
-    # hostile geometry: tiny blob, 2^16 x 2^16 claim
-    with pytest.raises(ValueError, match="64M px"):
+    # hostile geometry: tiny blob, 2^16 x 2^16 claim (gray 8-bit:
+    # 4G px * 1 bpp >> the 64MB raster-byte cap)
+    with pytest.raises(ValueError, match="raster over 64MB"):
         decode_image_pixels(png(65536, 65536, b"\x00"))
+    # the ADVICE r10 case: 16-bit RGBA at a px count the old px-only cap
+    # allowed (16M px) but whose raster is 8x over the byte cap
+    import struct as _st
+    import zlib as _zl
+
+    def png16(w, h):
+        sig = b"\x89PNG\r\n\x1a\n"
+        d = _st.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0)
+        ihdr = (_st.pack(">I", 13) + b"IHDR" + d
+                + _st.pack(">I", _zl.crc32(b"IHDR" + d)))
+        z = _zl.compress(b"\x00")
+        idat = (_st.pack(">I", len(z)) + b"IDAT" + z
+                + _st.pack(">I", _zl.crc32(b"IDAT" + z)))
+        iend = _st.pack(">I", 0) + b"IEND" + _st.pack(
+            ">I", _zl.crc32(b"IEND"))
+        return sig + ihdr + idat + iend
+
+    with pytest.raises(ValueError, match="raster over 64MB"):
+        decode_image_pixels(png16(4096, 4096))
     # sane geometry, stream inflates far past it (the bomb shape)
     with pytest.raises(ValueError, match="payload size"):
         decode_image_pixels(png(2, 2, b"\x00" * 10_000_000))
