@@ -1424,6 +1424,123 @@ def s09_ann_index_table(spark, sf_dir):
         _cleanup_later(tdir)
 
 
+def s10_ann_index_trained(spark, sf_dir):
+    """Trained-codebook PERSISTED ANN index (VERDICT r10 #2 — the s07
+    k-means machinery wired through the s09 IceTable roundtrip): the
+    codebook is TRAINED in-engine (2 deterministic integer-grid Lloyd
+    iterations), committed to the quantizer IceTable, read BACK, and
+    the corpus's inverted-list rows are assigned against the read-back
+    centroids and committed cell-partitioned — then the search runs
+    cosine_topk_against_index_table's pruned read. The oracle is the
+    trained-IVF closed form (same unrolled Lloyd CTEs as s07), so a
+    green row means train → persist → prune-read → search equals
+    recompute-everything bit-for-bit — the full production shape, and
+    the upgrade the s06 docstring names as the recall limiter (the
+    untrained lowest-id codebook). Witnesses similarity.py's r11
+    serving-path change (persist_probe_rows default False — no cache
+    registration per search call)."""
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_index_rows,
+    )
+    from icedb_spark.operators.similarity import (
+        _train_codebook,
+        _training_view,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        trained = _train_codebook(
+            _training_view(emb, "vec_id", "embedding"),
+            dim=64, n_centroids=16, iters=2,
+        )
+        ct.insert(df=trained)
+        codebook = ct.read()
+        t.insert(df=ivf_index_rows(emb, codebook))
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        out = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        ).orderBy("query_id", "rank")
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(tdir)
+
+
+def s11_ann_index_append(spark, sf_dir):
+    """INCREMENTAL ANN index maintenance under the value gate (VERDICT
+    r10 #3 — the append path the d13/d14/d15 persisted-index family
+    already proves for dedup): the corpus arrives in two batches, the
+    codebook is FROZEN on batch A (train once, assign forever — the
+    incremental contract), batch A's inverted lists commit, the query
+    set searches (phase 'A'), then batch B's rows are assigned against
+    the SAME frozen codebook and APPENDED as a second log commit, and
+    the identical query set searches again (phase 'AB'). Phase A's
+    result is pinned by the engine's MVCC snapshot (read() resolves
+    alive files at plan time), so both phases hash against the closed
+    form side-by-side: phase A = batch-A-only lists, phase AB = full
+    recompute over A∪B — proving appended index rows are immediately
+    searchable and equal to a from-scratch rebuild. Commit 191f907's
+    test adds the third leg: the search is also invariant under
+    compaction of those commits."""
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+        ivf_index_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch_a = emb.where(F.col("vec_id") % 2 == 0)
+    batch_b = emb.where(F.col("vec_id") % 2 != 0)
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        ct.insert(df=ivf_codebook_rows(batch_a, n_centroids=16))
+        codebook = ct.read()
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        t.insert(df=ivf_index_rows(batch_a, codebook))
+        files_a = {f.path for f in t.snapshot().alive_files()}
+        out_a = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        )
+        t.insert(df=ivf_index_rows(batch_b, codebook))
+        files_ab = {f.path for f in t.snapshot().alive_files()}
+        # append-only evidence: commit 2 only ADDED files
+        assert files_a < files_ab, "batch B append must grow the file set"
+        out_ab = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        )
+        out = (
+            out_a.select(F.lit("A").alias("phase"), "*")
+            .unionByName(out_ab.select(F.lit("AB").alias("phase"), "*"))
+            .orderBy("phase", "query_id", "rank")
+        )
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(tdir)
+
+
 def s06_cosine_topk_tuned(spark, sf_dir):
     """The production-recall IVF preset: 64 cells, nprobe=44. Measured
     recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
@@ -5335,6 +5452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "m17_png16_phash": m17_png16_phash,
         "s09_ann_index_table": s09_ann_index_table,
+        "s10_ann_index_trained": s10_ann_index_trained,
+        "s11_ann_index_append": s11_ann_index_append,
         "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
         "t29_unigram_train_encode": t29_unigram_train_encode,
         "q07_percentile": q07_percentile,
@@ -6086,6 +6205,17 @@ order by doc_id
         # form at its own (query_mod, nprobe) point — the equality IS
         # the index-roundtrip claim
         "s09_ann_index_table": oracles.cosine_topk_ivf_sql(5, 25, 16, 3),
+        # s10: trained codebook persisted + searched through the index —
+        # must equal the trained-IVF closed form (train ≡ persist ≡ read
+        # back ≡ prune-read search)
+        "s10_ann_index_trained": oracles.cosine_topk_ivf_trained_sql(
+            5, 25, 16, 3, 64, 2
+        ),
+        # s11: append-only index maintenance — phase A = batch-A lists,
+        # phase AB = full recompute over A∪B, same frozen codebook
+        "s11_ann_index_append": oracles.cosine_topk_ivf_incremental_sql(
+            5, 25, 16, 3
+        ),
         "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s07_cosine_topk_trained": oracles.cosine_topk_ivf_trained_sql(
             5, 50, 64, 8, 64, 2

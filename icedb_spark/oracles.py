@@ -698,6 +698,81 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {k}
 _HEX = "strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
 
 
+def cosine_topk_ivf_incremental_sql(
+    k: int = 5,
+    query_mod: int = 25,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    batch_mod: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """Replicates ``__spark_entry__.s11_ann_index_append``: the corpus
+    arrives in two batches (batch A = ``id % batch_mod = 0``, batch B =
+    the rest), the codebook is FROZEN on batch A (its ``n_centroids``
+    lowest-id vectors — exactly what an incremental deployment does:
+    train once, assign forever), and the SAME query set searches the
+    index after each commit. Phase ``'A'`` ranks against batch A's
+    inverted lists only; phase ``'AB'`` against the union — the closed
+    form of "append-only index maintenance equals full recompute"."""
+    return f"""
+with v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+), va as (
+  select id, dv from v where id % {batch_mod} = 0
+), cents as (
+  select id as cid, dv as cv from va order by id limit {n_centroids}
+), assign_a as (
+  select id, dv, cell from (
+    select va.id, va.dv, c.cid as cell,
+      row_number() over (partition by va.id
+        order by round(list_cosine_similarity(va.dv, c.cv), 6) desc, c.cid asc) as rn
+    from va, cents c
+  ) where rn = 1
+), assign_ab as (
+  select id, dv, cell from (
+    select v.id, v.dv, c.cid as cell,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, cents c
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qv, cell from (
+    select q.query_id, q.qv, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, cents c
+  ) where rn <= {nprobe}
+), ranked_a as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from (
+    select p.query_id, a.id as neighbor_id,
+      round(list_cosine_similarity(a.dv, p.qv), 6) as cosine
+    from assign_a a join probes p on a.cell = p.cell
+    where p.query_id <> a.id
+  )
+), ranked_ab as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from (
+    select p.query_id, a.id as neighbor_id,
+      round(list_cosine_similarity(a.dv, p.qv), 6) as cosine
+    from assign_ab a join probes p on a.cell = p.cell
+    where p.query_id <> a.id
+  )
+)
+select 'A' as phase, query_id, neighbor_id, cosine, rank
+from ranked_a where rank <= {k}
+union all
+select 'AB' as phase, query_id, neighbor_id, cosine, rank
+from ranked_ab where rank <= {k}
+"""
+
+
 def media_features_sql(dim: int = 8, table: str = "documents") -> str:
     """Oracle for ``__spark_entry__.m01_media_features``: the fake feature is
     md5-digest bytes / 255 stored as float32 — reproduced from the hex string
