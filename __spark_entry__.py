@@ -1541,6 +1541,66 @@ def s11_ann_index_append(spark, sf_dir):
         _cleanup_later(tdir)
 
 
+def s12_ann_index_pq(spark, sf_dir):
+    """PERSISTED IVF-PQ byte codes under the value gate (VERDICT r10
+    #4 — s05's billion-scale layout made durable): the coarse codebook
+    AND the PQ sub-codebooks commit to quantizer IceTables, the corpus
+    commits as (vec_id, cell, codes, r2) rows — the m_sub=8 one-byte
+    codes PACKED INTO ONE BIGINT, ~32 bytes/vector vs the s09
+    full-vector layout's ~512 (the footprint that makes 100-TB
+    embedding indexes storable; measured in bench.py's ann_index_pq
+    block) — partitioned by cell with a cell Bloom. Queries rank probe
+    cells against the read-back coarse codebook, prune-read ONLY the
+    probed cells' byte codes (column_in file skipping), score by ADC
+    against the read-back sub-codebooks, and exact-rerank the top-30
+    shortlist against the corpus (only queries x 30 float rows move).
+    The oracle is the s05 closed form — equality IS the claim that
+    persist -> prune-read -> ADC -> rerank equals
+    recompute-every-call."""
+    from icedb_spark.operators import (
+        cosine_topk_pq_against_index_table,
+        ivf_codebook_rows,
+        ivfpq_index_rows,
+        pq_subcodebook_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    st, sdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["s", "j"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        ct.insert(df=ivf_codebook_rows(emb, n_centroids=16))
+        codebook = ct.read()
+        st.insert(df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16))
+        subcodebook = st.read()
+        t.insert(
+            df=ivfpq_index_rows(emb, codebook, subcodebook, dim=64, m_sub=8)
+        )
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        out = cosine_topk_pq_against_index_table(
+            queries, t, codebook, subcodebook, dim=64, m_sub=8,
+            nprobe=4, k=5, rerank=30, vectors=emb,
+        ).orderBy("query_id", "rank")
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(sdir)
+        _cleanup_later(tdir)
+
+
 def s06_cosine_topk_tuned(spark, sf_dir):
     """The production-recall IVF preset: 64 cells, nprobe=44. Measured
     recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
@@ -5454,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s09_ann_index_table": s09_ann_index_table,
         "s10_ann_index_trained": s10_ann_index_trained,
         "s11_ann_index_append": s11_ann_index_append,
+        "s12_ann_index_pq": s12_ann_index_pq,
         "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
         "t29_unigram_train_encode": t29_unigram_train_encode,
         "q07_percentile": q07_percentile,
@@ -6215,6 +6276,12 @@ order by doc_id
         # phase AB = full recompute over A∪B, same frozen codebook
         "s11_ann_index_append": oracles.cosine_topk_ivf_incremental_sql(
             5, 25, 16, 3
+        ),
+        # s12: persisted IVF-PQ byte codes + ADC + exact rerank — must
+        # equal the s05 recompute closed form at its own query_mod
+        "s12_ann_index_pq": oracles.cosine_topk_ivfpq_sql(
+            64, k=5, query_mod=25, n_centroids=16, nprobe=4, m_sub=8,
+            k_sub=16, rerank=30,
         ),
         "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s07_cosine_topk_trained": oracles.cosine_topk_ivf_trained_sql(

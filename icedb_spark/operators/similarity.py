@@ -851,3 +851,285 @@ def cosine_topk_ivfpq(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def pq_subcodebook_rows(
+    corpus: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ sub-codebooks as PERSISTABLE rows ``(s, j, scv, c2)`` —
+    the second tiny table a production IVF-PQ deployment stores beside
+    its byte codes (``m_sub × k_sub`` sub-vectors of ``dim/m_sub``
+    doubles: a few KB, broadcast territory forever). The policy is the
+    deterministic one shared with :func:`cosine_topk_ivfpq` (sub-centroid
+    ``j`` of subspace ``s`` = the ``s``-th slice of the ``j``-th
+    lowest-id corpus vector); trained sub-codebooks drop in with the
+    same schema. ``c2`` is the precomputed self-dot every encode and
+    ADC reconstruction needs."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    v = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
+    )
+    train = (
+        v.orderBy("id")
+        .limit(k_sub)
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("id")).cast("int") - 1
+        )
+    )
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
+    return (
+        train.select("j", s_col, "dv")
+        .select(
+            "s",
+            "j",
+            F.expr(f"slice(dv, s * {dsub} + 1, {dsub})").alias("scv"),
+        )
+        .withColumn("c2", _dot(F.col("scv"), F.col("scv")))
+    )
+
+
+def ivfpq_index_rows(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    subcodebook: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """An embedding corpus in the PERSISTED IVF-PQ index layout
+    (VERDICT r10 #4 — the byte-code footprint :func:`ivf_index_rows`
+    cannot have): ``(vec_id, cell, codes, r2)`` where ``codes`` packs
+    the ``m_sub`` one-byte PQ codes into ONE BIGINT (8-bit lanes,
+    subspace ``s`` at bits ``8s..8s+7``) and ``r2`` is the
+    reconstruction's squared norm (the sum of the chosen sub-centroids'
+    ``c2``) — 4 fixed-width columns ≈ 32 bytes/vector vs the full
+    64-double layout's ~512: the 100-TB-embedding footprint argument in
+    one schema. Assignment and encoding are the exact policies of
+    :func:`cosine_topk_ivfpq` (round(·,6) + id tiebreaks), so ADC
+    search over these rows equals the recompute-every-call path
+    bit-for-bit.
+
+    Plan shape: one broadcast of each tiny codebook; coarse assignment
+    is a map-side max_by and encoding a per-(vector, subspace) map-side
+    min_by — the corpus never shuffles to be encoded (the
+    partition-by-cell insert IS the one shuffle). Persist with
+    ``PartitionField("cell", "cell")`` + ``bloom_columns=["cell"]`` and
+    query via :func:`cosine_topk_pq_against_index_table`."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if m_sub > 8:
+        raise ValueError(
+            f"m_sub {m_sub} > 8 cannot pack into one bigint's 8-bit lanes"
+        )
+    dsub = dim // m_sub
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("dv")
+    ).withColumn("n", _norm(F.col("dv")))
+    cn = codebook.select("cid", "cv").withColumn("cn", _norm(F.col("cv")))
+    csim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cn))
+        .select("vec_id", "dv", "cid", csim.alias("csim"))
+        .groupBy("vec_id", "dv")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+    )
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
+    sub = assigned.select("vec_id", "cell", s_col, "dv").select(
+        "vec_id",
+        "cell",
+        "s",
+        F.expr(f"slice(dv, s * {dsub} + 1, {dsub})").alias("sv"),
+    )
+    sc = subcodebook.select("s", "j", "scv", "c2")
+    dist2 = F.round(
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("scv"))
+        + F.col("c2"),
+        6,
+    )
+    codes = (
+        sub.join(F.broadcast(sc), "s")
+        .select("vec_id", "cell", "s", "j", "c2", dist2.alias("d2"))
+        .groupBy("vec_id", "cell", "s")
+        .agg(
+            F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"),
+            F.min_by("c2", F.struct(F.col("d2"), F.col("j"))).alias("c2c"),
+        )
+    )
+    return codes.groupBy("vec_id", "cell").agg(
+        F.sum(
+            F.expr("shiftleft(cast(code as bigint), 8 * s)")
+        ).alias("codes"),
+        F.sum("c2c").alias("r2"),
+    )
+
+
+def cosine_topk_pq_against_index_table(
+    queries: DataFrame,
+    index_table,
+    codebook: DataFrame,
+    subcodebook: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    nprobe: int = 4,
+    k: int = 5,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    max_pruning_keys: int = 4096,
+) -> DataFrame:
+    """ADC cosine top-k against a PERSISTED IVF-PQ index — the query
+    half of the :func:`ivfpq_index_rows` cycle: rank each query's
+    ``nprobe`` cells against the broadcast coarse codebook, read ONLY
+    the probed cells' byte-code rows through
+    ``column_in={"cell": ...}`` partition/zone-map/Bloom skipping
+    (full-scan fallback past ``max_pruning_keys``; an empty index
+    short-circuits to zero rows), unpack each candidate's bigint into
+    its ``m_sub`` 8-bit codes, and score by ADC — ``m_sub`` lookups
+    into a broadcast ``queries × m_sub × k_sub`` partial-dot table
+    built from the PERSISTED sub-codebooks, so the per-candidate cost
+    is independent of ``dim`` and the bytes read per query track
+    ``nprobe``, not index size, at ~1/16th of
+    :func:`cosine_topk_against_index_table`'s full-vector row width.
+
+    ``rerank > 0`` re-scores the top-``rerank`` ADC candidates per
+    query EXACTLY against ``vectors`` (a relation carrying ``id_col`` +
+    ``vec_col`` — the corpus table, or the s09 full-vector index) — an
+    id-keyed join that moves only ``queries × rerank`` float rows.
+
+    With the deterministic codebook policies this equals
+    :func:`cosine_topk_ivfpq` on the same corpus bit-for-bit (the s12
+    gate's claim)."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if rerank and vectors is None:
+        raise ValueError("rerank > 0 needs `vectors` to re-score against")
+    dsub = dim // m_sub
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    cn = codebook.select("cid", "cv").withColumn("cn", _norm(F.col("cv")))
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cn))
+        .select("query_id", "qn", "cid", qsim.alias("qsim"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qn", F.col("cid").alias("cell"))
+    )
+    if index_table.snapshot().alive_files():
+        cells = sorted(
+            r["cell"]
+            for r in probes.select("cell")
+            .distinct()
+            .limit(max_pruning_keys + 1)
+            .collect()
+        )
+        if not cells:
+            idx = None
+        elif len(cells) <= max_pruning_keys:
+            idx = index_table.read(column_in={"cell": cells})
+        else:
+            idx = index_table.read()
+    else:
+        idx = None
+    if idx is None:
+        # zero-row frame with the index's exact dtypes (id type follows
+        # the queries side, as in cosine_topk_against_index_table)
+        idx = ivfpq_index_rows(
+            queries.limit(0), codebook, subcodebook, dim, m_sub,
+            id_col=query_id_col, vec_col=vec_col,
+        )
+    # ADC table: dot(q_s, c_{s,j}) for every (query, subspace, sub-centroid)
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
+    qsub = q.select("query_id", s_col, "qv").select(
+        "query_id",
+        "s",
+        F.expr(f"slice(qv, s * {dsub} + 1, {dsub})").alias("qsv"),
+    )
+    sc = subcodebook.select("s", "j", "scv")
+    adc = qsub.join(F.broadcast(sc), "s").select(
+        "query_id", "s", "j", _dot(F.col("qsv"), F.col("scv")).alias("pdot")
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qn",
+            "vec_id",
+            "r2",
+            s_col,
+            "codes",
+        )
+        .withColumn(
+            "code", F.expr("shiftright(codes, 8 * s) & 255").cast("int")
+        )
+    )
+    scored = (
+        cand.join(
+            F.broadcast(adc),
+            (cand["query_id"] == adc["query_id"])
+            & (cand["s"] == adc["s"])
+            & (cand["code"] == adc["j"]),
+        )
+        .select(cand["query_id"], "vec_id", "qn", "r2", "pdot")
+        .groupBy("query_id", "vec_id", "qn", "r2")
+        .agg(F.sum("pdot").alias("adot"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.col("adot") / (F.col("qn") * F.sqrt(F.col("r2"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    if not rerank:
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+    shortlist = (
+        scored.withColumn("_adc_rank", F.row_number().over(w))
+        .where(F.col("_adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    vx = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("nn", _norm(F.col("nv")))
+    exact = (
+        shortlist.join(vx, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("nv"), F.col("qv")) / (F.col("nn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

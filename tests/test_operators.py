@@ -1188,6 +1188,93 @@ def test_ivf_index_table_invariant_under_compaction(spark, tmp_path):
     assert search() == before
 
 
+def test_ivfpq_index_table_matches_recompute(spark, tmp_path):
+    """The persisted IVF-PQ byte-code path (pack -> cell-partitioned
+    commit -> pruned read -> unpack -> ADC) equals cosine_topk_ivfpq's
+    recompute-every-call result, with and without the exact rerank, and
+    the packed bigint round-trips every 8-bit lane."""
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_ivfpq,
+        cosine_topk_pq_against_index_table,
+        ivf_codebook_rows,
+        ivfpq_index_rows,
+        pq_subcodebook_rows,
+    )
+
+    df = _clustered_vectors(spark)
+    code = ivf_codebook_rows(df, n_centroids=4)
+    sub = pq_subcodebook_rows(df, dim=8, m_sub=2, k_sub=4)
+    t = IceTable(
+        spark,
+        str(tmp_path / "pqidx"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    t.insert(df=ivfpq_index_rows(df, code, sub, dim=8, m_sub=2))
+    # every packed lane is a valid sub-centroid id (k_sub=4 -> 0..3)
+    for r in t.read().collect():
+        for s in range(2):
+            assert 0 <= (r["codes"] >> (8 * s)) & 255 < 4
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    for rr in (0, 3):
+        got = sorted(map(tuple, cosine_topk_pq_against_index_table(
+            qs, t, code, sub, dim=8, m_sub=2, nprobe=2, k=3,
+            rerank=rr, vectors=df if rr else None,
+        ).collect()))
+        want = sorted(map(tuple, cosine_topk_ivfpq(
+            df, qs, dim=8, n_centroids=4, nprobe=2, m_sub=2, k_sub=4,
+            k=3, rerank=rr,
+        ).collect()))
+        assert got == want, f"persisted != recompute at rerank={rr}"
+    # pruned read keeps fewer files than the index holds once cells
+    # split across files (3 extra commits make 4 per touched cell)
+    for s in range(3):
+        t.insert(df=ivfpq_index_rows(
+            df.where(F.col("vec_id") % 3 == s).select(
+                (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+            ),
+            code, sub, dim=8, m_sub=2,
+        ))
+    total = len(t.files_for())
+    kept = len(t.files_for(column_in={"cell": [0]}))
+    assert kept < total
+
+
+def test_ivfpq_index_empty_and_guards(spark, tmp_path):
+    from icedb_spark import IceTable, PartitionField, PartitionSpec
+    from icedb_spark.operators import (
+        cosine_topk_pq_against_index_table,
+        ivf_codebook_rows,
+        ivfpq_index_rows,
+        pq_subcodebook_rows,
+    )
+
+    df = _clustered_vectors(spark)
+    code = ivf_codebook_rows(df, n_centroids=4)
+    sub = pq_subcodebook_rows(df, dim=8, m_sub=2, k_sub=4)
+    t = IceTable(
+        spark,
+        str(tmp_path / "pqempty"),
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+    )
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_pq_against_index_table(
+        qs, t, code, sub, dim=8, m_sub=2, nprobe=2, k=3
+    )
+    assert out.count() == 0  # never-written index short-circuits
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_index_rows(df, code, sub, dim=8, m_sub=3)
+    with pytest.raises(ValueError, match="8-bit lanes"):
+        ivfpq_index_rows(df, code, sub, dim=16, m_sub=16)
+    with pytest.raises(ValueError, match="needs `vectors`"):
+        cosine_topk_pq_against_index_table(
+            qs, t, code, sub, dim=8, m_sub=2, rerank=5
+        )
+
+
 def test_wordpiece_train_validates_piece_len():
     from icedb_spark.operators import wordpiece_train
 
