@@ -212,11 +212,20 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
       deferred-clear behavior) — pure Python, no codec lib.
 
+    * **JPEG** baseline sequential (VERDICT r10 #7) — the dominant
+      lossy web format: real marker walk, DQT/DHT parsing, canonical
+      Huffman decode, DRI/RSTn restart intervals, interleaved MCU scan
+      with per-component DC prediction, dequantization, separable
+      float IDCT, and (for color) 4:2:0/4:2:2/4:4:4 chroma upsampling
+      + the JFIF YCbCr→RGB transform. Progressive (SOF2), arithmetic,
+      12-bit, and multi-scan profiles raise — recognized container,
+      unsupported profile.
+
     Returns top-down row-major GRAYSCALE ints in 0..255 — RGB(A)
     collapses through the integer ITU-R BT.601 luma ``(299r + 587g +
     114b) // 1000`` (alpha ignored), exact arithmetic any engine
-    reproduces. Returns ``None`` for unrecognized containers (JPEG and
-    other transform codecs keep the documented digest fake or an
+    reproduces. Returns ``None`` for unrecognized containers (WebP and
+    other still-undecoded codecs keep the documented digest fake or an
     external ``decode_fn``); a RECOGNIZED container with malformed
     geometry/payload raises ``ValueError`` (decode errors should fail
     loudly, not hash garbage)."""
@@ -225,6 +234,8 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
     b = bytes(blob or b"")
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
     if b[:2] == b"BM" and len(b) >= 54:
@@ -402,6 +413,420 @@ def _decode_tiff(b: bytes) -> "list[int]":
     if photo == 0:  # WhiteIsZero: 0 is white, max is black — invert
         return [255 - v for v in data]
     return list(data)
+
+
+#: zigzag scan position -> natural (row-major) coefficient index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: separable IDCT basis: _JPEG_IDCT_B[u][x] = C(u)/2 * cos((2x+1)uπ/16)
+_JPEG_IDCT_B: "list[list[float]]" = []
+
+
+def _jpeg_idct_basis() -> "list[list[float]]":
+    if not _JPEG_IDCT_B:
+        import math
+
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            _JPEG_IDCT_B.append(
+                [cu * 0.5 * math.cos((2 * x + 1) * u * math.pi / 16)
+                 for x in range(8)]
+            )
+    return _JPEG_IDCT_B
+
+
+def _jpeg_build_huff(bits: "list[int]", vals: bytes) -> dict:
+    """Canonical Huffman decode table from a DHT segment's BITS(1..16)
+    counts + value list: ``(code_length, code) -> symbol`` (ITU T.81
+    §C.2 code assignment — counts per length, codes increase within a
+    length, then shift left one per extra length)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("decode_image_pixels: bad JPEG DHT")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with the spec's
+    0xFF00 byte unstuffing; any other marker mid-symbol fails loudly,
+    and RSTn markers are consumed only through :meth:`restart` (which
+    byte-aligns first, per §F.2.1.3.1)."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.b):
+                raise ValueError(
+                    "decode_image_pixels: truncated JPEG entropy stream"
+                )
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = (
+                    self.b[self.pos + 1]
+                    if self.pos + 1 < len(self.b) else None
+                )
+                if nxt != 0x00:
+                    raise ValueError(
+                        "decode_image_pixels: JPEG marker inside "
+                        "entropy-coded symbol"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.cur = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def restart(self) -> None:
+        self.nbits = 0  # discard padding bits — RSTn is byte-aligned
+        if not (
+            self.pos + 1 < len(self.b)
+            and self.b[self.pos] == 0xFF
+            and 0xD0 <= self.b[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                "decode_image_pixels: expected JPEG restart marker"
+            )
+        self.pos += 2
+
+
+def _jpeg_receive_extend(r: _JpegBits, s: int) -> int:
+    """RECEIVE(s) + EXTEND (§F.2.2.1): read ``s`` magnitude bits; a
+    value below 2^(s-1) is the negative branch (v - (2^s - 1))."""
+    if s == 0:
+        return 0
+    v = 0
+    for _ in range(s):
+        v = (v << 1) | r.bit()
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _jpeg_decode_block(
+    r: _JpegBits, dctab: dict, actab: dict, pred: int
+) -> "tuple[list[int], int]":
+    """One 8x8 block's quantized coefficients in ZIGZAG order: DC
+    category + differential (predictor carried per component), then the
+    AC run/size loop with ZRL (0xF0) and EOB (0x00)."""
+
+    def huff(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("decode_image_pixels: invalid JPEG Huffman code")
+
+    t = huff(dctab)
+    if t > 11:
+        raise ValueError("decode_image_pixels: bad JPEG DC category")
+    dc = pred + _jpeg_receive_extend(r, t)
+    coeffs = [0] * 64
+    coeffs[0] = dc
+    k = 1
+    while k < 64:
+        rs = huff(actab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("decode_image_pixels: JPEG AC run past 63")
+        coeffs[k] = _jpeg_receive_extend(r, size)
+        k += 1
+    return coeffs, dc
+
+
+def _jpeg_idct_block(zz: "list[int]", qt: "list[int]") -> "list[int]":
+    """Dequantize (zigzag-order table × zigzag-order coefficients),
+    dezigzag, separable 2-D IDCT, level shift +128, round + clamp to
+    0..255 — 64 output samples in row-major order. A block whose AC
+    coefficients are all zero takes the flat fast path with the SAME
+    float nesting as the separable loop (B[0][y]*(B[0][x]*F00)), so
+    both paths are bit-identical."""
+    B = _jpeg_idct_basis()
+    F0 = zz[0] * qt[0]
+    if not any(zz[1:]):
+        v = B[0][0] * (B[0][0] * F0) + 128.0
+        p = min(255, max(0, int(round(v))))
+        return [p] * 64
+    coef = [0] * 64
+    for k in range(64):
+        if zz[k]:
+            coef[_JPEG_ZIGZAG[k]] = zz[k] * qt[k]
+    coef[0] = F0  # DC dequant even when zz[0] == 0 (it may be)
+    # rows of coefficients (fixed v): tmp[v][x] = Σ_u B[u][x] * F[8v+u]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coef[8 * v:8 * v + 8]
+        tv = tmp[v]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                c = row[u]
+                if c:
+                    s += B[u][x] * c
+            tv[x] = s
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                t = tmp[v][x]
+                if t:
+                    s += B[v][y] * t
+            out.append(min(255, max(0, int(round(s + 128.0)))))
+    return out
+
+
+def _decode_jpeg(b: bytes) -> "list[int]":
+    """The JPEG arm of :func:`decode_image_pixels` (VERDICT r10 #7) —
+    BASELINE SEQUENTIAL JPEG (SOF0/SOF1, 8-bit, Huffman), the profile
+    that covers the overwhelming share of real web corpora, in pure
+    stdlib Python: marker walk (APPn/COM skipped, fill 0xFF bytes
+    honored), DQT (8- and 16-bit precision, zigzag order), DHT
+    (canonical code build per §C.2), DRI + RSTn restart intervals
+    (byte-align, predictor reset), one interleaved scan, per-component
+    DC prediction, run/size AC decode with ZRL/EOB, dequantization,
+    separable float IDCT, level shift, and — for 3-component scans —
+    replication chroma upsampling and the JFIF YCbCr→RGB transform
+    before the module's BT.601 integer luma contract (1-component
+    scans ARE the luma). Sampling factors 1..2 per axis (4:4:4, 4:2:2,
+    4:2:0). Progressive (SOF2), arithmetic coding, 12-bit precision,
+    hierarchical, and multi-scan files raise — recognized container,
+    unsupported profile, exactly like palette-less palette PNG.
+    Hostile-geometry guard: the SOF claim is capped at 64MB of raster
+    BYTES before any allocation."""
+    import struct
+
+    n = len(b)
+    qt: dict = {}
+    huff: dict = {}
+    dri = 0
+    frame = None
+    o = 2  # past SOI
+    while True:
+        if o >= n:
+            raise ValueError("decode_image_pixels: truncated JPEG stream")
+        if b[o] != 0xFF:
+            raise ValueError("decode_image_pixels: bad JPEG marker stream")
+        while o < n and b[o] == 0xFF:  # fill bytes are legal padding
+            o += 1
+        if o >= n:
+            raise ValueError("decode_image_pixels: truncated JPEG stream")
+        m = b[o]
+        o += 1
+        if m == 0xD9:  # EOI before any scan
+            raise ValueError("decode_image_pixels: JPEG without scan data")
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: standalone
+            continue
+        if o + 2 > n:
+            raise ValueError("decode_image_pixels: truncated JPEG segment")
+        seg = (b[o] << 8) | b[o + 1]
+        if seg < 2 or o + seg > n:
+            raise ValueError("decode_image_pixels: truncated JPEG segment")
+        data = b[o + 2:o + seg]
+        o += seg
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                if pq not in (0, 1) or tq > 3:
+                    raise ValueError("decode_image_pixels: bad JPEG DQT")
+                step = 2 if pq else 1
+                if p + 64 * step > len(data):
+                    raise ValueError("decode_image_pixels: bad JPEG DQT")
+                if pq:
+                    qt[tq] = [
+                        struct.unpack_from(">H", data, p + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                else:
+                    qt[tq] = list(data[p:p + 64])
+                p += 64 * step
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                if tc > 1 or th > 3:
+                    raise ValueError("decode_image_pixels: bad JPEG DHT")
+                bits = list(data[p + 1:p + 17])
+                cnt = sum(bits)
+                p += 17
+                if p + cnt > len(data):
+                    raise ValueError("decode_image_pixels: bad JPEG DHT")
+                huff[(tc, th)] = _jpeg_build_huff(bits, data[p:p + cnt])
+                p += cnt
+            if p != len(data):
+                raise ValueError("decode_image_pixels: bad JPEG DHT")
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline(-compatible)
+            if frame is not None:
+                raise ValueError("decode_image_pixels: multiple JPEG SOF")
+            if len(data) < 6:
+                raise ValueError("decode_image_pixels: bad JPEG SOF")
+            prec, fh, fw, nc = (
+                data[0], (data[1] << 8) | data[2],
+                (data[3] << 8) | data[4], data[5],
+            )
+            if prec != 8:
+                raise ValueError(
+                    "decode_image_pixels: only 8-bit JPEG precision"
+                )
+            if nc not in (1, 3):
+                raise ValueError(
+                    "decode_image_pixels: only 1/3-component JPEG"
+                )
+            if fw <= 0 or fh <= 0:
+                raise ValueError("decode_image_pixels: bad JPEG geometry")
+            if fw * fh * nc > 64_000_000:
+                raise ValueError(
+                    "decode_image_pixels: JPEG raster over 64MB"
+                )
+            if len(data) != 6 + 3 * nc:
+                raise ValueError("decode_image_pixels: bad JPEG SOF")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_i = data[6 + 3 * i:9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(
+                        "decode_image_pixels: unsupported JPEG sampling"
+                    )
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq_i})
+            frame = (fw, fh, comps)
+        elif m in (
+            0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError(
+                "decode_image_pixels: only baseline sequential JPEG "
+                f"(got SOF marker 0x{m:02x})"
+            )
+        elif m == 0xDD:  # DRI
+            if len(data) != 2:
+                raise ValueError("decode_image_pixels: bad JPEG DRI")
+            dri = (data[0] << 8) | data[1]
+        elif m == 0xDA:  # SOS — scan follows
+            break
+        # else: APPn/COM/unknown segment — skipped
+    if frame is None:
+        raise ValueError("decode_image_pixels: JPEG scan before SOF")
+    fw, fh, comps = frame
+    if len(data) < 1 or data[0] != len(comps):
+        raise ValueError(
+            "decode_image_pixels: JPEG multi-scan files unsupported"
+        )
+    if len(data) != 1 + 2 * len(comps) + 3:
+        raise ValueError("decode_image_pixels: bad JPEG SOS")
+    sel = {}
+    for i in range(len(comps)):
+        cs, tt = data[1 + 2 * i], data[2 + 2 * i]
+        sel[cs] = (tt >> 4, tt & 0x0F)
+    for c in comps:
+        if c["id"] not in sel:
+            raise ValueError(
+                "decode_image_pixels: JPEG scan misses a component"
+            )
+        c["td"], c["ta"] = sel[c["id"]]
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError(
+                "decode_image_pixels: JPEG scan references missing DHT"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(
+                "decode_image_pixels: JPEG frame references missing DQT"
+            )
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = (fw + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (fh + 8 * maxv - 1) // (8 * maxv)
+    for c in comps:
+        c["pw"] = mcux * c["h"] * 8  # padded plane width
+        c["plane"] = bytearray(c["pw"] * mcuy * c["v"] * 8)
+        c["pred"] = 0
+    r = _JpegBits(b, o)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                r.restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, c["pred"] = _jpeg_decode_block(
+                            r, huff[(0, c["td"])], huff[(1, c["ta"])],
+                            c["pred"],
+                        )
+                        px8 = _jpeg_idct_block(zz, qt[c["tq"]])
+                        x0 = (mx * c["h"] + bx) * 8
+                        y0 = (my * c["v"] + by) * 8
+                        pw = c["pw"]
+                        for yy in range(8):
+                            base = (y0 + yy) * pw + x0
+                            c["plane"][base:base + 8] = bytes(
+                                px8[8 * yy:8 * yy + 8]
+                            )
+            mcu += 1
+    if len(comps) == 1:
+        c = comps[0]
+        pw = c["pw"]
+        plane = c["plane"]
+        return [
+            plane[y * pw + x] for y in range(fh) for x in range(fw)
+        ]
+    # YCbCr: replication upsample each plane to frame resolution,
+    # JFIF inverse transform to RGB, then the module's BT.601 luma
+    out = []
+    cy, cb, cr = comps
+    for y in range(fh):
+        for x in range(fw):
+            yy = cy["plane"][
+                (y * cy["v"] // maxv) * cy["pw"] + (x * cy["h"] // maxh)
+            ]
+            pb = cb["plane"][
+                (y * cb["v"] // maxv) * cb["pw"] + (x * cb["h"] // maxh)
+            ] - 128
+            pr = cr["plane"][
+                (y * cr["v"] // maxv) * cr["pw"] + (x * cr["h"] // maxh)
+            ] - 128
+            red = min(255, max(0, int(round(yy + 1.402 * pr))))
+            green = min(
+                255, max(0, int(round(yy - 0.344136 * pb - 0.714136 * pr)))
+            )
+            blue = min(255, max(0, int(round(yy + 1.772 * pb))))
+            out.append((299 * red + 587 * green + 114 * blue) // 1000)
+    return out
 
 
 def _decode_png(b: bytes) -> "list[int]":

@@ -2187,6 +2187,63 @@ order by media_id
 """
 
 
+def jpeg_phash_sql(bits: int = 60, table: str = "documents") -> str:
+    """Oracle for m18 (REAL baseline JPEG pixel decode, VERDICT r10
+    #7): the entry encodes per-doc JPEGs of CONSTANT 8×8 blocks with DC
+    quant 8 — the one shape where the lossy pipeline is exact
+    (F(0,0) = 8·(c−128) quantizes losslessly, so Huffman → dequant →
+    IDCT → level shift must return exactly c). Even docs: 24×16
+    grayscale, six blocks of md5 bytes 0..5, restart interval 3. Odd
+    docs: 16×16 color 4:2:0 — four Y blocks of md5 bytes 0..3, Cb=128,
+    Cr=178, whose JFIF inverse transform shifts every pixel by an
+    integer-exact amount: R = min(255, Y+70), G = max(0, Y−36), B = Y
+    (1.402·50 = 70.1 and 0.714136·50 = 35.7068 round to fixed offsets
+    for EVERY Y — no float tie anywhere), then BT.601 luma. Any error
+    in DC prediction, restart handling, zigzag, dequantization, MCU
+    interleave, chroma upsampling, or the color transform breaks the
+    hash."""
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    gray = V("3*(i//192) + (i%24)//8")
+    ycol = V("2*(i//128) + (i%16)//8")
+    color = (
+        f"(299 * least(255, {ycol} + 70)"
+        f" + 587 * greatest(0, {ycol} - 36)"
+        f" + 114 * {ycol}) // 1000"
+    )
+
+    def arm(pred: str, n: int, luma: str) -> str:
+        return f"""
+  select doc_id as media_id,
+    list_transform(range(0, {n}), i -> {luma}) as ps,
+    {n} as n
+  from {table} where {pred}"""
+
+    return f"""
+with base as ({arm('doc_id % 2 = 0', 384, gray)}
+  union all{arm('doc_id % 2 <> 0', 256, color)}
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*n)//{bits} + 1 : ((j+1)*n)//{bits}])
+      // (((j+1)*n)//{bits} - (j*n)//{bits})) as pp
+  from base
+)
+select media_id,
+  cast(list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                        then 1 else 0 end as bigint))),
+    (acc, b) -> acc * 2 + b) as bigint) as phash
+from pooled
+order by media_id
+"""
+
+
 def tiff_phash_sql(
     bits: int = 60, w: int = 8, h: int = 8, table: str = "documents"
 ) -> str:

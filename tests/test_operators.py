@@ -3854,6 +3854,175 @@ def test_decode_png_zip_bomb_guard():
     assert decode_image_pixels(png(2, 2, raw)) == [0, 1, 10, 11]
 
 
+def _jpeg_q_lum():
+    # Annex-K-style luminance table: varied entries so dequant is
+    # load-bearing in the roundtrips
+    return [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+
+
+def test_decode_jpeg_dc_exact_roundtrip():
+    """Constant blocks with DC quant 8 make the lossy pipeline exact:
+    the decoder must return every block constant bit-for-bit, through
+    DC differential prediction AND a restart interval mid-image."""
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    def dcblk(c):
+        return [c - 128] + [0] * 63
+
+    vals = [10, 200, 57, 130, 255, 0]
+    grid = [[dcblk(vals[3 * by + bx]) for bx in range(3)]
+            for by in range(2)]
+    blob = _encode_baseline_jpeg(
+        24, 16, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}],
+        {0: q8}, dri=3,
+    )
+    px = decode_image_pixels(blob)
+    assert px == [
+        vals[3 * (y // 8) + (x // 8)] for y in range(16) for x in range(24)
+    ]
+
+
+def test_decode_jpeg_ac_matches_independent_idct():
+    """General AC path: random quantized coefficient blocks through the
+    full Huffman run/size loop (ZRL, EOB, negative EXTEND values) must
+    equal an independent brute-force double-loop IDCT computed here —
+    the decoder's separable IDCT and the reference disagree only if
+    dequant/zigzag/Huffman are wrong."""
+    import math
+    import random
+
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    Q = _jpeg_q_lum()
+    rng = random.Random(7)
+
+    def randblk():
+        blk = [0] * 64
+        blk[0] = rng.randint(-60, 60)
+        for _ in range(10):
+            blk[rng.randint(1, 63)] = rng.randint(-9, 9)
+        # force a long zero run so ZRL is exercised
+        blk[63] = rng.choice([-3, 3])
+        for i in range(40, 63):
+            blk[i] = 0
+        return blk
+
+    def ref_px(blk, x, y):
+        s = 0.0
+        for v in range(8):
+            for u in range(8):
+                if not blk[v * 8 + u]:
+                    continue
+                cu = math.sqrt(0.5) if u == 0 else 1.0
+                cv = math.sqrt(0.5) if v == 0 else 1.0
+                s += (
+                    cu * cv / 4 * blk[v * 8 + u] * Q[v * 8 + u]
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+        return min(255, max(0, int(round(s + 128))))
+
+    grid = [[randblk(), randblk()], [randblk(), randblk()]]
+    blob = _encode_baseline_jpeg(
+        16, 16, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}], {0: Q}
+    )
+    px = decode_image_pixels(blob)
+    for y in range(16):
+        for x in range(16):
+            want = ref_px(grid[y // 8][x // 8], x % 8, y % 8)
+            assert px[y * 16 + x] == want
+
+
+def test_decode_jpeg_color_420():
+    """4:2:0 color: interleaved MCU (4 Y + Cb + Cr), replication chroma
+    upsample, JFIF YCbCr->RGB, BT.601 luma — constant blocks keep the
+    expected value closed-form."""
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    def dcblk(c):
+        return [c - 128] + [0] * 63
+
+    yv = [36, 120, 185, 250]
+    ygrid = [[dcblk(yv[2 * by + bx]) for bx in range(2)] for by in range(2)]
+    blob = _encode_baseline_jpeg(
+        16, 16,
+        [
+            {"id": 1, "h": 2, "v": 2, "tq": 0, "grid": ygrid},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(128)]]},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(178)]]},
+        ],
+        {0: q8},
+    )
+    px = decode_image_pixels(blob)
+    for y in range(16):
+        for x in range(16):
+            Y = yv[2 * (y // 8) + (x // 8)]
+            want = (
+                299 * min(255, Y + 70) + 587 * max(0, Y - 36) + 114 * Y
+            ) // 1000
+            assert px[y * 16 + x] == want
+
+
+def test_decode_jpeg_unsupported_and_hostile():
+    """Recognized-container failure modes fail loudly: progressive SOF2,
+    truncated entropy stream, missing restart marker, hostile SOF
+    geometry (raster-byte cap), EXIF-only JPEG without scan data."""
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+    grid = [[[1] + [0] * 63]]
+    good = _encode_baseline_jpeg(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}], {0: q8}
+    )
+    assert decode_image_pixels(good) is not None
+    # progressive: flip SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_image_pixels(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_image_pixels(good[:-6])
+    # hostile geometry: SOF claims 65500x65500 (raster-byte cap)
+    import struct
+    sof_at = good.find(b"\xff\xc0")
+    hostile = bytearray(good)
+    hostile[sof_at + 5:sof_at + 9] = struct.pack(">HH", 65500, 65500)
+    with pytest.raises(ValueError, match="over 64MB"):
+        decode_image_pixels(bytes(hostile))
+    # restart expected but absent: encode with dri, strip the RST pair
+    vals = [[([10] + [0] * 63), ([20] + [0] * 63)]]
+    b2 = _encode_baseline_jpeg(
+        16, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": vals}],
+        {0: q8}, dri=1,
+    )
+    rst_at = b2.find(b"\xff\xd0")
+    assert rst_at > 0
+    with pytest.raises(ValueError):
+        decode_image_pixels(b2[:rst_at] + b2[rst_at + 2:])
+    # EXIF-style JPEG with no scan: SOI + APP1 + EOI
+    with pytest.raises(ValueError, match="without scan"):
+        decode_image_pixels(
+            b"\xff\xd8\xff\xe1\x00\x04ab\xff\xd9"
+        )
+
+
 def test_bpe_detokenize_roundtrip(spark):
     """decode(encode(x)) == normalize(x): word ordinals make the stream
     decodable; a bare (pos, subword) stream is refused as ambiguous."""
