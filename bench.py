@@ -487,6 +487,10 @@ def main():
                 # round-10 additions
                 "m17_png16_phash", "s09_ann_index_table",
                 "t28_wordpiece_train_encode", "t29_unigram_train_encode",
+                # round-11 additions: trained/incremental/byte-code
+                # persisted ANN, baseline JPEG pixel decode
+                "s10_ann_index_trained", "s11_ann_index_append",
+                "s12_ann_index_pq", "m18_jpeg_phash",
             )
         },
     })

@@ -3979,6 +3979,47 @@ def test_decode_jpeg_color_420():
             assert px[y * 16 + x] == want
 
 
+def test_decode_jpeg_skips_app_segments_and_422():
+    """Real-corpus shapes: APP0/APPn/COM segments before SOF are
+    skipped (the JFIF/EXIF prefix every camera writes), and 4:2:2
+    sampling (h=2, v=1) decodes through the same MCU loop."""
+    import struct
+
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    def dcblk(c):
+        return [c - 128] + [0] * 63
+
+    vals = [10, 200]
+    grid = [[dcblk(vals[0]), dcblk(vals[1])]]
+    blob = _encode_baseline_jpeg(
+        16, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}], {0: q8}
+    )
+    # splice a JFIF APP0 + a COM right after SOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    spliced = blob[:2] + app0 + com + blob[2:]
+    want = [vals[x // 8] for _ in range(8) for x in range(16)]
+    assert decode_image_pixels(spliced) == want
+    # 4:2:2: Y is 2x1-sampled, chroma 1x1 — one MCU covers 16x8
+    ygrid = [[dcblk(vals[0]), dcblk(vals[1])]]
+    blob = _encode_baseline_jpeg(
+        16, 8,
+        [
+            {"id": 1, "h": 2, "v": 1, "tq": 0, "grid": ygrid},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(128)]]},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(128)]]},
+        ],
+        {0: q8},
+    )
+    # neutral chroma -> luma equals Y exactly (299+587+114 = 1000)
+    assert decode_image_pixels(blob) == want
+
+
 def test_decode_jpeg_unsupported_and_hostile():
     """Recognized-container failure modes fail loudly: progressive SOF2,
     truncated entropy stream, missing restart marker, hostile SOF
