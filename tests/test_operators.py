@@ -4020,6 +4020,84 @@ def test_decode_jpeg_skips_app_segments_and_422():
     assert decode_image_pixels(blob) == want
 
 
+def test_decode_jpeg_roundtrip_property():
+    """Hypothesis over random block-constant grayscale JPEGs: random
+    geometry (including widths/heights that are not block multiples —
+    the MCU padding + crop path), random restart intervals, random
+    block constants. DC quant 8 keeps the pipeline exact, so decode
+    must return the containing block's constant for every pixel."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        seed=st.integers(0, 10**6),
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        crop_x=st.integers(0, 7),
+        crop_y=st.integers(0, 7),
+        dri=st.integers(0, 4),
+    )
+    def check(seed, bw, bh, crop_x, crop_y, dri):
+        rnd = random.Random(seed)
+        w = bw * 8 - crop_x
+        h = bh * 8 - crop_y
+        vals = [[rnd.randint(0, 255) for _ in range(bw)] for _ in range(bh)]
+        grid = [
+            [[vals[by][bx] - 128] + [0] * 63 for bx in range(bw)]
+            for by in range(bh)
+        ]
+        blob = _encode_baseline_jpeg(
+            w, h, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}],
+            {0: q8}, dri=dri,
+        )
+        px = decode_image_pixels(blob)
+        assert px == [
+            vals[y // 8][x // 8] for y in range(h) for x in range(w)
+        ]
+
+    check()
+
+
+def test_decode_jpeg_color_444_neutral_chroma():
+    """4:4:4 color (every component 1x1-sampled): neutral chroma makes
+    the luma equal Y exactly through the full RGB roundtrip, for every
+    block constant — the non-subsampled color MCU order (Y, Cb, Cr per
+    MCU) is the load-bearing part."""
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    def dcblk(c):
+        return [c - 128] + [0] * 63
+
+    yv = [7, 99, 201, 255]
+    grid = [[dcblk(yv[2 * by + bx]) for bx in range(2)] for by in range(2)]
+    flat = [[dcblk(128), dcblk(128)], [dcblk(128), dcblk(128)]]
+    blob = _encode_baseline_jpeg(
+        16, 16,
+        [
+            {"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "grid": flat},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "grid": flat},
+        ],
+        {0: q8},
+    )
+    px = decode_image_pixels(blob)
+    assert px == [
+        yv[2 * (y // 8) + (x // 8)] for y in range(16) for x in range(16)
+    ]
+
+
 def test_decode_jpeg_unsupported_and_hostile():
     """Recognized-container failure modes fail loudly: progressive SOF2,
     truncated entropy stream, missing restart marker, hostile SOF
