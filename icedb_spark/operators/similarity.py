@@ -794,8 +794,16 @@ def cosine_topk_ivfpq(
         "s",
         F.expr(f"slice(qv, s * {dsub} + 1, {dsub})").alias("qsv"),
     )
+    # join keys renamed on the ADC side (same rationale as the
+    # persisted variant): adc and cand both descend from `q`, and
+    # shared-lineage same-named attributes are the ambiguous-self-join
+    # shape Spark resolves with a warning — distinct names make the
+    # join unambiguous by construction
     adc = qsub.join(F.broadcast(subcents), "s").select(
-        "query_id", "s", "j", _dot(F.col("qsv"), F.col("scv")).alias("pdot")
+        F.col("query_id").alias("adc_qid"),
+        F.col("s").alias("adc_s"),
+        F.col("j").alias("adc_j"),
+        _dot(F.col("qsv"), F.col("scv")).alias("pdot"),
     )
 
     # ---- candidates in probed cells, scored by m_sub ADC lookups
@@ -805,9 +813,9 @@ def cosine_topk_ivfpq(
     scored = (
         cand.join(
             F.broadcast(adc),
-            (cand["query_id"] == adc["query_id"])
-            & (cand["s"] == adc["s"])
-            & (cand["code"] == adc["j"]),
+            (cand["query_id"] == adc["adc_qid"])
+            & (cand["s"] == adc["adc_s"])
+            & (cand["code"] == adc["adc_j"]),
         )
         .select(cand["query_id"], "id", "qn", "pdot", "c2c")
         .groupBy("query_id", "id", "qn")
@@ -1067,8 +1075,16 @@ def cosine_topk_pq_against_index_table(
         F.expr(f"slice(qv, s * {dsub} + 1, {dsub})").alias("qsv"),
     )
     sc = subcodebook.select("s", "j", "scv")
+    # join keys renamed on the ADC side: both frames descend from the
+    # same `q`, and same-named attributes with shared lineage are how
+    # Spark's ambiguous-self-join resolution produces trivially-true
+    # predicates — distinct names keep the join unambiguous by
+    # construction
     adc = qsub.join(F.broadcast(sc), "s").select(
-        "query_id", "s", "j", _dot(F.col("qsv"), F.col("scv")).alias("pdot")
+        F.col("query_id").alias("adc_qid"),
+        F.col("s").alias("adc_s"),
+        F.col("j").alias("adc_j"),
+        _dot(F.col("qsv"), F.col("scv")).alias("pdot"),
     )
     cand = (
         idx.join(F.broadcast(probes), "cell")
@@ -1088,9 +1104,9 @@ def cosine_topk_pq_against_index_table(
     scored = (
         cand.join(
             F.broadcast(adc),
-            (cand["query_id"] == adc["query_id"])
-            & (cand["s"] == adc["s"])
-            & (cand["code"] == adc["j"]),
+            (cand["query_id"] == adc["adc_qid"])
+            & (cand["s"] == adc["adc_s"])
+            & (cand["code"] == adc["adc_j"]),
         )
         .select(cand["query_id"], "vec_id", "qn", "r2", "pdot")
         .groupBy("query_id", "vec_id", "qn", "r2")
