@@ -884,6 +884,8 @@ def pq_subcodebook_rows(
     v = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
     )
+    # global window is bounded: it runs AFTER limit(k_sub), over at
+    # most k_sub rows (same pattern as cosine_topk_ivfpq's train side)
     train = (
         v.orderBy("id")
         .limit(k_sub)
