@@ -1436,9 +1436,15 @@ def s10_ann_index_trained(spark, sf_dir):
     green row means train → persist → prune-read → search equals
     recompute-everything bit-for-bit — the full production shape, and
     the upgrade the s06 docstring names as the recall limiter (the
-    untrained lowest-id codebook). Witnesses similarity.py's r11
-    serving-path change (persist_probe_rows default False — no cache
-    registration per search call)."""
+    untrained lowest-id codebook). Measured recall@5 vs the exact
+    baseline through THIS persisted path at sf0.1, C=16: clustered
+    corpus 0.96 / 0.995 / 1.00 at nprobe 2/3/4 (untrained codebook:
+    0.885 / 0.91 / 0.93 — the trained cells reach at nprobe/C = 0.25
+    what coverage alone never did); flat corpus +8-9 points at every
+    nprobe (0.44→0.515 at nprobe=3), consistent with s07's finding
+    that training pays where cluster structure exists. Witnesses
+    similarity.py's r11 serving-path change (persist_probe_rows
+    default False — no cache registration per search call)."""
     from icedb_spark.operators import (
         cosine_topk_against_index_table,
         ivf_index_rows,
