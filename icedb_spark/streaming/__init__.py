@@ -1,5 +1,6 @@
 from .ingest import (
     micro_batch_pipeline,
+    stream_index_vectors,
     stream_insert,
     stream_insert_near_dedup,
     stream_upsert,
@@ -13,6 +14,7 @@ from .windows import (
 )
 
 __all__ = [
+    "stream_index_vectors",
     "stream_insert",
     "stream_insert_near_dedup",
     "stream_upsert",

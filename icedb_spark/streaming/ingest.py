@@ -420,3 +420,56 @@ def stream_insert_near_dedup(
         cleanup_every=cleanup_every, cleanup_min_age_ms=cleanup_min_age_ms,
         dedup_on_replay=dedup_on_replay, stream_id=stream_id,
     )
+
+
+def stream_index_vectors(
+    index_table: IceTable,
+    stream_df: DataFrame,
+    codebook: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: Optional[dict] = None,
+    merge_every: int = 0,
+    cleanup_every: int = 0,
+    cleanup_min_age_ms: int = 0,
+    dedup_on_replay: bool = True,
+    stream_id: Optional[str] = None,
+):
+    """Streaming ANN index maintenance — the streaming face of the s11
+    append contract (``ivf_index_rows`` + frozen codebook): each
+    micro-batch's vectors are assigned against the FROZEN broadcast
+    ``codebook`` (one map-side argmax; the batch never shuffles for
+    assignment) and appended to ``index_table`` as cell-partitioned
+    inverted-list rows in ONE atomic commit, so
+    :func:`icedb_spark.operators.cosine_topk_against_index_table`
+    serves pruned searches over everything ingested so far at any
+    point between batches. Exactly-once across crash-replays comes
+    from the same batch-tag-in-log mechanism as
+    :func:`stream_insert` (``dedup_on_replay``); ``merge_every``
+    compacts the per-cell file fan-in on the usual cadence, and
+    search results are invariant under that compaction (tested —
+    the ice02 claim applied to the index).
+
+    The codebook is FROZEN by contract: an incremental deployment
+    trains once (``ivf_codebook_rows`` or the k-means trainer) and
+    assigns forever — retraining would reassign history, which is a
+    rebuild, not an append. ``index_table`` should be partitioned
+    ``PartitionField("cell", "cell")`` with ``bloom_columns=["cell"]``
+    and ``sort_order=[id_col]``, the s09 layout."""
+    from ..operators.similarity import ivf_index_rows
+
+    return stream_insert(
+        index_table,
+        stream_df,
+        checkpoint_dir,
+        transform=lambda df: ivf_index_rows(
+            df, codebook, id_col=id_col, vec_col=vec_col
+        ),
+        trigger=trigger,
+        merge_every=merge_every,
+        cleanup_every=cleanup_every,
+        cleanup_min_age_ms=cleanup_min_age_ms,
+        dedup_on_replay=dedup_on_replay,
+        stream_id=stream_id,
+    )
