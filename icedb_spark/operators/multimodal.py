@@ -200,13 +200,17 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       in exact integer arithmetic) for grayscale, gray+alpha, RGB and
       RGBA at 8 AND 16 bits per sample (16-bit samples are big-endian
       pairs, filtered 2 bytes/sample back and depth-scaled
-      ``v*255 // 65535`` to the 0..255 contract), plus 8-bit PALETTE
-      (indexed through PLTE, the indexed-color web asset shape) —
-      sequential or Adam7-INTERLACED (each pass unfiltered as its own
-      reduced image, then deinterlace placement). The only PNG profiles
-      that raise are sub-8-bit depths (1/2/4) and 16-bit palette (which
-      the spec itself forbids) — recognized container, unsupported
-      profile.
+      ``v*255 // 65535`` to the 0..255 contract), SUB-8-BIT (1/2/4)
+      grayscale and palette (MSB-first bit unpack with row-padding
+      discard, filters over the packed bytes at the spec's one-byte
+      distance, exact-integer gray scaling — 255/85/17 are whole
+      multipliers), plus 1-8-bit PALETTE (indexed through PLTE, the
+      indexed-color web asset shape) — sequential or Adam7-INTERLACED
+      (each pass unfiltered AND unpacked as its own reduced image, then
+      deinterlace placement). The only PNG profiles that raise are
+      sub-8-bit multi-channel color types and 16-bit palette (both of
+      which the spec itself forbids) — recognized container,
+      unsupported profile.
     * **GIF** 87a/89a, first frame: global/local color tables,
       interlaced row order, and a real variable-width LSB-first LZW
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
@@ -872,24 +876,36 @@ def _decode_png(b: bytes) -> "list[int]":
     if (
         channels is None
         or interlace not in (0, 1)
-        or bitdepth not in (8, 16)
+        or bitdepth not in (1, 2, 4, 8, 16)
         or (bitdepth == 16 and colortype == 3)  # spec: palette is 1-8 bit
+        or (bitdepth < 8 and colortype not in (0, 3))  # spec: sub-8 is
+        # gray/palette only
     ):
         raise ValueError(
-            "decode_image_pixels: only 8/16-bit gray/RGB(A) or 8-bit "
-            f"palette PNG (got depth={bitdepth}, color={colortype}, "
+            "decode_image_pixels: only 1-16-bit gray/palette or "
+            "8/16-bit RGB(A) PNG "
+            f"(got depth={bitdepth}, color={colortype}, "
             f"interlace={interlace})"
         )
     if colortype == 3 and plte is None:
         raise ValueError("decode_image_pixels: palette PNG without PLTE")
-    sampbytes = bitdepth // 8
-    bpp = channels * sampbytes  # filter distance AND placement unit: BYTES
+    sampbytes = max(1, bitdepth // 8)
+    # filter distance AND placement unit: BYTES; sub-8-bit packs
+    # multiple samples per byte and filters at one-byte distance (spec
+    # §9: bpp rounds UP to one byte)
+    bpp = channels * sampbytes if bitdepth >= 8 else 1
     if w * h * bpp > 64_000_000:
         # hostile-geometry guard scaled by bytes-per-pixel: the IHDR
         # claim, not the blob size, drives every allocation below, and a
         # 16-bit RGBA raster costs 8x a gray one — cap the RASTER BYTES
         # (64 MB) so the worst-case allocation is depth/channel-invariant
         raise ValueError("decode_image_pixels: PNG raster over 64MB")
+
+    def row_bytes(pw: int) -> int:
+        # packed scanline width: ceil(pw * channels * depth / 8); rows
+        # are byte-padded, padding bits discarded at unpack
+        return (pw * channels * bitdepth + 7) // 8
+
     if interlace == 0:
         pass_dims = [(0, 0, 1, 1, w, h)]
     else:
@@ -904,7 +920,7 @@ def _decode_png(b: bytes) -> "list[int]":
             )
         ]
     want = sum(
-        ph * (pw * bpp + 1) for _, _, _, _, pw, ph in pass_dims
+        ph * (row_bytes(pw) + 1) for _, _, _, _, pw, ph in pass_dims
         if pw > 0 and ph > 0
     )
     try:
@@ -917,6 +933,26 @@ def _decode_png(b: bytes) -> "list[int]":
         raise ValueError(f"decode_image_pixels: bad PNG zlib stream: {e}")
     if len(raw) != want or d.unconsumed_tail:
         raise ValueError("decode_image_pixels: PNG pixel payload size")
+    # spec's exact-integer depth scaling to 0..255 for sub-8 GRAYSCALE
+    # (255/(2^d - 1) is a whole number for d = 1/2/4); palette indices
+    # are NOT scaled — they index PLTE as-is
+    scale = {1: 255, 2: 85, 4: 17}.get(bitdepth, 1)
+    mask = (1 << bitdepth) - 1
+
+    def unpack(rows: bytes, pw: int, ph: int) -> bytearray:
+        # sub-8 bit unpack, MSB-first within each byte, per ROW (the
+        # row's trailing padding bits are discarded, per spec)
+        out_ = bytearray(pw * ph)
+        rb = row_bytes(pw)
+        for ry in range(ph):
+            base = ry * rb
+            for rx in range(pw):
+                byte = rows[base + (rx * bitdepth) // 8]
+                shift = 8 - bitdepth - (rx * bitdepth) % 8
+                v = (byte >> shift) & mask
+                out_[ry * pw + rx] = v if colortype == 3 else v * scale
+        return out_
+
     # unfilter each (sub-)image independently — interlaced passes are
     # filtered as standalone reduced images (left/up neighbors live
     # INSIDE the pass, the classic Adam7 bug) — then place pixels
@@ -925,8 +961,16 @@ def _decode_png(b: bytes) -> "list[int]":
     for x0, y0, dx, dy, pw, ph in pass_dims:
         if pw <= 0 or ph <= 0:
             continue
-        sub = _png_unfilter(raw, off, pw, ph, bpp)
-        off += ph * (pw * bpp + 1)
+        if bitdepth >= 8:
+            sub = _png_unfilter(raw, off, pw, ph, bpp)
+        else:
+            # filter recurrences run over the PACKED bytes (stride =
+            # packed row width, distance 1 byte), then the pass unpacks
+            # to one byte per sample before placement
+            sub = unpack(
+                _png_unfilter(raw, off, row_bytes(pw), ph, 1), pw, ph
+            )
+        off += ph * (row_bytes(pw) + 1)
         if interlace == 0:
             raster[:] = sub
             break
