@@ -1581,17 +1581,22 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
     arm of :func:`decode_image_pixels`).
 
     Walks the word-aligned chunk list (same traversal contract as
-    :func:`parse_av_header`); ``fmt `` must declare ``audio_format == 1``
-    (PCM) with 8 or 16 bits per sample. 16-bit samples are signed
-    little-endian, 8-bit samples are unsigned and re-centered to
-    ``value - 128`` (both exactly as the format stores them). Multi-channel
-    audio yields channel 0 (stride ``block_align``) — feature extraction
-    wants one waveform, and channel selection keeps the output length
+    :func:`parse_av_header`); ``fmt `` must declare integer PCM
+    (``audio_format == 1``: 8-bit unsigned re-centered to
+    ``value - 128``, 16/24/32-bit signed little-endian as stored),
+    IEEE FLOAT (``audio_format == 3``, 32-bit: clamped to [-1, 1] and
+    scaled ``round(v * 32767)`` to the int16 grid — the studio/DAW
+    export format), or WAVE_FORMAT_EXTENSIBLE (``0xFFFE``: the actual
+    format is the SubFormat GUID's leading u16, resolved to the PCM or
+    float arm — how every >2-channel or >16-bit WAV is written in
+    practice). Multi-channel audio yields channel 0 (stride
+    ``block_align``) — feature extraction wants one waveform, and
+    channel selection keeps the output length
     ``data_size // block_align`` deterministic. Returns ``None`` for
-    non-WAV containers (caller decides fake/`decode_fn`/raise); malformed
-    WAV (PCM claimed but bad sizes, unsupported bit depth) raises — a
-    recognized container that fails to decode should fail loudly, not
-    hash garbage.
+    non-WAV containers (caller decides fake/`decode_fn`/raise);
+    malformed WAV (bad sizes, unsupported bit depth, float at a width
+    other than 32) raises — a recognized container that fails to
+    decode should fail loudly, not hash garbage.
     """
     import struct
 
@@ -1615,17 +1620,37 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
     audio_format, channels = struct.unpack("<HH", fmt[0:4])
     (sample_rate,) = struct.unpack("<I", fmt[4:8])
     block_align, bits = struct.unpack("<HH", fmt[12:16])
-    if audio_format != 1:
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the SubFormat
+        # GUID's leading u16 (fmt offset 24); this is how every
+        # >2-channel or >16-bit WAV is written in practice
+        if len(fmt) < 26:
+            raise ValueError(
+                "decode_wav_samples: short WAVE_FORMAT_EXTENSIBLE fmt"
+            )
+        (audio_format,) = struct.unpack_from("<H", fmt, 24)
+    if audio_format not in (1, 3):
         raise ValueError(
             f"decode_wav_samples: non-PCM audio_format {audio_format} — "
             "pass decode_fn for compressed codecs"
         )
-    if bits not in (8, 16) or channels < 1 or block_align < 1:
+    ok_bits = (32,) if audio_format == 3 else (8, 16, 24, 32)
+    if bits not in ok_bits or channels < 1 or block_align < 1:
         raise ValueError(
-            f"decode_wav_samples: unsupported PCM layout bits={bits} "
+            f"decode_wav_samples: unsupported layout format="
+            f"{audio_format} bits={bits} "
             f"channels={channels} block_align={block_align}"
         )
     n_frames = len(data) // block_align
+    if audio_format == 3:
+        # IEEE float32, clamped to [-1, 1] and scaled to the int16
+        # grid — keeps the integer output contract across formats
+        out = []
+        for i in range(n_frames):
+            (v,) = struct.unpack_from("<f", data, i * block_align)
+            v = -1.0 if v < -1.0 else (1.0 if v > 1.0 else v)
+            out.append(int(round(v * 32767)))
+        return sample_rate, out
     if bits == 16 and block_align == 2:
         # bulk path for the common mono-16 layout: one array decode
         # instead of a per-frame unpack loop (matters for minutes-long
@@ -1641,6 +1666,14 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
     if bits == 16:
         for i in range(n_frames):
             (s,) = struct.unpack_from("<h", data, i * block_align)
+            out.append(s)
+    elif bits == 24:
+        for i in range(n_frames):
+            o = i * block_align
+            out.append(int.from_bytes(data[o:o + 3], "little", signed=True))
+    elif bits == 32:
+        for i in range(n_frames):
+            (s,) = struct.unpack_from("<i", data, i * block_align)
             out.append(s)
     else:
         for i in range(n_frames):

@@ -3197,6 +3197,81 @@ def _wav(sr, channels, bits, frames, pre_chunk=False):
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _wav_raw(fmt_payload, data, extra_fmt_size=None):
+    """RIFF/WAVE from a raw fmt payload + raw data bytes (test-side)."""
+    import struct
+
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        + (b"\x00" if len(fmt_payload) & 1 else b"")
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_float_24_32_extensible():
+    """The remaining real-corpus WAV layouts: IEEE float32 (format 3,
+    clamped+scaled to the int16 grid), 24-bit and 32-bit integer PCM
+    (signed LE as stored), and WAVE_FORMAT_EXTENSIBLE resolving the
+    SubFormat GUID's leading u16 — plus the float-at-wrong-width
+    failure mode."""
+    import struct
+
+    from icedb_spark.operators import decode_wav_samples
+
+    def fmt16(afmt, ch, sr, block, bits):
+        return struct.pack("<HHIIHH", afmt, ch, sr, sr * block, block, bits)
+
+    # float32 mono: clamp both rails, exact halves on the int grid
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0, 0.25]
+    data = b"".join(struct.pack("<f", v) for v in vals)
+    sr, out = decode_wav_samples(_wav_raw(fmt16(3, 1, 8000, 4, 32), data))
+    want = [0, 16384, -16384, 32767, -32767, 32767, -32767, 8192]
+    assert (sr, out) == (8000, want)
+    # 24-bit PCM stereo: channel 0, signed LE 3-byte values as stored
+    frames = [(-(1 << 23), 7), ((1 << 23) - 1, 9), (-1, 11)]
+    data = b"".join(
+        a.to_bytes(3, "little", signed=True)
+        + b.to_bytes(3, "little", signed=True)
+        for a, b in frames
+    )
+    sr, out = decode_wav_samples(_wav_raw(fmt16(1, 2, 44100, 6, 24), data))
+    assert out == [-(1 << 23), (1 << 23) - 1, -1]
+    # 32-bit int PCM mono
+    vals32 = [-(1 << 31), (1 << 31) - 1, 12345]
+    data = b"".join(struct.pack("<i", v) for v in vals32)
+    sr, out = decode_wav_samples(_wav_raw(fmt16(1, 1, 22050, 4, 32), data))
+    assert out == vals32
+    # EXTENSIBLE wrapping PCM16: cbSize=22, valid bits, channel mask,
+    # SubFormat GUID with leading u16 = 1 (PCM)
+    guid_pcm = struct.pack("<H", 1) + bytes(14)
+    fmt_ext = (
+        fmt16(0xFFFE, 1, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4) + guid_pcm
+    )
+    data = struct.pack("<hh", -7, 31000)
+    sr, out = decode_wav_samples(_wav_raw(fmt_ext, data))
+    assert (sr, out) == (16000, [-7, 31000])
+    # EXTENSIBLE wrapping float32
+    guid_f = struct.pack("<H", 3) + bytes(14)
+    fmt_ext = (
+        fmt16(0xFFFE, 1, 16000, 4, 32)
+        + struct.pack("<HHI", 22, 32, 0x4) + guid_f
+    )
+    data = struct.pack("<f", -0.25)
+    sr, out = decode_wav_samples(_wav_raw(fmt_ext, data))
+    assert out == [-8192]
+    # float at a non-32 width: recognized container, loud failure
+    with pytest.raises(ValueError, match="unsupported layout"):
+        decode_wav_samples(_wav_raw(fmt16(3, 1, 8000, 2, 16), b"\x00\x00"))
+    # short EXTENSIBLE fmt (no GUID): loud failure
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav_samples(
+            _wav_raw(fmt16(0xFFFE, 1, 8000, 2, 16), b"\x00\x00")
+        )
+
+
 def test_decode_wav_samples_real():
     """REAL WAV PCM decode: 16-bit signed LE, 8-bit unsigned recentered,
     stereo -> channel 0, word-aligned chunk walk, loud errors on
