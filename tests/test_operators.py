@@ -2397,6 +2397,143 @@ def test_decode_tiff_roundtrip_property():
     roundtrip()
 
 
+def test_decode_tiff_packbits():
+    """PackBits TIFF (compression 32773, the scanner RLE): literal and
+    repeat runs, the 0x80 no-op byte, per-strip independence, and the
+    over-long-output + truncated-run failure modes."""
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def pack(row_bytes):
+        # independent test-side packer: repeats >= 2 as repeat runs,
+        # everything else as literal runs, with a 0x80 no-op spliced in
+        out = bytearray()
+        i = 0
+        n = len(row_bytes)
+        while i < n:
+            j = i
+            while j + 1 < n and row_bytes[j + 1] == row_bytes[i] \
+                    and j - i < 127:
+                j += 1
+            if j > i:  # repeat run of length j-i+1 (2..128)
+                out.append(257 - (j - i + 1))
+                out.append(row_bytes[i])
+                i = j + 1
+            else:
+                k = i
+                while (k + 1 < n and (k + 1 >= n - 1
+                       or row_bytes[k + 1] != row_bytes[k + 2])
+                       and k - i < 127):
+                    k += 1
+                out.append(k - i)
+                out += row_bytes[i:k + 1]
+                i = k + 1
+        return bytes(out)
+
+    def tiff_pb(w, h, strips):
+        # minimal single-IFD little-endian TIFF with PackBits strips
+        nstrips = len(strips)
+        hdr_ents = 9
+        ifd_off = 8
+        extra_off = ifd_off + 2 + 12 * hdr_ents + 4
+        ex = bytearray()
+        so_pos = len(ex)
+        ex += b"\x00" * 4 * nstrips
+        sc_pos = len(ex)
+        ex += b"\x00" * 4 * nstrips
+        data_off = extra_off + len(ex)
+        blob = bytearray()
+        offs = []
+        for s in strips:
+            offs.append(data_off + len(blob))
+            blob += s
+        for i, (o, s) in enumerate(zip(offs, strips)):
+            struct.pack_into("<I", ex, so_pos + 4 * i, o)
+            struct.pack_into("<I", ex, sc_pos + 4 * i, len(s))
+
+        def ent(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + val
+
+        def iv16(v):
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        rps = (h + nstrips - 1) // nstrips
+        ents = (
+            ent(256, 3, 1, iv16(w)) + ent(257, 3, 1, iv16(h))
+            + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(32773))
+            + ent(262, 3, 1, iv16(1))
+            + ent(273, 4, nstrips,
+                  struct.pack("<I", offs[0]) if nstrips == 1
+                  else struct.pack("<I", extra_off + so_pos))
+            + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(rps))
+            + ent(279, 4, nstrips,
+                  struct.pack("<I", len(strips[0])) if nstrips == 1
+                  else struct.pack("<I", extra_off + sc_pos))
+        )
+        return (b"II*\x00" + struct.pack("<I", ifd_off)
+                + struct.pack("<H", hdr_ents) + ents
+                + struct.pack("<I", 0) + bytes(ex) + bytes(blob))
+
+    # 6x4 gray, two strips of 2 rows each, mixed literal/repeat content
+    rows = [
+        [1, 2, 3, 4, 5, 6], [7, 7, 7, 7, 7, 7],
+        [9, 9, 8, 8, 8, 10], [0, 255, 0, 255, 255, 255],
+    ]
+    flat = [v for r in rows for v in r]
+    s1 = pack(bytes(flat[:12]))
+    s2 = b"\x80" + pack(bytes(flat[12:]))  # leading no-op must be skipped
+    assert decode_image_pixels(tiff_pb(6, 4, [s1, s2])) == flat
+    # repeat run crossing the declared raster size: loud failure
+    bomb = bytes([257 - 128, 7]) * 200  # 25600 bytes >> 6*4
+    with pytest.raises(ValueError, match="exceeds raster"):
+        decode_image_pixels(tiff_pb(6, 4, [bomb]))
+    # truncated repeat run (count byte, no value byte)
+    with pytest.raises(ValueError, match="truncated TIFF PackBits"):
+        decode_image_pixels(tiff_pb(6, 4, [s1, bytes([0x81])]))
+
+
+def test_decode_bmp_8bit_palette():
+    """8-bit palette BMP: BGRA color table after the DIB header,
+    biClrUsed=0 meaning 256, bottom-up row order, 4-byte row padding,
+    out-of-table index failure."""
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def bmp8(w, h, idx_rows, used=0, table_entries=256):
+        row = (w + 3) // 4 * 4
+        table = bytearray()
+        for i in range(table_entries):
+            table += bytes([(7 * i) % 256, (11 * i) % 256,
+                            (13 * i) % 256, 0])  # B G R A
+        offset = 14 + 40 + len(table)
+        data = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            line = bytes(idx_rows[y]) + b"\x00" * (row - w)
+            data += line
+        size = offset + len(data)
+        hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, offset)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                             len(data), 0, 0, used, 0))
+        return hdr + bytes(table) + bytes(data)
+
+    idx_rows = [[0, 17, 255], [3, 128, 64]]
+    got = decode_image_pixels(bmp8(3, 2, idx_rows))
+    want = [
+        (299 * ((13 * i) % 256) + 587 * ((11 * i) % 256)
+         + 114 * ((7 * i) % 256)) // 1000
+        for r in idx_rows for i in r
+    ]
+    assert got == want
+    # biClrUsed=16 with an index past it: loud failure
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image_pixels(
+            bmp8(3, 2, [[0, 1, 15], [2, 3, 200]], used=16,
+                 table_entries=16)
+        )
+
+
 def test_decode_tiff_unsupported_profiles_raise():
     """Recognized TIFF container with an unsupported or hostile profile
     fails loudly: compression, non-8-bit samples, claimed-huge geometry
