@@ -686,8 +686,8 @@ def _decode_jpeg(b: bytes) -> "list[int]":
     separable float IDCT, level shift, and — for 3-component scans —
     replication chroma upsampling and the JFIF YCbCr→RGB transform
     before the module's BT.601 integer luma contract (1-component
-    scans ARE the luma). Sampling factors 1..2 per axis (4:4:4, 4:2:2,
-    4:2:0). Progressive (SOF2), arithmetic coding, 12-bit precision,
+    scans ARE the luma). Sampling factors 1..4 per axis (4:4:4, 4:2:2,
+    4:2:0, 4:1:1). Progressive (SOF2), arithmetic coding, 12-bit precision,
     hierarchical, and multi-scan files raise — recognized container,
     unsupported profile, exactly like palette-less palette PNG.
     Hostile-geometry guard: the SOF claim is capped at 64MB of raster
@@ -784,7 +784,8 @@ def _decode_jpeg(b: bytes) -> "list[int]":
             for i in range(nc):
                 cid, hv, tq_i = data[6 + 3 * i:9 + 3 * i]
                 hi, vi = hv >> 4, hv & 0x0F
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 B.2.2: H/V sampling factors are 1..4
                     raise ValueError(
                         "decode_image_pixels: unsupported JPEG sampling"
                     )

@@ -4395,6 +4395,27 @@ def test_decode_jpeg_skips_app_segments_and_422():
     )
     # neutral chroma -> luma equals Y exactly (299+587+114 = 1000)
     assert decode_image_pixels(blob) == want
+    # 4:1:1 (h=4, v=1 — the DV/camera shape): one MCU covers 32x8,
+    # chroma upsamples 4x horizontally
+    vals4 = [10, 90, 170, 250]
+    ygrid = [[dcblk(v) for v in vals4]]
+    blob = _encode_baseline_jpeg(
+        32, 8,
+        [
+            {"id": 1, "h": 4, "v": 1, "tq": 0, "grid": ygrid},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(128)]]},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "grid": [[dcblk(128)]]},
+        ],
+        {0: q8},
+    )
+    want4 = [vals4[x // 8] for _ in range(8) for x in range(32)]
+    assert decode_image_pixels(blob) == want4
+    # factor 5 is out of the spec's 1..4 range
+    bad = bytearray(blob)
+    sof_at = bad.find(b"\xff\xc0")
+    bad[sof_at + 11] = 0x51  # Y component h=5, v=1
+    with pytest.raises(ValueError, match="sampling"):
+        decode_image_pixels(bytes(bad))
 
 
 def test_decode_jpeg_roundtrip_property():
