@@ -2655,6 +2655,10 @@ def _encode_baseline_jpeg(w, h, comps, qtables, dri=0):
     DHT path rather than the Annex K tables."""
     import struct
 
+    # This encoder writes INTERLEAVED scans; per T.81 a single-component
+    # scan is non-interleaved (raster-order data units), which coincides
+    # with the interleaved layout only at h=v=1 — so that's all we emit
+    assert len(comps) > 1 or (comps[0]["h"], comps[0]["v"]) == (1, 1)
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
     mcux = (w + 8 * maxh - 1) // (8 * maxh)

@@ -424,6 +424,8 @@ def _decode_tiff(b: bytes) -> "list[int]":
             "decode_image_pixels: TIFF strip offset/count length mismatch"
         )
     parts = []
+    out_cap = w * h * spp  # raster-byte bound, CUMULATIVE across strips
+    decoded_total = 0  # bytes emitted so far over ALL strips
     for o, c in zip(offs, cnts):
         if o + c > len(b):
             raise ValueError("decode_image_pixels: truncated TIFF strip")
@@ -434,8 +436,11 @@ def _decode_tiff(b: bytes) -> "list[int]":
             # next byte 1-n times; n == -128 (0x80) is a no-op. Each
             # STRIP decompresses independently. Output is bounded by
             # the raster geometry (the zip-bomb contract every
-            # decompressing arm here honors).
-            out_cap = w * h * spp  # whole-raster bound per strip
+            # decompressing arm here honors) — enforced CUMULATIVELY
+            # across strips: a hostile file may declare many strips
+            # whose offsets alias the same compressed region, so a
+            # per-strip bound alone still allows nstrips × raster
+            # bytes of allocation before the final length check.
             dec = bytearray()
             i = 0
             while i < len(strip):
@@ -459,12 +464,17 @@ def _decode_tiff(b: bytes) -> "list[int]":
                         )
                     dec += bytes([strip[i]]) * (257 - n)
                     i += 1
-                if len(dec) > out_cap:
+                if decoded_total + len(dec) > out_cap:
                     raise ValueError(
                         "decode_image_pixels: TIFF PackBits output "
                         "exceeds raster size"
                     )
             strip = bytes(dec)
+        decoded_total += len(strip)
+        if decoded_total > out_cap:
+            raise ValueError(
+                "decode_image_pixels: TIFF strips exceed raster size"
+            )
         parts.append(strip)
     data = b"".join(parts)
     if len(data) != w * h * spp:
@@ -833,6 +843,15 @@ def _decode_jpeg(b: bytes) -> "list[int]":
             raise ValueError(
                 "decode_image_pixels: JPEG frame references missing DQT"
             )
+    if len(comps) == 1:
+        # T.81 A.2.2/B.2.3: a single-component scan is NON-interleaved —
+        # 8x8 data units in raster order with no MCU grouping, and the
+        # restart interval counts data units. The frame may still declare
+        # h/v sampling factors > 1 (they only matter for interleaved
+        # scans); honoring them here would misplace blocks. Since
+        # multi-scan files are rejected above, nc==1 means the whole
+        # frame is this one component: decode it as h=v=1.
+        comps[0]["h"] = comps[0]["v"] = 1
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
     mcux = (fw + 8 * maxh - 1) // (8 * maxh)
@@ -1699,7 +1718,16 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
             "pass decode_fn for compressed codecs"
         )
     ok_bits = (32,) if audio_format == 3 else (8, 16, 24, 32)
-    if bits not in ok_bits or channels < 1 or block_align < 1:
+    if (
+        bits not in ok_bits
+        or channels < 1
+        # block_align must hold at least one full channel-0 sample:
+        # a lying fmt with block_align < bits//8 would make the
+        # 24-bit int.from_bytes slice read SHORT bytes and decode a
+        # silently wrong value instead of raising (the struct paths
+        # raise on short buffers; this keeps all arms fail-loud)
+        or block_align < channels * (bits // 8)
+    ):
         raise ValueError(
             f"decode_wav_samples: unsupported layout format="
             f"{audio_format} bits={bits} "

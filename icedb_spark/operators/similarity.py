@@ -880,6 +880,14 @@ def pq_subcodebook_rows(
     ADC reconstruction needs."""
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if k_sub > 256:
+        # ivfpq_index_rows packs each code into an 8-bit bigint lane
+        # (shiftleft(code, 8s)); a code >= 256 would silently overflow
+        # into the adjacent subspace's lane and corrupt the index
+        raise ValueError(
+            f"k_sub {k_sub} > 256: sub-codebook codes must fit an "
+            "8-bit lane of the packed-bigint index layout"
+        )
     dsub = dim // m_sub
     v = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
@@ -978,7 +986,15 @@ def ivfpq_index_rows(
     )
     return codes.groupBy("vec_id", "cell").agg(
         F.sum(
-            F.expr("shiftleft(cast(code as bigint), 8 * s)")
+            # fail loudly (not silently corrupt the adjacent lane) if a
+            # caller-supplied trained sub-codebook carries j >= 256 —
+            # the packed-bigint layout has exactly 8 bits per subspace
+            F.expr(
+                "case when code > 255 or code < 0 then "
+                "cast(raise_error('ivfpq_index_rows: PQ code outside "
+                "its 8-bit lane (k_sub must be <= 256)') as bigint) "
+                "else shiftleft(cast(code as bigint), 8 * s) end"
+            )
         ).alias("codes"),
         F.sum("c2c").alias("r2"),
     )

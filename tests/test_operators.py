@@ -4540,6 +4540,174 @@ def test_decode_jpeg_unsupported_and_hostile():
         )
 
 
+def test_decode_jpeg_single_component_ignores_sampling():
+    """T.81 A.2.2: a single-component scan is NON-interleaved — 8x8 data
+    units in raster order, no MCU grouping — so the frame's declared h/v
+    sampling factors must not change the decode (ADVICE r11: honoring
+    them misplaced blocks / spuriously truncated). The entropy stream of
+    a 1-component scan is identical regardless of declared sampling, so
+    patching the SOF hv byte of a valid 1x1 stream yields an equally
+    valid file that must decode to the same pixels."""
+    from __spark_entry__ import _encode_baseline_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    q8 = [8] * 64
+
+    def dcblk(c):
+        return [c - 128] + [0] * 63
+
+    vals = [10, 200, 57, 130, 255, 0]
+    grid = [[dcblk(vals[3 * by + bx]) for bx in range(3)]
+            for by in range(2)]
+    # dri=3 also pins the restart cadence: non-interleaved restart
+    # intervals count data units, which at forced h=v=1 is the MCU count
+    blob = _encode_baseline_jpeg(
+        24, 16, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}],
+        {0: q8}, dri=3,
+    )
+    want = decode_image_pixels(blob)
+    assert want == [
+        vals[3 * (y // 8) + (x // 8)] for y in range(16) for x in range(24)
+    ]
+    sof_at = blob.find(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert blob[sof_at + 11] == 0x11
+    for hv in (0x22, 0x21, 0x12, 0x44):
+        patched = bytearray(blob)
+        patched[sof_at + 11] = hv
+        assert decode_image_pixels(bytes(patched)) == want
+
+
+def test_decode_tiff_packbits_cumulative_raster_bound():
+    """ADVICE r11 (medium): the PackBits raster-byte cap must be
+    CUMULATIVE across strips — a hostile file declaring many strips that
+    alias the same compressed region would otherwise allocate
+    nstrips x raster bytes before the final length check."""
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    # reuse the exact builder shape of test_decode_tiff_packbits
+    def tiff_pb(w, h, strips):
+        nstrips = len(strips)
+        hdr_ents = 9
+        ifd_off = 8
+        extra_off = ifd_off + 2 + 12 * hdr_ents + 4
+        ex = bytearray()
+        so_pos = len(ex)
+        ex += b"\x00" * 4 * nstrips
+        sc_pos = len(ex)
+        ex += b"\x00" * 4 * nstrips
+        data_off = extra_off + len(ex)
+        blob = bytearray()
+        offs = []
+        for s in strips:
+            offs.append(data_off + len(blob))
+            blob += s
+        for i, (o, s) in enumerate(zip(offs, strips)):
+            struct.pack_into("<I", ex, so_pos + 4 * i, o)
+            struct.pack_into("<I", ex, sc_pos + 4 * i, len(s))
+
+        def ent(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + val
+
+        def iv16(v):
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        rps = (h + nstrips - 1) // nstrips
+        ents = (
+            ent(256, 3, 1, iv16(w)) + ent(257, 3, 1, iv16(h))
+            + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(32773))
+            + ent(262, 3, 1, iv16(1))
+            + ent(273, 4, nstrips,
+                  struct.pack("<I", offs[0]) if nstrips == 1
+                  else struct.pack("<I", extra_off + so_pos))
+            + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(rps))
+            + ent(279, 4, nstrips,
+                  struct.pack("<I", len(strips[0])) if nstrips == 1
+                  else struct.pack("<I", extra_off + sc_pos))
+        )
+        return (b"II*\x00" + struct.pack("<I", ifd_off)
+                + struct.pack("<H", hdr_ents) + ents
+                + struct.pack("<I", 0) + bytes(ex) + bytes(blob))
+
+    # each strip alone decodes to EXACTLY the 6x4 raster (24 bytes:
+    # one repeat run, count byte 257-24=233) — the old per-strip bound
+    # passed every copy; 64 aliased copies must now fail at strip 2,
+    # not allocate 64 x raster before the final length check
+    full = bytes([233, 7])
+    assert decode_image_pixels(tiff_pb(6, 4, [full])) == [7] * 24
+    with pytest.raises(ValueError, match="exceeds raster"):
+        decode_image_pixels(tiff_pb(6, 4, [full] * 64))
+    with pytest.raises(ValueError, match="exceeds raster"):
+        decode_image_pixels(tiff_pb(6, 4, [full, full, full]))
+
+
+def test_decode_wav_block_align_must_hold_a_frame():
+    """ADVICE r11: a lying fmt with block_align < channels*(bits//8)
+    must raise up front — the 24-bit arm's int.from_bytes would
+    otherwise decode a silently-wrong value from a short slice."""
+    import struct
+
+    from icedb_spark.operators import decode_wav_samples
+
+    def fmt16(afmt, ch, sr, block, bits):
+        return struct.pack("<HHIIHH", afmt, ch, sr, sr * block, block, bits)
+
+    # 24-bit mono declaring block_align=2 (< 3): loud failure
+    data = (-1).to_bytes(3, "little", signed=True) * 4
+    with pytest.raises(ValueError, match="unsupported layout"):
+        decode_wav_samples(_wav_raw(fmt16(1, 1, 8000, 2, 24), data))
+    # float32 mono declaring block_align=2 (< 4): loud failure
+    with pytest.raises(ValueError, match="unsupported layout"):
+        decode_wav_samples(
+            _wav_raw(fmt16(3, 1, 8000, 2, 32), struct.pack("<f", 0.5))
+        )
+    # stereo 16-bit declaring block_align=2 (< 4): channel stride lies
+    with pytest.raises(ValueError, match="unsupported layout"):
+        decode_wav_samples(
+            _wav_raw(fmt16(1, 2, 8000, 2, 16), struct.pack("<hh", 1, 2))
+        )
+    # legitimate padded container (block_align > frame bytes) still fine
+    sr, out = decode_wav_samples(
+        _wav_raw(fmt16(1, 1, 8000, 4, 16), struct.pack("<hh", -7, 0) * 2)
+    )
+    assert (sr, out) == (8000, [-7, -7])
+
+
+def test_pq_codes_must_fit_8bit_lane(spark):
+    """ADVICE r11: k_sub > 256 would let a PQ code overflow its 8-bit
+    lane in the packed-bigint index. pq_subcodebook_rows refuses up
+    front; ivfpq_index_rows fail-louds on a caller-supplied trained
+    sub-codebook whose code ids are out of lane."""
+    from icedb_spark.operators.similarity import (
+        ivf_codebook_rows,
+        ivfpq_index_rows,
+        pq_subcodebook_rows,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) + 1.0 for j in range(8)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="8-bit lane"):
+        pq_subcodebook_rows(emb, dim=8, m_sub=4, k_sub=257)
+    # ok at the boundary
+    sc = pq_subcodebook_rows(emb, dim=8, m_sub=4, k_sub=12)
+    cb = ivf_codebook_rows(emb, n_centroids=2)
+    assert ivfpq_index_rows(emb, cb, sc, dim=8, m_sub=4).count() == 12
+    # trained sub-codebook with an out-of-lane code id: distributed
+    # fail-loud (raise_error inside the packing expression)
+    import pyspark.sql.functions as F
+    bad = sc.withColumn("j", F.col("j") + 300)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        ivfpq_index_rows(emb, cb, bad, dim=8, m_sub=4).collect()
+
+
 def test_bpe_detokenize_roundtrip(spark):
     """decode(encode(x)) == normalize(x): word ordinals make the stream
     decodable; a bare (pos, subword) stream is refused as ambiguous."""
