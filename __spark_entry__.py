@@ -1607,6 +1607,152 @@ def s12_ann_index_pq(spark, sf_dir):
         _cleanup_later(tdir)
 
 
+def s13_ann_index_trained_pq(spark, sf_dir):
+    """The COMPLETE production ANN shape under one gate (VERDICT r11
+    #5): the coarse codebook is TRAINED in-engine (2 integer-grid Lloyd
+    iterations — the s10 machinery) and committed to its quantizer
+    IceTable; the PQ sub-codebooks commit beside it; the corpus commits
+    as packed byte codes (~32 B/vector, the s12 layout) assigned
+    against the READ-BACK trained centroids; and the search prune-reads
+    only the probed cells, scores by ADC, and exact-reranks the top-30.
+    Trained + persisted + compressed + pruned + reranked — every
+    production ingredient in one pipeline, and the oracle is the
+    trained-Lloyd CTEs composed with the s05 ADC closed form, so the
+    green row means the WHOLE composition equals recompute-everything
+    bit-for-bit (r11's test_ivfpq_index_accepts_trained_codebook proved
+    the drop-in; this puts it under driver evidence). Also witnesses
+    similarity.py's r12 guard change (k_sub 8-bit-lane validation runs
+    in pq_subcodebook_rows on this path)."""
+    from icedb_spark.operators import (
+        cosine_topk_pq_against_index_table,
+        ivfpq_index_rows,
+        pq_subcodebook_rows,
+    )
+    from icedb_spark.operators.similarity import (
+        _train_codebook,
+        _training_view,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    st, sdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["s", "j"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        trained = _train_codebook(
+            _training_view(emb, "vec_id", "embedding"),
+            dim=64, n_centroids=16, iters=2,
+        )
+        ct.insert(df=trained)
+        codebook = ct.read()
+        st.insert(df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16))
+        subcodebook = st.read()
+        t.insert(
+            df=ivfpq_index_rows(emb, codebook, subcodebook, dim=64, m_sub=8)
+        )
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        out = cosine_topk_pq_against_index_table(
+            queries, t, codebook, subcodebook, dim=64, m_sub=8,
+            nprobe=4, k=5, rerank=30, vectors=emb,
+        ).orderBy("query_id", "rank")
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(sdir)
+        _cleanup_later(tdir)
+
+
+def s14_ann_recall_floor(spark, sf_dir):
+    """RECALL FLOOR as driver evidence (VERDICT r11 #7 — converts the
+    s10 COVERAGE recall prose into a permanent gate): recall@5 of the
+    trained PERSISTED ANN path (train → commit → read back → assign →
+    commit → prune-read search, nprobe=2 of C=16) against the s01
+    exact brute-force baseline, per query (the measured claim's own
+    40-query set, vec_id % 50), over the clustered corpus
+    (``load_clustered_embeddings`` — recall claims only mean something
+    where cluster structure exists). Everything is deterministic, so
+    per-query hits are EXACT integers and the oracle joins the same
+    two closed forms — equality, not tolerance. The entry additionally
+    ASSERTS the aggregate floor in-engine (recall ≥ 0.96 at sf0.1's
+    2000-vector corpus — the r11 measured claim; ≥ 0.80 at the tiny
+    sf0.001/0.01 corpora where 16 cells over ≤200 vectors make the
+    cell boundaries coarse), so a future regression fails loudly
+    rather than silently re-hashing a lower number."""
+    from icedb_spark.operators import (
+        cosine_topk,
+        cosine_topk_against_index_table,
+        ivf_index_rows,
+    )
+    from icedb_spark.operators.similarity import (
+        _train_codebook,
+        _training_view,
+    )
+    from icedb_spark.testdata import load_clustered_embeddings
+
+    emb = load_clustered_embeddings(spark, sf_dir)
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    try:
+        trained = _train_codebook(
+            _training_view(emb, "vec_id", "embedding"),
+            dim=64, n_centroids=16, iters=2,
+        )
+        ct.insert(df=trained)
+        codebook = ct.read()
+        t.insert(df=ivf_index_rows(emb, codebook))
+        queries = emb.where(F.col("vec_id") % 50 == 0)
+        approx = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=2, k=5
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        exact = cosine_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        out = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+            .select(
+                "query_id",
+                F.col("hits").cast("long").alias("hits"),
+                F.round(F.col("hits") / 5.0, 2).alias("recall"),
+            )
+            .orderBy("query_id")
+            .cache()
+        )
+        n_vec = emb.count()
+        floor = 0.96 if n_vec >= 2000 else 0.80
+        got = out.agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        assert got is not None and got >= floor, (
+            f"trained persisted ANN recall@5 {got} fell below the "
+            f"{floor} floor at corpus size {n_vec}"
+        )
+        return out
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(tdir)
+
+
 def s06_cosine_topk_tuned(spark, sf_dir):
     """The production-recall IVF preset: 64 cells, nprobe=44. Measured
     recall@5 vs the `s01` exact baseline: 0.930 at sf0.1 (2000 vectors,
@@ -2873,6 +3019,229 @@ def m18_jpeg_phash(spark, sf_dir):
         run, schema="media_id bigint, content binary"
     )
     return perceptual_hash(media, bits=60, use_fake=False).orderBy("media_id")
+
+
+def m19_subbyte_formats(spark, sf_dir):
+    """The r11 FORMAT COMPLETIONS folded into one varied-arm gate
+    (VERDICT r11 #3, the m01 multi-format pattern): docs rotate through
+    four container arms by ``doc_id % 4`` —
+
+    - arm 0: SUB-8-BIT PNG, depth 1/2/4 by ``(doc_id//4) % 3`` —
+      1/2-bit grayscale (the spec's exact 255/85 scaling) and 4-bit
+      PALETTE (16-entry PLTE, nibble indices), rows alternating
+      None/Sub filters so the packed-byte filter distance (1 byte,
+      PNG §9) is load-bearing;
+    - arm 1: PackBits TIFF (compression 32773), two independently
+      compressed strips of the m14 row-skewed md5 raster — the
+      literal/repeat/no-op RLE and the CUMULATIVE raster-byte cap
+      (this round's hardening) both under the gate;
+    - arm 2: 8-BIT PALETTE BMP — 256-entry BGRA color table, BOTTOM-UP
+      row order (the position-weighted pooling breaks if rows aren't
+      flipped), md5-byte indices;
+    - arm 3: WAV by ``(doc_id//4) % 3`` — IEEE float32 (odd sample
+      bytes keep ``round(v*32767)`` off every .5 tie), 24-bit STEREO
+      PCM (channel-0 stride through lying junk in channel 1), and
+      32-bit PCM with sign-bit-bearing MSBs.
+
+    Image arms run the real pure-Python decoders through
+    ``perceptual_hash`` (one ``phash`` metric row each); the WAV arm
+    runs ``audio_features`` (six exact-integer metric rows each); the
+    oracle recomputes every metric closed-form from the md5 hex. Also
+    witnesses the r12 decoder hardenings: the cumulative PackBits
+    bound (arm 1) and the WAV block_align frame check (arm 3) execute
+    under this gate."""
+    import hashlib
+    import struct
+    import zlib as _zlib
+
+    import pandas as pd  # noqa: F401
+
+    from icedb_spark.operators import audio_features, perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def png_sub8(d: bytes, sub: int) -> bytes:
+        depth = (1, 2, 4)[sub]
+        if depth == 4:  # palette arm: nibble indices into a 16-entry PLTE
+            ctype = 3
+            q = [d[i % 16] >> 4 for i in range(64)]
+        else:
+            ctype = 0
+            q = [d[i % 16] >> (8 - depth) for i in range(64)]
+        rb = depth  # packed row bytes: ceil(8*depth/8) == depth at w=8
+        raw = bytearray()
+        for y in range(8):
+            row = bytearray(rb)
+            for x in range(8):
+                pos = x * depth
+                row[pos // 8] |= q[8 * y + x] << (8 - depth - pos % 8)
+            if y % 2 == 0:
+                raw.append(0)
+                raw += row
+            else:
+                raw.append(1)  # Sub at the spec's 1-byte packed distance
+                raw += bytes(
+                    (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                    for i in range(rb)
+                )
+        chunks = [(b"IHDR", struct.pack(">IIBBBBB", 8, 8, depth, ctype,
+                                        0, 0, 0))]
+        if ctype == 3:
+            chunks.append((b"PLTE", bytes(
+                v for j in range(16)
+                for v in ((17 * j) % 256, (29 * j) % 256, (43 * j) % 256)
+            )))
+        chunks.append((b"IDAT", _zlib.compress(bytes(raw))))
+        chunks.append((b"IEND", b""))
+        out = bytearray(b"\x89PNG\r\n\x1a\n")
+        for typ, data in chunks:
+            out += struct.pack(">I", len(data)) + typ + data
+            out += struct.pack(">I", _zlib.crc32(typ + data))
+        return bytes(out)
+
+    def packbits(row_bytes: bytes) -> bytes:
+        # repeats >= 2 as repeat runs, everything else literal
+        out = bytearray()
+        i, n = 0, len(row_bytes)
+        while i < n:
+            j = i
+            while (j + 1 < n and row_bytes[j + 1] == row_bytes[i]
+                   and j - i < 127):
+                j += 1
+            if j > i:
+                out += bytes([257 - (j - i + 1), row_bytes[i]])
+                i = j + 1
+            else:
+                k = i
+                while (k + 1 < n
+                       and (k + 1 >= n - 1
+                            or row_bytes[k + 1] != row_bytes[k + 2])
+                       and k - i < 127):
+                    k += 1
+                out.append(k - i)
+                out += row_bytes[i:k + 1]
+                i = k + 1
+        return bytes(out)
+
+    def tiff_pb(d: bytes) -> bytes:
+        px = bytes(d[(i + i // 8) % 16] for i in range(64))
+        strips = [b"\x80" + packbits(px[:32]), packbits(px[32:])]
+        ifd_off = 8
+        extra_off = ifd_off + 2 + 12 * 9 + 4
+        ex = bytearray(b"\x00" * 16)  # 2x u32 offsets + 2x u32 counts
+        data_off = extra_off + 16
+        blob = bytearray()
+        offs = []
+        for s in strips:
+            offs.append(data_off + len(blob))
+            blob += s
+        for i, (o, s) in enumerate(zip(offs, strips)):
+            struct.pack_into("<I", ex, 4 * i, o)
+            struct.pack_into("<I", ex, 8 + 4 * i, len(s))
+
+        def ent(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + val
+
+        def iv16(v):
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        ents = (
+            ent(256, 3, 1, iv16(8)) + ent(257, 3, 1, iv16(8))
+            + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(32773))
+            + ent(262, 3, 1, iv16(1))
+            + ent(273, 4, 2, struct.pack("<I", extra_off))
+            + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(4))
+            + ent(279, 4, 2, struct.pack("<I", extra_off + 8))
+        )
+        return (b"II*\x00" + struct.pack("<I", ifd_off)
+                + struct.pack("<H", 9) + ents + struct.pack("<I", 0)
+                + bytes(ex) + bytes(blob))
+
+    def bmp8(d: bytes) -> bytes:
+        table = bytes(
+            v for j in range(256)
+            for v in ((7 * j) % 256, (11 * j) % 256, (13 * j) % 256, 0)
+        )
+        offset = 14 + 40 + len(table)
+        data = bytearray()
+        for y in range(7, -1, -1):  # bottom-up
+            data += bytes(d[(8 * y + x + y) % 16] for x in range(8))
+        hdr = (b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+               + struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 8, 0,
+                             len(data), 0, 0, 0, 0))
+        return hdr + table + bytes(data)
+
+    def wav_var(d: bytes, sub: int, doc_id: int) -> bytes:
+        n = 8 + doc_id % 5
+        if sub == 0:  # IEEE float32 mono; odd bytes keep ties away
+            afmt, ch, rate, block, bits = 3, 1, 8000, 4, 32
+            data = b"".join(
+                struct.pack("<f", ((d[i % 16] | 1) - 128) / 128.0)
+                for i in range(n)
+            )
+        elif sub == 1:  # 24-bit stereo: channel 1 is junk to skip
+            afmt, ch, rate, block, bits = 1, 2, 44100, 6, 24
+            data = b"".join(
+                bytes([d[(3 * i) % 16], d[(3 * i + 1) % 16],
+                       d[(3 * i + 2) % 16]]) + b"\x7f\x7f\x7f"
+                for i in range(n)
+            )
+        else:  # 32-bit PCM mono, MSB carries the sign by byte parity
+            afmt, ch, rate, block, bits = 1, 1, 22050, 4, 32
+            data = b"".join(
+                bytes([d[i % 16], d[(i + 5) % 16], d[(i + 11) % 16],
+                       255 * (d[(i + 11) % 16] % 2)])
+                for i in range(n)
+            )
+        fmt = struct.pack("<HHIIHH", afmt, ch, rate, rate * block,
+                          block, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def build(batches):
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                d = hashlib.md5(t.encode()).digest()
+                arm, sub = i % 4, (i // 4) % 3
+                if arm == 0:
+                    kind, blob = "img", png_sub8(d, sub)
+                elif arm == 1:
+                    kind, blob = "img", tiff_pb(d)
+                elif arm == 2:
+                    kind, blob = "img", bmp8(d)
+                else:
+                    kind, blob = "wav", wav_var(d, sub, i)
+                ids.append(i)
+                kinds.append(kind)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": blobs}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="media_id bigint, kind string, content binary"
+    )
+    ph = perceptual_hash(
+        media.where(F.col("kind") == "img").select("media_id", "content"),
+        bits=60, use_fake=False,
+    ).select(
+        "media_id",
+        F.lit("phash").alias("metric"),
+        F.col("phash").cast("long").alias("value"),
+    )
+    af = audio_features(
+        media.where(F.col("kind") == "wav").select("media_id", "content"),
+        use_fake=False,
+    ).selectExpr(
+        "media_id",
+        "stack(6, 'duration_ms', duration_ms, 'n_samples', n_samples,"
+        " 'peak', peak, 'sample_rate', sample_rate, 'sum_sq', sum_sq,"
+        " 'zero_crossings', zero_crossings) as (metric, value)",
+    )
+    return ph.unionByName(af).orderBy("media_id", "metric")
 
 
 def m02_frame_sample(spark, sf_dir):
@@ -4644,6 +5013,89 @@ def st05_stream_upsert(spark, sf_dir):
         _cleanup_later(ck)
 
 
+def st16_stream_ann_index(spark, sf_dir):
+    """STREAMING ANN index maintenance under the value gate (VERDICT
+    r11 #2 — the last ANN-family path without driver evidence): the
+    embedding corpus arrives as TWO parquet file drops, and
+    ``stream_index_vectors`` drains each with availableNow — per
+    micro-batch one frozen-codebook assignment (broadcast codebook,
+    map-side argmax; the batch never shuffles to be encoded) and ONE
+    atomic cell-partitioned append commit with the replay-dedup batch
+    tag in the log. The identical query set searches the persisted
+    index through the pruned read after each drain (phase 'A', then
+    phase 'AB' — phase A pinned by the MVCC snapshot at plan time),
+    and the oracle is the SAME incremental closed form as s11: the
+    streaming face and the batch face of append-only index maintenance
+    must both equal a full recompute. The second drain reuses the
+    first's CHECKPOINT, so the replay ledger (only the new file is
+    processed, nothing double-inserts) is under the gate too; the
+    append-only file-set growth is asserted in-entry."""
+    from icedb_spark.operators import (
+        cosine_topk_against_index_table,
+        ivf_codebook_rows,
+    )
+    from icedb_spark.streaming import stream_index_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch_a = emb.where(F.col("vec_id") % 2 == 0)
+    batch_b = emb.where(F.col("vec_id") % 2 != 0)
+    ct, cdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("p", "'all'")]),
+        sort_order=["cid"],
+    )
+    t, tdir = _scratch(
+        spark,
+        partition_spec=PartitionSpec(fields=[PartitionField("cell", "cell")]),
+        sort_order=["vec_id"],
+        bloom_columns=["cell"],
+    )
+    src = tempfile.mkdtemp(prefix="iceann-src-")
+    ck = tempfile.mkdtemp(prefix="iceann-ck-")
+    try:
+        ct.insert(df=ivf_codebook_rows(batch_a, n_centroids=16))
+        codebook = ct.read()
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        batch_a.coalesce(1).write.mode("append").parquet(src)
+        q = stream_index_vectors(
+            t,
+            spark.readStream.schema(emb.schema).parquet(src),
+            codebook,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        files_a = {f.path for f in t.snapshot().alive_files()}
+        out_a = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        )
+        batch_b.coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_index_vectors(
+            t,
+            spark.readStream.schema(emb.schema).parquet(src),
+            codebook,
+            checkpoint_dir=ck,
+        )
+        q2.awaitTermination()
+        files_ab = {f.path for f in t.snapshot().alive_files()}
+        assert files_a < files_ab, (
+            "streamed batch B must append to the index file set"
+        )
+        out_ab = cosine_topk_against_index_table(
+            queries, t, codebook, nprobe=3, k=5
+        )
+        out = (
+            out_a.select(F.lit("A").alias("phase"), "*")
+            .unionByName(out_ab.select(F.lit("AB").alias("phase"), "*"))
+            .orderBy("phase", "query_id", "rank")
+        )
+        return out.cache()
+    finally:
+        _cleanup_later(cdir)
+        _cleanup_later(tdir)
+        _cleanup_later(src)
+        _cleanup_later(ck)
+
+
 def st04_session_window(spark, sf_dir):
     """Built-in gap-based session windows (F.session_window): session end =
     last event + gap. Run in batch mode, where no watermark gates emission —
@@ -5753,33 +6205,176 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys.
-    # Round-11 composition (VERDICT r10 #1): the window leads with the
-    # FOUR entries that have never held a driver row (this round's new
-    # gates: s10 trained-codebook persisted ANN, s11 incremental ANN
-    # index append, s12 persisted IVF-PQ byte codes, m18 baseline JPEG
-    # pixel decode), then ONE witness for the round-changed PNG decode
-    # path (m17: its 16-bit arm exercises the new bpp-scaled
-    # raster-byte cap, ADVICE r10 #3), then drains the ENTIRE r7
-    # staleness backlog — the 45 rows whose last driver evidence is
-    # from round 7, exactly the list VERDICT r10 #1 named
-    # (4 + 1 + 45 = 50). Witness accounting for the other r11-changed
-    # paths: similarity.py's serving-path change (the
-    # persist_probe_rows default flip + probe_cache_out hook in
-    # cosine_topk_against_index_table, ADVICE r10 #2) executes UNDER
-    # THE GATE inside s10 and s11, which call the changed body; m18
-    # exercises the new JPEG dispatch arm end-to-end; text.py's change
-    # is a docstring reword + dead-local removal (behavior-invariant —
-    # t28 stays green in the full suite and the repo's own 188-entry
-    # replica sweep, tools/check_oracle.py). Below the window: the
-    # demoted r10 cohort first, then the r8/r9 cohorts — the r8 rows
-    # are first in line for r12. ALL 188 keys stay under the repo's
-    # own bit-exact gate replica regardless.
+    # Round-12 composition (VERDICT r11 #1): the window leads with the
+    # FOUR entries that have never held a driver row — this round's new
+    # gates st16 (streaming ANN index maintenance, the last ANN-family
+    # path without driver evidence), s13 (trained-codebook + persisted
+    # IVF-PQ combo: the complete production ANN), s14 (recall floor of
+    # the trained persisted path vs the exact baseline), and m19 (the
+    # r11 format completions folded into one varied-arm gate: sub-8-bit
+    # PNG, PackBits TIFF, palette BMP, WAV float/24/32-bit) — then
+    # drains the ENTIRE r8 staleness backlog: the 46 rows whose last
+    # driver evidence is from round 8, exactly the list VERDICT r11 #1
+    # named (4 + 46 = 50). Witness accounting for every r12-changed
+    # code path: multimodal.py's cumulative PackBits bound and the WAV
+    # block_align check execute UNDER THE GATE inside m19 (arms 1 and
+    # 3); the JPEG single-component fix is behavior-invariant for every
+    # gated stream (all 1-component gate JPEGs declare 1x1 sampling —
+    # the fix is pinned by tests/test_operators.py's patched-SOF
+    # roundtrip and the repo's own 192-entry replica sweep, where m18
+    # re-runs the changed decode body); similarity.py's k_sub lane
+    # guard executes inside s13's pq_subcodebook_rows call; table.py's
+    # snapshot-fold cache (bench floor work) is exercised by every ice*
+    # row in the window. Below the boundary: the r9 cohort first (the
+    # oldest evidence — first in line for r13), then r10, then the
+    # demoted r11 cohort. ALL 192 keys stay under the repo's own
+    # bit-exact gate replica regardless.
     return {
-        "s10_ann_index_trained": s10_ann_index_trained,
-        "s11_ann_index_append": s11_ann_index_append,
-        "s12_ann_index_pq": s12_ann_index_pq,
-        "m18_jpeg_phash": m18_jpeg_phash,
-        "m17_png16_phash": m17_png16_phash,
+        "st16_stream_ann_index": st16_stream_ann_index,
+        "s13_ann_index_trained_pq": s13_ann_index_trained_pq,
+        "s14_ann_recall_floor": s14_ann_recall_floor,
+        "m19_subbyte_formats": m19_subbyte_formats,
+        "d01_exact_dedup": d01_exact_dedup,
+        "d03_ngram_jaccard": d03_ngram_jaccard,
+        "d08_simhash_band16": d08_simhash_band16,
+        "d11_semdedup": d11_semdedup,
+        "ice01_insert_roundtrip": ice01_insert_roundtrip,
+        "ice04_rewrite": ice04_rewrite,
+        "ice05_agg_on_merge": ice05_agg_on_merge,
+        "ice06_remove_partitions": ice06_remove_partitions,
+        "ice07_replace_on_merge": ice07_replace_on_merge,
+        "ice08_dedup_on_merge": ice08_dedup_on_merge,
+        "ice10_schema_evolution": ice10_schema_evolution,
+        "ice12_path_derived": ice12_path_derived,
+        "ice13_partition_fn_paths": ice13_partition_fn_paths,
+        "ice14_json_flatten_insert": ice14_json_flatten_insert,
+        "ice15_parallel_compaction": ice15_parallel_compaction,
+        "ice16_format_row": ice16_format_row,
+        "ice18_bloom_pruning": ice18_bloom_pruning,
+        "ice20_incremental_read": ice20_incremental_read,
+        "ice21_delete": ice21_delete,
+        "ice28_snapshot_tags": ice28_snapshot_tags,
+        "ice29_constraints": ice29_constraints,
+        "ice33_mor_delete": ice33_mor_delete,
+        "ice37_cross_table_txn": ice37_cross_table_txn,
+        "m02_frame_sample": m02_frame_sample,
+        "m03_image_headers": m03_image_headers,
+        "m05_perceptual_hash": m05_perceptual_hash,
+        "m07_bmp_phash": m07_bmp_phash,
+        "s01_cosine_topk": s01_cosine_topk,
+        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
+        "s07_cosine_topk_trained": s07_cosine_topk_trained,
+        "s08_trained_clustered": s08_trained_clustered,
+        "sm01_hash_sample": sm01_hash_sample,
+        "sm02_stratified_sample": sm02_stratified_sample,
+        "sm03_split_assign": sm03_split_assign,
+        "sm04_top_k_sample": sm04_top_k_sample,
+        "sm06_shuffle_shard": sm06_shuffle_shard,
+        "sm09_semantic_coverage": sm09_semantic_coverage,
+        "st01_streaming_ingest": st01_streaming_ingest,
+        "st03_stateful_sessions": st03_stateful_sessions,
+        "st04_session_window": st04_session_window,
+        "st07_cdc_stream": st07_cdc_stream,
+        "st09_stream_dedup": st09_stream_dedup,
+        "t16_bpe_vocab": t16_bpe_vocab,
+        "t17_bpe_encode": t17_bpe_encode,
+        "t18_bpe_packing": t18_bpe_packing,
+        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
+        # ==================== driver window boundary (50) ====================
+        # r9 cohort (oldest below-boundary evidence, r13's rotation pool),
+        # then r10, then the demoted r11 cohort.
+        "d04_simhash": d04_simhash,
+        "d05_embedding_dups": d05_embedding_dups,
+        "d06_simhash_pairs": d06_simhash_pairs,
+        "d13_dedup_against_index": d13_dedup_against_index,
+        "d14_substring_dedup_index": d14_substring_dedup_index,
+        "d15_embedding_dedup_index": d15_embedding_dedup_index,
+        "d16_containment_pairs": d16_containment_pairs,
+        "m09_gif_phash": m09_gif_phash,
+        "m10_wav_features": m10_wav_features,
+        "m11_jpeg_exif": m11_jpeg_exif,
+        "m12_mp3_meta": m12_mp3_meta,
+        "m13_mp4_keyframes": m13_mp4_keyframes,
+        "m14_tiff_phash": m14_tiff_phash,
+        "m15_palette_png_phash": m15_palette_png_phash,
+        "mv02_incremental_mv": mv02_incremental_mv,
+        "q03_json_extract": q03_json_extract,
+        "q05_topk": q05_topk,
+        "q06_month_rollup": q06_month_rollup,
+        "q34_stats_agg": q34_stats_agg,
+        "q35_window_dist": q35_window_dist,
+        "q36_grouping_sets": q36_grouping_sets,
+        "q37_rolling_window": q37_rolling_window,
+        "q38_unpivot": q38_unpivot,
+        "q39_tpch_q5": q39_tpch_q5,
+        "q40_tpch_q3": q40_tpch_q3,
+        "q41_tpch_q17": q41_tpch_q17,
+        "q42_tpch_q21": q42_tpch_q21,
+        "q43_tpch_q18": q43_tpch_q18,
+        "q44_tpch_q4": q44_tpch_q4,
+        "q45_tpch_q16": q45_tpch_q16,
+        "q46_pivot": q46_pivot,
+        "q47_tpch_q2": q47_tpch_q2,
+        "sm10_weighted_sample": sm10_weighted_sample,
+        "st10_stream_near_dedup": st10_stream_near_dedup,
+        "st11_sliding_window": st11_sliding_window,
+        "st12_stream_stream_join": st12_stream_stream_join,
+        "st13_stream_outer_join": st13_stream_outer_join,
+        "st14_stream_static_join": st14_stream_static_join,
+        "t20_bpe_tokenize": t20_bpe_tokenize,
+        "t21_bpe_token_ids": t21_bpe_token_ids,
+        "t22_packed_token_stream": t22_packed_token_stream,
+        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
+        "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
+        "m08_png_phash": m08_png_phash,
+        "m16_interlaced_png_phash": m16_interlaced_png_phash,
+        "q02_count_by_user": q02_count_by_user,
+        "q04_distinct": q04_distinct,
+        "q07_percentile": q07_percentile,
+        "q08_latest_by_user": q08_latest_by_user,
+        "q09_union_seed": q09_union_seed,
+        "q10_range_filter": q10_range_filter,
+        "q11_dedup_pickone": q11_dedup_pickone,
+        "q12_join_broadcast": q12_join_broadcast,
+        "q13_join_threeway": q13_join_threeway,
+        "q14_window_rank": q14_window_rank,
+        "q15_scalar_funcs": q15_scalar_funcs,
+        "q16_date_parts": q16_date_parts,
+        "q17_approx_distinct": q17_approx_distinct,
+        "q18_rollup": q18_rollup,
+        "q19_setops": q19_setops,
+        "q20_semi_anti": q20_semi_anti,
+        "q21_having": q21_having,
+        "q22_string_funcs": q22_string_funcs,
+        "q23_array_funcs": q23_array_funcs,
+        "q24_salted_join": q24_salted_join,
+        "q26_scalar_subquery": q26_scalar_subquery,
+        "q27_cube": q27_cube,
+        "q28_asof_join": q28_asof_join,
+        "q29_range_join": q29_range_join,
+        "q30_sessionize": q30_sessionize,
+        "q31_salted_agg": q31_salted_agg,
+        "q32_asof_left_join": q32_asof_left_join,
+        "q33_percentile_approx": q33_percentile_approx,
+        "s09_ann_index_table": s09_ann_index_table,
+        "sm11_token_budget": sm11_token_budget,
+        "st02_windowed_agg": st02_windowed_agg,
+        "st15_budget_admission": st15_budget_admission,
+        "t01_token_stats": t01_token_stats,
+        "t02_text_quality": t02_text_quality,
+        "t03_language_id": t03_language_id,
+        "t04_fingerprint": t04_fingerprint,
+        "t06_pii_detect": t06_pii_detect,
+        "t07_decontaminate": t07_decontaminate,
+        "t08_pack_sequences": t08_pack_sequences,
+        "t09_vocab": t09_vocab,
+        "t11_line_dedup": t11_line_dedup,
+        "t12_ngram_perplexity": t12_ngram_perplexity,
+        "t24_wordpiece_encode": t24_wordpiece_encode,
+        "t26_unigram_encode": t26_unigram_encode,
+        "t27_wordpiece_roundtrip": t27_wordpiece_roundtrip,
+        "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
+        "t29_unigram_train_encode": t29_unigram_train_encode,
         "d02_minhash_lsh": d02_minhash_lsh,
         "d07_embedding_dups_lsh": d07_embedding_dups_lsh,
         "d09_dedup_clusters": d09_dedup_clusters,
@@ -5806,6 +6401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_media_features": m01_media_features,
         "m04_av_headers": m04_av_headers,
         "m06_phash_pairs": m06_phash_pairs,
+        "m17_png16_phash": m17_png16_phash,
+        "m18_jpeg_phash": m18_jpeg_phash,
         "mv01_materialized_view": mv01_materialized_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q25_conditional_agg": q25_conditional_agg,
@@ -5814,6 +6411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_cosine_topk_multiprobe": s04_cosine_topk_multiprobe,
         "s05_cosine_topk_ivfpq": s05_cosine_topk_ivfpq,
         "s06_cosine_topk_tuned": s06_cosine_topk_tuned,
+        "s10_ann_index_trained": s10_ann_index_trained,
+        "s11_ann_index_append": s11_ann_index_append,
+        "s12_ann_index_pq": s12_ann_index_pq,
         "sm05_mixture_sample": sm05_mixture_sample,
         "sm07_quality_filter": sm07_quality_filter,
         "sm08_alpha_sample": sm08_alpha_sample,
@@ -5825,148 +6425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_url_stats": t13_url_stats,
         "t14_semantic_decontam": t14_semantic_decontam,
         "t15_bm25_search": t15_bm25_search,
-        # ==================== driver window boundary (50) ====================
-        # Demoted r10 cohort (every row below here through m16 was
-        # driver-checked green in round 10); then the r8/r9 cohorts —
-        # the r8 rows are the oldest evidence and rotate up in r12.
-        "s09_ann_index_table": s09_ann_index_table,
-        "t28_wordpiece_train_encode": t28_wordpiece_train_encode,
-        "t29_unigram_train_encode": t29_unigram_train_encode,
-        "q07_percentile": q07_percentile,
-        "q08_latest_by_user": q08_latest_by_user,
-        "q09_union_seed": q09_union_seed,
-        "q10_range_filter": q10_range_filter,
-        "q11_dedup_pickone": q11_dedup_pickone,
-        "q12_join_broadcast": q12_join_broadcast,
-        "q13_join_threeway": q13_join_threeway,
-        "q14_window_rank": q14_window_rank,
-        "q15_scalar_funcs": q15_scalar_funcs,
-        "q16_date_parts": q16_date_parts,
-        "q18_rollup": q18_rollup,
-        "q19_setops": q19_setops,
-        "q20_semi_anti": q20_semi_anti,
-        "q21_having": q21_having,
-        "q22_string_funcs": q22_string_funcs,
-        "q23_array_funcs": q23_array_funcs,
-        "q24_salted_join": q24_salted_join,
-        "q26_scalar_subquery": q26_scalar_subquery,
-        "q27_cube": q27_cube,
-        "q32_asof_left_join": q32_asof_left_join,
-        "st02_windowed_agg": st02_windowed_agg,
-        "t01_token_stats": t01_token_stats,
-        "t03_language_id": t03_language_id,
-        "t04_fingerprint": t04_fingerprint,
-        "t11_line_dedup": t11_line_dedup,
-        "q02_count_by_user": q02_count_by_user,
-        "q04_distinct": q04_distinct,
-        "q17_approx_distinct": q17_approx_distinct,
-        "q28_asof_join": q28_asof_join,
-        "q29_range_join": q29_range_join,
-        "q30_sessionize": q30_sessionize,
-        "q31_salted_agg": q31_salted_agg,
-        "q33_percentile_approx": q33_percentile_approx,
-        "t02_text_quality": t02_text_quality,
-        "t06_pii_detect": t06_pii_detect,
-        "t07_decontaminate": t07_decontaminate,
-        "t08_pack_sequences": t08_pack_sequences,
-        "t09_vocab": t09_vocab,
-        "t12_ngram_perplexity": t12_ngram_perplexity,
-        "t24_wordpiece_encode": t24_wordpiece_encode,
-        "t26_unigram_encode": t26_unigram_encode,
-        "t27_wordpiece_roundtrip": t27_wordpiece_roundtrip,
-        "sm11_token_budget": sm11_token_budget,
-        "st15_budget_admission": st15_budget_admission,
-        "m08_png_phash": m08_png_phash,
-        "m16_interlaced_png_phash": m16_interlaced_png_phash,
-        "t23_bpe_encode_fixed3": t23_bpe_encode_fixed3,
-        "m09_gif_phash": m09_gif_phash,
-        "m10_wav_features": m10_wav_features,
-        "m11_jpeg_exif": m11_jpeg_exif,
-        "m12_mp3_meta": m12_mp3_meta,
-        "m13_mp4_keyframes": m13_mp4_keyframes,
-        "m14_tiff_phash": m14_tiff_phash,
-        "m15_palette_png_phash": m15_palette_png_phash,
-        "q34_stats_agg": q34_stats_agg,
-        "q35_window_dist": q35_window_dist,
-        "q36_grouping_sets": q36_grouping_sets,
-        "q37_rolling_window": q37_rolling_window,
-        "q38_unpivot": q38_unpivot,
-        "q39_tpch_q5": q39_tpch_q5,
-        "q40_tpch_q3": q40_tpch_q3,
-        "q41_tpch_q17": q41_tpch_q17,
-        "q42_tpch_q21": q42_tpch_q21,
-        "q43_tpch_q18": q43_tpch_q18,
-        "q44_tpch_q4": q44_tpch_q4,
-        "q46_pivot": q46_pivot,
-        "q45_tpch_q16": q45_tpch_q16,
-        "q47_tpch_q2": q47_tpch_q2,
-        "d16_containment_pairs": d16_containment_pairs,
-        "sm10_weighted_sample": sm10_weighted_sample,
-        "st11_sliding_window": st11_sliding_window,
-        "st12_stream_stream_join": st12_stream_stream_join,
-        "st13_stream_outer_join": st13_stream_outer_join,
-        "st14_stream_static_join": st14_stream_static_join,
-        "t25_tokenizer_roundtrip": t25_tokenizer_roundtrip,
-        "t21_bpe_token_ids": t21_bpe_token_ids,
-        "t22_packed_token_stream": t22_packed_token_stream,
-        "t20_bpe_tokenize": t20_bpe_tokenize,
-        "st10_stream_near_dedup": st10_stream_near_dedup,
-        "d13_dedup_against_index": d13_dedup_against_index,
-        "d14_substring_dedup_index": d14_substring_dedup_index,
-        "d15_embedding_dedup_index": d15_embedding_dedup_index,
-        "d04_simhash": d04_simhash,
-        "d05_embedding_dups": d05_embedding_dups,
-        "d06_simhash_pairs": d06_simhash_pairs,
-        "mv02_incremental_mv": mv02_incremental_mv,
-        "q03_json_extract": q03_json_extract,
-        "q05_topk": q05_topk,
-        "q06_month_rollup": q06_month_rollup,
-        "t19_bpe_encode_scaled": t19_bpe_encode_scaled,
-        "t18_bpe_packing": t18_bpe_packing,
-        "m07_bmp_phash": m07_bmp_phash,
-        "t16_bpe_vocab": t16_bpe_vocab,
-        "t17_bpe_encode": t17_bpe_encode,
-        "m05_perceptual_hash": m05_perceptual_hash,
-        "ice01_insert_roundtrip": ice01_insert_roundtrip,
-        "ice04_rewrite": ice04_rewrite,
-        "ice05_agg_on_merge": ice05_agg_on_merge,
-        "ice06_remove_partitions": ice06_remove_partitions,
-        "ice07_replace_on_merge": ice07_replace_on_merge,
-        "ice08_dedup_on_merge": ice08_dedup_on_merge,
-        "ice10_schema_evolution": ice10_schema_evolution,
-        "ice12_path_derived": ice12_path_derived,
-        "ice13_partition_fn_paths": ice13_partition_fn_paths,
-        "ice14_json_flatten_insert": ice14_json_flatten_insert,
-        "ice15_parallel_compaction": ice15_parallel_compaction,
-        "ice16_format_row": ice16_format_row,
-        "ice18_bloom_pruning": ice18_bloom_pruning,
-        "ice20_incremental_read": ice20_incremental_read,
-        "ice21_delete": ice21_delete,
-        "ice28_snapshot_tags": ice28_snapshot_tags,
-        "ice29_constraints": ice29_constraints,
-        "ice33_mor_delete": ice33_mor_delete,
-        "ice37_cross_table_txn": ice37_cross_table_txn,
-        "st01_streaming_ingest": st01_streaming_ingest,
-        "st03_stateful_sessions": st03_stateful_sessions,
-        "st04_session_window": st04_session_window,
-        "st07_cdc_stream": st07_cdc_stream,
-        "st09_stream_dedup": st09_stream_dedup,
-        "m02_frame_sample": m02_frame_sample,
-        "m03_image_headers": m03_image_headers,
-        "d01_exact_dedup": d01_exact_dedup,
-        "d03_ngram_jaccard": d03_ngram_jaccard,
-        "d08_simhash_band16": d08_simhash_band16,
-        "d11_semdedup": d11_semdedup,
-        "s01_cosine_topk": s01_cosine_topk,
-        "s02_cosine_topk_lsh": s02_cosine_topk_lsh,
-        "s07_cosine_topk_trained": s07_cosine_topk_trained,
-        "s08_trained_clustered": s08_trained_clustered,
-        "sm01_hash_sample": sm01_hash_sample,
-        "sm02_stratified_sample": sm02_stratified_sample,
-        "sm03_split_assign": sm03_split_assign,
-        "sm04_top_k_sample": sm04_top_k_sample,
-        "sm06_shuffle_shard": sm06_shuffle_shard,
-        "sm09_semantic_coverage": sm09_semantic_coverage,
     }
 
 
@@ -6473,6 +6931,10 @@ from per_sess group by user_id
         "m16_interlaced_png_phash": oracles.gray_md5_phash_sql(),
         "m17_png16_phash": oracles.png16_phash_sql(),
         "m18_jpeg_phash": oracles.jpeg_phash_sql(),
+        # m19: the r11 format completions in one varied-arm gate —
+        # sub-8-bit PNG / PackBits TIFF / palette BMP aHash rows plus
+        # the WAV float/24/32-bit audio_features rows, all closed-form
+        "m19_subbyte_formats": oracles.subbyte_formats_sql(),
         "m10_wav_features": oracles.wav_features_sql(),
         "m11_jpeg_exif": oracles.jpeg_exif_sql(),
         "m12_mp3_meta": oracles.mp3_meta_sql(),
@@ -6548,6 +7010,24 @@ order by doc_id
         "s12_ann_index_pq": oracles.cosine_topk_ivfpq_sql(
             64, k=5, query_mod=25, n_centroids=16, nprobe=4, m_sub=8,
             k_sub=16, rerank=30,
+        ),
+        # s13: trained coarse codebook + persisted PQ byte codes + ADC +
+        # exact rerank — the Lloyd CTEs composed with the s05 ADC closed
+        # form; equality = the complete production ANN equals recompute
+        "s13_ann_index_trained_pq": oracles.cosine_topk_ivfpq_trained_sql(
+            64, k=5, query_mod=25, n_centroids=16, nprobe=4, m_sub=8,
+            k_sub=16, rerank=30, iters=2,
+        ),
+        # s14: per-query recall@5 of the trained persisted path vs the
+        # exact baseline on the clustered corpus — both closed forms
+        # joined; recall is an exact integer, not a tolerance
+        "s14_ann_recall_floor": oracles.ann_recall_floor_sql(
+            k=5, query_mod=50, n_centroids=16, nprobe=2, dim=64, iters=2,
+        ),
+        # st16: the streaming face of the s11 append contract — same
+        # frozen-codebook incremental closed form, phases A and AB
+        "st16_stream_ann_index": oracles.cosine_topk_ivf_incremental_sql(
+            5, 25, 16, 3
         ),
         "s06_cosine_topk_tuned": oracles.cosine_topk_ivf_sql(5, 50, 64, 44),
         "s07_cosine_topk_trained": oracles.cosine_topk_ivf_trained_sql(

@@ -214,11 +214,19 @@ def _fit_tail(sf1_lines, out, prev, budget=1990):
         # shortening the per-query keys to their entry codes.
         def slim_tail_summary():
             # the tail_summary's full-fidelity twins ride earlier
-            # stdout; shed its least claim-bearing sub-block first
-            # (pipeline total also lands in COVERAGE.md every round)
+            # stdout; shed its least claim-bearing fields first — the
+            # ann_prune merge-rerun pair (the pre-merge numbers carry
+            # the pruning claim). The pipeline block is PROTECTED here
+            # (VERDICT r11 #6: r11's ladder dropped it first and the
+            # 26 s composed-pipeline claim fell out of the artifact of
+            # record); it slims to its total much further down and
+            # never sheds entirely before queries_med is threatened.
             for o in sf1_lines:
                 if o.get("detail") == "tail_summary":
-                    o.pop("pipeline", None)
+                    ap = o.get("ann_prune")
+                    if ap and "error" not in ap:
+                        ap.pop("merged_files", None)
+                        ap.pop("merged_np4_kept", None)
 
         yield slim_tail_summary
         if sf1_lines:
@@ -319,6 +327,17 @@ def _fit_tail(sf1_lines, out, prev, budget=1990):
                 }
 
         yield slim_calibration
+
+        def slim_floor_probe():
+            # keep the derived share (the decomposition claim); the raw
+            # secs reconstruct from it + the single-shot rate's sec
+            if len(sf1_lines) > 1 and sf1_lines[1].get("floor_probe"):
+                fp = sf1_lines[1]["floor_probe"]
+                sf1_lines[1]["floor_probe"] = {
+                    "floor_share": fp.get("floor_share")
+                }
+
+        yield slim_floor_probe
         # rows_per_sec and the marginal estimate reconstruct from sec +
         # the sf1_meta row counts — shed them before any measured med
         # field so min AND med stay first-class in the protected tail
@@ -348,6 +367,17 @@ def _fit_tail(sf1_lines, out, prev, budget=1990):
                 }
 
         yield shorten_headline_keys
+
+        def slim_pipeline_to_total():
+            # keep the claim-bearing wall time; the stage counts ride
+            # the full-fidelity pipeline detail line earlier in stdout
+            for o in sf1_lines:
+                if o.get("detail") == "tail_summary":
+                    p = o.get("pipeline")
+                    if p and "error" not in p:
+                        o["pipeline"] = {"total": p.get("total")}
+
+        yield slim_pipeline_to_total
         yield drop_rate_key("per_core_vs_baseline_med")
         yield drop_rate_key("sec_med")
         # rows before delta: row counts are static across r2-r6 and
@@ -356,8 +386,16 @@ def _fit_tail(sf1_lines, out, prev, budget=1990):
         yield lambda: out.pop("rows", None)
         if prev:
             yield lambda: out.pop(f"delta_total_vs_{prev[0]}", None)
-        # the absolute last resort — sheds only if everything above
-        # could not fit the three lines into the capture budget
+        # the absolute last resorts — shed only if everything above
+        # could not fit the lines into the capture budget: the pipeline
+        # total goes first (it also lands in COVERAGE.md), queries_med
+        # genuinely last (VERDICT r8 #1)
+        def drop_pipeline():
+            for o in sf1_lines:
+                if o.get("detail") == "tail_summary":
+                    o.pop("pipeline", None)
+
+        yield drop_pipeline
         if sf1_lines:
             yield lambda: sf1_lines[0].pop("queries_med", None)
 
@@ -528,6 +566,11 @@ def main():
                 # persisted ANN, baseline JPEG pixel decode
                 "s10_ann_index_trained", "s11_ann_index_append",
                 "s12_ann_index_pq", "m18_jpeg_phash",
+                # round-12 additions: streaming ANN index maintenance,
+                # trained+PQ production combo, recall floor, sub-byte
+                # format completions
+                "st16_stream_ann_index", "s13_ann_index_trained_pq",
+                "s14_ann_recall_floor", "m19_subbyte_formats",
             )
         },
     })
@@ -587,6 +630,7 @@ def main():
                 "baseline_cores": sf1["baseline_cores"],
                 "baseline_rps": sf1["baseline_rps"],
                 "calibration": sf1["calibration"],
+                "floor_probe": sf1.get("floor_probe"),
                 "rates": sf1["rates"],
             },
         ]
@@ -1391,6 +1435,12 @@ def _sf1_block(run_samples, cpus: str, spark):
         # pure scan+agg bandwidth with the floor subtracted out
         p4 = os.path.join(sf1_dir, "lineitem.parquet")
         li4 = spark.read.parquet(p4, p4, p4, p4)
+        # x8 rung (VERDICT r11 #4): the single-shot 6 M-row job is
+        # ~60% fixed floor (measured decomposition in the floor_probe
+        # block below), so its per-core ratio is a job-latency
+        # measurement, not a throughput one; 48 M rows amortizes the
+        # floor to <10% and pins the asymptotic per-core rate
+        li8 = spark.read.parquet(*([p4] * 8))
         rate_stats = {
             "quantile_avg_by_month": probe9(quantile_q(li)),
             "quantile_avg_by_month_x4": probe9(quantile_q(li4)),
@@ -1403,6 +1453,26 @@ def _sf1_block(run_samples, cpus: str, spark):
                 li4.groupBy(
                     F.date_trunc("month", "l_shipdate").alias("m")
                 ).count()
+            ),
+            "count_by_month_x8": probe9(
+                li8.groupBy(
+                    F.date_trunc("month", "l_shipdate").alias("m")
+                ).count()
+            ),
+        }
+        # floor decomposition (VERDICT r11 #4): what the 0.2-0.3 s
+        # single-shot wall is MADE of — an empty-scan job (pure
+        # submission + scheduling), a metadata-only count (footer
+        # reads + job), then the real scan. floor/job ≈ the fixed cost
+        # every sub-second cell pays regardless of code quality
+        floor_empty = probe9(li.limit(0).groupBy(F.lit(1)).count())
+        floor_probe = {
+            "empty_job_sec": floor_empty["min"],
+            "single_shot_sec": rate_stats["count_by_month"]["min"],
+            "floor_share": round(
+                floor_empty["min"]
+                / max(rate_stats["count_by_month"]["min"], 1e-9),
+                2,
             ),
         }
         calib_after = calib_probe()
@@ -1434,10 +1504,11 @@ def _sf1_block(run_samples, cpus: str, spark):
                 (rps_med / cores) / (baseline_rps / 128), 3
             ),
         }
-        if base_key is not None:  # x4 shape: floor-amortized estimate
+        if base_key is not None:  # xN shape: floor-amortized estimate
             base_sec = rate_stats[base_key]["min"]
+            base_rows = rows_n - li_rows  # extra rows past the x1 base
             out["marginal_rows_per_sec"] = int(
-                0.75 * rows_n / max(sec - base_sec, 1e-9)
+                base_rows / max(sec - base_sec, 1e-9)
             )
         return out
 
@@ -1466,10 +1537,19 @@ def _sf1_block(run_samples, cpus: str, spark):
                 min(calib_before, calib_after) / _CALIB_REF_SEC, 2
             ),
         },
+        # fixed-floor decomposition of the single-shot cell (VERDICT
+        # r11 #4): empty_job_sec is the pure submission+scheduling cost
+        # the 0.2-0.3 s cell pays before reading a byte; the x8 rung's
+        # per_core_vs_baseline is the floor-amortized figure of record
+        "floor_probe": floor_probe,
         "rates": {
             "count_by_month": rate(li_rows, "count_by_month", 260e6),
             "count_by_month_x4": rate(
                 4 * li_rows, "count_by_month_x4", 260e6,
+                base_key="count_by_month",
+            ),
+            "count_by_month_x8": rate(
+                8 * li_rows, "count_by_month_x8", 260e6,
                 base_key="count_by_month",
             ),
             "quantile_avg_by_group": rate(

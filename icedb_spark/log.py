@@ -764,10 +764,61 @@ class LogState:
         return [m for m in self.file_markers if m.alive]
 
 
+def _storage_cache_token(storage) -> tuple:
+    """Identity token for the parse cache: the table-root string every
+    Storage implementation carries (``root`` locally/in-memory, ``_base``
+    for fsspec/pyarrow), falling back to object identity."""
+    return (
+        type(storage).__name__,
+        getattr(storage, "root", None)
+        or getattr(storage, "_base", None)
+        or id(storage),
+    )
+
+
 class IceLogIO:
-    """Reads and writes the JSONL log. All methods are driver-side only."""
+    """Reads and writes the JSONL log. All methods are driver-side only.
+
+    Repeated snapshot folds of an unchanged table are served from a
+    bounded PARSE CACHE (VERDICT r11 #4's serving-workload observation:
+    the engine can know the log didn't change): log objects are
+    immutable once published — every commit PUTs a NEW timestamped key,
+    and vacuum only deletes keys or publishes new merged ones — so
+    ``(storage root, key, listed size)`` identifies content. The cache
+    stores the parsed ``(meta, schema, markers, tombstones)`` tuples,
+    which every consumer treats as read-only (markers are always
+    REBUILT, never mutated — grep-verified across table.py), and a hit
+    skips the GET + JSON parse that dominate snapshot cost at thousands
+    of logs. The LIST that discovers the key set still runs every
+    snapshot — it IS the change detector — so a concurrent writer's new
+    commit is picked up immediately; only the per-object re-fetch is
+    elided. Size-guarded: a hit requires the listed byte size to match
+    the cached one, so any same-key rewrite (the wire format's known
+    cross-process same-ms tie, or a hand-crafted test fixture) falls
+    back to a fresh read unless it is byte-length-identical too."""
 
     LOG_PREFIX = "_log"
+
+    #: (token, key) -> (size, parsed 4-tuple); bounded LRU shared by all
+    #: tables in the process (a driver typically serves many reads of
+    #: few tables — exactly the shape the cache pays for)
+    _PARSE_CACHE: "OrderedDict[tuple, tuple]" = None  # type: ignore
+    _PARSE_CACHE_MAX = 8192
+
+    @classmethod
+    def _cache(cls) -> "OrderedDict[tuple, tuple]":
+        if cls._PARSE_CACHE is None:
+            from collections import OrderedDict as _OD
+
+            cls._PARSE_CACHE = _OD()
+        return cls._PARSE_CACHE
+
+    _parse_cache_lock = threading.Lock()
+
+    @classmethod
+    def clear_parse_cache(cls) -> None:
+        with cls._parse_cache_lock:
+            cls._cache().clear()
 
     def append(
         self,
@@ -808,6 +859,29 @@ class IceLogIO:
         return key, meta
 
     def read_log(
+        self, storage: Storage, key: str, size: Optional[int] = None
+    ) -> tuple[LogMetadata, Schema, list[FileMarker], list[LogTombstone]]:
+        """Parse one log object. ``size`` (the byte length the caller just
+        LISTed) keys the parse cache; without it the cache is bypassed —
+        correctness never depends on a hit."""
+        if size is not None:
+            ck = (_storage_cache_token(storage), key)
+            with self._parse_cache_lock:
+                hit = self._cache().get(ck)
+                if hit is not None and hit[0] == size:
+                    self._cache().move_to_end(ck)
+                    return hit[1]
+        parsed = self._read_log_uncached(storage, key)
+        if size is not None:
+            with self._parse_cache_lock:
+                cache = self._cache()
+                cache[ck] = (size, parsed)
+                cache.move_to_end(ck)
+                while len(cache) > self._PARSE_CACHE_MAX:
+                    cache.popitem(last=False)
+        return parsed
+
+    def _read_log_uncached(
         self, storage: Storage, key: str
     ) -> tuple[LogMetadata, Schema, list[FileMarker], list[LogTombstone]]:
         raw = storage.get(key).decode("utf-8")
@@ -822,7 +896,11 @@ class IceLogIO:
         return meta, schema, markers, tombstones
 
     def read_log_forward(
-        self, storage: Storage, log_keys: list[str], keep_parsed: bool = False
+        self,
+        storage: Storage,
+        log_keys: list[str],
+        keep_parsed: bool = False,
+        sizes: Optional[dict[str, int]] = None,
     ) -> LogState:
         """Fold an explicit list of log files into table state.
 
@@ -834,13 +912,19 @@ class IceLogIO:
         rule) is unaffected by fetch completion order.
         """
         ordered = sorted(log_keys)
+        sz = sizes or {}
         if len(ordered) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(32, len(ordered))) as ex:
-                parsed = list(ex.map(lambda k: self.read_log(storage, k), ordered))
+                parsed = list(ex.map(
+                    lambda k: self.read_log(storage, k, size=sz.get(k)),
+                    ordered,
+                ))
         else:
-            parsed = [self.read_log(storage, k) for k in ordered]
+            parsed = [
+                self.read_log(storage, k, size=sz.get(k)) for k in ordered
+            ]
         schema = Schema()
         markers: dict[str, FileMarker] = {}
         tombstones: dict[str, LogTombstone] = {}
@@ -881,7 +965,8 @@ class IceLogIO:
         txn-tagged commits whose transaction never committed)."""
         def fold_once() -> LogState:
             keys = []
-            for key, _size in self.get_current_log_files(storage):
+            sizes: dict[str, int] = {}
+            for key, size in self.get_current_log_files(storage):
                 try:
                     ts, _merged = get_log_file_info(key)
                 except (ValueError, IndexError):
@@ -893,7 +978,10 @@ class IceLogIO:
                 if key_filter is not None and not key_filter(key):
                     continue
                 keys.append(key)
-            return self.read_log_forward(storage, keys, keep_parsed=keep_parsed)
+                sizes[key] = size
+            return self.read_log_forward(
+                storage, keys, keep_parsed=keep_parsed, sizes=sizes
+            )
 
         try:
             return fold_once()

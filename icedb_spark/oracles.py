@@ -3504,3 +3504,301 @@ select media_id,
 from kf
 order by media_id, kf_sample
 """
+
+
+def cosine_topk_ivfpq_trained_sql(
+    dim: int,
+    k: int = 5,
+    query_mod: int = 25,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 0,
+    iters: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ``__spark_entry__.s13_ann_index_trained_pq`` — the
+    COMPLETE production ANN closed form: the coarse codebook is the
+    TRAINED k-means result (the same unrolled Lloyd CTE pairs as
+    :func:`cosine_topk_ivf_trained_sql`), the PQ sub-codebooks stay the
+    deterministic lowest-id policy of :func:`cosine_topk_ivfpq_sql`,
+    and scoring is ADC over the packed byte codes with an optional
+    exact rerank. Equality against the Spark side IS the claim that
+    train -> persist (coarse + sub-codebooks + byte codes) ->
+    prune-read -> ADC -> rerank equals recompute-everything."""
+    dsub = dim // m_sub
+    slice_ = "list_transform(generate_series(1, {d}), i -> {v}[s * {d} + i])"
+    sv = slice_.format(d=dsub, v="dv")
+    qsv_qual = (
+        "list_transform(generate_series(1, {d}), i -> qv[qs.s * {d} + i])"
+        .format(d=dsub)
+    )
+    final = "ranked"
+    rerank_ctes = ""
+    if rerank:
+        final = "reranked"
+        rerank_ctes = f""", exact as (
+  select r.query_id, r.neighbor_id,
+    round(list_cosine_similarity(nv.dv, q.qv), 6) as cosine
+  from ranked r
+  join v nv on nv.id = r.neighbor_id
+  join q on q.query_id = r.query_id
+  where r.rank <= {rerank}
+), reranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from exact
+)"""
+    v_cte = f"""v as (
+  select vec_id as id, cast(embedding as double[]) as dv from {table}
+)"""
+    ctes, prev = _kmeans_ctes(v_cte, n_centroids, dim, iters)
+    return f"""
+with {', '.join(ctes)}, assign as (
+  select id, cell from (
+    select v.id, c.cid as cell,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, {prev} c
+  ) where rn = 1
+), train as (
+  select row_number() over (order by id) - 1 as j, dv
+  from (select * from v order by id limit {k_sub})
+), subcents as (
+  select s, j, {slice_.format(d=dsub, v="dv")} as scv,
+    list_inner_product({slice_.format(d=dsub, v="dv")},
+                       {slice_.format(d=dsub, v="dv")}) as c2
+  from (select j, dv, unnest(generate_series(0, {m_sub - 1})) as s from train)
+), sub as (
+  select id, s, {sv} as sv
+  from (select id, dv, unnest(generate_series(0, {m_sub - 1})) as s from v)
+), codes as (
+  select id, s, code, c2c from (
+    select sub.id, sub.s, sc.j as code, sc.c2 as c2c,
+      row_number() over (partition by sub.id, sub.s
+        order by round(list_inner_product(sv, sv)
+                       - 2 * list_inner_product(sv, sc.scv) + sc.c2, 6) asc,
+                 sc.j asc) as rn
+    from sub join subcents sc on sub.s = sc.s
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv,
+    sqrt(list_inner_product(dv, dv)) as qn
+  from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qn, cell from (
+    select q.query_id, q.qn, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, {prev} c
+  ) where rn <= {nprobe}
+), adc as (
+  select query_id, s, j, list_inner_product(qsv, scv) as pdot from (
+    select query_id, s2.s as s, s2.j as j, {qsv_qual} as qsv, s2.scv as scv
+    from (select query_id, qv, unnest(generate_series(0, {m_sub - 1})) as s
+          from q) qs
+    join subcents s2 on qs.s = s2.s
+  )
+), scored as (
+  select p.query_id, a.id as neighbor_id,
+    round(sum(t.pdot) / (any_value(p.qn) * sqrt(sum(c.c2c))), 6) as cosine
+  from assign a
+  join codes c on a.id = c.id
+  join probes p on a.cell = p.cell
+  join adc t on t.query_id = p.query_id and t.s = c.s and t.j = c.code
+  where p.query_id <> a.id
+  group by p.query_id, a.id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    cast(row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as integer) as rank
+  from scored
+){rerank_ctes}
+select query_id, neighbor_id, cosine, rank from {final} where rank <= {k}
+"""
+
+
+def ann_recall_floor_sql(
+    k: int = 5,
+    query_mod: int = 25,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+    iters: int = 2,
+    n_clusters: int = 16,
+    spread: float = 0.15,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ``__spark_entry__.s14_ann_recall_floor`` — per-query
+    recall@k of the TRAINED persisted ANN path against the exact
+    brute-force baseline, both over the derived clustered corpus
+    (``testdata.load_clustered_embeddings``'s closed form). Everything
+    is deterministic, so recall is an EXACT per-query integer
+    (hits in 0..k), not a tolerance: the driver hash pins the s10
+    recall claim permanently."""
+    v_cte = f"""v as (
+  select id, list(val order by i) as dv from (
+    select e.vec_id as id, r.i as i,
+      round(((((e.vec_id // 7) % {n_clusters}) * 31 + r.i * 17) % 13 - 6) / 6.0
+            + {spread} * cast(e.embedding[r.i + 1] as double), 3) as val
+    from {table} e, range(0, {dim}) r(i)
+  ) group by id
+)"""
+    ctes, prev = _kmeans_ctes(v_cte, n_centroids, dim, iters)
+    return f"""
+with {', '.join(ctes)}, assign as (
+  select id, dv, cell from (
+    select v.id, v.dv, c.cid as cell,
+      row_number() over (partition by v.id
+        order by round(list_cosine_similarity(v.dv, c.cv), 6) desc, c.cid asc) as rn
+    from v, {prev} c
+  ) where rn = 1
+), q as (
+  select id as query_id, dv as qv from v where id % {query_mod} = 0
+), probes as (
+  select query_id, qv, cell from (
+    select q.query_id, q.qv, c.cid as cell,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(q.qv, c.cv), 6) desc, c.cid asc) as rn
+    from q, {prev} c
+  ) where rn <= {nprobe}
+), approx as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+      row_number() over (partition by query_id
+                         order by cosine desc, neighbor_id asc) as rank
+    from (
+      select p.query_id, a.id as neighbor_id,
+        round(list_cosine_similarity(a.dv, p.qv), 6) as cosine
+      from assign a join probes p on a.cell = p.cell
+      where p.query_id <> a.id
+    )
+  ) where rank <= {k}
+), exact as (
+  select query_id, neighbor_id from (
+    select q.query_id, c.id as neighbor_id,
+      row_number() over (partition by q.query_id
+        order by round(list_cosine_similarity(c.dv, q.qv), 6) desc,
+                 c.id asc) as rank
+    from v c, q where q.query_id <> c.id
+  ) where rank <= {k}
+)
+select e.query_id,
+  cast(count(a.neighbor_id) as bigint) as hits,
+  round(count(a.neighbor_id) / {k}.0, 2) as recall
+from exact e
+left join approx a
+  on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+group by e.query_id
+order by e.query_id
+"""
+
+
+def subbyte_formats_sql(bits: int = 60, table: str = "documents") -> str:
+    """Oracle for ``__spark_entry__.m19_subbyte_formats`` — the r11
+    format completions closed-form from the md5 hex. Image arms
+    (doc_id % 4 in 0..2) recompute the decoded gray raster and pool it
+    to the aHash exactly like the other m-gates: sub-8-bit PNG grays
+    are the spec's exact ``q * {255,85,17}`` scaling of the top
+    ``depth`` bits of each md5 byte (depth-4 routes nibbles through the
+    16-entry PLTE instead), PackBits TIFF and palette BMP recompute the
+    row-skewed md5 raster (BMP through its BGRA table). The WAV arm
+    (doc_id % 4 = 3) recomputes all six audio_features integers from
+    the synthesized samples: float32 ``round((c-128)*32767/128)`` with
+    odd ``c`` (no .5 ties anywhere, so round-half-away == banker's),
+    signed 24-bit channel-0, and sign-by-parity 32-bit PCM."""
+    def V(expr: str) -> str:
+        hi = _HEX.format(pos=f"2*(({expr}) % 16)+1")
+        lo = _HEX.format(pos=f"2*(({expr}) % 16)+2")
+        return f"(({hi}) * 16 + ({lo}))"
+
+    b_i = V("i % 16")
+    b_skew = V("i + i // 8")
+    pal16 = (
+        f"(299 * ((17 * ({b_i} // 16)) % 256)"
+        f" + 587 * ((29 * ({b_i} // 16)) % 256)"
+        f" + 114 * ((43 * ({b_i} // 16)) % 256)) // 1000"
+    )
+    bmp_pal = (
+        f"(299 * ((13 * {b_skew}) % 256)"
+        f" + 587 * ((11 * {b_skew}) % 256)"
+        f" + 114 * ((7 * {b_skew}) % 256)) // 1000"
+    )
+    luma = f"""case
+      when doc_id % 4 = 0 and (doc_id // 4) % 3 = 0
+        then ({b_i} // 128) * 255
+      when doc_id % 4 = 0 and (doc_id // 4) % 3 = 1
+        then ({b_i} // 64) * 85
+      when doc_id % 4 = 0 then {pal16}
+      when doc_id % 4 = 1 then {b_skew}
+      else {bmp_pal} end"""
+    # WAV samples; list_transform index i is 0-based via range(0, n)
+    c_odd = f"({b_i} + 1 - ({b_i} % 2))"
+    s_float = f"cast(round(({c_odd} - 128) * 32767 / 128.0) as bigint)"
+    b24_0, b24_1, b24_2 = V("3 * i"), V("3 * i + 1"), V("3 * i + 2")
+    s_24 = (
+        f"({b24_0} + 256 * {b24_1} + 65536 * {b24_2}"
+        f" - 16777216 * (case when {b24_2} >= 128 then 1 else 0 end))"
+    )
+    b32_0, b32_1, b32_2 = V("i"), V("i + 5"), V("i + 11")
+    s_32 = (
+        f"({b32_0} + 256 * {b32_1} + 65536 * {b32_2}"
+        f" - 16777216 * ({b32_2} % 2))"
+    )
+    return f"""
+with img as (
+  select doc_id as media_id,
+    list_transform(range(0, 64), i -> {luma}) as ps
+  from {table} where doc_id % 4 < 3
+),
+pooled as (
+  select media_id,
+    list_transform(range(0, {bits}), j ->
+      list_sum(ps[(j*64)//{bits} + 1 : ((j+1)*64)//{bits}])
+      // (((j+1)*64)//{bits} - (j*64)//{bits})) as pp
+  from img
+),
+ph as (
+  select media_id, 'phash' as metric,
+    cast(list_reduce(
+      list_prepend(cast(0 as bigint),
+        list_transform(pp, p -> cast(case when p * {bits} > list_sum(pp)
+                                          then 1 else 0 end as bigint))),
+      (acc, b) -> acc * 2 + b) as bigint) as value
+  from pooled
+),
+wav as (
+  select doc_id as media_id,
+    8 + doc_id % 5 as n,
+    case (doc_id // 4) % 3 when 0 then 8000 when 1 then 44100
+         else 22050 end as rate,
+    list_transform(range(0, 8 + doc_id % 5), i ->
+      case (doc_id // 4) % 3
+        when 0 then {s_float}
+        when 1 then {s_24}
+        else {s_32} end) as s
+  from {table} where doc_id % 4 = 3
+),
+feats as (
+  select media_id, 'n_samples' as metric, cast(n as bigint) as value from wav
+  union all
+  select media_id, 'sample_rate', cast(rate as bigint) from wav
+  union all
+  select media_id, 'duration_ms', cast(n * 1000 // rate as bigint) from wav
+  union all
+  select media_id, 'peak',
+    cast(list_max(list_transform(s, x -> abs(x))) as bigint) from wav
+  union all
+  select media_id, 'sum_sq',
+    cast(list_sum(list_transform(s, x -> x * x)) as bigint) from wav
+  union all
+  select media_id, 'zero_crossings',
+    cast(len(list_filter(range(2, n + 1),
+         i -> (s[i-1] < 0) <> (s[i] < 0))) as bigint) from wav
+)
+select media_id, metric, value from (
+  select * from ph union all select * from feats
+) order by media_id, metric
+"""
