@@ -2814,31 +2814,37 @@ def _encode_baseline_jpeg(w, h, comps, qtables, dri=0):
         s = abs(v).bit_length()
         return s, (v + (1 << s) - 1 if v < 0 else v)
 
-    # ---- first pass: collect the symbol alphabets
+    # ---- first pass: collect the symbol alphabets — in the SAME MCU
+    # interleave order as the write pass (DC differentials depend on the
+    # traversal order; a row-order walk collects the wrong category set
+    # for multi-MCU subsampled frames)
     dc_syms, ac_syms = set(), set()
     for c in comps:
         assert len(c["grid"]) == mcuy * c["v"]
         assert all(len(row) == mcux * c["h"] for row in c["grid"])
         pred = 0
-        for row in c["grid"]:
-            for blk in row:
-                zz = [blk[_JZZ[k]] for k in range(64)]
-                s, _ = cat(zz[0] - pred)
-                pred = zz[0]
-                dc_syms.add(s)
-                run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ac_syms.add(0xF0)
-                        run -= 16
-                    s, _ = cat(zz[k])
-                    ac_syms.add((run << 4) | s)
-                    run = 0
-                if run:
-                    ac_syms.add(0x00)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["grid"][my * c["v"] + by][mx * c["h"] + bx]
+                        zz = [blk[_JZZ[k]] for k in range(64)]
+                        s, _ = cat(zz[0] - pred)
+                        pred = zz[0]
+                        dc_syms.add(s)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_syms.add(0xF0)
+                                run -= 16
+                            s, _ = cat(zz[k])
+                            ac_syms.add((run << 4) | s)
+                            run = 0
+                        if run:
+                            ac_syms.add(0x00)
     # predictors reset at restarts — recollect DC cats conservatively:
     # category of the absolute DC also appears after every RST
     if dri:
@@ -2944,6 +2950,292 @@ def _encode_baseline_jpeg(w, h, comps, qtables, dri=0):
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_jpeg(w, h, comps, qtables, scans=None, dri=0):
+    """Independent PROGRESSIVE JPEG encoder (ITU T.81 Annex G, written
+    from the spec like :func:`_encode_baseline_jpeg` — never from the
+    decoder, so the roundtrip is meaningful). ``comps``/``qtables`` as
+    the baseline encoder. ``scans``: list of
+    ``(comp_indices, Ss, Se, Ah, Al)``; default = the classic script
+    (interleaved DC first at Al=1, per-component AC firsts at Al=2 in
+    two spectral bands, AC refinement to Al=1, DC refinement to Al=0,
+    AC refinement to Al=0). Implements spectral selection, successive
+    approximation (DC arithmetic-shift point transform, AC magnitude
+    shift), EOB-run accumulation across blocks, the §G.1.2.3
+    refinement correction-bit buffering, and per-scan canonical
+    Huffman tables emitted in a DHT before each scan. ``dri`` > 0
+    emits DRI once and RSTn markers every ``dri`` MCUs/data units
+    (predictors, EOB run, and bit buffers reset)."""
+    import struct
+
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = (w + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+    for c in comps:
+        assert len(c["grid"]) == mcuy * c["v"]
+        assert all(len(row) == mcux * c["h"] for row in c["grid"])
+        cw_px = (w * c["h"] + maxh - 1) // maxh
+        ch_px = (h * c["v"] + maxv - 1) // maxv
+        c["nbw"] = (cw_px + 7) // 8
+        c["nbh"] = (ch_px + 7) // 8
+    if scans is None:
+        all_idx = tuple(range(len(comps)))
+        scans = [(all_idx, 0, 0, 0, 1)]
+        for ci in range(len(comps)):
+            scans.append(((ci,), 1, 5, 0, 2))
+            scans.append(((ci,), 6, 63, 0, 2))
+        for ci in range(len(comps)):
+            scans.append(((ci,), 1, 63, 2, 1))
+        scans.append((all_idx, 0, 0, 1, 0))
+        for ci in range(len(comps)):
+            scans.append(((ci,), 1, 63, 1, 0))
+
+    def cat(v):
+        s = abs(v).bit_length()
+        return s, (v + (1 << s) - 1 if v < 0 else v)
+
+    class Collect:
+        """Pass-1 emitter: records the scan's Huffman symbol alphabet."""
+
+        def __init__(self):
+            self.dc_syms, self.ac_syms = set(), set()
+
+        def sym(self, cls, s):
+            (self.dc_syms if cls == 0 else self.ac_syms).add(s)
+
+        def bits(self, v, n):
+            pass
+
+        def restart(self):
+            pass
+
+        def done(self):
+            pass
+
+    class Write:
+        """Pass-2 emitter: canonical-code bit writer with byte stuffing
+        and RSTn emission (byte-aligned, 1-padded, per §F.1.2.3)."""
+
+        def __init__(self, dc_enc, ac_enc):
+            self.dc_enc, self.ac_enc = dc_enc, ac_enc
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+            self.rst = 0
+
+        def bits(self, val, cnt):
+            for i in range(cnt - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def sym(self, cls, s):
+            code, ln = (self.dc_enc if cls == 0 else self.ac_enc)[s]
+            self.bits(code, ln)
+
+        def _pad(self):
+            while self.n:
+                self.bits(1, 1)
+
+        def restart(self):
+            self._pad()
+            self.out += bytes([0xFF, 0xD0 + self.rst % 8])
+            self.rst += 1
+
+        def done(self):
+            self._pad()
+
+    def run_scan(emit, scan_comps, ss, se, ah, al):
+        """Drive one scan through an emitter (identical control flow for
+        symbol collection and bit writing — the point of the split)."""
+        preds = {id(c): 0 for c in scan_comps}
+        # eobrun: pending all-ended blocks; be: correction bits belonging
+        # to those completed blocks (emitted with the EOBn symbol) — the
+        # IJG BE/BR split: bits since the last symbol WITHIN a block ride
+        # a local buffer and flush right after that block's next symbol
+        state = {"eobrun": 0, "be": []}
+
+        def flush_eob():
+            if state["eobrun"]:
+                nb = state["eobrun"].bit_length() - 1
+                emit.sym(1, nb << 4)
+                emit.bits(state["eobrun"] - (1 << nb), nb)
+                state["eobrun"] = 0
+                for bit in state["be"]:
+                    emit.bits(bit, 1)
+                state["be"] = []
+
+        def dc_unit(c, blk):
+            if ah == 0:
+                dc = blk[0] >> al  # arithmetic shift: the DC point transform
+                diff = dc - preds[id(c)]
+                preds[id(c)] = dc
+                s, v = cat(diff)
+                emit.sym(0, s)
+                emit.bits(v, s)
+            else:
+                emit.bits((blk[0] >> al) & 1, 1)
+
+        def ac_first(zz):
+            coded = [
+                (abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            if not any(coded):
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+                return
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, t in enumerate(coded) if t)
+            for i, t in enumerate(coded):
+                if i > last_nz:
+                    state["eobrun"] = 1  # trailing zeros: EOB, accumulable
+                    break
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit.sym(1, 0xF0)
+                    run -= 16
+                s, v = cat(t)
+                emit.sym(1, (run << 4) | s)
+                emit.bits(v, s)
+                run = 0
+
+        def ac_refine(zz):
+            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+            eob_last = -1  # index of the LAST newly-significant coef
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_last = i
+            run = 0
+            br = []  # correction bits since the last emitted symbol
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                # the ZRL drain runs at EVERY nonzero, BEFORE the
+                # already-significant branch — the invariant that keeps
+                # each buffered correction bit inside the decoder's next
+                # advance window (run never exceeds 15 across a buffered
+                # coefficient); past the last newly-significant coef the
+                # trailing zeros fold into the EOB run instead
+                while run > 15 and i <= eob_last:
+                    flush_eob()
+                    emit.sym(1, 0xF0)
+                    run -= 16
+                    for bit in br:
+                        emit.bits(bit, 1)
+                    br = []
+                if t > 1:  # already significant: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                emit.sym(1, (run << 4) | 1)
+                emit.bits(1 if zz[ss + i] > 0 else 0, 1)
+                for bit in br:
+                    emit.bits(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+
+        def unit(c, blk):
+            zz = [blk[_JZZ[k]] for k in range(64)]
+            if ss == 0:
+                dc_unit(c, zz)
+            elif ah == 0:
+                ac_first(zz)
+            else:
+                ac_refine(zz)
+
+        def do_restart():
+            flush_eob()
+            emit.restart()
+            for k in preds:
+                preds[k] = 0
+
+        if ss == 0 and len(scan_comps) > 1:  # interleaved DC scan
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu and mcu % dri == 0:
+                        do_restart()
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit(c, c["grid"][my * c["v"] + by]
+                                     [mx * c["h"] + bx])
+                    mcu += 1
+        else:  # single component: its own data-unit raster
+            c = scan_comps[0]
+            u = 0
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    if dri and u and u % dri == 0:
+                        do_restart()
+                    unit(c, c["grid"][by][bx])
+                    u += 1
+        flush_eob()
+        emit.done()
+
+    def huffbuild(symbols):
+        vals = sorted(symbols)
+        length = max(2, (len(vals) + 1).bit_length() - 1)
+        while (1 << length) - 1 < len(vals):
+            length += 1
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        enc = {sym: (i, length) for i, sym in enumerate(vals)}
+        return bits, vals, enc
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in sorted(qtables.items()):
+        out += seg(0xDB, bytes([tq]) + bytes(q[_JZZ[k]] for k in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    for comp_idx, ss, se, ah, al in scans:
+        scan_comps = [comps[i] for i in comp_idx]
+        col = Collect()
+        run_scan(col, scan_comps, ss, se, ah, al)
+        dc_enc = ac_enc = {}
+        if ss == 0 and ah == 0:
+            bits, vals, dc_enc = huffbuild(col.dc_syms or {0})
+            out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+        if ss > 0:
+            bits, vals, ac_enc = huffbuild(col.ac_syms or {0x00})
+            out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(scan_comps)])
+        for c in scan_comps:
+            sos += bytes([c["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        w_ = Write(dc_enc, ac_enc)
+        run_scan(w_, scan_comps, ss, se, ah, al)
+        out += w_.out
     out += b"\xff\xd9"
     return bytes(out)
 

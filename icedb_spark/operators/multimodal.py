@@ -697,11 +697,13 @@ def _decode_jpeg(b: bytes) -> "list[int]":
     replication chroma upsampling and the JFIF YCbCr→RGB transform
     before the module's BT.601 integer luma contract (1-component
     scans ARE the luma). Sampling factors 1..4 per axis (4:4:4, 4:2:2,
-    4:2:0, 4:1:1). Progressive (SOF2), arithmetic coding, 12-bit precision,
-    hierarchical, and multi-scan files raise — recognized container,
-    unsupported profile, exactly like palette-less palette PNG.
-    Hostile-geometry guard: the SOF claim is capped at 64MB of raster
-    BYTES before any allocation."""
+    4:2:0, 4:1:1). PROGRESSIVE (SOF2) dispatches to
+    :func:`_decode_jpeg_progressive` — together the two cover
+    effectively the whole real web JPEG corpus. Arithmetic coding,
+    12-bit precision, lossless, hierarchical, and baseline multi-scan
+    files raise — recognized container, unsupported profile, exactly
+    like palette-less palette PNG. Hostile-geometry guard: the SOF
+    claim is capped at 64MB of raster BYTES before any allocation."""
     import struct
 
     n = len(b)
@@ -709,6 +711,7 @@ def _decode_jpeg(b: bytes) -> "list[int]":
     huff: dict = {}
     dri = 0
     frame = None
+    progressive = False
     o = 2  # past SOI
     while True:
         if o >= n:
@@ -765,7 +768,8 @@ def _decode_jpeg(b: bytes) -> "list[int]":
                 p += cnt
             if p != len(data):
                 raise ValueError("decode_image_pixels: bad JPEG DHT")
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline(-compatible)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             if frame is not None:
                 raise ValueError("decode_image_pixels: multiple JPEG SOF")
             if len(data) < 6:
@@ -802,12 +806,12 @@ def _decode_jpeg(b: bytes) -> "list[int]":
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq_i})
             frame = (fw, fh, comps)
         elif m in (
-            0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
             raise ValueError(
-                "decode_image_pixels: only baseline sequential JPEG "
-                f"(got SOF marker 0x{m:02x})"
+                "decode_image_pixels: only baseline or progressive "
+                f"Huffman JPEG (got SOF marker 0x{m:02x})"
             )
         elif m == 0xDD:  # DRI
             if len(data) != 2:
@@ -819,6 +823,8 @@ def _decode_jpeg(b: bytes) -> "list[int]":
     if frame is None:
         raise ValueError("decode_image_pixels: JPEG scan before SOF")
     fw, fh, comps = frame
+    if progressive:
+        return _decode_jpeg_progressive(b, o, data, frame, qt, huff, dri)
     if len(data) < 1 or data[0] != len(comps):
         raise ValueError(
             "decode_image_pixels: JPEG multi-scan files unsupported"
@@ -885,6 +891,16 @@ def _decode_jpeg(b: bytes) -> "list[int]":
                                 px8[8 * yy:8 * yy + 8]
                             )
             mcu += 1
+    return _jpeg_planes_to_luma(fw, fh, comps, maxh, maxv)
+
+
+def _jpeg_planes_to_luma(
+    fw: int, fh: int, comps: list, maxh: int, maxv: int
+) -> "list[int]":
+    """Shared tail of the baseline and progressive JPEG paths: crop the
+    padded per-component sample planes to frame size; for 3-component
+    frames, replication-upsample chroma, apply the JFIF inverse YCbCr
+    transform, and emit the module's BT.601 integer luma."""
     if len(comps) == 1:
         c = comps[0]
         pw = c["pw"]
@@ -892,8 +908,6 @@ def _decode_jpeg(b: bytes) -> "list[int]":
         return [
             plane[y * pw + x] for y in range(fh) for x in range(fw)
         ]
-    # YCbCr: replication upsample each plane to frame resolution,
-    # JFIF inverse transform to RGB, then the module's BT.601 luma
     out = []
     cy, cb, cr = comps
     for y in range(fh):
@@ -914,6 +928,333 @@ def _decode_jpeg(b: bytes) -> "list[int]":
             blue = min(255, max(0, int(round(yy + 1.772 * pb))))
             out.append((299 * red + 587 * green + 114 * blue) // 1000)
     return out
+
+
+def _decode_jpeg_progressive(
+    b: bytes, o: int, sos_data: bytes, frame, qt: dict, huff: dict, dri: int
+) -> "list[int]":
+    """PROGRESSIVE JPEG (SOF2, Huffman) — ITU T.81 Annex G, the other
+    half of the real web corpus beside m18's baseline path. Multi-scan
+    decode into per-component COEFFICIENT buffers, then one shared
+    dequant + IDCT + upsample + color tail:
+
+    - spectral selection: each scan carries a zigzag band [Ss, Se]; DC
+      scans (Ss=Se=0) may interleave several components in MCU order,
+      AC scans are single-component with data units in the component's
+      OWN raster order (§G.1);
+    - successive approximation: first passes (Ah=0) code values
+      point-transformed by ``>> Al`` (arithmetic for DC, magnitude for
+      AC) and the decoder re-shifts ``<< Al``; refinement passes
+      (Ah=Al+1) append one magnitude bit per coefficient — DC as a raw
+      bit, AC via the §G.1.2.3 correction-bit walk (newly-significant
+      coefficients carry (run, 1) symbols + a sign bit; every nonzero
+      coefficient passed on the way reads a correction bit);
+    - EOB runs: an (r, 0) symbol with r<15 ends the current block and
+      skips ``2^r - 1 + RECEIVE(r)`` more (state carried ACROSS blocks
+      within a scan, reset at restart markers);
+    - DHT/DQT/DRI segments may appear between scans and update state.
+
+    Truncated streams, bands past 63, multi-component AC scans,
+    refinement symbols with size != 1, and missing tables all raise —
+    recognized container, loud failure. Pure stdlib, same hostile-input
+    caps as the baseline path (geometry capped at the SOF)."""
+    fw, fh, comps = frame
+    n = len(b)
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = (fw + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (fh + 8 * maxv - 1) // (8 * maxv)
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # padded (MCU-aligned) block grid
+        c["bh"] = mcuy * c["v"]
+        cw_px = (fw * c["h"] + maxh - 1) // maxh  # component pixel dims
+        ch_px = (fh * c["v"] + maxv - 1) // maxv
+        c["nbw"] = (cw_px + 7) // 8  # non-interleaved data-unit grid
+        c["nbh"] = (ch_px + 7) // 8
+        c["coefs"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+        if c["tq"] not in qt:
+            raise ValueError(
+                "decode_image_pixels: JPEG frame references missing DQT"
+            )
+    by_id = {c["id"]: c for c in comps}
+
+    def huffsym(r: _JpegBits, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("decode_image_pixels: invalid JPEG Huffman code")
+
+    def receive(r: _JpegBits, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | r.bit()
+        return v
+
+    def decode_scan(pos: int, data: bytes) -> int:
+        if len(data) < 1:
+            raise ValueError("decode_image_pixels: bad JPEG SOS")
+        ns = data[0]
+        if len(data) != 1 + 2 * ns + 3 or not 1 <= ns <= len(comps):
+            raise ValueError("decode_image_pixels: bad JPEG SOS")
+        scan_comps = []
+        for i in range(ns):
+            cs, tt = data[1 + 2 * i], data[2 + 2 * i]
+            if cs not in by_id:
+                raise ValueError(
+                    "decode_image_pixels: JPEG scan selects unknown component"
+                )
+            c = by_id[cs]
+            c["td"], c["ta"] = tt >> 4, tt & 0x0F
+            scan_comps.append(c)
+        ss, se, ahal = data[1 + 2 * ns:1 + 2 * ns + 3]
+        ah, al = ahal >> 4, ahal & 0x0F
+        if ss > se or se > 63 or al > 13:
+            raise ValueError(
+                "decode_image_pixels: bad JPEG spectral band/shift"
+            )
+        if ss == 0 and se != 0:
+            # §G.1.1.1.1: a scan containing DC must contain ONLY DC
+            raise ValueError(
+                "decode_image_pixels: JPEG DC scan with AC band"
+            )
+        if ss > 0 and ns != 1:
+            raise ValueError(
+                "decode_image_pixels: JPEG progressive AC scan must be "
+                "single-component"
+            )
+        if ah and ah != al + 1:
+            raise ValueError(
+                "decode_image_pixels: JPEG successive approximation must "
+                "refine one bit at a time"
+            )
+        if ss == 0 and ah == 0:
+            for c in scan_comps:
+                if (0, c["td"]) not in huff:
+                    raise ValueError(
+                        "decode_image_pixels: JPEG scan references "
+                        "missing DHT"
+                    )
+        if ss > 0 and (1, scan_comps[0]["ta"]) not in huff:
+            raise ValueError(
+                "decode_image_pixels: JPEG scan references missing DHT"
+            )
+
+        r = _JpegBits(b, pos)
+        p1, m1 = None, None
+        if ss > 0:
+            p1, m1 = 1 << al, -1 << al
+
+        def refine_nonzero(blk, k):
+            # correction bit for an already-nonzero coefficient
+            if r.bit() and not blk[k] & p1:
+                blk[k] += p1 if blk[k] > 0 else m1
+
+        state = {"eobrun": 0}
+        preds = {c["id"]: 0 for c in scan_comps}
+
+        def dc_unit(c, blk):
+            if ah == 0:
+                t = huffsym(r, huff[(0, c["td"])])
+                if t > 11:
+                    raise ValueError(
+                        "decode_image_pixels: bad JPEG DC category"
+                    )
+                preds[c["id"]] += _jpeg_receive_extend(r, t)
+                blk[0] = preds[c["id"]] << al
+            else:
+                blk[0] |= r.bit() << al
+
+        actab = huff.get((1, scan_comps[0]["ta"])) if ss > 0 else None
+
+        def ac_first(blk):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = huffsym(r, actab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run < 15:  # EOBn: this block done + 2^r-1+ext more
+                        state["eobrun"] = (1 << run) - 1 + receive(r, run)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError(
+                        "decode_image_pixels: JPEG AC run past band end"
+                    )
+                blk[k] = _jpeg_receive_extend(r, size) << al
+                k += 1
+
+        def ac_refine(blk):
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = huffsym(r, actab)
+                    run, size = rs >> 4, rs & 0x0F
+                    val = 0
+                    if size == 0:
+                        if run < 15:
+                            # EOB run INCLUDES this block's remainder
+                            state["eobrun"] = (1 << run) + receive(r, run)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "decode_image_pixels: JPEG AC refinement "
+                                "size must be 1"
+                            )
+                        val = p1 if r.bit() else m1
+                    while k <= se:
+                        if blk[k]:
+                            refine_nonzero(blk, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if blk[k]:
+                        refine_nonzero(blk, k)
+                    k += 1
+                state["eobrun"] -= 1
+
+        def restart():
+            r.restart()
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+        if ss == 0 and ns > 1:  # interleaved DC scan, MCU order
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu and mcu % dri == 0:
+                        restart()
+                    for c in scan_comps:
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                blk = c["coefs"][
+                                    (my * c["v"] + byy) * c["bw"]
+                                    + mx * c["h"] + bxx
+                                ]
+                                dc_unit(c, blk)
+                    mcu += 1
+        else:  # single-component scan: the component's own raster order
+            c = scan_comps[0]
+            unit = 0
+            for byy in range(c["nbh"]):
+                for bxx in range(c["nbw"]):
+                    if dri and unit and unit % dri == 0:
+                        restart()
+                    blk = c["coefs"][byy * c["bw"] + bxx]
+                    if ss == 0:
+                        dc_unit(c, blk)
+                    else:
+                        ac_first(blk) if ah == 0 else ac_refine(blk)
+                    unit += 1
+        if ss > 0 and state["eobrun"]:
+            raise ValueError(
+                "decode_image_pixels: JPEG EOB run past the scan"
+            )
+        return r.pos
+
+    import struct
+
+    o = decode_scan(o, sos_data)
+    while True:
+        # inter-scan marker walk: DHT/DQT/DRI updates, more scans, EOI
+        if o >= n:
+            raise ValueError(
+                "decode_image_pixels: JPEG stream ends without EOI"
+            )
+        if b[o] != 0xFF:
+            raise ValueError("decode_image_pixels: bad JPEG marker stream")
+        while o < n and b[o] == 0xFF:
+            o += 1
+        if o >= n:
+            raise ValueError("decode_image_pixels: truncated JPEG stream")
+        m = b[o]
+        o += 1
+        if m == 0xD9:  # EOI — all scans in
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        if o + 2 > n:
+            raise ValueError("decode_image_pixels: truncated JPEG segment")
+        seg = (b[o] << 8) | b[o + 1]
+        if seg < 2 or o + seg > n:
+            raise ValueError("decode_image_pixels: truncated JPEG segment")
+        data = b[o + 2:o + seg]
+        o += seg
+        if m == 0xC4:  # DHT between scans
+            p = 0
+            while p + 17 <= len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                if tc > 1 or th > 3:
+                    raise ValueError("decode_image_pixels: bad JPEG DHT")
+                bits = list(data[p + 1:p + 17])
+                cnt = sum(bits)
+                p += 17
+                if p + cnt > len(data):
+                    raise ValueError("decode_image_pixels: bad JPEG DHT")
+                huff[(tc, th)] = _jpeg_build_huff(bits, data[p:p + cnt])
+                p += cnt
+            if p != len(data):
+                raise ValueError("decode_image_pixels: bad JPEG DHT")
+        elif m == 0xDB:  # DQT between scans
+            p = 0
+            while p < len(data):
+                pq, tq_i = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                if pq not in (0, 1) or tq_i > 3:
+                    raise ValueError("decode_image_pixels: bad JPEG DQT")
+                step = 2 if pq else 1
+                if p + 64 * step > len(data):
+                    raise ValueError("decode_image_pixels: bad JPEG DQT")
+                if pq:
+                    qt[tq_i] = [
+                        struct.unpack_from(">H", data, p + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                else:
+                    qt[tq_i] = list(data[p:p + 64])
+                p += 64 * step
+        elif m == 0xDD:
+            if len(data) != 2:
+                raise ValueError("decode_image_pixels: bad JPEG DRI")
+            dri = (data[0] << 8) | data[1]
+        elif m == 0xDA:
+            o = decode_scan(o, data)
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):
+            raise ValueError("decode_image_pixels: multiple JPEG SOF")
+        # else: APPn/COM/unknown — skipped
+
+    # all scans folded into coefficients: dequant + IDCT + place, then
+    # the shared upsample/color tail
+    for c in comps:
+        c["pw"] = c["bw"] * 8
+        c["plane"] = bytearray(c["pw"] * c["bh"] * 8)
+        q = qt[c["tq"]]
+        pw = c["pw"]
+        for byy in range(c["bh"]):
+            for bxx in range(c["bw"]):
+                px8 = _jpeg_idct_block(c["coefs"][byy * c["bw"] + bxx], q)
+                x0, y0 = bxx * 8, byy * 8
+                for yy in range(8):
+                    base = (y0 + yy) * pw + x0
+                    c["plane"][base:base + 8] = bytes(px8[8 * yy:8 * yy + 8])
+    return _jpeg_planes_to_luma(fw, fh, comps, maxh, maxv)
 
 
 def _decode_png(b: bytes) -> "list[int]":

@@ -4509,10 +4509,14 @@ def test_decode_jpeg_unsupported_and_hostile():
         8, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}], {0: q8}
     )
     assert decode_image_pixels(good) is not None
-    # progressive: flip SOF0 marker to SOF2
+    # SOF0 flipped to SOF2: the baseline scan header (Ss=0, Se=63) is
+    # malformed AS progressive — a DC scan must not carry an AC band
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan with AC band"):
         decode_image_pixels(prog)
+    # lossless (SOF3) stays a recognized-unsupported profile
+    with pytest.raises(ValueError, match="baseline or progressive"):
+        decode_image_pixels(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_image_pixels(good[:-6])
@@ -4540,7 +4544,176 @@ def test_decode_jpeg_unsupported_and_hostile():
         )
 
 
-def test_decode_jpeg_single_component_ignores_sampling():
+def _rand_jpeg_grid(rng, nby, nbx, dc=60, ac=9):
+    def randblk():
+        blk = [0] * 64
+        blk[0] = rng.randint(-dc, dc)
+        for _ in range(10):
+            blk[rng.randint(1, 63)] = rng.randint(-ac, ac)
+        blk[63] = rng.choice([-3, 3])
+        for i in range(40, 63):
+            blk[i] = 0
+        return blk
+
+    return [[randblk() for _ in range(nbx)] for _ in range(nby)]
+
+
+def test_decode_jpeg_progressive_gray_equals_baseline():
+    """Progressive decode == baseline decode of the SAME quantized
+    coefficient grids (both encoders are independent spec-side
+    implementations): the default scan script exercises interleaved-DC
+    ordering, two spectral AC bands, successive approximation down two
+    bits (AC first at Al=2 then refinements at 1 and 0 — the §G.1.2.3
+    correction-bit walk), EOB-run accumulation across blocks, and the
+    DC refinement bit."""
+    import random
+
+    from __spark_entry__ import _encode_baseline_jpeg, _encode_progressive_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    Q = _jpeg_q_lum()
+    rng = random.Random(19)
+    grid = _rand_jpeg_grid(rng, 3, 4)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}]
+    base = decode_image_pixels(_encode_baseline_jpeg(32, 24, comps, {0: Q}))
+    prog = decode_image_pixels(
+        _encode_progressive_jpeg(32, 24, comps, {0: Q})
+    )
+    assert prog == base
+    # a DC-only progressive file (spectral selection without any AC
+    # scan) is spec-legal: every block decodes as its DC average
+    dc_only = _encode_progressive_jpeg(
+        32, 24, comps, {0: Q},
+        scans=[((0,), 0, 0, 0, 1), ((0,), 0, 0, 1, 0)],
+    )
+    got = decode_image_pixels(dc_only)
+    from icedb_spark.operators.multimodal import _jpeg_idct_block
+    for by in range(3):
+        for bx in range(4):
+            want8 = _jpeg_idct_block(
+                [grid[by][bx][0]] + [0] * 63, Q
+            )
+            for yy in range(8):
+                for xx in range(8):
+                    assert got[(8 * by + yy) * 32 + 8 * bx + xx] \
+                        == want8[8 * yy + xx]
+
+
+def test_decode_jpeg_progressive_color_420_and_restarts():
+    """Progressive color 4:2:0 with restart intervals: interleaved DC
+    MCU order over subsampled chroma, per-component non-interleaved AC
+    scans (data units in COMPONENT raster order — nbw/nbh, not the
+    padded grid), RSTn inside scans (EOB run + predictors reset), all
+    equal to the baseline decode of the same coefficients."""
+    import random
+
+    from __spark_entry__ import _encode_baseline_jpeg, _encode_progressive_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    Q = _jpeg_q_lum()
+    rng = random.Random(23)
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 4, 4)},
+        {"id": 2, "h": 1, "v": 1, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 2, 2, dc=20, ac=4)},
+        {"id": 3, "h": 1, "v": 1, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 2, 2, dc=20, ac=4)},
+    ]
+    base = decode_image_pixels(_encode_baseline_jpeg(32, 32, comps, {0: Q}))
+    for dri in (0, 3):
+        prog = decode_image_pixels(
+            _encode_progressive_jpeg(32, 32, comps, {0: Q}, dri=dri)
+        )
+        assert prog == base, f"dri={dri}"
+    # frame width not an MCU multiple: the luma component's data-unit
+    # grid (nbw) stays the padded width but chroma's is SMALLER than
+    # its padded block grid — the non-interleaved AC scans must walk
+    # component dims, not MCU dims
+    comps17 = [
+        {"id": 1, "h": 2, "v": 2, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 4, 4)},
+        {"id": 2, "h": 1, "v": 1, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 2, 2, dc=20, ac=4)},
+        {"id": 3, "h": 1, "v": 1, "tq": 0,
+         "grid": _rand_jpeg_grid(rng, 2, 2, dc=20, ac=4)},
+    ]
+    base17 = decode_image_pixels(
+        _encode_baseline_jpeg(17, 18, comps17, {0: Q})
+    )
+    prog17 = decode_image_pixels(
+        _encode_progressive_jpeg(17, 18, comps17, {0: Q})
+    )
+    assert prog17 == base17
+
+
+def test_decode_jpeg_progressive_roundtrip_property():
+    """Hypothesis-style sweep without the import: many random grids and
+    scan scripts (variable spectral splits and approximation depths)
+    must all decode identically to baseline."""
+    import random
+
+    from __spark_entry__ import _encode_baseline_jpeg, _encode_progressive_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    Q = _jpeg_q_lum()
+    rng = random.Random(41)
+    for trial in range(6):
+        nby, nbx = rng.randint(1, 3), rng.randint(1, 3)
+        w = nbx * 8 - rng.randint(0, 7)
+        h = nby * 8 - rng.randint(0, 7)
+        grid = _rand_jpeg_grid(rng, nby, nbx)
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}]
+        base = decode_image_pixels(
+            _encode_baseline_jpeg(w, h, comps, {0: Q})
+        )
+        # random spectral split + approximation depth
+        split = rng.randint(1, 62)
+        al_top = rng.randint(0, 3)
+        scans = [((0,), 0, 0, 0, al_top)]
+        scans.append(((0,), 1, split, 0, al_top))
+        scans.append(((0,), split + 1, 63, 0, al_top))
+        for al in range(al_top - 1, -1, -1):
+            scans.append(((0,), 1, 63, al + 1, al))
+            scans.append(((0,), 0, 0, al + 1, al))
+        blob = _encode_progressive_jpeg(w, h, comps, {0: Q}, scans=scans)
+        assert decode_image_pixels(blob) == base, (
+            f"trial {trial}: w={w} h={h} split={split} al={al_top}"
+        )
+
+
+def test_decode_jpeg_progressive_hostile():
+    """Recognized-progressive failure modes fail loudly: truncated
+    entropy stream, truncated scan sequence (no EOI), multi-component
+    AC scan, DC scan carrying an AC band."""
+    import random
+
+    from __spark_entry__ import _encode_progressive_jpeg
+    from icedb_spark.operators import decode_image_pixels
+
+    Q = _jpeg_q_lum()
+    rng = random.Random(5)
+    grid = _rand_jpeg_grid(rng, 2, 2)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}]
+    good = _encode_progressive_jpeg(16, 16, comps, {0: Q})
+    assert decode_image_pixels(good) is not None
+    # truncation anywhere in the scan sequence raises
+    with pytest.raises(ValueError):
+        decode_image_pixels(good[:-8])
+    with pytest.raises(ValueError):
+        decode_image_pixels(good[: len(good) // 2])
+    # AC scan claiming two components: craft SOS ns=2 on a 1-comp frame
+    bad = bytearray(good)
+    sos_at = bad.find(b"\xff\xda")
+    assert sos_at > 0
+    # first scan is the interleaved DC scan (ns=1 here); set Ss=1 to
+    # make it an AC band on a DC scan header
+    ns = bad[sos_at + 4]
+    ss_at = sos_at + 5 + 2 * ns
+    bad_dc = bytearray(good)
+    bad_dc[ss_at] = 1  # Ss=1, Se=0 → band error
+    with pytest.raises(ValueError, match="spectral band|AC band|single"):
+        decode_image_pixels(bytes(bad_dc))
     """T.81 A.2.2: a single-component scan is NON-interleaved — 8x8 data
     units in raster order, no MCU grouping — so the frame's declared h/v
     sampling factors must not change the decode (ADVICE r11: honoring
