@@ -1436,10 +1436,13 @@ def _sf1_block(run_samples, cpus: str, spark):
         p4 = os.path.join(sf1_dir, "lineitem.parquet")
         li4 = spark.read.parquet(p4, p4, p4, p4)
         # x8 rung (VERDICT r11 #4): the single-shot 6 M-row job is
-        # ~60% fixed floor (measured decomposition in the floor_probe
-        # block below), so its per-core ratio is a job-latency
-        # measurement, not a throughput one; 48 M rows amortizes the
-        # floor to <10% and pins the asymptotic per-core rate
+        # dominated by per-job scan setup (measured decomposition in
+        # the floor_probe block below — submission itself is ~13 ms;
+        # the rest of the ~0.26 s intercept is footer reads + task
+        # ramp), so its per-core ratio is a job-latency measurement,
+        # not a throughput one; 48 M rows amortizes the intercept away
+        # and pins the asymptotic per-core rate (measured >= 1.0 on a
+        # quiet host)
         li8 = spark.read.parquet(*([p4] * 8))
         rate_stats = {
             "quantile_avg_by_month": probe9(quantile_q(li)),
@@ -1461,19 +1464,29 @@ def _sf1_block(run_samples, cpus: str, spark):
             ),
         }
         # floor decomposition (VERDICT r11 #4): what the 0.2-0.3 s
-        # single-shot wall is MADE of — an empty-scan job (pure
-        # submission + scheduling), a metadata-only count (footer
-        # reads + job), then the real scan. floor/job ≈ the fixed cost
-        # every sub-second cell pays regardless of code quality
+        # single-shot wall is MADE of. empty_job = pure submission +
+        # scheduling (limit-0 collapses to a local scan); pruned_scan =
+        # a real parquet job whose pushed-down always-false predicate
+        # row-group-prunes everything (footer reads + task launch, no
+        # data); intercept = the x1/x8 ladder's per-job fixed cost
+        # ((8*sec1 - sec8)/7 — everything that doesn't scale with
+        # bytes). floor_share = intercept / single-shot: the fraction
+        # of the sub-second cell that no scan-code change can remove
         floor_empty = probe9(li.limit(0).groupBy(F.lit(1)).count())
+        floor_pruned = probe9(
+            li.where(F.col("l_shipdate") < "1900-01-01")
+            .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+            .count()
+        )
+        sec1 = rate_stats["count_by_month"]["min"]
+        sec8 = rate_stats["count_by_month_x8"]["min"]
+        intercept = max(0.0, (8 * sec1 - sec8) / 7)
         floor_probe = {
             "empty_job_sec": floor_empty["min"],
-            "single_shot_sec": rate_stats["count_by_month"]["min"],
-            "floor_share": round(
-                floor_empty["min"]
-                / max(rate_stats["count_by_month"]["min"], 1e-9),
-                2,
-            ),
+            "pruned_scan_sec": floor_pruned["min"],
+            "single_shot_sec": sec1,
+            "intercept_sec": round(intercept, 3),
+            "floor_share": round(intercept / max(sec1, 1e-9), 2),
         }
         calib_after = calib_probe()
         rate_timings = {k: v["min"] for k, v in rate_stats.items()}
