@@ -3240,6 +3240,485 @@ def _encode_progressive_jpeg(w, h, comps, qtables, scans=None, dri=0):
     return bytes(out)
 
 
+def _encode_webp_lossless(
+    w,
+    h,
+    pixels,
+    subgreen=False,
+    palette=False,
+    cache_bits=0,
+    lz77=False,
+    predictor_bits=0,
+    predictor_modes=None,
+    color_bits=0,
+    color_ctes=None,
+    meta_bits=0,
+    meta_map=None,
+):
+    """Independent VP8L (WebP lossless) ENCODER — test-harness side,
+    written from RFC 9649, never from the decoder. ``pixels``: ARGB
+    ints, row-major. Arms: subtract-green, color-indexing (palette,
+    with sub-byte pixel bundling when small), color cache, greedy LZ77
+    (dist-1 runs and row-above copies through the 2D plane-code map),
+    the predictor transform (``predictor_modes``: tile-mode list),
+    the color transform (``color_ctes``: per-tile transform ints), and
+    meta prefix codes (``meta_map``: per-tile group indices). Prefix
+    codes are canonical over exactly the used symbols (equal lengths —
+    small, valid, and exercises the decoder's generic path); 1/2-symbol
+    byte-alphabet codes use the SIMPLE form."""
+    from icedb_spark.operators.multimodal import _VP8L_PLANE_CODES
+
+    CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                13, 14, 15)
+
+    class BW:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def bits(self, v, n):  # fixed-width fields: LSB first
+            for i in range(n):
+                self.acc |= ((v >> i) & 1) << self.n
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    self.acc = 0
+                    self.n = 0
+
+        def code(self, code, ln):  # prefix codes: MSB first, bit by bit
+            for i in range(ln - 1, -1, -1):
+                self.bits((code >> i) & 1, 1)
+
+        def done(self):
+            if self.n:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+            return bytes(self.out)
+
+    def complete_lengths(u):
+        """KRAFT-COMPLETE code lengths over the used symbols (libwebp's
+        table builder rejects under-subscribed codes): with n symbols,
+        ``2^L - n`` of them take length L-1 and the rest L — the Kraft
+        sum is exactly 1. Shorter codes go to the smaller symbols."""
+        u = sorted(u)
+        n = len(u)
+        assert n >= 2
+        L = (n - 1).bit_length()
+        excess = (1 << L) - n
+        return {s: (L - 1 if i < excess else L) for i, s in enumerate(u)}
+
+    def canonical_from_lengths(lens):
+        # DEFLATE canonical: codes increase within a length in symbol
+        # order, shift left one per extra length step
+        items = sorted((ln, s) for s, ln in lens.items() if ln > 0)
+        out = {}
+        code = 0
+        prev = items[0][0]
+        for ln, s in items:
+            code <<= ln - prev
+            prev = ln
+            out[s] = (code, ln)
+            code += 1
+        return out
+
+    def write_code(bw, used, alphabet_size):
+        """Emit one prefix code for the used-symbol set; return the
+        symbol->(code,len) encoder map."""
+        u = sorted(used)
+        if 1 <= len(u) <= 2 and max(u) <= 255:
+            bw.bits(1, 1)  # simple
+            bw.bits(len(u) - 1, 1)
+            if u[0] > 1:
+                bw.bits(1, 1)
+                bw.bits(u[0], 8)
+            else:
+                bw.bits(0, 1)
+                bw.bits(u[0], 1)
+            if len(u) == 2:
+                bw.bits(u[1], 8)
+            if len(u) == 1:
+                return {u[0]: (0, 0)}
+            return canonical_from_lengths({u[0]: 1, u[1]: 1})
+        if len(u) == 1:
+            # a >255 symbol can't ride the simple form; pad with a dummy
+            # so the normal form stays a complete 1-bit tree
+            u = sorted(u + [0 if u[0] != 0 else 1])
+        lens = complete_lengths(u)
+        enc = canonical_from_lengths(lens)
+        bw.bits(0, 1)  # normal form
+        # code-length code over the distinct length values (plus 0 for
+        # the unused alphabet tail) — itself Kraft-complete
+        cl_used = set(lens.values()) | (
+            {0} if len(u) < alphabet_size else set()
+        )
+        if len(cl_used) == 1:
+            only = next(iter(cl_used))
+            cl_enc = {only: (0, 0)}
+            cl_lens = {only: 1}  # a single cl symbol still needs a
+            # nonzero declared length; decoders read it with 0 bits
+        else:
+            cl_lens = complete_lengths(cl_used)
+            cl_enc = canonical_from_lengths(cl_lens)
+        need = max(CL_ORDER.index(s) for s in cl_used) + 1
+        num_codes = max(4, need)
+        bw.bits(num_codes - 4, 4)
+        for i in range(num_codes):
+            s = CL_ORDER[i]
+            bw.bits(cl_lens.get(s, 0), 3)
+        bw.bits(0, 1)  # no explicit max_symbol
+        for sym in range(alphabet_size):
+            c, ln = cl_enc[lens.get(sym, 0)]
+            bw.code(c, ln)
+        return enc
+
+    def prefix_split(v):
+        # invert the length/distance prefix coding: v -> (code, extra, n)
+        if v <= 4:
+            return v - 1, 0, 0
+        for code in range(4, 40):
+            extra = (code - 2) >> 1
+            offset = (2 + (code & 1)) << extra
+            if offset + 1 <= v <= offset + (1 << extra):
+                return code, v - 1 - offset, extra
+        raise AssertionError(f"value {v} out of prefix range")
+
+    def tokens_for(px, cur_w, cbits):
+        """Token stream: ('lit', p) | ('cache', idx) | ('copy', len, d)."""
+        toks = []
+        cache = [None] * (1 << cbits) if cbits else None
+        i = 0
+        n = len(px)
+        while i < n:
+            if lz77 and i >= cur_w:
+                # row-above run (2D plane code territory)
+                run = 0
+                while i + run < n and px[i + run] == px[i + run - cur_w] \
+                        and run < 100:
+                    run += 1
+                if run >= 4:
+                    toks.append(("copy", run, cur_w))
+                    if cbits:
+                        for j in range(run):
+                            p = px[i + j]
+                            cache[(0x1E35A7BD * p & 0xFFFFFFFF)
+                                  >> (32 - cbits)] = p
+                    i += run
+                    continue
+            if lz77 and i >= 1:
+                run = 0
+                while i + run < n and px[i + run] == px[i - 1] and run < 80:
+                    run += 1
+                if run >= 4:
+                    toks.append(("copy", run, 1))
+                    if cbits:
+                        p = px[i]
+                        cache[(0x1E35A7BD * p & 0xFFFFFFFF)
+                              >> (32 - cbits)] = p
+                    i += run
+                    continue
+            p = px[i]
+            if cbits:
+                idx = (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cbits)
+                if cache[idx] == p:
+                    toks.append(("cache", idx))
+                    i += 1
+                    continue
+                cache[idx] = p
+            toks.append(("lit", p))
+            i += 1
+        return toks
+
+    def dist_to_code(d, cur_w):
+        for ci, e in enumerate(_VP8L_PLANE_CODES):
+            dy, dx = e >> 4, 8 - (e & 0xF)
+            if max(1, dy * cur_w + dx) == d:
+                return ci + 1
+        return d + 120
+
+    def write_entropy_image(bw, px, cur_w, cbits, level0=False, meta=None):
+        """[color cache][meta? (level0 only)][codes][tokens] for one
+        image. ``meta``: (hbits, tile_map) — per-tile prefix-code
+        groups on the MAIN image."""
+        if cbits:
+            bw.bits(1, 1)
+            bw.bits(cbits, 4)
+        else:
+            bw.bits(0, 1)
+        hbits, tile_map, ngroups, mw = 0, None, 1, 0
+        if level0:
+            if meta:
+                hbits, tile_map = meta
+                mw = (cur_w + (1 << hbits) - 1) >> hbits
+                mh = (h + (1 << hbits) - 1) >> hbits
+                assert len(tile_map) == mw * mh
+                ngroups = max(tile_map) + 1
+                bw.bits(1, 1)
+                bw.bits(hbits - 2, 3)
+                write_subimage(
+                    bw,
+                    [0xFF000000 | ((g >> 8) << 16) | ((g & 255) << 8)
+                     for g in tile_map],
+                    mw,
+                )
+            else:
+                bw.bits(0, 1)
+        toks = tokens_for(px, cur_w, cbits)
+        # assign each token to its group by the position of the pixel(s)
+        # it produces (copies stay within one tile row for our shapes)
+        tok_groups = []
+        pos = 0
+        for t in toks:
+            x, y = pos % cur_w, pos // cur_w
+            g = tile_map[(y >> hbits) * mw + (x >> hbits)] if tile_map \
+                else 0
+            tok_groups.append(g)
+            pos += 1 if t[0] != "copy" else t[1]
+        used = [
+            {"g": set(), "r": set(), "b": set(), "a": set(), "d": set()}
+            for _ in range(ngroups)
+        ]
+        for t, g in zip(toks, tok_groups):
+            u = used[g]
+            if t[0] == "lit":
+                p = t[1]
+                u["g"].add((p >> 8) & 255)
+                u["r"].add((p >> 16) & 255)
+                u["b"].add(p & 255)
+                u["a"].add((p >> 24) & 255)
+            elif t[0] == "cache":
+                u["g"].add(256 + 24 + t[1])
+            else:
+                code, _, _ = prefix_split(t[1])
+                u["g"].add(256 + code)
+                dc, _, _ = prefix_split(dist_to_code(t[2], cur_w))
+                u["d"].add(dc)
+        encs = []
+        for u in used:
+            encs.append((
+                write_code(bw, u["g"] or {0}, 256 + 24
+                           + ((1 << cbits) if cbits else 0)),
+                write_code(bw, u["r"] or {0}, 256),
+                write_code(bw, u["b"] or {0}, 256),
+                write_code(bw, u["a"] or {0}, 256),
+                write_code(bw, u["d"] or {0}, 40),
+            ))
+        for t, g in zip(toks, tok_groups):
+            eg, er, eb, ea, ed = encs[g]
+            if t[0] == "lit":
+                p = t[1]
+                bw.code(*eg[(p >> 8) & 255])
+                bw.code(*er[(p >> 16) & 255])
+                bw.code(*eb[p & 255])
+                bw.code(*ea[(p >> 24) & 255])
+            elif t[0] == "cache":
+                bw.code(*eg[256 + 24 + t[1]])
+            else:
+                code, extra, nb = prefix_split(t[1])
+                bw.code(*eg[256 + code])
+                bw.bits(extra, nb)
+                dcode = dist_to_code(t[2], cur_w)
+                dc, dextra, dnb = prefix_split(dcode)
+                bw.code(*ed[dc])
+                bw.bits(dextra, dnb)
+
+    def write_subimage(bw, px, sw):
+        # transform/entropy subimages: no transforms, no meta, no cache
+        write_entropy_image(bw, px, sw, 0)
+
+    px = list(pixels)
+    assert len(px) == w * h
+    bw = BW()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if any((p >> 24) & 255 != 255 for p in px) else 0, 1)
+    bw.bits(0, 3)  # version
+    cur_w = w
+
+    if color_bits:
+        bw.bits(1, 1)
+        bw.bits(1, 2)  # color transform
+        bw.bits(color_bits - 2, 3)
+        tw = (cur_w + (1 << color_bits) - 1) >> color_bits
+        th = (h + (1 << color_bits) - 1) >> color_bits
+        assert len(color_ctes) == tw * th
+
+        def cdelta(tv, c):
+            tv = tv - 256 if tv >= 128 else tv
+            c = c - 256 if c >= 128 else c
+            return (tv * c) >> 5
+
+        fwd = []
+        for i, p in enumerate(px):
+            x, y = i % cur_w, i // cur_w
+            cte = color_ctes[(y >> color_bits) * tw + (x >> color_bits)]
+            g = (p >> 8) & 255
+            r = (p >> 16) & 255
+            b_ = p & 255
+            sr = (r - cdelta(cte & 255, g)) & 255
+            sb = (b_ - cdelta((cte >> 8) & 255, g)
+                  - cdelta((cte >> 16) & 255, r)) & 255
+            fwd.append((p & 0xFF00FF00) | (sr << 16) | sb)
+        px = fwd
+        write_subimage(bw, [0xFF000000 | c for c in color_ctes], tw)
+    if predictor_bits:
+        bw.bits(1, 1)
+        bw.bits(0, 2)  # predictor transform
+        bw.bits(predictor_bits - 2, 3)
+        tw = (cur_w + (1 << predictor_bits) - 1) >> predictor_bits
+        th = (h + (1 << predictor_bits) - 1) >> predictor_bits
+        assert len(predictor_modes) == tw * th
+
+        # ENCODER-SIDE predictor (independent RFC 3.5 implementation —
+        # not the decoder's): residual = pixel - pred per channel mod 256
+        def ech(p):
+            return (p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, \
+                p & 255
+
+        def eavg(a, b):
+            return tuple((ca + cb) >> 1 for ca, cb in zip(ech(a), ech(b)))
+
+        def epack(t):
+            return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
+
+        def eclamp(v):
+            return 0 if v < 0 else 255 if v > 255 else v
+
+        def epred(recon, i, mode):
+            left, top = recon[i - 1], recon[i - cur_w]
+            tl, tr = recon[i - cur_w - 1], recon[i - cur_w + 1]
+            if mode == 0:
+                return 0xFF000000
+            if mode == 1:
+                return left
+            if mode == 2:
+                return top
+            if mode == 3:
+                return tr
+            if mode == 4:
+                return tl
+            if mode == 5:
+                return epack(eavg(epack(eavg(left, tr)), top))
+            if mode == 6:
+                return epack(eavg(left, tl))
+            if mode == 7:
+                return epack(eavg(left, top))
+            if mode == 8:
+                return epack(eavg(tl, top))
+            if mode == 9:
+                return epack(eavg(top, tr))
+            if mode == 10:
+                return epack(eavg(epack(eavg(left, tl)),
+                                  epack(eavg(top, tr))))
+            if mode == 11:
+                lc, tc, cc = ech(left), ech(top), ech(tl)
+                est = [lc[k] + tc[k] - cc[k] for k in range(4)]
+                p_l = sum(abs(est[k] - lc[k]) for k in range(4))
+                p_t = sum(abs(est[k] - tc[k]) for k in range(4))
+                return left if p_l < p_t else top
+            if mode == 12:
+                lc, tc, cc = ech(left), ech(top), ech(tl)
+                return epack(tuple(
+                    eclamp(lc[k] + tc[k] - cc[k]) for k in range(4)
+                ))
+            if mode == 13:
+                av = eavg(left, top)
+                cc = ech(tl)
+                out = []
+                for k in range(4):
+                    d = av[k] - cc[k]
+                    half = (abs(d) // 2) * (1 if d >= 0 else -1)
+                    out.append(eclamp(av[k] + half))
+                return epack(tuple(out))
+            raise AssertionError(f"bad predictor mode {mode}")
+
+        recon = list(px)
+        res = []
+        for i, p in enumerate(recon):
+            x, y = i % cur_w, i // cur_w
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = recon[i - 1]
+            elif x == 0:
+                pred = recon[i - cur_w]
+            else:
+                mode = predictor_modes[
+                    (y >> predictor_bits) * tw + (x >> predictor_bits)
+                ]
+                pred = epred(recon, i, mode)
+            res.append(
+                ((((p >> 24) - (pred >> 24)) & 255) << 24)
+                | ((((p >> 16) - (pred >> 16)) & 255) << 16)
+                | ((((p >> 8) - (pred >> 8)) & 255) << 8)
+                | ((p - pred) & 255)
+            )
+        px = res
+        write_subimage(
+            bw, [0xFF000000 | (m << 8) for m in predictor_modes], tw
+        )
+    if subgreen:
+        bw.bits(1, 1)
+        bw.bits(2, 2)
+        px = [
+            (p & 0xFF00FF00)
+            | ((((p >> 16) - (p >> 8)) & 255) << 16)
+            | ((p - (p >> 8)) & 255)
+            for p in px
+        ]
+    if palette:
+        colors = []
+        seen = {}
+        for p in px:
+            if p not in seen:
+                seen[p] = len(colors)
+                colors.append(p)
+        assert len(colors) <= 256
+        bw.bits(1, 1)
+        bw.bits(3, 2)
+        bw.bits(len(colors) - 1, 8)
+        # palette rides delta-coded
+        deltas = []
+        prev = 0
+        for c in colors:
+            deltas.append(
+                ((((c >> 24) - (prev >> 24)) & 255) << 24)
+                | ((((c >> 16) - (prev >> 16)) & 255) << 16)
+                | ((((c >> 8) - (prev >> 8)) & 255) << 8)
+                | ((c - prev) & 255)
+            )
+            prev = c
+        write_subimage(bw, deltas, len(colors))
+        nsz = len(colors)
+        wb = 3 if nsz <= 2 else 2 if nsz <= 4 else 1 if nsz <= 16 else 0
+        per = 8 >> wb
+        cw = (cur_w + (1 << wb) - 1) >> wb
+        bundled = []
+        for y in range(h):
+            for bx in range(cw):
+                v = 0
+                for k in range(1 << wb):
+                    x = (bx << wb) + k
+                    if x < cur_w:
+                        v |= seen[px[y * cur_w + x]] << (k * per)
+                bundled.append(0xFF000000 | (v << 8))
+        px = bundled
+        cur_w = cw
+    bw.bits(0, 1)  # end of transforms
+    write_entropy_image(
+        bw, px, cur_w, cache_bits, level0=True,
+        meta=(meta_bits, meta_map) if meta_bits else None,
+    )
+    payload = bw.done()
+    riff = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        riff += b"\x00"
+    return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little")
+            + b"WEBP" + riff)
+
+
 def m18_jpeg_phash(spark, sf_dir):
     """REAL baseline JPEG pixel decode under the value gate (VERDICT
     r10 #7 — the last big header-decoded-but-not-pixel-decoded format):

@@ -217,23 +217,32 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
       deferred-clear behavior) — pure Python, no codec lib.
 
-    * **JPEG** baseline sequential (VERDICT r10 #7) — the dominant
-      lossy web format: real marker walk, DQT/DHT parsing, canonical
-      Huffman decode, DRI/RSTn restart intervals, interleaved MCU scan
-      with per-component DC prediction, dequantization, separable
-      float IDCT, and (for color) 4:2:0/4:2:2/4:4:4 chroma upsampling
-      + the JFIF YCbCr→RGB transform. Progressive (SOF2), arithmetic,
-      12-bit, and multi-scan profiles raise — recognized container,
-      unsupported profile.
+    * **JPEG** baseline sequential (VERDICT r10 #7) AND progressive
+      (SOF2, VERDICT r11 #8) — the dominant lossy web format: real
+      marker walk, DQT/DHT parsing, canonical Huffman decode, DRI/RSTn
+      restart intervals, interleaved MCU scan with per-component DC
+      prediction (progressive: multi-scan spectral selection +
+      successive approximation into coefficient buffers),
+      dequantization, separable float IDCT, and (for color)
+      4:2:0/4:2:2/4:4:4 chroma upsampling + the JFIF YCbCr→RGB
+      transform. Arithmetic coding, 12-bit, lossless, and hierarchical
+      profiles raise — recognized container, unsupported profile.
+    * **WebP LOSSLESS** (VP8L, RFC 9649): LSB-first bitstream,
+      canonical prefix codes (simple + code-length-coded), optional
+      meta prefix groups, color cache, LZ77 with the 2D plane-code
+      distance map, and all four inverse transforms (subtract-green,
+      14-mode predictor, color transform, color-indexing with sub-byte
+      bundling) — cross-validated against libwebp in both directions.
+      Lossy VP8 and animated WebP raise as recognized-unsupported.
 
     Returns top-down row-major GRAYSCALE ints in 0..255 — RGB(A)
     collapses through the integer ITU-R BT.601 luma ``(299r + 587g +
     114b) // 1000`` (alpha ignored), exact arithmetic any engine
-    reproduces. Returns ``None`` for unrecognized containers (WebP and
-    other still-undecoded codecs keep the documented digest fake or an
-    external ``decode_fn``); a RECOGNIZED container with malformed
-    geometry/payload raises ``ValueError`` (decode errors should fail
-    loudly, not hash garbage)."""
+    reproduces. Returns ``None`` for unrecognized containers (lossy
+    codecs without a pure-Python decoder keep the documented digest
+    fake or an external ``decode_fn``); a RECOGNIZED container with
+    malformed geometry/payload raises ``ValueError`` (decode errors
+    should fail loudly, not hash garbage)."""
     import struct
 
     b = bytes(blob or b"")
@@ -243,6 +252,8 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
         return _decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _decode_webp(b)
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
         dib = struct.unpack("<I", b[14:18])[0]
@@ -1255,6 +1266,515 @@ def _decode_jpeg_progressive(
                     base = (y0 + yy) * pw + x0
                     c["plane"][base:base + 8] = bytes(px8[8 * yy:8 * yy + 8])
     return _jpeg_planes_to_luma(fw, fh, comps, maxh, maxv)
+
+
+#: VP8L LZ77 distance codes 1..120 map to 2D pixel offsets near the
+#: current position (RFC 9649 §4.2.2 / libwebp kCodeToPlaneCodes):
+#: entry e → dy = e >> 4, dx = 8 - (e & 0xF), distance = dy·width + dx
+#: (clamped to >= 1). Codes above 120 are plain 1D distances - 120.
+_VP8L_PLANE_CODES = bytes([
+    24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55, 57,
+    21, 27, 54, 58, 37, 43, 72, 4, 71, 73, 20, 28, 53, 59, 70, 74,
+    36, 44, 88, 69, 75, 52, 60, 3, 87, 89, 19, 29, 86, 90, 35, 45,
+    68, 76, 85, 91, 51, 61, 104, 2, 103, 105, 18, 30, 102, 106, 34, 46,
+    84, 92, 67, 77, 101, 107, 50, 62, 120, 1, 119, 121, 83, 93, 17, 31,
+    100, 108, 66, 78, 118, 122, 33, 47, 117, 123, 49, 63, 99, 109, 82, 94,
+    0, 116, 124, 65, 79, 16, 32, 98, 110, 48, 115, 125, 81, 95, 64, 114,
+    126, 97, 111, 80, 113, 127, 96, 112,
+])
+
+#: order in which the 19 code-length-code lengths are transmitted
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+class _Vp8lBits:
+    """LSB-first bit reader over the VP8L payload (the opposite bit
+    order of JPEG/GIF-LZW-style MSB readers — the classic WebP bug)."""
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0  # absolute BIT position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        b = self.b
+        pos = self.pos
+        if pos + n > 8 * len(b):
+            raise ValueError(
+                "decode_image_pixels: truncated VP8L bitstream"
+            )
+        for i in range(n):
+            v |= ((b[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
+        self.pos = pos + n
+        return v
+
+
+def _vp8l_canonical(lengths: "list[int]") -> dict:
+    """DEFLATE-style canonical prefix code from per-symbol code lengths:
+    ``(length, code) -> symbol`` with codes assigned in (length, symbol)
+    order. A single-symbol code is returned as ``{(0, 0): symbol}`` —
+    read with ZERO bits, per the spec."""
+    used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+    if not used:
+        raise ValueError("decode_image_pixels: empty VP8L prefix code")
+    if len(used) == 1:
+        return {(0, 0): used[0][1]}
+    used.sort()
+    table = {}
+    code = 0
+    prev_len = used[0][0]
+    for ln, sym in used:
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, code)] = sym
+        code += 1
+    if code > (1 << prev_len):
+        raise ValueError("decode_image_pixels: over-subscribed VP8L code")
+    return table
+
+
+def _vp8l_read_sym(br: _Vp8lBits, table: dict) -> int:
+    if (0, 0) in table:
+        return table[(0, 0)]
+    code = 0
+    for length in range(1, 16):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("decode_image_pixels: invalid VP8L prefix code")
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int) -> dict:
+    """One prefix code (RFC 9649 §4.1.1): the 2-symbol SIMPLE form, or
+    the NORMAL form — code-length code lengths in `_VP8L_CL_ORDER`,
+    then symbol code lengths via that meta code with 16/17/18 repeats
+    and the optional max_symbol cutoff."""
+    if br.bits(1):  # simple
+        num_symbols = br.bits(1) + 1
+        first = br.bits(8) if br.bits(1) else br.bits(1)
+        syms = [first]
+        if num_symbols == 2:
+            syms.append(br.bits(8))
+        if any(s >= alphabet_size for s in syms):
+            raise ValueError(
+                "decode_image_pixels: VP8L simple-code symbol out of range"
+            )
+        lengths = [0] * alphabet_size
+        for s in syms:
+            lengths[s] = 1
+        if num_symbols == 1:
+            return {(0, 0): syms[0]}
+        return _vp8l_canonical(lengths)
+    num_codes = br.bits(4) + 4
+    if num_codes > 19:
+        raise ValueError("decode_image_pixels: bad VP8L code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_table = _vp8l_canonical(cl_lengths)
+    if br.bits(1):  # explicit max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_sym(br, cl_table)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.bits(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + br.bits(3), 0
+            else:
+                repeat, fill = 11 + br.bits(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError(
+                    "decode_image_pixels: VP8L code-length repeat overrun"
+                )
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(br: _Vp8lBits, code: int) -> int:
+    """Length/distance prefix decoding (§4.2.1): codes 0..3 are the
+    values 1..4; above, ``(2 + (code&1)) << extra`` + extra bits + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_image(br: _Vp8lBits, w: int, h: int, level0: bool):
+    """Decode one VP8L image stream (RFC 9649 §5): for ``level0`` the
+    main ARGB image (transforms + optional meta-prefix allowed, returns
+    ``(pixels, transforms, coded_w)``); otherwise a transform/entropy
+    subimage (returns the pixel list). Pixels are ARGB ints."""
+    transforms = []
+    cur_w = w
+    if level0:
+        seen = set()
+        while br.bits(1):
+            t = br.bits(2)
+            if t in seen:
+                raise ValueError(
+                    "decode_image_pixels: repeated VP8L transform"
+                )
+            seen.add(t)
+            if t == 2:  # subtract green
+                transforms.append(("subgreen",))
+            elif t in (0, 1):  # predictor / color transform
+                sb = br.bits(3) + 2
+                tw = (cur_w + (1 << sb) - 1) >> sb
+                th = (h + (1 << sb) - 1) >> sb
+                tiles = _vp8l_image(br, tw, th, False)
+                transforms.append(
+                    ("pred" if t == 0 else "color", sb, tw, tiles)
+                )
+            else:  # color indexing (palette)
+                nsz = br.bits(8) + 1
+                raw = _vp8l_image(br, nsz, 1, False)
+                pal = []
+                pr = 0
+                for p in raw:  # palette entries are component-delta coded
+                    pr = (
+                        ((((pr >> 24) & 0xFF) + ((p >> 24) & 0xFF)) & 0xFF)
+                        << 24
+                        | ((((pr >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF)
+                        << 16
+                        | ((((pr >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF)
+                        << 8
+                        | (((pr & 0xFF) + (p & 0xFF)) & 0xFF)
+                    )
+                    pal.append(pr)
+                wb = 3 if nsz <= 2 else 2 if nsz <= 4 else 1 if nsz <= 16 \
+                    else 0
+                transforms.append(("palette", pal, wb, cur_w))
+                cur_w = (cur_w + (1 << wb) - 1) >> wb
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("decode_image_pixels: bad VP8L geometry")
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("decode_image_pixels: bad VP8L cache bits")
+    meta = None
+    hbits = 0
+    ngroups = 1
+    if level0 and br.bits(1):  # meta prefix codes via an entropy image
+        hbits = br.bits(3) + 2
+        mw = (cur_w + (1 << hbits) - 1) >> hbits
+        mh = (h + (1 << hbits) - 1) >> hbits
+        meta = [((p >> 8) & 0xFFFF) for p in _vp8l_image(br, mw, mh, False)]
+        ngroups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(ngroups):
+        groups.append((
+            _vp8l_read_code(br, 256 + 24 + cache_size),  # green+len+cache
+            _vp8l_read_code(br, 256),  # red
+            _vp8l_read_code(br, 256),  # blue
+            _vp8l_read_code(br, 256),  # alpha
+            _vp8l_read_code(br, 40),   # distance
+        ))
+    cache = [0] * cache_size
+    pixels: "list[int]" = []
+    npx = cur_w * h
+    mw = (cur_w + (1 << hbits) - 1) >> hbits if meta else 0
+
+    def insert_cache(p):
+        cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+
+    while len(pixels) < npx:
+        if meta:
+            x, y = len(pixels) % cur_w, len(pixels) // cur_w
+            g = groups[meta[(y >> hbits) * mw + (x >> hbits)]]
+        else:
+            g = groups[0]
+        s = _vp8l_read_sym(br, g[0])
+        if s < 256:  # literal: green, then red, blue, alpha
+            red = _vp8l_read_sym(br, g[1])
+            blue = _vp8l_read_sym(br, g[2])
+            alpha = _vp8l_read_sym(br, g[3])
+            p = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixels.append(p)
+            if cache_bits:
+                insert_cache(p)
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _vp8l_prefix_value(br, s - 256)
+            dcode = _vp8l_prefix_value(br, _vp8l_read_sym(br, g[4]))
+            if dcode <= 120:
+                e = _VP8L_PLANE_CODES[dcode - 1]
+                dist = (e >> 4) * cur_w + (8 - (e & 0xF))
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dcode - 120
+            if dist > len(pixels):
+                raise ValueError(
+                    "decode_image_pixels: VP8L reference before image start"
+                )
+            if len(pixels) + length > npx:
+                raise ValueError(
+                    "decode_image_pixels: VP8L copy past image end"
+                )
+            base = len(pixels) - dist
+            for i in range(length):
+                p = pixels[base + i]
+                pixels.append(p)
+                if cache_bits:
+                    insert_cache(p)
+        else:  # color-cache hit
+            if not cache_bits or s - 256 - 24 >= cache_size:
+                raise ValueError(
+                    "decode_image_pixels: VP8L cache index out of range"
+                )
+            pixels.append(cache[s - 256 - 24])
+    if level0:
+        return pixels, transforms, cur_w
+    return pixels
+
+
+def _vp8l_apply_transforms(
+    pixels: "list[int]", transforms: list, w: int, h: int
+) -> "list[int]":
+    """Apply the inverse transforms in reverse read order (§3). Returns
+    the final w×h ARGB pixel list."""
+    def avg2(a, b):
+        return (
+            ((((a >> 24) + (b >> 24)) >> 1) & 0xFF) << 24
+            | (((((a >> 16) & 255) + ((b >> 16) & 255)) >> 1) & 0xFF) << 16
+            | (((((a >> 8) & 255) + ((b >> 8) & 255)) >> 1) & 0xFF) << 8
+            | ((((a & 255) + (b & 255)) >> 1) & 0xFF)
+        )
+
+    def chans(p):
+        return (p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, p & 255
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    for t in reversed(transforms):
+        if t[0] == "subgreen":
+            for i, p in enumerate(pixels):
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) + g) & 0xFF
+                b_ = (p + g) & 0xFF
+                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b_
+        elif t[0] == "palette":
+            _, pal, wb, full_w = t
+            if wb == 0:
+                pixels = [
+                    pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < len(pal)
+                    else 0
+                    for p in pixels
+                ]
+            else:
+                per = 8 >> wb  # bits per packed index
+                mask = (1 << per) - 1
+                cw = (full_w + (1 << wb) - 1) >> wb
+                out = []
+                for y in range(h):
+                    for x in range(full_w):
+                        bundle = (pixels[y * cw + (x >> wb)] >> 8) & 0xFF
+                        idx = (bundle >> ((x & ((1 << wb) - 1)) * per)) \
+                            & mask
+                        out.append(pal[idx] if idx < len(pal) else 0)
+                pixels = out
+        elif t[0] == "pred":
+            _, sb, tw, tiles = t
+            for i in range(len(pixels)):
+                x, y = i % w, i // w
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[i - 1]  # first row: Left
+                elif x == 0:
+                    pred = pixels[i - w]  # first column: Top
+                else:
+                    mode = (tiles[(y >> sb) * tw + (x >> sb)] >> 8) & 0xFF
+                    left = pixels[i - 1]
+                    top = pixels[i - w]
+                    tl = pixels[i - w - 1]
+                    # top-right of the last column wraps to the current
+                    # row's first pixel (the contiguous-buffer rule the
+                    # spec documents)
+                    tr = pixels[i - w + 1]
+                    if mode == 0:
+                        pred = 0xFF000000
+                    elif mode == 1:
+                        pred = left
+                    elif mode == 2:
+                        pred = top
+                    elif mode == 3:
+                        pred = tr
+                    elif mode == 4:
+                        pred = tl
+                    elif mode == 5:
+                        pred = avg2(avg2(left, tr), top)
+                    elif mode == 6:
+                        pred = avg2(left, tl)
+                    elif mode == 7:
+                        pred = avg2(left, top)
+                    elif mode == 8:
+                        pred = avg2(tl, top)
+                    elif mode == 9:
+                        pred = avg2(top, tr)
+                    elif mode == 10:
+                        pred = avg2(avg2(left, tl), avg2(top, tr))
+                    elif mode == 11:  # Select
+                        la, lr, lg, lb = chans(left)
+                        ta, tr_, tg, tb = chans(top)
+                        ca, cr, cg, cb = chans(tl)
+                        pa, pr, pg, pb = (
+                            la + ta - ca, lr + tr_ - cr,
+                            lg + tg - cg, lb + tb - cb,
+                        )
+                        p_l = (abs(pa - la) + abs(pr - lr)
+                               + abs(pg - lg) + abs(pb - lb))
+                        p_t = (abs(pa - ta) + abs(pr - tr_)
+                               + abs(pg - tg) + abs(pb - tb))
+                        pred = left if p_l < p_t else top
+                    elif mode == 12:  # ClampAddSubtractFull
+                        la, lr, lg, lb = chans(left)
+                        ta, tr_, tg, tb = chans(top)
+                        ca, cr, cg, cb = chans(tl)
+                        pred = (
+                            clamp(la + ta - ca) << 24
+                            | clamp(lr + tr_ - cr) << 16
+                            | clamp(lg + tg - cg) << 8
+                            | clamp(lb + tb - cb)
+                        )
+                    elif mode == 13:  # ClampAddSubtractHalf
+                        av = avg2(left, top)
+                        aa, ar, ag, ab = chans(av)
+                        ca, cr, cg, cb = chans(tl)
+
+                        def half(a_, c_):
+                            # C-style truncation toward zero
+                            d = a_ - c_
+                            return clamp(a_ + (abs(d) // 2) * (
+                                1 if d >= 0 else -1
+                            ))
+
+                        pred = (
+                            half(aa, ca) << 24 | half(ar, cr) << 16
+                            | half(ag, cg) << 8 | half(ab, cb)
+                        )
+                    else:
+                        raise ValueError(
+                            "decode_image_pixels: bad VP8L predictor mode"
+                        )
+                pixels[i] = (
+                    ((((pixels[i] >> 24) + (pred >> 24)) & 255) << 24)
+                    | ((((pixels[i] >> 16) + (pred >> 16)) & 255) << 16)
+                    | ((((pixels[i] >> 8) + (pred >> 8)) & 255) << 8)
+                    | ((pixels[i] + pred) & 255)
+                )
+        elif t[0] == "color":
+            _, sb, tw, tiles = t
+
+            def delta(tv, c):
+                # signed-byte multiply, arithmetic >> 5
+                tv = tv - 256 if tv >= 128 else tv
+                c = c - 256 if c >= 128 else c
+                return (tv * c) >> 5
+
+            for i in range(len(pixels)):
+                x, y = i % w, i // w
+                cte = tiles[(y >> sb) * tw + (x >> sb)]
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                p = pixels[i]
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) + delta(g2r, g)) & 0xFF
+                b_ = (p + delta(g2b, g) + delta(r2b, r)) & 0xFF
+                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b_
+    return pixels
+
+
+def _decode_vp8l(data: bytes) -> "list[int]":
+    """VP8L (WebP LOSSLESS) decode — RFC 9649 in pure stdlib Python:
+    LSB-first bitstream, canonical prefix codes (simple and
+    code-length-coded forms with 16/17/18 repeats and max_symbol),
+    per-group green/red/blue/alpha/distance trees with optional META
+    PREFIX entropy image, color cache, LZ77 with the 120-entry 2D
+    plane-code distance map, and all four inverse transforms
+    (subtract-green, predictor with the full 14-mode set, color
+    transform, color indexing with sub-byte pixel bundling) applied in
+    reverse order. Combining color-indexing with the predictor/color
+    transforms raises (no real encoder emits it; the tile geometry
+    becomes ambiguous)."""
+    br = _Vp8lBits(data)
+    if br.bits(8) != 0x2F:
+        raise ValueError("decode_image_pixels: bad VP8L signature")
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha-used hint
+    if br.bits(3) != 0:
+        raise ValueError("decode_image_pixels: bad VP8L version")
+    if w * h > 64_000_000:
+        raise ValueError("decode_image_pixels: VP8L raster over 64MB")
+    pixels, transforms, _cw = _vp8l_image(br, w, h, True)
+    kinds = {t[0] for t in transforms}
+    if "palette" in kinds and kinds & {"pred", "color"}:
+        raise ValueError(
+            "decode_image_pixels: VP8L color-indexing combined with "
+            "spatial transforms is unsupported"
+        )
+    pixels = _vp8l_apply_transforms(pixels, transforms, w, h)
+    return [
+        (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255)
+         + 114 * (p & 255)) // 1000
+        for p in pixels
+    ]
+
+
+def _decode_webp(b: bytes) -> "list[int]":
+    """WebP container walk: RIFF chunks to the VP8L (lossless) payload —
+    directly or inside a VP8X extended container. Lossy VP8 and
+    animation raise as recognized-unsupported profiles (the VP8
+    transform-coded path is the JPEG-pixels analog; ANMF needs frame
+    compositing)."""
+    import struct
+
+    o = 12
+    n = len(b)
+    while o + 8 <= n:
+        cid = b[o:o + 4]
+        (csize,) = struct.unpack("<I", b[o + 4:o + 8])
+        body = b[o + 8:o + 8 + csize]
+        if len(body) < csize:
+            raise ValueError("decode_image_pixels: truncated WebP chunk")
+        if cid == b"VP8L":
+            return _decode_vp8l(body)
+        if cid == b"VP8 ":
+            raise ValueError(
+                "decode_image_pixels: lossy VP8 WebP unsupported — "
+                "pass decode_fn for transform-coded frames"
+            )
+        if cid == b"ANMF" or cid == b"ANIM":
+            raise ValueError(
+                "decode_image_pixels: animated WebP unsupported"
+            )
+        # VP8X/ICCP/EXIF/XMP/ALPH: keep walking
+        o += 8 + csize + (csize & 1)
+    raise ValueError("decode_image_pixels: WebP without an image chunk")
 
 
 def _decode_png(b: bytes) -> "list[int]":

@@ -4881,6 +4881,284 @@ def test_pq_codes_must_fit_8bit_lane(spark):
         ivfpq_index_rows(emb, cb, bad, dim=8, m_sub=4).collect()
 
 
+def _luma(p):
+    return (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255)
+            + 114 * (p & 255)) // 1000
+
+
+def test_decode_vp8l_roundtrip_all_arms():
+    """WebP-lossless (VP8L, RFC 9649) decode vs the independent
+    spec-side encoder: literals, subtract-green, color cache, LZ77
+    (dist-1 runs AND row-above copies through the 2D plane-code map),
+    every palette bundling width (8/4/2/1 px per byte), all 14
+    predictor modes, the color transform, meta prefix-code groups, and
+    the full spatial combo."""
+    import random
+
+    from __spark_entry__ import _encode_webp_lossless
+    from icedb_spark.operators import decode_image_pixels
+
+    rng = random.Random(7)
+    w, h = 19, 13
+    noisy = [
+        (rng.randint(0, 255) << 24) | (rng.randint(0, 255) << 16)
+        | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+        for _ in range(w * h)
+    ]
+    want = [_luma(p) for p in noisy]
+    assert decode_image_pixels(_encode_webp_lossless(w, h, noisy)) == want
+    assert decode_image_pixels(
+        _encode_webp_lossless(w, h, noisy, subgreen=True)
+    ) == want
+    assert decode_image_pixels(
+        _encode_webp_lossless(w, h, noisy, cache_bits=4)
+    ) == want
+    # runs for LZ77 (vertical + horizontal)
+    runs = [
+        0xFF000000 | (((y * 37) % 256) << 16) | (((y * 11) % 256) << 8)
+        | ((y * 5) % 256)
+        for y in range(h) for _ in range(w)
+    ]
+    assert decode_image_pixels(
+        _encode_webp_lossless(w, h, runs, lz77=True, cache_bits=3)
+    ) == [_luma(p) for p in runs]
+    # every bundling width
+    for ncol in (2, 4, 16, 60):
+        pal = list(dict.fromkeys(
+            0xFF000000 | (rng.randint(0, 255) << 16)
+            | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+            for _ in range(ncol)
+        ))
+        img = [pal[rng.randint(0, len(pal) - 1)] for _ in range(w * h)]
+        assert decode_image_pixels(
+            _encode_webp_lossless(w, h, img, palette=True)
+        ) == [_luma(p) for p in img], f"palette {ncol}"
+    # all 14 predictor modes across tiles, then the color transform,
+    # then both + subgreen + cache + lz77 in one stream
+    tw, th = (w + 3) // 4, (h + 3) // 4
+    modes = [i % 14 for i in range(tw * th)]
+    ctes = [
+        (rng.randint(0, 255) << 16) | (rng.randint(0, 255) << 8)
+        | rng.randint(0, 255)
+        for _ in range(tw * th)
+    ]
+    assert decode_image_pixels(_encode_webp_lossless(
+        w, h, noisy, predictor_bits=2, predictor_modes=modes
+    )) == want
+    assert decode_image_pixels(_encode_webp_lossless(
+        w, h, noisy, color_bits=2, color_ctes=ctes
+    )) == want
+    grad = [
+        0xFF000000 | (((x * 9 + y * 3) % 256) << 16)
+        | (((x * 5) % 256) << 8) | ((y * 7) % 256)
+        for y in range(h) for x in range(w)
+    ]
+    assert decode_image_pixels(_encode_webp_lossless(
+        w, h, grad, subgreen=True, cache_bits=3, lz77=True,
+        predictor_bits=2, predictor_modes=modes,
+        color_bits=2, color_ctes=ctes,
+    )) == [_luma(p) for p in grad]
+    # meta prefix groups (two groups split by tile)
+    mw, mh = (w + 7) // 8, (h + 7) // 8
+    meta = [i % 2 for i in range(mw * mh)]
+    assert decode_image_pixels(_encode_webp_lossless(
+        w, h, noisy, meta_bits=3, meta_map=meta
+    )) == want
+
+
+def _libwebp():
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        try:
+            lib = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libwebp.so.7")
+        except OSError:
+            return None
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def test_decode_vp8l_against_real_libwebp():
+    """GOLD test: streams produced by the REAL libwebp lossless encoder
+    (whatever transforms/meta-groups/Huffman shapes it picks) must
+    decode to the exact source pixels — and the independent encoder's
+    output must round-trip through the REAL libwebp decoder, proving
+    both sides against the reference implementation, not just each
+    other. Alpha-0 pixels are excluded from the first leg: libwebp's
+    default alpha cleanup intentionally discards RGB under fully
+    transparent pixels (exact=0) before encoding."""
+    import ctypes
+    import random
+
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp not available")
+    from __spark_entry__ import _encode_webp_lossless
+    from icedb_spark.operators import decode_image_pixels
+
+    def enc_real(w, h, argb):
+        rgba = bytearray()
+        for p in argb:
+            rgba += bytes([(p >> 16) & 255, (p >> 8) & 255, p & 255,
+                           (p >> 24) & 255])
+        out = ctypes.c_void_p()
+        n = lib.WebPEncodeLosslessRGBA(
+            bytes(rgba), w, h, w * 4, ctypes.byref(out)
+        )
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        return data
+
+    def dec_real(blob):
+        wi, hi = ctypes.c_int(), ctypes.c_int()
+        buf = lib.WebPDecodeRGBA(
+            blob, len(blob), ctypes.byref(wi), ctypes.byref(hi)
+        )
+        assert buf
+        n = wi.value * hi.value
+        raw = ctypes.string_at(buf, 4 * n)
+        lib.WebPFree(buf)
+        return wi.value, hi.value, [
+            (raw[4 * i + 3] << 24) | (raw[4 * i] << 16)
+            | (raw[4 * i + 1] << 8) | raw[4 * i + 2]
+            for i in range(n)
+        ]
+
+    rng = random.Random(99)
+    shapes = [(1, 1), (1, 9), (9, 1), (33, 21), (64, 48)]
+    for w, h in shapes:
+        imgs = {
+            "grad": [
+                0xFF000000 | (((x * 7 + y * 3) % 256) << 16)
+                | (((x * 2 + y * 9) % 256) << 8) | ((x + y) % 256)
+                for y in range(h) for x in range(w)
+            ],
+            "flat": [0xFF3399CC] * (w * h),
+            "noisy": [
+                0xFF000000 | (rng.randint(0, 255) << 16)
+                | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+                for _ in range(w * h)
+            ],
+            "pal": [
+                [0xFF102030, 0xFF405060, 0xFF708090, 0xFFA0B0C0][
+                    rng.randint(0, 3)
+                ]
+                for _ in range(w * h)
+            ],
+            # nonzero alpha everywhere: the encoder's alpha cleanup
+            # only rewrites alpha-0 pixels
+            "alpha": [
+                (rng.randint(1, 255) << 24) | (rng.randint(0, 255) << 16)
+                | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+                for _ in range(w * h)
+            ],
+        }
+        for name, img in imgs.items():
+            blob = enc_real(w, h, img)
+            assert blob[12:16] == b"VP8L"
+            got = decode_image_pixels(blob)
+            assert got == [_luma(p) for p in img], f"{name} {w}x{h}"
+    # leg 2: my encoder's streams through the REAL decoder
+    w, h = 19, 13
+    tw, th = (w + 3) // 4, (h + 3) // 4
+    noisy = imgs["noisy"][: w * h] if len(imgs["noisy"]) >= w * h else [
+        0xFF000000 | (rng.randint(0, 255) << 16)
+        | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+        for _ in range(w * h)
+    ]
+    arms = [
+        {},
+        {"subgreen": True},
+        {"cache_bits": 4},
+        {"lz77": True},
+        {"palette": True},
+        {"predictor_bits": 2,
+         "predictor_modes": [i % 14 for i in range(tw * th)]},
+        {"color_bits": 2,
+         "color_ctes": [((i * 37) % 256) << 16 | ((i * 11) % 256) << 8
+                        | (i * 5) % 256 for i in range(tw * th)]},
+        {"meta_bits": 3,
+         "meta_map": [i % 2 for i in range(((w + 7) // 8)
+                                           * ((h + 7) // 8))]},
+    ]
+    pal_img = [
+        [0xFF112233, 0xFF445566, 0xFF778899][rng.randint(0, 2)]
+        for _ in range(w * h)
+    ]
+    for kw in arms:
+        img = pal_img if "palette" in kw else noisy
+        blob = _encode_webp_lossless(w, h, img, **kw)
+        wi, hi, got = dec_real(blob)
+        assert (wi, hi) == (w, h)
+        assert got == img, f"libwebp rejects arm {list(kw)}"
+
+
+def test_decode_webp_container_and_hostile():
+    """WebP container walk + hostile inputs: lossy VP8 and animation
+    raise as recognized-unsupported; truncated chunks, bad VP8L
+    signature/version, repeated transforms, hostile geometry claims,
+    and truncated bitstreams all raise; unknown containers return
+    None upstream (dispatcher contract)."""
+    import struct
+
+    from __spark_entry__ import _encode_webp_lossless
+    from icedb_spark.operators import decode_image_pixels
+
+    good = _encode_webp_lossless(4, 4, [0xFF010203] * 16)
+    assert decode_image_pixels(good) is not None
+
+    def container(*chunks):
+        body = b"WEBP"
+        for cid, payload in chunks:
+            body += cid + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="lossy VP8"):
+        decode_image_pixels(container((b"VP8 ", b"\x00" * 20)))
+    with pytest.raises(ValueError, match="animated"):
+        decode_image_pixels(container((b"ANIM", b"\x00" * 6)))
+    with pytest.raises(ValueError, match="without an image"):
+        decode_image_pixels(container((b"EXIF", b"ab")))
+    # truncated chunk body
+    trunc = good[:20]
+    with pytest.raises(ValueError):
+        decode_image_pixels(trunc)
+    # truncated VP8L bitstream INSIDE an intact container: shorten the
+    # payload but keep the chunk size honest
+    vp8l_at = good.find(b"VP8L")
+    (paylen,) = struct.unpack("<I", good[vp8l_at + 4:vp8l_at + 8])
+    payload = good[vp8l_at + 8:vp8l_at + 8 + paylen]
+    short = payload[: max(6, paylen - 4)]
+    with pytest.raises(ValueError, match="truncated VP8L"):
+        decode_image_pixels(container((b"VP8L", short)))
+    # bad signature / version
+    sig_at = good.find(b"VP8L") + 8
+    bad = bytearray(good)
+    bad[sig_at] = 0x2E
+    with pytest.raises(ValueError, match="signature"):
+        decode_image_pixels(bytes(bad))
+    # hostile geometry: 16383x16383 claim (> 64M px) in a tiny stream
+    hostile = bytearray(good)
+    # width-1/height-1 are the 28 bits after the signature byte
+    hostile[sig_at + 1:sig_at + 5] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        decode_image_pixels(bytes(hostile))
+
+
 def test_bpe_detokenize_roundtrip(spark):
     """decode(encode(x)) == normalize(x): word ordinals make the stream
     decodable; a bare (pos, subword) stream is refused as ambiguous."""
