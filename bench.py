@@ -484,6 +484,16 @@ def main():
     if prev:
         prev_name, prev_doc = prev
         prev_queries = prev_doc.get("queries") or {}
+        if prev_queries and all("_" not in k for k in prev_queries):
+            # the prior artifact's shed ladder shortened its keys to the
+            # entry codes ("q01_pricing_summary" -> "q01"): match on the
+            # code, or every delta silently vanishes (observed once the
+            # r11 artifact recorded shortened keys)
+            prev_queries = {
+                q: prev_queries[q.split("_", 1)[0]]
+                for q in results
+                if q.split("_", 1)[0] in prev_queries
+            }
         deltas = {
             q: round(results[q] / prev_queries[q], 2)
             for q in results
