@@ -216,6 +216,12 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       interlaced row order, and a real variable-width LSB-first LZW
       decoder (clear/end codes, dictionary growth to 12 bits, GIF's
       deferred-clear behavior) — pure Python, no codec lib.
+    * **TIFF** 8-bit gray/RGB, both byte orders, strip assembly in
+      StripOffsets order — uncompressed, PackBits, or LZW (MSB-first
+      codes with TIFF's early-change width bumps, cross-validated
+      against libtiff in both directions), plus the horizontal-
+      differencing predictor (tag 317), all under one CUMULATIVE
+      raster-byte zip-bomb cap.
 
     * **JPEG** baseline sequential (VERDICT r10 #7) AND progressive
       (SOF2, VERDICT r11 #8) — the dominant lossy web format: real
@@ -415,10 +421,10 @@ def _decode_tiff(b: bytes) -> "list[int]":
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("decode_image_pixels: bad TIFF geometry")
     comp = values(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"decode_image_pixels: only uncompressed or PackBits TIFF "
-            f"(compression={comp})"
+            f"decode_image_pixels: only uncompressed, LZW or PackBits "
+            f"TIFF (compression={comp})"
         )
     photo = values(262)[0]
     spp = values(277, [1])[0]
@@ -429,6 +435,11 @@ def _decode_tiff(b: bytes) -> "list[int]":
         )
     if any(v != 8 for v in values(258, [8] * spp)):
         raise ValueError("decode_image_pixels: only 8-bit TIFF samples")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"decode_image_pixels: unsupported TIFF predictor {predictor}"
+        )
     offs, cnts = values(273), values(279)
     if len(offs) != len(cnts):
         raise ValueError(
@@ -441,7 +452,17 @@ def _decode_tiff(b: bytes) -> "list[int]":
         if o + c > len(b):
             raise ValueError("decode_image_pixels: truncated TIFF strip")
         strip = b[o:o + c]
-        if comp == 32773:
+        if comp == 5:
+            # TIFF 6.0 §13 LZW: MSB-first bit packing, 9-bit initial
+            # width, Clear=256 / EOI=257, table grows from 258, and the
+            # EARLY-CHANGE convention (width bumps when the NEXT code
+            # to add is 2^width - 1 — one entry sooner than GIF). Each
+            # strip is an independent stream. Output is bounded by the
+            # CUMULATIVE raster cap, same zip-bomb contract as PackBits.
+            strip = _tiff_lzw_decompress(
+                strip, out_cap - decoded_total
+            )
+        elif comp == 32773:
             # PackBits (TIFF 6.0 §9): n in 0..127 → copy n+1 literal
             # bytes; n in -127..-1 (129..255 unsigned) → repeat the
             # next byte 1-n times; n == -128 (0x80) is a no-op. Each
@@ -493,6 +514,17 @@ def _decode_tiff(b: bytes) -> "list[int]":
             f"decode_image_pixels: TIFF strips carry {len(data)} bytes,"
             f" raster needs {w * h * spp}"
         )
+    if predictor == 2:
+        # horizontal differencing (tag 317): each sample is stored as
+        # the delta from the same channel one pixel left, per row
+        data = bytearray(data)
+        stride = w * spp
+        for y in range(h):
+            base = y * stride
+            for i in range(spp, stride):
+                data[base + i] = (data[base + i] + data[base + i - spp]) \
+                    & 0xFF
+        data = bytes(data)
     if spp == 3:
         return [
             (299 * data[i] + 587 * data[i + 1] + 114 * data[i + 2]) // 1000
@@ -501,6 +533,75 @@ def _decode_tiff(b: bytes) -> "list[int]":
     if photo == 0:  # WhiteIsZero: 0 is white, max is black — invert
         return [255 - v for v in data]
     return list(data)
+
+
+def _tiff_lzw_decompress(strip: bytes, out_cap: int) -> bytes:
+    """TIFF 6.0 §13 LZW for one strip: MSB-first code packing (the
+    opposite bit order of GIF's LZW), 9-bit initial width, Clear=256,
+    EOI=257, new entries from 258, and TIFF's EARLY-CHANGE width bump
+    (the width grows when the next code to ADD is ``2^width - 1`` — one
+    entry sooner than the GIF convention; getting this off by one
+    desynchronizes every code after entry 510). Output is capped at
+    ``out_cap`` (the caller's remaining raster budget) so a crafted
+    strip cannot expand past the declared geometry."""
+    CLEAR, EOI = 256, 257
+    nbits = 8 * len(strip)
+    table: "list[bytes]" = []
+    width = 9
+    dec = bytearray()
+    prev: "Optional[bytes]" = None
+    bitpos = 0
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError(
+                "decode_image_pixels: truncated TIFF LZW strip"
+            )
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | (
+                (strip[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
+            bitpos += 1
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    "decode_image_pixels: bad first TIFF LZW code"
+                )
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(
+                    "decode_image_pixels: TIFF LZW code past table"
+                )
+            table.append(prev + entry[:1])
+        dec += entry
+        if len(dec) > out_cap:
+            raise ValueError(
+                "decode_image_pixels: TIFF LZW output exceeds raster size"
+            )
+        prev = entry
+        # early change: bump width as soon as the NEXT entry to add
+        # would be 2^width - 1
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(dec)
 
 
 #: zigzag scan position -> natural (row-major) coefficient index
@@ -2530,10 +2631,12 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
     ``value - 128``, 16/24/32-bit signed little-endian as stored),
     IEEE FLOAT (``audio_format == 3``, 32-bit: clamped to [-1, 1] and
     scaled ``round(v * 32767)`` to the int16 grid — the studio/DAW
-    export format), or WAVE_FORMAT_EXTENSIBLE (``0xFFFE``: the actual
-    format is the SubFormat GUID's leading u16, resolved to the PCM or
-    float arm — how every >2-channel or >16-bit WAV is written in
-    practice). Multi-channel audio yields channel 0 (stride
+    export format), ITU-T G.711 A-LAW (6) / µ-LAW (7) telephony bytes
+    expanded with the exact classic closed forms (bit-identical to
+    stdlib ``audioop``), or WAVE_FORMAT_EXTENSIBLE (``0xFFFE``: the
+    actual format is the SubFormat GUID's leading u16, resolved to the
+    PCM, float, or G.711 arm — how every >2-channel or >16-bit WAV is
+    written in practice). Multi-channel audio yields channel 0 (stride
     ``block_align``) — feature extraction wants one waveform, and
     channel selection keeps the output length
     ``data_size // block_align`` deterministic. Returns ``None`` for
@@ -2573,11 +2676,43 @@ def decode_wav_samples(blob) -> "Optional[tuple[int, list[int]]]":
                 "decode_wav_samples: short WAVE_FORMAT_EXTENSIBLE fmt"
             )
         (audio_format,) = struct.unpack_from("<H", fmt, 24)
-    if audio_format not in (1, 3):
+    if audio_format not in (1, 3, 6, 7):
         raise ValueError(
             f"decode_wav_samples: non-PCM audio_format {audio_format} — "
             "pass decode_fn for compressed codecs"
         )
+    if audio_format in (6, 7):
+        # ITU-T G.711 A-law (6) / µ-law (7) — the telephony/call-center
+        # corpus formats: one byte per sample expanding to the 13/14-bit
+        # linear grid (exact integer closed forms, matching the classic
+        # Sun g711.c and stdlib audioop bit-for-bit — cross-validated in
+        # tests against audioop over all 256 code points)
+        if bits != 8 or channels < 1 or block_align < channels:
+            raise ValueError(
+                f"decode_wav_samples: unsupported G.711 layout bits={bits}"
+                f" channels={channels} block_align={block_align}"
+            )
+
+        def g711(b_: int) -> int:
+            if audio_format == 7:  # µ-law
+                u = ~b_ & 0xFF
+                t_ = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+                return (0x84 - t_) if (u & 0x80) else (t_ - 0x84)
+            a = b_ ^ 0x55  # A-law: even bits inverted on the wire
+            t_ = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t_ += 8
+            elif seg == 1:
+                t_ += 0x108
+            else:
+                t_ = (t_ + 0x108) << (seg - 1)
+            return t_ if (a & 0x80) else -t_
+
+        n_frames = len(data) // block_align
+        return sample_rate, [
+            g711(data[i * block_align]) for i in range(n_frames)
+        ]
     ok_bits = (32,) if audio_format == 3 else (8, 16, 24, 32)
     if (
         bits not in ok_bits

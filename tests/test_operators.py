@@ -2493,6 +2493,240 @@ def test_decode_tiff_packbits():
         decode_image_pixels(tiff_pb(6, 4, [s1, bytes([0x81])]))
 
 
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """Independent TIFF 6.0 §13 LZW COMPRESSOR (written from the spec's
+    encoder pseudo-code, never from the decoder): MSB-first packing,
+    ClearCode first, early-change width bumps when the next free code
+    reaches 511/1023/2047, table reset at 4094 entries."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code, width):
+        nonlocal acc, nacc
+        for i in range(width - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out.append(acc)
+                acc = 0
+                nacc = 0
+
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    put(CLEAR, width)
+    wrd = b""
+    for byte in data:
+        cand = wrd + bytes([byte])
+        if cand in table:
+            wrd = cand
+            continue
+        put(table[wrd], width)
+        table[cand] = nxt
+        nxt += 1
+        # pair of the decoder's early change: the decoder widens after
+        # ITS add brings the table to 2^width - 1 entries, which happens
+        # one code LATER than the encoder's own add of the same entry —
+        # so the encoder widens when its next free code reaches 2^width
+        # (verified against real libtiff streams either side of 511)
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        wrd = bytes([byte])
+    if wrd:
+        put(table[wrd], width)
+    put(EOI, width)
+    while nacc:
+        put(0, 1)
+    return bytes(out)
+
+
+def test_decode_tiff_lzw_and_predictor():
+    """LZW TIFF (compression 5, the classic scanner/export codec) with
+    and without horizontal differencing (predictor 2): two strips
+    compressed by the independent spec-side compressor must decode to
+    the exact raster; the KwKwK case, early-change width bumps, the
+    cumulative raster cap, and truncated streams are all exercised."""
+    import random
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def tiff_lzw(w, h, strips, predictor=1):
+        nstrips = len(strips)
+        nent = 10
+        ifd_off = 8
+        extra_off = ifd_off + 2 + 12 * nent + 4
+        ex = bytearray(b"\x00" * (8 * nstrips))
+        data_off = extra_off + len(ex)
+        blob = bytearray()
+        offs = []
+        for s in strips:
+            offs.append(data_off + len(blob))
+            blob += s
+        for i, (o, s) in enumerate(zip(offs, strips)):
+            struct.pack_into("<I", ex, 4 * i, o)
+            struct.pack_into("<I", ex, 4 * nstrips + 4 * i, len(s))
+
+        def ent(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + val
+
+        def iv16(v):
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        rps = (h + nstrips - 1) // nstrips
+        ents = (
+            ent(256, 3, 1, iv16(w)) + ent(257, 3, 1, iv16(h))
+            + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(5))
+            + ent(262, 3, 1, iv16(1))
+            + ent(273, 4, nstrips,
+                  struct.pack("<I", offs[0]) if nstrips == 1
+                  else struct.pack("<I", extra_off))
+            + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(rps))
+            + ent(279, 4, nstrips,
+                  struct.pack("<I", len(strips[0])) if nstrips == 1
+                  else struct.pack("<I", extra_off + 4 * nstrips))
+            + ent(317, 3, 1, iv16(predictor))
+        )
+        return (b"II*\x00" + struct.pack("<I", ifd_off)
+                + struct.pack("<H", nent) + ents
+                + struct.pack("<I", 0) + bytes(ex) + bytes(blob))
+
+    rng = random.Random(3)
+    # run-heavy content (exercises KwKwK and table growth) over two strips
+    w, h = 16, 8
+    px = []
+    for y in range(h):
+        v = rng.randint(0, 255)
+        row = []
+        while len(row) < w:
+            run = min(rng.randint(1, 6), w - len(row))
+            row += [v] * run
+            v = (v + rng.randint(0, 2)) % 256
+        px += row
+    raw = bytes(px)
+    s1, s2 = _tiff_lzw_compress(raw[:w * 4]), _tiff_lzw_compress(raw[w * 4:])
+    assert decode_image_pixels(tiff_lzw(w, h, [s1, s2])) == px
+    # predictor 2: store per-row deltas, decoder must undo them
+    deltas = bytearray()
+    for y in range(h):
+        row = raw[y * w:(y + 1) * w]
+        deltas.append(row[0])
+        for i in range(1, w):
+            deltas.append((row[i] - row[i - 1]) & 0xFF)
+    sp = _tiff_lzw_compress(bytes(deltas))
+    assert decode_image_pixels(tiff_lzw(w, h, [sp], predictor=2)) == px
+    # long enough content to cross the 511-entry early-change boundary
+    big_w, big_h = 64, 48
+    big = bytes(rng.randint(0, 255) for _ in range(big_w * big_h))
+    sb = _tiff_lzw_compress(big)
+    assert decode_image_pixels(tiff_lzw(big_w, big_h, [sb])) == list(big)
+    # zip-bomb shape: a valid stream expanding past the declared raster
+    bomb = _tiff_lzw_compress(bytes([7]) * 4096)
+    with pytest.raises(ValueError, match="exceeds raster"):
+        decode_image_pixels(tiff_lzw(4, 4, [bomb]))
+    # truncated stream: EOI never arrives
+    with pytest.raises(ValueError, match="truncated TIFF LZW"):
+        decode_image_pixels(tiff_lzw(w, h, [s1[:5], s2]))
+    # unsupported predictor fails loudly
+    with pytest.raises(ValueError, match="predictor"):
+        decode_image_pixels(tiff_lzw(w, h, [s1, s2], predictor=3))
+
+
+def test_decode_tiff_lzw_against_real_libtiff():
+    """Two-direction cross-validation against the system libtiff (the
+    VP8L lesson: a self-consistent encoder/decoder pair can share a
+    convention bug — here the classic early-change off-by-one at the
+    511/1023 width boundaries): real TIFFWriteEncodedStrip LZW output
+    (with and without predictor 2) must decode through our pure-Python
+    path, and our compressor's streams must read back exactly through
+    TIFFReadEncodedStrip."""
+    import ctypes
+    import random
+    import struct
+
+    try:
+        t = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        try:
+            t = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libtiff.so.6")
+        except OSError:
+            pytest.skip("libtiff not available")
+    from icedb_spark.operators import decode_image_pixels
+
+    t.TIFFOpen.restype = ctypes.c_void_p
+    t.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    t.TIFFSetField.restype = ctypes.c_int
+    t.TIFFSetField.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    t.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+    t.TIFFWriteEncodedStrip.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_ssize_t
+    ]
+    t.TIFFReadEncodedStrip.restype = ctypes.c_ssize_t
+    t.TIFFReadEncodedStrip.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_ssize_t
+    ]
+    t.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    rng = random.Random(3)
+    w, h = 64, 48  # random bytes cross the 511 AND 1023 width boundaries
+    data = bytes(rng.randint(0, 255) for _ in range(w * h))
+
+    def write_real(path, predictor=None):
+        tif = t.TIFFOpen(path.encode(), b"w")
+        assert tif
+        for tag, val in [(256, w), (257, h), (258, 8), (259, 5),
+                         (262, 1), (277, 1), (278, h), (284, 1)]:
+            t.TIFFSetField(tif, tag, ctypes.c_int(val))
+        if predictor:
+            t.TIFFSetField(tif, 317, ctypes.c_int(predictor))
+        assert t.TIFFWriteEncodedStrip(tif, 0, data, w * h) == w * h
+        t.TIFFClose(tif)
+
+    import tempfile
+    d = tempfile.mkdtemp(prefix="lzwx-")
+    write_real(f"{d}/plain.tif")
+    assert decode_image_pixels(open(f"{d}/plain.tif", "rb").read()) \
+        == list(data)
+    write_real(f"{d}/pred2.tif", predictor=2)
+    assert decode_image_pixels(open(f"{d}/pred2.tif", "rb").read()) \
+        == list(data)
+
+    # leg 2: our compressor through the REAL decoder
+    def ent(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    def iv16(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    strip = _tiff_lzw_compress(data)
+    nent = 9
+    data_off = 8 + 2 + 12 * nent + 4
+    ents = (
+        ent(256, 3, 1, iv16(w)) + ent(257, 3, 1, iv16(h))
+        + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(5))
+        + ent(262, 3, 1, iv16(1))
+        + ent(273, 4, 1, struct.pack("<I", data_off))
+        + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(h))
+        + ent(279, 4, 1, struct.pack("<I", len(strip)))
+    )
+    blob = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", nent)
+            + ents + struct.pack("<I", 0) + strip)
+    open(f"{d}/mine.tif", "wb").write(blob)
+    tif = t.TIFFOpen(f"{d}/mine.tif".encode(), b"r")
+    assert tif
+    buf = ctypes.create_string_buffer(w * h)
+    n = t.TIFFReadEncodedStrip(tif, 0, buf, w * h)
+    t.TIFFClose(tif)
+    assert n == w * h and buf.raw[:w * h] == data
+
+
 def test_decode_bmp_8bit_palette():
     """8-bit palette BMP: BGRA color table after the DIB header,
     biClrUsed=0 meaning 256, bottom-up row order, 4-byte row padding,
@@ -4814,6 +5048,54 @@ def test_decode_tiff_packbits_cumulative_raster_bound():
         decode_image_pixels(tiff_pb(6, 4, [full] * 64))
     with pytest.raises(ValueError, match="exceeds raster"):
         decode_image_pixels(tiff_pb(6, 4, [full, full, full]))
+
+
+def test_decode_wav_g711_ulaw_alaw():
+    """ITU-T G.711 µ-law (format 7) and A-law (format 6) WAV decode —
+    the telephony corpus formats. Cross-validated against stdlib
+    audioop over ALL 256 code points for both laws, plus stereo
+    channel-0 stride, the EXTENSIBLE wrapper, and layout failure
+    modes."""
+    import struct
+
+    audioop = pytest.importorskip("audioop")
+    from icedb_spark.operators import decode_wav_samples
+
+    def fmt16(afmt, ch, sr, block, bits):
+        return struct.pack("<HHIIHH", afmt, ch, sr, sr * block, block, bits)
+
+    all_codes = bytes(range(256))
+    for afmt, name in ((7, "ulaw"), (6, "alaw")):
+        want = [
+            struct.unpack("<h", getattr(audioop, f"{name}2lin")(
+                bytes([b]), 2
+            ))[0]
+            for b in all_codes
+        ]
+        sr, got = decode_wav_samples(
+            _wav_raw(fmt16(afmt, 1, 8000, 1, 8), all_codes)
+        )
+        assert (sr, got) == (8000, want), name
+        # stereo: channel 0 only, junk in channel 1 must be skipped
+        inter = bytes(v for b in all_codes[:16] for v in (b, 0xAA))
+        _, got2 = decode_wav_samples(
+            _wav_raw(fmt16(afmt, 2, 8000, 2, 8), inter)
+        )
+        assert got2 == want[:16], name
+    # EXTENSIBLE wrapping mu-law
+    guid = struct.pack("<H", 7) + bytes(14)
+    fmt_ext = (fmt16(0xFFFE, 1, 8000, 1, 8)
+               + struct.pack("<HHI", 22, 8, 0x4) + guid)
+    _, got3 = decode_wav_samples(_wav_raw(fmt_ext, bytes([0x00, 0xFF])))
+    assert got3 == [
+        struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        for b in (0x00, 0xFF)
+    ]
+    # G.711 at a non-8-bit width: loud failure
+    with pytest.raises(ValueError, match="G.711"):
+        decode_wav_samples(
+            _wav_raw(fmt16(7, 1, 8000, 2, 16), b"\x00\x00")
+        )
 
 
 def test_decode_wav_block_align_must_hold_a_frame():
