@@ -233,6 +233,11 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
       4:2:0/4:2:2/4:4:4 chroma upsampling + the JFIF YCbCr→RGB
       transform. Arithmetic coding, 12-bit, lossless, and hierarchical
       profiles raise — recognized container, unsupported profile.
+    * **ICO/CUR** favicons: directory walk selecting the largest
+      image; PNG entries dispatch to the PNG arm, doubled-height DIB
+      entries decode at 1/4/8-bit palette or 24/32-bit truecolor
+      (bottom-up, 4-byte padded; the AND mask is ignored per the
+      alpha-ignoring luma contract).
     * **WebP LOSSLESS** (VP8L, RFC 9649): LSB-first bitstream,
       canonical prefix codes (simple + code-length-coded), optional
       meta prefix groups, color cache, LZ77 with the 2D plane-code
@@ -260,6 +265,15 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
         return _decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return _decode_webp(b)
+    if (
+        # ICO's magic is weak (reserved 0 + type 1/2): require a nonzero
+        # image count and one full directory entry before claiming the
+        # container, so arbitrary binary blobs still fall through to None
+        len(b) >= 22
+        and b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        and (b[4] | (b[5] << 8)) > 0
+    ):
+        return _decode_ico(b)
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
         dib = struct.unpack("<I", b[14:18])[0]
@@ -1844,6 +1858,84 @@ def _decode_vp8l(data: bytes) -> "list[int]":
          + 114 * (p & 255)) // 1000
         for p in pixels
     ]
+
+
+def _decode_ico(b: bytes) -> "list[int]":
+    """ICO/CUR (favicon) decode: directory walk, then the LARGEST image
+    (0-valued width/height bytes mean 256). Each entry is either a
+    whole PNG (modern high-res favicons — dispatched to the PNG arm) or
+    a headerless DIB whose ``biHeight`` is DOUBLED (XOR color raster +
+    1-bit AND transparency mask; the mask is ignored per the module's
+    alpha-ignoring luma contract): 1/4/8-bit palette (BGRA quads,
+    MSB-first sub-byte indices) or 24/32-bit truecolor, bottom-up rows
+    padded to 4 bytes."""
+    import struct
+
+    count = struct.unpack_from("<H", b, 4)[0]
+    if count == 0 or 6 + 16 * count > len(b):
+        raise ValueError("decode_image_pixels: bad ICO directory")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        ew, eh = b[e] or 256, b[e + 1] or 256
+        size, off = struct.unpack_from("<II", b, e + 8)
+        if best is None or ew * eh > best[0] * best[1]:
+            best = (ew, eh, size, off)
+    ew, eh, size, off = best
+    if off + size > len(b):
+        raise ValueError("decode_image_pixels: truncated ICO image")
+    img = b[off:off + size]
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(img)
+    if len(img) < 40:
+        raise ValueError("decode_image_pixels: truncated ICO DIB")
+    (dib, w, h2, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", img, 0)
+    if dib < 40 or comp != 0:
+        raise ValueError(
+            f"decode_image_pixels: unsupported ICO DIB (size={dib}, "
+            f"compression={comp})"
+        )
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"decode_image_pixels: unsupported ICO bpp {bpp}")
+    h = abs(h2) // 2  # XOR raster + AND mask share the doubled height
+    top_down = h2 < 0
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("decode_image_pixels: bad ICO geometry")
+    o = dib
+    pal = None
+    if bpp <= 8:
+        used = struct.unpack_from("<I", img, 32)[0] or (1 << bpp)
+        if used > 256 or o + 4 * used > len(img):
+            raise ValueError("decode_image_pixels: bad ICO color table")
+        pal = img[o:o + 4 * used]
+        o += 4 * used
+    row = (w * bpp + 31) // 32 * 4
+    if o + row * h > len(img):  # AND mask may legally be absent/short
+        raise ValueError("decode_image_pixels: truncated ICO raster")
+    out = []
+    mask = (1 << bpp) - 1 if bpp < 8 else 0xFF
+    for y in range(h):
+        base = o + (y if top_down else h - 1 - y) * row
+        for x in range(w):
+            if bpp >= 24:
+                p = base + x * (bpp // 8)
+                blue, green, red = img[p], img[p + 1], img[p + 2]
+            else:
+                if bpp == 8:
+                    idx = img[base + x]
+                else:
+                    byte = img[base + (x * bpp) // 8]
+                    shift = 8 - bpp - (x * bpp) % 8
+                    idx = (byte >> shift) & mask
+                if 4 * idx + 2 >= len(pal):
+                    raise ValueError(
+                        "decode_image_pixels: ICO palette index out of range"
+                    )
+                blue, green, red = (
+                    pal[4 * idx], pal[4 * idx + 1], pal[4 * idx + 2]
+                )
+            out.append((299 * red + 587 * green + 114 * blue) // 1000)
+    return out
 
 
 def _decode_webp(b: bytes) -> "list[int]":

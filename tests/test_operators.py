@@ -2768,6 +2768,119 @@ def test_decode_bmp_8bit_palette():
         )
 
 
+def test_decode_ico_favicons():
+    """ICO/CUR decode: largest-entry selection (0 bytes mean 256),
+    PNG-in-ICO dispatch, doubled-height DIB entries at 1/4/8-bit
+    palette and 24/32-bit truecolor with 4-byte row padding and
+    bottom-up order (AND mask ignored per the luma contract), plus
+    hostile directory/raster failure modes."""
+    import struct
+    import zlib
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def ico(entries, cur=False):
+        # entries: list of (w, h, image_bytes)
+        hdr = struct.pack("<HHH", 0, 2 if cur else 1, len(entries))
+        dirs = b""
+        off = 6 + 16 * len(entries)
+        blobs = b""
+        for w, h, img in entries:
+            dirs += struct.pack(
+                "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(img), off
+            )
+            off += len(img)
+            blobs += img
+        return hdr + dirs + blobs
+
+    def dib(w, h, bpp, rows, pal_entries=None, with_mask=True):
+        # rows: top-down list of per-row index/BGR tuples
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0,
+                          0, 0, 0,
+                          len(pal_entries) if pal_entries else 0, 0)
+        pal = b""
+        if pal_entries is not None:
+            pal = b"".join(bytes([b_, g, r, 0]) for b_, g, r in pal_entries)
+        rowlen = (w * bpp + 31) // 32 * 4
+        xor = b""
+        for row in reversed(rows):  # bottom-up
+            line = bytearray(rowlen)
+            for x, v in enumerate(row):
+                if bpp >= 24:
+                    p = x * (bpp // 8)
+                    line[p:p + len(v)] = bytes(v)  # (B, G, R[, X])
+                elif bpp == 8:
+                    line[x] = v
+                else:
+                    shift = 8 - bpp - (x * bpp) % 8
+                    line[(x * bpp) // 8] |= v << shift
+            xor += bytes(line)
+        maskrow = (w + 31) // 32 * 4
+        mask = b"\xff" * (maskrow * h) if with_mask else b""
+        return hdr + pal + xor + mask
+
+    def luma(r, g, b_):
+        return (299 * r + 587 * g + 114 * b_) // 1000
+
+    # 4-bit palette DIB, 3x2 — sub-byte indices + padding + bottom-up
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 255), (255, 255, 255)]
+    rows = [[0, 1, 2], [3, 1, 0]]
+    img = dib(3, 2, 4, rows, pal)
+    got = decode_image_pixels(ico([(3, 2, img)]))
+    want = [luma(pal[v][2], pal[v][1], pal[v][0]) for r in rows for v in r]
+    assert got == want
+    # 1-bit palette
+    img1 = dib(3, 2, 1, [[0, 1, 1], [1, 0, 1]], pal[:2])
+    got1 = decode_image_pixels(ico([(3, 2, img1)]))
+    assert got1 == [luma(*reversed(pal[v]))
+                    for r in [[0, 1, 1], [1, 0, 1]] for v in r]
+    # 8-bit palette and 24/32-bit truecolor
+    img8 = dib(2, 2, 8, [[0, 3], [2, 1]], pal)
+    assert decode_image_pixels(ico([(2, 2, img8)])) == [
+        luma(*reversed(pal[v])) for v in (0, 3, 2, 1)
+    ]
+    bgr = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    for bpp in (24, 32):
+        rows_t = [[v + (255,) * ((bpp - 24) // 8) for v in r] for r in bgr]
+        imgt = dib(2, 2, bpp, rows_t)
+        assert decode_image_pixels(ico([(2, 2, imgt)])) == [
+            luma(v[2], v[1], v[0]) for r in bgr for v in r
+        ]
+    # largest entry wins; PNG-in-ICO dispatches to the PNG decoder
+    def png_gray(w, h, vals):
+        sig = b"\x89PNG\r\n\x1a\n"
+        d = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        ihdr = (struct.pack(">I", 13) + b"IHDR" + d
+                + struct.pack(">I", zlib.crc32(b"IHDR" + d)))
+        raw = b"".join(
+            b"\x00" + bytes(vals[y * w:(y + 1) * w]) for y in range(h)
+        )
+        z = zlib.compress(raw)
+        idat = (struct.pack(">I", len(z)) + b"IDAT" + z
+                + struct.pack(">I", zlib.crc32(b"IDAT" + z)))
+        iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND"))
+        return sig + ihdr + idat + iend
+
+    big = png_gray(4, 4, list(range(16)))
+    both = ico([(2, 2, img8), (4, 4, big)])
+    assert decode_image_pixels(both) == list(range(16))
+    # CUR type works too
+    assert decode_image_pixels(ico([(2, 2, img8)], cur=True)) is not None
+    # hostile: truncated raster, bad palette index, empty directory
+    with pytest.raises(ValueError, match="truncated ICO"):
+        decode_image_pixels(ico([(3, 2, img[:20])]))
+    bad = dib(2, 2, 8, [[0, 7], [1, 1]], pal[:2])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image_pixels(ico([(2, 2, bad)]))
+    # weak-magic guard: a 00 00 01 00 prefix WITHOUT a plausible
+    # directory is not claimed as ICO (falls through to None)
+    assert decode_image_pixels(b"\x00\x00\x01\x00" + b"ab") is None
+    assert decode_image_pixels(
+        b"\x00\x00\x01\x00\x00\x00" + b"x" * 16
+    ) is None  # count == 0
+
+
 def test_decode_tiff_unsupported_profiles_raise():
     """Recognized TIFF container with an unsupported or hostile profile
     fails loudly: compression, non-8-bit samples, claimed-huge geometry
