@@ -2881,6 +2881,102 @@ def test_decode_ico_favicons():
     ) is None  # count == 0
 
 
+def test_decode_corruption_never_crashes():
+    """Hostile-corpus robustness for the round-12 decoders: random
+    truncations and byte flips of valid VP8L / progressive-JPEG /
+    LZW-TIFF / ICO / G.711-WAV blobs must either decode or raise
+    ValueError — never an IndexError/KeyError/MemoryError escape, never
+    unbounded allocation (each decode bounded by the geometry caps)."""
+    import random
+    import struct
+
+    from __spark_entry__ import (
+        _encode_progressive_jpeg,
+        _encode_webp_lossless,
+    )
+    from icedb_spark.operators import decode_image_pixels, decode_wav_samples
+
+    rng = random.Random(11)
+    w, h = 13, 9
+    px = [
+        0xFF000000 | (rng.randint(0, 255) << 16)
+        | (rng.randint(0, 255) << 8) | rng.randint(0, 255)
+        for _ in range(w * h)
+    ]
+    tw, th = (w + 3) // 4, (h + 3) // 4
+    grid = [[[rng.randint(-20, 20)] + [0] * 63 for _ in range(2)]
+            for _ in range(2)]
+    gray = bytes(rng.randint(0, 255) for _ in range(64))
+    nent = 9
+    data_off = 8 + 2 + 12 * nent + 4
+    strip = _tiff_lzw_compress(gray)
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    def iv16(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    tiff_blob = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", nent)
+        + ent(256, 3, 1, iv16(8)) + ent(257, 3, 1, iv16(8))
+        + ent(258, 3, 1, iv16(8)) + ent(259, 3, 1, iv16(5))
+        + ent(262, 3, 1, iv16(1))
+        + ent(273, 4, 1, struct.pack("<I", data_off))
+        + ent(277, 3, 1, iv16(1)) + ent(278, 3, 1, iv16(8))
+        + ent(279, 4, 1, struct.pack("<I", len(strip)))
+        + struct.pack("<I", 0) + strip
+    )
+    ico_blob = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 32, 40 + 16 + 16, 22)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 8, 0, 0, 0, 0, 2, 0)
+        + bytes([1, 2, 3, 0, 4, 5, 6, 0])
+        + bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0]) + b"\xff" * 8
+    )
+    blobs = [
+        _encode_webp_lossless(w, h, px, cache_bits=3, lz77=True,
+                              subgreen=True),
+        _encode_webp_lossless(
+            w, h, px, predictor_bits=2,
+            predictor_modes=[i % 14 for i in range(tw * th)],
+        ),
+        _encode_progressive_jpeg(
+            16, 16, [{"id": 1, "h": 1, "v": 1, "tq": 0, "grid": grid}],
+            {0: [8] * 64},
+        ),
+        tiff_blob,
+        ico_blob,
+    ]
+    for blob in blobs:
+        for _ in range(250):
+            b = bytearray(blob)
+            kind = rng.randint(0, 2)
+            if kind == 0:
+                b = b[:rng.randint(1, len(b) - 1)]
+            else:
+                for _ in range(1 if kind == 1 else 4):
+                    b[rng.randint(0, len(b) - 1)] = rng.randint(0, 255)
+            try:
+                decode_image_pixels(bytes(b))
+            except ValueError:
+                pass
+    # G.711 WAV: same contract through decode_wav_samples
+    wav = _wav_raw(
+        struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8), bytes(range(64))
+    )
+    for _ in range(250):
+        b = bytearray(wav)
+        if rng.randint(0, 1):
+            b = b[:rng.randint(1, len(b) - 1)]
+        else:
+            b[rng.randint(0, len(b) - 1)] = rng.randint(0, 255)
+        try:
+            decode_wav_samples(bytes(b))
+        except ValueError:
+            pass
+
+
 def test_decode_tiff_unsupported_profiles_raise():
     """Recognized TIFF container with an unsupported or hostile profile
     fails loudly: compression, non-8-bit samples, claimed-huge geometry
