@@ -282,47 +282,65 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
         comp = struct.unpack("<I", b[30:34])[0]
-        if comp != 0 or bpp not in (8, 24, 32):
+        if (
+            bpp not in (1, 4, 8, 24, 32)
+            or comp not in (0, 1, 2)
+            or (comp == 1 and bpp != 8)   # BI_RLE8 is 8-bit only
+            or (comp == 2 and bpp != 4)   # BI_RLE4 is 4-bit only
+        ):
             raise ValueError(
-                f"decode_image_pixels: only BI_RGB 8/24/32-bit BMP "
-                f"(got bpp={bpp}, compression={comp})"
+                f"decode_image_pixels: unsupported BMP profile "
+                f"(bpp={bpp}, compression={comp})"
             )
         top_down, h = h < 0, abs(h)
-        if w <= 0 or h <= 0:
+        if w <= 0 or h <= 0 or w * h > 64_000_000:
             raise ValueError("decode_image_pixels: bad BMP geometry")
-        step = bpp // 8
-        row = (w * step + 3) // 4 * 4
-        if offset + row * h > len(b):
-            raise ValueError("decode_image_pixels: truncated BMP payload")
+        if top_down and comp:
+            # the spec defines RLE bitmaps bottom-up only
+            raise ValueError("decode_image_pixels: top-down RLE BMP")
         pal = None
-        if bpp == 8:
-            # 8-bit palette BMP (the icon/screenshot shape): BGRA quads
-            # right after the DIB header; biClrUsed 0 means a full 256
-            used = struct.unpack("<I", b[46:50])[0] or 256
+        if bpp <= 8:
+            # palette BMP: BGRA quads right after the DIB header;
+            # biClrUsed 0 means the full 2^bpp table
+            used = struct.unpack("<I", b[46:50])[0] or (1 << bpp)
             pstart = 14 + dib
             if used > 256 or pstart + 4 * used > len(b):
                 raise ValueError(
                     "decode_image_pixels: bad BMP color table"
                 )
             pal = b[pstart:pstart + 4 * used]
+
+        def pal_luma(idx: int) -> int:
+            if 4 * idx + 2 >= len(pal):
+                raise ValueError(
+                    "decode_image_pixels: BMP palette index out of range"
+                )
+            return (299 * pal[4 * idx + 2] + 587 * pal[4 * idx + 1]
+                    + 114 * pal[4 * idx]) // 1000
+
+        if comp:
+            idxs = _bmp_rle_decode(b, offset, w, h, comp)
+            return [pal_luma(v) for v in idxs]
+        row = (w * bpp + 31) // 32 * 4
+        if offset + row * h > len(b):
+            raise ValueError("decode_image_pixels: truncated BMP payload")
         out = []
+        submask = (1 << bpp) - 1
         for y in range(h):
             base = offset + (y if top_down else h - 1 - y) * row
             for x in range(w):
-                o = base + x * step
-                if pal is not None:
-                    idx = b[o]
-                    if 4 * idx + 2 >= len(pal):
-                        raise ValueError(
-                            "decode_image_pixels: BMP palette index "
-                            "out of range"
-                        )
-                    blue, green, red = (
-                        pal[4 * idx], pal[4 * idx + 1], pal[4 * idx + 2]
-                    )
-                else:
+                if bpp >= 24:
+                    o = base + x * (bpp // 8)
                     blue, green, red = b[o], b[o + 1], b[o + 2]
-                out.append((299 * red + 587 * green + 114 * blue) // 1000)
+                    out.append(
+                        (299 * red + 587 * green + 114 * blue) // 1000
+                    )
+                elif bpp == 8:
+                    out.append(pal_luma(b[base + x]))
+                else:  # 1/4-bit: MSB-first sub-byte indices
+                    byte = b[base + (x * bpp) // 8]
+                    shift = 8 - bpp - (x * bpp) % 8
+                    out.append(pal_luma((byte >> shift) & submask))
         return out
     if b[:2] in (b"P5", b"P6"):
         # ASCII header tokens (magic, width, height, maxval) with
@@ -547,6 +565,79 @@ def _decode_tiff(b: bytes) -> "list[int]":
     if photo == 0:  # WhiteIsZero: 0 is white, max is black — invert
         return [255 - v for v in data]
     return list(data)
+
+
+def _bmp_rle_decode(b: bytes, off: int, w: int, h: int, comp: int
+                    ) -> "list[int]":
+    """BI_RLE8/BI_RLE4 (BMP §RLE): encoded runs ``[count, value]``
+    (count > 0 repeats the value byte — two alternating nibbles in
+    RLE4), escapes ``[0, 0]`` end-of-line, ``[0, 1]`` end-of-bitmap,
+    ``[0, 2, dx, dy]`` delta (skipped pixels stay palette index 0, the
+    spec's undefined-pixel convention), and ``[0, n>=3]`` absolute runs
+    (word-aligned). Rows build bottom-up; returns TOP-DOWN palette
+    indices. Writes past the declared geometry raise — the cursor can
+    never leave the w×h grid, which is the RLE zip-bomb cap."""
+    grid = [0] * (w * h)  # bottom-up rows, flipped at return
+    x = y = 0
+    o = off
+    n = len(b)
+
+    def put(v: int):
+        nonlocal x
+        if x >= w or y >= h:
+            raise ValueError(
+                "decode_image_pixels: BMP RLE writes past the raster"
+            )
+        grid[y * w + x] = v
+        x += 1
+
+    while True:
+        if o + 2 > n:
+            raise ValueError("decode_image_pixels: truncated BMP RLE")
+        cnt, val = b[o], b[o + 1]
+        o += 2
+        if cnt > 0:
+            if comp == 1:
+                for _ in range(cnt):
+                    put(val)
+            else:
+                for i in range(cnt):
+                    put((val >> 4) if i % 2 == 0 else (val & 0x0F))
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta: skipped pixels keep index 0
+            if o + 2 > n:
+                raise ValueError("decode_image_pixels: truncated BMP RLE")
+            dx, dy = b[o], b[o + 1]
+            o += 2
+            x += dx
+            y += dy
+            if x > w or y > h:
+                raise ValueError(
+                    "decode_image_pixels: BMP RLE delta past the raster"
+                )
+        else:  # absolute mode: val literal pixels, word-aligned
+            if comp == 1:
+                nbytes = val
+            else:
+                nbytes = (val + 1) // 2
+            pad = (nbytes + 1) // 2 * 2 - nbytes
+            if o + nbytes + pad > n:
+                raise ValueError("decode_image_pixels: truncated BMP RLE")
+            for i in range(val):
+                if comp == 1:
+                    put(b[o + i])
+                else:
+                    byte = b[o + i // 2]
+                    put((byte >> 4) if i % 2 == 0 else (byte & 0x0F))
+            o += nbytes + pad
+    # bottom-up -> top-down
+    out: "list[int]" = []
+    for yy in range(h - 1, -1, -1):
+        out.extend(grid[yy * w:(yy + 1) * w])
+    return out
 
 
 def _tiff_lzw_decompress(strip: bytes, out_cap: int) -> bytes:

@@ -2768,6 +2768,139 @@ def test_decode_bmp_8bit_palette():
         )
 
 
+def test_decode_bmp_rle_and_subbyte():
+    """BI_RLE8/BI_RLE4 BMP decode (encoded runs, absolute mode with
+    word alignment, end-of-line/bitmap escapes, the delta skip leaving
+    palette-0 pixels) — pinned first by the documented Microsoft RLE8
+    example, then by roundtrips through a spec-side compressor — plus
+    1/4-bit UNCOMPRESSED palette BMPs (MSB-first sub-byte indices)."""
+    import random
+    import struct
+
+    from icedb_spark.operators import decode_image_pixels
+
+    def bmp(w, h, bpp, comp, payload, pal_entries):
+        pal = b"".join(bytes([b_, g, r, 0]) for b_, g, r in pal_entries)
+        off = 14 + 40 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", off + len(payload), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                             len(payload), 0, 0, len(pal_entries), 0))
+        return hdr + pal + payload
+
+    def luma(bgr):
+        return (299 * bgr[2] + 587 * bgr[1] + 114 * bgr[0]) // 1000
+
+    pal = [(13 * j % 256, 11 * j % 256, 7 * j % 256) for j in range(256)]
+
+    # the canonical MSDN RLE8 stream (w=20, h=3, bottom-up)
+    ms = bytes([
+        0x03, 0x04, 0x05, 0x06,
+        0x00, 0x03, 0x45, 0x56, 0x67, 0x00,
+        0x02, 0x78,
+        0x00, 0x02, 0x05, 0x01,
+        0x02, 0x78,
+        0x00, 0x00,
+        0x09, 0x1E,
+        0x00, 0x01,
+    ])
+    rows_bottom_up = [
+        [4] * 3 + [6] * 5 + [0x45, 0x56, 0x67] + [0x78] * 2 + [0] * 7,
+        [0] * 18 + [0x78] * 2,
+        [0x1E] * 9 + [0] * 11,
+    ]
+    want = [luma(pal[v]) for row in reversed(rows_bottom_up) for v in row]
+    assert decode_image_pixels(bmp(20, 3, 8, 1, ms, pal)) == want
+
+    # roundtrip both RLE modes through a spec-side compressor: encoded
+    # runs on even rows, absolute chunks on odd rows
+    def rle_compress(idx_rows, comp):
+        out = bytearray()
+        for yi, row in enumerate(idx_rows):  # bottom-up input
+            if yi % 2 == 0:
+                x = 0
+                while x < len(row):
+                    run = 1
+                    while (x + run < len(row) and row[x + run] == row[x]
+                           and run < 255):
+                        run += 1
+                    v = row[x] if comp == 1 else (
+                        (row[x] << 4) | row[x]
+                    )
+                    out += bytes([run, v])
+                    x += run
+            else:
+                x = 0
+                while x < len(row):
+                    nn = min(len(row) - x, 12)
+                    if nn < 3:  # absolute mode needs >= 3
+                        for v in row[x:x + nn]:
+                            out += bytes([1, v if comp == 1 else v << 4])
+                        x += nn
+                        continue
+                    out += bytes([0, nn])
+                    if comp == 1:
+                        chunk = bytes(row[x:x + nn])
+                    else:
+                        chunk = bytearray()
+                        for i in range(0, nn, 2):
+                            hi = row[x + i] << 4
+                            lo = row[x + i + 1] if i + 1 < nn else 0
+                            chunk.append(hi | lo)
+                        chunk = bytes(chunk)
+                    out += chunk + b"\x00" * (len(chunk) & 1)
+                    x += nn
+            out += b"\x00\x00"  # end of line
+        out[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+        return bytes(out)
+
+    rng = random.Random(5)
+    w, h = 17, 6
+    for comp, top in ((1, 255), (2, 15)):
+        idx_rows = [
+            [rng.randint(0, top) for _ in range(w)] for _ in range(h)
+        ]
+        payload = rle_compress(idx_rows, comp)
+        wantr = [
+            luma(pal[v]) for row in reversed(idx_rows) for v in row
+        ]
+        got = decode_image_pixels(
+            bmp(w, h, 8 if comp == 1 else 4, comp, payload,
+                pal if comp == 1 else pal[:16])
+        )
+        assert got == wantr, f"comp={comp}"
+
+    # 1/4-bit uncompressed palette BMPs
+    for bpp, top in ((1, 1), (4, 15)):
+        rows = [[rng.randint(0, top) for _ in range(w)] for _ in range(h)]
+        rowlen = (w * bpp + 31) // 32 * 4
+        data = bytearray()
+        for row in reversed(rows):
+            line = bytearray(rowlen)
+            for x, v in enumerate(row):
+                shift = 8 - bpp - (x * bpp) % 8
+                line[(x * bpp) // 8] |= v << shift
+            data += line
+        got = decode_image_pixels(
+            bmp(w, h, bpp, 0, bytes(data), pal[:1 << bpp])
+        )
+        assert got == [
+            luma(pal[v]) for row in rows for v in row
+        ], f"bpp={bpp}"
+
+    # hostile: RLE writing past the raster, truncated stream,
+    # top-down RLE, RLE4 declared at 8 bpp
+    with pytest.raises(ValueError, match="past the raster"):
+        decode_image_pixels(bmp(4, 2, 8, 1, bytes([9, 1, 0, 1]), pal))
+    with pytest.raises(ValueError, match="truncated BMP RLE"):
+        decode_image_pixels(bmp(4, 2, 8, 1, bytes([2, 1]), pal))
+    hdr_td = bytearray(bmp(4, 2, 8, 1, ms, pal))
+    struct.pack_into("<i", hdr_td, 22, -2)
+    with pytest.raises(ValueError, match="top-down RLE"):
+        decode_image_pixels(bytes(hdr_td))
+    with pytest.raises(ValueError, match="unsupported BMP profile"):
+        decode_image_pixels(bmp(4, 2, 8, 2, ms, pal))
+
+
 def test_decode_ico_favicons():
     """ICO/CUR decode: largest-entry selection (0 bytes mean 256),
     PNG-in-ICO dispatch, doubled-height DIB entries at 1/4/8-bit
@@ -2947,6 +3080,12 @@ def test_decode_corruption_never_crashes():
         ),
         tiff_blob,
         ico_blob,
+        # RLE8 BMP (the MSDN example stream under a real header)
+        (b"BM" + struct.pack("<IHHI", 0, 0, 0, 14 + 40 + 1024)
+         + struct.pack("<IiiHHIIiiII", 40, 20, 3, 1, 8, 1, 24, 0, 0, 0, 0)
+         + bytes(1024)
+         + bytes([3, 4, 5, 6, 0, 3, 0x45, 0x56, 0x67, 0, 2, 0x78,
+                  0, 2, 5, 1, 2, 0x78, 0, 0, 9, 0x1E, 0, 1])),
     ]
     for blob in blobs:
         for _ in range(250):
