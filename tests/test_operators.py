@@ -3100,6 +3100,28 @@ def test_decode_corruption_never_crashes():
                 decode_image_pixels(bytes(b))
             except ValueError:
                 pass
+    # animated GIF: the compositing decoder shares the contract
+    from icedb_spark.operators import decode_gif_frames
+
+    agif = _agif(6, 4, [(0, 0, 0), (255, 0, 0)], [
+        {"rect": (0, 0, 6, 4), "indices": [1] * 24, "delay_cs": 3},
+        {"rect": (1, 1, 2, 2), "indices": [0, 1, 1, 0], "transparent": 0,
+         "disposal": 2},
+    ])
+    for _ in range(250):
+        b = bytearray(agif)
+        if rng.randint(0, 1):
+            b = b[:rng.randint(1, len(b) - 1)]
+        else:
+            b[rng.randint(0, len(b) - 1)] = rng.randint(0, 255)
+        try:
+            decode_gif_frames(bytes(b))
+        except ValueError:
+            pass
+        try:
+            decode_image_pixels(bytes(b))  # still-image arm, same blob
+        except ValueError:
+            pass
     # G.711 WAV: same contract through decode_wav_samples
     wav = _wav_raw(
         struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8), bytes(range(64))
@@ -5853,3 +5875,175 @@ def test_parse_mp4_keyframes_video_track_selection():
                   + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload)
     blob2 = box(b"ftyp", b"isom\x00\x00\x00\x00") + large_mdat + moov
     assert parse_mp4_keyframes(blob2) == [(1, 0), (3, 500)]
+
+
+def _agif(w, h, gct, frames, bg_idx=0):
+    """Animated-GIF builder (spec-side): ``frames`` is a list of dicts
+    with keys rect=(x,y,fw,fh), indices, and optional lct, delay_cs,
+    transparent, disposal, interlace."""
+    import struct
+
+    size_field = max(0, max(2, (len(gct) - 1).bit_length()) - 1)
+    table = b"".join(bytes(c) for c in gct) + b"\x00" * (
+        3 * ((2 << size_field) - len(gct))
+    )
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h))
+    out += bytes([0x80 | size_field, bg_idx, 0]) + table
+    for f in frames:
+        x, y, fw, fh = f["rect"]
+        gflags = (f.get("disposal", 0) << 2) | (
+            1 if f.get("transparent") is not None else 0
+        )
+        out += (b"\x21\xf9\x04" + bytes([gflags])
+                + struct.pack("<H", f.get("delay_cs", 0))
+                + bytes([f.get("transparent") or 0, 0]))
+        lct = f.get("lct")
+        pal = lct or gct
+        min_code = max(2, (len(pal) - 1).bit_length())
+        ipacked = 0x40 if f.get("interlace") else 0
+        if lct:
+            lsf = max(0, min_code - 1)
+            ipacked |= 0x80 | lsf
+        out += b"\x2c" + struct.pack("<HHHH", x, y, fw, fh) + bytes([ipacked])
+        if lct:
+            out += b"".join(bytes(c) for c in lct) + b"\x00" * (
+                3 * ((2 << (min_code - 1)) - len(lct))
+            )
+        idx = list(f["indices"])
+        if f.get("interlace"):
+            order = (list(range(0, fh, 8)) + list(range(4, fh, 8))
+                     + list(range(2, fh, 4)) + list(range(1, fh, 2)))
+            rows = [idx[r * fw:(r + 1) * fw] for r in range(fh)]
+            idx = [px for r in order for px in rows[r]]
+        data = _gif_lzw_encode(idx, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(data), 200):
+            chunk = data[i:i + 200]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_frames_compositing():
+    """Animated GIF compositing: transparency leaves the canvas,
+    disposal 2 restores the frame rect to background, disposal 3
+    restores the pre-frame canvas, sub-rect offsets and local palettes
+    compose onto the logical screen, delays convert cs -> ms, and the
+    max_frames cap bounds hostile animations."""
+    from icedb_spark.operators import decode_gif_frames, decode_image_pixels
+
+    def luma(c):
+        return (299 * c[0] + 587 * c[1] + 114 * c[2]) // 1000
+
+    gct = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    lct = [(10, 20, 30), (200, 100, 50)]
+    w, h = 6, 4
+    base = [1] * (w * h)  # frame 0: all red, full screen
+    patch = [0, 1, 1, 0]  # frame 1: 2x2 at (2,1), idx 0 TRANSPARENT -> lct[1]
+    f2 = [2] * (w * h)    # frame 2: all green, disposal 2 (restore to bg)
+    f3 = [3, 3, 3, 3]     # frame 3: blue 2x2 at (0,0), disposal 3
+    f4 = [2, 2, 2, 2]     # frame 4: sees the canvas as it was before f3
+    blob = _agif(w, h, gct, [
+        {"rect": (0, 0, w, h), "indices": base, "delay_cs": 7},
+        {"rect": (2, 1, 2, 2), "indices": patch, "lct": lct,
+         "transparent": 0, "delay_cs": 12},
+        {"rect": (0, 0, w, h), "indices": f2, "disposal": 2},
+        {"rect": (0, 0, 2, 2), "indices": f3, "disposal": 3},
+        {"rect": (0, 0, 2, 2), "indices": f4},
+    ], bg_idx=0)
+    frames = decode_gif_frames(blob)
+    assert [f[0] for f in frames] == [0, 1, 2, 3, 4]
+    assert [f[1] for f in frames] == [70, 120, 0, 0, 0]
+    red, green, blue, bgl = (luma(gct[1]), luma(gct[2]), luma(gct[3]),
+                             luma(gct[0]))
+    c1 = luma(lct[1])
+    # frame 0: all red
+    assert frames[0][2] == [red] * (w * h)
+    # frame 1: red everywhere except the two lct[1] pixels of the patch
+    # (transparent index 0 leaves red showing through)
+    want1 = [red] * (w * h)
+    want1[1 * w + 3] = c1  # patch (1,0) -> screen (3,1)
+    want1[2 * w + 2] = c1  # patch (0,1) -> screen (2,2)
+    assert frames[1][2] == want1
+    # frame 2: all green while shown
+    assert frames[2][2] == [green] * (w * h)
+    # frame 3: after f2's disposal-2 the canvas is background; f3 draws
+    # a blue 2x2 in the corner
+    want3 = [bgl] * (w * h)
+    for yy in range(2):
+        for xx in range(2):
+            want3[yy * w + xx] = blue
+    assert frames[3][2] == want3
+    # frame 4: f3 was disposal-3, so its blue square is GONE; f4 draws
+    # green over the restored background canvas
+    want4 = [bgl] * (w * h)
+    for yy in range(2):
+        for xx in range(2):
+            want4[yy * w + xx] = green
+    assert frames[4][2] == want4
+    # max_frames cap
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
+    # a full-screen opaque first frame matches the still-image arm
+    assert frames[0][2] == decode_image_pixels(blob)
+    # interlaced sub-frame composes identically to its sequential twin
+    inter = _agif(8, 8, gct, [
+        {"rect": (0, 0, 8, 8),
+         "indices": [(i * 7 + 3) % 4 for i in range(64)],
+         "interlace": True},
+    ])
+    seq = _agif(8, 8, gct, [
+        {"rect": (0, 0, 8, 8),
+         "indices": [(i * 7 + 3) % 4 for i in range(64)]},
+    ])
+    assert decode_gif_frames(inter)[0][2] == decode_gif_frames(seq)[0][2]
+    # non-GIF -> None; frame outside the screen raises
+    assert decode_gif_frames(b"\x89PNG\r\n\x1a\n") is None
+    with pytest.raises(ValueError, match="outside the screen"):
+        decode_gif_frames(_agif(4, 4, gct, [
+            {"rect": (3, 3, 2, 2), "indices": [1, 1, 1, 1]},
+        ]))
+
+
+def test_gif_frame_phashes_operator(spark):
+    """The per-frame hash operator: one row per composited frame with
+    the same pooled-aHash contract as perceptual_hash — a static
+    animation collapses to one distinct hash, a changing one doesn't."""
+    from icedb_spark.operators import decode_gif_frames, gif_frame_phashes
+
+    gct = [(i, i, i) for i in range(0, 256, 16)]
+    w, h = 10, 8
+    import random
+
+    rng = random.Random(9)
+    fr0 = [rng.randrange(16) for _ in range(w * h)]
+    fr1 = [rng.randrange(16) for _ in range(w * h)]
+    moving = _agif(w, h, gct, [
+        {"rect": (0, 0, w, h), "indices": fr0, "delay_cs": 5},
+        {"rect": (0, 0, w, h), "indices": fr1, "delay_cs": 5},
+        {"rect": (0, 0, w, h), "indices": fr0},
+    ])
+    static = _agif(w, h, gct, [
+        {"rect": (0, 0, w, h), "indices": fr0},
+        {"rect": (0, 0, w, h), "indices": fr0},
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(moving)), (2, bytearray(static))],
+        "media_id long, content binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in gif_frame_phashes(df).collect()}
+    assert len(rows) == 5
+    assert rows[(1, 0)]["delay_ms"] == 50
+    assert rows[(1, 0)]["phash"] == rows[(1, 2)]["phash"]  # fr0 again
+    assert rows[(2, 0)]["phash"] == rows[(2, 1)]["phash"]
+    # cross-check one frame against the decode + pool closed form
+    from icedb_spark.operators.multimodal import _pool_pixels
+
+    px = decode_gif_frames(moving)[1][2]
+    pooled = _pool_pixels(px, 60)
+    total = sum(pooled)
+    hv = 0
+    for p in pooled:
+        hv = (hv << 1) | (1 if p * 60 > total else 0)
+    assert rows[(1, 1)]["phash"] == hv
