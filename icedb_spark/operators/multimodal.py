@@ -346,11 +346,17 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
                     shift = 8 - bpp - (x * bpp) % 8
                     out.append(pal_luma((byte >> shift) & submask))
         return out
-    if b[:2] in (b"P5", b"P6"):
-        # ASCII header tokens (magic, width, height, maxval) with
-        # '#'-to-EOL comments, then exactly one whitespace byte
+    if len(b) >= 2 and b[0:1] == b"P" and b[1:2] in b"123456":
+        # the full netpbm family: P1/P2/P3 ASCII bitmap/gray/RGB,
+        # P4 packed-binary bitmap, P5/P6 binary gray/RGB. Header is
+        # ASCII tokens (magic, width, height[, maxval — bitmaps have
+        # none]) with '#'-to-EOL comments; binary rasters follow one
+        # whitespace byte. Gray values scale spec-correctly by
+        # v * 255 // maxval (identity at 255); bitmap 1 is BLACK.
+        kind = b[1]
+        nhdr = 2 if kind in (0x31, 0x34) else 3  # P1/P4 carry no maxval
         toks, o, n = [], 2, len(b)
-        while len(toks) < 3 and o < n:
+        while len(toks) < nhdr and o < n:
             c = b[o:o + 1]
             if c == b"#":
                 while o < n and b[o:o + 1] != b"\n":
@@ -362,25 +368,104 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
                 while o < n and not b[o:o + 1].isspace():
                     o += 1
                 toks.append(b[t:o])
-        if len(toks) < 3 or o >= n:
+        if len(toks) < nhdr or o >= n:
             raise ValueError("decode_image_pixels: truncated PNM header")
         try:
-            w, h, maxval = (int(t) for t in toks)
+            vals = [int(t) for t in toks]
         except ValueError:
             raise ValueError("decode_image_pixels: bad PNM header")
+        w, h = vals[0], vals[1]
+        maxval = vals[2] if nhdr == 3 else 1
         if w <= 0 or h <= 0 or not 0 < maxval <= 255:
             raise ValueError(
                 "decode_image_pixels: PNM needs positive dims and "
                 "maxval <= 255"
             )
+        if w * h > 64_000_000:
+            raise ValueError("decode_image_pixels: PNM raster over 64M px")
+        if kind in (0x32, 0x33):  # P2/P3: ASCII decimal samples
+            step = 1 if kind == 0x32 else 3
+            samples = []
+            need = w * h * step
+            while len(samples) < need and o < n:
+                c = b[o:o + 1]
+                if c == b"#":
+                    while o < n and b[o:o + 1] != b"\n":
+                        o += 1
+                elif c.isspace():
+                    o += 1
+                else:
+                    t = o
+                    while o < n and not b[o:o + 1].isspace():
+                        o += 1
+                    try:
+                        v = int(b[t:o])
+                    except ValueError:
+                        raise ValueError(
+                            "decode_image_pixels: bad PNM ASCII sample"
+                        )
+                    if v > maxval:
+                        raise ValueError(
+                            "decode_image_pixels: PNM sample over maxval"
+                        )
+                    samples.append(v * 255 // maxval)
+            if len(samples) < need:
+                raise ValueError(
+                    "decode_image_pixels: truncated PNM payload"
+                )
+            if step == 1:
+                return samples
+            return [
+                (299 * samples[i] + 587 * samples[i + 1]
+                 + 114 * samples[i + 2]) // 1000
+                for i in range(0, need, 3)
+            ]
+        if kind == 0x31:  # P1: ASCII bits, whitespace optional
+            out = []
+            while len(out) < w * h and o < n:
+                c = b[o]
+                if c == 0x23:  # '#'
+                    while o < n and b[o] != 0x0A:
+                        o += 1
+                elif c in (0x30, 0x31):
+                    out.append(0 if c == 0x31 else 255)  # 1 = black
+                    o += 1
+                elif bytes([c]).isspace():
+                    o += 1
+                else:
+                    raise ValueError(
+                        "decode_image_pixels: bad PNM bitmap digit"
+                    )
+            if len(out) < w * h:
+                raise ValueError(
+                    "decode_image_pixels: truncated PNM payload"
+                )
+            return out
         o += 1  # the single whitespace separating header from raster
-        step = 1 if b[:2] == b"P5" else 3
+        if kind == 0x34:  # P4: packed bits, rows byte-aligned, MSB first
+            rb = (w + 7) // 8
+            if o + rb * h > n:
+                raise ValueError(
+                    "decode_image_pixels: truncated PNM payload"
+                )
+            out = []
+            for y in range(h):
+                base = o + y * rb
+                for x in range(w):
+                    bit = (b[base + x // 8] >> (7 - x % 8)) & 1
+                    out.append(0 if bit else 255)  # 1 = black
+            return out
+        step = 1 if kind == 0x35 else 3
         if o + w * h * step > n:
             raise ValueError("decode_image_pixels: truncated PNM payload")
         if step == 1:
-            return list(b[o:o + w * h])
+            if maxval == 255:
+                return list(b[o:o + w * h])
+            return [v * 255 // maxval for v in b[o:o + w * h]]
         return [
-            (299 * b[i] + 587 * b[i + 1] + 114 * b[i + 2]) // 1000
+            (299 * (b[i] * 255 // maxval)
+             + 587 * (b[i + 1] * 255 // maxval)
+             + 114 * (b[i + 2] * 255 // maxval)) // 1000
             for i in range(o, o + w * h * 3, 3)
         ]
     if b[:4] in (b"II*\x00", b"MM\x00*"):

@@ -6047,3 +6047,45 @@ def test_gif_frame_phashes_operator(spark):
     for p in pooled:
         hv = (hv << 1) | (1 if p * 60 > total else 0)
     assert rows[(1, 1)]["phash"] == hv
+
+
+def test_decode_pnm_full_family():
+    """The complete netpbm family: P1/P2/P3 ASCII with comments and
+    free whitespace (P1 digits may pack without separators), P4 packed
+    bits with byte-aligned rows, P5/P6 with spec-correct maxval
+    scaling; bitmap 1 is BLACK."""
+    from icedb_spark.operators import decode_image_pixels
+
+    # P1: packed digits + comment mid-raster
+    p1 = b"P1\n# bitmap\n5 2\n10101\n# mid\n01 0 1 0\n"
+    assert decode_image_pixels(p1) == [
+        0, 255, 0, 255, 0, 255, 0, 255, 0, 255
+    ]
+    # P2 with maxval 15 scaling (v * 255 // 15 = v * 17)
+    p2 = b"P2 3 2 15\n0 5 15\n1 # c\n 10 7\n"
+    assert decode_image_pixels(p2) == [0, 85, 255, 17, 170, 119]
+    # P3 RGB with maxval 7
+    p3 = b"P3 2 1 7\n7 0 0  0 7 0\n"
+    assert decode_image_pixels(p3) == [
+        (299 * 255) // 1000, (587 * 255) // 1000
+    ]
+    # P4: 10 wide (2 bytes/row, 6 padding bits), 1 = black
+    p4 = b"P4\n10 2\n" + bytes([0b10110000, 0b01000000,
+                                0b00000001, 0b11000000])
+    assert decode_image_pixels(p4) == [
+        0, 255, 0, 0, 255, 255, 255, 255, 255, 0,
+        255, 255, 255, 255, 255, 255, 255, 0, 0, 0,
+    ]
+    # P5 with maxval 100: scaled
+    p5 = b"P5 2 1 100\n" + bytes([0, 100])
+    assert decode_image_pixels(p5) == [0, 255]
+    # P6 with maxval 255: unchanged behavior
+    p6 = b"P6 1 1 255\n" + bytes([255, 0, 0])
+    assert decode_image_pixels(p6) == [(299 * 255) // 1000]
+    # failure modes: sample over maxval, truncated P4, bad P1 digit
+    with pytest.raises(ValueError, match="over maxval"):
+        decode_image_pixels(b"P2 2 1 7\n3 9\n")
+    with pytest.raises(ValueError, match="truncated PNM"):
+        decode_image_pixels(b"P4\n10 2\n\x00")
+    with pytest.raises(ValueError, match="bitmap digit"):
+        decode_image_pixels(b"P1 2 1\n0 2\n")
