@@ -30,6 +30,7 @@ import socket
 import threading
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -764,16 +765,20 @@ class LogState:
         return [m for m in self.file_markers if m.alive]
 
 
-def _storage_cache_token(storage) -> tuple:
+def _storage_cache_token(storage) -> "Optional[tuple]":
     """Identity token for the parse cache: the table-root string every
     Storage implementation carries (``root`` locally/in-memory, ``_base``
-    for fsspec/pyarrow), falling back to object identity."""
-    return (
-        type(storage).__name__,
-        getattr(storage, "root", None)
-        or getattr(storage, "_base", None)
-        or id(storage),
-    )
+    for fsspec/pyarrow), falling back to object identity. The falsy
+    empty-string root (``Storage('/')`` after rstrip) is a VALID token —
+    test ``is None``, or same-root instances stop sharing the cache and
+    the id() fallback can alias a recycled address."""
+    for attr in ("root", "_base"):
+        v = getattr(storage, attr, None)
+        if v is not None:
+            return (type(storage).__name__, v)
+    # unknown storage type with no stable root: no safe identity (id()
+    # recycles after GC) — signal the caller to bypass the cache
+    return None
 
 
 class IceLogIO:
@@ -802,23 +807,14 @@ class IceLogIO:
     #: (token, key) -> (size, parsed 4-tuple); bounded LRU shared by all
     #: tables in the process (a driver typically serves many reads of
     #: few tables — exactly the shape the cache pays for)
-    _PARSE_CACHE: "OrderedDict[tuple, tuple]" = None  # type: ignore
+    _PARSE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
     _PARSE_CACHE_MAX = 8192
-
-    @classmethod
-    def _cache(cls) -> "OrderedDict[tuple, tuple]":
-        if cls._PARSE_CACHE is None:
-            from collections import OrderedDict as _OD
-
-            cls._PARSE_CACHE = _OD()
-        return cls._PARSE_CACHE
-
     _parse_cache_lock = threading.Lock()
 
     @classmethod
     def clear_parse_cache(cls) -> None:
         with cls._parse_cache_lock:
-            cls._cache().clear()
+            cls._PARSE_CACHE.clear()
 
     def append(
         self,
@@ -864,17 +860,18 @@ class IceLogIO:
         """Parse one log object. ``size`` (the byte length the caller just
         LISTed) keys the parse cache; without it the cache is bypassed —
         correctness never depends on a hit."""
-        if size is not None:
-            ck = (_storage_cache_token(storage), key)
+        token = _storage_cache_token(storage) if size is not None else None
+        if token is not None:
+            ck = (token, key)
             with self._parse_cache_lock:
-                hit = self._cache().get(ck)
+                hit = self._PARSE_CACHE.get(ck)
                 if hit is not None and hit[0] == size:
-                    self._cache().move_to_end(ck)
+                    self._PARSE_CACHE.move_to_end(ck)
                     return hit[1]
         parsed = self._read_log_uncached(storage, key)
-        if size is not None:
+        if token is not None:
             with self._parse_cache_lock:
-                cache = self._cache()
+                cache = self._PARSE_CACHE
                 cache[ck] = (size, parsed)
                 cache.move_to_end(ck)
                 while len(cache) > self._PARSE_CACHE_MAX:

@@ -269,14 +269,7 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
         return _decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return _decode_webp(b)
-    if (
-        # ICO's magic is weak (reserved 0 + type 1/2): require a nonzero
-        # image count and one full directory entry before claiming the
-        # container, so arbitrary binary blobs still fall through to None
-        len(b) >= 22
-        and b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
-        and (b[4] | (b[5] << 8)) > 0
-    ):
+    if _ico_plausible(b):
         return _decode_ico(b)
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
@@ -404,9 +397,10 @@ def decode_image_pixels(blob) -> "Optional[list[int]]":
                         raise ValueError(
                             "decode_image_pixels: bad PNM ASCII sample"
                         )
-                    if v > maxval:
+                    if not 0 <= v <= maxval:
                         raise ValueError(
-                            "decode_image_pixels: PNM sample over maxval"
+                            "decode_image_pixels: PNM sample outside "
+                            "0..maxval"
                         )
                     samples.append(v * 255 // maxval)
             if len(samples) < need:
@@ -896,6 +890,63 @@ class _JpegBits:
         self.pos += 2
 
 
+def _jpeg_huffsym(r: _JpegBits, table: dict) -> int:
+    """Walk one canonical Huffman symbol bit by bit (shared by the
+    baseline block decoder and every progressive scan — ONE copy of the
+    16-level descent, per review)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("decode_image_pixels: invalid JPEG Huffman code")
+
+
+def _jpeg_parse_dht(data: bytes, huff: dict) -> None:
+    """Parse one DHT segment's tables into ``huff`` — shared by the
+    pre-scan marker walk and the progressive inter-scan walk so a
+    validation fix can never apply to one and not the other."""
+    p = 0
+    while p + 17 <= len(data):
+        tc, th = data[p] >> 4, data[p] & 0x0F
+        if tc > 1 or th > 3:
+            raise ValueError("decode_image_pixels: bad JPEG DHT")
+        bits = list(data[p + 1:p + 17])
+        cnt = sum(bits)
+        p += 17
+        if p + cnt > len(data):
+            raise ValueError("decode_image_pixels: bad JPEG DHT")
+        huff[(tc, th)] = _jpeg_build_huff(bits, data[p:p + cnt])
+        p += cnt
+    if p != len(data):
+        raise ValueError("decode_image_pixels: bad JPEG DHT")
+
+
+def _jpeg_parse_dqt(data: bytes, qt: dict) -> None:
+    """Parse one DQT segment's tables (8- and 16-bit precision, zigzag
+    order) into ``qt`` — shared for the same one-parser reason."""
+    import struct
+
+    p = 0
+    while p < len(data):
+        pq, tq = data[p] >> 4, data[p] & 0x0F
+        p += 1
+        if pq not in (0, 1) or tq > 3:
+            raise ValueError("decode_image_pixels: bad JPEG DQT")
+        step = 2 if pq else 1
+        if p + 64 * step > len(data):
+            raise ValueError("decode_image_pixels: bad JPEG DQT")
+        if pq:
+            qt[tq] = [
+                struct.unpack_from(">H", data, p + 2 * i)[0]
+                for i in range(64)
+            ]
+        else:
+            qt[tq] = list(data[p:p + 64])
+        p += 64 * step
+
+
 def _jpeg_receive_extend(r: _JpegBits, s: int) -> int:
     """RECEIVE(s) + EXTEND (§F.2.2.1): read ``s`` magnitude bits; a
     value below 2^(s-1) is the negative branch (v - (2^s - 1))."""
@@ -915,17 +966,7 @@ def _jpeg_decode_block(
     """One 8x8 block's quantized coefficients in ZIGZAG order: DC
     category + differential (predictor carried per component), then the
     AC run/size loop with ZRL (0xF0) and EOB (0x00)."""
-
-    def huff(table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | r.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("decode_image_pixels: invalid JPEG Huffman code")
-
-    t = huff(dctab)
+    t = _jpeg_huffsym(r, dctab)
     if t > 11:
         raise ValueError("decode_image_pixels: bad JPEG DC category")
     dc = pred + _jpeg_receive_extend(r, t)
@@ -933,7 +974,7 @@ def _jpeg_decode_block(
     coeffs[0] = dc
     k = 1
     while k < 64:
-        rs = huff(actab)
+        rs = _jpeg_huffsym(r, actab)
         run, size = rs >> 4, rs & 0x0F
         if size == 0:
             if run == 15:  # ZRL: sixteen zeros
@@ -1042,38 +1083,9 @@ def _decode_jpeg(b: bytes) -> "list[int]":
         data = b[o + 2:o + seg]
         o += seg
         if m == 0xDB:  # DQT
-            p = 0
-            while p < len(data):
-                pq, tq = data[p] >> 4, data[p] & 0x0F
-                p += 1
-                if pq not in (0, 1) or tq > 3:
-                    raise ValueError("decode_image_pixels: bad JPEG DQT")
-                step = 2 if pq else 1
-                if p + 64 * step > len(data):
-                    raise ValueError("decode_image_pixels: bad JPEG DQT")
-                if pq:
-                    qt[tq] = [
-                        struct.unpack_from(">H", data, p + 2 * i)[0]
-                        for i in range(64)
-                    ]
-                else:
-                    qt[tq] = list(data[p:p + 64])
-                p += 64 * step
+            _jpeg_parse_dqt(data, qt)
         elif m == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(data):
-                tc, th = data[p] >> 4, data[p] & 0x0F
-                if tc > 1 or th > 3:
-                    raise ValueError("decode_image_pixels: bad JPEG DHT")
-                bits = list(data[p + 1:p + 17])
-                cnt = sum(bits)
-                p += 17
-                if p + cnt > len(data):
-                    raise ValueError("decode_image_pixels: bad JPEG DHT")
-                huff[(tc, th)] = _jpeg_build_huff(bits, data[p:p + cnt])
-                p += cnt
-            if p != len(data):
-                raise ValueError("decode_image_pixels: bad JPEG DHT")
+            _jpeg_parse_dht(data, huff)
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             progressive = m == 0xC2
             if frame is not None:
@@ -1284,15 +1296,6 @@ def _decode_jpeg_progressive(
             )
     by_id = {c["id"]: c for c in comps}
 
-    def huffsym(r: _JpegBits, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | r.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("decode_image_pixels: invalid JPEG Huffman code")
-
     def receive(r: _JpegBits, nbits: int) -> int:
         v = 0
         for _ in range(nbits):
@@ -1363,7 +1366,7 @@ def _decode_jpeg_progressive(
 
         def dc_unit(c, blk):
             if ah == 0:
-                t = huffsym(r, huff[(0, c["td"])])
+                t = _jpeg_huffsym(r, huff[(0, c["td"])])
                 if t > 11:
                     raise ValueError(
                         "decode_image_pixels: bad JPEG DC category"
@@ -1381,7 +1384,7 @@ def _decode_jpeg_progressive(
                 return
             k = ss
             while k <= se:
-                rs = huffsym(r, actab)
+                rs = _jpeg_huffsym(r, actab)
                 run, size = rs >> 4, rs & 0x0F
                 if size == 0:
                     if run < 15:  # EOBn: this block done + 2^r-1+ext more
@@ -1401,7 +1404,7 @@ def _decode_jpeg_progressive(
             k = ss
             if state["eobrun"] == 0:
                 while k <= se:
-                    rs = huffsym(r, actab)
+                    rs = _jpeg_huffsym(r, actab)
                     run, size = rs >> 4, rs & 0x0F
                     val = 0
                     if size == 0:
@@ -1425,7 +1428,15 @@ def _decode_jpeg_progressive(
                                 break
                             run -= 1
                         k += 1
-                    if val and k <= se:
+                    if val:
+                        if k > se:
+                            # the (run, 1) symbol must land inside the
+                            # band — same fail-loud contract as the
+                            # first pass's "AC run past band end"
+                            raise ValueError(
+                                "decode_image_pixels: JPEG refinement "
+                                "run past band end"
+                            )
                         blk[k] = val
                     k += 1
             if state["eobrun"] > 0:
@@ -1504,38 +1515,9 @@ def _decode_jpeg_progressive(
         data = b[o + 2:o + seg]
         o += seg
         if m == 0xC4:  # DHT between scans
-            p = 0
-            while p + 17 <= len(data):
-                tc, th = data[p] >> 4, data[p] & 0x0F
-                if tc > 1 or th > 3:
-                    raise ValueError("decode_image_pixels: bad JPEG DHT")
-                bits = list(data[p + 1:p + 17])
-                cnt = sum(bits)
-                p += 17
-                if p + cnt > len(data):
-                    raise ValueError("decode_image_pixels: bad JPEG DHT")
-                huff[(tc, th)] = _jpeg_build_huff(bits, data[p:p + cnt])
-                p += cnt
-            if p != len(data):
-                raise ValueError("decode_image_pixels: bad JPEG DHT")
+            _jpeg_parse_dht(data, huff)
         elif m == 0xDB:  # DQT between scans
-            p = 0
-            while p < len(data):
-                pq, tq_i = data[p] >> 4, data[p] & 0x0F
-                p += 1
-                if pq not in (0, 1) or tq_i > 3:
-                    raise ValueError("decode_image_pixels: bad JPEG DQT")
-                step = 2 if pq else 1
-                if p + 64 * step > len(data):
-                    raise ValueError("decode_image_pixels: bad JPEG DQT")
-                if pq:
-                    qt[tq_i] = [
-                        struct.unpack_from(">H", data, p + 2 * i)[0]
-                        for i in range(64)
-                    ]
-                else:
-                    qt[tq_i] = list(data[p:p + 64])
-                p += 64 * step
+            _jpeg_parse_dqt(data, qt)
         elif m == 0xDD:
             if len(data) != 2:
                 raise ValueError("decode_image_pixels: bad JPEG DRI")
@@ -2038,6 +2020,31 @@ def _decode_vp8l(data: bytes) -> "list[int]":
          + 114 * (p & 255)) // 1000
         for p in pixels
     ]
+
+
+def _ico_plausible(b: bytes) -> bool:
+    """Whether a blob is CLAIMABLE as ICO/CUR. The 00-00-01/02-00 magic
+    is weak (it collides with e.g. MPEG start-code streams), so the
+    dispatcher only claims the container when the WHOLE directory
+    parses plausibly: nonzero count, every entry's (offset, size)
+    nonzero and inside the file. Blobs that merely share the prefix
+    fall through to the unrecognized-container ``None`` path — the
+    lenient direction for mixed binary corpora; payload-level
+    corruption of a claimed ICO still raises inside the decoder."""
+    import struct
+
+    if len(b) < 22 or b[:4] not in (b"\x00\x00\x01\x00",
+                                    b"\x00\x00\x02\x00"):
+        return False
+    count = struct.unpack_from("<H", b, 4)[0]
+    if count == 0 or 6 + 16 * count > len(b):
+        return False
+    for i in range(count):
+        e = 6 + 16 * i
+        size, off = struct.unpack_from("<II", b, e + 8)
+        if size == 0 or off < 6 + 16 * count or off + size > len(b):
+            return False
+    return True
 
 
 def _decode_ico(b: bytes) -> "list[int]":

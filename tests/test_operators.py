@@ -3012,6 +3012,12 @@ def test_decode_ico_favicons():
     assert decode_image_pixels(
         b"\x00\x00\x01\x00\x00\x00" + b"x" * 16
     ) is None  # count == 0
+    # review finding: an MPEG-start-code-shaped stream (00 00 01 00
+    # prefix, nonzero u16 at offset 4, junk directory) must NOT be
+    # claimed as ICO — implausible entries fall through to None
+    assert decode_image_pixels(
+        b"\x00\x00\x01\x00" + b"\x00\x0f\xff\xf8" * 8
+    ) is None
 
 
 def test_decode_corruption_never_crashes():
@@ -6083,8 +6089,14 @@ def test_decode_pnm_full_family():
     p6 = b"P6 1 1 255\n" + bytes([255, 0, 0])
     assert decode_image_pixels(p6) == [(299 * 255) // 1000]
     # failure modes: sample over maxval, truncated P4, bad P1 digit
-    with pytest.raises(ValueError, match="over maxval"):
+    with pytest.raises(ValueError, match="outside 0..maxval"):
         decode_image_pixels(b"P2 2 1 7\n3 9\n")
+    # review finding: negative ASCII samples must raise, not emit
+    # negative luma
+    with pytest.raises(ValueError, match="outside 0..maxval"):
+        decode_image_pixels(b"P2 2 1 255\n-5 10\n")
+    with pytest.raises(ValueError, match="outside 0..maxval"):
+        decode_image_pixels(b"P3 1 1 255\n-1 -1 -1\n")
     with pytest.raises(ValueError, match="truncated PNM"):
         decode_image_pixels(b"P4\n10 2\n\x00")
     with pytest.raises(ValueError, match="bitmap digit"):
