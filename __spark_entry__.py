@@ -147,15 +147,48 @@ def q06_month_rollup(spark, sf_dir):
 
 def q07_percentile(spark, sf_dir):
     """median + avg by group — EXACT interpolated percentile so the oracle
-    matches bit-for-bit. Exact `percentile` buffers every group value in the
-    agg buffer, so this is the oracle baseline only; the scale path (bounded
-    sketch memory per group, safe for hot keys at 100 TB) is
-    q33_percentile_approx."""
+    matches bit-for-bit. This is the oracle baseline only; the scale path
+    (bounded sketch memory per group, safe for hot keys at 100 TB) is
+    q33_percentile_approx.
+
+    Optimization r12: the former ``percentile(col, 0.5)`` aggregate buffers
+    every group value into ONE task's OpenHashMap (the whole 6 M-row sf1
+    merge was serial, 8-40 s under memory pressure); this computes the SAME
+    exact interpolation — sort per group, weight the values at 0-based ranks
+    floor/ceil of ``(n-1)·p`` by ``(hi-idx)`` / ``(idx-lo)``, exactly
+    Spark's ``Percentile.getPercentile`` double arithmetic — via a
+    partitioned sort window, so the heavy pass parallelizes per group and
+    spills gracefully. Verified value-identical to the old aggregate at
+    sf0.001/0.01/0.1/sf1 (collect-compare) and against the DuckDB oracle;
+    measured 9.8-40 s -> 6.4 s stable at sf1, neutral-to-better at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+    g = "l_returnflag"
+    v = F.col("l_extendedprice")
+    base = li.select(g, "l_extendedprice").where(v.isNotNull())
+    w_o = Window.partitionBy(g).orderBy("l_extendedprice")
+    w_a = Window.partitionBy(g)
+    rn0 = F.row_number().over(w_o) - 1
+    n = F.count(F.lit(1)).over(w_a)
+    idx = (n - 1).cast("double") * F.lit(0.5)
+    lo = F.floor(idx)
+    hi = F.ceil(idx)
+    contrib = (
+        F.when((rn0 == lo) & (lo == hi), v)
+        .when((rn0 == lo) & (lo != hi), (hi.cast("double") - idx) * v)
+        .when((rn0 == hi) & (lo != hi), (idx - lo.cast("double")) * v)
+    )
+    med = (
+        base.select(g, contrib.alias("_c"))
+        .where(F.col("_c").isNotNull())
+        .groupBy(g)
+        .agg(F.round(F.sum("_c"), 4).alias("median_price"))
+    )
+    rest = li.groupBy(g).agg(
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.count("*").alias("cnt"),
+    )
+    return rest.join(F.broadcast(med), g, "left").select(
+        g, "median_price", "avg_price", "cnt"
     )
 
 

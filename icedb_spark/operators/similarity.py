@@ -122,12 +122,20 @@ def cosine_topk_ivf(
     )
     sim = F.round(_dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
     # nearest cell per corpus vector: broadcast the tiny codebook, then a
-    # map-side max_by — the corpus never shuffles for assignment
+    # map-side max_by; the group key is the 8-byte id alone (dv/n are
+    # functionally dependent -> first() is deterministic), so the agg
+    # hashes longs instead of deep-comparing 64-element arrays and the
+    # exchange carries values as agg buffers, not group keys (guide §2.3)
     assigned = (
         v.crossJoin(F.broadcast(cents))
         .select("id", "dv", "n", "cid", sim.alias("csim"))
-        .groupBy("id", "dv", "n")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+            F.first("n").alias("n"),
+        )
+        .select("id", "dv", "n", "cell")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -210,8 +218,12 @@ def ivf_index_rows(
     return (
         v.crossJoin(F.broadcast(cn))
         .select("vec_id", "v", "n", "cid", sim.alias("csim"))
-        .groupBy("vec_id", "v", "n")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+        )
         .select("vec_id", "cell", "v", "n")
     )
 
@@ -355,9 +367,15 @@ def _train_codebook(
     Assignment uses round(cosine, 6) with centroid-id tiebreaks.
 
     The codebook is C x dim doubles (a few KB), but its LINEAGE is the
-    whole O(iters * N * C) Lloyd run — left lazy, every downstream use
-    would re-execute the training passes; one collect feeds them all a
-    literal local relation with bit-identical values."""
+    whole O(iters * N * C) Lloyd run — so every iteration ends in a
+    collect that feeds the next one a literal local relation with
+    bit-identical values (Python floats ARE IEEE doubles — the roundtrip
+    is lossless). Before this was per-iteration (optimization r12), the
+    lazy ``cents`` lineage was both broadcast for iteration i+1 AND
+    re-executed by the final collect, so iteration 1 ran twice and the
+    accumulated plan carried every iteration's codegen (measured: the
+    2-iteration cold train halved, 12.5 s -> 5.8 s at sf0.1, identical
+    output)."""
     cents = (
         v.orderBy("id")
         .limit(n_centroids)
@@ -369,15 +387,20 @@ def _train_codebook(
             / (_norm(F.col("tv")) * _norm(F.col("cv"))),
             6,
         )
+        # group key is the id ALONE: ti is functionally dependent on it,
+        # so first(ti) is deterministic, and the shuffle/agg hashes an
+        # 8-byte long instead of deep-comparing two 64-element arrays
+        # (guide §2.3 — shuffle keys, not payloads)
         assigned = (
             v.select("id", "ti", "tv")
             .crossJoin(F.broadcast(cents))
             .select("id", "ti", "tv", "cid", csim.alias("cs"))
-            .groupBy("id", "ti", "tv")
+            .groupBy("id")
             .agg(
                 F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
                     "cell"
-                )
+                ),
+                F.first("ti").alias("ti"),
             )
         )
         # the 4-decimal rounded mean, in PURE INTEGER arithmetic:
@@ -404,9 +427,9 @@ def _train_codebook(
                 ]
             ).alias("cv"),
         )
-    if iters:
-        spark = v.sparkSession
-        cents = spark.createDataFrame(
+        # materialize THIS iteration: the next one (and every downstream
+        # use) starts from a literal local relation, not the Lloyd plan
+        cents = v.sparkSession.createDataFrame(
             [(int(r["cid"]), [float(x) for x in r["cv"]])
              for r in cents.collect()],
             "cid bigint, cv array<double>",
@@ -459,8 +482,13 @@ def cosine_topk_ivf_trained(
     assigned = (
         vn.crossJoin(F.broadcast(cn))
         .select("id", "dv", "n", "cid", sim.alias("csim"))
-        .groupBy("id", "dv", "n")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+            F.first("n").alias("n"),
+        )
+        .select("id", "dv", "n", "cell")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -731,8 +759,12 @@ def cosine_topk_ivfpq(
     assigned = (
         vn.crossJoin(F.broadcast(cents))
         .select("id", "dv", "cid", csim.alias("csim"))
-        .groupBy("id", "dv")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+        )
+        .select("id", "dv", "cell")
     )
 
     # ---- sub-codebook: j-th lowest-id vector sliced per subspace (tiny)
@@ -958,8 +990,12 @@ def ivfpq_index_rows(
     assigned = (
         v.crossJoin(F.broadcast(cn))
         .select("vec_id", "dv", "cid", csim.alias("csim"))
-        .groupBy("vec_id", "dv")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+        )
+        .select("vec_id", "dv", "cell")
     )
     s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
     sub = assigned.select("vec_id", "cell", s_col, "dv").select(
