@@ -446,11 +446,15 @@ def simhash(
     Bit ``b`` of the sketch is 1 iff the sum over tokens of ±1 (by bit ``b``
     of the token hash) is positive. One explode + one aggregation.
     """
+    # hash each token ONCE in a projection below the aggregate: embedding
+    # hash60 inside every per-bit sum makes Catalyst evaluate the md5 32x
+    # per token row (no CSE across aggregate functions — seen in the r12
+    # before-plan), so the partial aggregate was paying 32 md5s per token
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
-    h = hash60(F.col("tok"), SIMHASH_SEED)
+    ).select("id", hash60(F.col("tok"), SIMHASH_SEED).alias("__h"))
+    h = F.col("__h")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -784,15 +788,21 @@ def semdedup(
     sim = F.round(
         _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
     )
+    # group key is the 8-byte id alone (dv/n are functionally dependent ->
+    # first() is deterministic): the agg hashes longs instead of
+    # deep-comparing 64-element arrays and the exchange carries the vector
+    # as an agg buffer, not a group key (guide §2.3)
     assigned = (
         vn.crossJoin(F.broadcast(cn))
         .select("id", "dv", "n", "cid", sim.alias("csim"))
-        .groupBy("id", "dv", "n")
+        .groupBy("id")
         .agg(
             F.max_by(
                 F.struct(F.col("cid"), F.col("csim")),
                 F.struct(F.col("csim"), -F.col("cid")),
-            ).alias("best")
+            ).alias("best"),
+            F.first("dv").alias("dv"),
+            F.first("n").alias("n"),
         )
         .select(
             "id", "dv", "n",
