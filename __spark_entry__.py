@@ -153,32 +153,59 @@ def q07_percentile(spark, sf_dir):
 
     Optimization r12: the former ``percentile(col, 0.5)`` aggregate buffers
     every group value into ONE task's OpenHashMap (the whole 6 M-row sf1
-    merge was serial, 8-40 s under memory pressure); this computes the SAME
-    exact interpolation — sort per group, weight the values at 0-based ranks
-    floor/ceil of ``(n-1)·p`` by ``(hi-idx)`` / ``(idx-lo)``, exactly
-    Spark's ``Percentile.getPercentile`` double arithmetic — via a
-    partitioned sort window, so the heavy pass parallelizes per group and
-    spills gracefully. Verified value-identical to the old aggregate at
-    sf0.001/0.01/0.1/sf1 (collect-compare) and against the DuckDB oracle;
-    measured 9.8-40 s -> 6.4 s stable at sf1, neutral-to-better at sf0.1."""
+    merge was serial, 8-40 s under memory pressure). First rework used a
+    sort window partitioned by the group — but ``l_returnflag`` has THREE
+    values, so the heavy sort ran at parallelism 3 (6.4-9 s at sf1). This
+    version computes the SAME exact interpolation — weight the values at
+    0-based ranks floor/ceil of ``(n-1)·p`` by ``(hi-idx)`` / ``(idx-lo)``,
+    exactly Spark's ``Percentile.getPercentile`` double arithmetic — but
+    finds the two ranked values by BAND SELECTION (guide §8: decide with
+    small rows): one partial-aggregatable count per (group, fixed value
+    band) locates the band holding each target rank, and only the ≤2
+    matching bands' rows (a few thousand) are sorted, via a window over
+    (group, band) after a broadcast semi-filter. Every decision row is
+    O(groups × bands); the full data is never range-shuffled or sorted.
+    Verified value-identical to the window version (collect-compare at
+    sf0.001/0.01/0.1/sf1) and against the DuckDB oracle."""
     li = _t(spark, sf_dir, "lineitem")
     g = "l_returnflag"
     v = F.col("l_extendedprice")
-    base = li.select(g, "l_extendedprice").where(v.isNotNull())
-    w_o = Window.partitionBy(g).orderBy("l_extendedprice")
-    w_a = Window.partitionBy(g)
-    rn0 = F.row_number().over(w_o) - 1
-    n = F.count(F.lit(1)).over(w_a)
+    base = li.select(g, v.alias("v")).where(v.isNotNull())
+    # deterministic fixed-width value bands (no sampling — rerun-stable);
+    # a value maps to exactly one band, so equal values never straddle one
+    b = base.withColumn("band", F.floor(F.col("v") / F.lit(200.0)).cast("long"))
+    bc = b.groupBy(g, "band").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.partitionBy(g).orderBy("band")
+    off = bc.select(
+        g,
+        "band",
+        "c",
+        (F.sum("c").over(w_off) - F.col("c")).alias("off"),
+        F.sum("c").over(Window.partitionBy(g)).alias("n"),
+    )
+    idx_o = (F.col("n") - 1).cast("double") * F.lit(0.5)
+    lo_o = F.floor(idx_o)
+    hi_o = F.ceil(idx_o)
+    in_band = lambda r: (r >= F.col("off")) & (r < F.col("off") + F.col("c"))
+    tgt = off.where(in_band(lo_o) | in_band(hi_o)).select(g, "band", "off", "n")
+    r = b.join(F.broadcast(tgt), [g, "band"])
+    rn0 = (
+        F.row_number().over(Window.partitionBy(g, "band").orderBy("v"))
+        - 1
+        + F.col("off")
+    )
+    n = F.col("n")
     idx = (n - 1).cast("double") * F.lit(0.5)
     lo = F.floor(idx)
     hi = F.ceil(idx)
+    vv = F.col("v")
     contrib = (
-        F.when((rn0 == lo) & (lo == hi), v)
-        .when((rn0 == lo) & (lo != hi), (hi.cast("double") - idx) * v)
-        .when((rn0 == hi) & (lo != hi), (idx - lo.cast("double")) * v)
+        F.when((rn0 == lo) & (lo == hi), vv)
+        .when((rn0 == lo) & (lo != hi), (hi.cast("double") - idx) * vv)
+        .when((rn0 == hi) & (lo != hi), (idx - lo.cast("double")) * vv)
     )
     med = (
-        base.select(g, contrib.alias("_c"))
+        r.select(g, contrib.alias("_c"))
         .where(F.col("_c").isNotNull())
         .groupBy(g)
         .agg(F.round(F.sum("_c"), 4).alias("median_price"))
