@@ -243,7 +243,11 @@ def _jaccard_verify(
             .union(cand.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        sets_src = sets_src.join(cand_ids, "id", "left_semi")
+        # candidate ids are a vanishing fraction of the corpus (8 bytes
+        # each) — broadcast the semi-join so the corpus text is never
+        # shuffled/sorted just to be prefiltered (guide §3.1; the
+        # pre-AQE plan showed SortMergeJoin LeftSemi here)
+        sets_src = sets_src.join(F.broadcast(cand_ids), "id", "left_semi")
     sets = sets_src.select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
     return (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -283,6 +287,17 @@ def ngram_jaccard_pairs(
     width is bounded by prefix membership instead of raw shingle frequency.
     Exactness is oracle-checked (d03): the output pair set is identical to
     the naive blocker's.
+
+    Optimization r12 (guide §2.3 / §8 — decide with small rows): every
+    blocking stage keys on ``xxhash64(shingle)`` (8 bytes) instead of the
+    shingle string, so the df-count shuffle, the ranking window sort and
+    the candidate equi-join move/compare longs, not text. Losslessness is
+    preserved: the prefix lemma holds under ANY global total order on the
+    key universe (if A∩B misses A's first ``|A|−⌈t·|A|⌉+1`` keys, then
+    ``|A∩B| ≤ ⌈t·|A|⌉−1`` < the bound), equal shingles always share a
+    hash, and a hash collision can only MERGE two keys — adding candidate
+    pairs, never losing one — while the exact string-set verification
+    that follows discards any extra candidate. Output identical.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -290,19 +305,19 @@ def ngram_jaccard_pairs(
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
-    # persist the exploded (id, shingle) table: it is referenced by the
-    # df-count agg, the ranking window AND both self-join sides — one
+    ).select("id", F.xxhash64("shingle").alias("sh"))
+    # persist the exploded (id, shingle-hash) table: it is referenced by
+    # the df-count agg, the ranking window AND both self-join sides — one
     # materialization instead of four shingle-explode re-derivations. At
     # scale this is the same O(corpus tokens) relation the blocker must
-    # shuffle anyway.
+    # shuffle anyway, at 8 bytes per shingle instead of the string.
     ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = (
-        ex.join(dfreq, "shingle")
+        ex.join(dfreq, "sh")
         .withColumn(
             "rn",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
         )
         .withColumn("ds", F.count("*").over(Window.partitionBy("id")))
     )
@@ -312,13 +327,13 @@ def ngram_jaccard_pairs(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("ds") - F.ceil(F.lit(threshold) * F.col("ds") - 1e-9) + 1
-    ).select("id", "shingle", "ds")
+    ).select("id", "sh", "ds")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             on=[
-                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.sh") == F.col("b.sh"),
                 F.col("a.id") < F.col("b.id"),
                 # PPJoin length filter, also lossless: J >= t forces
                 # min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max)
@@ -361,6 +376,14 @@ def containment_pairs(
     which is what bounds the join at corpus scale. Exact containment is
     then verified on the candidates only (semi-join-pruned shingle
     re-derivation, O(candidates) not O(corpus)).
+
+    Optimization r12 (guide §2.3 / §8): blocking keys are
+    ``xxhash64(shingle)`` longs, not shingle strings — same lossless
+    argument as :func:`ngram_jaccard_pairs` (the prefix lemma holds for
+    any total order on keys; collisions only merge keys, which can only
+    ADD candidates; the exact string-set verification below removes any
+    extra). The B side posts all of its shingles, so at corpus scale
+    this shrinks the widest relation of the operator ~3-5x.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -370,15 +393,15 @@ def containment_pairs(
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    ).select("id", F.xxhash64("shingle").alias("sh"))
     ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = (
-        ex.join(dfreq, "shingle")
+        ex.join(dfreq, "sh")
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("id").orderBy("df", "shingle")
+                Window.partitionBy("id").orderBy("df", "sh")
             ),
         )
         .withColumn("ds", F.count("*").over(Window.partitionBy("id")))
@@ -387,13 +410,13 @@ def containment_pairs(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("ds") - F.ceil(F.lit(threshold) * F.col("ds") - 1e-9) + 1
-    ).select("id", "shingle")
+    ).select("id", "sh")
     cand = (
         prefix.alias("a")
         .join(
             ex.alias("b"),
             on=[
-                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.sh") == F.col("b.sh"),
                 F.col("a.id") != F.col("b.id"),
             ],
         )
@@ -408,7 +431,9 @@ def containment_pairs(
     )
     sets = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
-        .join(cand_ids, "id", "left_semi")
+        # broadcast the tiny candidate-id set — never shuffle the corpus
+        # text for the prefilter (guide §3.1)
+        .join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
     )
     return (

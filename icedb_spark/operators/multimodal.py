@@ -821,12 +821,31 @@ def _jpeg_idct_basis() -> "list[list[float]]":
     return _JPEG_IDCT_B
 
 
+class _HuffTable(dict):
+    """``(code_length, code) -> symbol`` decode dict plus ``lut8``, a
+    256-entry table resolving every code of length ≤ 8 from its 8-bit
+    prefix in one index (optimization r12, guide §4.2 — make the
+    per-symbol hot path one lookup instead of up to 8 bit-walk steps).
+    Codes longer than 8 bits fall back to the exact bit-by-bit walk."""
+
+    __slots__ = ("lut8",)
+
+
+_HUFF_CACHE: dict = {}
+
+
 def _jpeg_build_huff(bits: "list[int]", vals: bytes) -> dict:
     """Canonical Huffman decode table from a DHT segment's BITS(1..16)
     counts + value list: ``(code_length, code) -> symbol`` (ITU T.81
     §C.2 code assignment — counts per length, codes increase within a
-    length, then shift left one per extra length)."""
-    table = {}
+    length, then shift left one per extra length). Tables are memoized
+    by segment content (optimization r12): a corpus encoded with one
+    table set parses it once per task, not once per image."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = _HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -837,6 +856,16 @@ def _jpeg_build_huff(bits: "list[int]", vals: bytes) -> dict:
             k += 1
             code += 1
         code <<= 1
+    lut = [None] * 256
+    for (length, c), sym in table.items():
+        if length <= 8:
+            base = c << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (sym, length)
+    table.lut8 = lut
+    if len(_HUFF_CACHE) >= 256:  # hostile-input bound on the memo
+        _HUFF_CACHE.clear()
+    _HUFF_CACHE[key] = table
     return table
 
 
@@ -844,13 +873,44 @@ class _JpegBits:
     """MSB-first bit reader over entropy-coded data with the spec's
     0xFF00 byte unstuffing; any other marker mid-symbol fails loudly,
     and RSTn markers are consumed only through :meth:`restart` (which
-    byte-aligns first, per §F.2.1.3.1)."""
+    byte-aligns first, per §F.2.1.3.1).
+
+    Optimization r12 (guide §4.2 — per-task work): bits are buffered a
+    few BYTES at a time in one int instead of one byte per :meth:`bit`
+    call, and :meth:`take` serves multi-bit reads in one shift+mask.
+    The refill is SOFT — it stops silently at a non-stuffed 0xFF or at
+    end-of-data, and the marker/truncation errors are raised only when
+    a caller actually demands a bit past that point (via :meth:`bit`),
+    so error behavior is byte-for-byte the old reader's."""
+
+    __slots__ = ("b", "pos", "buf", "nbits")
 
     def __init__(self, b: bytes, pos: int):
         self.b = b
         self.pos = pos
-        self.cur = 0
+        self.buf = 0
         self.nbits = 0
+
+    def _refill_soft(self, need: int) -> None:
+        b = self.b
+        pos = self.pos
+        buf = self.buf
+        n = self.nbits
+        ln = len(b)
+        while n < need and pos < ln:
+            byte = b[pos]
+            if byte == 0xFF:
+                if pos + 1 < ln and b[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    break  # marker/EOF — reported by bit() if demanded
+            else:
+                pos += 1
+            buf = (buf << 8) | byte
+            n += 8
+        self.pos = pos
+        self.buf = buf & ((1 << n) - 1)
+        self.nbits = n
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -872,13 +932,34 @@ class _JpegBits:
                 self.pos += 2
             else:
                 self.pos += 1
-            self.cur = byte
+            self.buf = byte
             self.nbits = 8
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        return (self.buf >> self.nbits) & 1
+
+    def take(self, n: int) -> int:
+        """Read ``n`` bits MSB-first in one step — identical bit
+        sequence and identical failure behavior to ``n`` :meth:`bit`
+        calls (on a short refill the available bits are consumed and
+        the next :meth:`bit` raises the same error the per-bit loop
+        would have raised at that exact position)."""
+        if self.nbits < n:
+            self._refill_soft(n)
+            if self.nbits < n:
+                self.nbits = 0
+                self.bit()  # raises the precise marker/truncation error
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
 
     def restart(self) -> None:
-        self.nbits = 0  # discard padding bits — RSTn is byte-aligned
+        # discard padding bits — RSTn is byte-aligned; buffered WHOLE
+        # bytes mean unconsumed pre-marker data, exactly the old
+        # reader's pos-not-at-marker failure
+        self.nbits -= self.nbits % 8
+        if self.nbits:
+            raise ValueError(
+                "decode_image_pixels: expected JPEG restart marker"
+            )
         if not (
             self.pos + 1 < len(self.b)
             and self.b[self.pos] == 0xFF
@@ -891,9 +972,22 @@ class _JpegBits:
 
 
 def _jpeg_huffsym(r: _JpegBits, table: dict) -> int:
-    """Walk one canonical Huffman symbol bit by bit (shared by the
-    baseline block decoder and every progressive scan — ONE copy of the
-    16-level descent, per review)."""
+    """Decode one canonical Huffman symbol: one 8-bit-prefix LUT probe
+    for codes ≤ 8 bits (optimization r12 — the overwhelmingly common
+    case), falling back to the exact bit-by-bit 16-level descent for
+    longer codes (shared by the baseline block decoder and every
+    progressive scan — ONE copy, per review)."""
+    n = r.nbits
+    if n < 8:
+        r._refill_soft(8)
+        n = r.nbits
+    if n >= 8:
+        lut = getattr(table, "lut8", None)
+        if lut is not None:
+            e = lut[(r.buf >> (n - 8)) & 0xFF]
+            if e is not None:
+                r.nbits = n - e[1]
+                return e[0]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.bit()
@@ -952,9 +1046,7 @@ def _jpeg_receive_extend(r: _JpegBits, s: int) -> int:
     value below 2^(s-1) is the negative branch (v - (2^s - 1))."""
     if s == 0:
         return 0
-    v = 0
-    for _ in range(s):
-        v = (v << 1) | r.bit()
+    v = r.take(s)
     if v < (1 << (s - 1)):
         v -= (1 << s) - 1
     return v
@@ -1297,10 +1389,7 @@ def _decode_jpeg_progressive(
     by_id = {c["id"]: c for c in comps}
 
     def receive(r: _JpegBits, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | r.bit()
-        return v
+        return r.take(nbits)
 
     def decode_scan(pos: int, data: bytes) -> int:
         if len(data) < 1:
