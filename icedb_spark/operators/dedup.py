@@ -738,21 +738,23 @@ def semdedup_cell_stats(
     drop accounting for ``max_cell`` caps (what a silent cap would
     hide), the sibling of :func:`lsh_bucket_stats`. Same deterministic
     codebook, so sizes match what ``semdedup`` will see."""
-    from .similarity import (
-        _best_cell,
-        _norm,
-        _train_codebook_rows,
-        _training_view,
-    )
+    from .similarity import _dot, _norm, _train_codebook, _training_view
 
     v = _training_view(corpus, id_col, vec_col)
-    rows = _train_codebook_rows(v, dim, n_clusters, iters)
+    cents = _train_codebook(v, dim, n_clusters, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
     return (
-        vn.select(
-            _best_cell(F.col("dv"), F.col("n"), rows)
-            .getField("cid")
-            .alias("cell")
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "cid", sim.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
+            ).alias("cell")
         )
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
@@ -802,26 +804,36 @@ def semdedup(
     Returns one row per input vector:
     ``(vec_id, cell, cent_cosine, kept)``.
     """
-    from .similarity import (
-        _best_cell,
-        _dot,
-        _norm,
-        _train_codebook_rows,
-        _training_view,
-    )
+    from .similarity import _dot, _norm, _train_codebook, _training_view
 
     v = _training_view(corpus, id_col, vec_col)
-    rows = _train_codebook_rows(v, dim, n_clusters, iters)
+    cents = _train_codebook(v, dim, n_clusters, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
-    # assignment against LITERAL trained centroids — a pure projection,
-    # no crossJoin/groupBy (optimization r12, similarity._best_cell)
-    best = _best_cell(F.col("dv"), F.col("n"), rows)
-    assigned = vn.select(
-        "id",
-        "dv",
-        "n",
-        best.getField("cid").alias("cell"),
-        best.getField("cs").alias("cent_cos"),
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    # group key is the 8-byte id alone (dv/n are functionally dependent ->
+    # first() is deterministic): the agg hashes longs instead of
+    # deep-comparing 64-element arrays and the exchange carries the vector
+    # as an agg buffer, not a group key (guide §2.3)
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "dv", "n", "cid", sim.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("csim")),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("best"),
+            F.first("dv").alias("dv"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "id", "dv", "n",
+            F.col("best.cid").alias("cell"),
+            F.col("best.csim").alias("cent_cos"),
+        )
     )
     paired = assigned
     if max_cell is not None:

@@ -503,25 +503,32 @@ def semantic_coverage_sample(
     """
     from pyspark.sql import Window
 
-    from .similarity import (
-        _best_cell,
-        _norm,
-        _train_codebook_rows,
-        _training_view,
-    )
+    from .similarity import _dot, _norm, _train_codebook, _training_view
 
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     v = _training_view(corpus, id_col, vec_col)
-    rows = _train_codebook_rows(v, dim, n_clusters, iters)
+    cents = _train_codebook(v, dim, n_clusters, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
-    # assignment against LITERAL trained centroids — a pure projection,
-    # no crossJoin/groupBy (optimization r12, similarity._best_cell)
-    best = _best_cell(F.col("dv"), F.col("n"), rows)
-    assigned = vn.select(
-        "id",
-        best.getField("cid").alias("cell"),
-        best.getField("cs").alias("cent_cos"),
+    cn = cents.withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "cid", sim.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("csim")),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "id",
+            F.col("best.cid").alias("cell"),
+            F.col("best.csim").alias("cent_cos"),
+        )
     )
     order = (F.desc("cent_cos"), F.asc("id"))
     w1 = Window.partitionBy("cell", "_salt").orderBy(*order)

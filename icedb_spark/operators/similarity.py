@@ -43,57 +43,6 @@ def _norm(c) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _py_norm(cv: list[float]) -> float:
-    """Python twin of :func:`_norm` — same left-to-right fold over IEEE
-    doubles (Python floats ARE doubles), so the result is bit-identical
-    to Spark evaluating ``_norm`` on the same array."""
-    import math
-
-    s = 0.0
-    for x in cv:
-        s += x * x
-    return math.sqrt(s)
-
-
-def _centroid_rows(cents: DataFrame) -> list[tuple[int, list[float]]]:
-    """Collect a codebook DataFrame (``cid``, ``cv array<double>``) into
-    local rows — codebooks are C rows by construction, so this is a tiny
-    bounded collect (the same C×dim payload every broadcast of the
-    codebook already shipped)."""
-    return [
-        (int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()
-    ]
-
-
-def _best_cell(
-    vec_col: Column, norm_col: Column, rows: list[tuple[int, list[float]]]
-) -> Column:
-    """Nearest-centroid assignment against LITERAL centroids: a struct
-    column ``(cs, cid)`` holding the winning ``round(cosine, 6)`` and
-    centroid id (ties → smaller cid), computed as a pure per-row
-    projection. Replaces the former broadcast crossJoin + groupBy(id) +
-    max_by shape (optimization r12, guide §2.4 — remove shuffles
-    outright): same arithmetic per (row, centroid) pair, but the corpus
-    is never multiplied C× into an aggregate, and the per-row norm is
-    folded once instead of per centroid. Centroid norms are computed
-    driver-side by :func:`_py_norm` (bit-identical fold), so every
-    ``cs`` value equals the crossJoin version's exactly."""
-    cands = []
-    for cid, cv in rows:
-        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
-        cs = F.round(
-            _dot(vec_col, lit_cv) / (norm_col * F.lit(_py_norm(cv))), 6
-        )
-        cands.append(
-            F.struct(
-                cs.alias("cs"),
-                F.lit(-cid).cast("long").alias("ncid"),
-                F.lit(int(cid)).cast("long").alias("cid"),
-            )
-        )
-    return F.array_max(F.array(*cands))
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -257,21 +206,25 @@ def ivf_index_rows(
     ``bloom_columns=["cell"]`` so :func:`cosine_topk_against_index_table`
     reads only the probed cells' files.
 
-    Plan shape: the C×dim codebook is collected (C rows — the same
-    payload every broadcast of it already shipped) and embedded as
-    LITERAL centroids, so assignment is a pure per-row projection
-    (:func:`_best_cell`, optimization r12) — the corpus NEVER shuffles
-    or aggregates to be assigned (the insert's partition-by-cell write
-    is the one shuffle, and it is the index layout itself)."""
+    Plan shape: one broadcast of the C×dim codebook + a map-side
+    max_by — the corpus NEVER shuffles to be assigned (the insert's
+    partition-by-cell write is the one shuffle, and it is the index
+    layout itself)."""
     v = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", _norm(F.col("v")))
-    rows = _centroid_rows(codebook.select("cid", "cv"))
-    return v.select(
-        "vec_id",
-        _best_cell(F.col("v"), F.col("n"), rows).getField("cid").alias("cell"),
-        "v",
-        "n",
+    cn = codebook.select("cid", "cv").withColumn("cn", _norm(F.col("cv")))
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
+    return (
+        v.crossJoin(F.broadcast(cn))
+        .select("vec_id", "v", "n", "cid", sim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+        )
+        .select("vec_id", "cell", "v", "n")
     )
 
 
@@ -423,34 +376,33 @@ def _train_codebook(
     accumulated plan carried every iteration's codegen (measured: the
     2-iteration cold train halved, 12.5 s -> 5.8 s at sf0.1, identical
     output)."""
-    return v.sparkSession.createDataFrame(
-        _train_codebook_rows(v, dim, n_centroids, iters),
-        "cid bigint, cv array<double>",
-    )
-
-
-def _train_codebook_rows(
-    v: DataFrame, dim: int, n_centroids: int, iters: int
-) -> list[tuple[int, list[float]]]:
-    """The Lloyd run of :func:`_train_codebook`, returned as LOCAL rows
-    (optimization r12): assignment evaluates :func:`_best_cell` against
-    the literal previous-iteration centroids — a pure projection, no
-    crossJoin, no per-id aggregate — so each iteration is ONE shuffle
-    (the per-cell sums) instead of two, and downstream callers can embed
-    the trained centroids as literals too."""
-    cents_rows = [
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in v.orderBy("id")
+    cents = (
+        v.orderBy("id")
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("tv").alias("cv"))
-        .collect()
-    ]
-    # fold the per-row norm ONCE in a projection below the candidate
-    # structs (the crossJoin shape folded it per centroid)
-    base = v.select("id", "ti", "tv").withColumn("_ntv", _norm(F.col("tv")))
+    )
     for _ in range(iters):
-        best = _best_cell(F.col("tv"), F.col("_ntv"), cents_rows)
-        assigned = base.select(best.getField("cid").alias("cell"), "ti")
+        csim = F.round(
+            _dot(F.col("tv"), F.col("cv"))
+            / (_norm(F.col("tv")) * _norm(F.col("cv"))),
+            6,
+        )
+        # group key is the id ALONE: ti is functionally dependent on it,
+        # so first(ti) is deterministic, and the shuffle/agg hashes an
+        # 8-byte long instead of deep-comparing two 64-element arrays
+        # (guide §2.3 — shuffle keys, not payloads)
+        assigned = (
+            v.select("id", "ti", "tv")
+            .crossJoin(F.broadcast(cents))
+            .select("id", "ti", "tv", "cid", csim.alias("cs"))
+            .groupBy("id")
+            .agg(
+                F.max_by("cid", F.struct(F.col("cs"), -F.col("cid"))).alias(
+                    "cell"
+                ),
+                F.first("ti").alias("ti"),
+            )
+        )
         # the 4-decimal rounded mean, in PURE INTEGER arithmetic:
         # round_half_up(10*S/n) = (20*|S| + n) div (2*n) signed — a
         # float round(sum/(1000n), 4) lands EXACTLY on decimal
@@ -475,11 +427,14 @@ def _train_codebook_rows(
                 ]
             ).alias("cv"),
         )
-        cents_rows = [
-            (int(r["cid"]), [float(x) for x in r["cv"]])
-            for r in cents.collect()
-        ]
-    return cents_rows
+        # materialize THIS iteration: the next one (and every downstream
+        # use) starts from a literal local relation, not the Lloyd plan
+        cents = v.sparkSession.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cv"]])
+             for r in cents.collect()],
+            "cid bigint, cv array<double>",
+        )
+    return cents
 
 
 def cosine_topk_ivf_trained(
@@ -518,20 +473,22 @@ def cosine_topk_ivf_trained(
     :func:`cosine_topk_ivf`.
     """
     v = _training_view(corpus, id_col, vec_col)
-    rows = _train_codebook_rows(v, dim, n_centroids, iters)
-    cents = v.sparkSession.createDataFrame(
-        rows, "cid bigint, cv array<double>"
-    )
+    cents = _train_codebook(v, dim, n_centroids, iters)
     vn = v.withColumn("n", _norm(F.col("dv")))
     cn = cents.withColumn("cn", _norm(F.col("cv")))
-    # corpus-side assignment against LITERAL trained centroids — a pure
-    # projection (optimization r12, see _best_cell); the query side below
-    # keeps the tiny crossJoin (queries × C rows)
-    assigned = vn.select(
-        "id",
-        "dv",
-        "n",
-        _best_cell(F.col("dv"), F.col("n"), rows).getField("cid").alias("cell"),
+    sim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select("id", "dv", "n", "cid", sim.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+            F.first("n").alias("n"),
+        )
+        .select("id", "dv", "n", "cell")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -1026,54 +983,56 @@ def ivfpq_index_rows(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("dv")
     ).withColumn("n", _norm(F.col("dv")))
-    # both codebooks are tiny by construction (C and m_sub×k_sub rows) —
-    # collect them and encode against LITERALS: coarse assignment and PQ
-    # encoding become ONE per-row projection; the former explode(m_sub) ×
-    # broadcast-join × two corpus-wide groupBys are gone (optimization
-    # r12, guide §2.4). Per-(row, code) arithmetic is unchanged:
-    # round(|sv|² − 2·sv·scv + c2, 6), argmin by (d2, j); codes/r2 fold
-    # in ascending-s order, the same closed form the oracle computes.
-    rows = _centroid_rows(codebook.select("cid", "cv"))
-    sc_rows: dict[int, list[tuple[int, list[float], float]]] = {}
-    for r in subcodebook.select("s", "j", "scv", "c2").collect():
-        j = int(r["j"])
-        if j > 255 or j < 0:
+    cn = codebook.select("cid", "cv").withColumn("cn", _norm(F.col("cv")))
+    csim = F.round(
+        _dot(F.col("dv"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cn))
+        .select("vec_id", "dv", "cid", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cell"),
+            F.first("dv").alias("dv"),
+        )
+        .select("vec_id", "dv", "cell")
+    )
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
+    sub = assigned.select("vec_id", "cell", s_col, "dv").select(
+        "vec_id",
+        "cell",
+        "s",
+        F.expr(f"slice(dv, s * {dsub} + 1, {dsub})").alias("sv"),
+    )
+    sc = subcodebook.select("s", "j", "scv", "c2")
+    dist2 = F.round(
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("scv"))
+        + F.col("c2"),
+        6,
+    )
+    codes = (
+        sub.join(F.broadcast(sc), "s")
+        .select("vec_id", "cell", "s", "j", "c2", dist2.alias("d2"))
+        .groupBy("vec_id", "cell", "s")
+        .agg(
+            F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"),
+            F.min_by("c2", F.struct(F.col("d2"), F.col("j"))).alias("c2c"),
+        )
+    )
+    return codes.groupBy("vec_id", "cell").agg(
+        F.sum(
             # fail loudly (not silently corrupt the adjacent lane) if a
             # caller-supplied trained sub-codebook carries j >= 256 —
             # the packed-bigint layout has exactly 8 bits per subspace
-            raise ValueError(
-                "ivfpq_index_rows: PQ code outside its 8-bit lane "
-                "(k_sub must be <= 256)"
+            F.expr(
+                "case when code > 255 or code < 0 then "
+                "cast(raise_error('ivfpq_index_rows: PQ code outside "
+                "its 8-bit lane (k_sub must be <= 256)') as bigint) "
+                "else shiftleft(cast(code as bigint), 8 * s) end"
             )
-        sc_rows.setdefault(int(r["s"]), []).append(
-            (j, [float(x) for x in r["scv"]], float(r["c2"]))
-        )
-    codes_acc = F.lit(0).cast("bigint")
-    r2_acc = F.lit(0.0)
-    for s in sorted(sc_rows):
-        sv = F.expr(f"slice(dv, {s} * {dsub} + 1, {dsub})")
-        sv2 = _dot(sv, sv)
-        cands = []
-        for j, scv, c2 in sc_rows[s]:
-            lit_scv = F.array(*[F.lit(float(x)) for x in scv])
-            d2 = F.round(sv2 - 2 * _dot(sv, lit_scv) + F.lit(c2), 6)
-            cands.append(
-                F.struct(
-                    d2.alias("d2"),
-                    F.lit(j).cast("long").alias("j"),
-                    F.lit(c2).alias("c2"),
-                )
-            )
-        best_s = F.array_min(F.array(*cands))
-        codes_acc = codes_acc + F.shiftleft(
-            best_s.getField("j"), 8 * s
-        ).cast("bigint")
-        r2_acc = r2_acc + best_s.getField("c2")
-    return v.select(
-        "vec_id",
-        _best_cell(F.col("dv"), F.col("n"), rows).getField("cid").alias("cell"),
-        codes_acc.alias("codes"),
-        r2_acc.alias("r2"),
+        ).alias("codes"),
+        F.sum("c2c").alias("r2"),
     )
 
 
