@@ -11,6 +11,7 @@ the correctness gate, not just the query layer.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -5463,9 +5464,68 @@ def st09_stream_dedup(spark, sf_dir):
         _cleanup_later(ck)
 
 
-def _drain_to_memory(spark, src_df, build):
+def _stream_state_parts(spark, src_dir: str) -> int:
+    """Scale-adaptive shuffle-partition count for a STATEFUL streaming
+    drain (optimization r12, guide §2 — derive partitioning from input
+    size, never a constant tuned to one machine). Every state-store
+    partition costs a fixed per-micro-batch overhead (provider init,
+    commit, checkpoint delta write) regardless of how much state it
+    holds, so a bounded drain must not pay for cores' worth of
+    near-empty stores: measured on st12, 32 partitions = 10.9 s vs 4
+    partitions = 2.9 s for the identical 371-row result. Sized at ~16 MB
+    of staged source bytes per state partition (the AQE advisory-size
+    idiom applied to streaming state), floored at 1 and capped at the
+    session's default parallelism, so a real corpus still fans out and
+    on a cluster the cap grows with executors while the bytes term
+    dominates. Partition count never changes stateful-operator results —
+    grouping/join keys are hash-routed identically, only into fewer
+    stores. Override with SPARK_GRAFT_STREAM_STATE_PARTS."""
+    ov = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if ov:
+        return max(1, int(ov))
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    target = 16 << 20
+    cap = spark.sparkContext.defaultParallelism
+    return int(max(1, min(cap, (total + target - 1) // target)))
+
+
+class _stream_parts_conf:
+    """Scoped ``spark.sql.shuffle.partitions`` override for one
+    streaming drain: the stream's state layout is fixed from the session
+    conf at its FIRST batch (and pinned in the checkpoint thereafter),
+    so the override brackets only ``start()``..``awaitTermination()``
+    and restores the session value for every batch query around it."""
+
+    def __init__(self, spark, n_parts: int):
+        self._spark = spark
+        self._n = str(n_parts)
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._n)
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
+def _drain_to_memory(spark, src_df, build, python_stateful=False):
     """Stream src_df through build() with an availableNow trigger into a
-    memory sink (append mode); returns the collected result."""
+    memory sink (append mode); returns the collected result.
+
+    ``python_stateful=True`` floors the state-partition count at the
+    session's default parallelism: a per-key Python stateful operator
+    (``applyInPandasWithState`` over many keys) is COMPUTE-bound, so its
+    partitions must track cores — measured on st03, 1 partition = 20.4 s
+    vs 32 = 3.8 s, the exact inverse of the JVM-state case the byte-sized
+    policy targets."""
     import uuid as _uuid
 
     src = tempfile.mkdtemp(prefix="icestream-src-")
@@ -5474,16 +5534,20 @@ def _drain_to_memory(spark, src_df, build):
     try:
         src_df.repartition(3).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(src_df.schema).parquet(src)
-        q = (
-            build(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        n_parts = _stream_state_parts(spark, src)
+        if python_stateful:
+            n_parts = max(n_parts, spark.sparkContext.defaultParallelism)
+        with _stream_parts_conf(spark, n_parts):
+            q = (
+                build(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).cache()
     finally:
         _cleanup_later(src)
@@ -5634,25 +5698,29 @@ def st13_stream_outer_join(spark, sf_dir):
 
     got: list = []
 
-    def run_once():
+    def run_once(n_parts):
         # memory sinks refuse checkpoint recovery; foreachBatch supports
         # it, and the second run is exactly a recovery
         stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = (
-            build(stream)
-            .writeStream.foreachBatch(
-                lambda bdf, bid: got.extend(bdf.collect())
+        with _stream_parts_conf(spark, n_parts):
+            q = (
+                build(stream)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: got.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     try:
         ev.repartition(3).write.mode("append").parquet(src)
-        run_once()
+        # sized once from run 1's staged bytes; run 2 recovers the same
+        # checkpoint, whose state layout is already pinned to this count
+        n_parts = _stream_state_parts(spark, src)
+        run_once(n_parts)
         # run 2: one sentinel row (matches nothing — event_type 'view',
         # ts far past everything) forces the eviction batch
         mx = ev.agg(F.max("ets").alias("m")).collect()[0]["m"]
@@ -5661,7 +5729,7 @@ def st13_stream_outer_join(spark, sf_dir):
         ).withColumn(
             "ets", F.col("ets") + F.expr("interval 30 days")
         ).repartition(1).write.mode("append").parquet(src)
-        run_once()
+        run_once(n_parts)
         return spark.createDataFrame(
             got,
             schema="click_id long, purchase_id long, user_id long, "
@@ -5698,7 +5766,7 @@ def st15_budget_admission(spark, sf_dir):
     got: list = []
     batches_per_run: list = []
 
-    def run_once():
+    def run_once(n_parts):
         n_before = len(batches_per_run)
 
         def sink(bdf, bid):
@@ -5706,18 +5774,19 @@ def st15_budget_admission(spark, sf_dir):
             batches_per_run.append(bid)
 
         stream = spark.readStream.schema(docs.schema).parquet(src)
-        q = (
-            budget_admission(
-                stream, budgets, strata_col="lang", token_col="n_chars",
-                order_col="doc_id", default_budget=5_000,
+        with _stream_parts_conf(spark, n_parts):
+            q = (
+                budget_admission(
+                    stream, budgets, strata_col="lang", token_col="n_chars",
+                    order_col="doc_id", default_budget=5_000,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         if len(batches_per_run) - n_before != 1:
             raise AssertionError(
                 "st15 oracle requires one micro-batch per run, got "
@@ -5728,11 +5797,14 @@ def st15_budget_admission(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 0).repartition(3).write.mode(
             "append"
         ).parquet(src)
-        run_once()
+        # sized once from run 1's staged bytes; run 2 recovers the same
+        # checkpoint, whose state layout is already pinned to this count
+        n_parts = _stream_state_parts(spark, src)
+        run_once(n_parts)
         docs.where(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
             "append"
         ).parquet(src)
-        run_once()
+        run_once(n_parts)
         return spark.createDataFrame(
             got, schema="lang string, doc_id long, toks long, run long"
         ).orderBy("doc_id")
@@ -5782,6 +5854,9 @@ def st03_stateful_sessions(spark, sf_dir):
         lambda s: stateful_sessionize(
             s, "user_id", "ets", gap_us=1_800_000_000, watermark="10 minutes"
         ),
+        # per-user Python state walk — compute-bound, needs cores (see
+        # _drain_to_memory docstring)
+        python_stateful=True,
     )
 
 
