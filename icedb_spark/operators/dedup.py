@@ -835,6 +835,17 @@ def semdedup(
             F.col("best.csim").alias("cent_cos"),
         )
     )
+    # persist the assignment: it feeds BOTH sides of the within-cell
+    # domination self-join AND the final kept-flag join, and the three
+    # references do not canonicalize to one exchange (r12 plan audit:
+    # zero ReusedExchange), so the corpus-wide crossJoin+argmax was
+    # executing three times per action. Same established pattern as
+    # ngram_jaccard_pairs/containment_pairs' exploded-shingle persist;
+    # at scale this is the O(N) relation the operator must compute
+    # anyway, held once.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     paired = assigned
     if max_cell is not None:
         ok = (

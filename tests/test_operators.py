@@ -3443,6 +3443,11 @@ def test_semdedup_plans_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "avg(" not in plan  # training ran once, collected
+    # optimization r12: the corpus-wide assignment is persisted — it
+    # feeds both self-join sides AND the final kept-flag join, and the
+    # three references do not share one exchange (zero ReusedExchange
+    # in the plan audit), so without the persist it computed 3x
+    assert "InMemoryTableScan" in plan
 
 
 def test_semantic_coverage_sample_equalizes_regions(spark, sf_dir):
