@@ -231,7 +231,11 @@ def _jaccard_verify(
     to the docs that appear in some candidate pair — at scale candidates are
     a vanishing fraction of the corpus, so the shingle re-derivation is
     O(candidates), not O(corpus), per verify side. The candidate table is
-    persisted because it is referenced three times.
+    persisted because it is referenced three times; the prefiltered shingle
+    table is persisted because it is joined for BOTH pair sides — without
+    it each side re-scans the corpus, re-runs the semi-join and re-derives
+    every candidate's shingles (the before-plan showed the corpus parquet
+    scanned + shuffled twice just for verification).
     """
     sets_src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
     if prefilter:
@@ -249,9 +253,32 @@ def _jaccard_verify(
         # pre-AQE plan showed SortMergeJoin LeftSemi here)
         sets_src = sets_src.join(F.broadcast(cand_ids), "id", "left_semi")
     sets = sets_src.select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
+    if prefilter:
+        # O(candidates) rows by construction (the semi-join above) — hold
+        # them once instead of computing the corpus->candidates funnel per
+        # join side (guide §5 — cache only when reuse is real; this is the
+        # same bounded-intermediate pattern as the `cand` persist above)
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # pin the build side: always broadcast the per-DOC shingle sets and
+    # stream the candidate PAIRS. Left to size estimates, the accurate
+    # small stats of the cached inputs make the planner broadcast the
+    # (cand ⋈ sets_a) INTERMEDIATE for the second join — |pairs| rows
+    # each dragging a full shingle array, a single-threaded multi-GB
+    # broadcast build (measured 2.6 s → 18-36 s at sf0.1). Guide §3.1:
+    # pick the join strategy deliberately.
     return (
-        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(
+            F.broadcast(
+                sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -435,16 +462,29 @@ def containment_pairs(
         # text for the prefilter (guide §3.1)
         .join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
+        # joined for both pair sides below: persist the O(candidates)
+        # shingle table so the corpus scan + semi-join + shingle
+        # derivation run once, not per side (same pattern as
+        # _jaccard_verify)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # broadcast the per-DOC shingle sets and stream the candidate PAIRS —
+    # left to stats, the planner may broadcast the (cand ⋈ sets_a)
+    # intermediate (|pairs| rows each dragging a shingle array) for the
+    # second join; see the same pin in _jaccard_verify (guide §3.1)
     return (
         cand.join(
-            sets.withColumnRenamed("id", "id_a")
-            .withColumnRenamed("sh", "sh_a"),
+            F.broadcast(
+                sets.withColumnRenamed("id", "id_a")
+                .withColumnRenamed("sh", "sh_a")
+            ),
             "id_a",
         )
         .join(
-            sets.withColumnRenamed("id", "id_b")
-            .withColumnRenamed("sh", "sh_b"),
+            F.broadcast(
+                sets.withColumnRenamed("id", "id_b")
+                .withColumnRenamed("sh", "sh_b")
+            ),
             "id_b",
         )
         .select(

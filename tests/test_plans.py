@@ -122,6 +122,35 @@ def test_ngram_prefix_filter_plans_equi_join(spark, sf_dir):
     assert "Join" in plan
 
 
+@pytest.mark.parametrize("op", ["jaccard", "containment", "minhash"])
+def test_verify_stage_persists_candidate_shingles(spark, sf_dir, op):
+    """Optimization r12: the exact-verify stage joins the candidates'
+    shingle-set table for BOTH pair sides; without a persist each side
+    re-scans the corpus, re-runs the candidate semi-join and re-derives
+    every candidate's shingles (the before-plan showed the documents
+    parquet scanned + shuffled twice just for verification). Each
+    operator must therefore materialize exactly THREE bounded
+    intermediates: the exploded shingle/signature table, the candidate
+    pairs, and the verify-side shingle sets."""
+    from icedb_spark.operators import (
+        containment_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.catalog.clearCache()
+    if op == "jaccard":
+        ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    elif op == "containment":
+        containment_pairs(docs, threshold=0.8).collect()
+    else:
+        minhash_lsh_pairs(docs, num_perm=16, bands=4, threshold=0.5).collect()
+    persisted = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(persisted) == 3
+    spark.catalog.clearCache()
+
+
 def test_simhash_band_blocking_plans_equi_join(spark, sf_dir):
     """Band blocking (d08 scale config) must plan as an equi-join keyed by
     (band, band-value) — never a cartesian pair scan."""
