@@ -15,6 +15,7 @@ import os
 import shutil
 import tempfile
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1649,9 +1650,21 @@ def s12_ann_index_pq(spark, sf_dir):
         bloom_columns=["cell"],
     )
     try:
-        ct.insert(df=ivf_codebook_rows(emb, n_centroids=16))
+        # the coarse-codebook and PQ-sub-codebook chains touch different
+        # tables and neither reads the other's output — overlap their
+        # commits so the second job back-fills the first's fixed commit
+        # latency (both land before the dependent byte-code commit)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(
+                lambda: ct.insert(df=ivf_codebook_rows(emb, n_centroids=16))
+            )
+            fs = pool.submit(
+                lambda: st.insert(
+                    df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16)
+                )
+            )
+            fc.result(), fs.result()
         codebook = ct.read()
-        st.insert(df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16))
         subcodebook = st.read()
         t.insert(
             df=ivfpq_index_rows(emb, codebook, subcodebook, dim=64, m_sub=8)
@@ -1712,13 +1725,26 @@ def s13_ann_index_trained_pq(spark, sf_dir):
         bloom_columns=["cell"],
     )
     try:
-        trained = _train_codebook(
-            _training_view(emb, "vec_id", "embedding"),
-            dim=64, n_centroids=16, iters=2,
-        )
-        ct.insert(df=trained)
+        # Lloyd training + the coarse commit vs the PQ sub-codebook
+        # commit: independent chains on different tables — overlap them
+        # (the sub-codebook job back-fills the driver-blocking Lloyd
+        # collects and the coarse commit's fixed latency)
+        def _coarse():
+            trained = _train_codebook(
+                _training_view(emb, "vec_id", "embedding"),
+                dim=64, n_centroids=16, iters=2,
+            )
+            ct.insert(df=trained)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(_coarse)
+            fs = pool.submit(
+                lambda: st.insert(
+                    df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16)
+                )
+            )
+            fc.result(), fs.result()
         codebook = ct.read()
-        st.insert(df=pq_subcodebook_rows(emb, dim=64, m_sub=8, k_sub=16))
         subcodebook = st.read()
         t.insert(
             df=ivfpq_index_rows(emb, codebook, subcodebook, dim=64, m_sub=8)

@@ -231,11 +231,15 @@ def _jaccard_verify(
     to the docs that appear in some candidate pair — at scale candidates are
     a vanishing fraction of the corpus, so the shingle re-derivation is
     O(candidates), not O(corpus), per verify side. The candidate table is
-    persisted because it is referenced three times; the prefiltered shingle
-    table is persisted because it is joined for BOTH pair sides — without
-    it each side re-scans the corpus, re-runs the semi-join and re-derives
-    every candidate's shingles (the before-plan showed the corpus parquet
-    scanned + shuffled twice just for verification).
+    persisted because it is referenced three times. The prefiltered shingle
+    table is NOT persisted: an r12 experiment that held it MEMORY_AND_DISK
+    for the two pair-side joins was value-neutral for the operator itself
+    (within host noise at bench scale) but, because operator-internal
+    persists outlive the caller's action (the documented contract leaves
+    cache lifetime to callers), the leaked blocks accumulated across a
+    multi-query session and slowed EVERY later query — a measured 16.5 s
+    → 27 s full-bench regression. Reverted; the per-side recomputation is
+    the cheaper steady-state.
     """
     sets_src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
     if prefilter:
@@ -253,30 +257,23 @@ def _jaccard_verify(
         # pre-AQE plan showed SortMergeJoin LeftSemi here)
         sets_src = sets_src.join(F.broadcast(cand_ids), "id", "left_semi")
     sets = sets_src.select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
-    if prefilter:
-        # O(candidates) rows by construction (the semi-join above) — hold
-        # them once instead of computing the corpus->candidates funnel per
-        # join side (guide §5 — cache only when reuse is real; this is the
-        # same bounded-intermediate pattern as the `cand` persist above)
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    # pin the build side: always broadcast the per-DOC shingle sets and
-    # stream the candidate PAIRS. Left to size estimates, the accurate
-    # small stats of the cached inputs make the planner broadcast the
-    # (cand ⋈ sets_a) INTERMEDIATE for the second join — |pairs| rows
-    # each dragging a full shingle array, a single-threaded multi-GB
-    # broadcast build (measured 2.6 s → 18-36 s at sf0.1). Guide §3.1:
-    # pick the join strategy deliberately.
+    # join strategy left to the planner DELIBERATELY (guide §3.1, decided
+    # by r12 measurement, not omission): an experiment that pinned
+    # F.broadcast(sets) on both pair sides — paired with a persist of
+    # `sets` — regressed the full bench 16.5 s → 26-27 s session-wide: at
+    # bench scale candidates are NOT a vanishing fraction, so the pin
+    # force-broadcast near-corpus-size shingle-array relations twice per
+    # call and the blocks lingered in the driver heap across the session.
+    # The un-hinted planner picks the same broadcast only when its size
+    # estimate says the side is genuinely small, which is the right call
+    # at every scale.
     return (
         cand.join(
-            F.broadcast(
-                sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
-            ),
+            sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-            ),
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
             "id_b",
         )
         .select(
@@ -462,29 +459,23 @@ def containment_pairs(
         # text for the prefilter (guide §3.1)
         .join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", shingles(F.col("__txt"), shingle_k).alias("sh"))
-        # joined for both pair sides below: persist the O(candidates)
-        # shingle table so the corpus scan + semi-join + shingle
-        # derivation run once, not per side (same pattern as
-        # _jaccard_verify)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT persisted for the two pair-side joins: the r12 experiment
+        # that cached this leaked blocks past the caller's action and
+        # slowed the whole session (see _jaccard_verify's docstring)
     )
-    # broadcast the per-DOC shingle sets and stream the candidate PAIRS —
-    # left to stats, the planner may broadcast the (cand ⋈ sets_a)
-    # intermediate (|pairs| rows each dragging a shingle array) for the
-    # second join; see the same pin in _jaccard_verify (guide §3.1)
+    # join strategy left to the planner deliberately — a pinned
+    # F.broadcast(sets) on both pair sides was tried and reverted in r12
+    # (near-corpus-size broadcasts at bench scale, session-wide heap
+    # cost; see _jaccard_verify's in-code note for the measurements)
     return (
         cand.join(
-            F.broadcast(
-                sets.withColumnRenamed("id", "id_a")
-                .withColumnRenamed("sh", "sh_a")
-            ),
+            sets.withColumnRenamed("id", "id_a")
+            .withColumnRenamed("sh", "sh_a"),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sets.withColumnRenamed("id", "id_b")
-                .withColumnRenamed("sh", "sh_b")
-            ),
+            sets.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("sh", "sh_b"),
             "id_b",
         )
         .select(
@@ -875,17 +866,15 @@ def semdedup(
             F.col("best.csim").alias("cent_cos"),
         )
     )
-    # persist the assignment: it feeds BOTH sides of the within-cell
-    # domination self-join AND the final kept-flag join, and the three
-    # references do not canonicalize to one exchange (r12 plan audit:
-    # zero ReusedExchange), so the corpus-wide crossJoin+argmax was
-    # executing three times per action. Same established pattern as
-    # ngram_jaccard_pairs/containment_pairs' exploded-shingle persist;
-    # at scale this is the O(N) relation the operator must compute
-    # anyway, held once.
-    from pyspark import StorageLevel
-
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    # the assignment feeds BOTH sides of the within-cell domination
+    # self-join AND the final kept-flag join with zero ReusedExchange
+    # (r12 plan audit), so it executes three times per action. An r12
+    # experiment persisted it MEMORY_AND_DISK: ~8-13% off this operator
+    # in isolation, but the block outlives the caller's action (cache
+    # lifetime is the caller's per the module contract) and the leak
+    # slowed every later query of a multi-query session far more than
+    # the local win — reverted with the verify-stage persists (see
+    # _jaccard_verify's docstring for the measured session numbers).
     paired = assigned
     if max_cell is not None:
         ok = (

@@ -3438,16 +3438,24 @@ def test_semdedup_plans_equijoin_no_cartesian(spark, sf_dir):
     from icedb_spark.testdata import load_clustered_embeddings
 
     emb = load_clustered_embeddings(spark, sf_dir)
+    # optimization r12: the assignment is deliberately NOT persisted —
+    # an experiment that cached it leaked the block past the caller's
+    # action and slowed the whole session (cache lifetime is the
+    # caller's per the module contract). Pin the leak out by the storage
+    # DELTA, not by grepping the plan for InMemoryTableScan (the shared
+    # session's CacheManager substitutes cached leaves from OTHER tests
+    # into this plan) and not by the absolute block count (earlier tests
+    # may leave raw-RDD blocks that catalog.clearCache doesn't touch).
+    spark.catalog.clearCache()
+    blocks_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     df = semdedup(emb, dim=64, n_clusters=16, iters=1, threshold=0.999)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "avg(" not in plan  # training ran once, collected
-    # optimization r12: the corpus-wide assignment is persisted — it
-    # feeds both self-join sides AND the final kept-flag join, and the
-    # three references do not share one exchange (zero ReusedExchange
-    # in the plan audit), so without the persist it computed 3x
-    assert "InMemoryTableScan" in plan
+    df.collect()
+    blocks_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert blocks_after == blocks_before
 
 
 def test_semantic_coverage_sample_equalizes_regions(spark, sf_dir):
