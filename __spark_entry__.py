@@ -4350,8 +4350,13 @@ def _agg_by_type(df: DataFrame) -> DataFrame:
 
 
 def ice01_insert_roundtrip(spark, sf_dir):
-    """insert → snapshot scan: the write path and unified-schema read."""
-    t, d = _scratch(spark)
+    """insert → snapshot scan: the write path and unified-schema read.
+    ``write_splits="auto"`` sizes the writer fan-out from the batch's
+    optimizer estimate (optimization r12): at sf1 every event lands in
+    ONE month partition, so the single-split write was one serial
+    task's shuffle-fetch + Arrow-convert + write pipeline (~3.4 s for
+    1 M rows; eight splits: 1.4 s). Results are layout-independent."""
+    t, d = _scratch(spark, write_splits="auto")
     try:
         t.insert(df=_t(spark, sf_dir, "events"))
         return _agg_by_type(t.read()).cache()
@@ -4360,8 +4365,13 @@ def ice01_insert_roundtrip(spark, sf_dir):
 
 
 def ice02_merge_invariant(spark, sf_dir):
-    """3 inserts + merges: results must be invariant under compaction."""
-    t, d = _scratch(spark)
+    """3 inserts + merges: results must be invariant under compaction.
+    ``write_splits="auto"`` (optimization r12): the serial merge drain
+    is the entry's contract; the three big single-partition inserts are
+    not, so they take the size-derived writer fan-out (merge still
+    compacts every partition back to one file — which this entry's
+    invariant then re-proves over MORE input files than before)."""
+    t, d = _scratch(spark, write_splits="auto")
     try:
         ev = _t(spark, sf_dir, "events")
         for i in range(3):
@@ -4379,8 +4389,12 @@ def ice15_parallel_compaction(spark, sf_dir):
     commits would be unsafe: concurrent merges sharing a source log would
     resurrect each other's tombstones under last-writer-wins). Results must
     be invariant, every partition must collapse to one file, and the pass
-    must add exactly one log."""
-    t, d = _scratch(spark)
+    must add exactly one log. ``write_splits="auto"`` (optimization
+    r12) fans the three inserts out by batch size; merge_all's
+    per-partition collapse to ONE file — asserted below — is
+    unaffected (and now exercised over a multi-file-per-partition
+    layout)."""
+    t, d = _scratch(spark, write_splits="auto")
     try:
         ev = _t(spark, sf_dir, "events")
         for i in range(3):

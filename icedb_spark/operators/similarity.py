@@ -181,11 +181,15 @@ def ivf_codebook_rows(
     v = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("dv")
     )
-    return (
+    out = (
         v.orderBy("id")
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("dv").alias("cv"))
     )
+    # n_centroids x dim doubles by construction: committing this through
+    # IceTable.insert takes the driver-local small-batch write
+    out._icedb_small_batch = True
+    return out
 
 
 def ivf_index_rows(
@@ -433,7 +437,10 @@ def _train_codebook(
             [(int(r["cid"]), [float(x) for x in r["cv"]])
              for r in cents.collect()],
             "cid bigint, cv array<double>",
-        )
+        )  # no coalesce(1): sequential per-slice Python-worker round trips
+    # C x dim doubles by construction: committing this through
+    # IceTable.insert takes the driver-local small-batch write
+    cents._icedb_small_batch = True
     return cents
 
 
@@ -934,7 +941,7 @@ def pq_subcodebook_rows(
         )
     )
     s_col = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("s")
-    return (
+    out = (
         train.select("j", s_col, "dv")
         .select(
             "s",
@@ -943,6 +950,10 @@ def pq_subcodebook_rows(
         )
         .withColumn("c2", _dot(F.col("scv"), F.col("scv")))
     )
+    # m_sub x k_sub rows of dim/m_sub doubles by construction: committing
+    # this through IceTable.insert takes the driver-local small-batch write
+    out._icedb_small_batch = True
+    return out
 
 
 def ivfpq_index_rows(

@@ -367,6 +367,13 @@ def parse_partition(part: str) -> dict[str, str]:
     return out
 
 
+# Below this many input rows the rows-path insert writes driver-side: the
+# distributed writer's fixed cost (shuffle stage + Python-worker round trip,
+# ~0.5 s even for a 16-row codebook) dwarfs a single-threaded Arrow write of
+# a batch this small on any hardware, so the cutoff is scale-independent.
+_SMALL_BATCH_ROWS = 10_000
+
+
 def _make_group_writer(
     root: str,
     sort_order: list[str],
@@ -517,8 +524,13 @@ class IceTable:
         # multiple files per partition per insert is already within the
         # format's contract). Use when single partitions receive more data
         # per batch than one task should write; 1 keeps the reference's
-        # one-file-per-partition behavior.
-        self.write_splits = max(1, int(write_splits))
+        # one-file-per-partition behavior. "auto" derives the fan-out per
+        # batch from the optimizer's size estimate (see
+        # _resolve_write_splits) — a skew-heavy batch fans out, a small
+        # one keeps single files.
+        self.write_splits = (
+            "auto" if write_splits == "auto" else max(1, int(write_splits))
+        )
         # multi-dimensional clustering: files are laid out by the Morton
         # code of these columns instead of lexicographic sort_order, giving
         # row-group min/max pruning on EVERY listed column (see
@@ -812,8 +824,38 @@ class IceTable:
             return None
         return (self.bloom_columns, self.bloom_bits, self.bloom_k)
 
-    def _attach_split(self, df: DataFrame, sort_cols: list[str]) -> DataFrame:
-        """Assign each row its write-split file (``write_splits > 1``).
+    def _resolve_write_splits(self, df: DataFrame) -> int:
+        """Per-batch effective write fan-out. ``"auto"`` derives it from
+        the optimizer's size estimate for the batch (free — no job):
+        one writer task per ``SPARK_GRAFT_WRITE_SPLIT_BYTES`` (default
+        8 MB of estimated input), capped at ``defaultParallelism`` so the
+        cap grows with the cluster, floored at 1 so small batches keep
+        the reference's one-file-per-partition layout. The bottleneck
+        this sizes for is the writer task PIPELINE (shuffle fetch + JVM
+        to Arrow conversion + Python transfer), which is serial per
+        task: measured 3.4 s for a 1 M-row single-partition batch at one
+        split vs 1.4 s at eight (sort+write alone are 0.8 s)."""
+        if self.write_splits != "auto":
+            return self.write_splits
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return 1
+        if est <= 0 or est >= 1 << 60:
+            # un-estimable plan (e.g. a parallelized local relation
+            # reports spark.sql.defaultSizeInBytes = Long.MaxValue):
+            # keep the reference layout rather than trust a sentinel
+            return 1
+        target = int(
+            os.environ.get("SPARK_GRAFT_WRITE_SPLIT_BYTES", str(8 << 20))
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        return max(1, min((est + target - 1) // target, par))
+
+    def _attach_split(self, df: DataFrame, sort_cols: list[str], n: int) -> DataFrame:
+        """Assign each row its write-split file (effective splits > 1).
 
         Plain tables split randomly — parallelism is the only goal. A
         z-ordered batch instead splits on CONTIGUOUS z-ranges (boundaries
@@ -825,7 +867,6 @@ class IceTable:
         would hand every file the full domain and zero any file-level
         pruning the z layout earned."""
         if sort_cols == [_ZORDER_COL]:
-            n = self.write_splits
             cuts = df.stat.approxQuantile(
                 _ZORDER_COL, [i / n for i in range(1, n)], 0.01
             )
@@ -834,7 +875,7 @@ class IceTable:
                 split = split + (F.col(_ZORDER_COL) > F.lit(c)).cast("int")
             return df.withColumn(_SPLIT_COL, split)
         return df.withColumn(
-            _SPLIT_COL, F.floor(F.rand(42) * self.write_splits).cast("int")
+            _SPLIT_COL, F.floor(F.rand(42) * n).cast("int")
         )
 
     def _apply_layout(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
@@ -874,6 +915,7 @@ class IceTable:
         df: Optional[DataFrame] = None,
         commit_tag: Optional[str] = None,
         publish: bool = True,
+        small: Optional[bool] = None,
     ) -> "list[FileMarker] | StagedInsert":
         """Write one sorted Parquet file per touched partition, then commit
         with a single log append (reference ``insert``,
@@ -892,13 +934,41 @@ class IceTable:
         means a staged batch must be published within the orphan-GC grace
         window, like any in-flight writer. Returns a :class:`StagedInsert`
         instead of the marker list.
+
+        ``small`` opts a batch into the DRIVER-LOCAL write fast path: the
+        prepared batch is collected to one Arrow table and the exact same
+        group writer runs on the driver — one lightweight collect job
+        instead of a shuffle + Python-worker job, identical files, markers
+        and commit. ``None`` (default) auto-decides: the rows path takes
+        it below ``_SMALL_BATCH_ROWS`` input rows, the df path when the
+        relation is driver-local or tagged ``_icedb_small_batch`` by an
+        operator whose output is structurally tiny (codebooks). Pass
+        ``True`` only for batches you know fit in driver memory; a custom
+        insert query disables the auto path (its SQL may expand the batch
+        arbitrarily) but honors an explicit ``True``.
         """
         if df is None:
             if not rows:
                 return []
             if self.format_row:
                 rows = [self.format_row(dict(r)) for r in rows]
+            if small is None and len(rows) <= _SMALL_BATCH_ROWS:
+                # never auto-override an explicit fan-out request
+                small = not self.custom_insert_query and (
+                    self.write_splits in (1, "auto")
+                )
             df = self.spark.createDataFrame(rows)
+            # NOTE: do NOT coalesce(1) here. The parallelized Python list
+            # is a pickled RDD; coalescing makes one task iterate every
+            # parent slice SEQUENTIALLY, each paying a Python-worker round
+            # trip (measured 0.3 s -> 4.4 s per tiny insert). The plain
+            # parallel collect in _write_batch_local is the fast shape.
+        if small is None:
+            small = (
+                bool(getattr(df, "_icedb_small_batch", False) or df.isLocal())
+                and not self.custom_insert_query
+                and self.write_splits in (1, "auto")
+            )
         if self.constraints:
             df = self._enforce_constraints(df)
         df = self._prepare_batch(df)
@@ -917,20 +987,33 @@ class IceTable:
         )
         group_cols = [_PART_COL]
         cached = None
-        if self.write_splits > 1:
+        splits = 1 if small else self._resolve_write_splits(df)
+        if splits > 1:
             if sort_cols == [_ZORDER_COL]:
                 # the z-range split needs a quantile pass BEFORE the
                 # write job — persist so the caller's (possibly
                 # expensive) upstream pipeline runs once, not twice
                 cached = df = df.persist()
-            df = self._attach_split(df, sort_cols)
+            df = self._attach_split(df, sort_cols, splits)
             group_cols.append(_SPLIT_COL)
         try:
-            manifest = (
-                df.groupBy(*group_cols)
-                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
-                .collect()
-            )
+            manifest = None
+            if small and splits == 1:
+                try:
+                    manifest = self._write_batch_local(df, writer)
+                except Exception:
+                    # Fall back to the distributed writer (e.g. a type the
+                    # driver-side Arrow collect can't convert). Any files a
+                    # partial local attempt wrote are unreferenced — the log
+                    # commit below is the only visibility — and gc_orphans
+                    # collects them like any failed writer's.
+                    manifest = None
+            if manifest is None:
+                manifest = (
+                    df.groupBy(*group_cols)
+                    .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                    .collect()
+                )
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -952,6 +1035,27 @@ class IceTable:
                 tag=commit_tag,
             )
         return markers
+
+    def _write_batch_local(self, df: DataFrame, writer) -> list[dict]:
+        """Driver-side half of the small-batch insert fast path: collect
+        the prepared batch (one single-partition job — for a local
+        relation there is nothing to shuffle and no Python worker to
+        spin up), group by partition in Arrow, and run the SAME
+        ``write_group`` closure per group that ``applyInArrow`` runs on
+        executors — identical sort, stats, Bloom and file bytes; only
+        WHERE the writer runs differs. Returns manifest dicts shaped
+        like the collected ``_MANIFEST_SCHEMA`` rows. (No coalesce(1):
+        it would collapse a tagged lazy plan's upstream scan into one
+        task; the plain collect keeps upstream parallelism.)"""
+        tbl = df.toArrow()
+        if tbl.num_rows == 0:
+            return []
+        parts = tbl.column(_PART_COL).to_pylist()
+        manifest = []
+        for p in sorted(set(parts), key=lambda x: (x is None, x)):
+            sub = tbl.filter(pa.array([x == p for x in parts]))
+            manifest.append(writer(sub).to_pylist()[0])
+        return manifest
 
     def publish(
         self,
