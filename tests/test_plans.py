@@ -328,7 +328,7 @@ def test_zorder_split_assignment_is_column_expression(spark, tmp_path):
     )
     prepped = t._prepare_batch(df)
     laid, sort_cols = t._apply_layout(prepped)
-    split = t._attach_split(laid, sort_cols)
+    split = t._attach_split(laid, sort_cols, t._resolve_write_splits(laid))
     writer = _make_group_writer(t.path, sort_cols, "snappy", 122_880)
     from icedb_spark.table import _SPLIT_COL
 
