@@ -43,6 +43,120 @@ def _norm(c) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+_PRUNE_MAX_QUERIES = 4096
+
+
+def _topk_candidate_pairs(c: DataFrame, q: DataFrame, k: int):
+    """Batch-level candidate pruning for :func:`cosine_topk` (optimization
+    r13, guide §4.2 — vectorized native scoring inside the Arrow batch).
+
+    Returns a small (query_id, neighbor_id) candidate relation that is a
+    PROVABLE superset of the exact top-k, or None when the shape doesn't
+    qualify (too many queries, non-integral ids). All arithmetic of
+    record stays in the JVM: the caller re-scores only the candidates
+    with the exact fold + round + window, so the output is identical to
+    the unpruned cross join BY CONSTRUCTION.
+
+    Superset argument: round(·, 6) is monotone, so the k-th largest
+    rounded score equals round(k-th largest unrounded score), and any
+    row in the final top-k has unrounded score ≥ u_k − 1e-6 (each round
+    moves a value by ≤ 5e-7). Within one Arrow batch, the global top-k
+    rows for a query are also among that batch's k best, so emitting
+    every batch row with approx score ≥ (batch k-th approx) − 2e-6
+    covers: the 1e-6 rounding band, plus the ≤ ~2e-14 error between the
+    BLAS matmul and the JVM's sequential fold (both sum 64 exact
+    products; |Σ|u_i v_i|| ≤ ‖u‖‖v‖ bounds the normalized error at
+    ~d·ε). Rows with non-finite approx scores (zero norms, nulls) are
+    always emitted so the JVM decides their fate.
+    """
+    import numpy as np
+
+    integral = {"bigint", "int", "smallint", "tinyint"}
+    qt = dict(q.dtypes)["query_id"]
+    ct = dict(c.dtypes)["neighbor_id"]
+    if qt not in integral or ct not in integral:
+        return None
+    qtbl = q.select("query_id", "qv").limit(_PRUNE_MAX_QUERIES + 1).toArrow()
+    if qtbl.num_rows > _PRUNE_MAX_QUERIES:
+        return None
+    qids = np.asarray(qtbl.column("query_id").to_pylist(), dtype=np.int64)
+    if qtbl.num_rows == 0:
+        Q = None
+    else:
+        try:
+            Q = np.asarray(qtbl.column("qv").to_pylist(), dtype=np.float64)
+        except Exception:
+            return None
+        if Q.ndim != 2:
+            return None
+    spark = c.sparkSession
+    out_schema = f"query_id {qt}, neighbor_id {ct}"
+
+    def prune(batches):
+        import numpy as np
+        import pyarrow as pa_
+
+        if Q is None:
+            return
+        with np.errstate(all="ignore"):
+            qn = np.sqrt((Q * Q).sum(axis=1))
+        nq = Q.shape[0]
+        for b in batches:
+            nid_col = b.column(0)
+            n = len(nid_col)
+            if n == 0:
+                continue
+            nids = np.asarray(nid_col.to_pylist(), dtype=np.int64)
+            try:
+                vec_col = b.column(1)
+                if vec_col.null_count == 0 and vec_col.values.null_count == 0:
+                    # zero-copy: flat values buffer + uniform-width reshape
+                    offs = vec_col.offsets.to_numpy()
+                    d = Q.shape[1]
+                    if not ((offs[1:] - offs[:-1]) == d).all():
+                        raise ValueError("ragged vectors")
+                    flat = vec_col.values.to_numpy()
+                    C = flat[offs[0]:offs[-1]].reshape(n, d).astype(
+                        np.float64, copy=False
+                    )
+                else:
+                    C = np.asarray(vec_col.to_pylist(), dtype=np.float64)
+                if C.ndim != 2 or C.shape[1] != Q.shape[1]:
+                    raise ValueError("ragged vectors")
+                with np.errstate(all="ignore"):
+                    cn = np.sqrt((C * C).sum(axis=1))
+                    s = (C @ Q.T) / (cn[:, None] * qn[None, :])
+                weird = ~np.isfinite(s)
+                s = np.where(weird, -np.inf, s)
+                # self-pairs are excluded BEFORE ranking, as in the
+                # exact path's where() below
+                self_mask = nids[:, None] == qids[None, :]
+                s = np.where(self_mask, -np.inf, s)
+                if n > k:
+                    kth = np.partition(s, n - k, axis=0)[n - k, :]
+                else:
+                    kth = np.full(nq, -np.inf)
+                keep = (s >= kth[None, :] - 2e-6) | (weird & ~self_mask)
+            except Exception:
+                # unconvertible batch (nulls, ragged dims): emit every
+                # non-self pair — the JVM re-scores them exactly
+                keep = nids[:, None] != qids[None, :]
+            ci, qi = np.nonzero(keep)
+            if len(ci) == 0:
+                continue
+            yield pa_.record_batch(
+                [
+                    pa_.array(qids[qi]).cast(
+                        qtbl.schema.field("query_id").type
+                    ),
+                    pa_.array(nids[ci]).cast(nid_col.type),
+                ],
+                names=["query_id", "neighbor_id"],
+            )
+
+    return c.select("neighbor_id", "cv").mapInArrow(prune, out_schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,12 +164,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector.
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
     ties broken by neighbor id (deterministic). ``queries`` is typically
     small → Spark broadcasts it; the corpus never shuffles.
+
+    ``prune`` (optimization r13): a vectorized Arrow-batch pass first
+    shrinks the N×Q pair space to a provable superset of the top-k
+    (~k·batches rows per query; see :func:`_topk_candidate_pairs` for
+    the margin argument), then the EXACT JVM fold + round + window runs
+    on the candidates only — the scores of record and the result are
+    bit-identical to the unpruned cross join (oracle-checked), but the
+    JVM folds ~100× fewer pairs. Falls back to the plain cross join for
+    non-integral ids or > 4096 queries.
     """
     query_id_col = query_id_col or id_col
     # norms are precomputed per side so the pair loop only folds the dot
@@ -68,8 +192,17 @@ def cosine_topk(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("qn", _norm(F.col("qv")))
+    pairs = None
+    if prune:
+        cand = _topk_candidate_pairs(c, q, k)
+        if cand is not None:
+            pairs = c.join(F.broadcast(cand), "neighbor_id").join(
+                F.broadcast(q), "query_id"
+            )
+    if pairs is None:
+        pairs = c.crossJoin(F.broadcast(q))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        pairs
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -219,7 +352,7 @@ def ivf_index_rows(
     ).withColumn("n", _norm(F.col("v")))
     cn = codebook.select("cid", "cv").withColumn("cn", _norm(F.col("cv")))
     sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6)
-    return (
+    out = (
         v.crossJoin(F.broadcast(cn))
         .select("vec_id", "v", "n", "cid", sim.alias("csim"))
         .groupBy("vec_id")
@@ -230,6 +363,14 @@ def ivf_index_rows(
         )
         .select("vec_id", "cell", "v", "n")
     )
+    # size hint for the insert fast path: output is exactly one row per
+    # corpus vector at ~input width (+ one long), so 2x the corpus
+    # projection's estimate is an honest upper bound — the plan's own
+    # estimate is C-times inflated by the crossJoin
+    est = _plan_est_bytes(v)
+    if est is not None:
+        out._icedb_est_bytes = 2 * est
+    return out
 
 
 def cosine_topk_against_index_table(
@@ -337,6 +478,20 @@ def cosine_topk_against_index_table(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def _plan_est_bytes(df: DataFrame):
+    """Optimizer size estimate (free — no job), or None on the
+    un-estimable sentinel. Used to pass an HONEST size hint to
+    ``IceTable.insert`` for index-row relations whose own post-crossJoin
+    estimate is wildly pessimistic (the C-way crossJoin multiplies the
+    estimate by C even though the following groupBy collapses it back to
+    one row per corpus vector)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return est if 0 < est < 1 << 60 else None
 
 
 def _training_view(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1031,7 +1186,7 @@ def ivfpq_index_rows(
             F.min_by("c2", F.struct(F.col("d2"), F.col("j"))).alias("c2c"),
         )
     )
-    return codes.groupBy("vec_id", "cell").agg(
+    out = codes.groupBy("vec_id", "cell").agg(
         F.sum(
             # fail loudly (not silently corrupt the adjacent lane) if a
             # caller-supplied trained sub-codebook carries j >= 256 —
@@ -1045,6 +1200,14 @@ def ivfpq_index_rows(
         ).alias("codes"),
         F.sum("c2c").alias("r2"),
     )
+    # size hint for the insert fast path: one 4-fixed-width-column row
+    # per corpus vector (~32 B) — the corpus projection's estimate is a
+    # generous upper bound; the plan's own estimate carries the
+    # crossJoin/explode inflation
+    est = _plan_est_bytes(v)
+    if est is not None:
+        out._icedb_est_bytes = est
+    return out
 
 
 def cosine_topk_pq_against_index_table(

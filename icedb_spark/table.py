@@ -374,6 +374,19 @@ def parse_partition(part: str) -> dict[str, str]:
 _SMALL_BATCH_ROWS = 10_000
 
 
+def _local_write_bytes() -> int:
+    """Size ceiling (optimizer-estimated or marker-known input bytes)
+    below which a write takes the DRIVER-LOCAL fast path — one Arrow
+    collect + the same group writer on the driver instead of a shuffle +
+    Python-worker job (optimization r13, extending the r12 small-batch
+    path). Scale-adaptive by BYTES, never by core count: on a cluster a
+    32 MB collect is trivially driver-safe, and anything larger keeps
+    the distributed writer. Mis-estimates are bounded by
+    spark.driver.maxResultSize (the collect aborts, the caller falls
+    back to the distributed writer)."""
+    return int(os.environ.get("SPARK_GRAFT_LOCAL_WRITE_BYTES", str(32 << 20)))
+
+
 def _make_group_writer(
     root: str,
     sort_order: list[str],
@@ -837,22 +850,30 @@ class IceTable:
         split vs 1.4 s at eight (sort+write alone are 0.8 s)."""
         if self.write_splits != "auto":
             return self.write_splits
-        try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            return 1
-        if est <= 0 or est >= 1 << 60:
-            # un-estimable plan (e.g. a parallelized local relation
-            # reports spark.sql.defaultSizeInBytes = Long.MaxValue):
-            # keep the reference layout rather than trust a sentinel
+        est = self._estimated_bytes(df)
+        if est is None:
             return 1
         target = int(
             os.environ.get("SPARK_GRAFT_WRITE_SPLIT_BYTES", str(8 << 20))
         )
         par = self.spark.sparkContext.defaultParallelism
         return max(1, min((est + target - 1) // target, par))
+
+    @staticmethod
+    def _estimated_bytes(df: DataFrame) -> Optional[int]:
+        """The optimizer's size estimate for a batch (free — no job), or
+        None when the plan is un-estimable (e.g. a parallelized local
+        relation reports spark.sql.defaultSizeInBytes = Long.MaxValue —
+        never trust the sentinel)."""
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+        if est <= 0 or est >= 1 << 60:
+            return None
+        return est
 
     def _attach_split(self, df: DataFrame, sort_cols: list[str], n: int) -> DataFrame:
         """Assign each row its write-split file (effective splits > 1).
@@ -964,11 +985,23 @@ class IceTable:
             # trip (measured 0.3 s -> 4.4 s per tiny insert). The plain
             # parallel collect in _write_batch_local is the fast shape.
         if small is None:
-            small = (
-                bool(getattr(df, "_icedb_small_batch", False) or df.isLocal())
-                and not self.custom_insert_query
+            eligible = (
+                not self.custom_insert_query
                 and self.write_splits in (1, "auto")
             )
+            small = eligible and bool(
+                getattr(df, "_icedb_small_batch", False) or df.isLocal()
+            )
+            if eligible and not small:
+                # optimization r13: lazy plans with a trustworthy SMALL
+                # optimizer estimate also go driver-local — the estimate
+                # is free, a wrong-low one is caught by the collect's
+                # result-size limit and falls back to the distributed
+                # writer (same failure contract as the tagged path)
+                est = getattr(df, "_icedb_est_bytes", None)
+                if est is None:
+                    est = self._estimated_bytes(df)
+                small = est is not None and est <= _local_write_bytes()
         if self.constraints:
             df = self._enforce_constraints(df)
         df = self._prepare_batch(df)
@@ -2347,12 +2380,39 @@ class IceTable:
             bloom_spec=self._bloom_spec(),
             fs_options=self.storage_options,
         )
-        manifest = (
-            out.withColumn(_PART_COL, F.lit(part))
-            .groupBy(_PART_COL)
-            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
-            .collect()
-        )
+        manifest = None
+        if (
+            not self.custom_merge_query
+            and sum(m.file_bytes for m in acc) <= _local_write_bytes()
+        ):
+            # optimization r13: the merge's input size is KNOWN from the
+            # markers (free), so a small rewrite collects via Arrow and
+            # runs the SAME write_group on the driver — identical sort,
+            # stats, Bloom and file bytes; skips the shuffle + Python-
+            # worker task whose serial pipeline dominates small merges.
+            # A custom merge query may expand the batch, so it keeps the
+            # distributed writer; MOR folds only delete rows (output ≤
+            # input) and stay eligible. Any failure falls back — partial
+            # local files are unreferenced (commit-is-visibility) and
+            # gc_orphans collects them.
+            try:
+                tbl = out.toArrow()
+                if tbl.num_rows:
+                    tbl = tbl.append_column(
+                        _PART_COL, pa.array([part] * tbl.num_rows, pa.string())
+                    )
+                    manifest = [writer(tbl).to_pylist()[0]]
+                else:
+                    manifest = []
+            except Exception:
+                manifest = None
+        if manifest is None:
+            manifest = (
+                out.withColumn(_PART_COL, F.lit(part))
+                .groupBy(_PART_COL)
+                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                .collect()
+            )
         if not manifest:
             # a filtering custom merge query can yield ZERO rows for the
             # partition (TTL-style 'where not expired'): applyInArrow emits
@@ -2912,12 +2972,24 @@ class IceTable:
                 bloom_spec=self._bloom_spec(),
                 fs_options=self.storage_options,
             )
-            manifest = (
-                out.withColumn(_PART_COL, F.lit(partition))
-                .groupBy(_PART_COL)
-                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
-                .collect()
-            )
+            manifest = None
+            if m.file_bytes <= _local_write_bytes():
+                # optimization r13: per-file GDPR rewrites are bounded by
+                # the SOURCE file's known bytes — small ones collect via
+                # Arrow and write on the driver (the filter query only
+                # removes/edits rows within the file's schema)
+                try:
+                    tbl = out.withColumn(_PART_COL, F.lit(partition)).toArrow()
+                    manifest = [writer(tbl).to_pylist()[0]] if tbl.num_rows else []
+                except Exception:
+                    manifest = None
+            if manifest is None:
+                manifest = (
+                    out.withColumn(_PART_COL, F.lit(partition))
+                    .groupBy(_PART_COL)
+                    .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                    .collect()
+                )
             return [
                 (
                     r["path"],
@@ -2995,11 +3067,24 @@ class IceTable:
             bloom_spec=self._bloom_spec(),
             fs_options=self.storage_options,
         )
-        manifest = (
-            df.groupBy(_PART_COL)
-            .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
-            .collect()
-        )
+        manifest = None
+        est = self._estimated_bytes(df)
+        if est is not None and est <= _local_write_bytes():
+            # optimization r13: small DML rewrites (estimate-gated, same
+            # contract as insert's fast path) collect via Arrow and run
+            # the same group writer on the driver — skipping the shuffle
+            # + Python-worker job per rewrite. Failures fall back; local
+            # partials are unreferenced until the commit.
+            try:
+                manifest = self._write_batch_local(df, writer)
+            except Exception:
+                manifest = None
+        if manifest is None:
+            manifest = (
+                df.groupBy(_PART_COL)
+                .applyInArrow(writer, schema=_MANIFEST_SCHEMA)
+                .collect()
+            )
         return [
             FileMarker(
                 r["path"], 0, r["file_bytes"],

@@ -181,8 +181,11 @@ def test_auto_write_splits(spark, tmp_path, sf_dir, monkeypatch):
         )]
     )
     src = load_table(spark, sf_dir, "events")
-    # force the fan-out at test scale: tiny per-task target
+    # force the fan-out at test scale: tiny per-task target, and disable
+    # the r13 estimate-gated driver-local path (which otherwise takes
+    # precedence for batches this small — see test_local_write_paths)
     monkeypatch.setenv("SPARK_GRAFT_WRITE_SPLIT_BYTES", "4096")
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_WRITE_BYTES", "0")
     t = IceTable(spark, str(tmp_path / "auto"), partition_spec=spec,
                  sort_order=["event_type", "ts"], write_splits="auto")
     assert t._resolve_write_splits(src) > 1
