@@ -866,55 +866,80 @@ def semdedup(
             F.col("best.csim").alias("cent_cos"),
         )
     )
-    # the assignment feeds BOTH sides of the within-cell domination
-    # self-join AND the final kept-flag join with zero ReusedExchange
-    # (r12 plan audit), so it executes three times per action. An r12
-    # experiment persisted it MEMORY_AND_DISK: ~8-13% off this operator
-    # in isolation, but the block outlives the caller's action (cache
-    # lifetime is the caller's per the module contract) and the leak
-    # slowed every later query of a multi-query session far more than
-    # the local win — reverted with the verify-stage persists (see
-    # _jaccard_verify's docstring for the measured session numbers).
-    paired = assigned
+    # Optimization r13 (guide §2.4 — share the partitioning, compute with
+    # fewer passes): the r12 shape referenced `assigned` FOUR times (the
+    # ok-cell histogram, both semi-joined pair sides, and the final
+    # kept-flag join) with zero ReusedExchange — four executions of the
+    # corpus-wide crossJoin+argmax per action, plus a distinct and a
+    # second join by id. This shape computes the identical result with
+    # TWO references: a LEFT self-join on the cell (a-side = every
+    # vector; b-side = cell-mates, cap-filtered) aggregated per a.id —
+    # `kept` is simply "no cell-mate dominates me", and vectors with no
+    # (eligible) cell-mate get a null b-side and stay kept. The
+    # ``max_cell`` cap filters the b-side by a count window OVER THE
+    # SAME cell partitioning the join needs (no extra exchange, linear
+    # buffering per cell), so members of over-cap cells find no b rows
+    # and are all kept — semantics identical to the r12 semi-join
+    # (oracle-checked: d11 at sf0.001/0.01/0.1 plus collect-compare).
+    # An r12 experiment persisted `assigned` instead: ~8-13% off this
+    # operator in isolation, but the block outlives the caller's action
+    # and the session-wide leak cost far more — see _jaccard_verify's
+    # docstring. Recomputing twice, not caching, remains the contract.
+    a = assigned.select(
+        F.col("id").alias("a_id"), F.col("dv").alias("a_dv"),
+        F.col("n").alias("a_n"), F.col("cell").alias("a_cell"),
+        F.col("cent_cos").alias("a_cent"),
+    )
+    bsrc = assigned
     if max_cell is not None:
-        ok = (
-            assigned.groupBy("cell")
-            .agg(F.count("*").alias("__cn"))
-            .where(F.col("__cn") <= max_cell)
+        from pyspark.sql import Window
+
+        w_cell = Window.partitionBy("cell")
+        bsrc = (
+            assigned.withColumn("__w", F.count(F.lit(1)).over(w_cell))
+            .where(F.col("__w") <= max_cell)
+            .drop("__w")
         )
-        # no broadcast hint, same reasoning as d07's max_bucket: the
-        # ok-cell list is O(n_clusters) rows and Catalyst/AQE broadcasts
-        # it when it is actually small
-        paired = assigned.join(ok.select("cell"), "cell", "left_semi")
-    a, b = paired.alias("a"), paired.alias("b")
+    b = bsrc.select(
+        F.col("id").alias("b_id"), F.col("dv").alias("b_dv"),
+        F.col("n").alias("b_n"), F.col("cell").alias("b_cell"),
+        F.col("cent_cos").alias("b_cent"),
+    )
     pair_cos = F.round(
-        _dot(F.col("a.dv"), F.col("b.dv")) / (F.col("a.n") * F.col("b.n")),
+        _dot(F.col("a_dv"), F.col("b_dv")) / (F.col("a_n") * F.col("b_n")),
         6,
     )
     # a is DOMINATED by b when they are near-identical and b sits
     # strictly FARTHER from the centroid (lower cent_cos; id tiebreak)
     # — the survivor is the edge example, per the paper
-    dominated = (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
-        .where(F.col("a.id") != F.col("b.id"))
-        .where(pair_cos >= F.lit(threshold))
-        .where(
-            (F.col("b.cent_cos") < F.col("a.cent_cos"))
+    dominates = (
+        (pair_cos >= F.lit(threshold))
+        & (
+            (F.col("b_cent") < F.col("a_cent"))
             | (
-                (F.col("b.cent_cos") == F.col("a.cent_cos"))
-                & (F.col("b.id") < F.col("a.id"))
+                (F.col("b_cent") == F.col("a_cent"))
+                & (F.col("b_id") < F.col("a_id"))
             )
         )
-        .select(F.col("a.id").alias("id"))
-        .distinct()
     )
     return (
-        assigned.join(dominated.withColumn("_dup", F.lit(True)), "id", "left")
+        a.join(
+            b,
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_id") != F.col("b_id")),
+            "left",
+        )
+        .groupBy("a_id")
+        .agg(
+            F.first("a_cell").alias("cell"),
+            F.first("a_cent").alias("cent_cos"),
+            F.max(dominates).alias("__dom"),
+        )
         .select(
-            F.col("id").alias(id_col),
+            F.col("a_id").alias(id_col),
             F.col("cell"),
             F.round(F.col("cent_cos"), 6).alias("cent_cosine"),
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+            F.coalesce(~F.col("__dom"), F.lit(True)).alias("kept"),
         )
     )
 
