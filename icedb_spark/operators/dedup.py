@@ -639,10 +639,12 @@ def lsh_bucket_stats(
 ) -> DataFrame:
     """Bucket-size histogram for the hyperplane LSH — capacity planning and
     drop accounting for ``max_bucket`` caps (what a silent cap would hide)."""
-    from .similarity import lsh_bucket
+    from .similarity import lsh_view
 
     return (
-        df.select(lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+        lsh_view(
+            df, vec_col, vec_col, dim, n_planes, "__id", with_vec=False
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -673,17 +675,15 @@ def embedding_dup_pairs_lsh(
     recall on those buckets) — account for drops with
     :func:`lsh_bucket_stats`.
     """
-    from .similarity import _as_double, _norm, lsh_bucket
+    from .similarity import lsh_view
 
     if n_planes is None:
         n_planes = auto_n_planes(df.count())
-    v = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _as_double(F.col(vec_col)).alias("v"),
-            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-        )
-        .withColumn("n", _norm(F.col("v")))
+    # one-pass vectorized (id, v, n, bucket) view — bit-equal to the
+    # former _as_double + lsh_bucket + _norm folds (see lsh_view)
+    v = lsh_view(
+        df, id_col, vec_col, dim, n_planes, "id",
+        vec_alias="v", norm_alias="n",
     )
     if max_bucket is not None:
         ok = (
@@ -1647,13 +1647,12 @@ def embedding_index_rows(
     batch's bucket join verifies exact cosine without re-reading the
     original corpus. Persist into an icedb table partitioned by
     ``pmod(bucket, N)``."""
-    from .similarity import _as_double, _norm, lsh_bucket
+    from .similarity import lsh_view
 
-    return df.select(
-        F.col(id_col).alias(id_col),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("n", _norm(F.col("v")))
+    return lsh_view(
+        df, id_col, vec_col, dim, n_planes, id_col,
+        vec_alias="v", norm_alias="n",
+    ).select(id_col, "bucket", "v", "n")
 
 
 def embedding_dedup_against_index(

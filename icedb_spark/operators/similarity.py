@@ -779,11 +779,11 @@ def cosine_topk_multiprobe(
     """
     if not 0 <= n_probe <= n_planes:
         raise ValueError(f"n_probe must be in [0, n_planes], got {n_probe}")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("cn", _norm(F.col("cv")))
+    # corpus side via the vectorized one-pass view (optimization r13,
+    # bit-equal — see lsh_view); the query side keeps the JVM folds
+    # because the probe margins reuse each plane's dot VALUE, not just
+    # its sign
+    c = lsh_view(corpus, id_col, vec_col, dim, n_planes, "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -869,6 +869,116 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def lsh_view(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    id_alias: str,
+    vec_alias: str = "cv",
+    norm_alias: str = "cn",
+    with_vec: bool = True,
+) -> DataFrame:
+    """``(id, double vector, norm, LSH bucket)`` for a corpus, computed in
+    ONE vectorized Arrow-batch pass (optimization r13, guide §4.2).
+
+    Value-identical to ``_as_double`` + :func:`lsh_bucket` + ``_norm``:
+    the per-plane dot replicates the JVM fold's SEQUENTIAL index-order
+    accumulation in float64 (each float32 widens exactly; each ±1
+    product is exact; the adds round identically), so the sign — and
+    hence the bucket — is bit-equal, as is the norm. Irregular rows
+    reproduce the JVM null semantics exactly: a null vector or any null
+    element yields bucket 0 (every plane's ``when`` falls through) and a
+    null norm; a length≠dim vector yields bucket 0 but keeps its norm.
+    The win is double: no interpreted per-element HOF evaluation, and no
+    Catalyst ANALYSIS of ``n_planes`` 64-element fold trees per
+    construction (~0.4 s at 6 planes, paid per bench repeat)."""
+    import numpy as np
+
+    S = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    fields = [f"{id_alias} {id_type}"]
+    if with_vec:
+        fields.append(f"{vec_alias} array<double>")
+    fields += [f"{norm_alias} double", "bucket int"]
+    schema = ", ".join(fields)
+
+    def go(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa_
+
+        for b in batches:
+            ids = b.column(0)
+            vc = b.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            regular = vc.null_count == 0 and vc.values.null_count == 0
+            if regular:
+                offs = vc.offsets.to_numpy()
+                regular = bool(((offs[1:] - offs[:-1]) == dim).all())
+            if regular:
+                flat = vc.values.to_numpy().astype(np.float64, copy=False)
+                C = flat[offs[0]:offs[-1]].reshape(n, dim)
+                acc = np.zeros((n, n_planes))
+                nrm = np.zeros(n)
+                for i in range(dim):
+                    # sequential accumulation — the JVM fold's order
+                    acc += C[:, i:i + 1] * S[:, i][None, :]
+                    nrm += C[:, i] * C[:, i]
+                buckets = pa_.array(
+                    ((acc >= 0).astype(np.int64) * weights[None, :])
+                    .sum(axis=1).astype(np.int32)
+                )
+                cn = pa_.array(np.sqrt(nrm))
+                cv = pa_.ListArray.from_arrays(
+                    pa_.array(
+                        np.arange(n + 1, dtype=np.int32) * dim
+                    ),
+                    pa_.array(C.reshape(-1)),
+                )
+            else:
+                vs = vc.to_pylist()
+                bks, cns, cvs = [], [], []
+                for v in vs:
+                    if v is None:
+                        bks.append(0); cns.append(None); cvs.append(None)
+                        continue
+                    vd = [None if x is None else float(x) for x in v]
+                    has_null = any(x is None for x in vd)
+                    if has_null:
+                        cns.append(None)
+                    else:
+                        a0 = 0.0
+                        for x in vd:
+                            a0 = a0 + x * x
+                        cns.append(math.sqrt(a0))
+                    bk = 0
+                    if not has_null and len(vd) == dim:
+                        for p in range(n_planes):
+                            d0 = 0.0
+                            for i in range(dim):
+                                d0 = d0 + vd[i] * S[p, i]
+                            if d0 >= 0:
+                                bk += 1 << p
+                    bks.append(bk); cvs.append(vd)
+                buckets = pa_.array(bks, pa_.int32())
+                cn = pa_.array(cns, pa_.float64())
+                cv = pa_.array(cvs, pa_.list_(pa_.float64()))
+            cols = [ids] + ([cv] if with_vec else []) + [cn, buckets]
+            names = [id_alias] + ([vec_alias] if with_vec else []) \
+                + [norm_alias, "bucket"]
+            yield pa_.record_batch(cols, names=names)
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(go, schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -884,16 +994,10 @@ def cosine_topk_lsh(
     |bucket|·|queries in bucket|, so the total is ~n²/2^planes. Recall is
     approximate (neighbors straddling a hyperplane are missed); increase
     recall with fewer planes or multi-probe."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    c = lsh_view(corpus, id_col, vec_col, dim, n_planes, "neighbor_id")
+    q = lsh_view(
+        queries, id_col, vec_col, dim, n_planes, "query_id", "qv", "qn"
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
