@@ -505,25 +505,74 @@ def simhash(
     # hash each token ONCE in a projection below the aggregate: embedding
     # hash60 inside every per-bit sum makes Catalyst evaluate the md5 32x
     # per token row (no CSE across aggregate functions — seen in the r12
-    # before-plan), so the partial aggregate was paying 32 md5s per token
+    # before-plan), so the partial aggregate was paying 32 md5s per token.
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", hash60(F.col("tok"), SIMHASH_SEED).alias("__h"))
-    h = F.col("__h")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    per_bit = ex.groupBy("id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # Optimization r13 (guide §4.2; the §2-trainer pattern): the former
+    # 32-sum aggregate plus the 32-term assembly chain cost ~0.6 s of
+    # Catalyst ANALYSIS per construction. The per-bit ±1 sums are pure
+    # integer counts — order-independent — so a numpy pass emits
+    # per-(batch, id) partials (n tokens, per-bit one-counts) and a tiny
+    # two-stage JVM merge closes them: s_b = 2·ones_b − n, bit set iff
+    # s_b > 0, EXACTLY the former arithmetic (a null token hash counted
+    # −1 on every bit before, i.e. zero ones and one n — reproduced).
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa_
+
+        shifts = np.arange(bits, dtype=np.int64)
+        for b in batches:
+            ids_col = b.column(0)
+            h_col = b.column(1)
+            nrows = len(ids_col)
+            if nrows == 0:
+                continue
+            ids = ids_col.to_pylist()
+            if h_col.null_count == 0:
+                H = h_col.to_numpy()
+                B = ((H[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            else:
+                hl = h_col.to_pylist()
+                B = np.zeros((nrows, bits), dtype=np.int64)
+                for i, hv in enumerate(hl):
+                    if hv is not None:
+                        B[i] = (int(hv) >> shifts) & 1
+            groups: dict = {}
+            for i, g in enumerate(ids):
+                groups.setdefault(g, []).append(i)
+            out_ids, out_n, out_ones = [], [], []
+            for g, idx in groups.items():
+                out_ids.append(g)
+                out_n.append(len(idx))
+                out_ones.append([int(x) for x in B[idx].sum(axis=0)])
+            yield pa_.record_batch(
+                [
+                    pa_.array(out_ids, ids_col.type),
+                    pa_.array(out_n, pa_.int64()),
+                    pa_.array(out_ones, pa_.list_(pa_.int64())),
+                ],
+                names=["id", "n", "ones"],
+            )
+
+    parts = ex.mapInArrow(
+        _partials, f"id {id_type}, n long, ones array<long>"
+    )
+    per_bit = (
+        parts.select(
+            "id", "n", F.posexplode("ones").alias("b", "ones")
         )
-    return per_bit.select("id", acc.alias("simhash"))
+        .groupBy("id", "b")
+        .agg(F.sum("n").alias("n"), F.sum("ones").alias("ones"))
+    )
+    contrib = F.when(
+        2 * F.col("ones") - F.col("n") > 0,
+        F.pow(F.lit(2.0), F.col("b")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return per_bit.groupBy("id").agg(F.sum(contrib).alias("simhash"))
 
 
 def simhash_pairs(
