@@ -139,16 +139,66 @@ def minhash_signature(
             lambda s: F.pmod(hash60(s, 0), F.lit(MINHASH_PRIME)),
         ).alias("__h"),
     )
-    mh = [
-        F.array_min(
-            F.transform(
-                F.col("__h"),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
+    # Optimization r13 (guide §4.2; the simhash/trainer pattern): the P
+    # affine-permutation mins are pure int64 arithmetic over the
+    # md5-derived base hashes (a·h + b ≤ 2^62 — no overflow; pmod of
+    # non-negatives = %), so one Arrow pass computes all signatures
+    # row-locally — replacing P array-transform+array_min HOF trees
+    # whose Catalyst analysis dominated construction. The md5 base hash
+    # stays JVM-side (exactness anchor). Irregular rows fall back to a
+    # per-row loop replicating array_min's null-skipping.
+    consts = minhash_perm_constants(num_perm)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"id {id_type}"] + [f"mh{j} long" for j in range(num_perm)]
+    )
+
+    def _sigs(batches):
+        import numpy as np
+        import pyarrow as pa_
+
+        A = np.array([a for a, _ in consts], dtype=np.int64)
+        B = np.array([b for _, b in consts], dtype=np.int64)
+        for bt in batches:
+            ids = bt.column(0)
+            hc = bt.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            regular = hc.null_count == 0 and hc.values.null_count == 0
+            mhs: list
+            if regular:
+                offs = hc.offsets.to_numpy()
+                lens = offs[1:] - offs[:-1]
+                regular = bool((lens > 0).all())
+            if regular:
+                vals = hc.values.to_numpy()
+                vals = vals[offs[0]:offs[-1]]
+                starts = (offs[:-1] - offs[0]).astype(np.int64)
+                mhs = [
+                    np.minimum.reduceat((A[j] * vals + B[j]) % MINHASH_PRIME,
+                                        starts)
+                    for j in range(num_perm)
+                ]
+            else:
+                rows = hc.to_pylist()
+                cols = [[] for _ in range(num_perm)]
+                for hv in rows:
+                    hs = [x for x in (hv or []) if x is not None]
+                    for j in range(num_perm):
+                        cols[j].append(
+                            min((A[j] * x + B[j]) % MINHASH_PRIME
+                                for x in hs) if hs else None
+                        )
+                mhs = [pa_.array(c, pa_.int64()) for c in cols]
+            yield pa_.record_batch(
+                [ids] + [pa_.array(np.asarray(m), pa_.int64())
+                         if not isinstance(m, pa_.Array) else m
+                         for m in mhs],
+                names=["id"] + [f"mh{j}" for j in range(num_perm)],
             )
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(minhash_perm_constants(num_perm))
-    ]
-    return base.select("id", *mh)
+
+    return base.mapInArrow(_sigs, out_schema)
 
 
 def _band_hashes(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
